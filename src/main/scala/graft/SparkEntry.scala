@@ -1,13 +1,37 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator inventory (SURVEY.md §2 + the
+  * training-data extensions); each entry that is ANSI-SQL-expressible has a
+  * DuckDB oracle in `oracleSql` with identical output column names.
+  */
 object SparkEntry {
+
+  /** All query packs, concatenated. Names must be unique. */
+  private val packs: Seq[QueryPack] = Seq(CoreQueries)
+
+  private lazy val registry: Seq[Q] = {
+    val qs = packs.flatMap(_.all)
+    require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
+    qs
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CoreQueries.all.find(_.name == "q02_revenue_by_nation").get
+      .fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }
