@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
 
   /** All query packs, concatenated. Names must be unique. */
-  private val packs: Seq[QueryPack] = Seq(CoreQueries)
+  private val packs: Seq[QueryPack] = Seq(CoreQueries, PipelineQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = packs.flatMap(_.all)

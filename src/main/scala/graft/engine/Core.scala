@@ -1,0 +1,160 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Core abstractions of the transformation framework — the dbt-core role
+  * from the reference, re-expressed as plain Scala values over
+  * `SparkSession` (SURVEY.md §1.1). Snowflake's execution role is played
+  * by Catalyst; nothing here re-implements relational algebra.
+  */
+
+/** Named environment: database/schema/concurrency, mirroring the
+  * reference's `profiles.example.yml:3-25` (threads: 16). */
+final case class Target(
+    name: String,
+    schema: String,
+    threads: Int = 16)
+
+/** Materialization strategies. The reference defaults to `view`
+  * (`dbt_project.yml:32-36`) with per-model `table` overrides
+  * (`models/example/my_first_dbt_model.sql:10`); the rest are declared
+  * capability slots (seeds/snapshots dirs, incremental). */
+sealed trait Materialization
+object Materialization {
+  case object View extends Materialization
+  case object Table extends Materialization
+  /** Unmaterialized: consumers inline the DataFrame, letting Catalyst
+    * optimize across model boundaries (strictly better than the
+    * reference's CTE splicing — SURVEY.md §4.1). */
+  case object Ephemeral extends Materialization
+  /** Append-style incremental with optional unique-key anti-join. */
+  final case class Incremental(uniqueKey: Option[Seq[String]] = None)
+      extends Materialization
+}
+
+/** Per-model configuration. Schema resolution follows the reference's
+  * `generate_schema_name` override: custom schema used verbatim (trimmed),
+  * else the target schema — no environment prefixing
+  * (`macros/overrides/generate_schema_name.sql:11-23`). Physical name =
+  * alias-or-name (`macros/list_orphaned_objects.sql:47`). */
+final case class ModelConfig(
+    materialized: Materialization = Materialization.View,
+    schema: Option[String] = None,
+    alias: Option[String] = None,
+    tags: Set[String] = Set.empty)
+
+/** Identifier normalization: the reference compares catalog identifiers
+  * case-insensitively by uppercasing both sides
+  * (`list_orphaned_objects.sql:47`); Spark lowercases — one rule, applied
+  * everywhere (SURVEY.md §1.3). */
+object Ident {
+  def normalize(s: String): String = s.trim.toLowerCase
+}
+
+sealed trait Node {
+  def name: String
+  def id: String
+}
+
+/** A model: a named build function + config. `build` receives a [[Ctx]]
+  * whose `ref`/`source` calls both resolve to DataFrames and record DAG
+  * edges — replacing dbt's Jinja render-time dependency extraction
+  * (SURVEY.md §3.1 stage 3). */
+final case class Model(
+    name: String,
+    config: ModelConfig,
+    build: Ctx => DataFrame) extends Node {
+  def id: String = s"model.$name"
+}
+
+/** A declared external input (the reference's `models/sources.yml`):
+  * either a parquet path or an existing catalog table. */
+final case class SourceDef(
+    sourceName: String,
+    tableName: String,
+    location: SourceLocation) extends Node {
+  def name: String = s"$sourceName.$tableName"
+  def id: String = s"source.$sourceName.$tableName"
+}
+sealed trait SourceLocation
+final case class ParquetPath(path: String) extends SourceLocation
+final case class CatalogTable(table: String) extends SourceLocation
+
+/** A seed: CSV loaded as a table (`dbt_project.yml:17`). */
+final case class Seed(
+    name: String,
+    csvPath: String,
+    config: ModelConfig = ModelConfig(Materialization.Table)) extends Node {
+  def id: String = s"seed.$name"
+}
+
+/** A data test attached to a model: builds a violations DataFrame;
+  * nonzero rows = failure (`models/example/schema.yml` semantics). */
+final case class DataTest(
+    name: String,
+    modelName: String,
+    violations: DataFrame => DataFrame) extends Node {
+  def id: String = s"test.$name"
+}
+
+/** Build-time context handed to model build functions. */
+final class Ctx(
+    val spark: SparkSession,
+    resolveRef: String => DataFrame,
+    resolveSource: (String, String) => DataFrame) {
+  /** Read another model's output; records a DAG edge (ref.sql semantics:
+    * resolved names are always 2-part — schema.alias, no database). */
+  def ref(model: String): DataFrame = resolveRef(model)
+  /** Read a declared source table; records a DAG edge. */
+  def source(sourceName: String, table: String): DataFrame =
+    resolveSource(sourceName, table)
+}
+
+/** The project DAG, introspectable like the reference's `graph.nodes`
+  * (`macros/list_orphaned_objects.sql:45-48`). */
+final case class ProjectGraph(
+    nodes: Map[String, Node],
+    edges: Map[String, Set[String]]) { // node id -> upstream ids
+
+  def upstream(id: String): Set[String] = edges.getOrElse(id, Set.empty)
+
+  /** Kahn topological order; cycles raise with the offending ids. */
+  def topoOrder: Seq[String] = {
+    val indeg = scala.collection.mutable.Map[String, Int]()
+    val down = scala.collection.mutable.Map[String, List[String]]()
+      .withDefaultValue(Nil)
+    nodes.keys.foreach(id => indeg(id) = 0)
+    for ((id, ups) <- edges; up <- ups if nodes.contains(up)) {
+      indeg(id) = indeg.getOrElse(id, 0) + 1
+      down(up) = id :: down(up)
+    }
+    val queue = scala.collection.mutable.PriorityQueue[String]()(
+      Ordering[String].reverse) // deterministic order
+    indeg.foreach { case (id, d) => if (d == 0) queue.enqueue(id) }
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    while (queue.nonEmpty) {
+      val id = queue.dequeue()
+      out += id
+      down(id).foreach { d =>
+        indeg(d) -= 1
+        if (indeg(d) == 0) queue.enqueue(d)
+      }
+    }
+    if (out.size != nodes.size)
+      throw new IllegalStateException(
+        s"cycle among: ${nodes.keySet -- out.toSet}")
+    out.toSeq
+  }
+}
+
+/** Outcome of one node build/test. */
+final case class NodeResult(
+    id: String,
+    status: String, // success | error | fail (test) | skipped
+    durationMs: Long,
+    message: String = "")
+
+final case class RunResults(results: Seq[NodeResult]) {
+  def ok: Boolean = results.forall(r => r.status == "success")
+  def byId: Map[String, NodeResult] = results.map(r => r.id -> r).toMap
+}

@@ -1,0 +1,115 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType}
+
+/** The reference's macro surface as ordinary Scala functions
+  * (SURVEY.md §2.9 — no templating layer needed).
+  */
+object Macros {
+
+  /** Backtick-quote an identifier (`adapter.quote` analogue,
+    * `macros/star_from_relations.sql:20`). */
+  def quote(ident: String): String = s"`${ident.replace("`", "``")}`"
+
+  /** `star_from_relations` (`macros/star_from_relations.sql:12-26`): the
+    * explicit column list of a by-name union of relations, minus `except`,
+    * optionally alias-prefixed. Returns Columns ready for `.select`. */
+  def starFromRelations(relations: Seq[DataFrame],
+      relationAlias: Option[String] = None,
+      except: Set[String] = Set.empty): Seq[Column] = {
+    val exceptNorm = except.map(Ident.normalize)
+    val cols = relations.flatMap(_.columns).distinct
+      .filterNot(c => exceptNorm.contains(Ident.normalize(c)))
+    cols.map { c =>
+      relationAlias match {
+        case Some(a) => col(s"$a.$c").as(c)
+        case None => col(c)
+      }
+    }
+  }
+
+  /** `dbt_utils.union_relations` semantics (invoked at
+    * `star_from_relations.sql:14`; "null paddings" warning at `:10`):
+    * union by name over the superset of columns, NULL-padding missing
+    * ones, least-common-type casting name collisions with different
+    * types (Snowflake coerces loosely; Spark errors — SURVEY §7.4.5),
+    * plus a `_dbt_source_relation` provenance column. */
+  def unionRelations(relations: Seq[(String, DataFrame)],
+      sourceColumn: String = "_dbt_source_relation"): DataFrame = {
+    require(relations.nonEmpty, "unionRelations of nothing")
+    // superset schema in first-seen order; pick a least-common type per name
+    val ordered = relations.flatMap(_._2.schema.fields.map(f => f.name))
+      .distinct
+    val types: Map[String, DataType] = ordered.map { name =>
+      val ts = relations.flatMap(_._2.schema.fields
+        .filter(_.name == name).map(_.dataType)).distinct
+      val lct = ts.reduceLeft { (a, b) =>
+        DataTypeUtilsBridge.leastCommonType(a, b).getOrElse(StringType)
+      }
+      name -> lct
+    }.toMap
+    val padded = relations.map { case (name, df) =>
+      val have = df.columns.toSet
+      val cols = ordered.map { c =>
+        if (have.contains(c)) col(c).cast(types(c)).as(c)
+        else lit(null).cast(types(c)).as(c)
+      } :+ lit(name).as(sourceColumn)
+      df.select(cols: _*)
+    }
+    padded.reduce(_.unionByName(_))
+  }
+
+  /** `list_orphaned_objects` (`macros/list_orphaned_objects.sql`):
+    * catalog objects in `schema` that no model/seed claims. Emits the
+    * same print-only DROP/RENAME lines — the safety invariant is that
+    * nothing is executed (`:15,51`). Comparison is case-normalized
+    * (`:47`). */
+  def listOrphanedObjects(spark: SparkSession, graph: ProjectGraph,
+      project: Project, schema: String,
+      outputDropCmd: Boolean = false,
+      outputRenameCmd: Boolean = false): Seq[String] = {
+    val claimed: Set[String] = graph.nodes.values.collect {
+      case m: Model => project.physicalName(m)
+      case s: Seed => project.physicalName(s)
+    }.map(Ident.normalize).toSet
+    val catalog = spark.sql(s"SHOW TABLES IN ${quote(Ident.normalize(schema))}")
+      .collect()
+      .filter(r => !r.getBoolean(2)) // skip temp views
+      .map(r => (r.getString(0), r.getString(1)))
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    for ((db, tbl) <- catalog.sortBy(t => (t._1, t._2))) {
+      val physical = Ident.normalize(s"$db.$tbl")
+      if (!claimed.contains(physical)) {
+        val objType =
+          try {
+            if (spark.catalog.getTable(db, tbl).tableType == "VIEW") "VIEW"
+            else "TABLE"
+          } catch { case _: Exception => "TABLE" }
+        out += s"orphaned: $objType $physical"
+        if (outputDropCmd) out += s"DROP $objType $physical;"
+        if (outputRenameCmd)
+          out += s"ALTER $objType $physical RENAME TO $db._to_delete_$tbl;"
+      }
+    }
+    out.toSeq
+  }
+
+  /** codegen-package analogue: emit a model stub + schema YAML from a
+    * DataFrame's schema. */
+  def generateModelYaml(name: String, df: DataFrame): String = {
+    val cols = df.schema.fields.map { f =>
+      s"""      - name: ${f.name}\n        data_type: ${f.dataType.simpleString}"""
+    }.mkString("\n")
+    s"""models:\n  - name: $name\n    columns:\n$cols"""
+  }
+}
+
+/** Least-common-type resolution via Catalyst's own coercion rules
+  * (accessed through the GraftSql bridge — TypeCoercion is private[sql]).
+  */
+object DataTypeUtilsBridge {
+  def leastCommonType(a: DataType, b: DataType): Option[DataType] =
+    org.apache.spark.sql.GraftSql.findTightestCommonType(a, b)
+}

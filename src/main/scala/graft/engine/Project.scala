@@ -1,0 +1,287 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import java.util.concurrent.Executors
+
+/** The project registry + runner: models/sources/seeds/tests are declared
+  * as Scala values; `compile()` resolves every model once (memoized,
+  * cycle-checked) while recording `ref`/`source` edges; `run()` builds the
+  * DAG in topological order with bounded parallelism (the reference's
+  * `threads: 16` contract) and interleaves data tests `dbt build`-style:
+  * a failing test blocks downstream models (`README.md:280`).
+  */
+final class Project(val spark: SparkSession, val target: Target) {
+
+  private val models = mutable.LinkedHashMap[String, Model]()
+  private val sources = mutable.LinkedHashMap[(String, String), SourceDef]()
+  private val seeds = mutable.LinkedHashMap[String, Seed]()
+  private val tests = mutable.ArrayBuffer[DataTest]()
+
+  // ---- declaration API -------------------------------------------------
+
+  def model(name: String, config: ModelConfig = ModelConfig())(
+      build: Ctx => DataFrame): this.type = {
+    require(!models.contains(name), s"duplicate model $name")
+    models(name) = Model(name, config, build)
+    this
+  }
+
+  /** SQL-text model: `{{ ref('x') }}` / `{{ source('a','b') }}`
+    * placeholders are resolved to temp views before `spark.sql`, mirroring
+    * the reference's compile step without a template engine. */
+  def sqlModel(name: String, config: ModelConfig = ModelConfig())(
+      sql: String): this.type =
+    model(name, config) { ctx =>
+      val refPat = raw"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}".r
+      val srcPat = raw"\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}".r
+      var out = sql
+      for (m <- refPat.findAllMatchIn(sql).toList.distinctBy(_.group(1))) {
+        val dep = m.group(1)
+        val view = s"graft_ref_${Ident.normalize(dep)}"
+        ctx.ref(dep).createOrReplaceTempView(view)
+        out = refPat.replaceAllIn(out,
+          m2 => if (m2.group(1) == dep) view else m2.matched)
+      }
+      for (m <- srcPat.findAllMatchIn(sql).toList.distinctBy(m => (m.group(1), m.group(2)))) {
+        val (s0, t0) = (m.group(1), m.group(2))
+        val view = s"graft_src_${Ident.normalize(s0)}_${Ident.normalize(t0)}"
+        ctx.source(s0, t0).createOrReplaceTempView(view)
+        out = srcPat.replaceAllIn(out,
+          m2 => if (m2.group(1) == s0 && m2.group(2) == t0) view else m2.matched)
+      }
+      ctx.spark.sql(out)
+    }
+
+  def source(sourceName: String, table: String, location: SourceLocation): this.type = {
+    sources((sourceName, table)) = SourceDef(sourceName, table, location)
+    this
+  }
+
+  def seed(name: String, csvPath: String): this.type = {
+    seeds(name) = Seed(name, csvPath)
+    this
+  }
+
+  def test(t: DataTest): this.type = { tests += t; this }
+
+  /** The generic-test quartet (schema.yml tests + the standard remainder
+    * of the family — SURVEY.md §2.10). */
+  def testUnique(model: String, column: String): this.type =
+    test(DataTest(s"unique__${model}__$column", model,
+      GenericTests.unique(_, column)))
+  def testNotNull(model: String, column: String): this.type =
+    test(DataTest(s"not_null__${model}__$column", model,
+      GenericTests.notNull(_, column)))
+  def testAcceptedValues(model: String, column: String, values: Seq[Any]): this.type =
+    test(DataTest(s"accepted_values__${model}__$column", model,
+      GenericTests.acceptedValues(_, column, values)))
+  def testRelationship(model: String, column: String,
+      toModel: String, toColumn: String): this.type =
+    test(DataTest(s"relationships__${model}__$column", model, df =>
+      GenericTests.relationships(df, column, resolve(toModel), toColumn)))
+
+  // ---- naming ----------------------------------------------------------
+
+  /** `generate_schema_name` semantics: custom schema verbatim (trimmed),
+    * else target schema; never env-prefixed. */
+  def schemaFor(config: ModelConfig): String =
+    Ident.normalize(config.schema.map(_.trim).getOrElse(target.schema))
+
+  /** Physical 2-part name (ref.sql strips the database — 2 parts, always). */
+  def physicalName(m: Model): String =
+    s"${schemaFor(m.config)}.${Ident.normalize(m.config.alias.getOrElse(m.name))}"
+  def physicalName(s: Seed): String =
+    s"${schemaFor(s.config)}.${Ident.normalize(s.name)}"
+
+  // ---- compile: memoized resolution + edge recording -------------------
+
+  private val resolved = mutable.Map[String, DataFrame]()
+  private val resolving = mutable.LinkedHashSet[String]() // cycle detection
+  private val edges = mutable.Map[String, mutable.Set[String]]()
+
+  private def recordEdge(from: String, to: String): Unit =
+    edges.getOrElseUpdate(from, mutable.Set()) += to
+
+  /** Resolve a model to its (lazy) DataFrame. Ephemeral models inline;
+    * materialized models still resolve to the *unbuilt* plan here — the
+    * runner decides what to persist. */
+  def resolve(name: String): DataFrame = resolved.getOrElseUpdate(name, {
+    val m = models.getOrElse(name,
+      throw new NoSuchElementException(s"unknown model '$name'"))
+    if (!resolving.add(name))
+      throw new IllegalStateException(
+        s"ref cycle: ${resolving.mkString(" -> ")} -> $name")
+    try m.build(ctxFor(m.id)) finally resolving.remove(name)
+  })
+
+  private def sourceDf(s: SourceDef): DataFrame = s.location match {
+    case ParquetPath(p) => spark.read.parquet(p)
+    case CatalogTable(t) => spark.table(t)
+  }
+
+  private def ctxFor(nodeId: String): Ctx = new Ctx(
+    spark,
+    depName => {
+      recordEdge(nodeId, s"model.$depName")
+      resolve(depName)
+    },
+    (s0, t0) => {
+      val sd = sources.getOrElse((s0, t0),
+        throw new NoSuchElementException(s"unknown source '$s0.$t0'"))
+      recordEdge(nodeId, sd.id)
+      sourceDf(sd)
+    })
+
+  /** Force-resolve everything and return the introspectable graph. */
+  def compile(): ProjectGraph = {
+    models.keys.foreach(resolve)
+    val testNodes = tests.map(t => t.id -> (t: Node))
+    tests.foreach(t => recordEdge(t.id, s"model.${t.modelName}"))
+    ProjectGraph(
+      (models.values.map(m => m.id -> (m: Node)) ++
+        sources.values.map(s => s.id -> (s: Node)) ++
+        seeds.values.map(s => s.id -> (s: Node)) ++ testNodes).toMap,
+      edges.map { case (k, v) => k -> v.toSet }.toMap)
+  }
+
+  // ---- run: topo order, bounded parallelism, test interleaving ---------
+
+  /** `dbt build` analogue: like [[run]], but a failing test on a model
+    * marks every downstream model skipped (`README.md:280`). */
+  def build(select: String = "*"): RunResults =
+    run(select, blockOnTestFailure = true)
+
+  /** Build selected nodes (default: everything) in dependency order with
+    * at most `target.threads` concurrent node builds. Tests run right
+    * after their model; with `blockOnTestFailure` (the `dbt build`
+    * contract) a test failure marks downstream models skipped, while the
+    * plain-`run` contract lets models proceed. */
+  def run(select: String = "*", blockOnTestFailure: Boolean = false): RunResults = {
+    val graph = compile()
+    val selected = Selector.select(graph, select)
+    val order = graph.topoOrder.filter(selected)
+    val pool = Executors.newFixedThreadPool(math.max(1, target.threads))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futures = mutable.Map[String, Future[NodeResult]]()
+    // dbt-build interleaving: a model also waits on its upstream models'
+    // tests, so a failing test blocks the downstream subgraph. Tests
+    // themselves only wait on their model (no test-to-test edges — two
+    // tests of one model must not deadlock on each other).
+    val testsByModel: Map[String, Seq[String]] =
+      tests.toSeq.groupBy(t => s"model.${t.modelName}")
+        .map { case (m, ts) => m -> ts.map(_.id) }
+
+    def nodeFuture(id: String): Future[NodeResult] =
+      futures.getOrElseUpdate(id, {
+        val base = graph.upstream(id).toSeq
+        val ups = graph.nodes(id) match {
+          case _ if !blockOnTestFailure => base
+          case _: DataTest => base
+          case _ => (base ++ base.flatMap(testsByModel.getOrElse(_, Nil))).distinct
+        }
+        val upstreamF = Future.sequence(ups.filter(selected).map(nodeFuture))
+        upstreamF.map { ups =>
+          if (ups.exists(r => r.status == "error" || r.status == "fail"))
+            NodeResult(id, "skipped", 0, "upstream failure")
+          else runNode(graph.nodes(id))
+        }
+      })
+
+    try {
+      order.foreach(nodeFuture)
+      val all = Await.result(
+        Future.sequence(order.map(futures)), Duration.Inf)
+      RunResults(all)
+    } finally pool.shutdown()
+  }
+
+  private def runNode(node: Node): NodeResult = {
+    val t0 = System.nanoTime()
+    def ms = (System.nanoTime() - t0) / 1000000
+    try {
+      node match {
+        case m: Model =>
+          spark.sparkContext.setJobGroup(m.id, QueryTags.tagFor(target, m))
+          try Materializer.materialize(this, m)
+          finally spark.sparkContext.clearJobGroup()
+          NodeResult(m.id, "success", ms)
+        case s: Seed =>
+          Materializer.loadSeed(this, s)
+          NodeResult(s.id, "success", ms)
+        case t: DataTest =>
+          val n = t.violations(materializedDf(t.modelName)).limit(1).count()
+          if (n == 0) NodeResult(t.id, "success", ms)
+          else NodeResult(t.id, "fail", ms, s"violations present")
+        case _: SourceDef =>
+          NodeResult(node.id, "success", ms)
+      }
+    } catch {
+      case e: Exception => NodeResult(node.id, "error", ms, String.valueOf(e.getMessage))
+    }
+  }
+
+  /** The DataFrame a downstream consumer/test should read for a model:
+    * the materialized relation if one exists, else the inline plan. */
+  def materializedDf(name: String): DataFrame = {
+    val m = models(name)
+    m.config.materialized match {
+      case Materialization.Ephemeral => resolve(name)
+      case Materialization.View => resolve(name) // session view == same plan
+      case _ => spark.table(physicalName(m))
+    }
+  }
+}
+
+/** Node-selection mini-language: `*`, `name`, `+name` (ancestors),
+  * `name+` (descendants), `tag:x` (SURVEY.md §3.1 stage 4). */
+object Selector {
+  def select(graph: ProjectGraph, expr: String): String => Boolean = {
+    if (expr == "*") return _ => true
+    val down = graph.edges.toSeq
+      .flatMap { case (id, ups) => ups.map(_ -> id) }
+      .groupMap(_._1)(_._2)
+    def closure(start: Set[String], next: String => Iterable[String]): Set[String] = {
+      var acc = start
+      var frontier = start
+      while (frontier.nonEmpty) {
+        val more = frontier.flatMap(next).diff(acc)
+        acc ++= more
+        frontier = more
+      }
+      acc
+    }
+    val ids: Set[String] = expr match {
+      case e if e.startsWith("tag:") =>
+        graph.nodes.collect {
+          case (id, m: Model) if m.config.tags.contains(e.stripPrefix("tag:")) => id
+        }.toSet
+      case e if e.startsWith("+") =>
+        val root = s"model.${e.drop(1)}"
+        closure(Set(root), graph.upstream(_))
+      case e if e.endsWith("+") =>
+        val root = s"model.${e.dropRight(1)}"
+        closure(Set(root), id => down.getOrElse(id, Nil))
+      case e => Set(s"model.$e")
+    }
+    // tests of selected models ride along
+    val withTests = ids ++ graph.nodes.collect {
+      case (tid, t: DataTest) if ids.contains(s"model.${t.modelName}") => tid
+    }
+    withTests.contains _
+  }
+}
+
+/** Query-tagging analogue of the reference's yuki_snowflake_dbt_tags
+  * package (`README.md:102-105`): every model build runs under a job
+  * group whose description is a JSON tag {job, model, materialization,
+  * invocation_id} — recoverable from the Spark event log / listeners. */
+object QueryTags {
+  val invocationId: String = java.util.UUID.randomUUID().toString
+  def tagFor(target: Target, m: Model): String = {
+    val mat = m.config.materialized.toString.toLowerCase
+    s"""{"job":"${target.name}","dbt_model":"${m.name}","materialization":"$mat","invocation_id":"$invocationId"}"""
+  }
+}

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  *
+  * Everything here is a pure `Column` expression built from Spark's
+  * higher-order functions — evaluated per row, no UDFs, no shuffles, so
+  * each op scales linearly with the corpus and stays inside codegen'd
+  * stages wherever Spark supports it.
+  *
+  * Portability note: the hash primitive is `md5` (lowercase hex), which
+  * DuckDB computes identically — the correctness oracles rely on that.
+  * Min-hashing uses the *lexicographic* order of md5 hex strings as the
+  * hash total order, which is engine-independent.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (driver `documents.text` is single-spaced). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Sliding-window reduce over an array: the w-wide windows of `arr`
+    * combined with `f`, expressed as a zip_with chain over w shifted
+    * slices. Crucially the lambdas only touch lambda variables — an
+    * `element_at(arr, i)` inside a HOF lambda would re-evaluate `arr`'s
+    * whole expression tree per element (quadratic; this exact trap made
+    * the first shingle implementation ~50× slower). */
+  private def slidingReduce(arr: Column, w: Int,
+      f: (Column, Column) => Column): Column = {
+    val cnt = size(arr) - (w - 1)
+    if (w == 1) arr
+    else when(cnt > 0,
+      (0 until w).map(k => slice(arr, lit(k + 1), cnt)).reduce((a, b) => zip_with(a, b, f)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct word-level n-gram shingles joined with '_'.
+    * Guarded: fewer than n tokens → empty array. */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(shinglesOrdered(toks, n))
+
+  /** One MinHash signature value: min over shingles of md5(seed|shingle).
+    * Lexicographic min over hex strings = an engine-portable hash order. */
+  def minhashSig(shingleCol: Column, seed: Int): Column =
+    array_min(transform(shingleCol, t => md5(concat(lit(s"$seed|"), t))))
+
+  /** 32-bit SimHash over *distinct* tokens, returned as a '0'/'1' string.
+    * Bit j = sign of Σ_tokens (j-th md5 nibble ≥ '8' ? +1 : -1); ties → 1.
+    * Distinct tokens keep the per-row cost at O(32·|vocab ∩ doc|). */
+  def simhash32(toks: Column): Column = {
+    // one md5 per distinct token, one aggregate pass accumulating all 32
+    // bit-sums in an int array (no outer-array refs in any lambda)
+    val hx = transform(array_distinct(toks), t => md5(t))
+    val zeros = transform(sequence(lit(1), lit(32)), _ => lit(0))
+    val sums = aggregate(hx, zeros,
+      (acc, h) => zip_with(acc, sequence(lit(1), lit(32)),
+        (a, j) => a + when(h.substr(j, lit(1)) >= "8", 1).otherwise(-1)))
+    array_join(transform(sums, v => when(v >= 0, "1").otherwise("0")), "")
+  }
+
+  /** Winnowing document fingerprint: k-gram md5 hashes, sliding-window (w)
+    * minima, deduplicated. Returns the distinct fingerprint array.
+    * (S. Schleimer et al., "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD 2003.) */
+  def winnowFingerprints(toks: Column, k: Int, w: Int): Column = {
+    val hashes = transform(shinglesOrdered(toks, k), t => md5(t))
+    when(size(hashes) >= w,
+      array_distinct(slidingReduce(hashes, w, (a, b) => least(a, b))))
+      .otherwise(array_distinct(hashes))
+  }
+
+  /** Ordered (non-distinct) n-gram shingles — winnowing needs positions. */
+  def shinglesOrdered(toks: Column, n: Int): Column =
+    slidingReduce(toks, n, (a, b) => concat(a, lit("_"), b))
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Fraction of tokens that are English stopwords. */
+  def stopwordRatio(toks: Column): Column =
+    (size(filter(toks, t => t.isin(enStop: _*))).cast("double") / size(toks))
+
+  /** n-gram-heuristic language guess: stopword-profile score thresholding.
+    * On the synthetic corpus this is a plumbing exercise — the heuristic is
+    * deterministic and oracle-mirrored, not linguistically serious. */
+  def langGuess(toks: Column): Column =
+    when(stopwordRatio(toks) >= 0.05, "en").otherwise("unk")
+
+  /** Quality-scoring features: token counts, duplication, lengths. */
+  def nTokens(toks: Column): Column = size(toks).cast("long")
+  def nDistinctTokens(toks: Column): Column = size(array_distinct(toks)).cast("long")
+  def dupTokenRatio(toks: Column): Column =
+    lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)
+  def avgTokenLen(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or any other
+    * non-space char (the usual pre-tokenizer regex family). */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Corpus deduplication operators for training-data pipelines.
+  *
+  * All operators are shuffle-aware by construction:
+  *   - exact dedup = one hash aggregation (map-side partial combine);
+  *   - n-gram Jaccard = inverted-index (shingle) join with stop-shingle
+  *     removal, never an all-pairs cross join;
+  *   - MinHash-LSH = per-row signatures (no shuffle) + band-bucket join
+  *     that only materializes candidate pairs;
+  *   - SimHash = per-row signature + hash aggregation;
+  *   - embedding near-dup = all-pairs only over LSH/blocking candidates
+  *     (the brute-force form here is the small-side/verification path).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash. One shuffle on md5(text);
+    * at 100 TB this is the cheapest possible formulation (the hash is
+    * 128-bit, so collisions are ignorable; group-by gets map-side combine).
+    * Returns one row per distinct content: canonical keep id, dup count. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Near-duplicate pairs by word n-gram Jaccard similarity, via an
+    * inverted index on shingles:
+    *
+    *   docs → distinct shingles → (shingle, doc) postings
+    *        → drop shingles with document frequency > maxDf  ("stop
+    *          shingles" — they contribute O(df²) candidate rows and almost
+    *          no discriminative signal; standard at web scale)
+    *        → self-join postings on shingle → per-pair common count
+    *        → jaccard = common / (|A| + |B| − common)  on the *filtered*
+    *          shingle sets (consistent numerator/denominator).
+    *
+    * Never materializes non-overlapping pairs. The only shuffles are the
+    * postings join key (shingle) and the pair aggregation. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, threshold: Double = 0.2, maxDf: Long = 100L): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("doc"), explode(shingles(tokens(col(textCol)), n)).as("sh"))
+    val kept = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df_count"))
+        .filter(col("df_count") <= maxDf)
+        .select("sh"),
+      "sh")
+    val sizes = kept.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val pairs = kept.select(col("doc").as("doc_a"), col("sh"))
+      .join(kept.select(col("doc").as("doc_b"), col("sh")), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnsRenamed(Map("doc" -> "doc_a", "n_sh" -> "na")), "doc_a")
+      .join(sizes.withColumnsRenamed(Map("doc" -> "doc_b", "n_sh" -> "nb")), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash-LSH candidate pairs with exact-Jaccard verification.
+    *
+    * Signatures (numHashes md5-min values) are computed per row with
+    * higher-order functions — zero shuffle. Banding (numBands bands of
+    * numHashes/numBands rows) buckets docs by band key; only docs sharing
+    * a bucket become candidates, which is the scale path: candidate volume
+    * tracks true-duplicate volume, not corpus². Candidates then get exact
+    * Jaccard on their full shingle sets (array intersect/union per pair —
+    * fine because candidates are few). */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, numHashes: Int = 8, numBands: Int = 4): DataFrame = {
+    require(numHashes % numBands == 0, "numHashes must divide into bands")
+    val rows = numHashes / numBands
+    val withSh = df.select(col(idCol).as("doc"),
+      shingles(tokens(col(textCol)), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = (0 until numHashes).foldLeft(withSh) { (d, i) =>
+      d.withColumn(s"h$i", minhashSig(col("sh"), i))
+    }
+    val bandCols = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        concat((0 until rows).map(r => col(s"h${b * rows + r}")): _*).as("key"))
+    }
+    val bands = sigs.select(col("doc"), col("sh"),
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("sh"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.select(col("doc").as("doc_a"), col("sh").as("sh_a"), col("band"), col("key"))
+      .join(bands.select(col("doc").as("doc_b"), col("sh").as("sh_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .dropDuplicates("doc_a", "doc_b")
+    cand.withColumn("jaccard",
+      size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash duplicate groups: docs sharing a 32-bit simhash signature.
+    * Per-row signature + one hash aggregation; Hamming-radius>0 search
+    * would add rotated-band buckets (same join pattern as MinHash-LSH). */
+  def simhashGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"), simhash32(tokens(col(textCol))).as("simhash"))
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc")).as("keep_id"))
+
+  /** Embedding near-duplicate pairs above a cosine threshold (brute-force
+    * all-pairs — the verification/small-side path; at corpus scale feed it
+    * LSH-bucketed candidates from [[Similarity]] instead). */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = withNorm.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = withNorm.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosinePrenormed(col("va"), col("vb"), col("na"), col("nb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

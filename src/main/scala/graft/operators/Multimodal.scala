@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column conventions: media as opaque `binary` columns with a
+  * typed metadata struct alongside, plus the Spark-side plumbing for
+  * per-partition decode/feature-extraction.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB — the real parts are the schema
+  * convention, the binary packing, and the `mapPartitions` batch shape
+  * (one decoder instantiation per partition, streamed rows, no collect).
+  */
+object Multimodal {
+
+  case class MediaRow(id: Long, media_type: String, n_bytes: Long,
+      sha256: String, payload: Array[Byte])
+  case class Features(id: Long, width: Int, height: Int,
+      features: Array[Float])
+
+  /** Pack a text column as a media payload: binary bytes + typed metadata.
+    * (Stands in for image/audio ingestion; same schema convention.) */
+  def pack(df: DataFrame, idCol: String, payloadCol: String,
+      mediaType: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("id"),
+      lit(mediaType).as("media_type"),
+      octet_length(encode(col(payloadCol), "utf-8")).cast("long").as("n_bytes"),
+      sha2(encode(col(payloadCol), "utf-8"), 256).as("sha256"),
+      encode(col(payloadCol), "utf-8").as("payload"))
+
+  /** STUB decoder — deterministic fake in place of a real codec (none in
+    * this container). Derives pseudo-dimensions and an 8-float feature
+    * vector from the payload bytes. Replace with e.g. a JNI/ONNX decoder;
+    * the surrounding plumbing (schema, batching, partitioning) is real. */
+  private def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    val w = 1 + (payload.length % 64)
+    val h = 1 + (payload.length % 48)
+    val feats = Array.tabulate(8) { i =>
+      if (payload.isEmpty) 0f
+      else payload(i * payload.length / 8).toFloat / 128f
+    }
+    (w, h, feats)
+  }
+
+  /** Per-partition feature extraction over packed media rows. The decoder
+    * is constructed once per partition (the expensive-init pattern for
+    * codecs/models); rows stream through without materializing the
+    * partition. */
+  def extractFeatures(spark: SparkSession, packed: DataFrame): Dataset[Features] = {
+    import spark.implicits._
+    packed.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init would go here (decoder/model handle)
+        rows.map { case (id, payload) =>
+          val (w, h, f) = decodeStub(payload)
+          Features(id, w, h, f)
+        }
+      }
+  }
+}

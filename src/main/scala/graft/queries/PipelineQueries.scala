@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.streaming.EventStreams
+
+/** Training-data pipeline operators as verifiable queries: deduplication
+  * (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding cosine),
+  * similarity search, text analysis, fingerprinting, sessionization,
+  * streaming aggregation, multimodal metadata.
+  *
+  * Oracle portability tricks (see also Registry scaladoc): the hash
+  * primitive is md5 hex (identical in DuckDB), MinHash uses lexicographic
+  * order over md5 hex strings, cosine values are rounded to 4 decimals
+  * before any ranking/thresholding so cross-engine summation-order noise
+  * cannot flip results.
+  */
+object PipelineQueries extends QueryPack {
+
+  // DuckDB SQL fragments shared by several oracles -----------------------
+  /** 4-gram distinct shingle list over single-spaced text. */
+  private val shingleSql =
+    """list_distinct(list_transform(range(len(string_split(text,' '))-3),
+       i -> string_split(text,' ')[i+1]||'_'||string_split(text,' ')[i+2]||'_'||string_split(text,' ')[i+3]||'_'||string_split(text,' ')[i+4]))"""
+
+  private def minhashSigSql(seed: Int): String =
+    s"list_aggregate(list_transform(s, t -> md5('$seed|'||t)), 'min')"
+
+  private val dotSql =
+    "list_sum(list_transform(range(len(%s)), i -> CAST(%s[i+1] AS DOUBLE)*CAST(%s[i+1] AS DOUBLE)))"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- exact dedup: one hash aggregation -----------------------------
+    Q("x01_dedup_exact",
+      (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("content_hash")),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        count(*) AS dup_count FROM documents
+        GROUP BY md5(text) ORDER BY content_hash""")),
+
+    // ---- n-gram Jaccard near-dups via inverted shingle index -----------
+    Q("x02_jaccard_neardups",
+      (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 4, threshold = 0.2, maxDf = 100L)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH tk AS (SELECT doc_id, $shingleSql AS s FROM documents),
+        ex0 AS (SELECT doc_id AS doc, unnest(s) AS sh FROM tk),
+        keep AS (SELECT sh FROM ex0 GROUP BY sh HAVING count(*) <= 100),
+        ex AS (SELECT doc, ex0.sh FROM ex0 JOIN keep ON ex0.sh = keep.sh),
+        sz AS (SELECT doc, count(*) AS n_sh FROM ex GROUP BY doc),
+        co AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+               FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc < b.doc
+               GROUP BY a.doc, b.doc)
+        SELECT doc_a, doc_b,
+          CAST(common AS DOUBLE)/(sa.n_sh + sb.n_sh - common) AS jaccard
+        FROM co JOIN sz sa ON doc_a = sa.doc JOIN sz sb ON doc_b = sb.doc
+        WHERE CAST(common AS DOUBLE)/(sa.n_sh + sb.n_sh - common) >= 0.2
+        ORDER BY doc_a, doc_b""")),
+
+    // ---- MinHash-LSH candidates + exact-Jaccard verification -----------
+    Q("x03_minhash_lsh",
+      (s, dir) => Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+        n = 4, numHashes = 8, numBands = 4)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some {
+        val sigs = (0 until 8).map(i => s"${minhashSigSql(i)} AS h$i").mkString(", ")
+        val bands = (0 until 4).map(b =>
+          s"SELECT doc_id, s, $b AS band, h${2 * b}||h${2 * b + 1} AS key FROM sg")
+          .mkString(" UNION ALL ")
+        s"""WITH tk AS (SELECT doc_id, $shingleSql AS s FROM documents
+              WHERE len(string_split(text,' ')) >= 4),
+          sg AS (SELECT doc_id, s, $sigs FROM tk),
+          bands AS ($bands),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b,
+            CAST(len(list_intersect(ta.s, tb.s)) AS DOUBLE)
+              / len(list_distinct(ta.s || tb.s)) AS jaccard
+          FROM cand JOIN tk ta ON doc_a = ta.doc_id JOIN tk tb ON doc_b = tb.doc_id
+          ORDER BY doc_a, doc_b"""
+      }),
+
+    // ---- SimHash signature groups --------------------------------------
+    Q("x04_simhash_groups",
+      (s, dir) => Dedup.simhashGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("simhash"), col("keep_id")),
+      Some("""WITH sh AS (SELECT doc_id,
+          array_to_string(list_transform(range(1, 33), j ->
+            CASE WHEN list_sum(list_transform(list_distinct(string_split(text,' ')),
+                   t -> CASE WHEN substr(md5(t), j, 1) >= '8' THEN 1 ELSE -1 END)) >= 0
+            THEN '1' ELSE '0' END), '') AS simhash
+          FROM documents)
+        SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
+        FROM sh GROUP BY simhash ORDER BY simhash, keep_id""")),
+
+    // ---- brute-force cosine top-k (exact ANN baseline) -----------------
+    Q("x05_knn_cosine",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some {
+        val d = dotSql.format("q.embedding", "q.embedding", "c.embedding")
+        val nq = dotSql.format("embedding", "embedding", "embedding")
+        s"""WITH e AS (SELECT vec_id, embedding, sqrt($nq) AS nrm FROM embeddings),
+          p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              round($d / (q.nrm * c.nrm), 4) AS cos
+            FROM e q JOIN e c ON q.vec_id <> c.vec_id)
+          SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank FROM p)
+          WHERE rank <= 5 ORDER BY query_id, rank"""
+      }),
+
+    // ---- embedding cosine near-dup pairs -------------------------------
+    Q("x06_embedding_neardups",
+      (s, dir) => Dedup.embeddingNearDups(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b")),
+      Some {
+        val d = dotSql.format("a.embedding", "a.embedding", "b.embedding")
+        val n = dotSql.format("embedding", "embedding", "embedding")
+        s"""WITH e AS (SELECT vec_id, embedding, sqrt($n) AS nrm FROM embeddings)
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            round($d / (a.nrm * b.nrm), 4) AS cos
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          WHERE round($d / (a.nrm * b.nrm), 4) >= 0.35
+          ORDER BY id_a, id_b"""
+      }),
+
+    // ---- text quality + language heuristics ----------------------------
+    Q("x07_text_quality",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          nTokens(toks).as("n_tokens"),
+          nDistinctTokens(toks).as("n_distinct"),
+          dupTokenRatio(toks).as("dup_ratio"),
+          avgTokenLen(toks).as("avg_token_len"),
+          stopwordRatio(toks).as("stopword_ratio"),
+          langGuess(toks).as("lang_guess"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH x AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents)
+        SELECT doc_id,
+          len(ts) AS n_tokens,
+          len(list_distinct(ts)) AS n_distinct,
+          1.0 - CAST(len(list_distinct(ts)) AS DOUBLE)/len(ts) AS dup_ratio,
+          CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)/len(ts) AS avg_token_len,
+          CAST(len(list_filter(ts, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(ts) AS stopword_ratio,
+          CASE WHEN CAST(len(list_filter(ts, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(ts) >= 0.05
+               THEN 'en' ELSE 'unk' END AS lang_guess
+        FROM x ORDER BY doc_id""")),
+
+    // ---- token counting (whitespace + BPE-ish regex) -------------------
+    Q("x08_token_counts",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        nTokens(tokens(col("text"))).as("ws_tokens"),
+        bpeishTokenCount(col("text")).as("bpeish_tokens"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        len(string_split(text,' ')) AS ws_tokens,
+        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpeish_tokens
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- winnowing document fingerprints -------------------------------
+    Q("x09_winnow_fingerprints",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        size(winnowFingerprints(tokens(col("text")), 3, 4)).cast("long").as("n_fp"),
+        array_min(winnowFingerprints(tokens(col("text")), 3, 4)).as("fp_min"))
+        .orderBy(col("doc_id")),
+      Some("""WITH h AS (SELECT doc_id,
+          list_transform(list_transform(range(len(string_split(text,' '))-2),
+            i -> string_split(text,' ')[i+1]||'_'||string_split(text,' ')[i+2]||'_'||string_split(text,' ')[i+3]),
+            t -> md5(t)) AS hs
+          FROM documents),
+        fp AS (SELECT doc_id, list_distinct(CASE WHEN len(hs) >= 4
+            THEN list_transform(range(len(hs)-3),
+                 i -> list_aggregate(list_slice(hs, i+1, i+4), 'min'))
+            ELSE hs END) AS fps
+          FROM h)
+        SELECT doc_id, len(fps) AS n_fp, list_aggregate(fps, 'min') AS fp_min
+        FROM fp ORDER BY doc_id""")),
+
+    // ---- sessionization (30-min gap), window-function form -------------
+    Q("x10_sessionize",
+      (s, dir) => EventStreams.sessionizeBatch(t(s, dir, "events"), 30)
+        .orderBy(col("user_id"), col("session_idx")),
+      Some("""WITH x AS (SELECT user_id, event_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS is_new
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM x)
+        SELECT user_id, session_idx, count(*) AS n_events,
+          strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""")),
+
+    // ---- structured-streaming hourly aggregation (== batch result) -----
+    Q("x11_stream_hourly",
+      (s, dir) => EventStreams.hourlyCounts(s, dir),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
+    // ---- multimodal payload metadata (binary column convention) --------
+    Q("x12_multimodal_meta",
+      (s, dir) => Multimodal.pack(t(s, dir, "documents"), "doc_id", "text", "text/plain")
+        .select(col("id"), col("media_type"), col("n_bytes"), col("sha256"))
+        .orderBy(col("id")),
+      Some("""SELECT doc_id AS id, 'text/plain' AS media_type,
+        octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256
+        FROM documents ORDER BY id""")),
+
+    // ---- multimodal feature extraction (stubbed decode; rows-only) -----
+    Q("x13_multimodal_features",
+      (s, dir) => {
+        val packed = Multimodal.pack(t(s, dir, "documents"), "doc_id", "text", "text/plain")
+        Multimodal.extractFeatures(s, packed).toDF()
+          .select(col("id"), col("width").cast("long"), col("height").cast("long"),
+            element_at(col("features"), 1).cast("double").as("f0"))
+          .orderBy(col("id"))
+      },
+      None),
+
+    // ---- IVF approximate nearest neighbors (rows-only; recall vs exact
+    //      brute force is asserted in the ScalaTest spec) ----------------
+    Q("x14_ivf_ann",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val cents = Similarity.centroidsOf(e, "label", "embedding")
+        Similarity.ivfTopK(e, e, cents, "vec_id", "embedding", k = 5, nProbe = 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming surface over the `events` table.
+  *
+  * The reference is batch-only (SURVEY.md §2.8) — this is the extension
+  * path: the same parquet drives a file-source stream, so incremental
+  * models can be re-expressed as streaming queries with watermarks. For
+  * synchronous verification we run the stream to completion against a
+  * memory sink (`processAllAvailable`), which makes the result equal to
+  * the batch computation and therefore oracle-checkable.
+  */
+object EventStreams {
+
+  case class Ev(user_id: Long, tsUs: Long, value: Double)
+  case class Sess(user_id: Long, n_events: Long, sum_value: Double)
+
+  private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) in parquet: read nanos as long, then
+    // truncate to µs (same value DuckDB sees after its ns→µs truncation).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file stream source wants a directory; glob-filter to this table
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+  }
+
+  /** Tumbling 1-hour windowed aggregation with a watermark, run to
+    * completion. Complete output mode so no window is dropped and the
+    * result matches the batch equivalent exactly. */
+  def hourlyCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+    val name = "graft_stream_hourly"
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy(col("hour"), col("event_type"))
+  }
+
+  /** Batch sessionization (30-minute inactivity gap): the window-function
+    * formulation — new-session flags via lag, then a running sum as the
+    * session index. One shuffle on user_id; scales with the event log.
+    * The stateful-streaming twin lives in [[sessionizeStreaming]]. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes.toLong * 60 * 1000 * 1000
+    val flagged = events.withColumn("is_new",
+      when(lag(col("ts"), 1).over(w).isNull ||
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > gapUs, 1)
+        .otherwise(0))
+    flagged
+      .withColumn("session_idx", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+  }
+
+  /** Stateful-streaming sessionization with flatMapGroupsWithState —
+    * event-time sessions with a processing-time-independent gap. Used by
+    * the streaming spec; returns (user_id, n_events, sum_value) per
+    * closed session. */
+  def sessionizeStreaming(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes.toLong * 60 * 1000 * 1000
+    val ev = eventStream(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsUs"), col("value"))
+      .as[(Long, Long, Double)].map { case (u, t, v) => Ev(u, t, v) }
+    val sessions = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Ev], Sess](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[List[Ev]]) =>
+          // batch-driven smoke path: all rows for a user arrive together;
+          // split the sorted event times on gaps > gapUs
+          val evs = (state.getOption.getOrElse(Nil) ++ rows.toList).sortBy(_.tsUs)
+          state.update(Nil)
+          if (evs.isEmpty) Iterator.empty
+          else {
+            val sessions = evs.tail.foldLeft(List(List(evs.head))) { (acc, e) =>
+              if (e.tsUs - acc.head.head.tsUs > gapUs) List(e) :: acc
+              else (e :: acc.head) :: acc.tail
+            }
+            sessions.reverseIterator.map(s =>
+              Sess(user, s.size.toLong, s.map(_.value).sum))
+          }
+      }
+    val name = "graft_stream_sessions"
+    val q = sessions.toDF().writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,20 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` surface: build a [[Column]] from a raw
+  * Catalyst [[Expression]] and back. The standard pattern for libraries
+  * that ship native expressions (same role as Spark's own
+  * `classic.ExpressionUtils`, which is not visible outside `sql`). */
+object GraftSql {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Catalyst's own widest-type resolution, for union null-padding with
+    * loose coercion (dbt_utils.union_relations parity). */
+  def findTightestCommonType(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType):
+      Option[org.apache.spark.sql.types.DataType] =
+    org.apache.spark.sql.catalyst.analysis.TypeCoercion.findWiderTypeForTwo(a, b)
+}

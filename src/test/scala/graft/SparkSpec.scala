@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (one JVM-wide SparkSession; suites run
+  * sequentially in sbt's forked test JVM). */
+object SparkSpec {
+  lazy val spark: SparkSession = {
+    val warehouse = java.nio.file.Files
+      .createTempDirectory("graft_wh").toString
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", warehouse)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+}
+
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSpec.spark
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf0001 = "/root/testdata/sf0.001"
+}

@@ -1,0 +1,160 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** End-to-end parity with the reference starter project (FIXTURES.md §A):
+  * the two example models, their materializations, and the declared test
+  * verdicts — including the deliberate not_null failure. */
+class EngineSpec extends SparkSpec {
+
+  private def newProject(schema: String): Project =
+    new Project(spark, Target("dev", schema, threads = 4))
+
+  test("reference parity: models, materializations, test verdicts") {
+    val p = newProject("parity")
+    // my_first_dbt_model.sql:10-21 — literal union, table materialization
+    p.model("my_first_dbt_model",
+      ModelConfig(materialized = Materialization.Table)) { ctx =>
+      import ctx.spark.implicits._
+      Seq(Some(1)).toDF("id").union(Seq(Option.empty[Int]).toDF("id"))
+    }
+    // my_second_dbt_model.sql:4-6 — ref + filter, default view
+    p.model("my_second_dbt_model") { ctx =>
+      ctx.ref("my_first_dbt_model").filter(col("id") === 1)
+    }
+    p.testUnique("my_first_dbt_model", "id")
+    p.testNotNull("my_first_dbt_model", "id")
+    p.testUnique("my_second_dbt_model", "id")
+    p.testNotNull("my_second_dbt_model", "id")
+
+    val res = p.run()
+    val by = res.byId
+    assert(by("model.my_first_dbt_model").status == "success")
+    assert(by("model.my_second_dbt_model").status == "success")
+    assert(by("test.unique__my_first_dbt_model__id").status == "success")
+    // the deliberate NULL row (my_first_dbt_model.sql:16) must FAIL not_null
+    assert(by("test.not_null__my_first_dbt_model__id").status == "fail")
+    assert(by("test.unique__my_second_dbt_model__id").status == "success")
+    assert(by("test.not_null__my_second_dbt_model__id").status == "success")
+
+    // physical results: table {1, NULL}; view {1}
+    val first = spark.table("parity.my_first_dbt_model")
+    assert(first.collect().map(r => if (r.isNullAt(0)) null else r.getInt(0))
+      .toSet == Set(1, null))
+    assert(p.materializedDf("my_second_dbt_model").collect()
+      .map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("sql-text models resolve ref/source placeholders") {
+    val p = newProject("sqlm")
+    p.source("tpch", "nation", ParquetPath(s"$sf0001/nation.parquet"))
+    p.model("nations") { ctx => ctx.source("tpch", "nation") }
+    p.sqlModel("nation_count")(
+      "SELECT count(*) AS n FROM {{ ref('nations') }}")
+    p.sqlModel("big_nations")(
+      "SELECT n_name FROM {{ source('tpch', 'nation') }} WHERE n_nationkey > 20")
+    val res = p.run()
+    assert(res.ok, res.results.mkString("; "))
+    assert(p.resolve("nation_count").collect().head.getLong(0) == 25L)
+    assert(p.resolve("big_nations").count() == 4)
+  }
+
+  test("ref cycle detection") {
+    val p = newProject("cyc")
+    p.model("a")(ctx => ctx.ref("b"))
+    p.model("b")(ctx => ctx.ref("a"))
+    val e = intercept[IllegalStateException](p.compile())
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  test("failing upstream test blocks downstream model (dbt build)") {
+    val p = newProject("blocked")
+    p.model("bad", ModelConfig(materialized = Materialization.Table)) { ctx =>
+      import ctx.spark.implicits._
+      Seq(Option.empty[Int]).toDF("id")
+    }
+    p.testNotNull("bad", "id")
+    p.model("downstream", ModelConfig(materialized = Materialization.Table)) {
+      ctx => ctx.ref("bad")
+    }
+    val res = p.build()
+    val by = res.byId
+    assert(by("test.not_null__bad__id").status == "fail")
+    assert(by("model.downstream").status == "skipped")
+  }
+
+  test("incremental: first run creates, second appends only new keys") {
+    val p = newProject("inc")
+    var batch = Seq((1L, "a"), (2L, "b"))
+    p.model("events_inc", ModelConfig(
+      materialized = Materialization.Incremental(uniqueKey = Some(Seq("id"))))) {
+      ctx =>
+        import ctx.spark.implicits._
+        batch.toDF("id", "v")
+    }
+    assert(p.run("events_inc").ok)
+    assert(spark.table("inc.events_inc").count() == 2)
+    batch = Seq((2L, "b"), (3L, "c"))
+    val p2 = newProject("inc")
+    p2.model("events_inc", ModelConfig(
+      materialized = Materialization.Incremental(uniqueKey = Some(Seq("id"))))) {
+      ctx =>
+        import ctx.spark.implicits._
+        batch.toDF("id", "v")
+    }
+    assert(p2.run("events_inc").ok)
+    val rows = spark.table("inc.events_inc").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("snapshot: SCD-2 close-out and insert on change") {
+    import spark.implicits._
+    val p = newProject("snap")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+    Materializer.snapshot(p, "snap.cust",
+      Seq((1L, "gold"), (2L, "silver")).toDF("id", "tier"),
+      "id", Seq("tier"), t1)
+    Materializer.snapshot(p, "snap.cust",
+      Seq((1L, "platinum"), (2L, "silver")).toDF("id", "tier"),
+      "id", Seq("tier"), t2)
+    val snap = spark.table("snap.cust")
+    assert(snap.count() == 3)
+    val closed = snap.filter(col("valid_to").isNotNull).collect()
+    assert(closed.length == 1 && closed.head.getString(1) == "gold")
+    val open1 = snap.filter(col("valid_to").isNull && col("id") === 1).collect()
+    assert(open1.head.getString(1) == "platinum")
+    // unchanged row keeps its original valid_from
+    val open2 = snap.filter(col("valid_to").isNull && col("id") === 2).collect()
+    assert(open2.head.getAs[java.sql.Timestamp]("valid_from") == t1)
+  }
+
+  test("selector mini-language: name, +name, name+, tag") {
+    val p = newProject("sel")
+    p.model("base", ModelConfig(tags = Set("raw")))(ctx =>
+      { import ctx.spark.implicits._; Seq(1).toDF("x") })
+    p.model("mid")(ctx => ctx.ref("base"))
+    p.model("leaf")(ctx => ctx.ref("mid"))
+    val g = p.compile()
+    def ids(expr: String) =
+      g.nodes.keys.filter(Selector.select(g, expr)).toSet
+    assert(ids("mid") == Set("model.mid"))
+    assert(ids("+mid") == Set("model.mid", "model.base"))
+    assert(ids("mid+") == Set("model.mid", "model.leaf"))
+    assert(ids("tag:raw") == Set("model.base"))
+  }
+
+  test("seed: csv to table") {
+    val dir = java.nio.file.Files.createTempDirectory("seedcsv")
+    val f = dir.resolve("countries.csv")
+    java.nio.file.Files.writeString(f, "code,population\nus,330\nfr,68\n")
+    val p = newProject("seeds")
+    p.seed("countries", f.toString)
+    assert(p.run().ok)
+    val rows = spark.table("seeds.countries").collect()
+    assert(rows.length == 2)
+  }
+}
