@@ -159,9 +159,11 @@ final class Project(val spark: SparkSession, val target: Target) {
     * after their model; with `blockOnTestFailure` (the `dbt build`
     * contract) a test failure marks downstream models skipped, while the
     * plain-`run` contract lets models proceed. */
-  def run(select: String = "*", blockOnTestFailure: Boolean = false): RunResults = {
+  def run(select: String = "*", blockOnTestFailure: Boolean = false,
+      previousManifest: Option[Map[String, String]] = None): RunResults = {
     val graph = compile()
-    val selected = Selector.select(graph, select)
+    val selected = Selector.select(graph, select,
+      previousManifest.map(modifiedSince).getOrElse(Set.empty))
     val order = graph.topoOrder.filter(selected)
     val pool = Executors.newFixedThreadPool(math.max(1, target.threads))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -223,6 +225,36 @@ final class Project(val spark: SparkSession, val target: Target) {
     }
   }
 
+  // ---- state manifest: stable logic hashes for state:modified+ ---------
+
+  /** Stable hash of each model's logic: sha256 over the *canonicalized
+    * analyzed plan*, so renames of intermediate aliases or attribute-id
+    * churn don't count as modifications but any real logic/source change
+    * does (SURVEY §7.4.4). */
+  def manifest: Map[String, String] = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+    models.keys.map { n =>
+      val plan = resolve(n).queryExecution.analyzed.canonicalized.toString
+      val h = digest.digest(plan.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      n -> h
+    }.toMap
+  }
+
+  def writeManifest(path: String): Unit = {
+    val json = manifest.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k": "$v"""" }
+      .mkString("{", ", ", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+
+  /** Model names whose logic hash differs from (or is absent in) the
+    * given previous manifest. */
+  def modifiedSince(previous: Map[String, String]): Set[String] =
+    manifest.collect {
+      case (name, h) if !previous.get(name).contains(h) => name
+    }.toSet
+
   /** The DataFrame a downstream consumer/test should read for a model:
     * the materialized relation if one exists, else the inline plan. */
   def materializedDf(name: String): DataFrame = {
@@ -236,9 +268,11 @@ final class Project(val spark: SparkSession, val target: Target) {
 }
 
 /** Node-selection mini-language: `*`, `name`, `+name` (ancestors),
-  * `name+` (descendants), `tag:x` (SURVEY.md §3.1 stage 4). */
+  * `name+` (descendants), `tag:x`, `state:modified` /
+  * `state:modified+` (vs a previous manifest) — SURVEY.md §3.1 stage 4. */
 object Selector {
-  def select(graph: ProjectGraph, expr: String): String => Boolean = {
+  def select(graph: ProjectGraph, expr: String,
+      modified: Set[String] = Set.empty): String => Boolean = {
     if (expr == "*") return _ => true
     val down = graph.edges.toSeq
       .flatMap { case (id, ups) => ups.map(_ -> id) }
@@ -254,6 +288,10 @@ object Selector {
       acc
     }
     val ids: Set[String] = expr match {
+      case "state:modified" => modified.map(m => s"model.$m")
+      case "state:modified+" =>
+        val roots = modified.map(m => s"model.$m")
+        closure(roots, id => down.getOrElse(id, Nil))
       case e if e.startsWith("tag:") =>
         graph.nodes.collect {
           case (id, m: Model) if m.config.tags.contains(e.stripPrefix("tag:")) => id

@@ -62,13 +62,26 @@ object TextFunctions {
   /** Winnowing document fingerprint: k-gram md5 hashes, sliding-window (w)
     * minima, deduplicated. Returns the distinct fingerprint array.
     * (S. Schleimer et al., "Winnowing: Local Algorithms for Document
-    * Fingerprinting", SIGMOD 2003.) */
-  def winnowFingerprints(toks: Column, k: Int, w: Int): Column = {
-    val hashes = transform(shinglesOrdered(toks, k), t => md5(t))
+    * Fingerprinting", SIGMOD 2003.)
+    *
+    * HOFs are CodegenFallback — the whole projection runs interpreted with
+    * no common-subexpression elimination, so a composed one-shot column
+    * here re-evaluates the hash subtree ~6× per row. Hot paths should
+    * stage it: `.withColumn("hs", kgramHashes(toks, k))` then
+    * [[winnowFromHashes]] over the materialized attribute (CollapseProject
+    * keeps non-cheap multiply-referenced projections separate). */
+  def winnowFingerprints(toks: Column, k: Int, w: Int): Column =
+    winnowFromHashes(kgramHashes(toks, k), w)
+
+  /** md5 over each ordered k-gram shingle. */
+  def kgramHashes(toks: Column, k: Int): Column =
+    transform(shinglesOrdered(toks, k), t => md5(t))
+
+  /** Sliding-window (w) minima over a hash array, deduplicated. */
+  def winnowFromHashes(hashes: Column, w: Int): Column =
     when(size(hashes) >= w,
       array_distinct(slidingReduce(hashes, w, (a, b) => least(a, b))))
       .otherwise(array_distinct(hashes))
-  }
 
   /** Ordered (non-distinct) n-gram shingles — winnowing needs positions. */
   def shinglesOrdered(toks: Column, n: Int): Column =

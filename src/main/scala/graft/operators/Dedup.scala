@@ -43,7 +43,8 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 4, threshold: Double = 0.2, maxDf: Long = 100L): DataFrame = {
     val sh = df
-      .select(col(idCol).as("doc"), explode(shingles(tokens(col(textCol)), n)).as("sh"))
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .select(col("doc"), explode(shingles(col("toks"), n)).as("sh"))
     val kept = sh.join(
       sh.groupBy("sh").agg(count(lit(1)).as("df_count"))
         .filter(col("df_count") <= maxDf)
@@ -76,8 +77,8 @@ object Dedup {
       n: Int = 4, numHashes: Int = 8, numBands: Int = 4): DataFrame = {
     require(numHashes % numBands == 0, "numHashes must divide into bands")
     val rows = numHashes / numBands
-    val withSh = df.select(col(idCol).as("doc"),
-      shingles(tokens(col(textCol)), n).as("sh"))
+    val withSh = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .select(col("doc"), shingles(col("toks"), n).as("sh"))
       .filter(size(col("sh")) > 0)
     val sigs = (0 until numHashes).foldLeft(withSh) { (d, i) =>
       d.withColumn(s"h$i", minhashSig(col("sh"), i))
@@ -105,7 +106,8 @@ object Dedup {
     * Per-row signature + one hash aggregation; Hamming-radius>0 search
     * would add rotated-band buckets (same join pattern as MinHash-LSH). */
   def simhashGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc"), simhash32(tokens(col(textCol))).as("simhash"))
+    df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .select(col("doc"), simhash32(col("toks")).as("simhash"))
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min(col("doc")).as("keep_id"))
 

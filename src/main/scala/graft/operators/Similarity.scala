@@ -32,55 +32,114 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id"))
     q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(cosinePrenormed(col("vq"), col("vc"), col("nq"), col("nc")), 4))
+      // project the vectors away BEFORE the rank shuffle: the window sort
+      // then moves 3 scalars per pair instead of two 64-float arrays
+      .select("query_id", "neighbor_id", "cos")
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos", "rank")
   }
 
   /** IVF approximate top-k: centroids from `centroidsOf` (or any externally
     * trained set), probe the nProbe nearest cells. Deterministic given the
-    * centroid set. Returns the same shape as [[bruteForceTopK]]. */
+    * centroid set. Returns the same shape as [[bruteForceTopK]].
+    *
+    * Shuffle budget (the 100 TB shape): the centroid table is index
+    * metadata (nlist rows) and is broadcast; cell assignment is therefore
+    * a map-side broadcast join + one hash aggregation per side — no
+    * windows, no sorts. The only big shuffle is the candidate join on
+    * `cell`, whose volume is ~|corpus|·nProbe/nlist per query instead of
+    * |corpus|. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
-    // assign every corpus vector to its nearest centroid cell
-    val cent = centroids.select(col("cell"), col("cvec"), norm(col("cvec")).as("cn"))
-    def assign(df: DataFrame, id: String, outCell: String, top: Int): DataFrame = {
-      val w = Window.partitionBy(id).orderBy(col("csim").desc, col("cell"))
-      df.crossJoin(cent)
-        .withColumn("csim", cosinePrenormed(col("v"), col("cvec"), col("vn"), col("cn")))
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= top)
-        .drop("cvec", "cn", "csim", "crk")
-        .withColumnRenamed("cell", outCell)
-    }
-    val c = assign(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
-        .withColumn("vn", norm(col("v"))),
-      "neighbor_id", "cell_c", 1)
-      .withColumnsRenamed(Map("v" -> "vc", "vn" -> "nc"))
-    val q = assign(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("v"))
-        .withColumn("vn", norm(col("v"))),
-      "query_id", "cell_q", nProbe)
-      .withColumnsRenamed(Map("v" -> "vq", "vn" -> "nq"))
+    val cent = broadcast(
+      centroids.select(col("cell"), col("cvec"), norm(col("cvec")).as("cn")))
+    // nearest cell per corpus vector: max_by over (csim, cell) — total
+    // order, so ties are deterministic (higher cell wins); one hash agg.
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vc"))
+      .withColumn("nc", norm(col("vc")))
+      .join(cent)
+      .withColumn("csim", cosinePrenormed(col("vc"), col("cvec"), col("nc"), col("cn")))
+      .groupBy("neighbor_id")
+      .agg(max_by(col("cell"), struct(col("csim"), col("cell"))).as("cell"),
+        first(col("vc")).as("vc"), first(col("nc")).as("nc"))
+    // nProbe nearest cells per query: collect (csim, cell) pairs, keep the
+    // top slice, explode — one hash agg, no window.
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("vq"))
+      .withColumn("nq", norm(col("vq")))
+      .join(cent)
+      .withColumn("csim", cosinePrenormed(col("vq"), col("cvec"), col("nq"), col("cn")))
+      .groupBy("query_id")
+      .agg(slice(reverse(array_sort(collect_list(struct(col("csim"), col("cell"))))),
+          1, nProbe).as("probes"),
+        first(col("vq")).as("vq"), first(col("nq")).as("nq"))
+      .select(col("query_id"), col("vq"), col("nq"),
+        explode(col("probes.cell")).as("cell"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
-    q.join(c, col("cell_q") === col("cell_c") &&
-        col("query_id") =!= col("neighbor_id"))
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(cosinePrenormed(col("vq"), col("vc"), col("nq"), col("nc")), 4))
+      // vectors dropped before the rank shuffle (see bruteForceTopK)
+      .select("query_id", "neighbor_id", "cos")
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Lloyd's k-means over an embedding column, cosine geometry.
+    *
+    * MLlib-style driver-held centroids: each iteration broadcasts the k
+    * centroid vectors (bounded index metadata, like any broadcast-join
+    * side), assigns every row to its nearest centroid with one hash
+    * aggregation, and reduces new means with [[graft.expressions.FloatVecSumAgg]] —
+    * so per iteration exactly k×dim partial sums cross the shuffle, no
+    * matter the corpus size. Deterministic: init = the k lowest-id
+    * vectors; ties in assignment break by cell id. Empty cells keep their
+    * previous centroid. Train on a `df.sample` at very large scale.
+    */
+  def trainKMeans(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // cells are 0..k-1, positional: cents(i) is cell i's vector
+    var cents: IndexedSeq[Array[Float]] =
+      df.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
+        .collect().toIndexedSeq
+        .map(r => r.getSeq[Float](1).toArray)
+    for (_ <- 0 until iters) {
+      // unit-normalized centroid literal: assignment is a per-row argmax of
+      // dot(v, ĉ_i) — entirely map-side, no join, no row blowup; the only
+      // shuffle is k×dim partial sums from FloatVecSumAgg.
+      val unit: Seq[Seq[Float]] = cents.map { v0 =>
+        val n = math.max(math.sqrt(v0.map(x => x.toDouble * x).sum), 1e-12)
+        v0.map(x => (x / n).toFloat).toSeq
+      }.toSeq
+      val sums = df.select(col(vecCol).as("v"))
+        .withColumn("csims",
+          transform(typedlit(unit), c =>
+            graft.expressions.VectorExpressions.floatVecDot(col("v"), c)))
+        .withColumn("cell",
+          (array_position(col("csims"), array_max(col("csims"))) - 1).cast("int"))
+        .groupBy("cell")
+        .agg(graft.expressions.VectorExpressions.floatVecSum(col("v")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val updated = sums.map { r =>
+        r.getInt(0) -> r.getSeq[Double](1).map(x => (x / r.getLong(2)).toFloat).toArray
+      }.toMap
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
+    }
+    cents.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cell", "cvec")
   }
 
   /** Mean-vector centroids per label column — a deterministic, cheap way
-    * to seed IVF cells when an external k-means isn't available. */
-  def centroidsOf(df: DataFrame, labelCol: String, vecCol: String): DataFrame = {
-    val dim = org.apache.spark.sql.functions.size(col(vecCol))
+    * to seed IVF cells when an external k-means isn't available. Emits
+    * `cvec: array<float>` to match the corpus embedding type (FloatVecDot
+    * is strict about float inputs). */
+  def centroidsOf(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
     df.select(col(labelCol).as("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("cvec"))
-  }
+      .select(col("cell"),
+        transform(col("pm"), p => p.getField("m").cast("float")).as("cvec"))
 }

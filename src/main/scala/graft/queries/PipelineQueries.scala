@@ -137,15 +137,17 @@ object PipelineQueries extends QueryPack {
     // ---- text quality + language heuristics ----------------------------
     Q("x07_text_quality",
       (s, dir) => {
-        val toks = tokens(col("text"))
-        t(s, dir, "documents").select(
-          col("doc_id"),
-          nTokens(toks).as("n_tokens"),
-          nDistinctTokens(toks).as("n_distinct"),
-          dupTokenRatio(toks).as("dup_ratio"),
-          avgTokenLen(toks).as("avg_token_len"),
-          stopwordRatio(toks).as("stopword_ratio"),
-          langGuess(toks).as("lang_guess"))
+        val toks = col("toks")
+        t(s, dir, "documents")
+          .withColumn("toks", tokens(col("text"))) // staged: split once/row
+          .select(
+            col("doc_id"),
+            nTokens(toks).as("n_tokens"),
+            nDistinctTokens(toks).as("n_distinct"),
+            dupTokenRatio(toks).as("dup_ratio"),
+            avgTokenLen(toks).as("avg_token_len"),
+            stopwordRatio(toks).as("stopword_ratio"),
+            langGuess(toks).as("lang_guess"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH x AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents)
@@ -171,12 +173,17 @@ object PipelineQueries extends QueryPack {
         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpeish_tokens
         FROM documents ORDER BY doc_id""")),
 
-    // ---- winnowing document fingerprints -------------------------------
+    // ---- winnowing document fingerprints (staged: each intermediate is
+    //      a real column, computed once per row — HOFs are interpreted) --
     Q("x09_winnow_fingerprints",
-      (s, dir) => t(s, dir, "documents").select(
-        col("doc_id"),
-        size(winnowFingerprints(tokens(col("text")), 3, 4)).cast("long").as("n_fp"),
-        array_min(winnowFingerprints(tokens(col("text")), 3, 4)).as("fp_min"))
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("hs", kgramHashes(col("toks"), 3))
+        .withColumn("fps", winnowFromHashes(col("hs"), 4))
+        .select(
+          col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          array_min(col("fps")).as("fp_min"))
         .orderBy(col("doc_id")),
       Some("""WITH h AS (SELECT doc_id,
           list_transform(list_transform(range(len(string_split(text,' '))-2),
@@ -236,11 +243,11 @@ object PipelineQueries extends QueryPack {
       None),
 
     // ---- IVF approximate nearest neighbors (rows-only; recall vs exact
-    //      brute force is asserted in the ScalaTest spec) ----------------
+    //      brute force is asserted in SimilaritySpec) ---------------------
     Q("x14_ivf_ann",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        val cents = Similarity.centroidsOf(e, "label", "embedding")
+        val cents = Similarity.trainKMeans(e, "vec_id", "embedding", k = 10, iters = 5)
         Similarity.ivfTopK(e, e, cents, "vec_id", "embedding", k = 5, nProbe = 3)
           .orderBy(col("query_id"), col("rank"))
       },

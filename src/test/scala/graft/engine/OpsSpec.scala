@@ -1,0 +1,78 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Operational surfaces: observability (query tags → README-shape
+  * report), the CLI entry points, and state:modified selection. */
+class OpsSpec extends SparkSpec {
+
+  test("observability: job tags captured, README-shape report") {
+    val listener = Observability.attach(spark)
+    val p = new Project(spark, Target("dev", "obs", threads = 2))
+    p.model("tagged_model", ModelConfig(materialized = Materialization.Table)) {
+      ctx =>
+        import ctx.spark.implicits._
+        Seq(1, 2, 3).toDF("id")
+    }
+    assert(p.run().ok)
+    // listener events are async — poll until the model's job lands
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (!listener.snapshot.exists(_._2.contains("tagged_model")) &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    val report = Observability.report(spark, listener)
+    val row = report.filter(col("dbt_model") === "tagged_model").collect()
+    assert(row.nonEmpty, "no job captured for tagged_model")
+    assert(row.head.getAs[String]("job") == "dev")
+    assert(row.head.getAs[String]("materialization") == "table")
+    assert(row.head.getAs[Long]("executions") >= 1L)
+  }
+
+  test("state:modified+ selects changed models and their descendants") {
+    def project(filterVal: Int): Project = {
+      val p = new Project(spark, Target("dev", "statesel", threads = 2))
+      p.model("base") { ctx =>
+        import ctx.spark.implicits._
+        Seq(1, 2, 3).toDF("id")
+      }
+      p.model("mid")(ctx => ctx.ref("base").filter(col("id") > filterVal))
+      p.model("leaf")(ctx => ctx.ref("mid").select(col("id")))
+      p.model("unrelated") { ctx =>
+        import ctx.spark.implicits._
+        Seq("x").toDF("v")
+      }
+      p
+    }
+    val before = project(0).manifest
+    val p2 = project(1) // only `mid`'s own logic changes...
+    // ...but hashes cover the upstream-inlined plan, so the change
+    // propagates to `leaf` too (a superset of dbt's own-text hashing —
+    // safe for selection, never misses a change)
+    assert(p2.modifiedSince(before) == Set("mid", "leaf"))
+    val res = p2.run("state:modified+", previousManifest = Some(before))
+    val ran = res.results.map(_.id).toSet
+    assert(ran == Set("model.mid", "model.leaf"), ran)
+    // unchanged logic → empty selection
+    val res2 = project(0).run("state:modified+", previousManifest = Some(before))
+    assert(res2.results.isEmpty)
+  }
+
+  test("cli: ls, run, and print-only orphan operation") {
+    val p = new Project(spark, Target("dev", "cliops", threads = 2))
+    p.model("kept", ModelConfig(materialized = Materialization.Table)) { ctx =>
+      import ctx.spark.implicits._
+      Seq(1).toDF("id")
+    }
+    assert(Cli.run(p, Seq("ls")) == Seq("model.kept"))
+    val runOut = Cli.run(p, Seq("run"))
+    assert(runOut.exists(_.startsWith("SUCCESS model.kept")))
+    // plant an orphan, then ask for drop codegen — print-only
+    spark.sql("CREATE DATABASE IF NOT EXISTS cliops")
+    spark.sql("CREATE TABLE IF NOT EXISTS cliops.stray(id INT) USING parquet")
+    val out = Cli.run(p, Seq("run-operation", "list_orphaned_objects",
+      "--args", "{schema: cliops, output_drop_cmd: true}"))
+    assert(out.exists(_.contains("orphaned: TABLE cliops.stray")), out)
+    assert(out.exists(_.startsWith("DROP TABLE cliops.stray")), out)
+    assert(spark.catalog.tableExists("cliops.stray"), "operation must not execute DDL")
+  }
+}

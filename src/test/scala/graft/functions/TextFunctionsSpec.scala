@@ -1,0 +1,91 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Property-style tests for the text primitives against plain-Scala
+  * reference implementations over seeded-random token lists (scalacheck's
+  * scalatest bridge isn't on the classpath, so sampling is done with a
+  * fixed-seed Random — same coverage, deterministic). */
+class TextFunctionsSpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(42)
+  private def randomDoc(): List[String] = {
+    val n = rnd.nextInt(31)
+    List.fill(n)(List.fill(1 + rnd.nextInt(7))(
+      ('a' + rnd.nextInt(26)).toChar).mkString)
+  }
+  private val docs: Seq[List[String]] =
+    Seq.fill(40)(randomDoc()).filter(_.nonEmpty)
+
+  /** Evaluate columns over all sample docs in ONE Spark job. */
+  private def evalAll(c: org.apache.spark.sql.Column*) = {
+    import spark.implicits._
+    docs.map(_.mkString(" ")).toDF("text")
+      .withColumn("toks", tokens(col("text")))
+      .select(c: _*).collect()
+  }
+
+  test("shingles match a reference sliding-window implementation") {
+    for (n <- 1 to 5) {
+      val rows = evalAll(shingles(col("toks"), n))
+      docs.zip(rows).foreach { case (doc, row) =>
+        val want = doc.sliding(n).filter(_.size == n)
+          .map(_.mkString("_")).toList.distinct
+        assert(row.getSeq[String](0) == want, s"doc=$doc n=$n")
+      }
+    }
+  }
+
+  test("winnow fingerprints: w-window minima of k-gram md5s, distinct") {
+    val (k, w) = (3, 4)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = evalAll(winnowFromHashes(kgramHashes(col("toks"), k), w))
+    docs.zip(rows).foreach { case (doc, row) =>
+      val hashes = doc.sliding(k).filter(_.size == k)
+        .map(g => md5hex(g.mkString("_"))).toList
+      val want =
+        if (hashes.size >= w) hashes.sliding(w).map(_.min).toList.distinct
+        else hashes.distinct
+      assert(row.getSeq[String](0) == want, s"doc=$doc")
+    }
+  }
+
+  test("quality metrics match direct computation") {
+    val rows = evalAll(nTokens(col("toks")), nDistinctTokens(col("toks")),
+      avgTokenLen(col("toks")))
+    docs.zip(rows).foreach { case (doc, row) =>
+      assert(row.getLong(0) == doc.size)
+      assert(row.getLong(1) == doc.distinct.size)
+      assert(math.abs(row.getDouble(2) -
+        doc.map(_.length).sum.toDouble / doc.size) < 1e-9, s"doc=$doc")
+    }
+  }
+
+  test("simhash is 32 bits and depends only on the distinct-token set") {
+    val a = evalAll(simhash32(col("toks")))
+    import spark.implicits._
+    val doubled = docs.map(d => (d ++ d).mkString(" ")).toDF("text")
+      .withColumn("toks", tokens(col("text")))
+      .select(simhash32(col("toks"))).collect()
+    docs.indices.foreach { i =>
+      val sig = a(i).getString(0)
+      assert(sig.length == 32 && sig.forall(c => c == '0' || c == '1'))
+      assert(sig == doubled(i).getString(0))
+    }
+  }
+
+  test("minhash signature is the true min over per-shingle hashes") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = evalAll(shingles(col("toks"), 2),
+      minhashSig(shingles(col("toks"), 2), 7))
+    docs.zip(rows).foreach { case (doc, row) =>
+      val sh = row.getSeq[String](0)
+      if (sh.nonEmpty)
+        assert(row.getString(1) == sh.map(t => md5hex(s"7|$t")).min, s"doc=$doc")
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+/** Similarity-search invariants that the DuckDB oracle can't express:
+  * the native FloatVecDot must agree with its HOF reference, and IVF
+  * recall@k against the exact brute force must be high on the clustered
+  * synthetic embeddings. */
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  test("FloatVecDot agrees with the HOF reference implementation") {
+    val diff = emb.limit(200).select(
+      abs(VectorFunctions.dot(col("embedding"), col("embedding")) -
+        VectorFunctions.dotHof(col("embedding"), col("embedding"))).as("d"))
+      .agg(max(col("d"))).collect().head.getDouble(0)
+    assert(diff < 1e-9, s"native vs HOF dot diverged by $diff")
+  }
+
+  test("FloatVecDot rejects non-float arrays at analysis time") {
+    val bad = emb.select(transform(col("embedding"), x => x.cast("double")).as("v"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(VectorFunctions.dot(col("v"), col("v"))).collect()
+    }
+  }
+
+  // The synthetic embeddings are near-uniform in cosine space (numpy
+  // spherical k-means tops out at ~0.59 recall@5 with nProbe=3 of 10) —
+  // so the thresholds assert "as good as the data allows", and the
+  // all-cells probe asserts exactness of the mechanism itself.
+  test("IVF top-k recall vs brute force >= 0.5 at nProbe=3/10") {
+    val k = 5
+    val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k)
+      .select(col("query_id"), col("neighbor_id"))
+    val cents = Similarity.trainKMeans(emb, "vec_id", "embedding", k = 10, iters = 5)
+    val approx = Similarity.ivfTopK(emb, emb, cents, "vec_id", "embedding", k,
+      nProbe = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val nExact = exact.count()
+    val nHit = exact.intersect(approx).count()
+    val recall = nHit.toDouble / nExact
+    assert(recall >= 0.5, s"recall@$k = $recall")
+  }
+
+  test("IVF probing every cell equals exact brute force") {
+    val k = 3
+    val cents = Similarity.trainKMeans(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k)
+    val full = Similarity.ivfTopK(emb, emb, cents, "vec_id", "embedding", k,
+      nProbe = 4)
+    assert(exact.exceptAll(full).isEmpty && full.exceptAll(exact).isEmpty)
+  }
+
+  test("centroids are float vectors (FloatVecDot strictness)") {
+    val cents = Similarity.centroidsOf(emb, "label", "embedding")
+    val el = cents.schema("cvec").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    assert(el == org.apache.spark.sql.types.FloatType)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.queries.CoreQueries
+import org.apache.spark.sql.functions._
+
+/** Streaming == batch equivalence: the structured-streaming forms must
+  * produce the same aggregates as their batch twins over the same
+  * events table. */
+class StreamingSpec extends SparkSpec {
+
+  test("stateful streaming sessionization matches batch session counts") {
+    // the batch twin
+    val events = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$sf0001/events.parquet")
+      raw.withColumn("ts",
+        timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    }
+    val batch = EventStreams.sessionizeBatch(events, 30)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+    val stream = EventStreams.sessionizeStreaming(spark, sf0001, 30)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+    assert(batch.exceptAll(stream).isEmpty && stream.exceptAll(batch).isEmpty)
+  }
+
+  test("streaming hourly aggregation equals batch group-by") {
+    val got = EventStreams.hourlyCounts(spark, sf0001)
+    val events = {
+      val raw = spark.read.parquet(s"$sf0001/events.parquet")
+      raw.withColumn("ts",
+        timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    }
+    val want = events
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}
