@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity}
 import graft.streaming.EventStreams
 
 /** Training-data pipeline operators as verifiable queries: deduplication
@@ -241,6 +241,42 @@ object PipelineQueries extends QueryPack {
           .orderBy(col("id"))
       },
       None),
+
+    // ---- as-of join: each purchase matched to the user's most recent
+    //      preceding click (union+window, one shuffle — AsOfJoin doc) ----
+    Q("x15_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("click_event"))
+        AsOfJoin.backward(purchases, clicks, Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", rightPayload = Seq("click_event"))
+          .select(col("event_id"), col("user_id"),
+            col("asof_click_event").as("click_event"),
+            (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, p.user_id, c.event_id AS click_event,
+        epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id""")),
+
+    // ---- F5: VariantType JSON path (try_parse_json / variant_get) ------
+    Q("x16_variant_json",
+      (s, dir) => t(s, dir, "events")
+        .withColumn("v", try_parse_json(col("props")))
+        .select(col("event_id"),
+          variant_get(col("v"), "$.k", "bigint").as("k"))
+        .filter(col("k").isNotNull)
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+        ORDER BY event_id""")),
 
     // ---- IVF approximate nearest neighbors (rows-only; recall vs exact
     //      brute force is asserted in SimilaritySpec) ---------------------

@@ -32,9 +32,11 @@ trait QueryPack {
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(s"$dir/$name.parquet")
+      // integer division, NOT col/1000: `/` promotes the int64 nanos to
+      // double (53-bit mantissa), losing the low bits of ~1.7e18 values
+      // and shifting some timestamps by 1µs.
       raw.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.floor(
-            org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
     } else s.read.parquet(s"$dir/$name.parquet")
 }

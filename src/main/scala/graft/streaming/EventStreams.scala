@@ -27,7 +27,8 @@ object EventStreams {
     // the file stream source wants a directory; glob-filter to this table
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      // DIV: exact int64 ns→µs (see QueryPack.t)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
   /** Tumbling 1-hour windowed aggregation with a watermark, run to

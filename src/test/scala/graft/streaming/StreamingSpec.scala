@@ -15,7 +15,7 @@ class StreamingSpec extends SparkSpec {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sf0001/events.parquet")
       raw.withColumn("ts",
-        timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+        timestamp_micros(expr("ts DIV 1000")))
     }
     val batch = EventStreams.sessionizeBatch(events, 30)
       .groupBy("user_id")
@@ -31,7 +31,7 @@ class StreamingSpec extends SparkSpec {
     val events = {
       val raw = spark.read.parquet(s"$sf0001/events.parquet")
       raw.withColumn("ts",
-        timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+        timestamp_micros(expr("ts DIV 1000")))
     }
     val want = events
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
