@@ -472,6 +472,61 @@ object CoreQueries extends QueryPack {
         JOIN (SELECT o_custkey AS k,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_spend
               FROM orders GROUP BY o_custkey) a ON o.o_custkey = a.k
-        WHERE o_totalprice > avg_spend * 1.8 ORDER BY o_orderkey"""))
+        WHERE o_totalprice > avg_spend * 1.8 ORDER BY o_orderkey""")),
+
+    // ---- date spine (dbt_utils.date_spine): sequence + explode, left
+    //      join so gap days survive with zero counts ---------------------
+    Q("q28_date_spine",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders").select(to_date($"o_orderdate").as("day"))
+        val spine = o.agg(min($"day").as("lo"), max($"day").as("hi"))
+          .select(explode(sequence($"lo", $"hi", expr("interval 1 day"))).as("day"))
+        val daily = o.groupBy($"day").agg(count(lit(1)).as("n"))
+        spine.join(daily, Seq("day"), "left")
+          .select(date_format($"day", "yyyy-MM-dd").as("day"),
+            coalesce($"n", lit(0L)).as("n_orders"))
+          .orderBy($"day")
+      },
+      Some("""WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+                max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+        spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        d AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n FROM orders GROUP BY 1)
+        SELECT strftime(spine.day, '%Y-%m-%d') AS day, coalesce(d.n, 0) AS n_orders
+        FROM spine LEFT JOIN d ON spine.day = d.day ORDER BY day""")),
+
+    // ---- surrogate key (dbt_utils.generate_surrogate_key): md5 over
+    //      null-coalesced stringified columns -----------------------------
+    Q("q29_surrogate_key",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders").filter($"o_orderkey" < 2000)
+          .select($"o_orderkey",
+            md5(concat_ws("-",
+              coalesce($"o_custkey".cast("string"), lit("_null_")),
+              coalesce($"o_orderstatus", lit("_null_")),
+              coalesce($"o_orderpriority", lit("_null_")))).as("sk"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+        md5(concat_ws('-',
+          coalesce(CAST(o_custkey AS VARCHAR), '_null_'),
+          coalesce(o_orderstatus, '_null_'),
+          coalesce(o_orderpriority, '_null_'))) AS sk
+        FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""")),
+
+    // ---- HLL approximate distinct (the 100 TB COUNT(DISTINCT) posture;
+    //      sketch values are engine-specific, so rows-only here — the
+    //      <5% relative-error bound is asserted in CoreQueriesSpec) -------
+    Q("q30_approx_distinct",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+            count(lit(1)).as("n_rows"))
+          .orderBy($"l_returnflag")
+      },
+      None)
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity}
 import graft.streaming.EventStreams
 
 /** Training-data pipeline operators as verifiable queries: deduplication
@@ -265,6 +265,34 @@ object PipelineQueries extends QueryPack {
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts >= c.ts
         ORDER BY p.event_id""")),
+
+    // ---- binned range join: shipments within a week of selected order
+    //      dates (equi-join on bins, not a nested-loop inequality join) --
+    Q("x17_range_join",
+      (s, dir) => {
+        val epoch = lit("1970-01-01").cast("date")
+        val iv = t(s, dir, "orders").filter(col("o_orderkey") % 997 === 0)
+          .select(col("o_orderkey"),
+            datediff(to_date(col("o_orderdate")), epoch).as("start_d"))
+          .withColumn("end_d", col("start_d") + 7)
+        val pts = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            datediff(to_date(col("l_shipdate")), epoch).as("ship_d"))
+        RangeJoin.pointInInterval(pts, iv, Nil, "ship_d", "start_d", "end_d",
+          binWidth = 8)
+          .select(col("o_orderkey"), col("l_orderkey"),
+            col("l_linenumber").cast("long").as("l_linenumber"),
+            col("ship_d").cast("long").as("ship_d"))
+          .orderBy(col("o_orderkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT o.o_orderkey, l.l_orderkey,
+        CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE)) AS BIGINT) AS ship_d
+        FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
+              FROM orders WHERE o_orderkey % 997 = 0) o
+        JOIN lineitem l ON CAST(l.l_shipdate AS DATE) >= o.od
+                       AND CAST(l.l_shipdate AS DATE) <= o.od + 7
+        ORDER BY o_orderkey, l_orderkey, l_linenumber""")),
 
     // ---- F5: VariantType JSON path (try_parse_json / variant_get) ------
     Q("x16_variant_json",
