@@ -29,6 +29,10 @@ object Cli {
           schema = kwargs.getOrElse("schema", project.target.schema),
           outputDropCmd = kwargs.get("output_drop_cmd").contains("true"),
           outputRenameCmd = kwargs.get("output_rename_cmd").contains("true"))
+      case "run-operation" :: "project_evaluator" :: _ =>
+        val findings = Macros.evaluateProject(project.compile())
+        if (findings.isEmpty) Seq("project_evaluator: no findings")
+        else findings // advisory only — never fails the build
       case other =>
         Seq(s"unknown command: ${other.mkString(" ")} " +
           "(expected run|build|test|ls|run-operation)")

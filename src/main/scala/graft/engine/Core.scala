@@ -30,6 +30,16 @@ object Materialization {
   /** Append-style incremental with optional unique-key anti-join. */
   final case class Incremental(uniqueKey: Option[Seq[String]] = None)
       extends Materialization
+  /** Table bucketed (and optionally sorted) on join keys: repeated big
+    * joins/aggregations on those keys read co-located buckets and skip
+    * the shuffle entirely — the 100 TB layout for fact-fact joins. */
+  final case class BucketedTable(bucketCols: Seq[String], numBuckets: Int,
+      sortCols: Seq[String] = Nil) extends Materialization
+  /** Insert-overwrite incremental: each run rewrites only the partitions
+    * present in the incoming batch (dynamic partition overwrite) — the
+    * idempotent backfill pattern for partitioned facts at scale. */
+  final case class InsertOverwrite(partitionCols: Seq[String])
+      extends Materialization
 }
 
 /** Per-model configuration. Schema resolution follows the reference's

@@ -96,6 +96,34 @@ object Macros {
     out.toSeq
   }
 
+  /** dbt_project_evaluator analogue (`packages.yml:8-9`,
+    * `README.md:281`): advisory lint findings over the project graph —
+    * never fails the build (the reference runs it `|| true`). */
+  def evaluateProject(graph: ProjectGraph): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val testedModels = graph.nodes.values.collect {
+      case t: DataTest => s"model.${t.modelName}"
+    }.toSet
+    val referenced: Set[String] = graph.edges.values.flatten.toSet
+    for ((id, node) <- graph.nodes.toSeq.sortBy(_._1)) node match {
+      case m: Model =>
+        if (!testedModels.contains(id))
+          out += s"untested_model: $id has no data tests"
+        val ups = graph.upstream(id)
+        if (ups.isEmpty)
+          out += s"root_model: $id reads neither ref() nor source() " +
+            "(hard-coded input?)"
+        val downstream = referenced.contains(id)
+        if (!downstream && m.config.materialized == Materialization.Ephemeral)
+          out += s"unused_ephemeral: $id is ephemeral but nothing refs it"
+      case s: SourceDef =>
+        if (!referenced.contains(s.id))
+          out += s"unused_source: ${s.id} declared but never read"
+      case _ => ()
+    }
+    out.toSeq
+  }
+
   /** codegen-package analogue: emit a model stub + schema YAML from a
     * DataFrame's schema. */
   def generateModelYaml(name: String, df: DataFrame): String = {

@@ -10,6 +10,14 @@ object GraftSql {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Register a function builder on a live session (FunctionRegistry is
+    * private[sql]; SparkSessionExtensions covers session-construction
+    * time, this covers already-running sessions). */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+
   /** Catalyst's own widest-type resolution, for union null-padding with
     * loose coercion (dbt_utils.union_relations parity). */
   def findTightestCommonType(

@@ -57,6 +57,23 @@ class OpsSpec extends SparkSpec {
     assert(res2.results.isEmpty)
   }
 
+  test("project evaluator: untested / rootless / unused findings") {
+    val p = new Project(spark, Target("dev", "lint", threads = 2))
+    p.source("src", "nation", ParquetPath(s"$sf0001/nation.parquet"))
+    p.source("src", "region", ParquetPath(s"$sf0001/region.parquet")) // unused
+    p.model("tested")(ctx => ctx.source("src", "nation"))
+    p.testNotNull("tested", "n_nationkey")
+    p.model("untested_root") { ctx => // no ref/source, no tests
+      import ctx.spark.implicits._
+      Seq(1).toDF("id")
+    }
+    val findings = Cli.run(p, Seq("run-operation", "project_evaluator"))
+    assert(findings.exists(_.startsWith("untested_model: model.untested_root")))
+    assert(findings.exists(_.startsWith("root_model: model.untested_root")))
+    assert(findings.exists(_.startsWith("unused_source: source.src.region")))
+    assert(!findings.exists(_.contains("model.tested has no data tests")))
+  }
+
   test("cli: ls, run, and print-only orphan operation") {
     val p = new Project(spark, Target("dev", "cliops", threads = 2))
     p.model("kept", ModelConfig(materialized = Materialization.Table)) { ctx =>

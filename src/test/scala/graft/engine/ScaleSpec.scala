@@ -1,0 +1,122 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+
+/** Scale-posture assertions on the PHYSICAL PLANS, not just results:
+  * filters reach the parquet scan, small dims broadcast, bucketed tables
+  * join without a shuffle, salting preserves semantics. */
+class ScaleSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter pushdown reaches the parquet scan (q06)") {
+    val df = graft.SparkEntry.queries("q06_forecast_revenue")(spark, sf0001)
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters:"), plan.take(500))
+    assert(plan.contains("GreaterThanOrEqual(l_discount,0.05)") ||
+      plan.contains("IsNotNull(l_discount)"), "l_discount filter not pushed")
+  }
+
+  test("column pruning: q06 scan reads only the needed columns") {
+    val df = graft.SparkEntry.queries("q06_forecast_revenue")(spark, sf0001)
+    val scan = planOf(df).linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("l_extendedprice") && !scan.contains("l_orderkey"),
+      scan)
+  }
+
+  test("dimension joins broadcast (q02)") {
+    val df = graft.SparkEntry.queries("q02_revenue_by_nation")(spark, sf0001)
+    assert(planOf(df).contains("BroadcastHashJoin"))
+  }
+
+  test("bucketed tables join with zero exchanges") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // force a sort-merge join — broadcast would hide the shuffle question
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = new Project(spark, Target("dev", "buck", threads = 2))
+      p.model("fact_a", ModelConfig(materialized =
+        Materialization.BucketedTable(Seq("k"), 4, Seq("k")))) { ctx =>
+        import ctx.spark.implicits._
+        (1 to 1000).map(i => (i.toLong % 50, i.toLong)).toDF("k", "a")
+      }
+      p.model("fact_b", ModelConfig(materialized =
+        Materialization.BucketedTable(Seq("k"), 4, Seq("k")))) { ctx =>
+        import ctx.spark.implicits._
+        (1 to 1000).map(i => (i.toLong % 40, i.toLong * 2)).toDF("k", "b")
+      }
+      assert(p.run().ok)
+      val joined = spark.table("buck.fact_a").join(spark.table("buck.fact_b"), "k")
+        .groupBy("k").agg(sum(col("a")), sum(col("b")))
+      val plan = planOf(joined)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+
+      // the same join over plain tables MUST shuffle — proves the bucketed
+      // layout (not some other property) removed the exchanges
+      spark.table("buck.fact_a").write.mode("overwrite").saveAsTable("buck.plain_a")
+      spark.table("buck.fact_b").write.mode("overwrite").saveAsTable("buck.plain_b")
+      val plainPlan = planOf(
+        spark.table("buck.plain_a").join(spark.table("buck.plain_b"), "k")
+          .groupBy("k").agg(sum(col("a")), sum(col("b"))))
+      assert(plainPlan.contains("Exchange hashpartitioning"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  test("salted join equals the plain join") {
+    import spark.implicits._
+    val left = (1 to 2000).map(i => (if (i % 3 == 0) 1L else i.toLong % 100, i))
+      .toDF("k", "v")
+    val right = (0L to 99L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val got = Skew.saltedJoin(left, right, "k", factor = 8)
+      .select("k", "v", "name")
+    val want = left.join(right, "k").select("k", "v", "name")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() == want.count())
+  }
+
+  test("two-phase aggregation equals direct aggregation") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i % 7L, i.toLong)).toDF("k", "v")
+    val got = Skew.twoPhaseAgg(df, "k", factor = 4,
+      partial = Seq(("v", "sum"), ("v", "count")),
+      finalAgg = Seq(("total", "sum"), ("cnt", "sum")))
+    val want = df.groupBy("k").agg(sum("v").as("total"), count(lit(1)).as("cnt"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("insert-overwrite incremental rewrites only incoming partitions") {
+    var day = "2024-01-01"
+    def proj(): Project = {
+      val p = new Project(spark, Target("dev", "iow", threads = 2))
+      p.model("daily", ModelConfig(materialized =
+        Materialization.InsertOverwrite(Seq("day")))) { ctx =>
+        import ctx.spark.implicits._
+        Seq((1L, day)).toDF("v", "day")
+      }
+      p
+    }
+    assert(proj().run().ok)
+    day = "2024-01-02"
+    assert(proj().run().ok)
+    // rewrite day 2 with a new value; day 1 must survive untouched
+    val p3 = new Project(spark, Target("dev", "iow", threads = 2))
+    p3.model("daily", ModelConfig(materialized =
+      Materialization.InsertOverwrite(Seq("day")))) { ctx =>
+      import ctx.spark.implicits._
+      Seq((42L, "2024-01-02")).toDF("v", "day")
+    }
+    assert(p3.run().ok)
+    val rows = spark.table("iow.daily").orderBy("day")
+      .collect().map(r => (r.getAs[String]("day"), r.getAs[Long]("v")))
+    assert(rows.toSeq == Seq("2024-01-01" -> 1L, "2024-01-02" -> 42L))
+  }
+}

@@ -54,6 +54,18 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.exceptAll(full).isEmpty && full.exceptAll(exact).isEmpty)
   }
 
+  test("native expressions are callable from SQL after registration") {
+    graft.expressions.GraftFunctions.register(spark)
+    emb.limit(50).createOrReplaceTempView("emb_sql")
+    val d = spark.sql(
+      "SELECT float_vec_dot(embedding, embedding) AS d FROM emb_sql")
+      .collect().head.getDouble(0)
+    assert(d > 0.0)
+    val s = spark.sql("SELECT float_vec_sum(embedding) AS s FROM emb_sql")
+      .collect().head.getSeq[Double](0)
+    assert(s.length == 64 && s.exists(_ != 0.0))
+  }
+
   test("centroids are float vectors (FloatVecDot strictness)") {
     val cents = Similarity.centroidsOf(emb, "label", "embedding")
     val el = cents.schema("cvec").dataType
