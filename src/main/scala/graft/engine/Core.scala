@@ -69,11 +69,13 @@ sealed trait Node {
 /** A model: a named build function + config. `build` receives a [[Ctx]]
   * whose `ref`/`source` calls both resolve to DataFrames and record DAG
   * edges — replacing dbt's Jinja render-time dependency extraction
-  * (SURVEY.md §3.1 stage 3). */
+  * (SURVEY.md §3.1 stage 3). `sqlText` is set for SQL-text models
+  * (enables persistent CREATE VIEW materialization — SURVEY §7.4.2). */
 final case class Model(
     name: String,
     config: ModelConfig,
-    build: Ctx => DataFrame) extends Node {
+    build: Ctx => DataFrame,
+    sqlText: Option[String] = None) extends Node {
   def id: String = s"model.$name"
 }
 

@@ -31,29 +31,37 @@ final class Project(val spark: SparkSession, val target: Target) {
 
   /** SQL-text model: `{{ ref('x') }}` / `{{ source('a','b') }}`
     * placeholders are resolved to temp views before `spark.sql`, mirroring
-    * the reference's compile step without a template engine. */
+    * the reference's compile step without a template engine. The raw SQL
+    * is kept on the Model so view materialization can emit a persistent
+    * `CREATE VIEW` when every dependency is a physical table. */
   def sqlModel(name: String, config: ModelConfig = ModelConfig())(
-      sql: String): this.type =
-    model(name, config) { ctx =>
-      val refPat = raw"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}".r
-      val srcPat = raw"\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}".r
+      sql: String): this.type = {
+    require(!models.contains(name), s"duplicate model $name")
+    val build: Ctx => DataFrame = { ctx =>
       var out = sql
-      for (m <- refPat.findAllMatchIn(sql).toList.distinctBy(_.group(1))) {
+      for (m <- Project.RefPat.findAllMatchIn(sql).toList.distinctBy(_.group(1))) {
         val dep = m.group(1)
         val view = s"graft_ref_${Ident.normalize(dep)}"
         ctx.ref(dep).createOrReplaceTempView(view)
-        out = refPat.replaceAllIn(out,
+        out = Project.RefPat.replaceAllIn(out,
           m2 => if (m2.group(1) == dep) view else m2.matched)
       }
-      for (m <- srcPat.findAllMatchIn(sql).toList.distinctBy(m => (m.group(1), m.group(2)))) {
+      for (m <- Project.SrcPat.findAllMatchIn(sql).toList.distinctBy(m => (m.group(1), m.group(2)))) {
         val (s0, t0) = (m.group(1), m.group(2))
         val view = s"graft_src_${Ident.normalize(s0)}_${Ident.normalize(t0)}"
         ctx.source(s0, t0).createOrReplaceTempView(view)
-        out = srcPat.replaceAllIn(out,
+        out = Project.SrcPat.replaceAllIn(out,
           m2 => if (m2.group(1) == s0 && m2.group(2) == t0) view else m2.matched)
       }
       ctx.spark.sql(out)
     }
+    models(name) = Model(name, config, build, sqlText = Some(sql))
+    this
+  }
+
+  private[engine] def modelOpt(name: String): Option[Model] = models.get(name)
+  private[engine] def sourceOpt(s0: String, t0: String): Option[SourceDef] =
+    sources.get((s0, t0))
 
   def source(sourceName: String, table: String, location: SourceLocation): this.type = {
     sources((sourceName, table)) = SourceDef(sourceName, table, location)
@@ -265,6 +273,13 @@ final class Project(val spark: SparkSession, val target: Target) {
       case _ => spark.table(physicalName(m))
     }
   }
+}
+
+object Project {
+  private[engine] val RefPat =
+    raw"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}".r
+  private[engine] val SrcPat =
+    raw"\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}".r
 }
 
 /** Node-selection mini-language: `*`, `name`, `+name` (ancestors),

@@ -61,6 +61,22 @@ class EngineSpec extends SparkSpec {
     assert(p.resolve("big_nations").count() == 4)
   }
 
+  test("sql-text view over physical tables materializes as catalog view") {
+    val p = newProject("pview")
+    p.model("base_tbl", ModelConfig(materialized = Materialization.Table)) {
+      ctx =>
+        import ctx.spark.implicits._
+        Seq((1, "a"), (2, "b")).toDF("id", "v")
+    }
+    p.sqlModel("top_view")(
+      "SELECT id, upper(v) AS v_up FROM {{ ref('base_tbl') }} WHERE id > 1")
+    assert(p.run().ok)
+    val tbl = spark.catalog.getTable("pview", "top_view")
+    assert(tbl.tableType == "VIEW", tbl.tableType)
+    val rows = spark.table("pview.top_view").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq(2 -> "B"))
+  }
+
   test("ref cycle detection") {
     val p = newProject("cyc")
     p.model("a")(ctx => ctx.ref("b"))
