@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JVM/codegen/parquet-footer init otherwise lands
+    // entirely on the first measured query
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .limit(1000).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     // noop sink: forces full evaluation of every output column (count()
     // would let Catalyst prune the very projections being measured).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -124,6 +124,24 @@ object Macros {
     out.toSeq
   }
 
+  /** Database-clone workflow (`README.md:221`): Snowflake zero-copy
+    * clone becomes a warehouse-directory copy — viable precisely because
+    * every reference is 2-part `schema.object` (SURVEY §1.3), so a
+    * session pointed at the copy (`spark.sql.warehouse.dir=dest`)
+    * resolves identical names against the cloned data. */
+  def cloneWarehouse(spark: SparkSession, dest: java.nio.file.Path): Unit = {
+    val src = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val files = java.nio.file.Files.walk(src)
+    try files.forEach { p =>
+      val t = dest.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally files.close()
+  }
+
   /** codegen-package analogue: emit a model stub + schema YAML from a
     * DataFrame's schema. */
   def generateModelYaml(name: String, df: DataFrame): String = {

@@ -59,4 +59,35 @@ object Multimodal {
         }
       }
   }
+
+  /** STUB resize: a real implementation decodes, scales to
+    * (targetW, targetH), re-encodes. The stub derives a deterministic
+    * resized payload (truncated/cycled bytes) and rewrites the metadata —
+    * the Spark shape (projection over binary, new payload + metadata,
+    * no shuffle) is the real part. */
+  def resize(packed: DataFrame, targetW: Int, targetH: Int): DataFrame =
+    packed
+      .withColumn("payload",
+        expr(s"substring(payload, 1, int(least(n_bytes, ${targetW.toLong * targetH})))"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .withColumn("media_type", concat(col("media_type"),
+        lit(s";resized=${targetW}x$targetH")))
+      .withColumn("sha256", sha2(col("payload"), 256))
+
+  /** STUB frame sampling: every `stride`-th byte stands in for every
+    * stride-th video frame. One input row explodes to its sampled-frame
+    * rows (posexplode keeps frame order) — the genuinely Spark-side
+    * concerns are the row-explosion shape and frame indexing. */
+  def sampleFrames(packed: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    packed
+      .select(col("id"), col("media_type"), col("payload"),
+        posexplode(expr(
+          s"CASE WHEN n_bytes > 0 THEN sequence(0, int(n_bytes) - 1, $stride)" +
+            " ELSE cast(array() AS array<int>) END"))
+          .as(Seq("frame_idx", "offset")))
+      .select(col("id"), col("media_type"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        expr("substring(payload, offset + 1, 1)").as("frame_byte"))
+  }
 }

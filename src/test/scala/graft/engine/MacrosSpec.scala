@@ -56,6 +56,20 @@ class MacrosSpec extends SparkSpec {
     assert(spark.catalog.tableExists("orph.zombie"))
   }
 
+  test("cloneWarehouse copies tables readable from the clone") {
+    val p = new Project(spark, Target("dev", "clonesrc", threads = 2))
+    p.model("t1", ModelConfig(materialized = Materialization.Table)) { ctx =>
+      import ctx.spark.implicits._
+      Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    }
+    assert(p.run().ok)
+    val dest = java.nio.file.Files.createTempDirectory("graft_clone")
+    Macros.cloneWarehouse(spark, dest)
+    val cloned = spark.read.parquet(s"$dest/clonesrc.db/t1")
+    assert(cloned.count() == 2)
+    assert(cloned.columns.toSeq == Seq("id", "v"))
+  }
+
   test("generateModelYaml emits column stubs") {
     val y = Macros.generateModelYaml("m", df1)
     assert(y.contains("- name: id") && y.contains("data_type: int"))
