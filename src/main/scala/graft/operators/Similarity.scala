@@ -39,6 +39,67 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Exact top-k with a BROADCAST corpus: collect the corpus matrix once
+    * (it must fit on the driver/executors — the "small corpus, huge query
+    * stream" regime; block the corpus externally when it doesn't), then
+    * scan queries with mapPartitions keeping a bounded top-k heap per
+    * query — no join, no window, no shuffle at all. Produces bit-identical
+    * results to [[bruteForceTopK]] (same double math, same HALF_UP
+    * rounding, same neighbor-id tie-break). */
+  def bruteForceTopKBroadcast(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val mat: Array[(Long, Array[Float], Double)] = corpus
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .collect()
+      .map { case (id, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+        (id, v, math.sqrt(s))
+      }
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(mat)
+    queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val corpus = bc.value
+        rows.flatMap { case (qid, qv) =>
+          var qs = 0.0; var i = 0
+          while (i < qv.length) { qs += qv(i).toDouble * qv(i); i += 1 }
+          val qn = math.sqrt(qs)
+          // bounded top-k: ordering matches (cos DESC, neighbor_id ASC)
+          // head = WORST kept: max of (-cos, id) = smallest cos, then
+          // largest id — exactly what a better candidate evicts first
+          val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.by[(Double, Long), (Double, Long)] {
+              case (cos, id) => (-cos, id)
+            })
+          corpus.foreach { case (cid, cv, cn) =>
+            if (cid != qid) {
+              var d = 0.0; var j = 0
+              val n = math.min(qv.length, cv.length)
+              while (j < n) { d += qv(j).toDouble * cv(j); j += 1 }
+              val cos = BigDecimal(d / (qn * cn))
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (heap.size < k) heap.enqueue((cos, cid))
+              else {
+                val (wc, wi) = heap.head
+                if (cos > wc || (cos == wc && cid < wi)) {
+                  heap.dequeue(); heap.enqueue((cos, cid))
+                }
+              }
+            }
+          }
+          val worstFirst: Seq[(Double, Long)] = heap.dequeueAll
+          worstFirst.reverse.zipWithIndex.map { case ((cos, cid), r) =>
+            (qid, cid, cos, (r + 1).toLong)
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** IVF approximate top-k: centroids from `centroidsOf` (or any externally
     * trained set), probe the nProbe nearest cells. Deterministic given the
     * centroid set. Returns the same shape as [[bruteForceTopK]].

@@ -98,11 +98,13 @@ object PipelineQueries extends QueryPack {
         SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
         FROM sh GROUP BY simhash ORDER BY simhash, keep_id""")),
 
-    // ---- brute-force cosine top-k (exact ANN baseline) -----------------
+    // ---- exact cosine top-k, broadcast-corpus scan (the declarative
+    //      join+window twin lives in bruteForceTopK; SimilaritySpec
+    //      asserts the two are identical) ---------------------------------
     Q("x05_knn_cosine",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
+        Similarity.bruteForceTopKBroadcast(e, e, "vec_id", "embedding", k = 5)
           .orderBy(col("query_id"), col("rank"))
       },
       Some {

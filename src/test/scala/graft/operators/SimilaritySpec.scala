@@ -45,6 +45,13 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@$k = $recall")
   }
 
+  test("broadcast-corpus top-k is identical to the join+window form") {
+    val a = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5)
+    val b = Similarity.bruteForceTopKBroadcast(emb, emb, "vec_id", "embedding", 5)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() == b.count())
+  }
+
   test("IVF probing every cell equals exact brute force") {
     val k = 3
     val cents = Similarity.trainKMeans(emb, "vec_id", "embedding", k = 4, iters = 2)
