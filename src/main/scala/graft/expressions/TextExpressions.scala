@@ -1,0 +1,202 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, GraftSql}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native one-pass text expressions for the dedup hot path.
+  *
+  * The HOF formulations (split → zip_with chains → transform(md5) →
+  * aggregate) are CodegenFallback and evaluate INTERPRETED, re-walking
+  * deep expression trees per row; these expressions do the same work in
+  * one imperative pass. They are themselves CodegenFallback (a single
+  * eval call per row), which is fine — the win is O(work) per row with
+  * no tree-walking, not codegen fusion.
+  *
+  * Semantics are kept bit-compatible with the HOF versions (and the
+  * DuckDB oracles): split keeps empty fields (Spark split limit=-1),
+  * shingles join with '_', distinct preserves first occurrence, hashes
+  * are lowercase md5 hex, minhash order = lexicographic over hex.
+  */
+private object TextExprUtil {
+  def splitTokens(text: UTF8String): Array[String] =
+    text.toString.split(" ", -1)
+
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HEX = "0123456789abcdef".toCharArray
+
+  def md5hex(s: String): String = {
+    val d = digest.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HEX((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HEX(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  def shingleStrings(toks: Array[String], n: Int, distinct: Boolean): Seq[String] = {
+    if (toks.length < n) return Nil
+    val sb = new StringBuilder
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val seen = if (distinct) scala.collection.mutable.HashSet[String]() else null
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.clear()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append('_')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val s = sb.toString
+      if (seen == null || seen.add(s)) out += s
+      i += 1
+    }
+    out.toSeq
+  }
+
+  def toArrayData(ss: Seq[String]): ArrayData =
+    new GenericArrayData(ss.map(UTF8String.fromString).toArray[Any])
+}
+
+/** Word n-gram shingles of a space-separated text, one pass.
+  * `distinct=false` keeps positional order (winnowing needs positions). */
+case class WordShingles(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "n must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextExprUtil.splitTokens(input.asInstanceOf[UTF8String])
+    TextExprUtil.toArrayData(TextExprUtil.shingleStrings(toks, n, distinct))
+  }
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+/** MinHash signature: element i = min over shingles of md5hex("i|" + s),
+  * all `numHashes` seeds in one pass over the shingle array. */
+case class MinHashSignatures(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numHashes >= 1, "numHashes must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_signatures"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m == 0) return null // mirrors array_min(empty) = null
+    val mins = new Array[String](numHashes)
+    var i = 0
+    while (i < m) {
+      val s = arr.getUTF8String(i).toString
+      var seed = 0
+      while (seed < numHashes) {
+        val h = TextExprUtil.md5hex(s"$seed|$s")
+        if (mins(seed) == null || h < mins(seed)) mins(seed) = h
+        seed += 1
+      }
+      i += 1
+    }
+    TextExprUtil.toArrayData(mins.toSeq)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSignatures =
+    copy(child = c)
+}
+
+/** 32-bit SimHash over the DISTINCT elements of a token array, as a
+  * '0'/'1' string: bit j = sign of Σ (md5 hex digit j ≥ '8' ? +1 : −1),
+  * ties → 1. One md5 per distinct token. */
+case class SimHash32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash32"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val seen = scala.collection.mutable.HashSet[String]()
+    val sums = new Array[Int](32)
+    var i = 0
+    while (i < arr.numElements()) {
+      val t = arr.getUTF8String(i).toString
+      if (seen.add(t)) {
+        val h = TextExprUtil.md5hex(t)
+        var j = 0
+        while (j < 32) {
+          if (h.charAt(j) >= '8') sums(j) += 1 else sums(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Char](32)
+    var j = 0
+    while (j < 32) { out(j) = if (sums(j) >= 0) '1' else '0'; j += 1 }
+    UTF8String.fromString(new String(out))
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash32 =
+    copy(child = c)
+}
+
+/** md5hex of ordered k-gram shingles + w-window sliding minima,
+  * deduplicated — the whole winnowing fingerprint in one pass. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && w >= 1, "k and w must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextExprUtil.splitTokens(input.asInstanceOf[UTF8String])
+    val hashes = TextExprUtil.shingleStrings(toks, k, distinct = false)
+      .map(TextExprUtil.md5hex).toIndexedSeq
+    val fps =
+      if (hashes.size >= w)
+        (0 to hashes.size - w).map(i => hashes.slice(i, i + w).min)
+      else hashes
+    TextExprUtil.toArrayData(fps.distinct)
+  }
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(child = c)
+}
+
+object TextExpressions {
+  def wordShingles(text: Column, n: Int, distinct: Boolean = true): Column =
+    GraftSql.column(WordShingles(GraftSql.expression(text), n, distinct))
+  def minhashSignatures(shingles: Column, numHashes: Int): Column =
+    GraftSql.column(MinHashSignatures(GraftSql.expression(shingles), numHashes))
+  def simhash32Native(toks: Column): Column =
+    GraftSql.column(SimHash32(GraftSql.expression(toks)))
+  def winnowFingerprintsNative(text: Column, k: Int, w: Int): Column =
+    GraftSql.column(WinnowFingerprints(GraftSql.expression(text), k, w))
+}

@@ -43,8 +43,9 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 4, threshold: Double = 0.2, maxDf: Long = 100L): DataFrame = {
     val sh = df
-      .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
-      .select(col("doc"), explode(shingles(col("toks"), n)).as("sh"))
+      .select(col(idCol).as("doc"),
+        explode(graft.expressions.TextExpressions
+          .wordShingles(col(textCol), n)).as("sh"))
     val kept = sh.join(
       sh.groupBy("sh").agg(count(lit(1)).as("df_count"))
         .filter(col("df_count") <= maxDf)
@@ -77,15 +78,18 @@ object Dedup {
       n: Int = 4, numHashes: Int = 8, numBands: Int = 4): DataFrame = {
     require(numHashes % numBands == 0, "numHashes must divide into bands")
     val rows = numHashes / numBands
-    val withSh = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
-      .select(col("doc"), shingles(col("toks"), n).as("sh"))
+    val withSh = df.select(col(idCol).as("doc"),
+      graft.expressions.TextExpressions.wordShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sigs = (0 until numHashes).foldLeft(withSh) { (d, i) =>
-      d.withColumn(s"h$i", minhashSig(col("sh"), i))
-    }
+    // all numHashes signature values in ONE pass over the shingle array
+    // (native expression; the per-seed HOF fold re-walked the array
+    // numHashes times, interpreted)
+    val sigs = withSh.withColumn("sigs",
+      graft.expressions.TextExpressions.minhashSignatures(col("sh"), numHashes))
     val bandCols = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
-        concat((0 until rows).map(r => col(s"h${b * rows + r}")): _*).as("key"))
+        concat((0 until rows).map(r =>
+          element_at(col("sigs"), b * rows + r + 1)): _*).as("key"))
     }
     val bands = sigs.select(col("doc"), col("sh"),
       explode(array(bandCols: _*)).as("bk"))
@@ -106,8 +110,9 @@ object Dedup {
     * Per-row signature + one hash aggregation; Hamming-radius>0 search
     * would add rotated-band buckets (same join pattern as MinHash-LSH). */
   def simhashGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
-      .select(col("doc"), simhash32(col("toks")).as("simhash"))
+    df.select(col(idCol).as("doc"),
+      graft.expressions.TextExpressions
+        .simhash32Native(tokens(col(textCol))).as("simhash"))
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min(col("doc")).as("keep_id"))
 

@@ -175,13 +175,12 @@ object PipelineQueries extends QueryPack {
         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpeish_tokens
         FROM documents ORDER BY doc_id""")),
 
-    // ---- winnowing document fingerprints (staged: each intermediate is
-    //      a real column, computed once per row — HOFs are interpreted) --
+    // ---- winnowing document fingerprints (native one-pass expression;
+    //      the HOF twin lives in TextFunctions, equality spec-checked) --
     Q("x09_winnow_fingerprints",
       (s, dir) => t(s, dir, "documents")
-        .withColumn("toks", tokens(col("text")))
-        .withColumn("hs", kgramHashes(col("toks"), 3))
-        .withColumn("fps", winnowFromHashes(col("hs"), 4))
+        .withColumn("fps", graft.expressions.TextExpressions
+          .winnowFingerprintsNative(col("text"), 3, 4))
         .select(
           col("doc_id"),
           size(col("fps")).cast("long").as("n_fp"),

@@ -77,6 +77,36 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("native expressions equal their HOF twins on random docs") {
+    import graft.expressions.TextExpressions._
+    val rows = evalAll(
+      shingles(col("toks"), 4),
+      wordShingles(col("text"), 4),
+      simhash32(col("toks")),
+      simhash32Native(col("toks")),
+      winnowFromHashes(kgramHashes(col("toks"), 3), 4),
+      winnowFingerprintsNative(col("text"), 3, 4),
+      minhashSig(shingles(col("toks"), 4), 0),
+      minhashSig(shingles(col("toks"), 4), 3))
+    docs.zip(rows).foreach { case (doc, r) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"shingles: $doc")
+      assert(r.getString(2) == r.getString(3), s"simhash: $doc")
+      assert(r.getSeq[String](4) == r.getSeq[String](5), s"winnow: $doc")
+    }
+    // minhash: native array element i == HOF minhashSig(seed = i)
+    val mh = evalAll(
+      when(size(wordShingles(col("text"), 4)) > 0,
+        minhashSignatures(wordShingles(col("text"), 4), 4)).as("sigs"),
+      minhashSig(shingles(col("toks"), 4), 0),
+      minhashSig(shingles(col("toks"), 4), 3))
+    docs.zip(mh).foreach { case (doc, r) =>
+      if (!r.isNullAt(0)) {
+        assert(r.getSeq[String](0)(0) == r.getString(1), s"minhash s0: $doc")
+        assert(r.getSeq[String](0)(3) == r.getString(2), s"minhash s3: $doc")
+      } else assert(r.isNullAt(1), s"null mismatch: $doc")
+    }
+  }
+
   test("minhash signature is the true min over per-shingle hashes") {
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
