@@ -161,9 +161,12 @@ object Similarity {
       k: Int, iters: Int = 5): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the training projection is scanned once per iteration — cache it
+    // (MLlib KMeans does the same); unpersisted before returning
+    val training = df.select(col(idCol), col(vecCol)).cache()
     // cells are 0..k-1, positional: cents(i) is cell i's vector
     var cents: IndexedSeq[Array[Float]] =
-      df.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
+      training.orderBy(col(idCol)).limit(k)
         .collect().toIndexedSeq
         .map(r => r.getSeq[Float](1).toArray)
     for (_ <- 0 until iters) {
@@ -174,7 +177,7 @@ object Similarity {
         val n = math.max(math.sqrt(v0.map(x => x.toDouble * x).sum), 1e-12)
         v0.map(x => (x / n).toFloat).toSeq
       }.toSeq
-      val sums = df.select(col(vecCol).as("v"))
+      val sums = training.select(col(vecCol).as("v"))
         .withColumn("csims",
           transform(typedlit(unit), c =>
             graft.expressions.VectorExpressions.floatVecDot(col("v"), c)))
@@ -189,6 +192,7 @@ object Similarity {
       }.toMap
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
     }
+    training.unpersist(blocking = false)
     cents.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cell", "cvec")
   }
 

@@ -515,6 +515,47 @@ object CoreQueries extends QueryPack {
           coalesce(o_orderpriority, '_null_'))) AS sk
         FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""")),
 
+    // ---- correlated min subquery (TPC-H Q2 shape): cheapest supplier
+    //      per part among its suppliers' nation peers ---------------------
+    Q("q31_cheapest_open_order",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        val minPerCust = o.groupBy($"o_custkey".as("mk"))
+          .agg(min($"o_totalprice").as("min_price"))
+        o.join(minPerCust, $"o_custkey" === $"mk" &&
+            $"o_totalprice" === $"min_price")
+          .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM orders o
+        WHERE o_totalprice = (SELECT min(o_totalprice) FROM orders i
+                              WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- IN-subquery over grouped HAVING (TPC-H Q18 shape) -------------
+    Q("q32_large_volume_orders",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+        val big = li.groupBy($"l_orderkey")
+          .agg(dsum($"l_quantity").as("total_qty"))
+          .filter($"total_qty" > 250.0)
+        o.join(big, $"o_orderkey" === $"l_orderkey")
+          .select($"o_orderkey", $"o_custkey",
+            date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"),
+            $"total_qty")
+          .orderBy($"total_qty".desc, $"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+        strftime(o_orderdate, '%Y-%m-%d') AS orderdate, total_qty
+        FROM orders JOIN (
+          SELECT l_orderkey,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+          FROM lineitem GROUP BY l_orderkey HAVING total_qty > 250.0) b
+        ON o_orderkey = b.l_orderkey
+        ORDER BY total_qty DESC, o_orderkey""")),
+
     // ---- HLL approximate distinct (the 100 TB COUNT(DISTINCT) posture;
     //      sketch values are engine-specific, so rows-only here — the
     //      <5% relative-error bound is asserted in CoreQueriesSpec) -------
