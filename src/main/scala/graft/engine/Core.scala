@@ -113,13 +113,23 @@ final case class DataTest(
 final class Ctx(
     val spark: SparkSession,
     resolveRef: String => DataFrame,
-    resolveSource: (String, String) => DataFrame) {
+    resolveSource: (String, String) => DataFrame,
+    thisPhysical: Option[String] = None) {
   /** Read another model's output; records a DAG edge (ref.sql semantics:
     * resolved names are always 2-part — schema.alias, no database). */
   def ref(model: String): DataFrame = resolveRef(model)
   /** Read a declared source table; records a DAG edge. */
   def source(sourceName: String, table: String): DataFrame =
     resolveSource(sourceName, table)
+  /** dbt `is_incremental()`: true when this model's relation already
+    * exists in the catalog (so the build can filter to new rows only). */
+  def isIncremental: Boolean =
+    thisPhysical.exists(spark.catalog.tableExists)
+  /** dbt `{{ this }}`: the model's own existing relation. Only valid when
+    * [[isIncremental]] — typical use:
+    * `if (ctx.isIncremental) df.filter($"ts" > ctx.thisDf.agg(max($"ts")).first.get(0)) else df` */
+  def thisDf: DataFrame = spark.table(thisPhysical.getOrElse(
+    throw new IllegalStateException("`this` only exists for incremental builds")))
 }
 
 /** The project DAG, introspectable like the reference's `graph.nodes`

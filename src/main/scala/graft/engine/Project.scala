@@ -141,7 +141,9 @@ final class Project(val spark: SparkSession, val target: Target) {
         throw new NoSuchElementException(s"unknown source '$s0.$t0'"))
       recordEdge(nodeId, sd.id)
       sourceDf(sd)
-    })
+    },
+    thisPhysical = models.get(nodeId.stripPrefix("model."))
+      .map(physicalName))
 
   /** Force-resolve everything and return the introspectable graph. */
   def compile(): ProjectGraph = {

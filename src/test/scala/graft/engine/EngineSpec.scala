@@ -101,6 +101,30 @@ class EngineSpec extends SparkSpec {
     assert(by("model.downstream").status == "skipped")
   }
 
+  test("is_incremental / this: max-ts filter pattern appends only new rows") {
+    var batch = Seq((1L, 10L), (2L, 20L)) // (id, ts)
+    def proj(): Project = {
+      val p = new Project(spark, Target("dev", "isinc", threads = 2))
+      p.model("evts", ModelConfig(materialized = Materialization.Incremental())) {
+        ctx =>
+          import ctx.spark.implicits._
+          val df = batch.toDF("id", "ts")
+          if (ctx.isIncremental) {
+            val maxTs = ctx.thisDf.agg(max(col("ts"))).first().getLong(0)
+            df.filter(col("ts") > maxTs)
+          } else df
+      }
+      p
+    }
+    assert(proj().run().ok)
+    assert(spark.table("isinc.evts").count() == 2)
+    batch = Seq((2L, 20L), (3L, 30L)) // 20 is old, 30 is new
+    assert(proj().run().ok)
+    val rows = spark.table("isinc.evts").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(1L -> 10L, 2L -> 20L, 3L -> 30L))
+  }
+
   test("incremental: first run creates, second appends only new keys") {
     val p = newProject("inc")
     var batch = Seq((1L, "a"), (2L, "b"))
