@@ -116,6 +116,39 @@ object Dedup {
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min(col("doc")).as("keep_id"))
 
+  /** SimHash near-duplicate PAIRS within a Hamming radius, via pigeonhole
+    * banding: split the 32-bit signature into `bands` contiguous bands —
+    * any two signatures within Hamming distance < `bands` must agree on
+    * at least one whole band — bucket-join on (band, value), then verify
+    * the exact distance with `bit_count(xor)` (codegen'd integer ops).
+    * Requires `radius < bands` for the pigeonhole guarantee, so the
+    * result equals the all-pairs scan exactly, at candidate-join cost. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      radius: Int = 3, bands: Int = 4): DataFrame = {
+    require(radius < bands, "pigeonhole needs radius < bands")
+    require(32 % bands == 0, "bands must divide 32")
+    val bandLen = 32 / bands
+    val sigs = df.select(col(idCol).as("doc"),
+      graft.expressions.TextExpressions
+        .simhash32Native(tokens(col(textCol))).as("sig"))
+      .withColumn("sigv", conv(col("sig"), 2, 10).cast("long"))
+    val banded = sigs.select(col("doc"), col("sigv"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("sig"), b * bandLen + 1, bandLen).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc"), col("sigv"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.select(col("doc").as("doc_a"), col("sigv").as("va"), col("band"), col("key"))
+      .join(banded.select(col("doc").as("doc_b"), col("sigv").as("vb"),
+        col("band"), col("key")), Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(expr("va ^ vb")).cast("long").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= radius)
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold (brute-force
     * all-pairs — the verification/small-side path; at corpus scale feed it
     * LSH-bucketed candidates from [[Similarity]] instead). */

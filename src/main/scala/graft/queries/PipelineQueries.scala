@@ -98,6 +98,25 @@ object PipelineQueries extends QueryPack {
         SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
         FROM sh GROUP BY simhash ORDER BY simhash, keep_id""")),
 
+    // ---- SimHash Hamming-radius near-dups (banded; == all-pairs scan) --
+    Q("x18_simhash_neardups",
+      (s, dir) => Dedup.simhashNearDups(t(s, dir, "documents"),
+        "doc_id", "text", radius = 3, bands = 4)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some("""WITH sh AS (SELECT doc_id,
+          array_to_string(list_transform(range(1, 33), j ->
+            CASE WHEN list_sum(list_transform(list_distinct(string_split(text,' ')),
+                   t -> CASE WHEN substr(md5(t), j, 1) >= '8' THEN 1 ELSE -1 END)) >= 0
+            THEN '1' ELSE '0' END), '') AS sig
+          FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(len(list_filter(range(32),
+            i -> substr(a.sig, i + 1, 1) <> substr(b.sig, i + 1, 1))) AS BIGINT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_filter(range(32),
+            i -> substr(a.sig, i + 1, 1) <> substr(b.sig, i + 1, 1))) <= 3
+        ORDER BY doc_a, doc_b""")),
+
     // ---- exact cosine top-k, broadcast-corpus scan (the declarative
     //      join+window twin lives in bruteForceTopK; SimilaritySpec
     //      asserts the two are identical) ---------------------------------
