@@ -145,8 +145,10 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(expr("va ^ vb")).cast("long").as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
+      // verify BEFORE dedup: the distance check is cheap codegen'd int
+      // math, and it shrinks the dropDuplicates shuffle to winners only
       .filter(col("hamming") <= radius)
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold (brute-force
