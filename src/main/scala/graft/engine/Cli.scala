@@ -17,10 +17,12 @@ object Cli {
       case "build" :: rest =>
         val res = project.build(selectArg(rest))
         res.results.map(r => s"${r.status.toUpperCase} ${r.id} ${r.durationMs}ms")
-      case "test" :: _ =>
-        val res = project.run()
-        res.results.filter(_.id.startsWith("test."))
-          .map(r => s"${r.status.toUpperCase} ${r.id}")
+      case "test" :: rest =>
+        // dbt test only EVALUATES tests against existing relations — it
+        // must not materialize models as a side effect (running them
+        // would, e.g., append another batch to every incremental table).
+        val res = project.testOnly(selectArg(rest))
+        res.results.map(r => s"${r.status.toUpperCase} ${r.id}")
       case "ls" :: _ =>
         project.compile().nodes.keys.toSeq.sorted
       case "run-operation" :: "list_orphaned_objects" :: rest =>

@@ -145,6 +145,44 @@ final class Project(val spark: SparkSession, val target: Target) {
     thisPhysical = models.get(nodeId.stripPrefix("model."))
       .map(physicalName))
 
+  /** Execution-time resolution (dbt ref semantics): a ref to a physically
+    * materialized upstream (table / incremental / bucketed /
+    * insert-overwrite) reads the MATERIALIZED relation — so downstream of
+    * an incremental model sees the accumulated table, not the
+    * is_incremental-filtered batch, and table upstreams are read, not
+    * recomputed. Only view/ephemeral upstreams keep plan inlining. Not
+    * memoized: the physical state changes as the run progresses, and the
+    * topo order guarantees upstreams are built before this is called. */
+  private[engine] def resolveForRun(name: String): DataFrame = {
+    val m = models.getOrElse(name,
+      throw new NoSuchElementException(s"unknown model '$name'"))
+    m.build(execCtxFor(m.id))
+  }
+
+  private def execCtxFor(nodeId: String): Ctx = new Ctx(
+    spark,
+    depName => {
+      recordEdge(nodeId, s"model.$depName")
+      val dep = models.getOrElse(depName,
+        throw new NoSuchElementException(s"unknown model '$depName'"))
+      dep.config.materialized match {
+        case Materialization.View | Materialization.Ephemeral =>
+          resolveForRun(depName)
+        case _ if spark.catalog.tableExists(physicalName(dep)) =>
+          spark.table(physicalName(dep))
+        case _ => // physical upstream not built yet (ad-hoc resolution)
+          resolveForRun(depName)
+      }
+    },
+    (s0, t0) => {
+      val sd = sources.getOrElse((s0, t0),
+        throw new NoSuchElementException(s"unknown source '$s0.$t0'"))
+      recordEdge(nodeId, sd.id)
+      sourceDf(sd)
+    },
+    thisPhysical = models.get(nodeId.stripPrefix("model."))
+      .map(physicalName))
+
   /** Force-resolve everything and return the introspectable graph. */
   def compile(): ProjectGraph = {
     models.keys.foreach(resolve)
@@ -266,14 +304,24 @@ final class Project(val spark: SparkSession, val target: Target) {
     }.toSet
 
   /** The DataFrame a downstream consumer/test should read for a model:
-    * the materialized relation if one exists, else the inline plan. */
+    * the materialized relation if one exists, else the exec-resolved plan
+    * (which itself reads materialized upstreams — dbt ref semantics). */
   def materializedDf(name: String): DataFrame = {
     val m = models(name)
     m.config.materialized match {
-      case Materialization.Ephemeral => resolve(name)
-      case Materialization.View => resolve(name) // session view == same plan
+      case Materialization.Ephemeral => resolveForRun(name)
+      case Materialization.View => resolveForRun(name) // view == same plan
       case _ => spark.table(physicalName(m))
     }
+  }
+
+  /** `dbt test`: evaluate data tests against EXISTING relations without
+    * materializing any model — `test` must not run models as a side
+    * effect (ephemeral/view targets are evaluated from their plans). */
+  def testOnly(select: String = "*"): RunResults = {
+    val graph = compile()
+    val selected = Selector.select(graph, select)
+    RunResults(tests.toSeq.filter(t => selected(t.id)).map(runNode))
   }
 }
 

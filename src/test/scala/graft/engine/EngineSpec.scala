@@ -150,6 +150,89 @@ class EngineSpec extends SparkSpec {
     assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("downstream of incremental reads the ACCUMULATED table, not the batch") {
+    var batch = Seq((1L, 10L), (2L, 20L))
+    def proj(): Project = {
+      val p = new Project(spark, Target("dev", "incdown", threads = 2))
+      p.model("src_inc", ModelConfig(materialized = Materialization.Incremental())) {
+        ctx =>
+          import ctx.spark.implicits._
+          val df = batch.toDF("id", "ts")
+          if (ctx.isIncremental) {
+            val maxTs = ctx.thisDf.agg(max(col("ts"))).first().getLong(0)
+            df.filter(col("ts") > maxTs)
+          } else df
+      }
+      // downstream ref must see every accumulated row of src_inc — dbt ref
+      // semantics read the materialized relation, not the filtered batch
+      p.model("down", ModelConfig(materialized = Materialization.Table)) {
+        ctx => ctx.ref("src_inc")
+      }
+      p
+    }
+    assert(proj().run().ok)
+    batch = Seq((2L, 20L), (3L, 30L)) // only ts=30 is new
+    assert(proj().run().ok)
+    assert(spark.table("incdown.src_inc").count() == 3)
+    assert(spark.table("incdown.down").count() == 3) // not 1 (the batch)
+  }
+
+  test("cli test evaluates tests without materializing models") {
+    val p = newProject("clitest")
+    p.model("append_me", ModelConfig(materialized = Materialization.Incremental())) {
+      ctx =>
+        import ctx.spark.implicits._
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    }
+    p.testNotNull("append_me", "id")
+    assert(p.run().ok)
+    assert(spark.table("clitest.append_me").count() == 2)
+    val out = Cli.run(p, Seq("test"))
+    assert(out.exists(_.contains("test.not_null__append_me__id")))
+    // a second materialization would have appended 2 more rows
+    assert(spark.table("clitest.append_me").count() == 2)
+  }
+
+  test("insert-overwrite does not leak partitionOverwriteMode into session conf") {
+    val before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    def proj(rows: Seq[(Long, String)]): Project = {
+      val p = newProject("iow")
+      p.model("part_tbl", ModelConfig(
+        materialized = Materialization.InsertOverwrite(Seq("day")))) { ctx =>
+        import ctx.spark.implicits._
+        rows.toDF("id", "day")
+      }
+      p
+    }
+    assert(proj(Seq((1L, "d1"), (2L, "d2"))).run().ok)
+    assert(proj(Seq((3L, "d2"))).run().ok) // rewrites only d2
+    val rows = spark.table("iow.part_tbl").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "d1"), (3L, "d2")))
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode") == before)
+  }
+
+  test("snapshot: NULL shift across check columns closes out the row") {
+    import spark.implicits._
+    val p = newProject("snapnull")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+    // (x, NULL) -> (NULL, x): concat_ws WITHOUT per-column coalesce hashes
+    // both sides to "x" and the change would be silently missed
+    Materializer.snapshot(p, "snapnull.c",
+      Seq((1L, Option("x"), Option.empty[String])).toDF("id", "a", "b"),
+      "id", Seq("a", "b"), t1)
+    Materializer.snapshot(p, "snapnull.c",
+      Seq((1L, Option.empty[String], Option("x"))).toDF("id", "a", "b"),
+      "id", Seq("a", "b"), t2)
+    val snap = spark.table("snapnull.c")
+    assert(snap.count() == 2, "changed row must close out + re-insert")
+    assert(snap.filter(col("valid_to").isNotNull).count() == 1)
+    val open = snap.filter(col("valid_to").isNull).collect().head
+    assert(open.isNullAt(open.fieldIndex("a")) &&
+      open.getString(open.fieldIndex("b")) == "x")
+  }
+
   test("snapshot: SCD-2 close-out and insert on change") {
     import spark.implicits._
     val p = newProject("snap")
