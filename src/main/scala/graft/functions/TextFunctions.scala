@@ -99,6 +99,30 @@ object TextFunctions {
   def langGuess(toks: Column): Column =
     when(stopwordRatio(toks) >= 0.05, "en").otherwise("unk")
 
+  /** Stopword (function-word) profiles for the n-gram-heuristic language
+    * identifier — the classic cheap langid: count each language's
+    * high-frequency function words and take the argmax. Declared order is
+    * the deterministic tie-break. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "une"),
+    "de" -> Seq("der", "die", "und", "das", "von", "den", "zu"))
+
+  /** Occurrences (with multiplicity) of any profile word in the tokens. */
+  def profileScore(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*))).cast("long")
+
+  /** Deterministic argmax over (language, score) in declared order: the
+    * first language whose score is nonzero and >= every LATER score wins
+    * (an earlier language with a larger score would have won already);
+    * all-zero scores → 'unk'. */
+  def langPredict(scores: Seq[(String, Column)]): Column =
+    scores.zipWithIndex.foldRight(lit("unk")) { case (((lang, c), i), acc) =>
+      val laters = scores.drop(i + 1).map(_._2)
+      when(laters.foldLeft(c > 0)((p, l) => p && c >= l), lang).otherwise(acc)
+    }
+
   /** Quality-scoring features: token counts, duplication, lengths. */
   def nTokens(toks: Column): Column = size(toks).cast("long")
   def nDistinctTokens(toks: Column): Column = size(array_distinct(toks)).cast("long")

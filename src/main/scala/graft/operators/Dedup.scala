@@ -151,6 +151,53 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Connected components over an undirected pair list (near-dup pairs →
+    * duplicate CLUSTERS, so one canonical document survives per cluster
+    * even when A~B and B~C but A!~C). Hash-to-min label propagation:
+    * every vertex repeatedly adopts the minimum label among itself and
+    * its neighbors until a fixpoint — rounds = cluster diameter, and
+    * near-dup clusters are shallow. Each round is one shuffle join + one
+    * aggregation over the EDGE list only (vertices outside any pair never
+    * enter the loop); labels are re-persisted per round and the previous
+    * round unpersisted so lineage/caches stay bounded. For high-diameter
+    * graphs at web scale, swap the round body for large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce", SoCC 2014) —
+    * same join/agg primitives, O(log²) rounds.
+    *
+    * Returns (vertex, component) with component = min vertex id reachable.
+    */
+  def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 25): DataFrame = {
+    // Iterative algorithms MUST truncate lineage per round: a persist()
+    // chain keeps the full logical plan growing linearly, and Catalyst
+    // re-analyzes the whole tree every round (quadratic driver time —
+    // observed as a multi-minute stall on a 29-round path graph).
+    // localCheckpoint (eager) replaces the plan with its materialized RDD;
+    // on a real cluster with an HDFS checkpoint dir, sc.setCheckpointDir +
+    // .checkpoint() is the fault-tolerant equivalent.
+    val edges = pairs.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .union(pairs.select(col(dstCol).as("s"), col(srcCol).as("d")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("s").as("v")).distinct()
+      .withColumn("comp", col("v"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val viaNbr = edges.join(labels, edges("d") === labels("v"))
+        .groupBy(col("s").as("nv")).agg(min(col("comp")).as("ncomp"))
+      val cand = labels.join(viaNbr, labels("v") === col("nv"), "left")
+        .select(col("v"), col("comp"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp2"))
+        .localCheckpoint() // eager: one job, O(1) plan next round
+      changed = cand.filter(col("comp2") < col("comp")).count()
+      labels = cand.select(col("v"), col("comp2").as("comp"))
+      round += 1
+    }
+    labels
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold (brute-force
     * all-pairs — the verification/small-side path; at corpus scale feed it
     * LSH-bucketed candidates from [[Similarity]] instead). */

@@ -556,6 +556,107 @@ object CoreQueries extends QueryPack {
         ON o_orderkey = b.l_orderkey
         ORDER BY total_qty DESC, o_orderkey""")),
 
+    // ---- F7/F8 widened: the date/time function surface (trunc, offsets,
+    //      ISO week/dow, month arithmetic with end-of-month clamping) -----
+    Q("q33_datetime_functions",
+      (s, dir) => {
+        import s.implicits._
+        val d = to_date($"o_orderdate")
+        t(s, dir, "orders").filter($"o_orderkey" < 400)
+          .select(
+            $"o_orderkey",
+            date_format(d, "yyyy-MM-dd").as("d"),
+            year(d).cast(LongType).as("yr"),
+            quarter(d).cast(LongType).as("qtr"),
+            month(d).cast(LongType).as("mo"),
+            weekofyear(d).cast(LongType).as("iso_week"),
+            (((dayofweek(d) + 5) % 7) + 1).cast(LongType).as("iso_dow"),
+            date_format(add_months(d, 3), "yyyy-MM-dd").as("plus3mo"),
+            date_format(last_day(d), "yyyy-MM-dd").as("month_end"),
+            datediff(d, lit("1995-01-01").cast("date")).cast(LongType)
+              .as("days_since"),
+            date_format(date_trunc("month", d), "yyyy-MM-dd").as("month_start"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+        strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d,
+        CAST(year(o_orderdate) AS BIGINT) AS yr,
+        CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        CAST(month(o_orderdate) AS BIGINT) AS mo,
+        CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+        CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+        strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
+        strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_start
+        FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey""")),
+
+    // ---- F1-F4 widened: split_part/pad/instr/left/right/reverse/repeat/
+    //      translate + NULL handling (nullif/ifnull/greatest/least) -------
+    Q("q34_string_null_functions",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part").filter($"p_partkey" < 300)
+          .select(
+            $"p_partkey",
+            expr("split_part(p_type, ' ', 2)").as("type_word2"),
+            lpad($"p_partkey".cast("string"), 8, "0").as("key_padded"),
+            instr($"p_name", "a").cast(LongType).as("first_a"),
+            expr("left(p_name, 4)").as("name_l4"),
+            expr("right(p_name, 3)").as("name_r3"),
+            reverse($"p_brand").as("brand_rev"),
+            repeat($"p_brand", 2).as("brand_twice"),
+            translate($"p_name", "ae", "AE").as("name_tr"),
+            nullif($"p_size", lit(10)).cast(LongType).as("size_not10"),
+            coalesce(nullif($"p_size", lit(10)), lit(-1)).cast(LongType)
+              .as("size_or_neg1"),
+            greatest($"p_size", lit(25)).cast(LongType).as("size_hi"),
+            least($"p_size", lit(25)).cast(LongType).as("size_lo"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+        split_part(p_type, ' ', 2) AS type_word2,
+        lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+        CAST(instr(p_name, 'a') AS BIGINT) AS first_a,
+        left(p_name, 4) AS name_l4,
+        right(p_name, 3) AS name_r3,
+        reverse(p_brand) AS brand_rev,
+        repeat(p_brand, 2) AS brand_twice,
+        translate(p_name, 'ae', 'AE') AS name_tr,
+        CAST(nullif(p_size, 10) AS BIGINT) AS size_not10,
+        CAST(ifnull(nullif(p_size, 10), -1) AS BIGINT) AS size_or_neg1,
+        CAST(greatest(p_size, 25) AS BIGINT) AS size_hi,
+        CAST(least(p_size, 25) AS BIGINT) AS size_lo
+        FROM part WHERE p_partkey < 300 ORDER BY p_partkey""")),
+
+    // ---- listagg / array_agg (Snowflake LISTAGG, dbt_utils.listagg):
+    //      order-independent via sort before join --------------------------
+    Q("q35_listagg_priorities",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders").groupBy($"o_orderstatus")
+          .agg(
+            concat_ws(",", sort_array(collect_set($"o_orderpriority")))
+              .as("prios"),
+            count(lit(1)).as("n"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+        array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS prios,
+        count(*) AS n FROM orders GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+
+    // ---- explode / unnest (lateral table function family) ---------------
+    Q("q36_explode_type_words",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part").filter($"p_partkey" < 100)
+          .select($"p_partkey", explode(split($"p_type", " ")).as("word"))
+          .orderBy($"p_partkey", $"word")
+      },
+      Some("""SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word
+        FROM part WHERE p_partkey < 100 ORDER BY p_partkey, word""")),
+
     // ---- HLL approximate distinct (the 100 TB COUNT(DISTINCT) posture;
     //      sketch values are engine-specific, so rows-only here — the
     //      <5% relative-error bound is asserted in CoreQueriesSpec) -------

@@ -326,6 +326,75 @@ object PipelineQueries extends QueryPack {
         FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
         ORDER BY event_id""")),
 
+    // ---- duplicate clusters: connected components over near-dup pairs
+    //      (A~B, B~C ⇒ {A,B,C} one cluster, one canonical survivor) ------
+    Q("x19_dup_components",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          n = 4, threshold = 0.2, maxDf = 100L)
+        val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        val labeled = docs.select(col("doc_id"))
+          .join(comp, docs("doc_id") === comp("v"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("component"))
+        labeled.withColumn("comp_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("component"))))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE tk AS (SELECT doc_id, $shingleSql AS s FROM documents),
+        ex0 AS (SELECT doc_id AS doc, unnest(s) AS sh FROM tk),
+        keep AS (SELECT sh FROM ex0 GROUP BY sh HAVING count(*) <= 100),
+        ex AS (SELECT doc, ex0.sh FROM ex0 JOIN keep ON ex0.sh = keep.sh),
+        sz AS (SELECT doc, count(*) AS n_sh FROM ex GROUP BY doc),
+        co AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+               FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc < b.doc
+               GROUP BY a.doc, b.doc),
+        pr AS (SELECT doc_a, doc_b
+               FROM co JOIN sz sa ON doc_a = sa.doc JOIN sz sb ON doc_b = sb.doc
+               WHERE CAST(common AS DOUBLE)/(sa.n_sh + sb.n_sh - common) >= 0.2),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+                  UNION SELECT doc_b, doc_a FROM pr),
+        reach AS (SELECT s AS v, s AS l FROM edges
+                  UNION
+                  SELECT e.s, r.l FROM reach r JOIN edges e ON e.d = r.v),
+        comp AS (SELECT v, min(l) AS component FROM reach GROUP BY v)
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+          count(*) OVER (PARTITION BY coalesce(c.component, d.doc_id)) AS comp_size
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+        ORDER BY doc_id""")),
+
+    // ---- language-ID: stopword-profile argmax (the classic cheap
+    //      n-gram-family langid; declared order breaks ties) --------------
+    Q("x20_langid",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        val profs = TextFunctions.langProfiles
+        val base = t(s, dir, "documents")
+          .withColumn("toks", tokens(col("text"))) // staged: split once/row
+        val scored = profs.foldLeft(base) { case (d, (lang, words)) =>
+          d.withColumn(s"c_$lang", profileScore(col("toks"), words))
+        }
+        scored.select(
+          (col("doc_id") +: profs.map { case (l, _) => col(s"c_$l") }) :+
+            langPredict(profs.map { case (l, _) => l -> col(s"c_$l") })
+              .as("lang_pred"): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sc AS (SELECT doc_id,
+          len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is'))) AS c_en,
+          len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','que','y','en','los'))) AS c_es,
+          len(list_filter(string_split(text,' '), t -> t IN ('le','la','de','et','les','des','une'))) AS c_fr,
+          len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das','von','den','zu'))) AS c_de
+          FROM documents)
+        SELECT doc_id, c_en, c_es, c_fr, c_de,
+          CASE WHEN c_en > 0 AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_de THEN 'en'
+               WHEN c_es > 0 AND c_es >= c_fr AND c_es >= c_de THEN 'es'
+               WHEN c_fr > 0 AND c_fr >= c_de THEN 'fr'
+               WHEN c_de > 0 THEN 'de' ELSE 'unk' END AS lang_pred
+        FROM sc ORDER BY doc_id""")),
+
     // ---- IVF approximate nearest neighbors (rows-only; recall vs exact
     //      brute force is asserted in SimilaritySpec) ---------------------
     Q("x14_ivf_ann",
