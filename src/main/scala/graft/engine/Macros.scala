@@ -116,6 +116,9 @@ object Macros {
         val downstream = referenced.contains(id)
         if (!downstream && m.config.materialized == Materialization.Ephemeral)
           out += s"unused_ephemeral: $id is ephemeral but nothing refs it"
+        hardCodedRelations(m).foreach(rel =>
+          out += s"hard_coded_reference: $id reads '$rel' directly " +
+            "- use ref()/source()")
       case s: SourceDef =>
         if (!referenced.contains(s.id))
           out += s"unused_source: ${s.id} declared but never read"
@@ -123,6 +126,21 @@ object Macros {
     }
     out.toSeq
   }
+
+  /** dbt_project_evaluator's hard-coded-reference lint: FROM/JOIN targets
+    * in a SQL-text model that are neither `{{ ref }}`/`{{ source }}`
+    * placeholders nor CTE names defined in the model itself. DataFrame
+    * models can't hard-code by construction (inputs come through Ctx). */
+  private[engine] def hardCodedRelations(m: Model): Seq[String] =
+    m.sqlText.toSeq.flatMap { sql =>
+      val templated = Project.SrcPat.replaceAllIn(
+        Project.RefPat.replaceAllIn(sql, "__graft_tmpl__"), "__graft_tmpl__")
+      val ctes = raw"(?i)(?:\bwith\s+|,\s*)([A-Za-z_]\w*)\s+as\s*\(".r
+        .findAllMatchIn(templated).map(_.group(1).toLowerCase).toSet
+      raw"(?i)\b(?:from|join)\s+([A-Za-z_][\w.]*)".r
+        .findAllMatchIn(templated).map(_.group(1)).toSeq.distinct
+        .filter(t => t != "__graft_tmpl__" && !ctes.contains(t.toLowerCase))
+    }
 
   /** Database-clone workflow (`README.md:221`): Snowflake zero-copy
     * clone becomes a warehouse-directory copy — viable precisely because

@@ -90,6 +90,25 @@ final class Project(val spark: SparkSession, val target: Target) {
       toModel: String, toColumn: String): this.type =
     test(DataTest(s"relationships__${model}__$column", model, df =>
       GenericTests.relationships(df, column, resolve(toModel), toColumn)))
+  def testUniqueCombination(model: String, columns: Seq[String]): this.type =
+    test(DataTest(s"unique_combination__${model}__${columns.mkString("_")}",
+      model, GenericTests.uniqueCombination(_, columns)))
+  def testExpressionIsTrue(model: String, name: String, sqlExpr: String): this.type =
+    test(DataTest(s"expression_is_true__${model}__$name", model,
+      GenericTests.expressionIsTrue(_, sqlExpr)))
+  def testEqualRowcount(model: String, otherModel: String): this.type =
+    test(DataTest(s"equal_rowcount__${model}__$otherModel", model, df =>
+      GenericTests.equalRowcount(df, materializedDf(otherModel))))
+  def testAcceptedRange(model: String, column: String, lo: Any, hi: Any): this.type =
+    test(DataTest(s"accepted_range__${model}__$column", model,
+      GenericTests.acceptedRange(_, column, lo, hi)))
+  def testNotConstant(model: String, column: String): this.type =
+    test(DataTest(s"not_constant__${model}__$column", model,
+      GenericTests.notConstant(_, column)))
+  def testRecency(model: String, tsCol: String,
+      notBefore: java.sql.Timestamp): this.type =
+    test(DataTest(s"recency__${model}__$tsCol", model,
+      GenericTests.recency(_, tsCol, notBefore)))
 
   // ---- naming ----------------------------------------------------------
 

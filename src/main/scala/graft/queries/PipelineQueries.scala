@@ -242,6 +242,13 @@ object PipelineQueries extends QueryPack {
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
 
+    // ---- streaming exact dedup: doubled stream, watermark-bounded state,
+    //      counts equal the single-copy batch counts ----------------------
+    Q("x21_stream_dedup",
+      (s, dir) => EventStreams.dedupCounts(s, dir),
+      Some("""SELECT event_type, count(*) AS n FROM events
+        GROUP BY event_type ORDER BY event_type""")),
+
     // ---- multimodal payload metadata (binary column convention) --------
     Q("x12_multimodal_meta",
       (s, dir) => Multimodal.pack(t(s, dir, "documents"), "doc_id", "text", "text/plain")

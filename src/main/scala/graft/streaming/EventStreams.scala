@@ -49,6 +49,27 @@ object EventStreams {
     spark.table(name).orderBy(col("hour"), col("event_type"))
   }
 
+  /** Streaming exact deduplication: the same parquet is read TWICE and
+    * unioned (so every event arrives exactly twice), then
+    * `dropDuplicatesWithinWatermark` on event_id emits each event once —
+    * state is bounded by the watermark horizon instead of growing with
+    * the full stream history (the 100 TB posture for at-least-once
+    * sources). Returned as per-type counts over the sink, equal to the
+    * single-copy batch counts. */
+  def dedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val doubled = eventStream(spark, sfDir).union(eventStream(spark, sfDir))
+    val dedup = doubled
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("event_type"))
+    val name = "graft_stream_dedup"
+    val q = dedup.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n")).orderBy(col("event_type"))
+  }
+
   /** Batch sessionization (30-minute inactivity gap): the window-function
     * formulation — new-session flags via lag, then a running sum as the
     * session index. One shuffle on user_id; scales with the event log.

@@ -255,6 +255,63 @@ class EngineSpec extends SparkSpec {
     assert(open2.head.getAs[java.sql.Timestamp]("valid_from") == t1)
   }
 
+  test("dbt_utils test family: violations fire exactly when they should") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), 5), (2L, Some("b"), 7), (2L, Some("b"), 9),
+      (3L, None, 50)).toDF("id", "v", "x")
+    val other = Seq(1, 2).toDF("y")
+    // unique_combination: (2, b) appears twice
+    assert(GenericTests.uniqueCombination(df, Seq("id", "v")).count() == 1)
+    assert(GenericTests.uniqueCombination(df, Seq("id", "v", "x")).count() == 0)
+    // expression_is_true: x < 20 violated by 50 only
+    assert(GenericTests.expressionIsTrue(df, "x < 20").count() == 1)
+    // NULL expression results are violations, not silent passes
+    assert(GenericTests.expressionIsTrue(df, "v = 'a' OR v = 'b'").count() == 1)
+    // equal_rowcount / fewer_rows_than
+    assert(GenericTests.equalRowcount(df, df).count() == 0)
+    assert(GenericTests.equalRowcount(df, other).count() == 1)
+    assert(GenericTests.fewerRowsThan(other, df).count() == 0)
+    assert(GenericTests.fewerRowsThan(df, other).count() == 1)
+    // at_least_one / not_constant
+    assert(GenericTests.atLeastOne(df, "v").count() == 0)
+    assert(GenericTests.atLeastOne(df.filter($"v".isNull), "v").count() == 1)
+    assert(GenericTests.notConstant(df, "id").count() == 0)
+    assert(GenericTests.notConstant(df.filter($"id" === 2), "id").count() == 1)
+    // accepted_range: 50 outside [0, 20]; NULLs don't violate
+    assert(GenericTests.acceptedRange(df, "x", 0, 20).count() == 1)
+    // not_null_proportion: v is 3/4 non-null
+    assert(GenericTests.notNullProportion(df, "v", 0.7).count() == 0)
+    assert(GenericTests.notNullProportion(df, "v", 0.8).count() == 1)
+    // recency
+    val ts = Seq(java.sql.Timestamp.valueOf("2026-03-01 00:00:00")).toDF("ts")
+    assert(GenericTests.recency(ts, "ts",
+      java.sql.Timestamp.valueOf("2026-02-01 00:00:00")).count() == 0)
+    assert(GenericTests.recency(ts, "ts",
+      java.sql.Timestamp.valueOf("2026-04-01 00:00:00")).count() == 1)
+  }
+
+  test("project evaluator flags hard-coded relations in sql-text models") {
+    import spark.implicits._
+    // the hard-coded relation must exist for the model SQL to analyze
+    spark.sql("CREATE DATABASE IF NOT EXISTS prod")
+    Seq(1).toDF("id").write.mode("overwrite").saveAsTable("prod.raw_events")
+    val p = newProject("lint")
+    p.model("base_ok", ModelConfig(materialized = Materialization.Table)) {
+      ctx => { import ctx.spark.implicits._; Seq(1).toDF("id") }
+    }
+    p.sqlModel("clean")(
+      """WITH cte AS (SELECT id FROM {{ ref('base_ok') }})
+        SELECT cte.id FROM cte JOIN cte c2 ON cte.id = c2.id""")
+    p.sqlModel("dirty")(
+      "SELECT * FROM prod.raw_events e JOIN {{ ref('base_ok') }} b ON e.id = b.id")
+    val findings = Macros.evaluateProject(p.compile())
+    assert(findings.exists(f => f.contains("hard_coded_reference") &&
+      f.contains("model.dirty") && f.contains("prod.raw_events")), findings)
+    assert(!findings.exists(f => f.contains("hard_coded_reference") &&
+      f.contains("model.clean")), findings)
+  }
+
   test("selector mini-language: name, +name, name+, tag") {
     val p = newProject("sel")
     p.model("base", ModelConfig(tags = Set("raw")))(ctx =>
