@@ -27,8 +27,25 @@ object Materialization {
     * optimize across model boundaries (strictly better than the
     * reference's CTE splicing — SURVEY.md §4.1). */
   case object Ephemeral extends Materialization
-  /** Append-style incremental with optional unique-key anti-join. */
-  final case class Incremental(uniqueKey: Option[Seq[String]] = None)
+  /** Incremental strategies (dbt's incremental_strategy):
+    * - `InsertNew` (default): append rows whose unique key is absent —
+    *   one anti-join + append, the cheapest formulation when late rows
+    *   never change (no rewrite of existing data).
+    * - `Merge`: dbt merge/upsert semantics — rows with a matching unique
+    *   key are REPLACED by the incoming version, new keys inserted. With
+    *   plain parquet (no Delta/Iceberg MERGE INTO) this rewrites the
+    *   table via staging + rename swap; at 100 TB prefer
+    *   [[InsertOverwrite]] so only touched partitions rewrite.
+    * - `Append`: blind append, no key (dbt strategy 'append'). */
+  sealed trait IncrementalStrategy
+  object IncrementalStrategy {
+    case object Append extends IncrementalStrategy
+    case object InsertNew extends IncrementalStrategy
+    case object Merge extends IncrementalStrategy
+  }
+  /** Incremental with optional unique key + strategy (see above). */
+  final case class Incremental(uniqueKey: Option[Seq[String]] = None,
+      strategy: IncrementalStrategy = IncrementalStrategy.InsertNew)
       extends Materialization
   /** Table bucketed (and optionally sorted) on join keys: repeated big
     * joins/aggregations on those keys read co-located buckets and skip

@@ -105,21 +105,46 @@ object Materializer {
             case None => p.spark.conf.unset(key)
           }
         }
-      case Materialization.Incremental(uniqueKey) =>
+      case Materialization.Incremental(uniqueKey, strategy) =>
         ensureSchema(p, p.schemaFor(m.config))
         if (!p.spark.catalog.tableExists(physical)) {
           df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(physical)
-        } else {
-          val incoming = uniqueKey match {
-            case Some(keys) =>
-              df.join(p.spark.table(physical).select(keys.map(col): _*),
+        } else (uniqueKey, strategy) match {
+          case (Some(keys), Materialization.IncrementalStrategy.Merge) =>
+            // upsert without MERGE INTO: keep existing rows whose key is
+            // NOT in the batch, union the batch, rewrite via staged swap
+            // (the table being read cannot be overwritten in place).
+            // unionByName(allowMissing) doubles as on_schema_change=
+            // append_new_columns: new batch columns arrive NULL-padded.
+            val existing = p.spark.table(physical)
+            val keep = existing.join(
+              df.select(keys.map(col): _*).distinct(), keys, "left_anti")
+            val staging = physical + "__staging"
+            keep.unionByName(df, allowMissingColumns = true)
+              .write.mode(SaveMode.Overwrite).format("parquet")
+              .saveAsTable(staging)
+            swapTables(p.spark, staging, physical)
+          case (Some(keys), _) =>
+            df.join(p.spark.table(physical).select(keys.map(col): _*),
                 keys, "left_anti")
-            case None => df
-          }
-          incoming.write.mode(SaveMode.Append).format("parquet")
-            .saveAsTable(physical)
+              .write.mode(SaveMode.Append).format("parquet")
+              .saveAsTable(physical)
+          case (None, _) =>
+            df.write.mode(SaveMode.Append).format("parquet")
+              .saveAsTable(physical)
         }
     }
+  }
+
+  /** Swap `staging` into `physical` via backup-rename: a failure at any
+    * step leaves a readable table (recover by renaming __backup back). */
+  private def swapTables(spark: org.apache.spark.sql.SparkSession,
+      staging: String, physical: String): Unit = {
+    val backup = physical + "__backup"
+    spark.sql(s"DROP TABLE IF EXISTS $backup")
+    spark.sql(s"ALTER TABLE $physical RENAME TO $backup")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $physical")
+    spark.sql(s"DROP TABLE $backup")
   }
 
   def loadSeed(p: Project, s: Seed): Unit = {
@@ -185,14 +210,6 @@ object Materializer {
       .unionByName(stillOpen).unionByName(closedOut).unionByName(inserted)
     val staging = physical + "__staging"
     result.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(staging)
-    // Swap via backup-rename so a failure at any step leaves a readable
-    // snapshot: current -> __backup, staging -> current, drop __backup.
-    // (A crash between the renames is recovered by renaming __backup
-    // back; plain DROP-then-RENAME has a window with NO current table.)
-    val backup = physical + "__backup"
-    spark.sql(s"DROP TABLE IF EXISTS $backup")
-    spark.sql(s"ALTER TABLE $physical RENAME TO $backup")
-    spark.sql(s"ALTER TABLE $staging RENAME TO $physical")
-    spark.sql(s"DROP TABLE $backup")
+    swapTables(spark, staging, physical)
   }
 }

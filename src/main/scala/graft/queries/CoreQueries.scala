@@ -657,6 +657,48 @@ object CoreQueries extends QueryPack {
       Some("""SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word
         FROM part WHERE p_partkey < 100 ORDER BY p_partkey, word""")),
 
+    // ---- VariantType: NESTED object + array-index navigation. The JSON
+    //      is constructed Spark-side (to_json of a struct) and re-parsed;
+    //      the oracle asserts the $.id / $.tags[1] paths recover the
+    //      source columns bit-exactly ------------------------------------
+    Q("q37_variant_nested",
+      (s, dir) => {
+        import s.implicits._
+        val j = to_json(struct($"o_custkey".as("id"),
+          array($"o_orderstatus", $"o_orderpriority").as("tags")))
+        t(s, dir, "orders").filter($"o_orderkey" < 1000)
+          .withColumn("v", parse_json(j))
+          .select($"o_orderkey",
+            variant_get($"v", "$.id", "bigint").as("cust_id"),
+            variant_get($"v", "$.tags[1]", "string").as("prio"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey AS cust_id, o_orderpriority AS prio
+        FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""")),
+
+    // ---- GROUPING SETS + grouping() flags (beyond q19's ROLLUP) --------
+    Q("q38_grouping_sets",
+      (s, dir) => {
+        s.read.parquet(s"$dir/orders.parquet")
+          .createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+          CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+          CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+          count(*) AS n
+          FROM orders_gs
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+            o_orderpriority NULLS FIRST""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+        CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+          o_orderpriority NULLS FIRST""")),
+
     // ---- HLL approximate distinct (the 100 TB COUNT(DISTINCT) posture;
     //      sketch values are engine-specific, so rows-only here — the
     //      <5% relative-error bound is asserted in CoreQueriesSpec) -------

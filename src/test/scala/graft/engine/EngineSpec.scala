@@ -212,6 +212,25 @@ class EngineSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode") == before)
   }
 
+  test("incremental merge: matching keys replaced, new keys inserted") {
+    def proj(batch: Seq[(Long, String)]): Project = {
+      val p = newProject("incmerge")
+      p.model("dim", ModelConfig(materialized = Materialization.Incremental(
+        uniqueKey = Some(Seq("id")),
+        strategy = Materialization.IncrementalStrategy.Merge))) { ctx =>
+        import ctx.spark.implicits._
+        batch.toDF("id", "v")
+      }
+      p
+    }
+    assert(proj(Seq((1L, "a"), (2L, "b"))).run().ok)
+    // batch 2 UPDATES id=2 and inserts id=3 (insert-new would keep "b")
+    assert(proj(Seq((2L, "b2"), (3L, "c"))).run().ok)
+    val rows = spark.table("incmerge.dim").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
   test("snapshot: NULL shift across check columns closes out the row") {
     import spark.implicits._
     val p = newProject("snapnull")
