@@ -34,4 +34,21 @@ object VectorFunctions {
     * inside an all-pairs join — the norms are computed once per side). */
   def cosinePrenormed(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
+
+  /** Symmetric int8 quantization scale: max|x| / 127 (floored at 1e-12 so
+    * zero vectors don't divide by zero). 4× memory over float32 — the
+    * standard ANN-index compression step. */
+  def quantScale(v: Column): Column =
+    greatest(array_max(transform(v, x => abs(x.cast("double")))) / 127.0,
+      lit(1e-12))
+
+  /** Quantized values (round-half-up, as DuckDB does) given a STAGED
+    * scale attribute — pass `col("scale")`, not the [[quantScale]]
+    * expression (HOF lambdas re-evaluate captured expression trees). */
+  def quantize(v: Column, scale: Column): Column =
+    transform(v, x => round(x.cast("double") / scale).cast("long"))
+
+  /** Max absolute reconstruction error of the quantized vector. */
+  def quantMaxError(qv: Column, v: Column, scale: Column): Column =
+    array_max(zip_with(qv, v, (q, x) => abs(q * scale - x.cast("double"))))
 }

@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split assignment for training-data pipelines.
+  *
+  * Hash-based assignment (not RNG-based `sample`/`sampleBy`) is the
+  * 100 TB-correct primitive: the split of a row depends only on its id,
+  * so it is stable under reshuffles, reruns, backfills, and engine
+  * changes — and it needs no shuffle at all (pure map-side expression,
+  * codegen'd md5 + substring compare).
+  */
+object Sampling {
+
+  /** 'train'/'holdout' by md5-prefix threshold on the id. The train
+    * fraction is ≈ int(trainHexLt, 16) / 16^len (e.g. "cd" → 205/256 ≈
+    * 0.80). Portable: DuckDB's md5 produces the identical hex. */
+  def hashSplit(df: DataFrame, idCol: String,
+      trainHexLt: String = "cd", splitCol: String = "split"): DataFrame =
+    df.withColumn(splitCol,
+      when(hashKey(col(idCol), trainHexLt.length) < trainHexLt, "train")
+        .otherwise("holdout"))
+
+  /** Keep ≈ hexLt/16^len of rows, deterministically by id. */
+  def hashSample(df: DataFrame, idCol: String, hexLt: String): DataFrame =
+    df.filter(hashKey(col(idCol), hexLt.length) < hexLt)
+
+  private def hashKey(id: Column, len: Int): Column =
+    substring(md5(id.cast("string")), 1, len)
+}

@@ -402,6 +402,50 @@ object PipelineQueries extends QueryPack {
                WHEN c_de > 0 THEN 'de' ELSE 'unk' END AS lang_pred
         FROM sc ORDER BY doc_id""")),
 
+    // ---- deterministic hash split (train/holdout): stable under rerun/
+    //      reshuffle/backfill, zero-shuffle assignment ---------------------
+    Q("x22_hash_split",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.operators.Sampling.hashSplit(t(s, dir, "documents"), "doc_id")
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("share", round(col("n") /
+            sum(col("n")).over(Window.partitionBy(col("source"))), 4))
+          .orderBy(col("source"), col("split"))
+      },
+      Some("""WITH s AS (SELECT source,
+          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'cd' THEN 'train'
+               ELSE 'holdout' END AS split FROM documents)
+        SELECT source, split, count(*) AS n,
+          round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY source), 4) AS share
+        FROM s GROUP BY source, split ORDER BY source, split""")),
+
+    // ---- int8 embedding quantization (4x ANN-index compression) --------
+    Q("x23_quantize_embeddings",
+      (s, dir) => t(s, dir, "embeddings")
+        .withColumn("scale", quantScale(col("embedding")))   // staged
+        .withColumn("qv", quantize(col("embedding"), col("scale")))
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale6"),
+          element_at(col("qv"), 1).as("q0"),
+          element_at(col("qv"), 2).as("q1"),
+          element_at(col("qv"), 3).as("q2"),
+          round(quantMaxError(col("qv"), col("embedding"), col("scale")), 4)
+            .as("max_err"))
+        .orderBy(col("vec_id")),
+      Some("""WITH s AS (SELECT vec_id, embedding,
+          greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))/127.0, 1e-12) AS scale
+          FROM embeddings),
+        q AS (SELECT vec_id, scale,
+          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)/scale) AS BIGINT)) AS qv,
+          embedding FROM s)
+        SELECT vec_id, round(scale, 6) AS scale6,
+          qv[1] AS q0, qv[2] AS q1, qv[3] AS q2,
+          round(list_max(list_transform(range(len(qv)),
+            i -> abs(qv[i+1]*scale - CAST(embedding[i+1] AS DOUBLE)))), 4) AS max_err
+        FROM q ORDER BY vec_id""")),
+
     // ---- IVF approximate nearest neighbors (rows-only; recall vs exact
     //      brute force is asserted in SimilaritySpec) ---------------------
     Q("x14_ivf_ann",
