@@ -699,6 +699,86 @@ object CoreQueries extends QueryPack {
         ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
           o_orderpriority NULLS FIRST""")),
 
+    // ---- UNPIVOT / melt (wide -> long; §2.4 neighborhood) --------------
+    Q("q39_unpivot_metrics",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders").filter($"o_orderkey" < 200)
+          .select($"o_orderkey",
+            $"o_totalprice".cast(DoubleType).as("totalprice"),
+            $"o_custkey".cast(DoubleType).as("custkey"))
+          .unpivot(Array($"o_orderkey"), Array($"totalprice", $"custkey"),
+            "metric", "value")
+          .orderBy($"o_orderkey", $"metric")
+      },
+      Some("""SELECT o_orderkey, metric, value FROM (
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
+          CAST(o_custkey AS DOUBLE) AS custkey FROM orders WHERE o_orderkey < 200)
+        UNPIVOT (value FOR metric IN (totalprice, custkey))
+        ORDER BY o_orderkey, metric""")),
+
+    // ---- exact percentiles (interpolated; the exact twin of q30's HLL
+    //      posture — Spark `percentile` == DuckDB `quantile_cont`) --------
+    Q("q40_percentiles",
+      (s, dir) => {
+        import s.implicits._
+        val price = $"o_totalprice".cast(DoubleType)
+        t(s, dir, "orders").groupBy($"o_orderstatus")
+          .agg(
+            round(percentile(price, lit(0.5)), 4).as("p50"),
+            round(percentile(price, lit(0.9)), 4).as("p90"),
+            round(percentile(price, lit(0.99)), 4).as("p99"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+        round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 4) AS p50,
+        round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 4) AS p90,
+        round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99), 4) AS p99
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- statistical aggregates (stddev/var/corr/covar) ----------------
+    Q("q41_stats_aggregates",
+      (s, dir) => {
+        import s.implicits._
+        val qty = $"l_quantity".cast(DoubleType)
+        t(s, dir, "lineitem").groupBy($"l_returnflag")
+          .agg(
+            round(stddev_samp(qty), 4).as("sd_qty"),
+            round(var_samp($"l_discount".cast(DoubleType)), 6).as("var_disc"),
+            round(corr(qty, $"l_extendedprice".cast(DoubleType)), 4).as("corr_qp"),
+            round(covar_samp(qty, $"l_tax".cast(DoubleType)), 6).as("cov_qt"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        round(stddev_samp(CAST(l_quantity AS DOUBLE)), 4) AS sd_qty,
+        round(var_samp(CAST(l_discount AS DOUBLE)), 6) AS var_disc,
+        round(corr(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)), 4) AS corr_qp,
+        round(covar_samp(CAST(l_quantity AS DOUBLE), CAST(l_tax AS DOUBLE)), 6) AS cov_qt
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- window navigation: lead/lag/first_value/ntile -----------------
+    Q("q42_window_navigation",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+        t(s, dir, "orders").filter($"o_custkey" < 50)
+          .select($"o_custkey", $"o_orderkey",
+            lead($"o_orderkey", 1).over(w).as("next_ok"),
+            lag($"o_orderkey", 1).over(w).as("prev_ok"),
+            first($"o_orderkey").over(w).as("first_ok"),
+            ntile(4).over(w).cast(LongType).as("quartile"))
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        lead(o_orderkey) OVER w AS next_ok,
+        lag(o_orderkey) OVER w AS prev_ok,
+        first_value(o_orderkey) OVER w AS first_ok,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        FROM orders WHERE o_custkey < 50
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey""")),
+
     // ---- HLL approximate distinct (the 100 TB COUNT(DISTINCT) posture;
     //      sketch values are engine-specific, so rows-only here — the
     //      <5% relative-error bound is asserted in CoreQueriesSpec) -------
