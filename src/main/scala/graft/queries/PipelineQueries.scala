@@ -249,6 +249,16 @@ object PipelineQueries extends QueryPack {
       Some("""SELECT event_type, count(*) AS n FROM events
         GROUP BY event_type ORDER BY event_type""")),
 
+    // ---- stream-stream interval join (click attribution) ---------------
+    Q("x24_stream_join",
+      (s, dir) => EventStreams.clickAttribution(s, dir),
+      Some("""SELECT p.event_id, count(*) AS n_clicks
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        GROUP BY p.event_id ORDER BY p.event_id""")),
+
     // ---- multimodal payload metadata (binary column convention) --------
     Q("x12_multimodal_meta",
       (s, dir) => Multimodal.pack(t(s, dir, "documents"), "doc_id", "text", "text/plain")

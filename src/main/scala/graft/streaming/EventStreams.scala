@@ -70,6 +70,32 @@ object EventStreams {
       .agg(count(lit(1)).as("n")).orderBy(col("event_type"))
   }
 
+  /** Stream-stream interval join (click attribution): purchases joined to
+    * the same user's clicks in the preceding hour. Both sides carry
+    * watermarks and the join has a two-sided time bound, so each side's
+    * state is dropped once the watermark passes the interval — bounded
+    * state, the streaming-join scale requirement. Join pairs land in the
+    * sink; the per-purchase click count is a batch aggregation over it. */
+  def clickAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = eventStream(spark, sfDir).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = eventStream(spark, sfDir).filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = p.join(c, expr(
+      "p_user = c_user AND c_ts >= p_ts - interval 1 hour AND c_ts <= p_ts"))
+      .select(col("p_id"), col("c_id"))
+    val name = "graft_stream_join"
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).groupBy(col("p_id").as("event_id"))
+      .agg(count(lit(1)).as("n_clicks")).orderBy(col("event_id"))
+  }
+
   /** Batch sessionization (30-minute inactivity gap): the window-function
     * formulation — new-session flags via lag, then a running sum as the
     * session index. One shuffle on user_id; scales with the event log.
