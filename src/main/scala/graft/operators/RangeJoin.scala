@@ -37,4 +37,24 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bin")
   }
+
+  /** Inclusive interval-overlap join: pairs where `[lStart,lEnd]` and
+    * `[rStart,rEnd]` intersect (same `keys`, if given). Both sides bin;
+    * a candidate pair can share SEVERAL bins, so the duplicate guard
+    * keeps only the pair's first common bin — max(bin(lStart),
+    * bin(rStart)) — rather than paying a dropDuplicates shuffle.
+    * Same non-negative-integer contract as [[pointInInterval]]. */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def bin(c: String) = expr(s"CAST($c AS BIGINT) DIV $binWidth")
+    val l = left.withColumn("__bin", explode(sequence(bin(lStart), bin(lEnd))))
+    val r = right.withColumn("__bin", explode(sequence(bin(rStart), bin(rEnd))))
+    l.join(r, Seq("__bin") ++ keys)
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__bin") ===
+        greatest(bin(lStart), bin(rStart))) // first shared bin only
+      .drop("__bin")
+  }
 }

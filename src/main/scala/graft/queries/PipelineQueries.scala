@@ -456,6 +456,55 @@ object PipelineQueries extends QueryPack {
             i -> abs(qv[i+1]*scale - CAST(embedding[i+1] AS DOUBLE)))), 4) AS max_err
         FROM q ORDER BY vec_id""")),
 
+    // ---- TF-IDF top terms per document ---------------------------------
+    Q("x25_tfidf_top_terms",
+      (s, dir) => graft.operators.Tfidf
+        .topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank")),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (SELECT tf.doc_id, tf.term,
+            round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS score
+          FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term) AS rank FROM scored)
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
+        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // ---- interval-overlap join: order fulfilment windows [orderdate,
+    //      orderdate+14] overlapping sampled promo windows ---------------
+    Q("x26_interval_overlap",
+      (s, dir) => {
+        val epoch = lit("1970-01-01").cast("date")
+        val promos = t(s, dir, "orders").filter(col("o_orderkey") % 1499 === 0)
+          .select(col("o_orderkey").as("promo_id"),
+            datediff(to_date(col("o_orderdate")), epoch).as("p_start"))
+          .withColumn("p_end", col("p_start") + 10)
+        val fulfil = t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            datediff(to_date(col("o_orderdate")), epoch).as("f_start"))
+          .withColumn("f_end", col("f_start") + 14)
+        RangeJoin.intervalOverlap(fulfil, promos, Nil,
+          "f_start", "f_end", "p_start", "p_end", binWidth = 16)
+          .select(col("promo_id"), col("o_orderkey"),
+            col("f_start").cast("long").as("f_start"))
+          .orderBy(col("promo_id"), col("o_orderkey"))
+      },
+      Some("""SELECT p.promo_id, f.o_orderkey,
+        CAST(f.f_start AS BIGINT) AS f_start
+        FROM (SELECT o_orderkey AS promo_id,
+                date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS p_start,
+                date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 10 AS p_end
+              FROM orders WHERE o_orderkey % 1499 = 0) p
+        JOIN (SELECT o_orderkey,
+                date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS f_start,
+                date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 14 AS f_end
+              FROM orders) f
+          ON f.f_start <= p.p_end AND p.p_start <= f.f_end
+        ORDER BY promo_id, o_orderkey""")),
+
     // ---- IVF approximate nearest neighbors (rows-only; recall vs exact
     //      brute force is asserted in SimilaritySpec) ---------------------
     Q("x14_ivf_ann",
