@@ -12,10 +12,14 @@ object Cli {
   def run(project: Project, args: Seq[String]): Seq[String] = {
     val out = args.toList match {
       case "run" :: rest =>
-        val res = project.run(selectArg(rest))
+        val res = project.run(selectArg(rest),
+          exclude = excludeArg(rest),
+          fullRefresh = rest.contains("--full-refresh"))
         res.results.map(r => s"${r.status.toUpperCase} ${r.id} ${r.durationMs}ms")
       case "build" :: rest =>
-        val res = project.build(selectArg(rest))
+        val res = project.run(selectArg(rest), blockOnTestFailure = true,
+          exclude = excludeArg(rest),
+          fullRefresh = rest.contains("--full-refresh"))
         res.results.map(r => s"${r.status.toUpperCase} ${r.id} ${r.durationMs}ms")
       case "test" :: rest =>
         // dbt test only EVALUATES tests against existing relations — it
@@ -47,6 +51,11 @@ object Cli {
     rest.sliding(2).collectFirst {
       case Seq("--select", v) => v
     }.getOrElse("*")
+
+  private def excludeArg(rest: Seq[String]): String =
+    rest.sliding(2).collectFirst {
+      case Seq("--exclude", v) => v
+    }.getOrElse("")
 
   /** `--args '{k: v, k2: v2}'` — the reference passes YAML kwargs
     * (`README.md:163`); we accept the same flow-mapping subset. */

@@ -221,16 +221,41 @@ final class Project(val spark: SparkSession, val target: Target) {
   def build(select: String = "*"): RunResults =
     run(select, blockOnTestFailure = true)
 
+  private val runStartHooks = mutable.ArrayBuffer[String]()
+  private val runEndHooks = mutable.ArrayBuffer[String]()
+  /** dbt `on-run-start` / `on-run-end` hooks: SQL executed once around
+    * every run()/build() (audit rows, session setup, GRANT emulation). */
+  def onRunStart(sql: String): this.type = { runStartHooks += sql; this }
+  def onRunEnd(sql: String): this.type = { runEndHooks += sql; this }
+
   /** Build selected nodes (default: everything) in dependency order with
     * at most `target.threads` concurrent node builds. Tests run right
     * after their model; with `blockOnTestFailure` (the `dbt build`
     * contract) a test failure marks downstream models skipped, while the
-    * plain-`run` contract lets models proceed. */
+    * plain-`run` contract lets models proceed. `exclude` subtracts a
+    * second selector (dbt `--exclude`); `fullRefresh` drops each selected
+    * incremental/insert-overwrite table so it rebuilds from scratch
+    * (dbt `--full-refresh`). */
   def run(select: String = "*", blockOnTestFailure: Boolean = false,
-      previousManifest: Option[Map[String, String]] = None): RunResults = {
+      previousManifest: Option[Map[String, String]] = None,
+      exclude: String = "", fullRefresh: Boolean = false): RunResults = {
     val graph = compile()
-    val selected = Selector.select(graph, select,
-      previousManifest.map(modifiedSince).getOrElse(Set.empty))
+    val modified = previousManifest.map(modifiedSince).getOrElse(Set.empty)
+    val included = Selector.select(graph, select, modified)
+    val excluded: String => Boolean =
+      if (exclude.isEmpty) _ => false
+      else Selector.select(graph, exclude, modified)
+    val selected: String => Boolean = id => included(id) && !excluded(id)
+    if (fullRefresh) models.values.foreach { m =>
+      val refreshable = m.config.materialized match {
+        case _: Materialization.Incremental |
+             _: Materialization.InsertOverwrite => true
+        case _ => false
+      }
+      if (refreshable && selected(m.id))
+        spark.sql(s"DROP TABLE IF EXISTS ${physicalName(m)}")
+    }
+    runStartHooks.foreach(spark.sql(_).collect())
     val order = graph.topoOrder.filter(selected)
     val pool = Executors.newFixedThreadPool(math.max(1, target.threads))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -264,7 +289,10 @@ final class Project(val spark: SparkSession, val target: Target) {
       val all = Await.result(
         Future.sequence(order.map(futures)), Duration.Inf)
       RunResults(all)
-    } finally pool.shutdown()
+    } finally {
+      pool.shutdown()
+      runEndHooks.foreach(spark.sql(_).collect())
+    }
   }
 
   private def runNode(node: Node): NodeResult = {

@@ -212,6 +212,46 @@ class EngineSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode") == before)
   }
 
+  test("full-refresh drops and rebuilds incremental tables; exclude subtracts") {
+    var batch = Seq((1L, "a"))
+    def proj(): Project = {
+      val p = newProject("fullref")
+      p.model("acc", ModelConfig(materialized = Materialization.Incremental())) {
+        ctx => { import ctx.spark.implicits._; batch.toDF("id", "v") }
+      }
+      p.model("other", ModelConfig(materialized = Materialization.Table)) {
+        ctx => { import ctx.spark.implicits._; Seq(9L).toDF("id") }
+      }
+      p
+    }
+    assert(proj().run().ok)
+    batch = Seq((2L, "b"))
+    assert(proj().run().ok) // append
+    assert(spark.table("fullref.acc").count() == 2)
+    assert(proj().run(fullRefresh = true).ok) // rebuild from scratch
+    assert(spark.table("fullref.acc").count() == 1)
+    // exclude: acc untouched when subtracted from the selection
+    batch = Seq((3L, "c"))
+    val res = proj().run(exclude = "acc")
+    assert(res.byId.get("model.acc").isEmpty)
+    assert(res.byId("model.other").status == "success")
+    assert(spark.table("fullref.acc").count() == 1)
+  }
+
+  test("on-run-start/end hooks execute around the run") {
+    val p = newProject("hooks")
+    spark.sql("CREATE DATABASE IF NOT EXISTS hooks")
+    p.onRunStart("CREATE TABLE IF NOT EXISTS hooks.audit (phase STRING) USING parquet")
+    p.onRunStart("INSERT INTO hooks.audit VALUES ('start')")
+    p.onRunEnd("INSERT INTO hooks.audit VALUES ('end')")
+    p.model("m1", ModelConfig(materialized = Materialization.Table)) {
+      ctx => { import ctx.spark.implicits._; Seq(1).toDF("x") }
+    }
+    assert(p.run().ok)
+    val phases = spark.table("hooks.audit").collect().map(_.getString(0)).sorted
+    assert(phases.toSeq == Seq("end", "start"))
+  }
+
   test("incremental merge: matching keys replaced, new keys inserted") {
     def proj(batch: Seq[(Long, String)]): Project = {
       val p = newProject("incmerge")
