@@ -75,6 +75,13 @@ final class Project(val spark: SparkSession, val target: Target) {
 
   def test(t: DataTest): this.type = { tests += t; this }
 
+  private var failuresSchema: Option[String] = None
+  /** dbt `store_failures`: failing tests persist their violations table
+    * to `<schema>.<test_name>` for post-mortem queries. */
+  def storeFailuresIn(schema: String): this.type = {
+    failuresSchema = Some(Ident.normalize(schema)); this
+  }
+
   /** The generic-test quartet (schema.yml tests + the standard remainder
     * of the family — SURVEY.md §2.10). */
   def testUnique(model: String, column: String): this.type =
@@ -309,9 +316,19 @@ final class Project(val spark: SparkSession, val target: Target) {
           Materializer.loadSeed(this, s)
           NodeResult(s.id, "success", ms)
         case t: DataTest =>
-          val n = t.violations(materializedDf(t.modelName)).limit(1).count()
+          val viol = t.violations(materializedDf(t.modelName))
+          val n = viol.limit(1).count()
           if (n == 0) NodeResult(t.id, "success", ms)
-          else NodeResult(t.id, "fail", ms, s"violations present")
+          else failuresSchema match {
+            case Some(schema) =>
+              // dbt store_failures: persist the violations for inspection
+              spark.sql(s"CREATE DATABASE IF NOT EXISTS `$schema`")
+              val audit = s"$schema.${Ident.normalize(t.name)}"
+              viol.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .format("parquet").saveAsTable(audit)
+              NodeResult(t.id, "fail", ms, s"violations stored in $audit")
+            case None => NodeResult(t.id, "fail", ms, "violations present")
+          }
         case _: SourceDef =>
           NodeResult(node.id, "success", ms)
       }

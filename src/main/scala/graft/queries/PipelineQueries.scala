@@ -382,6 +382,41 @@ object PipelineQueries extends QueryPack {
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
         ORDER BY doc_id""")),
 
+    // ---- end-to-end dedup keep-list: one canonical survivor (min id)
+    //      per connected near-dup cluster; everything else dropped -------
+    Q("x27_dedup_keeplist",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          n = 4, threshold = 0.2, maxDf = 100L)
+        val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        docs.join(comp, docs("doc_id") === comp("v"), "left")
+          .filter(col("comp").isNull || col("comp") === col("doc_id"))
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE tk AS (SELECT doc_id, $shingleSql AS s FROM documents),
+        ex0 AS (SELECT doc_id AS doc, unnest(s) AS sh FROM tk),
+        keep AS (SELECT sh FROM ex0 GROUP BY sh HAVING count(*) <= 100),
+        ex AS (SELECT doc, ex0.sh FROM ex0 JOIN keep ON ex0.sh = keep.sh),
+        sz AS (SELECT doc, count(*) AS n_sh FROM ex GROUP BY doc),
+        co AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+               FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc < b.doc
+               GROUP BY a.doc, b.doc),
+        pr AS (SELECT doc_a, doc_b
+               FROM co JOIN sz sa ON doc_a = sa.doc JOIN sz sb ON doc_b = sb.doc
+               WHERE CAST(common AS DOUBLE)/(sa.n_sh + sb.n_sh - common) >= 0.2),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+                  UNION SELECT doc_b, doc_a FROM pr),
+        reach AS (SELECT s AS v, s AS l FROM edges
+                  UNION
+                  SELECT e.s, r.l FROM reach r JOIN edges e ON e.d = r.v),
+        comp AS (SELECT v, min(l) AS component FROM reach GROUP BY v)
+        SELECT d.doc_id, d.source
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+        WHERE c.component IS NULL OR c.component = d.doc_id
+        ORDER BY doc_id""")),
+
     // ---- language-ID: stopword-profile argmax (the classic cheap
     //      n-gram-family langid; declared order breaks ties) --------------
     Q("x20_langid",

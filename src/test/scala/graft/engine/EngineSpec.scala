@@ -238,6 +238,20 @@ class EngineSpec extends SparkSpec {
     assert(spark.table("fullref.acc").count() == 1)
   }
 
+  test("store_failures persists violating rows to the audit schema") {
+    val p = newProject("sfail").storeFailuresIn("sfail_audit")
+    p.model("bad2", ModelConfig(materialized = Materialization.Table)) { ctx =>
+      import ctx.spark.implicits._
+      Seq(Some(1), None, Some(3)).toDF("id")
+    }
+    p.testNotNull("bad2", "id")
+    val res = p.run()
+    val tr = res.byId("test.not_null__bad2__id")
+    assert(tr.status == "fail" && tr.message.contains("sfail_audit"))
+    val audit = spark.table("sfail_audit.not_null__bad2__id").collect()
+    assert(audit.length == 1 && audit.head.isNullAt(0))
+  }
+
   test("on-run-start/end hooks execute around the run") {
     val p = newProject("hooks")
     spark.sql("CREATE DATABASE IF NOT EXISTS hooks")
