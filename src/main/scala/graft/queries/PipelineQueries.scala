@@ -268,16 +268,23 @@ object PipelineQueries extends QueryPack {
         octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256
         FROM documents ORDER BY id""")),
 
-    // ---- multimodal feature extraction (stubbed decode; rows-only) -----
+    // ---- multimodal feature extraction. The decode STUB is deterministic
+    //      (dims from byte length, f0 = first byte / 128 — exact in
+    //      float32, power-of-two divisor), so even the stub path is
+    //      hash-checked against DuckDB ----------------------------------
     Q("x13_multimodal_features",
       (s, dir) => {
         val packed = Multimodal.pack(t(s, dir, "documents"), "doc_id", "text", "text/plain")
         Multimodal.extractFeatures(s, packed).toDF()
           .select(col("id"), col("width").cast("long"), col("height").cast("long"),
-            element_at(col("features"), 1).cast("double").as("f0"))
+            round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
           .orderBy(col("id"))
       },
-      None),
+      Some("""SELECT doc_id AS id,
+        CAST(1 + octet_length(encode(text)) % 64 AS BIGINT) AS width,
+        CAST(1 + octet_length(encode(text)) % 48 AS BIGINT) AS height,
+        round(CAST(ascii(text) AS DOUBLE)/128, 6) AS f0
+        FROM documents ORDER BY id""")),
 
     // ---- as-of join: each purchase matched to the user's most recent
     //      preceding click (union+window, one shuffle — AsOfJoin doc) ----
