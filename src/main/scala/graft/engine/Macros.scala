@@ -84,7 +84,7 @@ object Macros {
       if (!claimed.contains(physical)) {
         val objType =
           try {
-            if (spark.catalog.getTable(db, tbl).tableType == "VIEW") "VIEW"
+            if (spark.catalog.getTable(s"$db.$tbl").tableType == "VIEW") "VIEW"
             else "TABLE"
           } catch { case _: Exception => "TABLE" }
         out += s"orphaned: $objType $physical"
