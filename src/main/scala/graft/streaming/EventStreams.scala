@@ -31,6 +31,19 @@ object EventStreams {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** Stateful-query cost is dominated by per-partition state-store
+    * instances (each checkpointed per micro-batch), so the state
+    * partition count should track STATE volume, not CPU count. The count
+    * is captured at query START — set it for the `start()` call only and
+    * restore immediately after. */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(
+      start: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try start finally spark.conf.set(key, prev)
+  }
+
   /** Tumbling 1-hour windowed aggregation with a watermark, run to
     * completion. Complete output mode so no window is dropped and the
     * result matches the batch equivalent exactly. */
@@ -43,8 +56,9 @@ object EventStreams {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
     val name = "graft_stream_hourly"
-    val q = agg.writeStream.outputMode("complete").format("memory")
-      .queryName(name).start()
+    val q = withStatePartitions(spark, 8)(
+      agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).start())
     try q.processAllAvailable() finally q.stop()
     spark.table(name).orderBy(col("hour"), col("event_type"))
   }
@@ -63,8 +77,9 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("event_type"))
     val name = "graft_stream_dedup"
-    val q = dedup.writeStream.outputMode("append").format("memory")
-      .queryName(name).start()
+    val q = withStatePartitions(spark, 8)(
+      dedup.writeStream.outputMode("append").format("memory")
+        .queryName(name).start())
     try q.processAllAvailable() finally q.stop()
     spark.table(name).groupBy(col("event_type"))
       .agg(count(lit(1)).as("n")).orderBy(col("event_type"))
@@ -89,8 +104,9 @@ object EventStreams {
       "p_user = c_user AND c_ts >= p_ts - interval 1 hour AND c_ts <= p_ts"))
       .select(col("p_id"), col("c_id"))
     val name = "graft_stream_join"
-    val q = joined.writeStream.outputMode("append").format("memory")
-      .queryName(name).start()
+    val q = withStatePartitions(spark, 8)(
+      joined.writeStream.outputMode("append").format("memory")
+        .queryName(name).start())
     try q.processAllAvailable() finally q.stop()
     spark.table(name).groupBy(col("p_id").as("event_id"))
       .agg(count(lit(1)).as("n_clicks")).orderBy(col("event_id"))
