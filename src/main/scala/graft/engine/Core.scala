@@ -68,7 +68,13 @@ final case class ModelConfig(
     materialized: Materialization = Materialization.View,
     schema: Option[String] = None,
     alias: Option[String] = None,
-    tags: Set[String] = Set.empty)
+    tags: Set[String] = Set.empty,
+    /** dbt model contract (`contract: enforced`): declared (column ->
+      * Spark SQL type) pairs checked against the built DataFrame BEFORE
+      * materialization — extra, missing, or type-mismatched columns fail
+      * the node with a per-column diff instead of silently shipping a
+      * drifted schema downstream. */
+    contract: Option[Seq[(String, String)]] = None)
 
 /** Identifier normalization: the reference compares catalog identifiers
   * case-insensitively by uppercasing both sides

@@ -56,10 +56,33 @@ object Materializer {
       }
     }
 
+  /** dbt contract enforcement: name/type diff of the built DataFrame
+    * against the declared contract; any line present → violation. */
+  private[engine] def contractViolations(m: Model,
+      df: DataFrame): Seq[String] =
+    m.config.contract.toSeq.flatMap { declared =>
+      val actual = df.schema.map(f =>
+        Ident.normalize(f.name) -> f.dataType.simpleString).toMap
+      val dec = declared.map { case (n, t) =>
+        Ident.normalize(n) -> Ident.normalize(t) }
+      val missing = dec.collect { case (n, _) if !actual.contains(n) =>
+        s"missing column '$n'" }
+      val mismatched = dec.collect {
+        case (n, t) if actual.get(n).exists(_ != t) =>
+          s"column '$n' is ${actual(n)}, contract says $t" }
+      val extra = (actual.keySet -- dec.map(_._1).toSet).toSeq.sorted
+        .map(n => s"extra column '$n' not in contract")
+      missing ++ mismatched ++ extra
+    }
+
   def materialize(p: Project, m: Model): Unit = {
     // Exec-time resolution: refs to physical upstreams read the
     // materialized relation (topo order guarantees they're built).
     val df = p.resolveForRun(m.name)
+    val violations = contractViolations(m, df)
+    if (violations.nonEmpty)
+      throw new IllegalStateException(
+        s"contract violation in ${m.id}: ${violations.mkString("; ")}")
     val physical = p.physicalName(m)
     m.config.materialized match {
       case Materialization.Ephemeral => ()

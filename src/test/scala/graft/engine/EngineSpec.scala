@@ -238,6 +238,28 @@ class EngineSpec extends SparkSpec {
     assert(spark.table("fullref.acc").count() == 1)
   }
 
+  test("model contract: enforced schema fails drifted builds, passes exact") {
+    def proj(withDrift: Boolean): Project = {
+      val p = newProject("contract")
+      p.model("c_ok", ModelConfig(
+        materialized = Materialization.Table,
+        contract = Some(Seq("id" -> "bigint", "v" -> "string")))) { ctx =>
+        import ctx.spark.implicits._
+        val base = Seq((1L, "a")).toDF("id", "v")
+        if (withDrift) base.withColumn("extra", lit(1))
+          .withColumn("id", col("id").cast("int"))
+        else base
+      }
+      p
+    }
+    assert(proj(withDrift = false).run().ok)
+    val res = proj(withDrift = true).run()
+    val r = res.byId("model.c_ok")
+    assert(r.status == "error", r)
+    assert(r.message.contains("contract violation") &&
+      r.message.contains("'id' is int") && r.message.contains("extra"), r)
+  }
+
   test("store_failures persists violating rows to the audit schema") {
     val p = newProject("sfail").storeFailuresIn("sfail_audit")
     p.model("bad2", ModelConfig(materialized = Materialization.Table)) { ctx =>
