@@ -168,6 +168,39 @@ object Macros {
     }.mkString("\n")
     s"""models:\n  - name: $name\n    columns:\n$cols"""
   }
+
+  /** codegen `generate_source`: sources YAML for every table in a
+    * catalog schema (name + column list from the live catalog). */
+  def generateSourceYaml(spark: SparkSession, sourceName: String,
+      schema: String): String = {
+    val tables = spark.sql(s"SHOW TABLES IN `$schema`")
+      .collect().map(_.getString(1)).sorted
+    val entries = tables.map { t =>
+      val cols = spark.table(s"$schema.$t").schema.fields.map { f =>
+        s"""          - name: ${f.name}\n            data_type: ${f.dataType.simpleString}"""
+      }.mkString("\n")
+      s"""      - name: $t\n        columns:\n$cols"""
+    }.mkString("\n")
+    s"""sources:\n  - name: $sourceName\n    schema: $schema\n    tables:\n$entries"""
+  }
+
+  /** codegen `generate_base_model`: a staging-model SQL stub that
+    * selects (and renames nothing from) every source column — the
+    * conventional 1:1 base layer over a raw source table. */
+  def generateBaseModel(spark: SparkSession, sourceName: String,
+      schema: String, table: String): String = {
+    val cols = spark.table(s"$schema.$table").schema.fieldNames
+      .map(c => s"    $c").mkString(",\n")
+    s"""with source as (
+      |    select * from {{ source('$sourceName', '$table') }}
+      |),
+      |renamed as (
+      |    select
+      |$cols
+      |    from source
+      |)
+      |select * from renamed""".stripMargin
+  }
 }
 
 /** Least-common-type resolution via Catalyst's own coercion rules

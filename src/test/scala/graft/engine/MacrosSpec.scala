@@ -74,4 +74,18 @@ class MacrosSpec extends SparkSpec {
     val y = Macros.generateModelYaml("m", df1)
     assert(y.contains("- name: id") && y.contains("data_type: int"))
   }
+
+  test("generateSourceYaml and generateBaseModel scaffold from the catalog") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS cg_raw")
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite")
+      .saveAsTable("cg_raw.events_raw")
+    val y = Macros.generateSourceYaml(spark, "raw", "cg_raw")
+    assert(y.contains("- name: raw") && y.contains("schema: cg_raw"))
+    assert(y.contains("- name: events_raw") &&
+      y.contains("data_type: bigint"), y)
+    val sql = Macros.generateBaseModel(spark, "raw", "cg_raw", "events_raw")
+    assert(sql.contains("{{ source('raw', 'events_raw') }}"))
+    assert(sql.contains("    id,\n    v"), sql)
+  }
 }
