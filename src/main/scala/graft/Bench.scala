@@ -26,14 +26,19 @@ object Bench {
     // min is the measurement least polluted by co-tenant noise.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val results = selected.map { case (name, fn) =>
-      val sec = (1 to runs).map { _ =>
+      // failed passes measure nothing: score them +inf so a fast crash
+      // can't become the reported best time; all-passes-failed -> -1
+      val best = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Double.PositiveInfinity
         }
-        (System.nanoTime() - t0) / 1e9
       }.min
+      val sec = if (best.isFinite) best else -1.0
       System.err.println(f"[bench] $name $sec%.2f s")
       name -> sec
     }

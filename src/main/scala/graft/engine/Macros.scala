@@ -127,19 +127,19 @@ object Macros {
     out.toSeq
   }
 
-  /** dbt_project_evaluator's hard-coded-reference lint: FROM/JOIN targets
-    * in a SQL-text model that are neither `{{ ref }}`/`{{ source }}`
-    * placeholders nor CTE names defined in the model itself. DataFrame
-    * models can't hard-code by construction (inputs come through Ctx). */
+  /** dbt_project_evaluator's hard-coded-reference lint: SCHEMA-QUALIFIED
+    * (dotted) FROM/JOIN targets in a SQL-text model that are not
+    * `{{ ref }}`/`{{ source }}` placeholders. Restricting to dotted names
+    * avoids false positives on CTE references and on the FROM keyword
+    * inside `extract(day FROM col)` / `substring(x FROM 1)` expressions
+    * (their operands are never dotted relations); DataFrame models can't
+    * hard-code by construction (inputs come through Ctx). */
   private[engine] def hardCodedRelations(m: Model): Seq[String] =
     m.sqlText.toSeq.flatMap { sql =>
       val templated = Project.SrcPat.replaceAllIn(
         Project.RefPat.replaceAllIn(sql, "__graft_tmpl__"), "__graft_tmpl__")
-      val ctes = raw"(?i)(?:\bwith\s+|,\s*)([A-Za-z_]\w*)\s+as\s*\(".r
-        .findAllMatchIn(templated).map(_.group(1).toLowerCase).toSet
-      raw"(?i)\b(?:from|join)\s+([A-Za-z_][\w.]*)".r
+      raw"(?i)\b(?:from|join)\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)".r
         .findAllMatchIn(templated).map(_.group(1)).toSeq.distinct
-        .filter(t => t != "__graft_tmpl__" && !ctes.contains(t.toLowerCase))
     }
 
   /** Database-clone workflow (`README.md:221`): Snowflake zero-copy
@@ -173,8 +173,10 @@ object Macros {
     * catalog schema (name + column list from the live catalog). */
   def generateSourceYaml(spark: SparkSession, sourceName: String,
       schema: String): String = {
+    // SHOW TABLES also lists session temp views (isTemporary) that are
+    // not part of the schema — resolving them via schema.name would throw
     val tables = spark.sql(s"SHOW TABLES IN `$schema`")
-      .collect().map(_.getString(1)).sorted
+      .collect().filter(!_.getBoolean(2)).map(_.getString(1)).sorted
     val entries = tables.map { t =>
       val cols = spark.table(s"$schema.$t").schema.fields.map { f =>
         s"""          - name: ${f.name}\n            data_type: ${f.dataType.simpleString}"""

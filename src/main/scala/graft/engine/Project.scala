@@ -136,8 +136,11 @@ final class Project(val spark: SparkSession, val target: Target) {
   private val resolving = mutable.LinkedHashSet[String]() // cycle detection
   private val edges = mutable.Map[String, mutable.Set[String]]()
 
-  private def recordEdge(from: String, to: String): Unit =
+  // synchronized: exec-time resolution records edges from the run thread
+  // pool (compile-time resolution is single-threaded, but not exclusively)
+  private def recordEdge(from: String, to: String): Unit = edges.synchronized {
     edges.getOrElseUpdate(from, mutable.Set()) += to
+  }
 
   /** Resolve a model to its (lazy) DataFrame. Ephemeral models inline;
     * materialized models still resolve to the *unbuilt* plan here — the
@@ -177,15 +180,23 @@ final class Project(val spark: SparkSession, val target: Target) {
     * an incremental model sees the accumulated table, not the
     * is_incremental-filtered batch, and table upstreams are read, not
     * recomputed. Only view/ephemeral upstreams keep plan inlining. Not
-    * memoized: the physical state changes as the run progresses, and the
-    * topo order guarantees upstreams are built before this is called. */
-  private[engine] def resolveForRun(name: String): DataFrame = {
-    val m = models.getOrElse(name,
-      throw new NoSuchElementException(s"unknown model '$name'"))
-    m.build(execCtxFor(m.id))
-  }
+    * memoized ACROSS calls (the physical state changes as the run
+    * progresses; topo order guarantees upstreams are built first), but
+    * memoized WITHIN one call so a diamond of views costs one build per
+    * dep, not 2^depth. */
+  private[engine] def resolveForRun(name: String): DataFrame =
+    execResolve(name, mutable.Map[String, DataFrame]())
 
-  private def execCtxFor(nodeId: String): Ctx = new Ctx(
+  private def execResolve(name: String,
+      memo: mutable.Map[String, DataFrame]): DataFrame =
+    memo.getOrElseUpdate(name, {
+      val m = models.getOrElse(name,
+        throw new NoSuchElementException(s"unknown model '$name'"))
+      m.build(execCtxFor(m.id, memo))
+    })
+
+  private def execCtxFor(nodeId: String,
+      memo: mutable.Map[String, DataFrame]): Ctx = new Ctx(
     spark,
     depName => {
       recordEdge(nodeId, s"model.$depName")
@@ -193,11 +204,11 @@ final class Project(val spark: SparkSession, val target: Target) {
         throw new NoSuchElementException(s"unknown model '$depName'"))
       dep.config.materialized match {
         case Materialization.View | Materialization.Ephemeral =>
-          resolveForRun(depName)
+          execResolve(depName, memo)
         case _ if spark.catalog.tableExists(physicalName(dep)) =>
           spark.table(physicalName(dep))
         case _ => // physical upstream not built yet (ad-hoc resolution)
-          resolveForRun(depName)
+          execResolve(depName, memo)
       }
     },
     (s0, t0) => {
@@ -298,7 +309,15 @@ final class Project(val spark: SparkSession, val target: Target) {
       RunResults(all)
     } finally {
       pool.shutdown()
-      runEndHooks.foreach(spark.sql(_).collect())
+      // end hooks run even on failure, but must never MASK the run's
+      // outcome (a throwing audit INSERT should not discard RunResults
+      // or replace the primary exception)
+      runEndHooks.foreach { sql =>
+        try spark.sql(sql).collect()
+        catch { case e: Exception =>
+          System.err.println(s"[graft] on-run-end hook failed: ${e.getMessage}")
+        }
+      }
     }
   }
 

@@ -158,11 +158,13 @@ object Dedup {
     * its neighbors until a fixpoint — rounds = cluster diameter, and
     * near-dup clusters are shallow. Each round is one shuffle join + one
     * aggregation over the EDGE list only (vertices outside any pair never
-    * enter the loop); labels are re-persisted per round and the previous
-    * round unpersisted so lineage/caches stay bounded. For high-diameter
-    * graphs at web scale, swap the round body for large-star/small-star
-    * (Kiveris et al., "Connected Components in MapReduce", SoCC 2014) —
-    * same join/agg primitives, O(log²) rounds.
+    * enter the loop); each round's result is localCheckpointed, which
+    * truncates lineage (superseded rounds' blocks are freed by the
+    * ContextCleaner once unreferenced). Throws rather than silently
+    * returning partial labels if `maxRounds` is hit before the fixpoint.
+    * For high-diameter graphs at web scale, swap the round body for
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce", SoCC 2014) — same join/agg primitives, O(log²) rounds.
     *
     * Returns (vertex, component) with component = min vertex id reachable.
     */
@@ -195,6 +197,11 @@ object Dedup {
       labels = cand.select(col("v"), col("comp2").as("comp"))
       round += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds " +
+          s"($changed labels still changing) — raise maxRounds " +
+          "(rounds needed = cluster diameter)")
     labels
   }
 

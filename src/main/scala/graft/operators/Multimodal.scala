@@ -37,9 +37,12 @@ object Multimodal {
   private def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     val w = 1 + (payload.length % 64)
     val h = 1 + (payload.length % 48)
+    // & 0xFF: UNSIGNED byte values — for ASCII payloads this equals the
+    // code point (what the x13 oracle's ascii() computes); a signed Java
+    // byte would go negative on any byte >= 0x80
     val feats = Array.tabulate(8) { i =>
       if (payload.isEmpty) 0f
-      else payload(i * payload.length / 8).toFloat / 128f
+      else (payload(i * payload.length / 8) & 0xFF).toFloat / 128f
     }
     (w, h, feats)
   }

@@ -17,14 +17,28 @@ object Sampling {
     * fraction is ≈ int(trainHexLt, 16) / 16^len (e.g. "cd" → 205/256 ≈
     * 0.80). Portable: DuckDB's md5 produces the identical hex. */
   def hashSplit(df: DataFrame, idCol: String,
-      trainHexLt: String = "cd", splitCol: String = "split"): DataFrame =
+      trainHexLt: String = "cd", splitCol: String = "split"): DataFrame = {
+    val lt = hexThreshold(trainHexLt)
     df.withColumn(splitCol,
-      when(hashKey(col(idCol), trainHexLt.length) < trainHexLt, "train")
+      when(hashKey(col(idCol), lt.length) < lt, "train")
         .otherwise("holdout"))
+  }
 
   /** Keep ≈ hexLt/16^len of rows, deterministically by id. */
-  def hashSample(df: DataFrame, idCol: String, hexLt: String): DataFrame =
-    df.filter(hashKey(col(idCol), hexLt.length) < hexLt)
+  def hashSample(df: DataFrame, idCol: String, hexLt: String): DataFrame = {
+    val lt = hexThreshold(hexLt)
+    df.filter(hashKey(col(idCol), lt.length) < lt)
+  }
+
+  /** md5 emits LOWERCASE hex and the comparison is lexicographic, so an
+    * uppercase threshold ('CD' < any lowercase letter) would silently
+    * shift the fraction — normalize and validate. */
+  private def hexThreshold(t: String): String = {
+    val lt = t.toLowerCase
+    require(lt.nonEmpty && lt.forall(c => c.isDigit || (c >= 'a' && c <= 'f')),
+      s"threshold must be hex, got '$t'")
+    lt
+  }
 
   private def hashKey(id: Column, len: Int): Column =
     substring(md5(id.cast("string")), 1, len)

@@ -357,7 +357,8 @@ object PipelineQueries extends QueryPack {
         val docs = t(s, dir, "documents")
         val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
           n = 4, threshold = 0.2, maxDf = 100L)
-        val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+          maxRounds = 60)
         val labeled = docs.select(col("doc_id"))
           .join(comp, docs("doc_id") === comp("v"), "left")
           .select(col("doc_id"),
@@ -396,7 +397,8 @@ object PipelineQueries extends QueryPack {
         val docs = t(s, dir, "documents")
         val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
           n = 4, threshold = 0.2, maxDf = 100L)
-        val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+          maxRounds = 60)
         docs.join(comp, docs("doc_id") === comp("v"), "left")
           .filter(col("comp").isNull || col("comp") === col("doc_id"))
           .select(col("doc_id"), col("source"))
