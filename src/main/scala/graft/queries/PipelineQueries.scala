@@ -426,6 +426,36 @@ object PipelineQueries extends QueryPack {
         WHERE c.component IS NULL OR c.component = d.doc_id
         ORDER BY doc_id""")),
 
+    // ---- Gopher/C4-style quality-filter cascade: per-rule flags + keep
+    //      verdict (length, duplication, word-length band, stopword
+    //      presence) — the canonical pretraining curation step ----------
+    Q("x28_quality_filters",
+      (s, dir) => {
+        val toks = col("toks")
+        t(s, dir, "documents")
+          .withColumn("toks", tokens(col("text"))) // staged: split once/row
+          .select(col("doc_id"),
+            (nTokens(toks) >= 30).cast("long").as("r_len"),
+            (dupTokenRatio(toks) <= 0.55).cast("long").as("r_dup"),
+            (avgTokenLen(toks) >= 4.0 && avgTokenLen(toks) <= 5.0)
+              .cast("long").as("r_word"),
+            (stopwordRatio(toks) > 0.0).cast("long").as("r_stop"))
+          .withColumn("keep",
+            (col("r_len") + col("r_dup") + col("r_word") + col("r_stop") === 4)
+              .cast("long"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH x AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        f AS (SELECT doc_id,
+          CAST(len(ts) >= 30 AS BIGINT) AS r_len,
+          CAST(1.0 - CAST(len(list_distinct(ts)) AS DOUBLE)/len(ts) <= 0.55 AS BIGINT) AS r_dup,
+          CAST(CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)/len(ts) BETWEEN 4.0 AND 5.0 AS BIGINT) AS r_word,
+          CAST(len(list_filter(ts, t -> t IN ('the','a','of','and','to','in','is'))) > 0 AS BIGINT) AS r_stop
+          FROM x)
+        SELECT doc_id, r_len, r_dup, r_word, r_stop,
+          CAST(r_len + r_dup + r_word + r_stop = 4 AS BIGINT) AS keep
+        FROM f ORDER BY doc_id""")),
+
     // ---- language-ID: stopword-profile argmax (the classic cheap
     //      n-gram-family langid; declared order breaks ties) --------------
     Q("x20_langid",
