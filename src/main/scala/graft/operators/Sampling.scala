@@ -30,6 +30,22 @@ object Sampling {
     df.filter(hashKey(col(idCol), lt.length) < lt)
   }
 
+  /** Deterministic per-group cap (e.g. at most N docs per source domain —
+    * the standard anti-domination step in corpus curation): rank rows
+    * within each group by md5(id) and keep the first `n`. The hash order
+    * is uniform and reproducible — unlike `ORDER BY id LIMIT n`, it does
+    * not bias toward early ids; unlike RNG sampling, reruns keep the
+    * SAME rows. One window shuffle on the group key. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** md5 emits LOWERCASE hex and the comparison is lexicographic, so an
     * uppercase threshold ('CD' < any lowercase letter) would silently
     * shift the fraction — normalize and validate. */

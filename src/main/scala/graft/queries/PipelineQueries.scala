@@ -505,6 +505,18 @@ object PipelineQueries extends QueryPack {
           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY source), 4) AS share
         FROM s GROUP BY source, split ORDER BY source, split""")),
 
+    // ---- stratified per-source cap (anti-domination curation step) -----
+    Q("x29_stratified_cap",
+      (s, dir) => graft.operators.Sampling
+        .capPerGroup(t(s, dir, "documents"), "source", "doc_id", n = 15)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id")),
+      Some("""SELECT source, doc_id FROM (
+          SELECT source, doc_id, row_number() OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 15 ORDER BY source, doc_id""")),
+
     // ---- int8 embedding quantization (4x ANN-index compression) --------
     Q("x23_quantize_embeddings",
       (s, dir) => t(s, dir, "embeddings")
