@@ -190,9 +190,49 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = c)
 }
 
+/** Stopword-profile counts in ONE pass over the tokens: element i = the
+  * number of tokens (with multiplicity) contained in profile i's word
+  * set. Equivalent to `size(filter(tokens, _.isin(profile)))` per
+  * profile, without re-walking an interpreted HOF tree per profile. */
+case class ProfileScores(child: Expression, profiles: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+  require(profiles.nonEmpty, "at least one profile")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "profile_scores"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    profiles.map { p =>
+      val s = new java.util.HashSet[String]()
+      p.foreach(s.add); s
+    }.toArray
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextExprUtil.splitTokens(input.asInstanceOf[UTF8String])
+    val counts = new Array[Long](sets.length)
+    var i = 0
+    while (i < toks.length) {
+      var j = 0
+      while (j < sets.length) {
+        if (sets(j).contains(toks(i))) counts(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts.toArray[Any])
+  }
+  override protected def withNewChildInternal(c: Expression): ProfileScores =
+    copy(child = c)
+}
+
 object TextExpressions {
   def wordShingles(text: Column, n: Int, distinct: Boolean = true): Column =
     GraftSql.column(WordShingles(GraftSql.expression(text), n, distinct))
+  def profileScores(text: Column, profiles: Seq[Seq[String]]): Column =
+    GraftSql.column(ProfileScores(GraftSql.expression(text), profiles))
   def minhashSignatures(shingles: Column, numHashes: Int): Column =
     GraftSql.column(MinHashSignatures(GraftSql.expression(shingles), numHashes))
   def simhash32Native(toks: Column): Column =

@@ -462,10 +462,14 @@ object PipelineQueries extends QueryPack {
       (s, dir) => {
         import graft.functions.TextFunctions
         val profs = TextFunctions.langProfiles
-        val base = t(s, dir, "documents")
-          .withColumn("toks", tokens(col("text"))) // staged: split once/row
-        val scored = profs.foldLeft(base) { case (d, (lang, words)) =>
-          d.withColumn(s"c_$lang", profileScore(col("toks"), words))
+        // native one-pass scorer (all profiles in one token walk); the
+        // HOF twin profileScore() is spec-checked equal
+        val base = t(s, dir, "documents").withColumn("sc",
+          graft.expressions.TextExpressions
+            .profileScores(col("text"), profs.map(_._2)))
+        val scored = profs.zipWithIndex.foldLeft(base) {
+          case (d, ((lang, _), i)) =>
+            d.withColumn(s"c_$lang", element_at(col("sc"), i + 1))
         }
         scored.select(
           (col("doc_id") +: profs.map { case (l, _) => col(s"c_$l") }) :+

@@ -32,6 +32,25 @@ class DedupSpec extends SparkSpec {
     assert(comp.count() == n)
   }
 
+  test("native profileScores equals the HOF profileScore per profile") {
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    val texts = Seq("the le la de und", "el el la y", "", "zzz qqq")
+      .toDF("text")
+    val native = texts.withColumn("sc", graft.expressions.TextExpressions
+      .profileScores(col("text"), langProfiles.map(_._2)))
+    val both = langProfiles.zipWithIndex.foldLeft(
+      native.withColumn("toks", tokens(col("text")))) {
+      case (d, ((lang, words), i)) =>
+        d.withColumn(s"n_$lang", element_at(col("sc"), i + 1))
+          .withColumn(s"h_$lang", profileScore(col("toks"), words))
+    }
+    langProfiles.foreach { case (lang, _) =>
+      assert(both.filter(col(s"n_$lang") =!= col(s"h_$lang")).isEmpty,
+        s"native != HOF for $lang")
+    }
+  }
+
   test("langPredict: argmax with declared-order tie-break and unk floor") {
     import spark.implicits._
     import graft.functions.TextFunctions._
