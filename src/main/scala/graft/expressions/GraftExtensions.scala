@@ -29,8 +29,32 @@ object GraftFunctions {
     ("float_vec_sum",
       new ExpressionInfo(classOf[FloatVecSumAgg].getName, "float_vec_sum"),
       (args: Seq[Expression]) => FloatVecSumAgg(args.head)
-        .toAggregateExpression())
+        .toAggregateExpression()),
+    ("word_shingles",
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) =>
+        WordShingles(args.head, foldableInt(args(1)), distinct = true)),
+    ("simhash32",
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (args: Seq[Expression]) => SimHash32(args.head)),
+    // profile_scores(text, array('the','a'), array('el','la'), ...)
+    ("profile_scores",
+      new ExpressionInfo(classOf[ProfileScores].getName, "profile_scores"),
+      (args: Seq[Expression]) => ProfileScores(args.head,
+        args.tail.map(foldableStringArray)))
   )
+
+  private def foldableInt(e: Expression): Int = {
+    require(e.foldable, "argument must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  private def foldableStringArray(e: Expression): Seq[String] = {
+    require(e.foldable, "profiles must be literal string arrays")
+    e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toObjectArray(org.apache.spark.sql.types.StringType)
+      .map(_.toString).toSeq
+  }
 
   /** Register everything on a live session. */
   def register(spark: SparkSession): Unit =

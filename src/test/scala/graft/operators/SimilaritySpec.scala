@@ -71,6 +71,14 @@ class SimilaritySpec extends SparkSpec {
     val s = spark.sql("SELECT float_vec_sum(embedding) AS s FROM emb_sql")
       .collect().head.getSeq[Double](0)
     assert(s.length == 64 && s.exists(_ != 0.0))
+    val t = spark.sql("""SELECT
+        word_shingles('a b c d', 2) AS sh,
+        simhash32(split('a b c', ' ')) AS sim,
+        profile_scores('the cat the', array('the','a'), array('el')) AS ps""")
+      .collect().head
+    assert(t.getSeq[String](0) == Seq("a_b", "b_c", "c_d"))
+    assert(t.getString(1).length == 32)
+    assert(t.getSeq[Long](2) == Seq(2L, 0L))
   }
 
   test("centroids are float vectors (FloatVecDot strictness)") {
