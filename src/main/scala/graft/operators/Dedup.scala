@@ -65,6 +65,35 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Near-duplicate pairs by shingle CONTAINMENT — |A∩B| / min(|A|,|B|).
+    * Jaccard misses subset relationships (a doc quoting another wholesale
+    * scores low when their sizes differ); containment flags them. Same
+    * inverted-index shape as [[jaccardPairs]]: only co-occurring pairs
+    * materialize, shuffles on shingle then pair. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, threshold: Double = 0.6, maxDf: Long = 100L): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("doc"),
+        explode(graft.expressions.TextExpressions
+          .wordShingles(col(textCol), n)).as("sh"))
+    val kept = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df_count"))
+        .filter(col("df_count") <= maxDf)
+        .select("sh"),
+      "sh")
+    val sizes = kept.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    kept.select(col("doc").as("doc_a"), col("sh"))
+      .join(kept.select(col("doc").as("doc_b"), col("sh")), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnsRenamed(Map("doc" -> "doc_a", "n_sh" -> "na")), "doc_a")
+      .join(sizes.withColumnsRenamed(Map("doc" -> "doc_b", "n_sh" -> "nb")), "doc_b")
+      .withColumn("containment",
+        col("common").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
   /** MinHash-LSH candidate pairs with exact-Jaccard verification.
     *
     * Signatures (numHashes md5-min values) are computed per row with

@@ -61,6 +61,25 @@ object PipelineQueries extends QueryPack {
         WHERE CAST(common AS DOUBLE)/(sa.n_sh + sb.n_sh - common) >= 0.2
         ORDER BY doc_a, doc_b""")),
 
+    // ---- containment near-dups (supersets Jaccard misses) --------------
+    Q("x30_containment_pairs",
+      (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"), "doc_id",
+        "text", n = 4, threshold = 0.6, maxDf = 100L)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH tk AS (SELECT doc_id, $shingleSql AS s FROM documents),
+        ex0 AS (SELECT doc_id AS doc, unnest(s) AS sh FROM tk),
+        keep AS (SELECT sh FROM ex0 GROUP BY sh HAVING count(*) <= 100),
+        ex AS (SELECT doc, ex0.sh FROM ex0 JOIN keep ON ex0.sh = keep.sh),
+        sz AS (SELECT doc, count(*) AS n_sh FROM ex GROUP BY doc),
+        co AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+               FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc < b.doc
+               GROUP BY a.doc, b.doc)
+        SELECT doc_a, doc_b,
+          CAST(common AS DOUBLE)/least(sa.n_sh, sb.n_sh) AS containment
+        FROM co JOIN sz sa ON doc_a = sa.doc JOIN sz sb ON doc_b = sb.doc
+        WHERE CAST(common AS DOUBLE)/least(sa.n_sh, sb.n_sh) >= 0.6
+        ORDER BY doc_a, doc_b""")),
+
     // ---- MinHash-LSH candidates + exact-Jaccard verification -----------
     Q("x03_minhash_lsh",
       (s, dir) => Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
