@@ -27,6 +27,30 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Shared postings builder for the shingle-index pair operators:
+    * (shingle, doc) postings with stop-shingles (df > maxDf) removed, plus
+    * per-doc filtered shingle counts. The postings are PERSISTED
+    * (memory-and-disk): the downstream plan reads them three times (both
+    * sides of the self-join and the sizes aggregation), and without the
+    * persist Catalyst recomputes the tokenize+explode+df-filter subtree
+    * each time — measured as the dominant cost of x02/x19/x27/x30. The
+    * cached blocks are freed by the ContextCleaner once the returned plan
+    * is unreferenced; on a cluster an explicit checkpoint dir works too. */
+  private def filteredPostings(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDf: Long): (DataFrame, DataFrame) = {
+    val sh = df
+      .select(col(idCol).as("doc"),
+        explode(graft.expressions.TextExpressions
+          .wordShingles(col(textCol), n)).as("sh"))
+    val kept = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df_count"))
+        .filter(col("df_count") <= maxDf)
+        .select("sh"),
+      "sh").persist()
+    val sizes = kept.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    (kept, sizes)
+  }
+
   /** Near-duplicate pairs by word n-gram Jaccard similarity, via an
     * inverted index on shingles:
     *
@@ -42,16 +66,7 @@ object Dedup {
     * postings join key (shingle) and the pair aggregation. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 4, threshold: Double = 0.2, maxDf: Long = 100L): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("doc"),
-        explode(graft.expressions.TextExpressions
-          .wordShingles(col(textCol), n)).as("sh"))
-    val kept = sh.join(
-      sh.groupBy("sh").agg(count(lit(1)).as("df_count"))
-        .filter(col("df_count") <= maxDf)
-        .select("sh"),
-      "sh")
-    val sizes = kept.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val (kept, sizes) = filteredPostings(df, idCol, textCol, n, maxDf)
     val pairs = kept.select(col("doc").as("doc_a"), col("sh"))
       .join(kept.select(col("doc").as("doc_b"), col("sh")), "sh")
       .filter(col("doc_a") < col("doc_b"))
@@ -72,16 +87,7 @@ object Dedup {
     * materialize, shuffles on shingle then pair. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 4, threshold: Double = 0.6, maxDf: Long = 100L): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("doc"),
-        explode(graft.expressions.TextExpressions
-          .wordShingles(col(textCol), n)).as("sh"))
-    val kept = sh.join(
-      sh.groupBy("sh").agg(count(lit(1)).as("df_count"))
-        .filter(col("df_count") <= maxDf)
-        .select("sh"),
-      "sh")
-    val sizes = kept.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val (kept, sizes) = filteredPostings(df, idCol, textCol, n, maxDf)
     kept.select(col("doc").as("doc_a"), col("sh"))
       .join(kept.select(col("doc").as("doc_b"), col("sh")), "sh")
       .filter(col("doc_a") < col("doc_b"))
@@ -107,9 +113,13 @@ object Dedup {
       n: Int = 4, numHashes: Int = 8, numBands: Int = 4): DataFrame = {
     require(numHashes % numBands == 0, "numHashes must divide into bands")
     val rows = numHashes / numBands
+    // persisted because it is read three times (signature branch + both
+    // sides of the candidate verify join); without it the scan+shingle
+    // subtree recomputes each time
     val withSh = df.select(col(idCol).as("doc"),
       graft.expressions.TextExpressions.wordShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist()
     // all numHashes signature values in ONE pass over the shingle array
     // (native expression; the per-seed HOF fold re-walked the array
     // numHashes times, interpreted)
@@ -120,18 +130,25 @@ object Dedup {
         concat((0 until rows).map(r =>
           element_at(col("sigs"), b * rows + r + 1)): _*).as("key"))
     }
-    val bands = sigs.select(col("doc"), col("sh"),
-      explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc"), col("sh"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = bands.select(col("doc").as("doc_a"), col("sh").as("sh_a"), col("band"), col("key"))
-      .join(bands.select(col("doc").as("doc_b"), col("sh").as("sh_b"), col("band"), col("key")),
+    // the banded relation carries ONLY (doc, band, key): the shingle
+    // arrays would otherwise ride the explode (×numBands) and BOTH sides
+    // of the band self-join shuffle — the dominant shuffle bytes at scale.
+    // Candidates are verified by joining the (few) surviving pairs back
+    // to the (doc, sh) projection by id.
+    val bands = sigs.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.select(col("doc").as("doc_a"), col("band"), col("key"))
+      .join(bands.select(col("doc").as("doc_b"), col("band"), col("key")),
         Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
-    cand.withColumn("jaccard",
-      size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))))
+    cand
+      .join(withSh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(withSh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
       .select("doc_a", "doc_b", "jaccard")
   }
 
@@ -235,8 +252,9 @@ object Dedup {
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold (brute-force
-    * all-pairs — the verification/small-side path; at corpus scale feed it
-    * LSH-bucketed candidates from [[Similarity]] instead). */
+    * all-pairs — the exact baseline / verification path, the x05↔x14
+    * pattern; the 100 TB scale path is [[embeddingLshPairs]], which blocks
+    * with signed random projections and verifies only candidates). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -245,6 +263,75 @@ object Dedup {
     val b = withNorm.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosinePrenormed(col("va"), col("vb"), col("na"), col("nb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Deterministic Rademacher hyperplane matrix for signed-random-
+    * projection LSH: plane p's component i is ±1 drawn from the first hex
+    * nibble of md5("p_i") (Charikar, STOC 2002, sign-random-projection;
+    * ±1 entries per Achlioptas, JCSS 2003). md5 makes the matrix
+    * engine-neutral: the DuckDB oracle regenerates the identical signs
+    * with `substr(md5(p||'_'||i),1,1) >= '8'`. ±1 in float is exact, so
+    * the projection dots are bit-identical across engines. */
+  private[graft] def srpSigns(numPlanes: Int, dim: Int): Array[Array[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(numPlanes, dim) { (p, i) =>
+      val firstNibble = (md.digest(s"${p}_$i".getBytes("UTF-8"))(0) >> 4) & 0xF
+      if (firstNibble >= 8) 1.0f else -1.0f
+    }
+  }
+
+  /** Embedding near-duplicate pairs via signed-random-projection LSH
+    * blocking + exact cosine verification — the scale path that replaces
+    * [[embeddingNearDups]]' all-pairs cross join.
+    *
+    * Per row: `numPlanes` sign bits (one codegen'd [[FloatVecDot]] against
+    * a ±1 literal hyperplane each — zero shuffle), grouped into `numBands`
+    * band keys. Docs sharing any band key become candidates (band
+    * self-join on (band, key) carrying ids ONLY); candidates are verified
+    * with exact cosine after joining vectors back by id — the same
+    * slim-shuffle shape as [[minhashLsh]].
+    *
+    * Collision probability per bit is 1 − θ/π. Parameter guidance: at
+    * production near-dup thresholds (cos ≥ 0.9, p_bit ≈ 0.86) use 8-bit
+    * bands (256+ buckets/band — sub-quadratic candidate volume); the
+    * 2-bit-band default here is tuned for recall on low-similarity
+    * corpora like the test data (max pair cos 0.6), where any LSH blocks
+    * weakly because matches sit barely above the random-pair background. */
+  def embeddingLshPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int,
+      numPlanes: Int = 32, numBands: Int = 16): DataFrame = {
+    require(numPlanes % numBands == 0, "numPlanes must divide into bands")
+    val rows = numPlanes / numBands
+    val signs = srpSigns(numPlanes, dim)
+    // persisted: read by the signature branch and both verify joins
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .persist()
+    // rounding before the sign test keeps the bit decision away from the
+    // last ulp; both engines fold the identical double sequence, so the
+    // bits agree exactly
+    val bits = (0 until numPlanes).map { p =>
+      when(round(dot(col("v"), typedLit(signs(p).toSeq)), 4) >= 0, lit("1"))
+        .otherwise(lit("0"))
+    }
+    val bandCols = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        concat((0 until rows).map(r => bits(b * rows + r)): _*).as("key"))
+    }
+    val bands = base.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.select(col("id").as("id_a"), col("band"), col("key"))
+      .join(bands.select(col("id").as("id_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .withColumn("cos", round(cosinePrenormed(col("va"), col("vb"), col("na"), col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")

@@ -174,6 +174,40 @@ object PipelineQueries extends QueryPack {
           ORDER BY id_a, id_b"""
       }),
 
+    // ---- embedding near-dups via signed-random-projection LSH blocking
+    //      (the 100 TB scale path for x06: per-row sign bits, band-bucket
+    //      join on ids only, exact-cosine verify on candidates; the oracle
+    //      regenerates the identical md5-seeded hyperplanes) --------------
+    Q("x31_embedding_lsh_pairs",
+      (s, dir) => Dedup.embeddingLshPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.5, dim = 64,
+        numPlanes = 32, numBands = 16)
+        .orderBy(col("id_a"), col("id_b")),
+      Some {
+        val numPlanes = 32; val numBands = 16; val rows = numPlanes / numBands
+        def bitSql(p: Int) =
+          s"""CASE WHEN round(list_sum(list_transform(range(len(embedding)),
+             i -> CAST(embedding[i+1] AS DOUBLE) *
+               (CASE WHEN substr(md5('${p}_'||CAST(i AS VARCHAR)),1,1) >= '8'
+                THEN 1.0 ELSE -1.0 END))), 4) >= 0 THEN '1' ELSE '0' END"""
+        val bits = (0 until numPlanes).map(p => s"${bitSql(p)} AS b$p").mkString(", ")
+        val bands = (0 until numBands).map(b =>
+          s"SELECT vec_id, $b AS band, " +
+            (0 until rows).map(r => s"b${b * rows + r}").mkString("||") +
+            " AS key FROM e").mkString(" UNION ALL ")
+        val d = dotSql.format("ea.embedding", "ea.embedding", "eb.embedding")
+        val n = dotSql.format("embedding", "embedding", "embedding")
+        s"""WITH e AS (SELECT vec_id, embedding, sqrt($n) AS nrm, $bits FROM embeddings),
+          bands AS ($bands),
+          cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+          SELECT id_a, id_b, round($d / (ea.nrm * eb.nrm), 4) AS cos
+          FROM cand JOIN e ea ON id_a = ea.vec_id JOIN e eb ON id_b = eb.vec_id
+          WHERE round($d / (ea.nrm * eb.nrm), 4) >= 0.5
+          ORDER BY id_a, id_b"""
+      }),
+
     // ---- text quality + language heuristics ----------------------------
     Q("x07_text_quality",
       (s, dir) => {
