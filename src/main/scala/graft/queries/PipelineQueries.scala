@@ -177,14 +177,20 @@ object PipelineQueries extends QueryPack {
     // ---- embedding near-dups via signed-random-projection LSH blocking
     //      (the 100 TB scale path for x06: per-row sign bits, band-bucket
     //      join on ids only, exact-cosine verify on candidates; the oracle
-    //      regenerates the identical md5-seeded hyperplanes) --------------
+    //      regenerates the identical md5-seeded hyperplanes).
+    //      96 planes / 16 bands (6-bit keys = 64 buckets/band): measured
+    //      candidate volume on this corpus is 556k of 2M possible pairs at
+    //      sf0.1 (the round-3 2-bit keys produced 8M — MORE than brute
+    //      force). Wider keys are how this scales: at production near-dup
+    //      thresholds (cos>=0.9, p_bit=0.86) these same params give
+    //      theoretical recall 1-(1-0.856^6)^16 = 0.9997. --------------------
     Q("x31_embedding_lsh_pairs",
       (s, dir) => Dedup.embeddingLshPairs(t(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.5, dim = 64,
-        numPlanes = 32, numBands = 16)
+        numPlanes = 96, numBands = 16)
         .orderBy(col("id_a"), col("id_b")),
       Some {
-        val numPlanes = 32; val numBands = 16; val rows = numPlanes / numBands
+        val numPlanes = 96; val numBands = 16; val rows = numPlanes / numBands
         def bitSql(p: Int) =
           s"""CASE WHEN round(list_sum(list_transform(range(len(embedding)),
              i -> CAST(embedding[i+1] AS DOUBLE) *

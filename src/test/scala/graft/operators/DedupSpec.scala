@@ -32,6 +32,38 @@ class DedupSpec extends SparkSpec {
     assert(comp.count() == n)
   }
 
+  test("embeddingLshPairs: permissive 1-bit bands equal the brute force") {
+    // With numBands == numPlanes every band key is a single sign bit, so a
+    // pair at cos >= 0.35 (p_bit >= 0.61) misses all 32 bands with
+    // probability <= 0.39^32 ~ 1e-13 — blocking is effectively exhaustive
+    // and the LSH path must reproduce the exact cross-join result,
+    // proving the block+verify machinery itself is lossless.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val exact = Dedup.embeddingNearDups(emb, "vec_id", "embedding", threshold = 0.35)
+    val lsh = Dedup.embeddingLshPairs(emb, "vec_id", "embedding", threshold = 0.35,
+      dim = 64, numPlanes = 32, numBands = 32)
+    assert(exact.count() > 0, "vacuous corpus: no pairs above threshold")
+    assert(lsh.exceptAll(exact).isEmpty && exact.exceptAll(lsh).isEmpty)
+  }
+
+  test("embeddingLshPairs: registered x31 params — no false positives, measured recall") {
+    // x31's production-shaped params (6-bit band keys). Exact verify means
+    // zero false positives BY CONSTRUCTION; recall is probabilistic in the
+    // banding, so assert the measured floor on this corpus (theory at its
+    // max pair cos ~0.6: 1-(1-p^6)^16 with p~0.7 => ~0.88).
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = Dedup.embeddingNearDups(emb, "vec_id", "embedding", threshold = 0.5)
+      .select("id_a", "id_b")
+    val lsh = Dedup.embeddingLshPairs(emb, "vec_id", "embedding", threshold = 0.5,
+      dim = 64, numPlanes = 96, numBands = 16)
+      .select("id_a", "id_b")
+    assert(lsh.exceptAll(exact).isEmpty, "LSH produced a non-exact pair")
+    val nExact = exact.count()
+    assert(nExact > 0, "vacuous corpus: no pairs above threshold")
+    val recall = exact.intersect(lsh).count().toDouble / nExact
+    assert(recall >= 0.75, s"recall = $recall over $nExact exact pairs")
+  }
+
   test("native profileScores equals the HOF profileScore per profile") {
     import spark.implicits._
     import graft.functions.TextFunctions._
