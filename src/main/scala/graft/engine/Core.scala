@@ -135,12 +135,20 @@ final case class DataTest(
 /** Build-time context handed to model build functions. */
 final class Ctx(
     val spark: SparkSession,
-    resolveRef: String => DataFrame,
+    resolveRef: (String, Option[Int]) => DataFrame,
     resolveSource: (String, String) => DataFrame,
     thisPhysical: Option[String] = None) {
   /** Read another model's output; records a DAG edge (ref.sql semantics:
-    * resolved names are always 2-part — schema.alias, no database). */
-  def ref(model: String): DataFrame = resolveRef(model)
+    * resolved names are always 2-part — schema.alias, no database).
+    * If `model` is not itself declared but a versioned family
+    * `model_vN` is, resolves to the LATEST declared version (dbt's
+    * unversioned-ref-to-versioned-model rule). */
+  def ref(model: String): DataFrame = resolveRef(model, None)
+  /** Versioned ref — `ref('model', version=n)` in the reference's
+    * override (`macros/overrides/ref.sql:11-18`): reads the model
+    * declared as `model_vN`. */
+  def ref(model: String, version: Int): DataFrame =
+    resolveRef(model, Some(version))
   /** Read a declared source table; records a DAG edge. */
   def source(sourceName: String, table: String): DataFrame =
     resolveSource(sourceName, table)

@@ -132,6 +132,27 @@ final class Project(val spark: SparkSession, val target: Target) {
 
   // ---- compile: memoized resolution + edge recording -------------------
 
+  /** Versioned-ref name resolution (the reference's ref() override
+    * accepts `version=` — `macros/overrides/ref.sql:11-18`; dbt's
+    * versioned-model rule): `ref(name, v)` reads the model declared as
+    * `name_vN`; an unversioned `ref(name)` where `name` itself is not
+    * declared but a `name_vN` family is resolves to the LATEST version. */
+  private def versionedName(name: String, version: Option[Int]): String =
+    version match {
+      case Some(v) =>
+        val vn = s"${name}_v$v"
+        if (models.contains(vn)) vn
+        else throw new NoSuchElementException(
+          s"unknown version $v of model '$name' (no model named '$vn')")
+      case None if models.contains(name) => name
+      case None =>
+        val pat = (java.util.regex.Pattern.quote(name) + "_v(\\d+)").r
+        models.keys.collect { case k @ pat(n) => (n.toInt, k) } match {
+          case vs if vs.nonEmpty => vs.maxBy(_._1)._2
+          case _ => name // unknown either way; resolve() raises with the original name
+        }
+    }
+
   private val resolved = mutable.Map[String, DataFrame]()
   private val resolving = mutable.LinkedHashSet[String]() // cycle detection
   private val edges = mutable.Map[String, mutable.Set[String]]()
@@ -161,7 +182,8 @@ final class Project(val spark: SparkSession, val target: Target) {
 
   private def ctxFor(nodeId: String): Ctx = new Ctx(
     spark,
-    depName => {
+    (depName0, version) => {
+      val depName = versionedName(depName0, version)
       recordEdge(nodeId, s"model.$depName")
       resolve(depName)
     },
@@ -198,7 +220,8 @@ final class Project(val spark: SparkSession, val target: Target) {
   private def execCtxFor(nodeId: String,
       memo: mutable.Map[String, DataFrame]): Ctx = new Ctx(
     spark,
-    depName => {
+    (depName0, version) => {
+      val depName = versionedName(depName0, version)
       recordEdge(nodeId, s"model.$depName")
       val dep = models.getOrElse(depName,
         throw new NoSuchElementException(s"unknown model '$depName'"))

@@ -422,6 +422,30 @@ class EngineSpec extends SparkSpec {
     assert(ids("tag:raw") == Set("model.base"))
   }
 
+  test("versioned ref: explicit version reads name_vN, unversioned reads latest") {
+    val p = newProject("vers")
+    p.model("dim_v1", ModelConfig(materialized = Materialization.Table)) { ctx =>
+      import ctx.spark.implicits._; Seq((1, "old")).toDF("id", "v")
+    }
+    p.model("dim_v2", ModelConfig(materialized = Materialization.Table)) { ctx =>
+      import ctx.spark.implicits._; Seq((1, "new")).toDF("id", "v")
+    }
+    p.model("uses_v1")(ctx => ctx.ref("dim", 1).select(col("v")))
+    p.model("uses_latest")(ctx => ctx.ref("dim").select(col("v")))
+    assert(p.run().ok)
+    assert(p.materializedDf("uses_v1").collect().map(_.getString(0)).toSeq
+      == Seq("old"))
+    assert(p.materializedDf("uses_latest").collect().map(_.getString(0)).toSeq
+      == Seq("new"))
+    // unknown version fails loudly with the expected name
+    val bad = newProject("vers_bad")
+    bad.model("dim_v1")(ctx =>
+      { import ctx.spark.implicits._; Seq(1).toDF("id") })
+    bad.model("consumer")(ctx => ctx.ref("dim", 3))
+    val e = intercept[NoSuchElementException] { bad.compile() }
+    assert(e.getMessage.contains("dim_v3"))
+  }
+
   test("seed: csv to table") {
     val dir = java.nio.file.Files.createTempDirectory("seedcsv")
     val f = dir.resolve("countries.csv")
