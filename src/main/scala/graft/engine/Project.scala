@@ -37,6 +37,7 @@ final class Project(val spark: SparkSession, val target: Target) {
   def sqlModel(name: String, config: ModelConfig = ModelConfig())(
       sql: String): this.type = {
     require(!models.contains(name), s"duplicate model $name")
+    Project.lintSqlModel(spark, name, sql)
     val build: Ctx => DataFrame = { ctx =>
       var out = sql
       for (m <- Project.RefPat.findAllMatchIn(sql).toList.distinctBy(_.group(1))) {
@@ -436,6 +437,35 @@ object Project {
     raw"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}".r
   private[engine] val SrcPat =
     raw"\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}".r
+
+  /** Declare-time lints for SQL-text models — the dbt-checkpoint hooks
+    * the reference runs before SQL ever reaches the engine
+    * (`.pre-commit-config.yaml:7-10`):
+    *   - `check-script-semicolon`: a trailing `;` would break the DDL
+    *     wrapping (`CREATE ... AS <sql>;`), so it fails at declare time
+    *     with a lint message instead of a run-time Spark parse error;
+    *   - `dbt-parse`: syntax-check the placeholder-substituted text with
+    *     Spark's SQL parser (parse only; names resolve at build).
+    * The third hook, no-hard-coded-names, is the advisory
+    * [[Macros.evaluateProject]] lint — it stays advisory because the
+    * reference runs the evaluator `|| true`. */
+  private[engine] def lintSqlModel(spark: org.apache.spark.sql.SparkSession,
+      name: String, sql: String): Unit = {
+    val noComments = sql
+      .replaceAll("(?s)/\\*.*?\\*/", " ")
+      .replaceAll("--[^\n]*", " ")
+    if (noComments.trim.endsWith(";"))
+      throw new IllegalArgumentException(
+        s"sql lint [$name]: trailing semicolon (check-script-semicolon) " +
+          "- remove it; model SQL gets wrapped in DDL")
+    val templated = SrcPat.replaceAllIn(
+      RefPat.replaceAllIn(sql, "graft_tmpl"), "graft_tmpl")
+    try org.apache.spark.sql.GraftSql.parse(spark, templated)
+    catch { case e: Exception =>
+      throw new IllegalArgumentException(
+        s"sql lint [$name]: does not parse (dbt-parse): ${e.getMessage}")
+    }
+  }
 }
 
 /** Node-selection mini-language: `*`, `name`, `+name` (ancestors),

@@ -18,6 +18,13 @@ object GraftSql {
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** Parse-only check of SQL text — syntax, not resolution (the
+    * declare-time `dbt-parse` lint analogue). Throws Spark's
+    * ParseException on bad syntax. `sessionState` is private[sql]. */
+  def parse(spark: SparkSession, sql: String): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser
+      .parsePlan(sql)
+
   /** Catalyst's own widest-type resolution, for union null-padding with
     * loose coercion (dbt_utils.union_relations parity). */
   def findTightestCommonType(

@@ -92,4 +92,28 @@ class OpsSpec extends SparkSpec {
     assert(out.exists(_.startsWith("DROP TABLE cliops.stray")), out)
     assert(spark.catalog.tableExists("cliops.stray"), "operation must not execute DDL")
   }
+
+  test("declare-time sql lints: trailing semicolon and parse errors fire") {
+    val p = new Project(spark, Target("dev", "lints", threads = 2))
+    val semi = intercept[IllegalArgumentException] {
+      p.sqlModel("bad_semi")("select 1 as id;")
+    }
+    assert(semi.getMessage.contains("trailing semicolon"))
+    // a semicolon hidden before a trailing comment still fires
+    val semiComment = intercept[IllegalArgumentException] {
+      p.sqlModel("bad_semi2")("select 1 as id; -- done")
+    }
+    assert(semiComment.getMessage.contains("trailing semicolon"))
+    val parse = intercept[IllegalArgumentException] {
+      p.sqlModel("bad_parse")("selec 1 as id")
+    }
+    assert(parse.getMessage.contains("does not parse"))
+    // clean model (with placeholders and comments) declares fine and runs
+    p.model("base")(ctx =>
+      { import ctx.spark.implicits._; Seq(7).toDF("id") })
+    p.sqlModel("clean")(
+      "-- a comment; with a semicolon\nselect id from {{ ref('base') }}")
+    assert(p.run().ok)
+    assert(p.materializedDf("clean").collect().head.getInt(0) == 7)
+  }
 }
