@@ -37,6 +37,9 @@ object GraftFunctions {
     ("simhash32",
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (args: Seq[Expression]) => SimHash32(args.head)),
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)),
     // profile_scores(text, array('the','a'), array('el','la'), ...)
     ("profile_scores",
       new ExpressionInfo(classOf[ProfileScores].getName, "profile_scores"),

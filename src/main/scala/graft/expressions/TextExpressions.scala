@@ -32,10 +32,14 @@ private object TextExprUtil {
   }
   private val HEX = "0123456789abcdef".toCharArray
 
-  def md5hex(s: String): String = {
+  def md5bytes(s: String): Array[Byte] = {
     val d = digest.get()
     d.reset()
-    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def md5hex(s: String): String = {
+    val bytes = md5bytes(s)
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
@@ -164,6 +168,48 @@ case class SimHash32(child: Expression)
     copy(child = c)
 }
 
+/** 64-bit SimHash over the DISTINCT elements of a token array, as a
+  * '0'/'1' string: bit j (0-indexed, MSB-first) = sign of
+  * Σ (bit j of md5(t) set ? +1 : −1), ties → 1. Uses the first 64 bits
+  * of the digest — 4× the signature space per nibble of the 32-bit
+  * variant, which birthday-saturated around 2^16 documents. One md5 per
+  * distinct token. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash64"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val seen = scala.collection.mutable.HashSet[String]()
+    val sums = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val t = arr.getUTF8String(i).toString
+      if (seen.add(t)) {
+        val d = TextExprUtil.md5bytes(t)
+        var j = 0
+        while (j < 64) {
+          if (((d(j >> 3) >> (7 - (j & 7))) & 1) == 1) sums(j) += 1
+          else sums(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Char](64)
+    var j = 0
+    while (j < 64) { out(j) = if (sums(j) >= 0) '1' else '0'; j += 1 }
+    UTF8String.fromString(new String(out))
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
 /** md5hex of ordered k-gram shingles + w-window sliding minima,
   * deduplicated — the whole winnowing fingerprint in one pass. */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
@@ -237,6 +283,8 @@ object TextExpressions {
     GraftSql.column(MinHashSignatures(GraftSql.expression(shingles), numHashes))
   def simhash32Native(toks: Column): Column =
     GraftSql.column(SimHash32(GraftSql.expression(toks)))
+  def simhash64Native(toks: Column): Column =
+    GraftSql.column(SimHash64(GraftSql.expression(toks)))
   def winnowFingerprintsNative(text: Column, k: Int, w: Int): Column =
     GraftSql.column(WinnowFingerprints(GraftSql.expression(text), k, w))
 }

@@ -152,45 +152,60 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** SimHash duplicate groups: docs sharing a 32-bit simhash signature.
+  /** SimHash duplicate groups: docs sharing a 64-bit simhash signature.
     * Per-row signature + one hash aggregation; Hamming-radius>0 search
-    * would add rotated-band buckets (same join pattern as MinHash-LSH). */
+    * adds banded buckets — see [[simhashNearDups]]. (64-bit because a
+    * 32-bit signature space birthday-saturates around 2^16 documents —
+    * unrelated docs start colliding into the same "duplicate" group.) */
   def simhashGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc"),
       graft.expressions.TextExpressions
-        .simhash32Native(tokens(col(textCol))).as("simhash"))
+        .simhash64Native(tokens(col(textCol))).as("simhash"))
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min(col("doc")).as("keep_id"))
 
   /** SimHash near-duplicate PAIRS within a Hamming radius, via pigeonhole
-    * banding: split the 32-bit signature into `bands` contiguous bands —
-    * any two signatures within Hamming distance < `bands` must agree on
-    * at least one whole band — bucket-join on (band, value), then verify
-    * the exact distance with `bit_count(xor)` (codegen'd integer ops).
-    * Requires `radius < bands` for the pigeonhole guarantee, so the
-    * result equals the all-pairs scan exactly, at candidate-join cost. */
+    * banding over a 64-bit signature: split into `bands` contiguous bands
+    * (default 4 × 16 bits) — any two signatures within Hamming distance
+    * < `bands` must agree on at least one whole band — bucket-join on
+    * (band, value), then verify the exact distance with `bit_count(xor)`
+    * (codegen'd integer ops). Requires `radius < bands` for the pigeonhole
+    * guarantee, so the result equals the all-pairs scan exactly, at
+    * candidate-join cost.
+    *
+    * Scale math behind 64/16 (vs the earlier 32-bit/8-bit-band design):
+    * 16-bit band keys give 65 536 buckets per band, so random-doc
+    * candidate volume is ~n²/65 536 per band instead of ~n²/256 — the
+    * banding stays sub-quadratic deep into web-corpus sizes, and the
+    * 64-bit signature space doesn't saturate until ~2^32 docs. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       radius: Int = 3, bands: Int = 4): DataFrame = {
     require(radius < bands, "pigeonhole needs radius < bands")
-    require(32 % bands == 0, "bands must divide 32")
-    val bandLen = 32 / bands
+    require(64 % bands == 0, "bands must divide 64")
+    val bandLen = 64 / bands
+    // hamming over 64 bits as two 32-bit halves: conv() parses the binary
+    // string as UNSIGNED, so a single 64-bit value with the top bit set
+    // would overflow the signed-long cast to null; each half fits easily
     val sigs = df.select(col(idCol).as("doc"),
       graft.expressions.TextExpressions
-        .simhash32Native(tokens(col(textCol))).as("sig"))
-      .withColumn("sigv", conv(col("sig"), 2, 10).cast("long"))
-    val banded = sigs.select(col("doc"), col("sigv"),
+        .simhash64Native(tokens(col(textCol))).as("sig"))
+      .withColumn("hi", conv(substring(col("sig"), 1, 32), 2, 10).cast("long"))
+      .withColumn("lo", conv(substring(col("sig"), 33, 32), 2, 10).cast("long"))
+    val banded = sigs.select(col("doc"), col("hi"), col("lo"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           substring(col("sig"), b * bandLen + 1, bandLen).as("key"))): _*))
         .as("bk"))
-      .select(col("doc"), col("sigv"),
+      .select(col("doc"), col("hi"), col("lo"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.select(col("doc").as("doc_a"), col("sigv").as("va"), col("band"), col("key"))
-      .join(banded.select(col("doc").as("doc_b"), col("sigv").as("vb"),
-        col("band"), col("key")), Seq("band", "key"))
+    banded.select(col("doc").as("doc_a"), col("hi").as("ha"),
+        col("lo").as("la"), col("band"), col("key"))
+      .join(banded.select(col("doc").as("doc_b"), col("hi").as("hb"),
+        col("lo").as("lb"), col("band"), col("key")), Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(expr("va ^ vb")).cast("long").as("hamming"))
+        (bit_count(expr("ha ^ hb")) + bit_count(expr("la ^ lb")))
+          .cast("long").as("hamming"))
       // verify BEFORE dedup: the distance check is cheap codegen'd int
       // math, and it shrinks the dropDuplicates shuffle to winners only
       .filter(col("hamming") <= radius)

@@ -109,9 +109,12 @@ object PipelineQueries extends QueryPack {
       (s, dir) => Dedup.simhashGroups(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("simhash"), col("keep_id")),
       Some("""WITH sh AS (SELECT doc_id,
-          array_to_string(list_transform(range(1, 33), j ->
+          array_to_string(list_transform(range(1, 65), j ->
             CASE WHEN list_sum(list_transform(list_distinct(string_split(text,' ')),
-                   t -> CASE WHEN substr(md5(t), j, 1) >= '8' THEN 1 ELSE -1 END)) >= 0
+                   t -> CASE WHEN (((strpos('0123456789abcdef',
+                        substr(md5(t), CAST((j-1)//4 + 1 AS INT), 1)) - 1)
+                        >> CAST(3 - (j-1)%4 AS INT)) & 1) = 1
+                     THEN 1 ELSE -1 END)) >= 0
             THEN '1' ELSE '0' END), '') AS simhash
           FROM documents)
         SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
@@ -123,16 +126,19 @@ object PipelineQueries extends QueryPack {
         "doc_id", "text", radius = 3, bands = 4)
         .orderBy(col("doc_a"), col("doc_b")),
       Some("""WITH sh AS (SELECT doc_id,
-          array_to_string(list_transform(range(1, 33), j ->
+          array_to_string(list_transform(range(1, 65), j ->
             CASE WHEN list_sum(list_transform(list_distinct(string_split(text,' ')),
-                   t -> CASE WHEN substr(md5(t), j, 1) >= '8' THEN 1 ELSE -1 END)) >= 0
+                   t -> CASE WHEN (((strpos('0123456789abcdef',
+                        substr(md5(t), CAST((j-1)//4 + 1 AS INT), 1)) - 1)
+                        >> CAST(3 - (j-1)%4 AS INT)) & 1) = 1
+                     THEN 1 ELSE -1 END)) >= 0
             THEN '1' ELSE '0' END), '') AS sig
           FROM documents)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          CAST(len(list_filter(range(32),
+          CAST(len(list_filter(range(64),
             i -> substr(a.sig, i + 1, 1) <> substr(b.sig, i + 1, 1))) AS BIGINT) AS hamming
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE len(list_filter(range(32),
+        WHERE len(list_filter(range(64),
             i -> substr(a.sig, i + 1, 1) <> substr(b.sig, i + 1, 1))) <= 3
         ORDER BY doc_a, doc_b""")),
 

@@ -77,6 +77,24 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("simhash64 matches an independent md5-bit reference") {
+    val rows = evalAll(
+      graft.expressions.TextExpressions.simhash64Native(col("toks")))
+    docs.zip(rows).foreach { case (doc, r) =>
+      val sums = new Array[Int](64)
+      doc.distinct.foreach { t =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8"))
+        (0 until 64).foreach { j =>
+          if (((d(j >> 3) >> (7 - (j & 7))) & 1) == 1) sums(j) += 1
+          else sums(j) -= 1
+        }
+      }
+      val want = sums.map(s => if (s >= 0) '1' else '0').mkString
+      assert(r.getString(0) == want, s"doc=$doc")
+    }
+  }
+
   test("native expressions equal their HOF twins on random docs") {
     import graft.expressions.TextExpressions._
     val rows = evalAll(

@@ -32,6 +32,51 @@ class DedupSpec extends SparkSpec {
     assert(comp.count() == n)
   }
 
+  test("simhashNearDups: banded candidates lose no pair vs the all-pairs scan") {
+    // Pigeonhole exactness: with radius 3 < 4 bands of 16 bits over the
+    // 64-bit signature, two sigs within distance 3 must agree on at least
+    // one whole band, so the banded result must EQUAL the exhaustive scan.
+    import graft.functions.TextFunctions._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val banded = Dedup.simhashNearDups(docs, "doc_id", "text",
+      radius = 3, bands = 4)
+    val sigs = docs.select(col("doc_id").as("doc"),
+      graft.expressions.TextExpressions
+        .simhash64Native(tokens(col("text"))).as("sig"))
+      .withColumn("hi", conv(substring(col("sig"), 1, 32), 2, 10).cast("long"))
+      .withColumn("lo", conv(substring(col("sig"), 33, 32), 2, 10).cast("long"))
+    val brute = sigs.select(col("doc").as("doc_a"), col("hi").as("ha"), col("lo").as("la"))
+      .crossJoin(sigs.select(col("doc").as("doc_b"), col("hi").as("hb"), col("lo").as("lb")))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(expr("ha ^ hb")) + bit_count(expr("la ^ lb")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+    // compared as collected sets: Spark 4.1's exceptAll rewrite (sum-of-
+    // replication-factor) hits ATTRIBUTE_NOT_FOUND on this shape
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = asSet(banded)
+    assert(b == asSet(brute))
+    assert(b.nonEmpty, "vacuous corpus: no near-dup pairs at radius 3")
+  }
+
+  test("simhash64: signature is 64 bits and a near-identical doc is within radius") {
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    // a 40-token doc and a 1-token-substituted twin: one md5 leaves the
+    // bit-sums, one enters — each of the 64 sums moves by at most 2, so
+    // only near-tied bits flip and the twins land within a small radius,
+    // while an unrelated doc sits near the random-expectation distance 32
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val twin = base.replace("tok7", "zzz")
+    val other = (1 to 40).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, twin), (3L, other)).toDF("doc_id", "text")
+    val out = Dedup.simhashNearDups(df, "doc_id", "text", radius = 12, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)))
+  }
+
   test("embeddingLshPairs: permissive 1-bit bands equal the brute force") {
     // With numBands == numPlanes every band key is a single sign bit, so a
     // pair at cos >= 0.35 (p_bit >= 0.61) misses all 32 bands with
