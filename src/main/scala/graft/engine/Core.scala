@@ -123,6 +123,26 @@ final case class Seed(
   def id: String = s"seed.$name"
 }
 
+/** An SCD-2 snapshot as a first-class DAG resource — the reference
+  * declares a snapshots directory in the graph (`dbt_project.yml:19`)
+  * and its orphan macro counts `graph.snapshots`
+  * (`macros/list_orphaned_objects.sql:46`). `build` produces the fresh
+  * query (its `ref`/`source` calls record DAG edges like a model's);
+  * the runner applies [[Materializer.snapshot]]'s close-out/insert
+  * against the existing table, and downstream models `ref` the snapshot
+  * by name to read the accumulated SCD-2 table. `asOf` is a supplier:
+  * production stamps run time, tests inject fixed timestamps. */
+final case class Snapshot(
+    name: String,
+    build: Ctx => DataFrame,
+    uniqueKey: String,
+    checkCols: Seq[String],
+    config: ModelConfig = ModelConfig(Materialization.Table),
+    asOf: () => java.sql.Timestamp =
+      () => new java.sql.Timestamp(System.currentTimeMillis())) extends Node {
+  def id: String = s"snapshot.$name"
+}
+
 /** A data test attached to a model: builds a violations DataFrame;
   * nonzero rows = failure (`models/example/schema.yml` semantics). */
 final case class DataTest(

@@ -73,6 +73,7 @@ object Macros {
     val claimed: Set[String] = graph.nodes.values.collect {
       case m: Model => project.physicalName(m)
       case s: Seed => project.physicalName(s)
+      case s: Snapshot => project.physicalName(s) // graph.snapshots (:46)
     }.map(Ident.normalize).toSet
     val catalog = spark.sql(s"SHOW TABLES IN ${quote(Ident.normalize(schema))}")
       .collect()

@@ -184,6 +184,25 @@ object Materializer {
     * result lands in a staging table then swaps in via RENAME (atomic at
     * the catalog level). `asOf` is injected for determinism.
     */
+  /** dbt surrogate-key pattern: coalesce each check column to a sentinel
+    * BEFORE concat_ws (concat_ws silently skips NULL args, so a NULL
+    * shift across columns — (x,NULL) vs (NULL,x) — would otherwise hash
+    * identically and changed rows would never close out). Separator is
+    * the \u0000 ESCAPE, not a raw NUL byte (keeps the source greppable). */
+  private def snapshotHashed(df: DataFrame, checkCols: Seq[String]): DataFrame =
+    df.withColumn("graft_check", sha2(concat_ws("\u0000",
+      checkCols.map(c =>
+        coalesce(col(c).cast("string"), lit("_graft_null_"))): _*), 256))
+
+  /** The snapshot table's first-run shape: hashed check key + open SCD-2
+    * validity columns. Doubles as the COMPILE-TIME schema of a `ref` to a
+    * not-yet-built snapshot (Project.snapshotDf). */
+  private[engine] def snapshotFirstRun(fresh: DataFrame,
+      checkCols: Seq[String], asOf: java.sql.Timestamp): DataFrame =
+    snapshotHashed(fresh, checkCols)
+      .withColumn("valid_from", lit(asOf))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+
   def snapshot(p: Project, table: String, fresh: DataFrame,
       uniqueKey: String, checkCols: Seq[String],
       asOf: java.sql.Timestamp): Unit = {
@@ -191,19 +210,9 @@ object Materializer {
     val physical = table
     ensureSchema(p, physical.split('.').head)
     val open = lit(null).cast("timestamp")
-    // dbt surrogate-key pattern: coalesce each check column to a sentinel
-    // BEFORE concat_ws (concat_ws silently skips NULL args, so a NULL
-    // shift across columns — (x,NULL) vs (NULL,x) — would otherwise hash
-    // identically and changed rows would never close out). Separator is
-    // the \u0000 ESCAPE, not a raw NUL byte (keeps the source greppable).
-    def hashed(df: DataFrame) =
-      df.withColumn("graft_check", sha2(concat_ws("\u0000",
-        checkCols.map(c =>
-          coalesce(col(c).cast("string"), lit("_graft_null_"))): _*), 256))
+    def hashed(df: DataFrame) = snapshotHashed(df, checkCols)
     if (!spark.catalog.tableExists(physical)) {
-      hashed(fresh)
-        .withColumn("valid_from", lit(asOf))
-        .withColumn("valid_to", open)
+      snapshotFirstRun(fresh, checkCols, asOf)
         .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(physical)
       return
     }

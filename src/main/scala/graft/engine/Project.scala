@@ -18,6 +18,7 @@ final class Project(val spark: SparkSession, val target: Target) {
   private val models = mutable.LinkedHashMap[String, Model]()
   private val sources = mutable.LinkedHashMap[(String, String), SourceDef]()
   private val seeds = mutable.LinkedHashMap[String, Seed]()
+  private val snapshots = mutable.LinkedHashMap[String, Snapshot]()
   private val tests = mutable.ArrayBuffer[DataTest]()
 
   // ---- declaration API -------------------------------------------------
@@ -71,6 +72,21 @@ final class Project(val spark: SparkSession, val target: Target) {
 
   def seed(name: String, csvPath: String): this.type = {
     seeds(name) = Seed(name, csvPath)
+    this
+  }
+
+  /** Declare an SCD-2 snapshot as a graph node (the reference's
+    * `snapshot-paths` resource — `dbt_project.yml:19`). It participates
+    * in `run --select`, topo ordering, and the orphan macro's claimed
+    * set; downstream models `ref(name)` the accumulated SCD-2 table. */
+  def snapshot(name: String, uniqueKey: String, checkCols: Seq[String],
+      config: ModelConfig = ModelConfig(Materialization.Table),
+      asOf: () => java.sql.Timestamp =
+        () => new java.sql.Timestamp(System.currentTimeMillis()))(
+      build: Ctx => DataFrame): this.type = {
+    require(!snapshots.contains(name) && !models.contains(name),
+      s"duplicate node $name")
+    snapshots(name) = Snapshot(name, build, uniqueKey, checkCols, config, asOf)
     this
   }
 
@@ -130,6 +146,8 @@ final class Project(val spark: SparkSession, val target: Target) {
     s"${schemaFor(m.config)}.${Ident.normalize(m.config.alias.getOrElse(m.name))}"
   def physicalName(s: Seed): String =
     s"${schemaFor(s.config)}.${Ident.normalize(s.name)}"
+  def physicalName(s: Snapshot): String =
+    s"${schemaFor(s.config)}.${Ident.normalize(s.config.alias.getOrElse(s.name))}"
 
   // ---- compile: memoized resolution + edge recording -------------------
 
@@ -157,6 +175,22 @@ final class Project(val spark: SparkSession, val target: Target) {
   private val resolved = mutable.Map[String, DataFrame]()
   private val resolving = mutable.LinkedHashSet[String]() // cycle detection
   private val edges = mutable.Map[String, mutable.Set[String]]()
+  private val snapFresh = mutable.Map[String, DataFrame]()
+
+  /** Resolve a snapshot's FRESH query (memoized; records its ref/source
+    * edges like a model build). */
+  private def resolveSnapshotFresh(name: String): DataFrame =
+    snapFresh.getOrElseUpdate(name,
+      snapshots(name).build(ctxFor(s"snapshot.$name")))
+
+  /** What a `ref` to a snapshot reads: the accumulated SCD-2 table once
+    * built; before first build, the first-run-shaped plan (same schema,
+    * epoch timestamp) so compile-time resolution can type-check and
+    * record edges. */
+  private def snapshotDf(s: Snapshot): DataFrame =
+    if (spark.catalog.tableExists(physicalName(s))) spark.table(physicalName(s))
+    else Materializer.snapshotFirstRun(resolveSnapshotFresh(s.name),
+      s.checkCols, new java.sql.Timestamp(0L))
 
   // synchronized: exec-time resolution records edges from the run thread
   // pool (compile-time resolution is single-threaded, but not exclusively)
@@ -185,8 +219,16 @@ final class Project(val spark: SparkSession, val target: Target) {
     spark,
     (depName0, version) => {
       val depName = versionedName(depName0, version)
-      recordEdge(nodeId, s"model.$depName")
-      resolve(depName)
+      // snapshots share the ref namespace (dbt refs snapshots by name);
+      // a model of the same name wins, versioned refs are models-only
+      if (!models.contains(depName) && version.isEmpty &&
+          snapshots.contains(depName0)) {
+        recordEdge(nodeId, s"snapshot.$depName0")
+        snapshotDf(snapshots(depName0))
+      } else {
+        recordEdge(nodeId, s"model.$depName")
+        resolve(depName)
+      }
     },
     (s0, t0) => {
       val sd = sources.getOrElse((s0, t0),
@@ -223,16 +265,22 @@ final class Project(val spark: SparkSession, val target: Target) {
     spark,
     (depName0, version) => {
       val depName = versionedName(depName0, version)
-      recordEdge(nodeId, s"model.$depName")
-      val dep = models.getOrElse(depName,
-        throw new NoSuchElementException(s"unknown model '$depName'"))
-      dep.config.materialized match {
-        case Materialization.View | Materialization.Ephemeral =>
-          execResolve(depName, memo)
-        case _ if spark.catalog.tableExists(physicalName(dep)) =>
-          spark.table(physicalName(dep))
-        case _ => // physical upstream not built yet (ad-hoc resolution)
-          execResolve(depName, memo)
+      if (!models.contains(depName) && version.isEmpty &&
+          snapshots.contains(depName0)) {
+        recordEdge(nodeId, s"snapshot.$depName0")
+        snapshotDf(snapshots(depName0))
+      } else {
+        recordEdge(nodeId, s"model.$depName")
+        val dep = models.getOrElse(depName,
+          throw new NoSuchElementException(s"unknown model '$depName'"))
+        dep.config.materialized match {
+          case Materialization.View | Materialization.Ephemeral =>
+            execResolve(depName, memo)
+          case _ if spark.catalog.tableExists(physicalName(dep)) =>
+            spark.table(physicalName(dep))
+          case _ => // physical upstream not built yet (ad-hoc resolution)
+            execResolve(depName, memo)
+        }
       }
     },
     (s0, t0) => {
@@ -247,12 +295,14 @@ final class Project(val spark: SparkSession, val target: Target) {
   /** Force-resolve everything and return the introspectable graph. */
   def compile(): ProjectGraph = {
     models.keys.foreach(resolve)
+    snapshots.keys.foreach(resolveSnapshotFresh) // records snapshot edges
     val testNodes = tests.map(t => t.id -> (t: Node))
     tests.foreach(t => recordEdge(t.id, s"model.${t.modelName}"))
     ProjectGraph(
       (models.values.map(m => m.id -> (m: Node)) ++
         sources.values.map(s => s.id -> (s: Node)) ++
-        seeds.values.map(s => s.id -> (s: Node)) ++ testNodes).toMap,
+        seeds.values.map(s => s.id -> (s: Node)) ++
+        snapshots.values.map(s => s.id -> (s: Node)) ++ testNodes).toMap,
       edges.map { case (k, v) => k -> v.toSet }.toMap)
   }
 
@@ -357,6 +407,13 @@ final class Project(val spark: SparkSession, val target: Target) {
           NodeResult(m.id, "success", ms)
         case s: Seed =>
           Materializer.loadSeed(this, s)
+          NodeResult(s.id, "success", ms)
+        case s: Snapshot =>
+          // fresh query built with EXEC-time resolution (reads
+          // materialized upstreams, which topo order has already built)
+          val fresh = s.build(execCtxFor(s.id, mutable.Map()))
+          Materializer.snapshot(this, physicalName(s), fresh,
+            s.uniqueKey, s.checkCols, s.asOf())
           NodeResult(s.id, "success", ms)
         case t: DataTest =>
           val viol = t.violations(materializedDf(t.modelName))
@@ -478,6 +535,11 @@ object Selector {
     val down = graph.edges.toSeq
       .flatMap { case (id, ups) => ups.map(_ -> id) }
       .groupMap(_._1)(_._2)
+    // bare names address models first, then snapshots/seeds (dbt selects
+    // any resource kind by name)
+    def nodeId(e: String): String =
+      Seq(s"model.$e", s"snapshot.$e", s"seed.$e")
+        .find(graph.nodes.contains).getOrElse(s"model.$e")
     def closure(start: Set[String], next: String => Iterable[String]): Set[String] = {
       var acc = start
       var frontier = start
@@ -498,12 +560,10 @@ object Selector {
           case (id, m: Model) if m.config.tags.contains(e.stripPrefix("tag:")) => id
         }.toSet
       case e if e.startsWith("+") =>
-        val root = s"model.${e.drop(1)}"
-        closure(Set(root), graph.upstream(_))
+        closure(Set(nodeId(e.drop(1))), graph.upstream(_))
       case e if e.endsWith("+") =>
-        val root = s"model.${e.dropRight(1)}"
-        closure(Set(root), id => down.getOrElse(id, Nil))
-      case e => Set(s"model.$e")
+        closure(Set(nodeId(e.dropRight(1))), id => down.getOrElse(id, Nil))
+      case e => Set(nodeId(e))
     }
     // tests of selected models ride along
     val withTests = ids ++ graph.nodes.collect {

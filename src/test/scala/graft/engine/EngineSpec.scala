@@ -350,6 +350,48 @@ class EngineSpec extends SparkSpec {
     assert(open2.head.getAs[java.sql.Timestamp]("valid_from") == t1)
   }
 
+  test("snapshot as DAG node: topo order, downstream ref, orphan claim, selection") {
+    import spark.implicits._
+    val p = newProject("snapdag")
+    // mutable upstream the snapshot tracks across two runs
+    var src = Seq((1L, "a"), (2L, "b")).toDF("id", "status")
+    var asOf = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    p.model("raw_status",
+      ModelConfig(materialized = Materialization.Table)) { _ => src }
+    p.snapshot("status_snap", uniqueKey = "id", checkCols = Seq("status"),
+      asOf = () => asOf) { ctx => ctx.ref("raw_status") }
+    // downstream model refs the snapshot by name — only works if the
+    // snapshot is a graph node built BEFORE this model (topo order)
+    p.model("open_rows") { ctx =>
+      ctx.ref("status_snap").filter(col("valid_to").isNull)
+        .select("id", "status")
+    }
+    val res = p.run()
+    assert(res.ok, res.results.mkString("; "))
+    assert(res.byId.contains("snapshot.status_snap"))
+    assert(spark.table("snapdag.status_snap").count() == 2)
+    assert(p.materializedDf("open_rows").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set(1L -> "a", 2L -> "b"))
+    // orphan macro counts the snapshot as claimed (graph.snapshots)
+    val orphans = Macros.listOrphanedObjects(spark, p.compile(), p, "snapdag")
+    assert(!orphans.exists(_.contains("status_snap")), orphans.mkString("; "))
+    // second pass: change one row, select the snapshot + ancestors by its
+    // bare name (snapshots share the selector namespace)
+    src = Seq((1L, "a2"), (2L, "b")).toDF("id", "status")
+    asOf = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+    val res2 = p.run("+status_snap")
+    assert(res2.ok, res2.results.mkString("; "))
+    assert(!res2.byId.contains("model.open_rows"), "selection leaked downstream")
+    val snap = spark.table("snapdag.status_snap")
+    assert(snap.count() == 3, "changed row must close out + re-insert")
+    assert(snap.filter(col("valid_to").isNotNull).count() == 1)
+    // downstream read now sees the updated open rows
+    assert(p.materializedDf("open_rows").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set(1L -> "a2", 2L -> "b"))
+  }
+
   test("dbt_utils test family: violations fire exactly when they should") {
     import spark.implicits._
     val df = Seq(
