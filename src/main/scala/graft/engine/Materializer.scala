@@ -113,19 +113,15 @@ object Materializer {
         } else {
           // only partitions present in `df` are replaced; insertInto is
           // positional and the table stores partition columns last. The
-          // conf is saved/restored around the write (a DataFrameWriter
-          // option does NOT reach insertInto's command) so later static
-          // overwrites elsewhere in the session are unaffected.
+          // conf swap (a DataFrameWriter option does NOT reach
+          // insertInto's command) goes through SessionConf so concurrent
+          // node builds can't observe — or clobber — the dynamic mode.
           val ordered = df.select(
             (df.columns.filterNot(partitionCols.contains) ++ partitionCols)
               .map(col): _*)
-          val key = "spark.sql.sources.partitionOverwriteMode"
-          val prev = p.spark.conf.getOption(key)
-          p.spark.conf.set(key, "dynamic")
-          try ordered.write.mode(SaveMode.Overwrite).insertInto(physical)
-          finally prev match {
-            case Some(v) => p.spark.conf.set(key, v)
-            case None => p.spark.conf.unset(key)
+          SessionConf.withConf(p.spark,
+            "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+            ordered.write.mode(SaveMode.Overwrite).insertInto(physical)
           }
         }
       case Materialization.Incremental(uniqueKey, strategy) =>

@@ -47,9 +47,19 @@ object Similarity {
     * results to [[bruteForceTopK]] (same double math, same HALF_UP
     * rounding, same neighbor-id tie-break). */
   def bruteForceTopKBroadcast(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      maxCorpusRows: Long = 1000000L): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // guardrail on the driver collect: misuse at corpus scale must be an
+    // actionable error, not a driver OOM. The count is one column-pruned
+    // scan — noise next to the all-pairs work this operator does anyway.
+    val corpusRows = corpus.select(col(idCol)).count()
+    require(corpusRows <= maxCorpusRows,
+      s"bruteForceTopKBroadcast collects the corpus to the driver and " +
+        s"got $corpusRows rows (cap $maxCorpusRows). For large corpora " +
+        "use Similarity.ivfTopK (IVF ANN, distributed), or raise " +
+        "maxCorpusRows deliberately if the driver can hold the matrix.")
     val mat: Array[(Long, Array[Float], Double)] = corpus
       .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
       .collect()

@@ -37,12 +37,9 @@ object EventStreams {
     * is captured at query START — set it for the `start()` call only and
     * restore immediately after. */
   private def withStatePartitions[T](spark: SparkSession, n: Int)(
-      start: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try start finally spark.conf.set(key, prev)
-  }
+      start: => T): T =
+    graft.engine.SessionConf.withConf(spark,
+      "spark.sql.shuffle.partitions" -> n.toString)(start)
 
   /** Tumbling 1-hour windowed aggregation with a watermark, run to
     * completion. Complete output mode so no window is dropped and the

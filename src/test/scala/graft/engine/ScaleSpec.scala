@@ -93,6 +93,43 @@ class ScaleSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("concurrent insert-overwrite builds don't leak dynamic mode") {
+    // Two InsertOverwrite models racing under threads=4 next to a plain
+    // Table model: the SessionConf lock must (a) keep each dynamic
+    // overwrite correct (other partitions survive), (b) leave the
+    // session conf at its original value afterwards.
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val before = spark.conf.getOption(key)
+    var batch = Seq(("p1", 1L), ("p2", 2L))
+    def proj(): Project = {
+      val p = new Project(spark, Target("dev", "confrace", threads = 4))
+      for (i <- 1 to 2)
+        p.model(s"iow_$i", ModelConfig(materialized =
+          Materialization.InsertOverwrite(Seq("part")))) { ctx =>
+          import ctx.spark.implicits._
+          batch.toDF("part", "v")
+        }
+      p.model("plain_tbl",
+        ModelConfig(materialized = Materialization.Table)) { ctx =>
+        import ctx.spark.implicits._
+        Seq(1, 2, 3).toDF("x")
+      }
+      p
+    }
+    assert(proj().run().ok)
+    batch = Seq(("p2", 42L)) // second run: rewrite p2 only, keep p1
+    assert(proj().run().ok)
+    for (i <- 1 to 2) {
+      val rows = spark.table(s"confrace.iow_$i").select("part", "v")
+        .orderBy("part")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows == Seq("p1" -> 1L, "p2" -> 42L), s"iow_$i: $rows")
+    }
+    assert(spark.table("confrace.plain_tbl").count() == 3)
+    assert(spark.conf.getOption(key) == before,
+      "partitionOverwriteMode leaked into the session")
+  }
+
   test("insert-overwrite incremental rewrites only incoming partitions") {
     var day = "2024-01-01"
     def proj(): Project = {

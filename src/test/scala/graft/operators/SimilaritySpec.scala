@@ -52,6 +52,15 @@ class SimilaritySpec extends SparkSpec {
     assert(a.count() == b.count())
   }
 
+  test("broadcast-corpus top-k refuses a corpus above the driver cap") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopKBroadcast(emb, emb, "vec_id", "embedding",
+        k = 5, maxCorpusRows = 10L)
+    }
+    assert(e.getMessage.contains("ivfTopK"),
+      s"error must point at the scale path: ${e.getMessage}")
+  }
+
   test("IVF probing every cell equals exact brute force") {
     val k = 3
     val cents = Similarity.trainKMeans(emb, "vec_id", "embedding", k = 4, iters = 2)
