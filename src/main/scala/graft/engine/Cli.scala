@@ -39,12 +39,47 @@ object Cli {
         val findings = Macros.evaluateProject(project.compile())
         if (findings.isEmpty) Seq("project_evaluator: no findings")
         else findings // advisory only — never fails the build
+      case "debug" :: _ =>
+        debug(project)
       case other =>
         Seq(s"unknown command: ${other.mkString(" ")} " +
-          "(expected run|build|test|ls|run-operation)")
+          "(expected run|build|test|ls|run-operation|debug)")
     }
     out.foreach(println)
     out
+  }
+
+  /** `dbt debug` (reference first-run flow, `README.md:88`): sanity-check
+    * the session before any model runs. One PASS/FAIL line per check —
+    * engine reachable, catalog reachable, warehouse writable, every
+    * declared source resolvable — never throws (a broken environment is
+    * the expected input). */
+  private def debug(project: Project): Seq[String] = {
+    val spark = project.spark
+    def check(name: String)(body: => String): String =
+      try { val detail = body; s"PASS $name${if (detail.isEmpty) "" else s" ($detail)"}" }
+      catch { case e: Exception =>
+        s"FAIL $name: ${String.valueOf(e.getMessage).linesIterator.next()}" }
+    val engine = check("engine") {
+      spark.sql("SELECT 1").collect(); s"spark ${spark.version}"
+    }
+    val catalog = check("catalog") {
+      s"${spark.catalog.listDatabases().count()} database(s)"
+    }
+    val warehouse = check("warehouse writable") {
+      val dir = java.nio.file.Paths.get(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      java.nio.file.Files.createDirectories(dir)
+      val probe = java.nio.file.Files.createTempFile(dir, ".graft_debug", "")
+      java.nio.file.Files.delete(probe)
+      dir.toString
+    }
+    val sources = project.sourceDefs.map { sd =>
+      check(s"source ${sd.name}") { project.checkSource(sd); "" }
+    }
+    val lines = Seq(engine, catalog, warehouse) ++ sources
+    lines :+ (if (lines.exists(_.startsWith("FAIL")))
+      "debug: FAIL" else "debug: all checks passed")
   }
 
   private def selectArg(rest: Seq[String]): String =
@@ -58,13 +93,50 @@ object Cli {
     }.getOrElse("")
 
   /** `--args '{k: v, k2: v2}'` — the reference passes YAML kwargs
-    * (`README.md:163`); we accept the same flow-mapping subset. */
+    * (`README.md:163`); we accept the same flow-mapping subset.
+    * Quote-aware: commas and colons inside 'single' or "double" quoted
+    * values don't split, and the quotes are stripped. */
   private def kwargsArg(rest: Seq[String]): Map[String, String] =
     rest.sliding(2).collectFirst { case Seq("--args", v) => v }
-      .map { raw =>
-        raw.trim.stripPrefix("{").stripSuffix("}").split(",")
-          .iterator.map(_.split(":", 2))
-          .collect { case Array(k, v) => k.trim -> v.trim }
-          .toMap
-      }.getOrElse(Map.empty)
+      .map(parseKwargs).getOrElse(Map.empty)
+
+  private[engine] def parseKwargs(raw: String): Map[String, String] = {
+    val body = raw.trim.stripPrefix("{").stripSuffix("}")
+    val items = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var quote: Char = 0
+    body.foreach { ch =>
+      if (quote != 0) {
+        if (ch == quote) quote = 0
+        cur.append(ch)
+      } else ch match {
+        case '\'' | '"' => quote = ch; cur.append(ch)
+        case ',' => items += cur.toString; cur.clear()
+        case c => cur.append(c)
+      }
+    }
+    if (cur.nonEmpty) items += cur.toString
+    def unquote(s: String): String =
+      if (s.length >= 2 && (s.head == '\'' || s.head == '"') &&
+        s.last == s.head) s.substring(1, s.length - 1)
+      else s
+    items.iterator.map(splitKeyValue).collect {
+      case Array(k, v) => unquote(k.trim) -> unquote(v.trim)
+    }.toMap
+  }
+
+  /** Split `k: v` on the first colon OUTSIDE quotes (a quoted key could
+    * itself contain a colon). */
+  private def splitKeyValue(item: String): Array[String] = {
+    var quote: Char = 0
+    var i = 0
+    while (i < item.length) {
+      val ch = item.charAt(i)
+      if (quote != 0) { if (ch == quote) quote = 0 }
+      else if (ch == '\'' || ch == '"') quote = ch
+      else if (ch == ':') return Array(item.substring(0, i), item.substring(i + 1))
+      i += 1
+    }
+    Array(item)
+  }
 }

@@ -64,6 +64,10 @@ final class Project(val spark: SparkSession, val target: Target) {
   private[engine] def modelOpt(name: String): Option[Model] = models.get(name)
   private[engine] def sourceOpt(s0: String, t0: String): Option[SourceDef] =
     sources.get((s0, t0))
+  private[engine] def sourceDefs: Seq[SourceDef] = sources.values.toSeq
+  /** Resolve a source to its schema (throws when unreadable) — the
+    * `dbt debug` source check. */
+  private[engine] def checkSource(sd: SourceDef): Unit = sourceDf(sd).schema
 
   def source(sourceName: String, table: String, location: SourceLocation): this.type = {
     sources((sourceName, table)) = SourceDef(sourceName, table, location)

@@ -93,6 +93,72 @@ class OpsSpec extends SparkSpec {
     assert(spark.catalog.tableExists("cliops.stray"), "operation must not execute DDL")
   }
 
+  test("profiles file: target selection, env_var templating, threads") {
+    val yaml =
+      """# reference-shaped profiles file
+        |graft_project:
+        |  target: dev
+        |  outputs:
+        |    dev:
+        |      schema: dev_analytics
+        |      threads: 4
+        |    prod:
+        |      schema: "{{ env_var('GRAFT_PROD_SCHEMA', 'analytics') }}"
+        |      threads: 16
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("profiles", ".yml")
+    java.nio.file.Files.writeString(f, yaml)
+    // default target from the file's `target:` key
+    val dev = Profiles.load(f.toString)
+    assert(dev == Target("dev", "dev_analytics", threads = 4))
+    // explicit target override + env_var default
+    val prod = Profiles.load(f.toString, target = Some("prod"))
+    assert(prod == Target("prod", "analytics", threads = 16))
+    // env_var set wins over the default
+    val prodEnv = Profiles.fromYaml(yaml, target = Some("prod"),
+      env = Map("GRAFT_PROD_SCHEMA" -> "analytics_prod"))
+    assert(prodEnv.schema == "analytics_prod")
+    // unknown target is an actionable error
+    val e = intercept[IllegalArgumentException] {
+      Profiles.load(f.toString, target = Some("staging"))
+    }
+    assert(e.getMessage.contains("staging") && e.getMessage.contains("dev"))
+    // a loaded target drives a real project run
+    val p = new Project(spark, dev)
+    p.model("profiled", ModelConfig(materialized = Materialization.Table)) {
+      ctx => import ctx.spark.implicits._; Seq(1).toDF("id")
+    }
+    assert(p.run().ok)
+    assert(spark.table("dev_analytics.profiled").count() == 1)
+  }
+
+  test("cli debug: PASS on a healthy project, FAIL names the broken source") {
+    val good = new Project(spark, Target("dev", "dbg", threads = 2))
+    good.source("tpch", "nation", ParquetPath(s"$sf0001/nation.parquet"))
+    val out = Cli.run(good, Seq("debug"))
+    assert(out.exists(_.startsWith("PASS engine")), out.mkString("; "))
+    assert(out.exists(_.startsWith("PASS catalog")))
+    assert(out.exists(_.startsWith("PASS warehouse writable")))
+    assert(out.exists(_.startsWith("PASS source tpch.nation")))
+    assert(out.last == "debug: all checks passed")
+
+    val bad = new Project(spark, Target("dev", "dbg", threads = 2))
+    bad.source("tpch", "nation", ParquetPath(s"$sf0001/nation.parquet"))
+    bad.source("tpch", "ghost", ParquetPath("/nonexistent/ghost.parquet"))
+    val out2 = Cli.run(bad, Seq("debug"))
+    assert(out2.exists(_.startsWith("PASS source tpch.nation")))
+    assert(out2.exists(_.startsWith("FAIL source tpch.ghost")), out2.mkString("; "))
+    assert(out2.last == "debug: FAIL")
+  }
+
+  test("kwargs parser: quoted values keep commas and colons") {
+    val parsed = Cli.parseKwargs(
+      "{schema: cliops, msg: 'a, b: c', q: \"x,y\", flag: true}")
+    assert(parsed == Map(
+      "schema" -> "cliops", "msg" -> "a, b: c", "q" -> "x,y",
+      "flag" -> "true"))
+  }
+
   test("declare-time sql lints: trailing semicolon and parse errors fire") {
     val p = new Project(spark, Target("dev", "lints", threads = 2))
     val semi = intercept[IllegalArgumentException] {
