@@ -15,7 +15,11 @@ object Macros {
 
   /** `star_from_relations` (`macros/star_from_relations.sql:12-26`): the
     * explicit column list of a by-name union of relations, minus `except`,
-    * optionally alias-prefixed. Returns Columns ready for `.select`. */
+    * optionally alias-prefixed. Returns Columns ready for `.select`.
+    * Every identifier is backtick-quoted (the reference macro
+    * adapter.quotes each column at `:20`) so dotted or space-bearing
+    * column names resolve as single identifiers instead of misparsing
+    * as struct-field paths. */
   def starFromRelations(relations: Seq[DataFrame],
       relationAlias: Option[String] = None,
       except: Set[String] = Set.empty): Seq[Column] = {
@@ -24,8 +28,8 @@ object Macros {
       .filterNot(c => exceptNorm.contains(Ident.normalize(c)))
     cols.map { c =>
       relationAlias match {
-        case Some(a) => col(s"$a.$c").as(c)
-        case None => col(c)
+        case Some(a) => col(s"${quote(a)}.${quote(c)}").as(c)
+        case None => col(quote(c))
       }
     }
   }

@@ -223,9 +223,9 @@ object Dedup {
     * truncates lineage (superseded rounds' blocks are freed by the
     * ContextCleaner once unreferenced). Throws rather than silently
     * returning partial labels if `maxRounds` is hit before the fixpoint.
-    * For high-diameter graphs at web scale, swap the round body for
-    * large-star/small-star (Kiveris et al., "Connected Components in
-    * MapReduce", SoCC 2014) — same join/agg primitives, O(log²) rounds.
+    * For high-diameter graphs at web scale, use
+    * [[connectedComponentsStar]] — same join/agg primitives, O(log²)
+    * rounds regardless of diameter.
     *
     * Returns (vertex, component) with component = min vertex id reachable.
     */
@@ -264,6 +264,93 @@ object Dedup {
           s"($changed labels still changing) — raise maxRounds " +
           "(rounds needed = cluster diameter)")
     labels
+  }
+
+  /** Connected components via alternating large-star/small-star rounds
+    * (R. Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014): O(log² n) rounds on ANY topology, where hash-to-min
+    * label propagation ([[connectedComponents]]) needs diameter rounds —
+    * the scale path for high-diameter duplicate graphs (chains of
+    * partial overlaps). Hash-to-min stays the fast path for the shallow
+    * clusters near-dup detection usually produces.
+    *
+    * - large-star: every vertex attaches its strictly-larger neighbors
+    *   to the minimum of its closed neighborhood;
+    * - small-star: edges oriented large→small, every vertex attaches its
+    *   smaller-or-equal neighbors (and itself) to that minimum.
+    *
+    * Both preserve connectivity and only ever decrease edge endpoints;
+    * the fixpoint is a star forest (every vertex → its component root).
+    * Each round is two join+agg passes over the edge list, result
+    * localCheckpointed (same lineage-truncation rationale as
+    * [[connectedComponents]]); convergence is detected by an edge-set
+    * signature (count + xxhash64 xor-fold), one extra cheap action per
+    * round.
+    *
+    * Returns (vertex, component) with component = min vertex id
+    * reachable, identical to [[connectedComponents]]. */
+  def connectedComponentsStar(pairs: DataFrame, srcCol: String,
+      dstCol: String, maxRounds: Int = 50): DataFrame = {
+    val vertices = pairs.select(col(srcCol).as("pv"))
+      .union(pairs.select(col(dstCol).as("pv")))
+      .distinct()
+      .localCheckpoint()
+    var edges = pairs
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v")) // oriented large→small
+      .distinct()
+      .localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u").as("mu")).agg(min(col("v")).as("mn"))
+        .select(col("mu"), least(col("mn"), col("mu")).as("m"))
+      nbrs.join(mins, nbrs("u") === mins("mu"))
+        .filter(col("v") > col("u")) // strictly-larger neighbors only
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u").as("mu")).agg(min(col("v")).as("m"))
+      e.join(mins, e("u") === mins("mu"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("mu").as("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def signature(e: DataFrame): (Long, Long) = {
+      // xor-fold (order-independent, cannot overflow ANSI long math;
+      // edges are distinct so nothing self-cancels)
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).first()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var sig = signature(edges)
+    var stable = false
+    var round = 0
+    while (!stable && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = signature(next)
+      stable = nextSig == sig
+      edges = next
+      sig = nextSig
+      round += 1
+    }
+    if (!stable)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxRounds rounds " +
+          "— O(log² n) bound exceeded; raise maxRounds")
+    // fixpoint edges are (vertex, root); vertices without edges (only
+    // self-pairs in the input) are their own component
+    val stars = edges.select(col("u").as("su"), col("v").as("scomp"))
+    vertices.join(stars, vertices("pv") === stars("su"), "left")
+      .select(col("pv").as("v"),
+        coalesce(col("scomp"), col("pv")).as("comp"))
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold (brute-force

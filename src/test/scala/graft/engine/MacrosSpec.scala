@@ -35,6 +35,21 @@ class MacrosSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("id", "amount", "note"))
   }
 
+  test("starFromRelations quotes identifiers: dotted/spaced names resolve") {
+    import spark.implicits._
+    // a dotted column name would parse as a struct-field path unquoted,
+    // and a spaced one would not parse at all (star_from_relations.sql:20
+    // adapter.quotes every column)
+    val weird = Seq((1, "a", 2.0)).toDF("the.id", "a name", "plain")
+    val cols = Macros.starFromRelations(Seq(weird))
+    assert(weird.select(cols: _*).columns.toSeq ==
+      Seq("the.id", "a name", "plain"))
+    val aliased = Macros.starFromRelations(Seq(weird),
+      relationAlias = Some("w"))
+    val out = weird.alias("w").select(aliased: _*)
+    assert(out.collect().head.toSeq == Seq(1, "a", 2.0))
+  }
+
   test("listOrphanedObjects: catalog-vs-graph diff, print-only") {
     val p = new Project(spark, Target("dev", "orph"))
     p.model("kept", ModelConfig(materialized = Materialization.Table)) { ctx =>

@@ -32,6 +32,33 @@ class DedupSpec extends SparkSpec {
     assert(comp.count() == n)
   }
 
+  test("large-star/small-star equals label propagation; handles long paths") {
+    import spark.implicits._
+    // a 60-vertex path: diameter 59, where hash-to-min needs ~59 rounds
+    // but the alternating algorithm must converge in O(log²) rounds —
+    // maxRounds 15 both proves the bound class and keeps the test honest
+    val n = 60L
+    val path = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val star = Dedup.connectedComponentsStar(path, "doc_a", "doc_b",
+      maxRounds = 15)
+    assert(star.count() == n)
+    assert(star.select(countDistinct(col("comp"))).first().getLong(0) == 1L)
+    assert(star.agg(min(col("comp")), max(col("comp"))).first()
+      .toSeq == Seq(1L, 1L))
+    // multi-cluster graph (incl. a self-pair-only isolated vertex):
+    // identical labels to hash-to-min
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (22L, 23L),
+      (30L, 30L))
+      .toDF("doc_a", "doc_b")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")) ==
+      labels(Dedup.connectedComponents(pairs, "doc_a", "doc_b")))
+  }
+
   test("simhashNearDups: banded candidates lose no pair vs the all-pairs scan") {
     // Pigeonhole exactness: with radius 3 < 4 bands of 16 bits over the
     // 64-bit signature, two sigs within distance 3 must agree on at least
