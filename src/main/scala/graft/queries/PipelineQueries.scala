@@ -455,6 +455,46 @@ object PipelineQueries extends QueryPack {
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
         ORDER BY doc_id""")),
 
+    // ---- duplicate clusters again, via large-star/small-star (the
+    //      O(log²)-round scale path for high-diameter graphs; must equal
+    //      x19's hash-to-min labels exactly — same oracle) ---------------
+    Q("x32_dup_components_star",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          n = 4, threshold = 0.2, maxDf = 100L)
+        val comp = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+        val labeled = docs.select(col("doc_id"))
+          .join(comp, docs("doc_id") === comp("v"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("component"))
+        labeled.withColumn("comp_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("component"))))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE tk AS (SELECT doc_id, $shingleSql AS s FROM documents),
+        ex0 AS (SELECT doc_id AS doc, unnest(s) AS sh FROM tk),
+        keep AS (SELECT sh FROM ex0 GROUP BY sh HAVING count(*) <= 100),
+        ex AS (SELECT doc, ex0.sh FROM ex0 JOIN keep ON ex0.sh = keep.sh),
+        sz AS (SELECT doc, count(*) AS n_sh FROM ex GROUP BY doc),
+        co AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+               FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc < b.doc
+               GROUP BY a.doc, b.doc),
+        pr AS (SELECT doc_a, doc_b
+               FROM co JOIN sz sa ON doc_a = sa.doc JOIN sz sb ON doc_b = sb.doc
+               WHERE CAST(common AS DOUBLE)/(sa.n_sh + sb.n_sh - common) >= 0.2),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+                  UNION SELECT doc_b, doc_a FROM pr),
+        reach AS (SELECT s AS v, s AS l FROM edges
+                  UNION
+                  SELECT e.s, r.l FROM reach r JOIN edges e ON e.d = r.v),
+        comp AS (SELECT v, min(l) AS component FROM reach GROUP BY v)
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+          count(*) OVER (PARTITION BY coalesce(c.component, d.doc_id)) AS comp_size
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+        ORDER BY doc_id""")),
+
     // ---- end-to-end dedup keep-list: one canonical survivor (min id)
     //      per connected near-dup cluster; everything else dropped -------
     Q("x27_dedup_keeplist",
