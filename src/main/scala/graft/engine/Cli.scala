@@ -41,9 +41,16 @@ object Cli {
         else findings // advisory only — never fails the build
       case "debug" :: _ =>
         debug(project)
+      case "docs" :: "generate" :: rest =>
+        val json = Docs.generate(project)
+        rest.sliding(2).collectFirst { case Seq("--output", p) => p }
+          .foreach { p =>
+            java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json)
+          }
+        Seq(json)
       case other =>
         Seq(s"unknown command: ${other.mkString(" ")} " +
-          "(expected run|build|test|ls|run-operation|debug)")
+          "(expected run|build|test|ls|run-operation|debug|docs)")
     }
     out.foreach(println)
     out

@@ -68,6 +68,10 @@ final class Project(val spark: SparkSession, val target: Target) {
   /** Resolve a source to its schema (throws when unreadable) — the
     * `dbt debug` source check. */
   private[engine] def checkSource(sd: SourceDef): Unit = sourceDf(sd).schema
+  /** Source schema if resolvable (docs generation never fails on a
+    * broken source — debug reports those). */
+  private[engine] def sourceSchema(sd: SourceDef): Option[org.apache.spark.sql.types.StructType] =
+    try Some(sourceDf(sd).schema) catch { case _: Exception => None }
 
   def source(sourceName: String, table: String, location: SourceLocation): this.type = {
     sources((sourceName, table)) = SourceDef(sourceName, table, location)

@@ -159,6 +159,39 @@ class OpsSpec extends SparkSpec {
       "flag" -> "true"))
   }
 
+  test("docs generate: one JSON artifact with nodes, columns, lineage") {
+    val p = new Project(spark, Target("dev", "docsgen", threads = 2))
+    p.source("tpch", "nation", ParquetPath(s"$sf0001/nation.parquet"))
+    p.model("nations", ModelConfig(materialized = Materialization.Table)) {
+      ctx => ctx.source("tpch", "nation")
+    }
+    p.snapshot("nation_snap", uniqueKey = "n_nationkey",
+      checkCols = Seq("n_name")) { ctx => ctx.ref("nations") }
+    p.testNotNull("nations", "n_nationkey")
+    assert(p.run().ok)
+    val out = Cli.run(p, Seq("docs", "generate"))
+    assert(out.size == 1)
+    val json = out.head
+    // must be real JSON — Spark's parser is the referee (a corrupt
+    // document yields a _corrupt_record column instead of fields)
+    import spark.implicits._
+    val parsed = spark.read.option("mode", "FAILFAST").json(Seq(json).toDS)
+    assert(parsed.columns.toSet ==
+      Set("target", "invocation_id", "nodes", "edges"))
+    // node entries with kind/relation/columns; edges carry lineage
+    assert(json.contains("\"model.nations\""))
+    assert(json.contains("\"snapshot.nation_snap\""))
+    assert(json.contains("\"source.tpch.nation\""))
+    assert(json.contains("\"test.not_null__nations__n_nationkey\""))
+    assert(json.contains("\"relation\": \"docsgen.nations\""))
+    assert(json.contains("{\"n_nationkey\": \"int\"}"), json.take(400))
+    assert(json.contains("\"valid_to\": \"timestamp\""), "snapshot columns missing")
+    // --output writes the same document
+    val f = java.nio.file.Files.createTempFile("docs", ".json")
+    Cli.run(p, Seq("docs", "generate", "--output", f.toString))
+    assert(java.nio.file.Files.readString(f) == json)
+  }
+
   test("declare-time sql lints: trailing semicolon and parse errors fire") {
     val p = new Project(spark, Target("dev", "lints", threads = 2))
     val semi = intercept[IllegalArgumentException] {
