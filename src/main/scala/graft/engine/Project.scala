@@ -305,7 +305,7 @@ final class Project(val spark: SparkSession, val target: Target) {
     models.keys.foreach(resolve)
     snapshots.keys.foreach(resolveSnapshotFresh) // records snapshot edges
     val testNodes = tests.map(t => t.id -> (t: Node))
-    tests.foreach(t => recordEdge(t.id, s"model.${t.modelName}"))
+    tests.foreach(t => recordEdge(t.id, testTargetId(t.modelName)))
     ProjectGraph(
       (models.values.map(m => m.id -> (m: Node)) ++
         sources.values.map(s => s.id -> (s: Node)) ++
@@ -365,7 +365,7 @@ final class Project(val spark: SparkSession, val target: Target) {
     // themselves only wait on their model (no test-to-test edges — two
     // tests of one model must not deadlock on each other).
     val testsByModel: Map[String, Seq[String]] =
-      tests.toSeq.groupBy(t => s"model.${t.modelName}")
+      tests.toSeq.groupBy(t => testTargetId(t.modelName))
         .map { case (m, ts) => m -> ts.map(_.id) }
 
     def nodeFuture(id: String): Future[NodeResult] =
@@ -478,14 +478,23 @@ final class Project(val spark: SparkSession, val target: Target) {
   /** The DataFrame a downstream consumer/test should read for a model:
     * the materialized relation if one exists, else the exec-resolved plan
     * (which itself reads materialized upstreams — dbt ref semantics). */
-  def materializedDf(name: String): DataFrame = {
-    val m = models(name)
-    m.config.materialized match {
+  def materializedDf(name: String): DataFrame = models.get(name) match {
+    case Some(m) => m.config.materialized match {
       case Materialization.Ephemeral => resolveForRun(name)
       case Materialization.View => resolveForRun(name) // view == same plan
       case _ => spark.table(physicalName(m))
     }
+    case None if snapshots.contains(name) => // tests target snapshots too
+      spark.table(physicalName(snapshots(name)))
+    case None =>
+      throw new NoSuchElementException(s"unknown model/snapshot '$name'")
   }
+
+  /** Graph id a data test (or selector name) attached to `name` points
+    * at: the model if one exists, else the snapshot. */
+  private def testTargetId(name: String): String =
+    if (!models.contains(name) && snapshots.contains(name)) s"snapshot.$name"
+    else s"model.$name"
 
   /** `dbt test`: evaluate data tests against EXISTING relations without
     * materializing any model — `test` must not run models as a side
@@ -564,8 +573,10 @@ object Selector {
         val roots = modified.map(m => s"model.$m")
         closure(roots, id => down.getOrElse(id, Nil))
       case e if e.startsWith("tag:") =>
+        val tag = e.stripPrefix("tag:")
         graph.nodes.collect {
-          case (id, m: Model) if m.config.tags.contains(e.stripPrefix("tag:")) => id
+          case (id, m: Model) if m.config.tags.contains(tag) => id
+          case (id, s: Snapshot) if s.config.tags.contains(tag) => id
         }.toSet
       case e if e.startsWith("+") =>
         closure(Set(nodeId(e.drop(1))), graph.upstream(_))
@@ -573,9 +584,10 @@ object Selector {
         closure(Set(nodeId(e.dropRight(1))), id => down.getOrElse(id, Nil))
       case e => Set(nodeId(e))
     }
-    // tests of selected models ride along
+    // tests of selected nodes ride along (a test's sole upstream edge is
+    // its target — model or snapshot)
     val withTests = ids ++ graph.nodes.collect {
-      case (tid, t: DataTest) if ids.contains(s"model.${t.modelName}") => tid
+      case (tid, _: DataTest) if graph.upstream(tid).exists(ids.contains) => tid
     }
     withTests.contains _
   }

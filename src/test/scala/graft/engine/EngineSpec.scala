@@ -392,6 +392,28 @@ class EngineSpec extends SparkSpec {
       Set(1L -> "a2", 2L -> "b"))
   }
 
+  test("data tests target snapshots; failing snapshot test blocks downstream") {
+    import spark.implicits._
+    val p = newProject("snaptest")
+    p.model("src_m", ModelConfig(materialized = Materialization.Table)) { ctx =>
+      import ctx.spark.implicits._
+      Seq((1L, "a"), (1L, "b")).toDF("id", "v") // duplicate unique key
+    }
+    p.snapshot("snap_t", uniqueKey = "id", checkCols = Seq("v"),
+      asOf = () => java.sql.Timestamp.valueOf("2026-01-01 00:00:00")) {
+      ctx => ctx.ref("src_m")
+    }
+    p.testUnique("snap_t", "id") // fails: id=1 appears twice
+    p.testNotNull("snap_t", "valid_from") // passes
+    p.model("down")(ctx => ctx.ref("snap_t"))
+    val by = p.build().byId
+    assert(by("snapshot.snap_t").status == "success")
+    assert(by("test.unique__snap_t__id").status == "fail")
+    assert(by("test.not_null__snap_t__valid_from").status == "success")
+    assert(by("model.down").status == "skipped",
+      "failing snapshot test must block downstream under build()")
+  }
+
   test("dbt_utils test family: violations fire exactly when they should") {
     import spark.implicits._
     val df = Seq(
