@@ -447,18 +447,17 @@ final class Project(val spark: SparkSession, val target: Target) {
 
   // ---- state manifest: stable logic hashes for state:modified+ ---------
 
-  /** Stable hash of each model's logic: sha256 over the *canonicalized
-    * analyzed plan*, so renames of intermediate aliases or attribute-id
-    * churn don't count as modifications but any real logic/source change
-    * does (SURVEY §7.4.4). */
+  /** Stable hash of each model's (and snapshot's fresh-query) logic:
+    * sha256 over the *canonicalized analyzed plan*, so renames of
+    * intermediate aliases or attribute-id churn don't count as
+    * modifications but any real logic/source change does (SURVEY §7.4.4). */
   def manifest: Map[String, String] = {
     val digest = java.security.MessageDigest.getInstance("SHA-256")
-    models.keys.map { n =>
-      val plan = resolve(n).queryExecution.analyzed.canonicalized.toString
-      val h = digest.digest(plan.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      n -> h
-    }.toMap
+    def hash(df: DataFrame): String = digest.digest(
+      df.queryExecution.analyzed.canonicalized.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    models.keys.map(n => n -> hash(resolve(n))).toMap ++
+      snapshots.keys.map(n => n -> hash(resolveSnapshotFresh(n))).toMap
   }
 
   def writeManifest(path: String): Unit = {
@@ -568,10 +567,9 @@ object Selector {
       acc
     }
     val ids: Set[String] = expr match {
-      case "state:modified" => modified.map(m => s"model.$m")
+      case "state:modified" => modified.map(nodeId)
       case "state:modified+" =>
-        val roots = modified.map(m => s"model.$m")
-        closure(roots, id => down.getOrElse(id, Nil))
+        closure(modified.map(nodeId), id => down.getOrElse(id, Nil))
       case e if e.startsWith("tag:") =>
         val tag = e.stripPrefix("tag:")
         graph.nodes.collect {

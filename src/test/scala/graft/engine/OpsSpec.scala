@@ -57,6 +57,33 @@ class OpsSpec extends SparkSpec {
     assert(res2.results.isEmpty)
   }
 
+  test("state:modified+ covers snapshot logic changes") {
+    var minId = 0L
+    def project(): Project = {
+      val p = new Project(spark, Target("dev", "statesnap", threads = 2))
+      p.model("base") { ctx =>
+        import ctx.spark.implicits._
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      }
+      p.snapshot("snap_sel", uniqueKey = "id", checkCols = Seq("v"),
+        asOf = () => java.sql.Timestamp.valueOf("2026-01-01 00:00:00")) {
+        ctx => ctx.ref("base").filter(col("id") > minId)
+      }
+      p.model("reads_snap")(ctx => ctx.ref("snap_sel").select(col("id")))
+      p
+    }
+    val before = project().manifest
+    assert(before.contains("snap_sel"), "snapshots must be in the manifest")
+    minId = 1L // the snapshot's own fresh query changes; before first
+    // build a downstream ref inlines that plan, so the change propagates
+    // (same superset-of-dbt hashing rationale as the model case above)
+    val p2 = project()
+    assert(p2.modifiedSince(before) == Set("snap_sel", "reads_snap"))
+    val ran = p2.run("state:modified+", previousManifest = Some(before))
+      .results.map(_.id).toSet
+    assert(ran == Set("snapshot.snap_sel", "model.reads_snap"), ran)
+  }
+
   test("project evaluator: untested / rootless / unused findings") {
     val p = new Project(spark, Target("dev", "lint", threads = 2))
     p.source("src", "nation", ParquetPath(s"$sf0001/nation.parquet"))
