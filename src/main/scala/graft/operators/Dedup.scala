@@ -266,6 +266,29 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination: drop every corpus document that shares
+    * at least one word n-gram with a benchmark/test set (the GPT-3-style
+    * n-gram collision rule — a training doc containing verbatim
+    * benchmark text must not survive into the training set).
+    *
+    * Shape at scale: the benchmark's DISTINCT shingle set is tiny next
+    * to the corpus, so the shingle join broadcasts it; the corpus side
+    * streams through map-side (no corpus shuffle), and only contaminated
+    * ids reach the final left_anti join. Documents shorter than n tokens
+    * have no n-grams and always survive. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val shingle = (c: Column) =>
+      graft.expressions.TextExpressions.wordShingles(c, n)
+    val corpusSh = corpus.select(col(idCol).as("doc"),
+      explode(shingle(col(textCol))).as("sh"))
+    val benchSh = bench.select(explode(shingle(col(textCol))).as("sh"))
+      .distinct()
+    val contaminated = corpusSh.join(broadcast(benchSh), "sh")
+      .select(col("doc").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Connected components via alternating large-star/small-star rounds
     * (R. Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC 2014): O(log² n) rounds on ANY topology, where hash-to-min

@@ -29,6 +29,14 @@ object PipelineQueries extends QueryPack {
   private def minhashSigSql(seed: Int): String =
     s"list_aggregate(list_transform(s, t -> md5('$seed|'||t)), 'min')"
 
+  /** n-gram distinct shingle list for arbitrary n (the 4-gram constant
+    * above predates this; kept for oracle-text stability). */
+  private def shingleSqlN(n: Int): String = {
+    val parts = (1 to n).map(j => s"string_split(text,' ')[i+$j]")
+      .mkString("||'_'||")
+    s"list_distinct(list_transform(range(len(string_split(text,' '))-${n - 1}), i -> $parts))"
+  }
+
   private val dotSql =
     "list_sum(list_transform(range(len(%s)), i -> CAST(%s[i+1] AS DOUBLE)*CAST(%s[i+1] AS DOUBLE)))"
 
@@ -493,6 +501,30 @@ object PipelineQueries extends QueryPack {
         SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
           count(*) OVER (PARTITION BY coalesce(c.component, d.doc_id)) AS comp_size
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+        ORDER BY doc_id""")),
+
+    // ---- benchmark decontamination: GPT-3-style n-gram collision rule
+    //      (corpus = doc_id % 20 != 0, benchmark = the rest; a training
+    //      doc sharing any 8-gram with the benchmark is dropped) --------
+    Q("x33_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bench = docs.filter(col("doc_id") % 20 === 0)
+        val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+        Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH bench AS (
+          SELECT DISTINCT unnest(${shingleSqlN(8)}) AS sh
+          FROM documents WHERE doc_id % 20 = 0),
+        corp AS (
+          SELECT doc_id, unnest(${shingleSqlN(8)}) AS sh
+          FROM documents WHERE doc_id % 20 <> 0),
+        bad AS (SELECT DISTINCT doc_id FROM corp JOIN bench USING (sh))
+        SELECT d.doc_id, d.source FROM documents d
+        WHERE d.doc_id % 20 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM bad)
         ORDER BY doc_id""")),
 
     // ---- end-to-end dedup keep-list: one canonical survivor (min id)

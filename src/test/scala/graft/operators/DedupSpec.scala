@@ -136,6 +136,19 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall = $recall over $nExact exact pairs")
   }
 
+  test("decontaminate: n-gram collision drops the doc, short docs survive") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix alpha beta gamma delta suffix"), // shares a 4-gram
+      (2L, "totally unrelated content here now"),   // clean
+      (3L, "alpha beta"))                           // < n tokens: no grams
+      .toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("native profileScores equals the HOF profileScore per profile") {
     import spark.implicits._
     import graft.functions.TextFunctions._
