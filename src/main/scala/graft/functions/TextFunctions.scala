@@ -135,4 +135,20 @@ object TextFunctions {
     * non-space char (the usual pre-tokenizer regex family). */
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
+
+  /** PII redaction patterns (kind -> regex). Deliberately restricted to
+    * constructs with identical semantics in Java regex (Spark) and RE2
+    * (DuckDB oracle): character classes, bounded repetition, \b — no
+    * backrefs, no lookaround. Replacement token is `<KIND>`. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "phone" -> "\\+[0-9]{7,15}",
+    "ipv4" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
+
+  /** Mask every PII pattern occurrence — the standard pre-training
+    * scrub. Pure regexp_replace cascade: codegen'd, zero shuffle. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (kind, pat)) =>
+      regexp_replace(c, pat, s"<${kind.toUpperCase}>")
+    }
 }

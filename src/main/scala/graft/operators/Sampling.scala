@@ -46,6 +46,31 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Deterministic context-window packing: assign documents to training
+    * bins of ≈ `budget` tokens by cumulative fill in id order — the
+    * sequence-packing prep step (docs later concatenated per bin).
+    * bin = floor(exclusive-prefix-sum(tokens) / budget): a doc that
+    * straddles a boundary spills into the next bin, so every bin's
+    * *start* is aligned and assignment depends only on (shard, id) —
+    * rerun/backfill-stable like everything else here.
+    *
+    * Scale: a single global ORDER BY window would serialize on one
+    * partition, so packing runs within `shards` hash shards of the id
+    * (window partitioned by shard). Bins are (shard, bin) pairs —
+    * global coordination is pointless for packing, shards pack
+    * independently on a cluster. */
+  def packByTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, shards: Int = 64): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("__shard", pmod(col(idCol).cast("long"), lit(shards)))
+      .withColumn("bin",
+        floor(coalesce(sum(col(tokenCol)).over(w), lit(0L)) / budget))
+      .withColumnRenamed("__shard", "shard")
+  }
+
   /** md5 emits LOWERCASE hex and the comparison is lexicographic, so an
     * uppercase threshold ('CD' < any lowercase letter) would silently
     * shift the fraction — normalize and validate. */

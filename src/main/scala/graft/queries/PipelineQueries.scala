@@ -527,6 +527,55 @@ object PipelineQueries extends QueryPack {
           AND d.doc_id NOT IN (SELECT doc_id FROM bad)
         ORDER BY doc_id""")),
 
+    // ---- PII redaction: regexp_replace cascade over deterministically
+    //      constructed pii-bearing text (patterns restricted to the
+    //      Java-regex/RE2 common dialect; applied email→phone→ipv4 in
+    //      BOTH engines) --------------------------------------------------
+    Q("x34_pii_redaction",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val withPii = docs.withColumn("text2", concat_ws(" ", col("text"),
+          concat(lit("user"), col("doc_id").cast("string"),
+            lit("@example.com")),
+          concat(lit("+1555"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")),
+          lit("10.0.0.1")))
+        withPii.select(col("doc_id"),
+          redactPii(col("text2")).as("redacted"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(
+            text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+            ' +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+            ' 10.0.0.1',
+            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+            '\+[0-9]{7,15}', '<PHONE>', 'g'),
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g')
+            AS redacted
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- context-window packing: cumulative token fill into ~2048-token
+    //      bins within hash shards (global ORDER BY would serialize on
+    //      one partition; shards pack independently at scale) ------------
+    Q("x35_pack_bins",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("n_tokens", nTokens(tokens(col("text"))))
+        graft.operators.Sampling.packByTokenBudget(docs, "doc_id",
+          "n_tokens", budget = 2048L, shards = 8)
+          .select(col("doc_id"), col("shard").cast("long").as("shard"),
+            col("bin"), col("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, doc_id % 8 AS shard,
+          CAST(floor(COALESCE(SUM(len(string_split(text,' '))) OVER (
+            PARTITION BY doc_id % 8 ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
+            AS BIGINT) AS bin,
+          CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+        FROM documents ORDER BY doc_id""")),
+
     // ---- end-to-end dedup keep-list: one canonical survivor (min id)
     //      per connected near-dup cluster; everything else dropped -------
     Q("x27_dedup_keeplist",

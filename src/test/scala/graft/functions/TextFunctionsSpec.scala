@@ -77,6 +77,23 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("redactPii masks email/phone/ipv4 and leaves clean text alone") {
+    import spark.implicits._
+    val rows = Seq(
+      "contact jane.doe+spam@sub.example.org today",
+      "call +4915501234567 or visit 192.168.0.254 now",
+      "version 1.2.3.4.5 is not an ip boundary test 999.1.1.1x",
+      "plain text with no pii at all")
+      .toDF("text").select(redactPii(col("text"))).collect().map(_.getString(0))
+    assert(rows(0) == "contact <EMAIL> today")
+    assert(rows(1) == "call <PHONE> or visit <IPV4> now")
+    // boundary semantics: '.' is a non-word char, so 1.2.3.4 inside
+    // 1.2.3.4.5 has valid \b on both ends and masks; 999.1.1.1x has a
+    // word char right after the last digit, so nothing matches
+    assert(rows(2) == "version <IPV4>.5 is not an ip boundary test 999.1.1.1x")
+    assert(rows(3) == "plain text with no pii at all")
+  }
+
   test("simhash64 matches an independent md5-bit reference") {
     val rows = evalAll(
       graft.expressions.TextExpressions.simhash64Native(col("toks")))

@@ -32,6 +32,30 @@ class SamplingSpec extends SparkSpec {
     assert(tight.exceptAll(s1).isEmpty)
   }
 
+  test("packByTokenBudget: bins start aligned, fill respects the budget") {
+    import spark.implicits._
+    // one shard so the fill order is the plain id order
+    val df = Seq((1L, 800L), (2L, 800L), (3L, 800L), (4L, 3000L), (5L, 10L))
+      .toDF("id", "n")
+    val out = Sampling.packByTokenBudget(df, "id", "n",
+      budget = 2048L, shards = 1)
+      .select("id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // prefix sums: 0, 800, 1600, 2400, 5400 → bins 0,0,0,1,2
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
+    // sharded: bin assignment depends only on (shard, id) — deterministic
+    val big = (1L to 500L).map(i => (i, 100L)).toDF("id", "n")
+    val p1 = Sampling.packByTokenBudget(big, "id", "n", 2048L, shards = 8)
+    val p2 = Sampling.packByTokenBudget(big, "id", "n", 2048L, shards = 8)
+    assert(p1.select("id", "shard", "bin")
+      .exceptAll(p2.select("id", "shard", "bin")).isEmpty)
+    // every bin's exclusive prefix within its shard stays under budget
+    // per construction: docs per (shard,bin) * 100 tokens ≤ 2048 + one
+    // straddling doc
+    val maxFill = p1.groupBy("shard", "bin").agg(sum("n").as("fill"))
+      .agg(max("fill")).first().getLong(0)
+    assert(maxFill <= 2048L + 100L, s"fill=$maxFill")
+  }
+
   test("hashSplit adds no shuffle: assignment is pure map-side") {
     import spark.implicits._
     val plan = Sampling.hashSplit((0L until 10L).toDF("id"), "id")
