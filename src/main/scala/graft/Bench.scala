@@ -62,7 +62,12 @@ object Bench {
     "x23_quantize_embeddings" -> 412, "x24_stream_join" -> 5719,
     "x25_tfidf_top_terms" -> 691, "x26_interval_overlap" -> 525,
     "x27_dedup_keeplist" -> 2682, "x28_quality_filters" -> 440,
-    "x29_stratified_cap" -> 500, "x30_containment_pairs" -> 2670)
+    "x29_stratified_cap" -> 500, "x30_containment_pairs" -> 2670,
+    // first-measure baselines for post-freeze queries (round 6 full-run
+    // numbers, same protocol — recorded in BASELINE.md §round 6)
+    "x31_embedding_lsh_pairs" -> 4409, "x32_dup_components_star" -> 4692,
+    "x33_decontaminate" -> 808, "x34_pii_redaction" -> 548,
+    "x35_pack_bins" -> 294)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
