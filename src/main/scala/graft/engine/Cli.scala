@@ -9,7 +9,26 @@ package graft.engine
   */
 object Cli {
 
-  def run(project: Project, args: Seq[String]): Seq[String] = {
+  /** @param profilesPath profiles file that `--target <name>` resolves
+    *                      against (dbt resolves --target in profiles.yml;
+    *                      the reference passes `--target prod` to
+    *                      run-operation — `list_orphaned_objects.sql:9-11`) */
+  def run(project0: Project, args: Seq[String],
+      profilesPath: Option[String] = None): Seq[String] = {
+    val targetArg = args.sliding(2).collectFirst {
+      case Seq("--target", v) => v
+    }
+    val project = (targetArg, profilesPath) match {
+      case (Some(t), Some(path)) =>
+        project0.withTarget(Profiles.load(path, target = Some(t)))
+      case (Some(t), None) if t == project0.target.name => project0
+      case (Some(t), None) =>
+        val err = Seq(s"--target $t given but no profiles file is " +
+          "configured (pass profilesPath to Cli.run)")
+        err.foreach(println)
+        return err
+      case (None, _) => project0
+    }
     val out = args.toList match {
       case "run" :: rest =>
         val res = project.run(selectArg(rest),

@@ -100,6 +100,23 @@ final class Project(val spark: SparkSession, val target: Target) {
 
   def test(t: DataTest): this.type = { tests += t; this }
 
+  /** Rebind every declaration to another target (dbt `--target`,
+    * `README.md:162`): same models/sources/seeds/snapshots/tests/hooks,
+    * different schema/threads. The new instance resolves fresh against
+    * its own schema namespace — no compile state is shared. */
+  def withTarget(newTarget: Target): Project = {
+    val p = new Project(spark, newTarget)
+    models.foreach { case (k, v) => p.models(k) = v }
+    sources.foreach { case (k, v) => p.sources(k) = v }
+    seeds.foreach { case (k, v) => p.seeds(k) = v }
+    snapshots.foreach { case (k, v) => p.snapshots(k) = v }
+    tests.foreach(p.tests += _)
+    runStartHooks.foreach(p.runStartHooks += _)
+    runEndHooks.foreach(p.runEndHooks += _)
+    p.failuresSchema = failuresSchema
+    p
+  }
+
   private var failuresSchema: Option[String] = None
   /** dbt `store_failures`: failing tests persist their violations table
     * to `<schema>.<test_name>` for post-mortem queries. */

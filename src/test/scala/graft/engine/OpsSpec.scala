@@ -186,6 +186,36 @@ class OpsSpec extends SparkSpec {
       "flag" -> "true"))
   }
 
+  test("cli --target rebinds the project via the profiles file") {
+    val yaml =
+      """graft_project:
+        |  target: tdev
+        |  outputs:
+        |    tdev:
+        |      schema: tgt_dev
+        |      threads: 2
+        |    tprod:
+        |      schema: tgt_prod
+        |      threads: 2
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("profiles_t", ".yml")
+    java.nio.file.Files.writeString(f, yaml)
+    val p = new Project(spark, Profiles.load(f.toString))
+    p.model("envmodel", ModelConfig(materialized = Materialization.Table)) {
+      ctx => import ctx.spark.implicits._; Seq(7).toDF("id")
+    }
+    // default target builds into dev; --target prod into prod — same
+    // declarations, different namespace (README.md:162's --target flow)
+    Cli.run(p, Seq("run"), profilesPath = Some(f.toString))
+    Cli.run(p, Seq("run", "--target", "tprod"),
+      profilesPath = Some(f.toString))
+    assert(spark.table("tgt_dev.envmodel").count() == 1)
+    assert(spark.table("tgt_prod.envmodel").count() == 1)
+    // --target without a profiles file is an actionable error
+    val err = Cli.run(p, Seq("run", "--target", "tprod"))
+    assert(err.head.contains("no profiles file"), err.mkString("; "))
+  }
+
   test("docs generate: one JSON artifact with nodes, columns, lineage") {
     val p = new Project(spark, Target("dev", "docsgen", threads = 2))
     p.source("tpch", "nation", ParquetPath(s"$sf0001/nation.parquet"))
