@@ -266,6 +266,26 @@ object Dedup {
     labels
   }
 
+  /** Cross-document repeated spans — the detection step of exact
+    * substring dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022, which uses suffix arrays; at
+    * cluster scale the equivalent signal comes from hashing every
+    * positional word n-gram and grouping): spans of `n` words occurring
+    * in at least `minDocs` distinct documents are boilerplate/template
+    * candidates. Rows carry md5(span), not the span text, so the
+    * shuffle moves 32-byte keys; one hash aggregation total. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 10, minDocs: Long = 2L): DataFrame =
+    df.select(col(idCol).as("doc"),
+      explode(graft.expressions.TextExpressions
+        .wordShingles(col(textCol), n, distinct = false)).as("span"))
+      .select(col("doc"), md5(col("span")).as("span_hash"))
+      .groupBy("span_hash")
+      .agg(countDistinct(col("doc")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+
   /** Benchmark decontamination: drop every corpus document that shares
     * at least one word n-gram with a benchmark/test set (the GPT-3-style
     * n-gram collision rule — a training doc containing verbatim

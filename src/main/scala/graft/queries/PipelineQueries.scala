@@ -576,6 +576,21 @@ object PipelineQueries extends QueryPack {
           CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
         FROM documents ORDER BY doc_id""")),
 
+    // ---- cross-doc repeated spans (exact-substring-dedup signal):
+    //      positional 10-gram hashes grouped, spans in >= 2 docs --------
+    Q("x36_repeated_spans",
+      (s, dir) => Dedup.repeatedSpans(t(s, dir, "documents"),
+        "doc_id", "text", n = 10, minDocs = 2L)
+        .orderBy(col("span_hash")),
+      Some("""WITH sp AS (SELECT doc_id AS doc,
+          md5(unnest(list_transform(range(len(string_split(text,' '))-9),
+            i -> string_split(text,' ')[i+1]||'_'||string_split(text,' ')[i+2]||'_'||string_split(text,' ')[i+3]||'_'||string_split(text,' ')[i+4]||'_'||string_split(text,' ')[i+5]||'_'||string_split(text,' ')[i+6]||'_'||string_split(text,' ')[i+7]||'_'||string_split(text,' ')[i+8]||'_'||string_split(text,' ')[i+9]||'_'||string_split(text,' ')[i+10]))) AS span_hash
+          FROM documents)
+        SELECT span_hash, count(DISTINCT doc) AS n_docs,
+          count(*) AS n_occurrences, min(doc) AS first_doc
+        FROM sp GROUP BY span_hash HAVING count(DISTINCT doc) >= 2
+        ORDER BY span_hash""")),
+
     // ---- end-to-end dedup keep-list: one canonical survivor (min id)
     //      per connected near-dup cluster; everything else dropped -------
     Q("x27_dedup_keeplist",

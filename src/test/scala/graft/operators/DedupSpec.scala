@@ -136,6 +136,22 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall = $recall over $nExact exact pairs")
   }
 
+  test("repeatedSpans: cross-doc spans found with multiplicity, intra-doc only filtered") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "one two three four END a b"),
+      (2L, "x one two three four END y"), // shares the 5-gram with doc 1
+      (3L, "p q r p q r p q r s t u"))    // repeats only within itself
+      .toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(df, "doc_id", "text", n = 5, minDocs = 2L)
+      .collect()
+    assert(spans.length == 1)
+    val r = spans.head
+    assert(r.getLong(r.fieldIndex("n_docs")) == 2L)
+    assert(r.getLong(r.fieldIndex("n_occurrences")) == 2L)
+    assert(r.getLong(r.fieldIndex("first_doc")) == 1L)
+  }
+
   test("decontaminate: n-gram collision drops the doc, short docs survive") {
     import spark.implicits._
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
