@@ -400,7 +400,12 @@ object PipelineQueries extends QueryPack {
           .select(col("o_orderkey"), col("l_orderkey"),
             col("l_linenumber").cast("long").as("l_linenumber"),
             col("ship_d").cast("long").as("ship_d"))
-          .orderBy(col("o_orderkey"), col("l_orderkey"), col("l_linenumber"))
+          // ship_d in the sort: sf0.1 holds duplicate (l_orderkey,
+          // l_linenumber) pairs with different shipdates, so the key
+          // triple alone is not a total order (found by the sf0.1
+          // oracle run — engines tie-broke differently)
+          .orderBy(col("o_orderkey"), col("l_orderkey"),
+            col("l_linenumber"), col("ship_d"))
       },
       Some("""SELECT o.o_orderkey, l.l_orderkey,
         CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
@@ -409,7 +414,7 @@ object PipelineQueries extends QueryPack {
               FROM orders WHERE o_orderkey % 997 = 0) o
         JOIN lineitem l ON CAST(l.l_shipdate AS DATE) >= o.od
                        AND CAST(l.l_shipdate AS DATE) <= o.od + 7
-        ORDER BY o_orderkey, l_orderkey, l_linenumber""")),
+        ORDER BY o_orderkey, l_orderkey, l_linenumber, ship_d""")),
 
     // ---- F5: VariantType JSON path (try_parse_json / variant_get) ------
     Q("x16_variant_json",
