@@ -67,7 +67,8 @@ object Bench {
     // numbers, same protocol — recorded in BASELINE.md §round 6)
     "x31_embedding_lsh_pairs" -> 4409, "x32_dup_components_star" -> 4692,
     "x33_decontaminate" -> 808, "x34_pii_redaction" -> 548,
-    "x35_pack_bins" -> 294, "x36_repeated_spans" -> 1120)
+    "x35_pack_bins" -> 294, "x36_repeated_spans" -> 1120,
+    "x37_session_window" -> 980)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -307,6 +307,23 @@ object PipelineQueries extends QueryPack {
           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""")),
 
+    // ---- sessionization via the NATIVE session_window operator (the
+    //      built-in-first twin of x10; >= gap boundary by design) --------
+    Q("x37_session_window",
+      (s, dir) => EventStreams.sessionizeNative(t(s, dir, "events"), 30)
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH x AS (SELECT user_id, event_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+               THEN 1 ELSE 0 END AS is_new
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+          count(*) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
     // ---- structured-streaming hourly aggregation (== batch result) -----
     Q("x11_stream_hourly",
       (s, dir) => EventStreams.hourlyCounts(s, dir),

@@ -130,6 +130,24 @@ object EventStreams {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
   }
 
+  /** Sessionization via Spark's NATIVE session_window operator — the
+    * built-in-first twin of [[sessionizeBatch]]: one groupBy, no window
+    * functions, and the same code shape works under readStream with a
+    * watermark (session merging is the engine's job). Boundary
+    * semantics differ from the lag formulation by design: session_window
+    * closes at last_ts + gap EXCLUSIVE, so an event exactly `gap` after
+    * its predecessor starts a NEW session (`>=`, where the lag form used
+    * `>`); the oracle mirrors that. */
+  def sessionizeNative(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("sum_value"))
+
   /** Stateful-streaming sessionization with flatMapGroupsWithState —
     * event-time sessions with a processing-time-independent gap. Used by
     * the streaming spec; returns (user_id, n_events, sum_value) per

@@ -26,6 +26,23 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(stream).isEmpty && stream.exceptAll(batch).isEmpty)
   }
 
+  test("native session_window equals the lag formulation on gap-free-boundary data") {
+    val events = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sf0001/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    }
+    // same sessions when no inter-event gap is EXACTLY 30:00 (the one
+    // boundary where the two formulations legitimately differ — x37's
+    // oracle encodes session_window's >= semantics)
+    val native = EventStreams.sessionizeNative(events, 30)
+      .select("user_id", "session_start", "n_events", "sum_value")
+    val lagForm = EventStreams.sessionizeBatch(events, 30)
+      .select("user_id", "session_start", "n_events", "sum_value")
+    assert(native.exceptAll(lagForm).isEmpty && lagForm.exceptAll(native).isEmpty)
+    assert(native.count() > 0)
+  }
+
   test("streaming hourly aggregation equals batch group-by") {
     val got = EventStreams.hourlyCounts(spark, sf0001)
     val events = {
