@@ -25,7 +25,11 @@ final class Project(val spark: SparkSession, val target: Target) {
 
   def model(name: String, config: ModelConfig = ModelConfig())(
       build: Ctx => DataFrame): this.type = {
-    require(!models.contains(name), s"duplicate model $name")
+    // snapshots share the ref namespace ('model wins' on resolution), so a
+    // model shadowing an earlier snapshot must fail at declare time just
+    // like the reverse order does in snapshot()
+    require(!models.contains(name) && !snapshots.contains(name),
+      s"duplicate node $name")
     models(name) = Model(name, config, build)
     this
   }
@@ -37,7 +41,8 @@ final class Project(val spark: SparkSession, val target: Target) {
     * `CREATE VIEW` when every dependency is a physical table. */
   def sqlModel(name: String, config: ModelConfig = ModelConfig())(
       sql: String): this.type = {
-    require(!models.contains(name), s"duplicate model $name")
+    require(!models.contains(name) && !snapshots.contains(name),
+      s"duplicate node $name")
     Project.lintSqlModel(spark, name, sql)
     val build: Ctx => DataFrame = { ctx =>
       var out = sql
@@ -203,10 +208,22 @@ final class Project(val spark: SparkSession, val target: Target) {
   private val snapFresh = mutable.Map[String, DataFrame]()
 
   /** Resolve a snapshot's FRESH query (memoized; records its ref/source
-    * edges like a model build). */
+    * edges like a model build). Routed through the same `resolving`
+    * cycle-detection set as models: before first build, a snapshot whose
+    * fresh query (transitively) refs itself would otherwise recurse
+    * resolveSnapshotFresh → snapshotDf → resolveSnapshotFresh to a
+    * StackOverflowError instead of an actionable cycle message. */
   private def resolveSnapshotFresh(name: String): DataFrame =
-    snapFresh.getOrElseUpdate(name,
-      snapshots(name).build(ctxFor(s"snapshot.$name")))
+    snapFresh.getOrElse(name, {
+      val key = s"snapshot.$name"
+      if (!resolving.add(key))
+        throw new IllegalStateException(
+          s"ref cycle: ${resolving.mkString(" -> ")} -> $key")
+      val df = try snapshots(name).build(ctxFor(key))
+      finally resolving.remove(key)
+      snapFresh(name) = df
+      df
+    })
 
   /** What a `ref` to a snapshot reads: the accumulated SCD-2 table once
     * built; before first build, the first-run-shaped plan (same schema,

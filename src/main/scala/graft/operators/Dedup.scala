@@ -286,6 +286,48 @@ object Dedup {
         min(col("doc")).as("first_doc"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Repeated-span REMOVAL — the rewrite half of exact-substring dedup
+    * (Lee et al., ACL 2022 drop one occurrence span; removing ALL
+    * occurrences of cross-document spans is the boilerplate-stripping
+    * variant implemented here): every word position covered by any
+    * occurrence of a span that [[repeatedSpans]] flags (n consecutive
+    * words appearing in ≥ minDocs distinct docs) is dropped, and the
+    * surviving words are re-joined. Detection output feeds rewrite
+    * without re-hashing: span starts ride a 32-byte md5 + int position
+    * through the shuffles, and the final rebuild is per-row array math
+    * (no shuffle). Returns (doc_id, clean_text, n_removed).
+    *
+    * Scale shape: positional-span postings are built once and persisted
+    * (read by the repeated-set aggregation and the bad-start join); the
+    * per-doc start list is collected into an array column — bounded by
+    * tokens-per-document, not corpus size — so the coverage test is a
+    * codegen'd higher-order function over (tokens × starts). */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 10, minDocs: Long = 2L): DataFrame = {
+    val spans = df.select(col(idCol).as("doc"),
+      posexplode(graft.expressions.TextExpressions
+        .wordShingles(col(textCol), n, distinct = false)).as(Seq("pos", "span")))
+      .select(col("doc"), col("pos"), md5(col("span")).as("span_hash"))
+      .persist()
+    val repeated = spans.groupBy("span_hash")
+      .agg(countDistinct(col("doc")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("span_hash")
+    val badStarts = spans.join(repeated, "span_hash")
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_set(col("pos"))).as("starts"))
+    df.join(badStarts, df(idCol) === badStarts("doc"), "left")
+      .select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .withColumn("kept",
+        filter(col("toks"), (_, j) =>
+          !exists(col("starts"), s => s <= j && j <= s + lit(n - 1))))
+      .select(col("doc_id"),
+        concat_ws(" ", col("kept")).as("clean_text"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
   /** Benchmark decontamination: drop every corpus document that shares
     * at least one word n-gram with a benchmark/test set (the GPT-3-style
     * n-gram collision rule — a training doc containing verbatim
@@ -399,9 +441,20 @@ object Dedup {
   /** Embedding near-duplicate pairs above a cosine threshold (brute-force
     * all-pairs — the exact baseline / verification path, the x05↔x14
     * pattern; the 100 TB scale path is [[embeddingLshPairs]], which blocks
-    * with signed random projections and verifies only candidates). */
+    * with signed random projections and verifies only candidates).
+    *
+    * Guarded like [[Similarity.bruteForceTopKBroadcast]]: the cross join
+    * is O(n²·d) compute AND shuffle, so misuse at corpus scale must be an
+    * actionable error, not a runaway job. The count is one column-pruned
+    * scan — noise next to the quadratic work this operator does anyway. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxRows: Long = 100000L): DataFrame = {
+    val n = df.select(col(idCol)).count()
+    require(n <= maxRows,
+      s"embeddingNearDups is an all-pairs cross join (exact verification " +
+        s"baseline) and got $n rows (cap $maxRows). For large corpora use " +
+        "Dedup.embeddingLshPairs (SRP-LSH blocking + exact verify, " +
+        "sub-quadratic), or raise maxRows deliberately.")
     val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
     val a = withNorm.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))

@@ -62,10 +62,24 @@ object Sampling {
   def packByTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
       budget: Long, shards: Int = 64): DataFrame = {
     require(budget > 0 && shards > 0, "budget and shards must be positive")
+    // output columns are 'shard'/'bin' ('__shard' internal): a pre-existing
+    // column of any of those names would be silently overwritten or become
+    // ambiguous after the rename — fail at declare time instead
+    val clash = df.columns.toSeq.intersect(Seq("shard", "bin", "__shard"))
+    require(clash.isEmpty,
+      s"packByTokenBudget emits 'shard'/'bin' (and '__shard' internally); " +
+        s"input already has: ${clash.mkString(", ")} — rename or drop first")
+    val idLong = col(idCol).cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__shard")).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    df.withColumn("__shard", pmod(col(idCol).cast("long"), lit(shards)))
+    // a null/non-castable id would hash to a single null shard (packing
+    // silently serializes) — raise per-row instead of mis-assigning
+    df.withColumn("__shard",
+        when(idLong.isNull, raise_error(concat(
+          lit(s"packByTokenBudget: $idCol value '"), col(idCol).cast("string"),
+          lit("' does not cast to a non-null long"))).cast("long"))
+          .otherwise(pmod(idLong, lit(shards))))
       .withColumn("bin",
         floor(coalesce(sum(col(tokenCol)).over(w), lit(0L)) / budget))
       .withColumnRenamed("__shard", "shard")

@@ -83,6 +83,42 @@ object CoreQueries extends QueryPack {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name ORDER BY revenue DESC, n_name""")),
 
+    // ---- 6-way join with a cross-table join predicate (TPC-H Q5 shape:
+    //      local-supplier volume — customer and supplier must share a
+    //      nation, the classic join-order/broadcast-choice stressor).
+    //      Facts shuffle on their keys; supplier/nation/region broadcast.
+    Q("q05_local_supplier_volume",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer"); val sup = t(s, dir, "supplier")
+        val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+        c.join(o.filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1997-01-01").cast("timestamp")),
+            $"c_custkey" === $"o_custkey")
+          .join(li, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(sup),
+            $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+          .filter($"r_name" === "ASIA")
+          .groupBy($"n_name")
+          .agg(sum(dec($"l_extendedprice") * (lit(1).cast(D) - dec($"l_discount")))
+            .cast(DoubleType).as("revenue"))
+          .orderBy($"revenue".desc, $"n_name")
+      },
+      Some("""SELECT n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
     // ---- join + group + top-k (TPC-H Q3 shape) -------------------------
     Q("q03_top_open_orders",
       (s, dir) => {
@@ -159,6 +195,56 @@ object CoreQueries extends QueryPack {
           / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_share,
         CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey""")),
+
+    // ---- market-share two-level aggregate (TPC-H Q8 shape): nation's
+    //      share of regional volume by year — an 8-relation join where
+    //      nation joins twice under different roles, then a conditional
+    //      share over exact decimal sums. Both sums are decimal-exact so
+    //      the double division is order-independent across engines. ------
+    Q("q08_market_share",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer"); val sup = t(s, dir, "supplier")
+        val p = t(s, dir, "part"); val r = t(s, dir, "region")
+        val n1 = t(s, dir, "nation")
+          .select($"n_nationkey".as("c_nkey"), $"n_regionkey".as("c_rkey"))
+        val n2 = t(s, dir, "nation")
+          .select($"n_nationkey".as("s_nkey"), $"n_name".as("nation"))
+        val vol = dec($"l_extendedprice") * (lit(1).cast(D) - dec($"l_discount"))
+        li.join(broadcast(p.filter($"p_type" === "PROMO")),
+            $"l_partkey" === $"p_partkey")
+          .join(o.filter($"o_orderdate".between(
+              lit("1996-01-01").cast("timestamp"),
+              lit("1997-12-31").cast("timestamp"))),
+            $"l_orderkey" === $"o_orderkey")
+          .join(c, $"o_custkey" === $"c_custkey")
+          .join(broadcast(n1), $"c_nationkey" === $"c_nkey")
+          .join(broadcast(r), $"c_rkey" === $"r_regionkey")
+          .filter($"r_name" === "AMERICA")
+          .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(n2), $"s_nationkey" === $"s_nkey")
+          .groupBy(year($"o_orderdate").cast(LongType).as("o_year"))
+          .agg((sum(when($"nation" === "NATION_1", vol).otherwise(lit(0).cast(D)))
+            .cast(DoubleType) / sum(vol).cast(DoubleType)).as("mkt_share"))
+          .orderBy($"o_year")
+      },
+      Some("""SELECT o_year,
+        CAST(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+          / CAST(sum(volume) AS DOUBLE) AS mkt_share
+        FROM (SELECT year(o_orderdate) AS o_year,
+                CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+                n2.n_name AS nation
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region ON n1.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+                AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31')
+        GROUP BY o_year ORDER BY o_year""")),
 
     // ---- join + group by computed year (TPC-H Q9 shape; F7/F8) ---------
     Q("q09_profit_by_nation_year",
@@ -779,18 +865,29 @@ object CoreQueries extends QueryPack {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         ORDER BY o_custkey, o_orderkey""")),
 
-    // ---- HLL approximate distinct (the 100 TB COUNT(DISTINCT) posture;
-    //      sketch values are engine-specific, so rows-only here — the
-    //      <5% relative-error bound is asserted in CoreQueriesSpec) -------
+    // ---- HLL approximate distinct (the 100 TB COUNT(DISTINCT) posture).
+    //      The sketch estimate is engine-specific, so the query
+    //      adjudicates ITSELF: it emits the exact count plus a
+    //      within-5%-relative-error verdict, and the oracle asserts the
+    //      verdict is true for every group — a hash mismatch IS a failed
+    //      error bound, so the driver carries an explicit pass/fail
+    //      instead of a weaker no_oracle row. (CoreQueriesSpec asserts
+    //      the same bound against the raw estimate.) ----------------------
     Q("q30_approx_distinct",
       (s, dir) => {
         import s.implicits._
         t(s, dir, "lineitem")
           .groupBy($"l_returnflag")
-          .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+          .agg(approx_count_distinct($"l_partkey").as("approx"),
+            countDistinct($"l_partkey").as("exact_parts"),
             count(lit(1)).as("n_rows"))
+          .select($"l_returnflag", $"exact_parts", $"n_rows",
+            (abs($"approx" - $"exact_parts").cast(DoubleType) / $"exact_parts"
+              <= 0.05).as("within_bound"))
           .orderBy($"l_returnflag")
       },
-      None)
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        count(*) AS n_rows, true AS within_bound
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }
