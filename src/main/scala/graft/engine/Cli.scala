@@ -67,6 +67,19 @@ object Cli {
             java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json)
           }
         Seq(json)
+      case "docs" :: "serve" :: rest =>
+        // `dbt docs serve` analogue (README.md:93): the site is ONE
+        // self-contained static HTML file — write it and print the
+        // file:// URL (a browser serves it; no HTTP process to manage,
+        // and the operational surface stays side-effect-free)
+        val html = Docs.renderHtml(project)
+        val path = rest.sliding(2)
+          .collectFirst { case Seq("--output", p) => p }
+          .getOrElse("target/graft_docs.html")
+        val p = java.nio.file.Paths.get(path).toAbsolutePath
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(p, html)
+        Seq(s"docs site written to $p", s"open file://$p")
       case other =>
         Seq(s"unknown command: ${other.mkString(" ")} " +
           "(expected run|build|test|ls|run-operation|debug|docs)")

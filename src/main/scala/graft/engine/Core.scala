@@ -143,6 +143,18 @@ final case class Snapshot(
   def id: String = s"snapshot.$name"
 }
 
+/** An analysis: SQL that is compiled (placeholder-resolved, linted,
+  * schema-resolved) and documented but NEVER materialized — the
+  * reference's `analyses/` resource slot (`dbt_project.yml:15`
+  * `analysis-paths`; dbt compiles analyses with the project and renders
+  * them in docs, but no command ever runs them). */
+final case class Analysis(
+    name: String,
+    build: Ctx => DataFrame,
+    sqlText: String) extends Node {
+  def id: String = s"analysis.$name"
+}
+
 /** A data test attached to a model: builds a violations DataFrame;
   * nonzero rows = failure (`models/example/schema.yml` semantics). */
 final case class DataTest(

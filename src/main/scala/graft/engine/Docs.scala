@@ -1,16 +1,72 @@
 package graft.engine
 
-/** `dbt docs generate` analogue — the last verb of the reference's
-  * first-run flow (`README.md:93`: debug / run / test / docs). dbt
-  * emits manifest.json + catalog.json and renders them as a site; the
-  * machine-readable artifact is the part with users (lineage tools,
-  * CI diffing), so that is what this produces: one JSON document with
-  * every node (kind, physical relation, materialization, column
-  * name/type), the dependency edges, and the invocation id that query
-  * tags carry (`QueryTags`) — linking docs to observability. Print-only;
-  * the CLI's `--output` flag persists it.
+/** `dbt docs generate` / `dbt docs serve` analogues — the last verbs of
+  * the reference's first-run flow (`README.md:93`: debug / run / test /
+  * docs generate && docs serve). dbt emits manifest.json + catalog.json
+  * and renders them as a site:
+  *
+  *   - [[generate]] is the machine-readable artifact (lineage tools, CI
+  *     diffing): one JSON document with every node (kind, physical
+  *     relation, materialization, column name/type), the dependency
+  *     edges, and the invocation id that query tags carry ([[QueryTags]])
+  *     — linking docs to observability. Print-only; the CLI's `--output`
+  *     flag persists it.
+  *   - [[renderHtml]] is the human-readable rendering: ONE self-contained
+  *     static HTML file (no external assets, no server) with the node
+  *     inventory, per-node columns, upstream/downstream lineage links,
+  *     and test coverage. `docs serve` writes it and prints the file://
+  *     URL — serving static HTML over HTTP is the browser's job, and
+  *     keeping the artifact a plain file preserves the print-only/no-
+  *     side-effects invariant of the operational surface.
   */
 object Docs {
+
+  private def columnsOf(project: Project, node: Node): Seq[(String, String)] = {
+    def fromCatalog(physical: String): Seq[(String, String)] =
+      if (project.spark.catalog.tableExists(physical))
+        project.spark.table(physical).schema.fields.toSeq
+          .map(f => f.name -> f.dataType.simpleString)
+      else Nil
+    try node match {
+      case m: Model =>
+        project.resolve(m.name).schema.fields.toSeq
+          .map(f => f.name -> f.dataType.simpleString)
+      case s: Seed => fromCatalog(project.physicalName(s))
+      case s: Snapshot => fromCatalog(project.physicalName(s))
+      case sd: SourceDef => project.sourceSchema(sd)
+        .map(_.fields.toSeq.map(f => f.name -> f.dataType.simpleString))
+        .getOrElse(Nil)
+      case a: Analysis =>
+        project.resolveAnalysis(a.name).schema.fields.toSeq
+          .map(f => f.name -> f.dataType.simpleString)
+      case _: DataTest => Nil
+    } catch { case _: Exception => Nil } // docs never fail the project
+  }
+
+  private def physicalOf(project: Project, node: Node): Option[String] =
+    node match {
+      case m: Model => Some(project.physicalName(m))
+      case s: Seed => Some(project.physicalName(s))
+      case s: Snapshot => Some(project.physicalName(s))
+      case SourceDef(_, _, CatalogTable(t)) => Some(t)
+      case SourceDef(_, _, ParquetPath(p)) => Some(p)
+      case _ => None
+    }
+
+  private def kindOf(node: Node): String = node match {
+    case _: Model => "model"
+    case _: Seed => "seed"
+    case _: Snapshot => "snapshot"
+    case _: SourceDef => "source"
+    case _: Analysis => "analysis"
+    case _: DataTest => "test"
+  }
+
+  private def matOf(node: Node): Option[String] = node match {
+    case m: Model => Some(m.config.materialized.toString.toLowerCase)
+    case _: Snapshot => Some("snapshot")
+    case _ => None
+  }
 
   def generate(project: Project): String = {
     val graph = project.compile()
@@ -22,56 +78,15 @@ object Docs {
       case c => c.toString
     } + "\""
 
-    def columnsOf(node: Node): Seq[(String, String)] = {
-      def fromCatalog(physical: String): Seq[(String, String)] =
-        if (project.spark.catalog.tableExists(physical))
-          project.spark.table(physical).schema.fields.toSeq
-            .map(f => f.name -> f.dataType.simpleString)
-        else Nil
-      try node match {
-        case m: Model =>
-          project.resolve(m.name).schema.fields.toSeq
-            .map(f => f.name -> f.dataType.simpleString)
-        case s: Seed => fromCatalog(project.physicalName(s))
-        case s: Snapshot => fromCatalog(project.physicalName(s))
-        case sd: SourceDef => project.sourceSchema(sd)
-          .map(_.fields.toSeq.map(f => f.name -> f.dataType.simpleString))
-          .getOrElse(Nil)
-        case _: DataTest => Nil
-      } catch { case _: Exception => Nil } // docs never fail the project
-    }
-
-    def physicalOf(node: Node): Option[String] = node match {
-      case m: Model => Some(project.physicalName(m))
-      case s: Seed => Some(project.physicalName(s))
-      case s: Snapshot => Some(project.physicalName(s))
-      case SourceDef(_, _, CatalogTable(t)) => Some(t)
-      case SourceDef(_, _, ParquetPath(p)) => Some(p)
-      case _ => None
-    }
-
-    def kindOf(node: Node): String = node match {
-      case _: Model => "model"
-      case _: Seed => "seed"
-      case _: Snapshot => "snapshot"
-      case _: SourceDef => "source"
-      case _: DataTest => "test"
-    }
-
     val nodesJson = graph.nodes.toSeq.sortBy(_._1).map { case (id, node) =>
-      val cols = columnsOf(node)
+      val cols = columnsOf(project, node)
         .map { case (n, t) => s"{${jstr(n)}: ${jstr(t)}}" }
         .mkString("[", ", ", "]")
-      val mat = node match {
-        case m: Model => Some(m.config.materialized.toString.toLowerCase)
-        case _: Snapshot => Some("snapshot")
-        case _ => None
-      }
       val fields = Seq(
         Some(s"${jstr("kind")}: ${jstr(kindOf(node))}"),
         Some(s"${jstr("name")}: ${jstr(node.name)}"),
-        physicalOf(node).map(p => s"${jstr("relation")}: ${jstr(p)}"),
-        mat.map(m => s"${jstr("materialized")}: ${jstr(m)}"),
+        physicalOf(project, node).map(p => s"${jstr("relation")}: ${jstr(p)}"),
+        matOf(node).map(m => s"${jstr("materialized")}: ${jstr(m)}"),
         Some(s"${jstr("columns")}: $cols")).flatten
       s"${jstr(id)}: {${fields.mkString(", ")}}"
     }.mkString("{", ", ", "}")
@@ -83,5 +98,96 @@ object Docs {
     s"""{${jstr("target")}: ${jstr(project.target.name)}, """ +
       s"""${jstr("invocation_id")}: ${jstr(QueryTags.invocationId)}, """ +
       s"""${jstr("nodes")}: $nodesJson, ${jstr("edges")}: $edgesJson}"""
+  }
+
+  /** Self-contained static HTML documentation site (see object scaladoc).
+    * Every DAG node gets an anchored card with kind, materialization,
+    * physical relation, columns, upstream/downstream links, and (for
+    * models/snapshots) the data tests that target it. */
+  def renderHtml(project: Project): String = {
+    val graph = project.compile()
+    def esc(s: String): String = s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case c => c.toString
+    }
+    val ids = graph.nodes.keys.toSeq.sorted
+    val down: Map[String, Seq[String]] = graph.edges.toSeq
+      .flatMap { case (id, ups) => ups.map(_ -> id) }
+      .groupMap(_._1)(_._2).map { case (k, v) => k -> v.sorted }
+    // test coverage: test node -> target (its sole upstream edge)
+    val testsByTarget: Map[String, Seq[String]] = graph.nodes.toSeq
+      .collect { case (tid, _: DataTest) =>
+        graph.upstream(tid).toSeq.map(_ -> tid)
+      }.flatten.groupMap(_._1)(_._2).map { case (k, v) => k -> v.sorted }
+
+    def link(id: String): String = s"""<a href="#${esc(id)}">${esc(id)}</a>"""
+
+    val kindCounts = ids.groupBy(id => kindOf(graph.nodes(id)))
+      .toSeq.sortBy(_._1)
+      .map { case (k, xs) => s"<span class=pill>${esc(k)}: ${xs.size}</span>" }
+      .mkString(" ")
+
+    val toc = ids.map(id =>
+      s"""<li>${link(id)} <span class=dim>${esc(kindOf(graph.nodes(id)))}</span></li>""")
+      .mkString("\n")
+
+    val cards = ids.map { id =>
+      val node = graph.nodes(id)
+      val cols = columnsOf(project, node)
+      val colRows =
+        if (cols.isEmpty) "<tr><td colspan=2 class=dim>no columns resolved</td></tr>"
+        else cols.map { case (n, t) =>
+          s"<tr><td>${esc(n)}</td><td class=dim>${esc(t)}</td></tr>"
+        }.mkString("\n")
+      val ups = graph.upstream(id).toSeq.sorted
+      val downs = down.getOrElse(id, Nil)
+      val tests = testsByTarget.getOrElse(id, Nil)
+      val meta = Seq(
+        Some(s"<span class=pill>${esc(kindOf(node))}</span>"),
+        matOf(node).map(m => s"<span class=pill>${esc(m)}</span>"),
+        physicalOf(project, node)
+          .map(p => s"<code>${esc(p)}</code>")).flatten.mkString(" ")
+      val lineage = Seq(
+        if (ups.nonEmpty) Some(s"<p>upstream: ${ups.map(link).mkString(", ")}</p>") else None,
+        if (downs.nonEmpty) Some(s"<p>downstream: ${downs.map(link).mkString(", ")}</p>") else None,
+        if (tests.nonEmpty) Some(s"<p>tests: ${tests.map(link).mkString(", ")}</p>")
+        else node match {
+          case _: Model | _: Snapshot => Some("<p class=dim>no data tests</p>")
+          case _ => None
+        }).flatten.mkString("\n")
+      s"""<section class=card id="${esc(id)}">
+         |<h3>${esc(id)}</h3>
+         |<p>$meta</p>
+         |$lineage
+         |<table>$colRows</table>
+         |</section>""".stripMargin
+    }.mkString("\n")
+
+    s"""<!doctype html>
+       |<html lang="en"><head><meta charset="utf-8">
+       |<title>graft docs — ${esc(project.target.name)}</title>
+       |<style>
+       |body{font:14px/1.5 system-ui,sans-serif;margin:2rem auto;max-width:60rem;padding:0 1rem;color:#1a1a1a}
+       |h1{font-size:1.4rem} h3{margin:0 0 .4rem;font-family:ui-monospace,monospace}
+       |.card{border:1px solid #ddd;border-radius:8px;padding:.8rem 1rem;margin:.8rem 0}
+       |.pill{background:#eef;border-radius:999px;padding:.1rem .6rem;font-size:.85em}
+       |.dim{color:#777} code{background:#f5f5f5;padding:.1rem .3rem;border-radius:4px}
+       |table{border-collapse:collapse;margin-top:.4rem}
+       |td{border-top:1px solid #eee;padding:.15rem .8rem .15rem 0}
+       |a{color:#2456c4;text-decoration:none} a:hover{text-decoration:underline}
+       |ul{columns:2;list-style:none;padding:0}
+       |</style></head><body>
+       |<h1>graft docs — target ${esc(project.target.name)}</h1>
+       |<p class=dim>invocation ${esc(QueryTags.invocationId)}</p>
+       |<p>$kindCounts</p>
+       |<ul>
+       |$toc
+       |</ul>
+       |$cards
+       |</body></html>
+       |""".stripMargin
   }
 }

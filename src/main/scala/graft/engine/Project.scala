@@ -19,6 +19,7 @@ final class Project(val spark: SparkSession, val target: Target) {
   private val sources = mutable.LinkedHashMap[(String, String), SourceDef]()
   private val seeds = mutable.LinkedHashMap[String, Seed]()
   private val snapshots = mutable.LinkedHashMap[String, Snapshot]()
+  private val analyses = mutable.LinkedHashMap[String, Analysis]()
   private val tests = mutable.ArrayBuffer[DataTest]()
 
   // ---- declaration API -------------------------------------------------
@@ -44,25 +45,41 @@ final class Project(val spark: SparkSession, val target: Target) {
     require(!models.contains(name) && !snapshots.contains(name),
       s"duplicate node $name")
     Project.lintSqlModel(spark, name, sql)
-    val build: Ctx => DataFrame = { ctx =>
-      var out = sql
-      for (m <- Project.RefPat.findAllMatchIn(sql).toList.distinctBy(_.group(1))) {
-        val dep = m.group(1)
-        val view = s"graft_ref_${Ident.normalize(dep)}"
-        ctx.ref(dep).createOrReplaceTempView(view)
-        out = Project.RefPat.replaceAllIn(out,
-          m2 => if (m2.group(1) == dep) view else m2.matched)
-      }
-      for (m <- Project.SrcPat.findAllMatchIn(sql).toList.distinctBy(m => (m.group(1), m.group(2)))) {
-        val (s0, t0) = (m.group(1), m.group(2))
-        val view = s"graft_src_${Ident.normalize(s0)}_${Ident.normalize(t0)}"
-        ctx.source(s0, t0).createOrReplaceTempView(view)
-        out = Project.SrcPat.replaceAllIn(out,
-          m2 => if (m2.group(1) == s0 && m2.group(2) == t0) view else m2.matched)
-      }
-      ctx.spark.sql(out)
+    models(name) = Model(name, config, sqlBuild(sql), sqlText = Some(sql))
+    this
+  }
+
+  /** Build function for SQL text: `{{ ref }}`/`{{ source }}` placeholders
+    * resolve to temp views before `spark.sql` (shared by [[sqlModel]] and
+    * [[analysis]]). */
+  private def sqlBuild(sql: String): Ctx => DataFrame = { ctx =>
+    var out = sql
+    for (m <- Project.RefPat.findAllMatchIn(sql).toList.distinctBy(_.group(1))) {
+      val dep = m.group(1)
+      val view = s"graft_ref_${Ident.normalize(dep)}"
+      ctx.ref(dep).createOrReplaceTempView(view)
+      out = Project.RefPat.replaceAllIn(out,
+        m2 => if (m2.group(1) == dep) view else m2.matched)
     }
-    models(name) = Model(name, config, build, sqlText = Some(sql))
+    for (m <- Project.SrcPat.findAllMatchIn(sql).toList.distinctBy(m => (m.group(1), m.group(2)))) {
+      val (s0, t0) = (m.group(1), m.group(2))
+      val view = s"graft_src_${Ident.normalize(s0)}_${Ident.normalize(t0)}"
+      ctx.source(s0, t0).createOrReplaceTempView(view)
+      out = Project.SrcPat.replaceAllIn(out,
+        m2 => if (m2.group(1) == s0 && m2.group(2) == t0) view else m2.matched)
+    }
+    ctx.spark.sql(out)
+  }
+
+  /** Declare an analysis — the reference's `analyses/` resource slot
+    * (`dbt_project.yml:15` `analysis-paths`): SQL that is linted and
+    * compiled with the project (placeholders resolve, edges are recorded,
+    * docs/`ls` list it) but NEVER materialized by run/build — dbt has no
+    * command that executes an analysis. */
+  def analysis(name: String)(sql: String): this.type = {
+    require(!analyses.contains(name), s"duplicate analysis $name")
+    Project.lintSqlModel(spark, name, sql)
+    analyses(name) = Analysis(name, sqlBuild(sql), sql)
     this
   }
 
@@ -115,6 +132,7 @@ final class Project(val spark: SparkSession, val target: Target) {
     sources.foreach { case (k, v) => p.sources(k) = v }
     seeds.foreach { case (k, v) => p.seeds(k) = v }
     snapshots.foreach { case (k, v) => p.snapshots(k) = v }
+    analyses.foreach { case (k, v) => p.analyses(k) = v }
     tests.foreach(p.tests += _)
     runStartHooks.foreach(p.runStartHooks += _)
     runEndHooks.foreach(p.runEndHooks += _)
@@ -334,17 +352,30 @@ final class Project(val spark: SparkSession, val target: Target) {
     thisPhysical = models.get(nodeId.stripPrefix("model."))
       .map(physicalName))
 
+  private val analysisResolved = mutable.Map[String, DataFrame]()
+  /** Resolve an analysis to its (never-materialized) plan — memoized;
+    * records its ref/source edges like a model build. Used by compile()
+    * and docs column introspection. */
+  private[engine] def resolveAnalysis(name: String): DataFrame =
+    analysisResolved.getOrElseUpdate(name, {
+      val a = analyses.getOrElse(name,
+        throw new NoSuchElementException(s"unknown analysis '$name'"))
+      a.build(ctxFor(a.id))
+    })
+
   /** Force-resolve everything and return the introspectable graph. */
   def compile(): ProjectGraph = {
     models.keys.foreach(resolve)
     snapshots.keys.foreach(resolveSnapshotFresh) // records snapshot edges
+    analyses.keys.foreach(resolveAnalysis) // compiled, never run
     val testNodes = tests.map(t => t.id -> (t: Node))
     tests.foreach(t => recordEdge(t.id, testTargetId(t.modelName)))
     ProjectGraph(
       (models.values.map(m => m.id -> (m: Node)) ++
         sources.values.map(s => s.id -> (s: Node)) ++
         seeds.values.map(s => s.id -> (s: Node)) ++
-        snapshots.values.map(s => s.id -> (s: Node)) ++ testNodes).toMap,
+        snapshots.values.map(s => s.id -> (s: Node)) ++
+        analyses.values.map(a => a.id -> (a: Node)) ++ testNodes).toMap,
       edges.map { case (k, v) => k -> v.toSet }.toMap)
   }
 
@@ -390,7 +421,9 @@ final class Project(val spark: SparkSession, val target: Target) {
         spark.sql(s"DROP TABLE IF EXISTS ${physicalName(m)}")
     }
     runStartHooks.foreach(spark.sql(_).collect())
+    // analyses are compile-only resources: no dbt command executes them
     val order = graph.topoOrder.filter(selected)
+      .filterNot(id => graph.nodes(id).isInstanceOf[Analysis])
     val pool = Executors.newFixedThreadPool(math.max(1, target.threads))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val futures = mutable.Map[String, Future[NodeResult]]()
@@ -473,6 +506,8 @@ final class Project(val spark: SparkSession, val target: Target) {
           }
         case _: SourceDef =>
           NodeResult(node.id, "success", ms)
+        case a: Analysis => // defensive: run() never schedules analyses
+          NodeResult(a.id, "success", ms, "analysis: compile-only")
       }
     } catch {
       case e: Exception => NodeResult(node.id, "error", ms, String.valueOf(e.getMessage))

@@ -69,7 +69,9 @@ object Sampling {
     require(clash.isEmpty,
       s"packByTokenBudget emits 'shard'/'bin' (and '__shard' internally); " +
         s"input already has: ${clash.mkString(", ")} — rename or drop first")
-    val idLong = col(idCol).cast("long")
+    // try_cast (not cast): ANSI mode would throw a generic CAST_INVALID_INPUT
+    // mid-job; the raise_error below names the operator and the offending id
+    val idLong = expr(s"try_cast(`$idCol` AS BIGINT)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__shard")).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

@@ -31,15 +31,31 @@ object EventStreams {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** Session conf selecting the state-store backend for the stateful
+    * queries here: set to `rocksdb` to run them on Spark's
+    * RocksDBStateStoreProvider — the 100 TB posture, where aggregation/
+    * join/dedup state exceeds executor heap (RocksDB keeps state off-heap
+    * on local disk with incremental checkpointing; the default
+    * HDFS-backed provider holds every version in memory). Applied at
+    * query START via [[withStatePartitions]], so one session can mix
+    * providers across queries. */
+  val StateStoreConf = "graft.streaming.stateStore"
+
   /** Stateful-query cost is dominated by per-partition state-store
     * instances (each checkpointed per micro-batch), so the state
-    * partition count should track STATE volume, not CPU count. The count
-    * is captured at query START — set it for the `start()` call only and
-    * restore immediately after. */
+    * partition count should track STATE volume, not CPU count. Both the
+    * count and the provider class are captured at query START — set them
+    * for the `start()` call only and restore immediately after. */
   private def withStatePartitions[T](spark: SparkSession, n: Int)(
-      start: => T): T =
+      start: => T): T = {
+    val provider =
+      if (spark.conf.getOption(StateStoreConf).exists(_.equalsIgnoreCase("rocksdb")))
+        Seq("spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      else Nil
     graft.engine.SessionConf.withConf(spark,
-      "spark.sql.shuffle.partitions" -> n.toString)(start)
+      (Seq("spark.sql.shuffle.partitions" -> n.toString) ++ provider): _*)(start)
+  }
 
   /** Tumbling 1-hour windowed aggregation with a watermark, run to
     * completion. Complete output mode so no window is dropped and the

@@ -85,6 +85,39 @@ class EngineSpec extends SparkSpec {
     assert(e.getMessage.contains("cycle"))
   }
 
+  test("snapshot fresh-query cycle raises an actionable error, not overflow") {
+    val p = newProject("snapcyc")
+    p.snapshot("selfref", uniqueKey = "id", checkCols = Seq("v")) { ctx =>
+      ctx.ref("selfref") // before first build: resolves the fresh query
+    }
+    val e = intercept[IllegalStateException](p.compile())
+    assert(e.getMessage.contains("cycle"), e.getMessage)
+  }
+
+  test("duplicate node names rejected in both declaration orders") {
+    val p1 = newProject("dup1")
+    p1.snapshot("clash", uniqueKey = "id", checkCols = Seq("v")) { ctx =>
+      import ctx.spark.implicits._; Seq((1L, "a")).toDF("id", "v")
+    }
+    // model-after-snapshot previously slipped through ('model wins' on
+    // refs, both claim one physical table, manifest entries collide)
+    assert(intercept[IllegalArgumentException] {
+      p1.model("clash")(ctx =>
+        { import ctx.spark.implicits._; Seq(1).toDF("id") })
+    }.getMessage.contains("duplicate"))
+    assert(intercept[IllegalArgumentException] {
+      p1.sqlModel("clash")("select 1 as id")
+    }.getMessage.contains("duplicate"))
+    val p2 = newProject("dup2")
+    p2.model("clash2")(ctx =>
+      { import ctx.spark.implicits._; Seq(1).toDF("id") })
+    assert(intercept[IllegalArgumentException] {
+      p2.snapshot("clash2", uniqueKey = "id", checkCols = Seq("v")) { ctx =>
+        import ctx.spark.implicits._; Seq((1L, "a")).toDF("id", "v")
+      }
+    }.getMessage.contains("duplicate"))
+  }
+
   test("failing upstream test blocks downstream model (dbt build)") {
     val p = newProject("blocked")
     p.model("bad", ModelConfig(materialized = Materialization.Table)) { ctx =>

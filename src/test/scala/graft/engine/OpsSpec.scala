@@ -249,6 +249,59 @@ class OpsSpec extends SparkSpec {
     assert(java.nio.file.Files.readString(f) == json)
   }
 
+  test("analyses: linted + compiled + documented, never materialized") {
+    val p = new Project(spark, Target("dev", "anly", threads = 2))
+    p.model("anly_base", ModelConfig(materialized = Materialization.Table)) {
+      ctx => import ctx.spark.implicits._; Seq(1, 2, 3).toDF("id")
+    }
+    p.analysis("adhoc_ids")(
+      "select id from {{ ref('anly_base') }} where id > 1")
+    // lints fire at declare time like a sql model's
+    val e = intercept[IllegalArgumentException] {
+      p.analysis("bad_semi")("select 1 as x;")
+    }
+    assert(e.getMessage.contains("trailing semicolon"))
+    // ls lists it; docs carries the node with its resolved columns
+    assert(Cli.run(p, Seq("ls")).contains("analysis.adhoc_ids"))
+    val json = Docs.generate(p)
+    assert(json.contains("\"analysis.adhoc_ids\""))
+    assert(json.contains("\"kind\": \"analysis\""))
+    // compiled: the ref edge is recorded
+    assert(p.compile().upstream("analysis.adhoc_ids") == Set("model.anly_base"))
+    // run/build never execute or materialize an analysis
+    val res = p.run()
+    assert(res.ok)
+    assert(!res.results.exists(_.id.startsWith("analysis.")), res.results)
+    assert(!spark.catalog.tableExists("anly.adhoc_ids"))
+  }
+
+  test("docs serve: one self-contained HTML artifact with every DAG node") {
+    val p = new Project(spark, Target("dev", "docssrv", threads = 2))
+    p.source("tpch", "nation", ParquetPath(s"$sf0001/nation.parquet"))
+    p.model("nations_site", ModelConfig(materialized = Materialization.Table)) {
+      ctx => ctx.source("tpch", "nation")
+    }
+    p.testNotNull("nations_site", "n_nationkey")
+    p.analysis("nation_probe")("select count(*) as n from {{ ref('nations_site') }}")
+    assert(p.run().ok)
+    val f = java.nio.file.Files.createTempFile("docs", ".html")
+    val out = Cli.run(p, Seq("docs", "serve", "--output", f.toString))
+    assert(out.exists(_.startsWith("docs site written to")), out)
+    val html = java.nio.file.Files.readString(f)
+    // every DAG node is present, anchored, and linked for lineage
+    val graph = p.compile()
+    graph.nodes.keys.foreach { id =>
+      assert(html.contains(s"""id="$id""""), s"node $id missing from docs site")
+    }
+    assert(html.contains("<!doctype html"))
+    assert(!html.matches("(?s).*(src|href)=\"http.*"), "external asset reference")
+    // columns and test coverage render
+    assert(html.contains("n_nationkey"))
+    assert(html.contains("test.not_null__nations_site__n_nationkey"))
+    // lineage: the model links its upstream source
+    assert(html.contains("#source.tpch.nation"))
+  }
+
   test("declare-time sql lints: trailing semicolon and parse errors fire") {
     val p = new Project(spark, Target("dev", "lints", threads = 2))
     val semi = intercept[IllegalArgumentException] {

@@ -71,6 +71,43 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("registry-wide plan lint: no hidden cartesian / nested-loop joins") {
+    // Standing tripwire: every registered query's physical plan is walked,
+    // and any CartesianProduct / BroadcastNestedLoopJoin outside the
+    // justified allowlist fails the build — a future operator cannot ship
+    // a hidden quadratic join. Justified exceptions:
+    //  - x06: the labeled all-pairs exact-verification baseline (row-cap
+    //    guarded; scale twin x31 is the production path)
+    //  - x25: a SINGLE-ROW corpus-count table cross-joined under an
+    //    explicit broadcast hint — a 1-row BNLJ is the cheapest way to
+    //    attach a scalar to every row, not a quadratic join
+    //  - x14: IVF cell assignment joins every vector against the
+    //    BROADCAST nlist-row centroid table (index metadata, bounded by
+    //    construction) — |corpus|·nlist work is the definition of IVF
+    //    assignment, not an accidental cross join
+    val allow = Set("x06_embedding_neardups", "x25_tfidf_top_terms",
+      "x14_ivf_ann")
+    def offenders(plan: String): Seq[String] =
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
+    // the lint must see the offending operator through AQE plan wrappers —
+    // prove it on a deliberately-broken fixture before trusting the sweep
+    val fixture = spark.range(5).crossJoin(spark.range(5))
+    assert(offenders(planOf(fixture)).nonEmpty,
+      "lint fixture: cross join not visible in the plan string")
+    val nonEqui = spark.range(10).toDF("a")
+      .join(spark.range(10).toDF("b"), col("a") < col("b"))
+    assert(offenders(planOf(nonEqui)).nonEmpty,
+      "lint fixture: non-equi join not visible in the plan string")
+    val bad = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => allow.contains(q._1))
+      .flatMap { case (name, fn) =>
+        val off = offenders(planOf(fn(spark, sf0001)))
+        if (off.isEmpty) Nil else Seq(s"$name: ${off.mkString("+")}")
+      }
+    assert(bad.isEmpty,
+      s"unexpected quadratic join shapes:\n${bad.mkString("\n")}")
+  }
+
   test("salted join equals the plain join") {
     import spark.implicits._
     val left = (1 to 2000).map(i => (if (i % 3 == 0) 1L else i.toLong % 100, i))

@@ -56,6 +56,30 @@ class SamplingSpec extends SparkSpec {
     assert(maxFill <= 2048L + 100L, s"fill=$maxFill")
   }
 
+  test("packByTokenBudget: rejects clashing columns and bad ids") {
+    import spark.implicits._
+    // output-name collision fails at declare time, not silently overwrites
+    val hasShard = Seq((1L, 10L, 9L)).toDF("id", "n", "shard")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.packByTokenBudget(hasShard, "id", "n", 2048L, shards = 2)
+    }
+    assert(e1.getMessage.contains("shard"))
+    val hasBin = Seq((1L, 10L, 9L)).toDF("id", "n", "bin")
+    intercept[IllegalArgumentException] {
+      Sampling.packByTokenBudget(hasBin, "id", "n", 2048L, shards = 2)
+    }
+    // a non-castable id would hash every row into one null shard — raise
+    val badId = Seq(("doc-a", 10L), ("doc-b", 20L)).toDF("id", "n")
+    val e2 = intercept[Exception] {
+      Sampling.packByTokenBudget(badId, "id", "n", 2048L, shards = 2).collect()
+    }
+    assert(e2.getMessage.contains("does not cast"), e2.getMessage)
+    // numeric-string ids still work (castable)
+    val okId = Seq(("1", 10L), ("2", 20L)).toDF("id", "n")
+    assert(Sampling.packByTokenBudget(okId, "id", "n", 2048L, shards = 2)
+      .count() == 2)
+  }
+
   test("hashSplit adds no shuffle: assignment is pure map-side") {
     import spark.implicits._
     val plan = Sampling.hashSplit((0L until 10L).toDF("id"), "id")

@@ -43,6 +43,28 @@ class StreamingSpec extends SparkSpec {
     assert(native.count() > 0)
   }
 
+  test("RocksDB state store: hourly agg and watermark dedup match the default provider") {
+    // the 100 TB state posture: same queries, state off-heap in RocksDB.
+    // A bad provider class or a RocksDB-incompatible state schema throws
+    // at query start, so green here means the toggle genuinely engaged.
+    val (hourlyDefault, dedupDefault) =
+      (EventStreams.hourlyCounts(spark, sf0001).collect().toSet,
+        EventStreams.dedupCounts(spark, sf0001).collect().toSet)
+    graft.engine.SessionConf.withConf(spark,
+      EventStreams.StateStoreConf -> "rocksdb") {
+      val hourly = EventStreams.hourlyCounts(spark, sf0001).collect().toSet
+      val dedup = EventStreams.dedupCounts(spark, sf0001).collect().toSet
+      assert(hourly == hourlyDefault)
+      assert(dedup == dedupDefault)
+      assert(hourly.nonEmpty && dedup.nonEmpty)
+    }
+    // the provider conf must not leak past the streaming call
+    assert(spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass").isEmpty ||
+      !spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDB"))
+  }
+
   test("streaming hourly aggregation equals batch group-by") {
     val got = EventStreams.hourlyCounts(spark, sf0001)
     val events = {
