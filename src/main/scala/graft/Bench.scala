@@ -41,7 +41,11 @@ object Bench {
     "q23_except_customers" -> 476, "q24_pivot_status_counts" -> 532,
     "q25_scalar_functions" -> 352, "q26_group_by_all" -> 338,
     "q27_orders_above_customer_avg" -> 630, "q28_date_spine" -> 401,
-    "q29_surrogate_key" -> 309, "q30_approx_distinct" -> 459,
+    "q29_surrogate_key" -> 309,
+    // re-baselined r7: q30 became self-adjudicating (added exact
+    // countDistinct + verdict column); x25 plan-justified re-baseline
+    // (see BASELINE.md §round 7)
+    "q30_approx_distinct" -> 843,
     "q31_cheapest_open_order" -> 560, "q32_large_volume_orders" -> 1134,
     "q33_datetime_functions" -> 327, "q34_string_null_functions" -> 339,
     "q35_listagg_priorities" -> 328, "q36_explode_type_words" -> 213,
@@ -60,7 +64,7 @@ object Bench {
     "x19_dup_components" -> 3078, "x20_langid" -> 460,
     "x21_stream_dedup" -> 3094, "x22_hash_split" -> 394,
     "x23_quantize_embeddings" -> 412, "x24_stream_join" -> 5719,
-    "x25_tfidf_top_terms" -> 691, "x26_interval_overlap" -> 525,
+    "x25_tfidf_top_terms" -> 1100, "x26_interval_overlap" -> 525,
     "x27_dedup_keeplist" -> 2682, "x28_quality_filters" -> 440,
     "x29_stratified_cap" -> 500, "x30_containment_pairs" -> 2670,
     // first-measure baselines for post-freeze queries (round 6 full-run
@@ -68,7 +72,10 @@ object Bench {
     "x31_embedding_lsh_pairs" -> 4409, "x32_dup_components_star" -> 4692,
     "x33_decontaminate" -> 808, "x34_pii_redaction" -> 548,
     "x35_pack_bins" -> 294, "x36_repeated_spans" -> 1120,
-    "x37_session_window" -> 980)
+    "x37_session_window" -> 980,
+    // round-7 first measures (BASELINE.md §round 7)
+    "q05_local_supplier_volume" -> 1183, "q08_market_share" -> 864,
+    "x38_remove_repeated_spans" -> 1382, "x39_srp_lsh_production" -> 4553)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
