@@ -87,6 +87,35 @@ object Sampling {
       .withColumnRenamed("__shard", "shard")
   }
 
+  /** Deterministic weighted sampling without replacement, k per group
+    * (Efraimidis & Spirakis, IPL 2006): each row draws a reproducible
+    * uniform u from md5(id) and is ranked by key = -ln(u)/w — keeping
+    * the k smallest keys per group selects with probability proportional
+    * to weight, without replacement. Unlike RNG `sampleBy`, reruns and
+    * backfills keep the SAME rows (the draw depends only on the id), and
+    * heavier rows (e.g. token-richer documents) win proportionally.
+    *
+    * Scale shape: the key is a pure map-side expression (codegen'd md5 +
+    * one ln); the only shuffle is the per-group top-k window. The
+    * 12-hex-digit draw is 48 bits — exact in double for both this
+    * engine and a SQL oracle; the key is rounded so cross-engine ln ulp
+    * noise cannot flip ranks, ties break by id. Rows with
+    * non-positive weight are excluded (they have zero sampling mass). */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    val hexMax = math.pow(16, 12) // 2^48, exact in double
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("double") + 1.0) / (hexMax + 1.0) // in (0, 1]
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__wkey"), col(idCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("__wkey", round(-log(u) / col(weightCol), 8))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__wkey", "__rk")
+  }
+
   /** md5 emits LOWERCASE hex and the comparison is lexicographic, so an
     * uppercase threshold ('CD' < any lowercase letter) would silently
     * shift the fraction — normalize and validate. */

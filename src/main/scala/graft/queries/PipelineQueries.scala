@@ -751,6 +751,28 @@ object PipelineQueries extends QueryPack {
           FROM documents)
         WHERE rk <= 15 ORDER BY source, doc_id""")),
 
+    // ---- weighted sampling (Efraimidis-Spirakis): 10 docs per source,
+    //      selection probability ∝ token count, deterministic by id ------
+    Q("x41_weighted_sample",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("wt", nTokens(tokens(col("text"))))
+        graft.operators.Sampling
+          .weightedSamplePerGroup(docs, "source", "doc_id", "wt", k = 10)
+          .select(col("source"), col("doc_id"), col("wt"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT source, doc_id,
+            len(string_split(text,' ')) AS wt FROM documents),
+        sck AS (SELECT source, doc_id, wt,
+            round(-ln((CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,12)) AS BIGINT) + 1.0)
+                      / 281474976710657.0) / wt, 8) AS skey
+            FROM w WHERE wt > 0),
+        r AS (SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY skey, doc_id) AS rk FROM sck)
+        SELECT source, doc_id, wt FROM r WHERE rk <= 10
+        ORDER BY source, doc_id""")),
+
     // ---- int8 embedding quantization (4x ANN-index compression) --------
     Q("x23_quantize_embeddings",
       (s, dir) => t(s, dir, "embeddings")
@@ -907,6 +929,28 @@ object PipelineQueries extends QueryPack {
             list_transform(range(len(embedding)),
               i -> CASE WHEN i % 16 = 0 THEN CAST(0.0 AS FLOAT)
                    ELSE embedding[i+1] END) AS embedding
-          FROM embeddings WHERE vec_id % 10 = 0)""")))
+          FROM embeddings WHERE vec_id % 10 = 0)"""))),
+
+    // ---- corpus-trained bigram LM scoring (CCNet-style perplexity
+    //      proxy): avg negative log-likelihood per doc under add-one-
+    //      smoothed corpus bigram statistics; per-bigram log-probs are
+    //      rounded + decimal-summed so the average is order-independent -
+    Q("x40_lm_bigram_nll",
+      (s, dir) => graft.operators.LmScore.bigramNll(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        tok AS (SELECT unnest(ts) AS w FROM t),
+        uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w),
+        v AS (SELECT count(*) AS vsz FROM uni),
+        bg AS (SELECT doc_id, ts[i+1] AS w1, ts[i+2] AS w2
+               FROM (SELECT doc_id, ts, unnest(range(len(ts)-1)) AS i FROM t)),
+        bi AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        sc AS (SELECT doc_id,
+               CAST(round(ln((bi.c2 + 1.0) / (uni.c1 + v.vsz)), 6) AS DECIMAL(18,6)) AS lp
+               FROM bg JOIN bi USING (w1, w2) JOIN uni ON bg.w1 = uni.w CROSS JOIN v)
+        SELECT doc_id, count(*) AS n_bigrams,
+          round(-(CAST(sum(lp) AS DOUBLE) / count(*)), 4) AS avg_nll
+        FROM sc GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

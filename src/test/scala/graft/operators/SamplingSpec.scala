@@ -80,6 +80,30 @@ class SamplingSpec extends SparkSpec {
       .count() == 2)
   }
 
+  test("weightedSamplePerGroup: proportional, deterministic, weight-gated") {
+    import spark.implicits._
+    // 10 heavy (w=1000) vs 190 light (w=1) rows: a proportional sampler
+    // picking 10 should select mostly heavy rows; a uniform one would
+    // pick ~0.5 heavy in expectation
+    val rows = (1L to 200L).map(i =>
+      ("g", i, if (i <= 10) 1000L else 1L))
+    val df = rows.toDF("grp", "id", "w")
+    val got = Sampling.weightedSamplePerGroup(df, "grp", "id", "w", k = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got.size == 10)
+    val heavy = got.count(_ <= 10L)
+    assert(heavy >= 7, s"only $heavy of 10 picks were heavy: $got")
+    // deterministic across reruns
+    val again = Sampling.weightedSamplePerGroup(df, "grp", "id", "w", k = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == got)
+    // non-positive weights carry no sampling mass
+    val withZero = (rows :+ (("g", 999L, 0L))).toDF("grp", "id", "w")
+    val z = Sampling.weightedSamplePerGroup(withZero, "grp", "id", "w", k = 300)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!z.contains(999L) && z.size == 200)
+  }
+
   test("hashSplit adds no shuffle: assignment is pure map-side") {
     import spark.implicits._
     val plan = Sampling.hashSplit((0L until 10L).toDF("id"), "id")
