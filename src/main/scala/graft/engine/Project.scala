@@ -352,6 +352,38 @@ final class Project(val spark: SparkSession, val target: Target) {
     thisPhysical = models.get(nodeId.stripPrefix("model."))
       .map(physicalName))
 
+  /** dbt `compile` analogue for SQL-text nodes: the declared SQL with
+    * every placeholder replaced by the PHYSICAL relation it resolves to
+    * (2-part schema.alias for refs — snapshot refs included; catalog
+    * table or `parquet.`path`` for sources) — what dbt writes under
+    * target/compiled. DataFrame models carry no SQL text; they compile
+    * to Catalyst plans directly. */
+  def compiledSql(name: String): Option[String] =
+    models.get(name).flatMap(_.sqlText)
+      .orElse(analyses.get(name).map(_.sqlText))
+      .map(substitutePhysical)
+
+  private def substitutePhysical(sql: String): String = {
+    val withRefs = Project.RefPat.replaceAllIn(sql, m2 => {
+      val dep = m2.group(1)
+      val physical = models.get(versionedName(dep, None)) match {
+        case Some(dm) => physicalName(dm)
+        case None if snapshots.contains(dep) => physicalName(snapshots(dep))
+        case _ => throw new NoSuchElementException(s"unknown model '$dep'")
+      }
+      java.util.regex.Matcher.quoteReplacement(physical)
+    })
+    Project.SrcPat.replaceAllIn(withRefs, m2 => {
+      val sd = sources.getOrElse((m2.group(1), m2.group(2)),
+        throw new NoSuchElementException(
+          s"unknown source '${m2.group(1)}.${m2.group(2)}'"))
+      java.util.regex.Matcher.quoteReplacement(sd.location match {
+        case CatalogTable(t) => t
+        case ParquetPath(p) => s"parquet.`$p`"
+      })
+    })
+  }
+
   private val analysisResolved = mutable.Map[String, DataFrame]()
   /** Resolve an analysis to its (never-materialized) plan — memoized;
     * records its ref/source edges like a model build. Used by compile()

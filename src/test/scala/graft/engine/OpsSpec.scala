@@ -178,6 +178,41 @@ class OpsSpec extends SparkSpec {
     assert(out2.last == "debug: FAIL")
   }
 
+  test("compile: placeholder-resolved SQL against physical relations") {
+    val p = new Project(spark, Target("dev", "cmpl", threads = 2))
+    p.source("raw", "nation", ParquetPath(s"$sf0001/nation.parquet"))
+    p.model("cmpl_base", ModelConfig(alias = Some("base_aliased"))) {
+      ctx => ctx.source("raw", "nation")
+    }
+    p.sqlModel("cmpl_top")(
+      "select n_name from {{ ref('cmpl_base') }} " +
+        "union all select n_name from {{ source('raw', 'nation') }}")
+    p.analysis("cmpl_probe")("select count(*) as n from {{ ref('cmpl_top') }}")
+    val out = Cli.run(p, Seq("compile"))
+    // sql-text model: refs resolve to 2-part physical names (alias wins),
+    // sources to their location
+    val topSql = out(out.indexOf("-- compiled model.cmpl_top") + 1)
+    assert(topSql.contains("cmpl.base_aliased"), topSql)
+    assert(topSql.contains(s"parquet.`$sf0001/nation.parquet`"), topSql)
+    assert(!topSql.contains("{{"), topSql)
+    // analyses compile too
+    val probeSql = out(out.indexOf("-- compiled analysis.cmpl_probe") + 1)
+    assert(probeSql.contains("cmpl.cmpl_top"), probeSql)
+    // DataFrame models are noted, not silently dropped
+    assert(out.exists(l => l.contains("model.cmpl_base") &&
+      l.contains("Catalyst plan")), out)
+  }
+
+  test("deps: lock-style report resolves every reference package") {
+    val p = new Project(spark, Target("dev", "deps", threads = 2))
+    val out = Cli.run(p, Seq("deps"))
+    for (pkg <- Seq("yuki_snowflake_dbt_tags 0.2.5", "dbt_utils 1.3.1",
+        "codegen 0.13.1", "dbt_project_evaluator 1.1.2"))
+      assert(out.exists(l => l.startsWith("resolved: ") && l.contains(pkg)),
+        s"$pkg not resolved: $out")
+    assert(out.last.startsWith("deps: 4 packages resolved"))
+  }
+
   test("kwargs parser: quoted values keep commas and colons") {
     val parsed = Cli.parseKwargs(
       "{schema: cliops, msg: 'a, b: c', q: \"x,y\", flag: true}")
