@@ -76,7 +76,8 @@ object Bench {
     // round-7 first measures (BASELINE.md §round 7)
     "q05_local_supplier_volume" -> 1183, "q08_market_share" -> 864,
     "x38_remove_repeated_spans" -> 1382, "x39_srp_lsh_production" -> 4553,
-    "x40_lm_bigram_nll" -> 1290, "x41_weighted_sample" -> 465)
+    "x40_lm_bigram_nll" -> 1290, "x41_weighted_sample" -> 465,
+    "x42_chunk_documents" -> 781)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

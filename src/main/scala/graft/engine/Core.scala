@@ -114,6 +114,14 @@ final case class SourceDef(
 sealed trait SourceLocation
 final case class ParquetPath(path: String) extends SourceLocation
 final case class CatalogTable(table: String) extends SourceLocation
+/** CSV source (header/schema-inference defaults match `spark.read.csv`
+  * conventions for raw drops; pass an explicit DDL `schema` at scale —
+  * inference scans the data twice). */
+final case class CsvPath(path: String, header: Boolean = true,
+    schema: Option[String] = None) extends SourceLocation
+/** JSON-lines source; same schema guidance as [[CsvPath]]. */
+final case class JsonPath(path: String,
+    schema: Option[String] = None) extends SourceLocation
 
 /** A seed: CSV loaded as a table (`dbt_project.yml:17`). */
 final case class Seed(

@@ -50,6 +50,8 @@ object Docs {
       case s: Snapshot => Some(project.physicalName(s))
       case SourceDef(_, _, CatalogTable(t)) => Some(t)
       case SourceDef(_, _, ParquetPath(p)) => Some(p)
+      case SourceDef(_, _, CsvPath(p, _, _)) => Some(p)
+      case SourceDef(_, _, JsonPath(p, _)) => Some(p)
       case _ => None
     }
 

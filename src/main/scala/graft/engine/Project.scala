@@ -273,6 +273,11 @@ final class Project(val spark: SparkSession, val target: Target) {
   private def sourceDf(s: SourceDef): DataFrame = s.location match {
     case ParquetPath(p) => spark.read.parquet(p)
     case CatalogTable(t) => spark.table(t)
+    case CsvPath(p, header, schema) =>
+      val r = spark.read.option("header", header.toString)
+      schema.fold(r.option("inferSchema", "true"))(r.schema).csv(p)
+    case JsonPath(p, schema) =>
+      schema.fold(spark.read)(spark.read.schema).json(p)
   }
 
   private def ctxFor(nodeId: String): Ctx = new Ctx(
@@ -380,6 +385,8 @@ final class Project(val spark: SparkSession, val target: Target) {
       java.util.regex.Matcher.quoteReplacement(sd.location match {
         case CatalogTable(t) => t
         case ParquetPath(p) => s"parquet.`$p`"
+        case CsvPath(p, _, _) => s"csv.`$p`"
+        case JsonPath(p, _) => s"json.`$p`"
       })
     })
   }

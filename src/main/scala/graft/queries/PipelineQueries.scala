@@ -773,6 +773,25 @@ object PipelineQueries extends QueryPack {
         SELECT source, doc_id, wt FROM r WHERE rk <= 10
         ORDER BY source, doc_id""")),
 
+    // ---- document chunking: 64-token windows, stride 48 (16-token
+    //      overlap), redundant suffix windows dropped -------------------
+    Q("x42_chunk_documents",
+      (s, dir) => graft.operators.Chunking.chunkByTokens(
+        t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        sel AS (SELECT doc_id, ts,
+                list_filter(range(0, len(ts), 48),
+                            s -> s = 0 OR s + 16 < len(ts)) AS starts
+                FROM t),
+        ex AS (SELECT doc_id, ts, starts, unnest(range(len(starts))) AS ci
+               FROM sel)
+        SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+          array_to_string(list_slice(ts, starts[ci+1] + 1, starts[ci+1] + 64), ' ') AS chunk_text,
+          CAST(least(64, len(ts) - starts[ci+1]) AS BIGINT) AS n_chunk_tokens
+        FROM ex ORDER BY doc_id, chunk_idx""")),
+
     // ---- int8 embedding quantization (4x ANN-index compression) --------
     Q("x23_quantize_embeddings",
       (s, dir) => t(s, dir, "embeddings")

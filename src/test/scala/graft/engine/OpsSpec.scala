@@ -203,6 +203,37 @@ class OpsSpec extends SparkSpec {
       l.contains("Catalyst plan")), out)
   }
 
+  test("csv/json source locations resolve, document, and compile") {
+    val dir = java.nio.file.Files.createTempDirectory("srcfmt")
+    val csv = dir.resolve("c.csv")
+    java.nio.file.Files.writeString(csv, "id,name\n1,alpha\n2,beta\n")
+    val jsonl = dir.resolve("d.json")
+    java.nio.file.Files.writeString(jsonl,
+      "{\"id\": 3, \"name\": \"gamma\"}\n{\"id\": 4, \"name\": \"delta\"}\n")
+    val p = new Project(spark, Target("dev", "srcfmt", threads = 2))
+    p.source("raw", "c", CsvPath(csv.toString,
+      schema = Some("id INT, name STRING")))
+    p.source("raw", "d", JsonPath(jsonl.toString,
+      schema = Some("id BIGINT, name STRING")))
+    p.sqlModel("fmt_union", ModelConfig(materialized = Materialization.Table))(
+      "select id, name from {{ source('raw', 'c') }} " +
+        "union all select id, name from {{ source('raw', 'd') }}")
+    assert(p.run().ok)
+    val rows = spark.table("srcfmt.fmt_union").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq(1L -> "alpha", 2L -> "beta", 3L -> "gamma", 4L -> "delta"))
+    // debug checks the new locations; docs carries their columns
+    val dbg = Cli.run(p, Seq("debug"))
+    assert(dbg.exists(_.startsWith("PASS source raw.c")), dbg)
+    assert(dbg.exists(_.startsWith("PASS source raw.d")), dbg)
+    val json = Docs.generate(p)
+    assert(json.contains("\"source.raw.c\"") && json.contains("\"name\": \"string\""))
+    // compile substitutes the typed path relations
+    val compiled = Cli.run(p, Seq("compile"))
+    val sql = compiled(compiled.indexOf("-- compiled model.fmt_union") + 1)
+    assert(sql.contains(s"csv.`$csv`") && sql.contains(s"json.`$jsonl`"), sql)
+  }
+
   test("deps: lock-style report resolves every reference package") {
     val p = new Project(spark, Target("dev", "deps", threads = 2))
     val out = Cli.run(p, Seq("deps"))
