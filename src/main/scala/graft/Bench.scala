@@ -77,7 +77,11 @@ object Bench {
     "q05_local_supplier_volume" -> 1183, "q08_market_share" -> 864,
     "x38_remove_repeated_spans" -> 1382, "x39_srp_lsh_production" -> 4553,
     "x40_lm_bigram_nll" -> 1290, "x41_weighted_sample" -> 465,
-    "x42_chunk_documents" -> 781)
+    "x42_chunk_documents" -> 781,
+    // x43 composes recall-tuned LSH (16 2-bit-key bands — the documented
+    // low-similarity-corpus parameterization) with star components over
+    // the resulting dense dup graph; the cost IS the workload
+    "x43_embedding_dedup_keeplist" -> 10868)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -40,10 +40,11 @@ object PipelineQueries extends QueryPack {
   private val dotSql =
     "list_sum(list_transform(range(len(%s)), i -> CAST(%s[i+1] AS DOUBLE)*CAST(%s[i+1] AS DOUBLE)))"
 
-  /** DuckDB oracle for [[Dedup.embeddingLshPairs]] at any (planes, bands,
-    * threshold) over any table expression: regenerates the identical
-    * md5-seeded ±1 hyperplanes, band keys, and rounded-cosine verify. */
-  private def srpOracleSql(numPlanes: Int, numBands: Int, threshold: Double,
+  /** Shared CTE body for the [[Dedup.embeddingLshPairs]] oracles:
+    * `e` (vectors + md5-seeded ±1 projection bits), `bands`, `cand`
+    * (blocked candidate pairs), `pr` (exact-cosine-verified pairs above
+    * `threshold`). Compose after a `WITH`/`WITH RECURSIVE`. */
+  private def srpCtes(numPlanes: Int, numBands: Int, threshold: Double,
       table: String): String = {
     val rows = numPlanes / numBands
     def bitSql(p: Int) =
@@ -58,16 +59,23 @@ object PipelineQueries extends QueryPack {
         " AS key FROM e").mkString(" UNION ALL ")
     val d = dotSql.format("ea.embedding", "ea.embedding", "eb.embedding")
     val n = dotSql.format("embedding", "embedding", "embedding")
-    s"""WITH e AS (SELECT vec_id, embedding, sqrt($n) AS nrm, $bits FROM $table),
+    s"""e AS (SELECT vec_id, embedding, sqrt($n) AS nrm, $bits FROM $table),
       bands AS ($bands),
       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                FROM bands a JOIN bands b
-                 ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
-      SELECT id_a, id_b, round($d / (ea.nrm * eb.nrm), 4) AS cos
-      FROM cand JOIN e ea ON id_a = ea.vec_id JOIN e eb ON id_b = eb.vec_id
-      WHERE round($d / (ea.nrm * eb.nrm), 4) >= $threshold
-      ORDER BY id_a, id_b"""
+                 ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+      pr AS (SELECT id_a, id_b, round($d / (ea.nrm * eb.nrm), 4) AS cos
+             FROM cand JOIN e ea ON id_a = ea.vec_id JOIN e eb ON id_b = eb.vec_id
+             WHERE round($d / (ea.nrm * eb.nrm), 4) >= $threshold)"""
   }
+
+  /** DuckDB oracle for [[Dedup.embeddingLshPairs]] at any (planes, bands,
+    * threshold) over any table expression: regenerates the identical
+    * md5-seeded ±1 hyperplanes, band keys, and rounded-cosine verify. */
+  private def srpOracleSql(numPlanes: Int, numBands: Int, threshold: Double,
+      table: String): String =
+    s"""WITH ${srpCtes(numPlanes, numBands, threshold, table)}
+      SELECT id_a, id_b, cos FROM pr ORDER BY id_a, id_b"""
 
   val all: Seq[Q] = Seq(
 
@@ -949,6 +957,35 @@ object PipelineQueries extends QueryPack {
               i -> CASE WHEN i % 16 = 0 THEN CAST(0.0 AS FLOAT)
                    ELSE embedding[i+1] END) AS embedding
           FROM embeddings WHERE vec_id % 10 = 0)"""))),
+
+    // ---- END-TO-END embedding-level dedup: SRP-LSH pairs → connected
+    //      components (large/small-star) → one canonical survivor per
+    //      cluster. Both engines see the IDENTICAL candidate graph (the
+    //      oracle regenerates the same hyperplanes), so the keep-list is
+    //      deterministic even though LSH recall < 1 ---------------------
+    Q("x43_embedding_dedup_keeplist",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val pairs = Dedup.embeddingLshPairs(emb, "vec_id", "embedding",
+          threshold = 0.35, dim = 64, numPlanes = 96, numBands = 16)
+        val comp = Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
+        emb.join(comp, emb("vec_id") === comp("v"), "left")
+          .filter(col("comp").isNull || col("comp") === col("vec_id"))
+          .select(col("vec_id"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH RECURSIVE ${srpCtes(numPlanes = 96, numBands = 16,
+          threshold = 0.35, table = "embeddings")},
+        edges AS (SELECT id_a AS s, id_b AS d FROM pr
+                  UNION SELECT id_b, id_a FROM pr),
+        reach AS (SELECT s AS v, s AS l FROM edges
+                  UNION
+                  SELECT e2.s, r.l FROM reach r JOIN edges e2 ON e2.d = r.v),
+        comp AS (SELECT v, min(l) AS component FROM reach GROUP BY v)
+        SELECT emb.vec_id FROM embeddings emb
+        LEFT JOIN comp c ON emb.vec_id = c.v
+        WHERE c.component IS NULL OR c.component = emb.vec_id
+        ORDER BY vec_id""")),
 
     // ---- corpus-trained bigram LM scoring (CCNet-style perplexity
     //      proxy): avg negative log-likelihood per doc under add-one-
