@@ -57,6 +57,17 @@ object Materialization {
     * idempotent backfill pattern for partitioned facts at scale. */
   final case class InsertOverwrite(partitionCols: Seq[String])
       extends Materialization
+  /** Streaming incremental: the model's plan (built over
+    * `ctx.sourceStream`) runs as a Structured Streaming query with
+    * `Trigger.AvailableNow` — each `run()` processes exactly the input
+    * that arrived since the previous run (the checkpointed offset log IS
+    * the incremental state; no `is_incremental()` max-timestamp
+    * bookkeeping, no late-row races) and appends to the physical table,
+    * then stops. The streaming twin of `Incremental(Append)`; downstream
+    * refs read the accumulated table as usual. `checkpoint` defaults to
+    * `<warehouse>/_graft_checkpoints/<schema>_<name>`. */
+  final case class StreamingTable(checkpoint: Option[String] = None)
+      extends Materialization
 }
 
 /** Per-model configuration. Schema resolution follows the reference's
@@ -177,7 +188,10 @@ final class Ctx(
     val spark: SparkSession,
     resolveRef: (String, Option[Int]) => DataFrame,
     resolveSource: (String, String) => DataFrame,
-    thisPhysical: Option[String] = None) {
+    thisPhysical: Option[String] = None,
+    resolveSourceStream: (String, String) => DataFrame =
+      (s, t) => throw new UnsupportedOperationException(
+        s"no streaming resolver bound for source '$s.$t'")) {
   /** Read another model's output; records a DAG edge (ref.sql semantics:
     * resolved names are always 2-part — schema.alias, no database).
     * If `model` is not itself declared but a versioned family
@@ -192,6 +206,11 @@ final class Ctx(
   /** Read a declared source table; records a DAG edge. */
   def source(sourceName: String, table: String): DataFrame =
     resolveSource(sourceName, table)
+  /** Read a declared source as a STREAM (file source over its location,
+    * schema taken from the batch read); records a DAG edge. For models
+    * materialized [[Materialization.StreamingTable]]. */
+  def sourceStream(sourceName: String, table: String): DataFrame =
+    resolveSourceStream(sourceName, table)
   /** dbt `is_incremental()`: true when this model's relation already
     * exists in the catalog (so the build can filter to new rows only). */
   def isIncremental: Boolean =

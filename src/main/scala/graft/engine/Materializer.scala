@@ -32,7 +32,8 @@ object Materializer {
       def isPhysical(mat: Materialization): Boolean = mat match {
         case Materialization.Table | _: Materialization.Incremental |
              _: Materialization.BucketedTable |
-             _: Materialization.InsertOverwrite => true
+             _: Materialization.InsertOverwrite |
+             _: Materialization.StreamingTable => true
         case _ => false
       }
       def refPhysical(name: String): Option[String] =
@@ -124,6 +125,23 @@ object Materializer {
             ordered.write.mode(SaveMode.Overwrite).insertInto(physical)
           }
         }
+      case Materialization.StreamingTable(checkpoint) =>
+        // AvailableNow: process everything that arrived since the last
+        // run's checkpointed offsets, append, stop — per-run incremental
+        // catch-up with exactly-once file-source accounting. The state
+        // partition count follows the streaming surface's convention
+        // (state volume, not CPU count) via the same conf capture.
+        require(df.isStreaming,
+          s"${m.id} is materialized StreamingTable but its build returned " +
+            "a batch DataFrame — read inputs with ctx.sourceStream")
+        ensureSchema(p, p.schemaFor(m.config))
+        val ckpt = streamingCheckpointPath(p, m, checkpoint)
+        val q = df.writeStream
+          .format("parquet")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(physical)
+        try q.awaitTermination() finally q.stop()
       case Materialization.Incremental(uniqueKey, strategy) =>
         ensureSchema(p, p.schemaFor(m.config))
         if (!p.spark.catalog.tableExists(physical)) {
@@ -154,6 +172,20 @@ object Materializer {
         }
     }
   }
+
+  /** Checkpoint dir of a [[Materialization.StreamingTable]] model (the
+    * offset log that makes each run incremental). Shared with
+    * `--full-refresh`, which must delete it alongside the table —
+    * otherwise the retained offsets say "already processed" and the
+    * rebuilt table would stay empty. */
+  private[engine] def streamingCheckpointPath(p: Project, m: Model,
+      checkpoint: Option[String]): String =
+    checkpoint.getOrElse {
+      val warehouse = java.nio.file.Paths.get(new java.net.URI(
+        p.spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      warehouse.resolve(
+        s"_graft_checkpoints/${p.physicalName(m).replace('.', '_')}").toString
+    }
 
   /** Swap `staging` into `physical` via backup-rename: a failure at any
     * step leaves a readable table (recover by renaming __backup back). */

@@ -280,6 +280,42 @@ final class Project(val spark: SparkSession, val target: Target) {
       schema.fold(spark.read)(spark.read.schema).json(p)
   }
 
+  /** Streaming read of a source: file stream over its location with the
+    * batch-read schema (Structured Streaming requires one upfront), or
+    * `readStream.table` for catalog tables. A path pointing at one FILE
+    * streams its parent directory under a glob filter — the file source
+    * wants a directory. */
+  private def sourceStreamDf(s: SourceDef): DataFrame = {
+    def dirAndFilter(p: String): (String, Option[String]) = {
+      val f = new java.io.File(p)
+      if (f.isFile) (f.getParent, Some(f.getName)) else (p, None)
+    }
+    s.location match {
+      case ParquetPath(p) =>
+        val schema = spark.read.parquet(p).schema
+        val (dir, glob) = dirAndFilter(p)
+        val r = spark.readStream.schema(schema)
+        glob.fold(r)(g => r.option("pathGlobFilter", g)).parquet(dir)
+      case CsvPath(p, header, schemaDdl) =>
+        val schema = schemaDdl.map(
+          org.apache.spark.sql.types.StructType.fromDDL)
+          .getOrElse(spark.read.option("header", header.toString)
+            .option("inferSchema", "true").csv(p).schema)
+        val (dir, glob) = dirAndFilter(p)
+        val r = spark.readStream.schema(schema)
+          .option("header", header.toString)
+        glob.fold(r)(g => r.option("pathGlobFilter", g)).csv(dir)
+      case JsonPath(p, schemaDdl) =>
+        val schema = schemaDdl.map(
+          org.apache.spark.sql.types.StructType.fromDDL)
+          .getOrElse(spark.read.json(p).schema)
+        val (dir, glob) = dirAndFilter(p)
+        val r = spark.readStream.schema(schema)
+        glob.fold(r)(g => r.option("pathGlobFilter", g)).json(dir)
+      case CatalogTable(t) => spark.readStream.table(t)
+    }
+  }
+
   private def ctxFor(nodeId: String): Ctx = new Ctx(
     spark,
     (depName0, version) => {
@@ -302,7 +338,13 @@ final class Project(val spark: SparkSession, val target: Target) {
       sourceDf(sd)
     },
     thisPhysical = models.get(nodeId.stripPrefix("model."))
-      .map(physicalName))
+      .map(physicalName),
+    resolveSourceStream = (s0, t0) => {
+      val sd = sources.getOrElse((s0, t0),
+        throw new NoSuchElementException(s"unknown source '$s0.$t0'"))
+      recordEdge(nodeId, sd.id)
+      sourceStreamDf(sd)
+    })
 
   /** Execution-time resolution (dbt ref semantics): a ref to a physically
     * materialized upstream (table / incremental / bucketed /
@@ -355,7 +397,13 @@ final class Project(val spark: SparkSession, val target: Target) {
       sourceDf(sd)
     },
     thisPhysical = models.get(nodeId.stripPrefix("model."))
-      .map(physicalName))
+      .map(physicalName),
+    resolveSourceStream = (s0, t0) => {
+      val sd = sources.getOrElse((s0, t0),
+        throw new NoSuchElementException(s"unknown source '$s0.$t0'"))
+      recordEdge(nodeId, sd.id)
+      sourceStreamDf(sd)
+    })
 
   /** dbt `compile` analogue for SQL-text nodes: the declared SQL with
     * every placeholder replaced by the PHYSICAL relation it resolves to
@@ -453,11 +501,27 @@ final class Project(val spark: SparkSession, val target: Target) {
     if (fullRefresh) models.values.foreach { m =>
       val refreshable = m.config.materialized match {
         case _: Materialization.Incremental |
-             _: Materialization.InsertOverwrite => true
+             _: Materialization.InsertOverwrite |
+             _: Materialization.StreamingTable => true
         case _ => false
       }
-      if (refreshable && selected(m.id))
+      if (refreshable && selected(m.id)) {
         spark.sql(s"DROP TABLE IF EXISTS ${physicalName(m)}")
+        m.config.materialized match {
+          case Materialization.StreamingTable(ckpt) =>
+            // the offset log must go with the table (see
+            // Materializer.streamingCheckpointPath)
+            val dir = java.nio.file.Paths.get(
+              Materializer.streamingCheckpointPath(this, m, ckpt))
+            if (java.nio.file.Files.exists(dir)) {
+              val files = java.nio.file.Files.walk(dir)
+              try files.sorted(java.util.Comparator.reverseOrder())
+                .forEach(f => java.nio.file.Files.delete(f))
+              finally files.close()
+            }
+          case _ => ()
+        }
+      }
     }
     runStartHooks.foreach(spark.sql(_).collect())
     // analyses are compile-only resources: no dbt command executes them

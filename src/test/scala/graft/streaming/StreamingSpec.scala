@@ -65,6 +65,42 @@ class StreamingSpec extends SparkSpec {
         .contains("RocksDB"))
   }
 
+  test("StreamingTable materialization: per-run checkpointed catch-up") {
+    import graft.engine._
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("streammat").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(srcDir)
+    def proj(): Project = {
+      val p = new Project(spark, Target("dev", "strm", threads = 2))
+      p.source("raw", "ev", ParquetPath(srcDir))
+      p.model("stream_tbl", ModelConfig(materialized =
+        Materialization.StreamingTable())) { ctx =>
+        ctx.sourceStream("raw", "ev").filter(col("id") > 0)
+      }
+      // downstream batch model reads the accumulated table
+      p.model("stream_agg", ModelConfig(materialized = Materialization.Table)) {
+        ctx => ctx.ref("stream_tbl").agg(count(lit(1)).as("n"))
+      }
+      p
+    }
+    assert(proj().run().ok)
+    assert(spark.table("strm.stream_tbl").count() == 2)
+    assert(spark.table("strm.stream_agg").head().getLong(0) == 2L)
+    // new file arrives; second run processes ONLY it (no duplicates)
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").parquet(srcDir)
+    assert(proj().run().ok)
+    val rows = spark.table("strm.stream_tbl").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(1L, 2L, 3L), rows)
+    // a third run with nothing new appends nothing
+    assert(proj().run().ok)
+    assert(spark.table("strm.stream_tbl").count() == 3)
+    // full refresh drops table AND checkpoint: everything reprocesses once
+    assert(proj().run(select = "stream_tbl", fullRefresh = true).ok)
+    assert(spark.table("strm.stream_tbl").count() == 3)
+  }
+
   test("streaming hourly aggregation equals batch group-by") {
     val got = EventStreams.hourlyCounts(spark, sf0001)
     val events = {
