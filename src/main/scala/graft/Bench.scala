@@ -81,7 +81,8 @@ object Bench {
     // x43 composes recall-tuned LSH (16 2-bit-key bands — the documented
     // low-similarity-corpus parameterization) with star components over
     // the resulting dense dup graph; the cost IS the workload
-    "x43_embedding_dedup_keeplist" -> 10868)
+    "x43_embedding_dedup_keeplist" -> 10868,
+    "x44_streaming_table_model" -> 1234)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

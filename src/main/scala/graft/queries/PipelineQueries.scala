@@ -364,6 +364,51 @@ object PipelineQueries extends QueryPack {
          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         GROUP BY p.event_id ORDER BY p.event_id""")),
 
+    // ---- the ENGINE's StreamingTable materialization end-to-end: a
+    //      project ingests events via a streaming model (AvailableNow),
+    //      the accumulated physical table is aggregated batch-side and
+    //      checked against the plain batch oracle. Table + checkpoint
+    //      are reset first so every invocation ingests exactly once. ----
+    Q("x44_streaming_table_model",
+      (s, dir) => {
+        import graft.engine._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val p = new Project(s, Target("dev", "strmq", threads = 2))
+        p.source("raw", "events", ParquetPath(s"$dir/events.parquet"))
+        p.model("ev_ingest", ModelConfig(materialized =
+          Materialization.StreamingTable())) { ctx =>
+          ctx.sourceStream("raw", "events")
+            .select(col("event_type"), col("value"))
+        }
+        // deterministic rerun: full refresh drops table + offset log.
+        // The warehouse dir outlives the in-memory catalog across JVMs,
+        // so also remove the stale physical location a previous process
+        // may have left (DROP TABLE can't see it).
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        for (sub <- Seq("strmq.db/ev_ingest",
+            "_graft_checkpoints/strmq_ev_ingest")) {
+          val d = wh.resolve(sub)
+          if (java.nio.file.Files.exists(d)) {
+            val files = java.nio.file.Files.walk(d)
+            try files.sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => java.nio.file.Files.delete(f))
+            finally files.close()
+          }
+        }
+        val res = p.run(select = "ev_ingest", fullRefresh = true)
+        require(res.ok, s"streaming ingest failed: ${res.results}")
+        s.table("strmq.ev_ingest")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).cast("double")
+              .as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // ---- multimodal payload metadata (binary column convention) --------
     Q("x12_multimodal_meta",
       (s, dir) => Multimodal.pack(t(s, dir, "documents"), "doc_id", "text", "text/plain")
