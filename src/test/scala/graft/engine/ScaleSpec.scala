@@ -110,6 +110,26 @@ class ScaleSpec extends SparkSpec {
       s"unexpected quadratic join shapes:\n${bad.mkString("\n")}")
   }
 
+  test("shuffle budgets hold for representative one-pass queries") {
+    // Pins the EXCHANGE COUNT (shuffles, not broadcasts) of queries whose
+    // scaladoc claims a specific shuffle budget — a regression adding a
+    // hidden shuffle to a "one hash agg" operator fails here, not in a
+    // 100x-scale incident. Budgets include the final total-order sort.
+    val budgets = Map(
+      "q06_forecast_revenue" -> 1, // partial+final agg (single partition)
+      "x01_dedup_exact" -> 2,      // one hash agg + order-by range
+      "x08_token_counts" -> 1,     // per-row expressions + order-by
+      "x23_quantize_embeddings" -> 1, // per-row expressions + order-by
+      "x22_hash_split" -> 3)       // zero-shuffle assignment, then
+                                   // agg + share-window + order-by
+    val shuffleEx = "(?<!Broadcast)Exchange".r
+    for ((name, maxEx) <- budgets) {
+      val plan = planOf(graft.SparkEntry.queries(name)(spark, sf0001))
+      val n = shuffleEx.findAllIn(plan).size
+      assert(n <= maxEx, s"$name: $n shuffles (budget $maxEx)\n$plan")
+    }
+  }
+
   test("salted join equals the plain join") {
     import spark.implicits._
     val left = (1 to 2000).map(i => (if (i % 3 == 0) 1L else i.toLong % 100, i))
