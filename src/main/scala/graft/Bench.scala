@@ -82,7 +82,8 @@ object Bench {
     // low-similarity-corpus parameterization) with star components over
     // the resulting dense dup graph; the cost IS the workload
     "x43_embedding_dedup_keeplist" -> 10868,
-    "x44_streaming_table_model" -> 1234)
+    "x44_streaming_table_model" -> 1234,
+    "x45_perplexity_buckets" -> 1668)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

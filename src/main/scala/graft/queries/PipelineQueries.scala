@@ -40,6 +40,23 @@ object PipelineQueries extends QueryPack {
   private val dotSql =
     "list_sum(list_transform(range(len(%s)), i -> CAST(%s[i+1] AS DOUBLE)*CAST(%s[i+1] AS DOUBLE)))"
 
+  /** Per-document bigram-LM score (x40's oracle, sans ORDER BY) — also
+    * the `scored` input of the x45 bucket oracle. */
+  private val lmNllSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+      tok AS (SELECT unnest(ts) AS w FROM t),
+      uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w),
+      v AS (SELECT count(*) AS vsz FROM uni),
+      bg AS (SELECT doc_id, ts[i+1] AS w1, ts[i+2] AS w2
+             FROM (SELECT doc_id, ts, unnest(range(len(ts)-1)) AS i FROM t)),
+      bi AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+      sc AS (SELECT doc_id,
+             CAST(round(ln((bi.c2 + 1.0) / (uni.c1 + v.vsz)), 6) AS DECIMAL(18,6)) AS lp
+             FROM bg JOIN bi USING (w1, w2) JOIN uni ON bg.w1 = uni.w CROSS JOIN v)
+      SELECT doc_id, count(*) AS n_bigrams,
+        round(-(CAST(sum(lp) AS DOUBLE) / count(*)), 4) AS avg_nll
+      FROM sc GROUP BY doc_id"""
+
   /** Shared CTE body for the [[Dedup.embeddingLshPairs]] oracles:
     * `e` (vectors + md5-seeded ±1 projection bits), `bands`, `cand`
     * (blocked candidate pairs), `pr` (exact-cosine-verified pairs above
@@ -1040,18 +1057,42 @@ object PipelineQueries extends QueryPack {
       (s, dir) => graft.operators.LmScore.bigramNll(
         t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id")),
-      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
-        tok AS (SELECT unnest(ts) AS w FROM t),
-        uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w),
-        v AS (SELECT count(*) AS vsz FROM uni),
-        bg AS (SELECT doc_id, ts[i+1] AS w1, ts[i+2] AS w2
-               FROM (SELECT doc_id, ts, unnest(range(len(ts)-1)) AS i FROM t)),
-        bi AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
-        sc AS (SELECT doc_id,
-               CAST(round(ln((bi.c2 + 1.0) / (uni.c1 + v.vsz)), 6) AS DECIMAL(18,6)) AS lp
-               FROM bg JOIN bi USING (w1, w2) JOIN uni ON bg.w1 = uni.w CROSS JOIN v)
-        SELECT doc_id, count(*) AS n_bigrams,
-          round(-(CAST(sum(lp) AS DOUBLE) / count(*)), 4) AS avg_nll
-        FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+      Some(s"$lmNllSql ORDER BY doc_id")),
+
+    // ---- CCNet-style perplexity BUCKETS: per source, rank docs by the
+    //      x40 LM score and split into head/middle/tail thirds — the
+    //      published curation step that keeps 'head' (fluent) data and
+    //      drops/downsamples the tail ---------------------------------
+    Q("x45_perplexity_buckets",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        val scored = graft.operators.LmScore
+          .bigramNll(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        val w = Window.partitionBy("source")
+          .orderBy(col("avg_nll"), col("doc_id"))
+        scored
+          .withColumn("nt", ntile(3).over(w))
+          .withColumn("bucket", when(col("nt") === 1, "head")
+            .when(col("nt") === 2, "middle").otherwise("tail"))
+          .groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum(col("avg_nll").cast(DecimalType(18, 4)))
+              .cast("double") / count(lit(1)), 4).as("mean_nll"))
+          .orderBy(col("source"), col("bucket"))
+      },
+      Some(s"""WITH scored AS ($lmNllSql),
+        j AS (SELECT s.doc_id, s.avg_nll, d.source
+              FROM scored s JOIN documents d USING (doc_id)),
+        b AS (SELECT source, avg_nll,
+              ntile(3) OVER (PARTITION BY source
+                             ORDER BY avg_nll, doc_id) AS nt
+              FROM j)
+        SELECT source,
+          CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+          count(*) AS n_docs,
+          round(CAST(sum(CAST(avg_nll AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS mean_nll
+        FROM b GROUP BY source, nt ORDER BY source, bucket"""))
   )
 }

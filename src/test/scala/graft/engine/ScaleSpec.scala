@@ -85,10 +85,10 @@ class ScaleSpec extends SparkSpec {
     //    BROADCAST nlist-row centroid table (index metadata, bounded by
     //    construction) — |corpus|·nlist work is the definition of IVF
     //    assignment, not an accidental cross join
-    //  - x40: same 1-row shape as x25 — the vocabulary-size scalar is
-    //    attached via an explicit single-row broadcast
+    //  - x40/x45: same 1-row shape as x25 — the vocabulary-size scalar is
+    //    attached via an explicit single-row broadcast (x45 composes x40)
     val allow = Set("x06_embedding_neardups", "x25_tfidf_top_terms",
-      "x14_ivf_ann", "x40_lm_bigram_nll")
+      "x14_ivf_ann", "x40_lm_bigram_nll", "x45_perplexity_buckets")
     def offenders(plan: String): Seq[String] =
       Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
     // the lint must see the offending operator through AQE plan wrappers —

@@ -152,6 +152,41 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(r.fieldIndex("first_doc")) == 1L)
   }
 
+  test("removeRepeatedSpans: covered positions excised, boundaries exact") {
+    import spark.implicits._
+    // docs 1 and 2 share the 3-gram "c1 c2 c3"; doc 3 is untouched;
+    // doc 4 is NOTHING BUT the shared span (fully removed -> empty text)
+    val df = Seq(
+      (1L, "a b c1 c2 c3 d e"),
+      (2L, "c1 c2 c3 z"),
+      (3L, "p q r s t"),
+      (4L, "c1 c2 c3"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(df, "doc_id", "text",
+      n = 3, minDocs = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2))).toMap
+    // only the span words go; neighbors survive on both sides
+    assert(out(1L) == ("a b d e", 3L), out(1L))
+    assert(out(2L) == ("z", 3L), out(2L))
+    assert(out(3L) == ("p q r s t", 0L))
+    assert(out(4L) == ("", 3L), out(4L))
+    // overlapping occurrences: "s1 s2 s3 s2 s3" in two docs with n=3 —
+    // starts 0 and 2 both flagged in the doc where both occur, covering
+    // everything between them
+    val df2 = Seq(
+      (10L, "s1 s2 s3 s2 s3 tail10"),
+      (11L, "s1 s2 s3 head11"),
+      (12L, "s3 s2 s3 head12"))
+      .toDF("doc_id", "text")
+    val out2 = Dedup.removeRepeatedSpans(df2, "doc_id", "text",
+      n = 3, minDocs = 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2(10L) == "tail10", out2(10L))
+    assert(out2(11L) == "head11")
+    assert(out2(12L) == "head12")
+  }
+
   test("decontaminate: n-gram collision drops the doc, short docs survive") {
     import spark.implicits._
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
