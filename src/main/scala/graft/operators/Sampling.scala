@@ -79,7 +79,8 @@ object Sampling {
     // silently serializes) — raise per-row instead of mis-assigning
     df.withColumn("__shard",
         when(idLong.isNull, raise_error(concat(
-          lit(s"packByTokenBudget: $idCol value '"), col(idCol).cast("string"),
+          lit(s"packByTokenBudget: $idCol value '"),
+          coalesce(col(idCol).cast("string"), lit("NULL")),
           lit("' does not cast to a non-null long"))).cast("long"))
           .otherwise(pmod(idLong, lit(shards))))
       .withColumn("bin",
@@ -100,7 +101,9 @@ object Sampling {
     * 12-hex-digit draw is 48 bits — exact in double for both this
     * engine and a SQL oracle; the key is rounded so cross-engine ln ulp
     * noise cannot flip ranks, ties break by id. Rows with
-    * non-positive weight are excluded (they have zero sampling mass). */
+    * non-positive weight are excluded (they have zero sampling mass), as
+    * are NULL ids (no identity → no deterministic draw; a NULL key would
+    * also sort nulls-first here but nulls-last in ANSI engines). */
   def weightedSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
       weightCol: String, k: Int): DataFrame = {
     val hexMax = math.pow(16, 12) // 2^48, exact in double
@@ -109,7 +112,7 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col("__wkey"), col(idCol))
-    df.filter(col(weightCol) > 0)
+    df.filter(col(weightCol) > 0 && col(idCol).isNotNull)
       .withColumn("__wkey", round(-log(u) / col(weightCol), 8))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
