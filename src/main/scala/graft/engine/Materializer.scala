@@ -27,7 +27,7 @@ object Materializer {
     * `{{ source }}` replaced by a PHYSICAL table name — defined only when
     * all dependencies are catalog tables (a persistent view cannot read
     * session temp views). */
-  private def persistentViewSql(p: Project, m: Model): Option[String] =
+  private[engine] def persistentViewSql(p: Project, m: Model): Option[String] =
     m.sqlText.flatMap { sql =>
       def isPhysical(mat: Materialization): Boolean = mat match {
         case Materialization.Table | _: Materialization.Incremental |
@@ -128,19 +128,23 @@ object Materializer {
       case Materialization.StreamingTable(checkpoint) =>
         // AvailableNow: process everything that arrived since the last
         // run's checkpointed offsets, append, stop — per-run incremental
-        // catch-up with exactly-once file-source accounting. The state
-        // partition count follows the streaming surface's convention
-        // (state volume, not CPU count) via the same conf capture.
+        // catch-up with exactly-once file-source accounting.
         require(df.isStreaming,
           s"${m.id} is materialized StreamingTable but its build returned " +
             "a batch DataFrame — read inputs with ctx.sourceStream")
         ensureSchema(p, p.schemaFor(m.config))
         val ckpt = streamingCheckpointPath(p, m, checkpoint)
-        val q = df.writeStream
-          .format("parquet")
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .toTable(physical)
+        // start() captures session confs, and run() builds nodes
+        // concurrently — take the SessionConf lock (no kvs) across the
+        // start so another node's temporary conf swap (e.g. dynamic
+        // partitionOverwriteMode) cannot be observed; await OUTSIDE the
+        // lock so ingest doesn't serialize unrelated builds
+        val q = SessionConf.withConf(p.spark)(
+          df.writeStream
+            .format("parquet")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .toTable(physical))
         try q.awaitTermination() finally q.stop()
       case Materialization.Incremental(uniqueKey, strategy) =>
         ensureSchema(p, p.schemaFor(m.config))
@@ -186,6 +190,25 @@ object Materializer {
       warehouse.resolve(
         s"_graft_checkpoints/${p.physicalName(m).replace('.', '_')}").toString
     }
+
+  /** Local filesystem path of a checkpoint string that may be a plain
+    * path or a file: URI. Non-local schemes (hdfs://, s3a://) cannot be
+    * deleted through java.nio — full-refresh must FAIL loudly rather
+    * than silently keep the offset log (which would leave the rebuilt
+    * table permanently empty). */
+  private[engine] def checkpointLocalPath(ckpt: String): java.nio.file.Path = {
+    val uri = try new java.net.URI(ckpt) catch {
+      case _: java.net.URISyntaxException => null
+    }
+    Option(uri).flatMap(u => Option(u.getScheme)) match {
+      case None => java.nio.file.Paths.get(ckpt)
+      case Some("file") => java.nio.file.Paths.get(uri)
+      case Some(scheme) => throw new IllegalArgumentException(
+        s"cannot full-refresh a StreamingTable with a $scheme:// checkpoint " +
+          s"('$ckpt') from this process — delete the checkpoint with the " +
+          "filesystem's own tooling, then rerun")
+    }
+  }
 
   /** Swap `staging` into `physical` via backup-rename: a failure at any
     * step leaves a readable table (recover by renaming __backup back). */

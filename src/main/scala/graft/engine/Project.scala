@@ -28,9 +28,10 @@ final class Project(val spark: SparkSession, val target: Target) {
       build: Ctx => DataFrame): this.type = {
     // snapshots share the ref namespace ('model wins' on resolution), so a
     // model shadowing an earlier snapshot must fail at declare time just
-    // like the reverse order does in snapshot()
-    require(!models.contains(name) && !snapshots.contains(name),
-      s"duplicate node $name")
+    // like the reverse order does in snapshot(); analyses share the
+    // compiledSql namespace
+    require(!models.contains(name) && !snapshots.contains(name) &&
+      !analyses.contains(name), s"duplicate node $name")
     models(name) = Model(name, config, build)
     this
   }
@@ -42,8 +43,8 @@ final class Project(val spark: SparkSession, val target: Target) {
     * `CREATE VIEW` when every dependency is a physical table. */
   def sqlModel(name: String, config: ModelConfig = ModelConfig())(
       sql: String): this.type = {
-    require(!models.contains(name) && !snapshots.contains(name),
-      s"duplicate node $name")
+    require(!models.contains(name) && !snapshots.contains(name) &&
+      !analyses.contains(name), s"duplicate node $name")
     Project.lintSqlModel(spark, name, sql)
     models(name) = Model(name, config, sqlBuild(sql), sqlText = Some(sql))
     this
@@ -77,7 +78,8 @@ final class Project(val spark: SparkSession, val target: Target) {
     * docs/`ls` list it) but NEVER materialized by run/build — dbt has no
     * command that executes an analysis. */
   def analysis(name: String)(sql: String): this.type = {
-    require(!analyses.contains(name), s"duplicate analysis $name")
+    require(!analyses.contains(name) && !models.contains(name) &&
+      !snapshots.contains(name), s"duplicate node $name")
     Project.lintSqlModel(spark, name, sql)
     analyses(name) = Analysis(name, sqlBuild(sql), sql)
     this
@@ -114,8 +116,8 @@ final class Project(val spark: SparkSession, val target: Target) {
       asOf: () => java.sql.Timestamp =
         () => new java.sql.Timestamp(System.currentTimeMillis()))(
       build: Ctx => DataFrame): this.type = {
-    require(!snapshots.contains(name) && !models.contains(name),
-      s"duplicate node $name")
+    require(!snapshots.contains(name) && !models.contains(name) &&
+      !analyses.contains(name), s"duplicate node $name")
     snapshots(name) = Snapshot(name, build, uniqueKey, checkCols, config, asOf)
     this
   }
@@ -385,6 +387,14 @@ final class Project(val spark: SparkSession, val target: Target) {
             execResolve(depName, memo)
           case _ if spark.catalog.tableExists(physicalName(dep)) =>
             spark.table(physicalName(dep))
+          case _: Materialization.StreamingTable =>
+            // re-running the build would hand a STREAMING DataFrame to a
+            // batch consumer — Spark's 'must be executed with
+            // writeStream.start()' error is opaque; fail actionably
+            throw new IllegalStateException(
+              s"model.$depName is a StreamingTable that has not been " +
+                "built yet — run it before batch consumers read it " +
+                "(topo-ordered run() does; ad-hoc resolution cannot)")
           case _ => // physical upstream not built yet (ad-hoc resolution)
             execResolve(depName, memo)
         }
@@ -414,17 +424,13 @@ final class Project(val spark: SparkSession, val target: Target) {
   def compiledSql(name: String): Option[String] =
     models.get(name).flatMap(_.sqlText)
       .orElse(analyses.get(name).map(_.sqlText))
-      .map(substitutePhysical)
+      .map(substitutePhysical(_))
 
-  private def substitutePhysical(sql: String): String = {
+  private def substitutePhysical(sql: String,
+      inlining: Set[String] = Set.empty): String = {
     val withRefs = Project.RefPat.replaceAllIn(sql, m2 => {
       val dep = m2.group(1)
-      val physical = models.get(versionedName(dep, None)) match {
-        case Some(dm) => physicalName(dm)
-        case None if snapshots.contains(dep) => physicalName(snapshots(dep))
-        case _ => throw new NoSuchElementException(s"unknown model '$dep'")
-      }
-      java.util.regex.Matcher.quoteReplacement(physical)
+      java.util.regex.Matcher.quoteReplacement(compiledRelation(dep, inlining))
     })
     Project.SrcPat.replaceAllIn(withRefs, m2 => {
       val sd = sources.getOrElse((m2.group(1), m2.group(2)),
@@ -438,6 +444,35 @@ final class Project(val spark: SparkSession, val target: Target) {
       })
     })
   }
+
+  /** What a compiled ref to `dep` reads (dbt-compile semantics): the
+    * 2-part physical name for physically-materialized models and
+    * snapshots; an INLINED parenthesized subquery for ephemeral SQL
+    * models (dbt inlines ephemerals — a physical name would reference a
+    * relation that never exists); the catalog-view name for SQL views
+    * whose dependencies are all physical (those become real views), else
+    * the session temp-view name the materializer actually creates. */
+  private def compiledRelation(dep: String, inlining: Set[String]): String =
+    models.get(versionedName(dep, None)) match {
+      case Some(dm) => dm.config.materialized match {
+        case Materialization.Ephemeral => dm.sqlText match {
+          case Some(depSql) =>
+            if (inlining.contains(dm.name)) throw new IllegalStateException(
+              s"ref cycle while inlining ephemeral '$dep' in compile")
+            "(" + substitutePhysical(depSql, inlining + dm.name) + ")"
+          case None => throw new UnsupportedOperationException(
+            s"compile: ref('$dep') targets an ephemeral DataFrame model — " +
+              "no SQL text to inline; materialize it or declare it as a " +
+              "sqlModel")
+        }
+        case Materialization.View
+            if Materializer.persistentViewSql(this, dm).isEmpty =>
+          physicalName(dm).replace(".", "__") // session temp view
+        case _ => physicalName(dm)
+      }
+      case None if snapshots.contains(dep) => physicalName(snapshots(dep))
+      case _ => throw new NoSuchElementException(s"unknown model '$dep'")
+    }
 
   private val analysisResolved = mutable.Map[String, DataFrame]()
   /** Resolve an analysis to its (never-materialized) plan — memoized;
@@ -510,8 +545,9 @@ final class Project(val spark: SparkSession, val target: Target) {
         m.config.materialized match {
           case Materialization.StreamingTable(ckpt) =>
             // the offset log must go with the table (see
-            // Materializer.streamingCheckpointPath)
-            val dir = java.nio.file.Paths.get(
+            // Materializer.streamingCheckpointPath); URI-form local
+            // checkpoints resolve, non-local schemes fail loudly
+            val dir = Materializer.checkpointLocalPath(
               Materializer.streamingCheckpointPath(this, m, ckpt))
             if (java.nio.file.Files.exists(dir)) {
               val files = java.nio.file.Files.walk(dir)
@@ -726,7 +762,7 @@ object Selector {
     // bare names address models first, then snapshots/seeds (dbt selects
     // any resource kind by name)
     def nodeId(e: String): String =
-      Seq(s"model.$e", s"snapshot.$e", s"seed.$e")
+      Seq(s"model.$e", s"snapshot.$e", s"seed.$e", s"analysis.$e")
         .find(graph.nodes.contains).getOrElse(s"model.$e")
     def closure(start: Set[String], next: String => Iterable[String]): Set[String] = {
       var acc = start

@@ -106,6 +106,12 @@ object Sampling {
     * also sort nulls-first here but nulls-last in ANSI engines). */
   def weightedSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
       weightCol: String, k: Int): DataFrame = {
+    // working columns would silently overwrite (then drop) caller columns
+    // of the same name — same guard as packByTokenBudget
+    val clash = df.columns.toSeq.intersect(Seq("__wkey", "__rk"))
+    require(clash.isEmpty,
+      s"weightedSamplePerGroup uses ${clash.mkString(", ")} internally — " +
+        "rename or drop those input columns first")
     val hexMax = math.pow(16, 12) // 2^48, exact in double
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
       .cast("double") + 1.0) / (hexMax + 1.0) // in (0, 1]

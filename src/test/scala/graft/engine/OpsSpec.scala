@@ -181,7 +181,8 @@ class OpsSpec extends SparkSpec {
   test("compile: placeholder-resolved SQL against physical relations") {
     val p = new Project(spark, Target("dev", "cmpl", threads = 2))
     p.source("raw", "nation", ParquetPath(s"$sf0001/nation.parquet"))
-    p.model("cmpl_base", ModelConfig(alias = Some("base_aliased"))) {
+    p.model("cmpl_base", ModelConfig(materialized = Materialization.Table,
+      alias = Some("base_aliased"))) {
       ctx => ctx.source("raw", "nation")
     }
     p.sqlModel("cmpl_top")(
@@ -195,12 +196,46 @@ class OpsSpec extends SparkSpec {
     assert(topSql.contains("cmpl.base_aliased"), topSql)
     assert(topSql.contains(s"parquet.`$sf0001/nation.parquet`"), topSql)
     assert(!topSql.contains("{{"), topSql)
-    // analyses compile too
+    // analyses compile too; cmpl_top is a SQL view whose source is a
+    // parquet PATH (not a catalog table), so the materializer creates a
+    // temp view — the compiled ref names that relation, not a phantom
+    // catalog one
     val probeSql = out(out.indexOf("-- compiled analysis.cmpl_probe") + 1)
-    assert(probeSql.contains("cmpl.cmpl_top"), probeSql)
+    assert(probeSql.contains("cmpl__cmpl_top"), probeSql)
     // DataFrame models are noted, not silently dropped
     assert(out.exists(l => l.contains("model.cmpl_base") &&
       l.contains("Catalyst plan")), out)
+    // ephemeral SQL refs INLINE as subqueries (a physical name would
+    // reference a relation that never exists)
+    p.sqlModel("cmpl_eph", ModelConfig(materialized =
+      Materialization.Ephemeral))("select n_name from {{ ref('cmpl_base') }}")
+    p.sqlModel("cmpl_over_eph")("select * from {{ ref('cmpl_eph') }}")
+    val out2 = Cli.run(p, Seq("compile", "--select", "cmpl_over_eph"))
+    val ephSql = out2(out2.indexOf("-- compiled model.cmpl_over_eph") + 1)
+    assert(ephSql.contains("(select n_name from cmpl.base_aliased)"), ephSql)
+    // --select reaches analyses by bare name
+    val out3 = Cli.run(p, Seq("compile", "--select", "cmpl_probe"))
+    assert(out3.contains("-- compiled analysis.cmpl_probe"), out3)
+    // a DataFrame VIEW compiles to the temp-view name the materializer
+    // actually creates (no catalog relation exists to reference)
+    p.model("cmpl_dfview")(ctx => ctx.ref("cmpl_base"))
+    p.sqlModel("cmpl_over_view")("select * from {{ ref('cmpl_dfview') }}")
+    val out4 = Cli.run(p, Seq("compile", "--select", "cmpl_over_view"))
+    val viewSql = out4(out4.indexOf("-- compiled model.cmpl_over_view") + 1)
+    assert(viewSql.contains("cmpl__cmpl_dfview"), viewSql)
+  }
+
+  test("analysis names share the node namespace (no silent shadowing)") {
+    val p = new Project(spark, Target("dev", "anlyns", threads = 2))
+    p.sqlModel("taken")("select 1 as a")
+    assert(intercept[IllegalArgumentException] {
+      p.analysis("taken")("select 2 as b")
+    }.getMessage.contains("duplicate"))
+    val p2 = new Project(spark, Target("dev", "anlyns2", threads = 2))
+    p2.analysis("taken2")("select 2 as b")
+    assert(intercept[IllegalArgumentException] {
+      p2.sqlModel("taken2")("select 1 as a")
+    }.getMessage.contains("duplicate"))
   }
 
   test("csv/json source locations resolve, document, and compile") {

@@ -122,7 +122,10 @@ class ScaleSpec extends SparkSpec {
       "x23_quantize_embeddings" -> 1, // per-row expressions + order-by
       "x22_hash_split" -> 3)       // zero-shuffle assignment, then
                                    // agg + share-window + order-by
-    val shuffleEx = "(?<!Broadcast)Exchange".r
+    // shuffle exchanges only: not BroadcastExchange, not ReusedExchange
+    // (AQE reusing a broadcast subtree is not a shuffle)
+    val shuffleEx =
+      "(?<!Reused)(?<!Broadcast)Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
     for ((name, maxEx) <- budgets) {
       val plan = planOf(graft.SparkEntry.queries(name)(spark, sf0001))
       val n = shuffleEx.findAllIn(plan).size

@@ -99,6 +99,29 @@ class StreamingSpec extends SparkSpec {
     // full refresh drops table AND checkpoint: everything reprocesses once
     assert(proj().run(select = "stream_tbl", fullRefresh = true).ok)
     assert(spark.table("strm.stream_tbl").count() == 3)
+    // full refresh resolves file:-URI checkpoints too (a silently-skipped
+    // delete would leave the rebuilt table empty)
+    val ckptUri = "file:" + java.nio.file.Files
+      .createTempDirectory("strmckpt").toString
+    val p2 = new Project(spark, Target("dev", "strm2", threads = 2))
+    p2.source("raw", "ev", ParquetPath(srcDir))
+    p2.model("stream_uri", ModelConfig(materialized =
+      Materialization.StreamingTable(Some(ckptUri)))) { ctx =>
+      ctx.sourceStream("raw", "ev")
+    }
+    assert(p2.run(select = "stream_uri").ok)
+    assert(p2.run(select = "stream_uri", fullRefresh = true).ok)
+    assert(spark.table("strm2.stream_uri").count() == 3)
+    // batch ref to an unbuilt StreamingTable fails actionably
+    val p3 = new Project(spark, Target("dev", "strm3", threads = 2))
+    p3.source("raw", "ev", ParquetPath(srcDir))
+    p3.model("never_built", ModelConfig(materialized =
+      Materialization.StreamingTable())) { ctx =>
+      ctx.sourceStream("raw", "ev")
+    }
+    p3.model("reader")(ctx => ctx.ref("never_built"))
+    val e = intercept[IllegalStateException](p3.materializedDf("reader").count())
+    assert(e.getMessage.contains("StreamingTable"), e.getMessage)
   }
 
   test("streaming hourly aggregation equals batch group-by") {
