@@ -76,6 +76,25 @@ object Cli {
         val findings = Macros.evaluateProject(project.compile())
         if (findings.isEmpty) Seq("project_evaluator: no findings")
         else findings // advisory only — never fails the build
+      case "show" :: rest =>
+        // dbt `show`: preview a node's rows (compiled query under a
+        // LIMIT — reads the materialized relation when one exists, the
+        // resolved plan otherwise; analyses preview their compiled plan)
+        val limit = rest.sliding(2)
+          .collectFirst { case Seq("--limit", v) => v.toInt }.getOrElse(5)
+        rest.sliding(2).collectFirst { case Seq("--select", v) => v } match {
+          case None => Seq("show: pass --select <model|snapshot|analysis>")
+          case Some(n) =>
+            val df =
+              try project.materializedDf(n)
+              catch { case _: NoSuchElementException =>
+                project.resolveAnalysis(n) }
+            val preview = df.limit(limit)
+            val header = preview.columns.mkString(" | ")
+            val rows = preview.collect()
+              .map(_.toSeq.map(String.valueOf).mkString(" | "))
+            header +: rows.toSeq
+        }
       case "debug" :: _ =>
         debug(project)
       case "deps" :: _ =>
@@ -115,7 +134,7 @@ object Cli {
         Seq(s"docs site written to $p", s"open file://$p")
       case other =>
         Seq(s"unknown command: ${other.mkString(" ")} " +
-          "(expected run|build|test|ls|compile|run-operation|debug|deps|docs)")
+          "(expected run|build|test|ls|compile|show|run-operation|debug|deps|docs)")
     }
     out.foreach(println)
     out

@@ -225,6 +225,22 @@ class OpsSpec extends SparkSpec {
     assert(viewSql.contains("cmpl__cmpl_dfview"), viewSql)
   }
 
+  test("show: previews models and analyses under a limit") {
+    val p = new Project(spark, Target("dev", "showv", threads = 2))
+    p.model("shown", ModelConfig(materialized = Materialization.Table)) {
+      ctx => import ctx.spark.implicits._
+      (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    }
+    p.analysis("show_probe")("select count(*) as n from {{ ref('shown') }}")
+    assert(p.run().ok)
+    val out = Cli.run(p, Seq("show", "--select", "shown", "--limit", "3"))
+    assert(out.head == "id | v", out.head)
+    assert(out.size == 4, out) // header + 3 rows
+    val aOut = Cli.run(p, Seq("show", "--select", "show_probe"))
+    assert(aOut == Seq("n", "10"), aOut)
+    assert(Cli.run(p, Seq("show")).head.startsWith("show: pass --select"))
+  }
+
   test("analysis names share the node namespace (no silent shadowing)") {
     val p = new Project(spark, Target("dev", "anlyns", threads = 2))
     p.sqlModel("taken")("select 1 as a")
