@@ -80,20 +80,38 @@ object Cli {
         // dbt `show`: preview a node's rows (compiled query under a
         // LIMIT — reads the materialized relation when one exists, the
         // resolved plan otherwise; analyses preview their compiled plan)
-        val limit = rest.sliding(2)
-          .collectFirst { case Seq("--limit", v) => v.toInt }.getOrElse(5)
-        rest.sliding(2).collectFirst { case Seq("--select", v) => v } match {
-          case None => Seq("show: pass --select <model|snapshot|analysis>")
-          case Some(n) =>
-            val df =
-              try project.materializedDf(n)
-              catch { case _: NoSuchElementException =>
-                project.resolveAnalysis(n) }
-            val preview = df.limit(limit)
-            val header = preview.columns.mkString(" | ")
-            val rows = preview.collect()
-              .map(_.toSeq.map(String.valueOf).mkString(" | "))
-            header +: rows.toSeq
+        val limitArg = rest.sliding(2)
+          .collectFirst { case Seq("--limit", v) => v }
+        limitArg.map(v => (v, v.toIntOption)) match {
+          case Some((raw, None)) =>
+            Seq(s"show: --limit must be an integer, got '$raw'")
+          case other =>
+            val limit = other.flatMap(_._2).getOrElse(5)
+            rest.sliding(2).collectFirst { case Seq("--select", v) => v } match {
+              case None => Seq("show: pass --select <model|snapshot|analysis>")
+              case Some(n) =>
+                // analyses are routed by NAME membership, not by catching
+                // resolution errors — a model whose build fails must keep
+                // its own error, not morph into "unknown analysis"
+                val dfOrMsg =
+                  if (project.hasAnalysis(n)) Right(project.resolveAnalysis(n))
+                  else try Right(project.materializedDf(n))
+                  catch {
+                    case e: org.apache.spark.sql.AnalysisException
+                        if e.getCondition == "TABLE_OR_VIEW_NOT_FOUND" =>
+                      Left(s"show: '$n' is not built yet — run it first " +
+                        "(its relation does not exist)")
+                  }
+                dfOrMsg match {
+                  case Left(msg) => Seq(msg)
+                  case Right(df) =>
+                    val preview = df.limit(limit)
+                    val header = preview.columns.mkString(" | ")
+                    val rows = preview.collect()
+                      .map(_.toSeq.map(String.valueOf).mkString(" | "))
+                    header +: rows.toSeq
+                }
+            }
         }
       case "debug" :: _ =>
         debug(project)

@@ -195,20 +195,41 @@ object Materializer {
     * path or a file: URI. Non-local schemes (hdfs://, s3a://) cannot be
     * deleted through java.nio — full-refresh must FAIL loudly rather
     * than silently keep the offset log (which would leave the rebuilt
-    * table permanently empty). */
-  private[engine] def checkpointLocalPath(ckpt: String): java.nio.file.Path = {
+    * table permanently empty). A SCHEME-LESS path resolves against the
+    * cluster's fs.defaultFS (that is where Spark wrote the offsets), so
+    * it is only local when the default filesystem is. */
+  private[engine] def checkpointLocalPath(
+      spark: org.apache.spark.sql.SparkSession,
+      ckpt: String): java.nio.file.Path = {
+    def nonLocal(scheme: String): Nothing = throw new IllegalArgumentException(
+      s"cannot full-refresh a StreamingTable with a $scheme:// checkpoint " +
+        s"('$ckpt') from this process — delete the checkpoint with the " +
+        "filesystem's own tooling, then rerun")
     val uri = try new java.net.URI(ckpt) catch {
       case _: java.net.URISyntaxException => null
     }
     Option(uri).flatMap(u => Option(u.getScheme)) match {
-      case None => java.nio.file.Paths.get(ckpt)
+      case None =>
+        val defaultFs = spark.sparkContext.hadoopConfiguration
+          .get("fs.defaultFS", "file:///")
+        val defScheme = Option(new java.net.URI(defaultFs).getScheme)
+          .getOrElse("file")
+        if (defScheme != "file") nonLocal(defScheme)
+        java.nio.file.Paths.get(ckpt)
       case Some("file") => java.nio.file.Paths.get(uri)
-      case Some(scheme) => throw new IllegalArgumentException(
-        s"cannot full-refresh a StreamingTable with a $scheme:// checkpoint " +
-          s"('$ckpt') from this process — delete the checkpoint with the " +
-          "filesystem's own tooling, then rerun")
+      case Some(scheme) => nonLocal(scheme)
     }
   }
+
+  /** Recursive local delete (reverse-order walk); shared by full-refresh
+    * checkpoint cleanup and test/query warehouse resets. */
+  private[graft] def deleteRecursively(dir: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(dir)) {
+      val files = java.nio.file.Files.walk(dir)
+      try files.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally files.close()
+    }
 
   /** Swap `staging` into `physical` via backup-rename: a failure at any
     * step leaves a readable table (recover by renaming __backup back). */

@@ -474,6 +474,9 @@ final class Project(val spark: SparkSession, val target: Target) {
       case _ => throw new NoSuchElementException(s"unknown model '$dep'")
     }
 
+  private[engine] def hasAnalysis(name: String): Boolean =
+    analyses.contains(name)
+
   private val analysisResolved = mutable.Map[String, DataFrame]()
   /** Resolve an analysis to its (never-materialized) plan — memoized;
     * records its ref/source edges like a model build. Used by compile()
@@ -541,22 +544,19 @@ final class Project(val spark: SparkSession, val target: Target) {
         case _ => false
       }
       if (refreshable && selected(m.id)) {
-        spark.sql(s"DROP TABLE IF EXISTS ${physicalName(m)}")
-        m.config.materialized match {
+        // resolve the checkpoint path BEFORE dropping the table: an
+        // undeletable (non-local) checkpoint must abort while the table
+        // still exists — dropping first and then failing would leave the
+        // retained-offsets + missing-table state where the next run
+        // rebuilds a permanently incomplete table
+        val streamingCkptDir = m.config.materialized match {
           case Materialization.StreamingTable(ckpt) =>
-            // the offset log must go with the table (see
-            // Materializer.streamingCheckpointPath); URI-form local
-            // checkpoints resolve, non-local schemes fail loudly
-            val dir = Materializer.checkpointLocalPath(
-              Materializer.streamingCheckpointPath(this, m, ckpt))
-            if (java.nio.file.Files.exists(dir)) {
-              val files = java.nio.file.Files.walk(dir)
-              try files.sorted(java.util.Comparator.reverseOrder())
-                .forEach(f => java.nio.file.Files.delete(f))
-              finally files.close()
-            }
-          case _ => ()
+            Some(Materializer.checkpointLocalPath(spark,
+              Materializer.streamingCheckpointPath(this, m, ckpt)))
+          case _ => None
         }
+        spark.sql(s"DROP TABLE IF EXISTS ${physicalName(m)}")
+        streamingCkptDir.foreach(Materializer.deleteRecursively)
       }
     }
     runStartHooks.foreach(spark.sql(_).collect())

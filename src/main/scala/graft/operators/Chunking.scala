@@ -32,7 +32,10 @@ object Chunking {
          |  s -> struct(
          |    array_join(slice(ts, s + 1, $chunkTokens), ' ') AS chunk_text,
          |    least($chunkTokens, size(ts) - s) AS n_chunk_tokens))""".stripMargin)
-    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ts"))
+    // NULL text would otherwise emit a phantom chunk (size(null) = -1
+    // keeps start 0, slice(null) = null, token count -1) — drop the row
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ts"))
       .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "c")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         col("c.chunk_text").as("chunk_text"),

@@ -37,8 +37,12 @@ object LmScore {
     val D6 = DecimalType(18, 6)
     val toks = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("ts"))
+    // persisted: consumed by BOTH the vocabulary-size count and the
+    // scoring join — unpersisted, the corpus would tokenize+aggregate
+    // twice (the table itself is vocab-sized, cheap to hold)
     val uni = toks.select(explode(col("ts")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
+      .persist()
     val vsz = uni.agg(count(lit(1)).as("vsz"))
     val bg = toks.select(col("doc_id"),
       explode(transform(slice(col("ts"), lit(1), size(col("ts")) - 1),

@@ -404,15 +404,8 @@ object PipelineQueries extends QueryPack {
         val wh = java.nio.file.Paths.get(new java.net.URI(
           s.conf.get("spark.sql.warehouse.dir")).getPath)
         for (sub <- Seq("strmq.db/ev_ingest",
-            "_graft_checkpoints/strmq_ev_ingest")) {
-          val d = wh.resolve(sub)
-          if (java.nio.file.Files.exists(d)) {
-            val files = java.nio.file.Files.walk(d)
-            try files.sorted(java.util.Comparator.reverseOrder())
-              .forEach(f => java.nio.file.Files.delete(f))
-            finally files.close()
-          }
-        }
+            "_graft_checkpoints/strmq_ev_ingest"))
+          Materializer.deleteRecursively(wh.resolve(sub))
         val res = p.run(select = "ev_ingest", fullRefresh = true)
         require(res.ok, s"streaming ingest failed: ${res.results}")
         s.table("strmq.ev_ingest")

@@ -122,13 +122,16 @@ class ScaleSpec extends SparkSpec {
       "x23_quantize_embeddings" -> 1, // per-row expressions + order-by
       "x22_hash_split" -> 3)       // zero-shuffle assignment, then
                                    // agg + share-window + order-by
-    // shuffle exchanges only: not BroadcastExchange, not ReusedExchange
-    // (AQE reusing a broadcast subtree is not a shuffle)
+    // shuffle exchanges only: not BroadcastExchange, and not ReusedExchange
+    // lines (their simpleString embeds the reused child's 'Exchange ...'
+    // text, which would double-count) — filter line-wise, then match
     val shuffleEx =
-      "(?<!Reused)(?<!Broadcast)Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      "(?<!Broadcast)Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
     for ((name, maxEx) <- budgets) {
       val plan = planOf(graft.SparkEntry.queries(name)(spark, sf0001))
-      val n = shuffleEx.findAllIn(plan).size
+      val n = plan.linesIterator
+        .filterNot(_.contains("ReusedExchange"))
+        .map(l => shuffleEx.findAllIn(l).size).sum
       assert(n <= maxEx, s"$name: $n shuffles (budget $maxEx)\n$plan")
     }
   }
