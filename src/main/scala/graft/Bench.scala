@@ -83,7 +83,7 @@ object Bench {
     // the resulting dense dup graph; the cost IS the workload
     "x43_embedding_dedup_keeplist" -> 10868,
     "x44_streaming_table_model" -> 1234,
-    "x45_perplexity_buckets" -> 1668)
+    "x45_perplexity_buckets" -> 1668, "x46_curation_pipeline" -> 1141)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1042,6 +1042,48 @@ object PipelineQueries extends QueryPack {
         WHERE c.component IS NULL OR c.component = emb.vec_id
         ORDER BY vec_id""")),
 
+    // ---- END-TO-END curation pipeline: Gopher/C4 quality rules (x28's)
+    //      → exact dedup keep (x01's) → benchmark decontamination
+    //      (x33's) — the operators composed as one curation run, with
+    //      one composite oracle proving the composition --------------------
+    Q("x46_curation_pipeline",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val toks = col("toks")
+        val quality = docs.withColumn("toks", tokens(col("text")))
+          .filter(nTokens(toks) >= 30 &&
+            dupTokenRatio(toks) <= 0.55 &&
+            avgTokenLen(toks) >= 4.0 && avgTokenLen(toks) <= 5.0 &&
+            stopwordRatio(toks) > 0.0)
+          .drop("toks")
+        val keep = Dedup.exact(quality, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        val deduped = quality.join(keep, Seq("doc_id"), "left_semi")
+        val corpus = deduped.filter(col("doc_id") % 20 =!= 0)
+        val bench = docs.filter(col("doc_id") % 20 === 0)
+        Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH x AS (SELECT doc_id, source, text,
+            string_split(text,' ') AS ts FROM documents),
+        q AS (SELECT doc_id, source, text FROM x
+              WHERE len(ts) >= 30
+                AND 1.0 - CAST(len(list_distinct(ts)) AS DOUBLE)/len(ts) <= 0.55
+                AND CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)/len(ts) BETWEEN 4.0 AND 5.0
+                AND len(list_filter(ts, t -> t IN ('the','a','of','and','to','in','is'))) > 0),
+        keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+        dd AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+        bench AS (SELECT DISTINCT unnest(${shingleSqlN(8)}) AS sh
+                  FROM documents WHERE doc_id % 20 = 0),
+        corp AS (SELECT doc_id, unnest(${shingleSqlN(8)}) AS sh
+                 FROM dd WHERE doc_id % 20 <> 0),
+        bad AS (SELECT DISTINCT doc_id FROM corp JOIN bench USING (sh))
+        SELECT doc_id, source FROM dd
+        WHERE doc_id % 20 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM bad)
+        ORDER BY doc_id""")),
+
     // ---- corpus-trained bigram LM scoring (CCNet-style perplexity
     //      proxy): avg negative log-likelihood per doc under add-one-
     //      smoothed corpus bigram statistics; per-bigram log-probs are
