@@ -125,6 +125,41 @@ object Sampling {
       .drop("__wkey", "__rk")
   }
 
+  /** Temperature-based resampling across groups (the multilingual /
+    * multi-source training-mix rule: sampling weight ∝ n_s^(1/T), T < 1
+    * upsamples small groups, T = 1 is proportional): compute each
+    * group's quota = ceil(budget · w_s / Σw) and keep that many rows by
+    * deterministic md5-rank. Reruns keep the same rows; output size is
+    * budget + O(#groups) ceil slack; a quota above a group's size keeps
+    * the whole group (small-group upsampling beyond 1x is a repeat-at-
+    * read-time concern, not a selection one).
+    *
+    * Determinism across engines: group weights are rounded then summed
+    * as exact decimals, so the quota division sees identical inputs
+    * regardless of summation order. Scale shape: one count aggregation,
+    * a broadcast quota table, one rank window per group. */
+  def temperatureResample(df: DataFrame, groupCol: String, idCol: String,
+      temperature: Double, budget: Long): DataFrame = {
+    require(temperature > 0 && budget > 0, "temperature and budget must be positive")
+    val w6 = round(pow(col("n_s").cast("double"), lit(1.0 / temperature)), 6)
+      .cast("decimal(28,6)")
+    val weights = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_s"))
+      .withColumn("w6", w6)
+    val tot = weights.agg(sum(col("w6")).as("w_tot"))
+    val quotas = weights.crossJoin(broadcast(tot))
+      .withColumn("quota", ceil(lit(budget.toDouble) *
+        col("w6").cast("double") / col("w_tot").cast("double")))
+      .select(col(groupCol), col("quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(quotas), groupCol)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("quota"))
+      .drop("__rk", "quota")
+  }
+
   /** md5 emits LOWERCASE hex and the comparison is lexicographic, so an
     * uppercase threshold ('CD' < any lowercase letter) would silently
     * shift the fraction — normalize and validate. */

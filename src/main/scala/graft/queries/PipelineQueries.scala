@@ -855,6 +855,62 @@ object PipelineQueries extends QueryPack {
           CAST(least(64, len(ts) - starts[ci+1]) AS BIGINT) AS n_chunk_tokens
         FROM ex ORDER BY doc_id, chunk_idx""")),
 
+    // ---- per-source corpus health report: doc/token volumes, exact-dup
+    //      ratio, quality-pass share — the stats a curation run reads
+    //      before choosing thresholds. All aggregates are integer-exact
+    //      before any division, so no summation-order noise -------------
+    Q("x47_corpus_stats",
+      (s, dir) => {
+        val toks = col("toks")
+        t(s, dir, "documents")
+          .withColumn("toks", tokens(col("text")))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(nTokens(toks)).as("total_tokens"),
+            round(sum(nTokens(toks)).cast("double") / count(lit(1)), 4)
+              .as("mean_tokens"),
+            round(lit(1.0) - countDistinct(md5(col("text"))).cast("double")
+              / count(lit(1)), 4).as("dup_ratio"),
+            round(sum(when(nTokens(toks) >= 30 &&
+              dupTokenRatio(toks) <= 0.55 &&
+              avgTokenLen(toks) >= 4.0 && avgTokenLen(toks) <= 5.0 &&
+              stopwordRatio(toks) > 0.0, 1L).otherwise(0L)).cast("double")
+              / count(lit(1)), 4).as("quality_share"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH x AS (SELECT source, text, string_split(text,' ') AS ts FROM documents)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(len(ts)) AS BIGINT) AS total_tokens,
+          round(CAST(sum(len(ts)) AS DOUBLE)/count(*), 4) AS mean_tokens,
+          round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)/count(*), 4) AS dup_ratio,
+          round(CAST(sum(CASE WHEN len(ts) >= 30
+            AND 1.0 - CAST(len(list_distinct(ts)) AS DOUBLE)/len(ts) <= 0.55
+            AND CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)/len(ts) BETWEEN 4.0 AND 5.0
+            AND len(list_filter(ts, t -> t IN ('the','a','of','and','to','in','is'))) > 0
+            THEN 1 ELSE 0 END) AS DOUBLE)/count(*), 4) AS quality_share
+        FROM x GROUP BY source ORDER BY source""")),
+
+    // ---- temperature resampling (multilingual-mix rule, weight ∝
+    //      n^(1/T), T=0.7 upsamples small sources): per-source quotas
+    //      from decimal-exact weight sums, rows kept by md5-rank --------
+    Q("x48_temperature_resample",
+      (s, dir) => graft.operators.Sampling.temperatureResample(
+        t(s, dir, "documents"), "source", "doc_id",
+        temperature = 0.7, budget = 300L)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id")),
+      Some("""WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+        w AS (SELECT source, CAST(round(CAST(n_s AS DOUBLE) ** (1.0/0.7), 6) AS DECIMAL(28,6)) AS w6 FROM c),
+        t AS (SELECT sum(w6) AS w_tot FROM w),
+        q AS (SELECT source, ceil(300.0 * CAST(w6 AS DOUBLE) / CAST(w_tot AS DOUBLE)) AS quota
+              FROM w CROSS JOIN t),
+        r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              FROM documents)
+        SELECT r.source, r.doc_id FROM r JOIN q USING (source)
+        WHERE rk <= quota ORDER BY source, doc_id""")),
+
     // ---- int8 embedding quantization (4x ANN-index compression) --------
     Q("x23_quantize_embeddings",
       (s, dir) => t(s, dir, "embeddings")

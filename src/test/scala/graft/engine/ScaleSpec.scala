@@ -87,8 +87,11 @@ class ScaleSpec extends SparkSpec {
     //    assignment, not an accidental cross join
     //  - x40/x45: same 1-row shape as x25 — the vocabulary-size scalar is
     //    attached via an explicit single-row broadcast (x45 composes x40)
+    //  - x48: a GROUP-COUNT table (not corpus rows) cross-joins its own
+    //    single-row weight total before broadcasting quotas
     val allow = Set("x06_embedding_neardups", "x25_tfidf_top_terms",
-      "x14_ivf_ann", "x40_lm_bigram_nll", "x45_perplexity_buckets")
+      "x14_ivf_ann", "x40_lm_bigram_nll", "x45_perplexity_buckets",
+      "x48_temperature_resample")
     def offenders(plan: String): Seq[String] =
       Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
     // the lint must see the offending operator through AQE plan wrappers —

@@ -104,6 +104,39 @@ class SamplingSpec extends SparkSpec {
     assert(!z.contains(999L) && z.size == 200)
   }
 
+  test("temperatureResample: small groups upsampled, totals near budget, deterministic") {
+    import spark.implicits._
+    // big:small = 900:100; proportional keep of 100 would be 90:10, but
+    // T=0.5 (weight n^2) skews hard toward big, T->0... use T=0.5 inverse:
+    // weights 900^2 : 100^2 = 81 : 1 -> big dominates; T=2 (sqrt) gives
+    // 30 : 10 -> small group's SHARE rises from 10% to 25%
+    val rows = (1L to 900L).map(i => ("big", i)) ++
+      (1001L to 1100L).map(i => ("small", i))
+    val df = rows.toDF("src", "id")
+    val kept = Sampling.temperatureResample(df, "src", "id",
+      temperature = 2.0, budget = 100L)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = kept.values.sum
+    assert(total >= 100 && total <= 102, s"total $total (ceil slack only)")
+    val smallShare = kept("small").toDouble / total
+    assert(smallShare > 0.15, s"small share $smallShare not upsampled")
+    // proportional baseline for contrast: T=1 keeps ~10% small
+    val prop = Sampling.temperatureResample(df, "src", "id",
+      temperature = 1.0, budget = 100L)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prop("small") < kept("small"))
+    // deterministic across reruns
+    val again = Sampling.temperatureResample(df, "src", "id",
+      temperature = 2.0, budget = 100L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val first = Sampling.temperatureResample(df, "src", "id",
+      temperature = 2.0, budget = 100L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == first)
+  }
+
   test("hashSplit adds no shuffle: assignment is pure map-side") {
     import spark.implicits._
     val plan = Sampling.hashSplit((0L until 10L).toDF("id"), "id")
