@@ -123,8 +123,12 @@ class ScaleSpec extends SparkSpec {
       "x01_dedup_exact" -> 2,      // one hash agg + order-by range
       "x08_token_counts" -> 1,     // per-row expressions + order-by
       "x23_quantize_embeddings" -> 1, // per-row expressions + order-by
-      "x22_hash_split" -> 3)       // zero-shuffle assignment, then
+      "x22_hash_split" -> 3,       // zero-shuffle assignment, then
                                    // agg + share-window + order-by
+      "x42_chunk_documents" -> 1,  // per-row array exprs + order-by only
+      "x41_weighted_sample" -> 2,  // map-side key, rank window + order-by
+      "x47_corpus_stats" -> 3)     // agg + the countDistinct expand's
+                                   // second exchange + order-by
     // shuffle exchanges only: not BroadcastExchange, and not ReusedExchange
     // lines (their simpleString embeds the reused child's 'Exchange ...'
     // text, which would double-count) — filter line-wise, then match
