@@ -84,7 +84,8 @@ object Bench {
     "x43_embedding_dedup_keeplist" -> 10868,
     "x44_streaming_table_model" -> 1234,
     "x45_perplexity_buckets" -> 1668, "x46_curation_pipeline" -> 1141,
-    "x47_corpus_stats" -> 608, "x48_temperature_resample" -> 636)
+    "x47_corpus_stats" -> 608, "x48_temperature_resample" -> 636,
+    "x49_multimodal_resize_frames" -> 718)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -446,6 +446,32 @@ object PipelineQueries extends QueryPack {
         round(CAST(ascii(text) AS DOUBLE)/128, 6) AS f0
         FROM documents ORDER BY id""")),
 
+    // ---- multimodal resize + frame sampling (the remaining stubbed
+    //      decode surfaces, deterministic by construction): resized
+    //      payload metadata joined with per-doc sampled-frame counts and
+    //      the first frame byte — all hash-checked --------------------
+    Q("x49_multimodal_resize_frames",
+      (s, dir) => {
+        val packed = Multimodal.pack(t(s, dir, "documents"),
+          "doc_id", "text", "text/plain")
+        val resized = Multimodal.resize(packed, targetW = 16, targetH = 4)
+          .select(col("id"), col("media_type"), col("n_bytes"), col("sha256"))
+        val frames = Multimodal.sampleFrames(packed, stride = 50)
+        val frameCounts = frames.groupBy(col("id"))
+          .agg(count(lit(1)).as("n_frames"))
+        val firstFrame = frames.filter(col("frame_idx") === 0)
+          .select(col("id"), expr("string(frame_byte)").as("frame0"))
+        resized.join(frameCounts, "id").join(firstFrame, "id")
+          .orderBy(col("id"))
+      },
+      Some("""SELECT doc_id AS id,
+        'text/plain;resized=16x4' AS media_type,
+        CAST(least(length(text), 64) AS BIGINT) AS n_bytes,
+        sha256(substr(text, 1, 64)) AS sha256,
+        CAST((length(text) + 49) // 50 AS BIGINT) AS n_frames,
+        substr(text, 1, 1) AS frame0
+        FROM documents ORDER BY id""")),
+
     // ---- as-of join: each purchase matched to the user's most recent
     //      preceding click (union+window, one shuffle — AsOfJoin doc) ----
     Q("x15_asof_join",
