@@ -101,6 +101,12 @@ object Cli {
                         if e.getCondition == "TABLE_OR_VIEW_NOT_FOUND" =>
                       Left(s"show: '$n' is not built yet — run it first " +
                         "(its relation does not exist)")
+                    // a name that is no node at all surfaces as the
+                    // registry lookup's NoSuchElementException — keep it
+                    // a message like the other show error paths
+                    case _: NoSuchElementException =>
+                      Left(s"show: unknown node '$n' — not a model, " +
+                        "snapshot, or analysis in this project")
                   }
                 dfOrMsg match {
                   case Left(msg) => Seq(msg)

@@ -298,7 +298,10 @@ object Dedup {
     * (no shuffle). Returns (doc_id, clean_text, n_removed).
     *
     * Scale shape: positional-span postings are built once and persisted
-    * (read by the repeated-set aggregation and the bad-start join); the
+    * (read by the repeated-set aggregation and the bad-start join — the
+    * returned plan still reads the cache, so residency lasts until the
+    * caller's `spark.catalog.clearCache()`/session stop, the same
+    * documented trade as [[LmScore.bigramNll]]); the
     * per-doc start list is collected into an array column — bounded by
     * tokens-per-document, not corpus size — so the coverage test is a
     * codegen'd higher-order function over (tokens × starts). */

@@ -28,6 +28,15 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * independent of summation order — the oracle-parity rule for float
   * aggregation (Registry scaladoc). Documents with fewer than two
   * tokens have no bigrams and drop out of the result.
+  *
+  * Cache residency: the returned plan READS the persisted `uni`/`bg`
+  * tables, so they cannot be unpersisted before the caller's action
+  * (eager materialization here would truncate the plan the ScaleSpec
+  * shuffle lint audits). The residency is the price of tokenizing the
+  * corpus once instead of twice (`uni` is vocab-sized; `bg` is the
+  * bigram stream, MEMORY_AND_DISK so it spills rather than evicts);
+  * long-lived sessions reclaim it with `spark.catalog.clearCache()`
+  * between pipeline stages, batch runs at session stop.
   */
 object LmScore {
 

@@ -141,6 +141,12 @@ object Sampling {
   def temperatureResample(df: DataFrame, groupCol: String, idCol: String,
       temperature: Double, budget: Long): DataFrame = {
     require(temperature > 0 && budget > 0, "temperature and budget must be positive")
+    // the quota join adds 'quota' and the rank adds '__rk' to the caller's
+    // frame — same declare-time clash guard as the sibling samplers
+    val clash = df.columns.toSeq.intersect(Seq("__rk", "quota"))
+    require(clash.isEmpty,
+      s"temperatureResample uses ${clash.mkString(", ")} internally — " +
+        "rename or drop those input columns first")
     val w6 = round(pow(col("n_s").cast("double"), lit(1.0 / temperature)), 6)
       .cast("decimal(28,6)")
     val weights = df.groupBy(col(groupCol))

@@ -239,6 +239,10 @@ class OpsSpec extends SparkSpec {
     val aOut = Cli.run(p, Seq("show", "--select", "show_probe"))
     assert(aOut == Seq("n", "10"), aOut)
     assert(Cli.run(p, Seq("show")).head.startsWith("show: pass --select"))
+    // a name that is no node at all must be a message, not an escaped
+    // NoSuchElementException (ADVICE r7)
+    val unk = Cli.run(p, Seq("show", "--select", "no_such_node"))
+    assert(unk.head.startsWith("show: unknown node 'no_such_node'"), unk)
   }
 
   test("analysis names share the node namespace (no silent shadowing)") {

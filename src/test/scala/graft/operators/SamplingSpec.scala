@@ -135,6 +135,11 @@ class SamplingSpec extends SparkSpec {
       temperature = 2.0, budget = 100L)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(again == first)
+    // working-column clash fails at declare time, like the sibling samplers
+    val clashing = df.withColumn("quota", lit(1))
+    assert(intercept[IllegalArgumentException] {
+      Sampling.temperatureResample(clashing, "src", "id", 1.0, 10L)
+    }.getMessage.contains("quota"))
   }
 
   test("hashSplit adds no shuffle: assignment is pure map-side") {
