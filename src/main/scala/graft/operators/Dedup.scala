@@ -152,6 +152,87 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** MinHash band postings — the LSH index rows (doc, band, key) that
+    * [[minhashLsh]] buckets on, exposed as a standalone relation so they
+    * can be PERSISTED as the state of incremental dedup (see
+    * [[dedupBatchLedger]]). Per-row signature math, zero shuffle; docs
+    * with fewer than `n` tokens have no shingles and emit no postings. */
+  def minhashBandPostings(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, numHashes: Int = 8, numBands: Int = 4): DataFrame = {
+    require(numHashes % numBands == 0, "numHashes must divide into bands")
+    val rows = numHashes / numBands
+    val bandCols = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        concat((0 until rows).map(r =>
+          element_at(col("sigs"), b * rows + r + 1)): _*).as("key"))
+    }
+    df.select(col(idCol).as("doc"),
+        graft.expressions.TextExpressions.wordShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sigs",
+        graft.expressions.TextExpressions.minhashSignatures(col("sh"), numHashes))
+      .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** One step of INCREMENTAL corpus dedup: dedup a NEW batch of documents
+    * against a persisted signature store WITHOUT re-shingling the
+    * historical corpus — the nightly-pipeline formulation (you never
+    * recompute 100 TB of signatures to admit a 100 GB batch).
+    *
+    * The store is a LEDGER of every previously processed doc's band
+    * postings plus its verdict: (doc, band, key, kept). This step reads
+    * only the ledger (`keptPostings` = its kept rows' (band, key) set)
+    * and the new batch, and emits the batch's ledger rows for APPEND:
+    *
+    *   - a batch doc is DROPPED iff one of its band buckets contains a
+    *     historical KEPT posting, or a smaller-id doc of the same batch
+    *     (the deterministic bucket-min survivor rule — single pass, no
+    *     iteration; like all LSH clustering it can over-drop a doc whose
+    *     smaller bucket peer was itself dropped, which is the standard
+    *     production trade for a one-shuffle verdict);
+    *   - docs with no shingles (shorter than `n` tokens) carry no
+    *     similarity evidence and are always kept, recorded with a single
+    *     sentinel posting (band = -1, key NULL) so the ledger still
+    *     carries the incremental cursor (max processed doc id).
+    *
+    * Scale shape: batch postings are computed per-row (no shuffle) and
+    * persisted once (read by the history probe, the bucket-min
+    * aggregation, and the final verdict join — cache residency lasts
+    * until the caller's action completes and is reclaimed via
+    * `spark.catalog.clearCache()`/session stop, the documented trade of
+    * [[LmScore.bigramNll]]); the history probe is a
+    * left_semi join on (band, key) — at warehouse scale the ledger table
+    * should be bucketed by those keys so the probe co-locates; the
+    * within-batch rule is one aggregation + one join on (band, key).
+    * Emitted verdicts ride id-only frames. */
+  def dedupBatchLedger(batch: DataFrame, keptPostings: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 4, numHashes: Int = 8, numBands: Int = 4): DataFrame = {
+    val base = batch.select(col(idCol).as("doc"),
+      graft.expressions.TextExpressions.wordShingles(col(textCol), n).as("sh"))
+    val posts = minhashBandPostings(batch, idCol, textCol, n, numHashes, numBands)
+      .persist()
+    val histBad = posts
+      .join(keptPostings.select(col("band"), col("key")), Seq("band", "key"),
+        "left_semi")
+      .select("doc")
+    val bucketMin = posts.groupBy(col("band"), col("key"))
+      .agg(min(col("doc")).as("min_doc"))
+    val peerBad = posts.join(bucketMin, Seq("band", "key"))
+      .filter(col("doc") > col("min_doc"))
+      .select("doc")
+    val bad = histBad.union(peerBad).distinct()
+      .withColumn("__bad", lit(true))
+    val verdicts = posts.join(bad, Seq("doc"), "left")
+      .select(col("doc"), col("band"), col("key"),
+        col("__bad").isNull.as("kept"))
+    val shingleless = base.filter(size(col("sh")) === 0)
+      .select(col("doc"), lit(-1).as("band"),
+        lit(null).cast("string").as("key"), lit(true).as("kept"))
+    verdicts.unionByName(shingleless)
+  }
+
   /** SimHash duplicate groups: docs sharing a 64-bit simhash signature.
     * Per-row signature + one hash aggregation; Hamming-radius>0 search
     * adds banded buckets — see [[simhashNearDups]]. (64-bit because a

@@ -1210,6 +1210,100 @@ object PipelineQueries extends QueryPack {
           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
           count(*) AS n_docs,
           round(CAST(sum(CAST(avg_nll AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS mean_nll
-        FROM b GROUP BY source, nt ORDER BY source, bucket"""))
+        FROM b GROUP BY source, nt ORDER BY source, bucket""")),
+
+    // ---- INCREMENTAL corpus dedup end-to-end: the corpus arrives in two
+    //      batches in a staging dir; an Incremental(Append) model keeps a
+    //      signature LEDGER (doc, band, key, kept) and each run dedups
+    //      only the NEW docs (cursor = max ledger doc) against the kept
+    //      postings — history is never re-shingled. The oracle recomputes
+    //      both batch verdicts from scratch, proving the two-run
+    //      incremental composition equals the one-shot semantics --------
+    Q("x50_incremental_dedup",
+      (s, dir) => {
+        import graft.engine._
+        val docs = t(s, dir, "documents")
+        val split = docs.agg(expr("(min(doc_id) + max(doc_id)) div 2"))
+          .first().getLong(0)
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val staging = wh.resolve("incrq_staging")
+        Materializer.deleteRecursively(staging)
+        // the warehouse dir outlives the in-memory catalog across JVMs:
+        // remove the stale physical table a previous process may have
+        // left, or run 1's CTAS hits LOCATION_ALREADY_EXISTS (same
+        // pattern as x44)
+        Materializer.deleteRecursively(wh.resolve("incrq.db/dedup_ledger"))
+        // fresh Project per run = two separate process invocations in
+        // production; run 1 is full-refresh so reruns are deterministic
+        def freshProject(): Project = {
+          val p = new Project(s, Target("dev", "incrq", threads = 2))
+          p.source("raw", "docs", ParquetPath(staging.toString))
+          p.model("dedup_ledger", ModelConfig(materialized =
+            Materialization.Incremental(None,
+              Materialization.IncrementalStrategy.Append))) { ctx =>
+            val arrived = ctx.source("raw", "docs")
+            val (batch, keptPosts) =
+              if (ctx.isIncremental) {
+                val cursor = ctx.thisDf.agg(max(col("doc"))).first().getLong(0)
+                (arrived.filter(col("doc_id") > cursor),
+                  ctx.thisDf.filter(col("kept") && col("band") >= 0))
+              } else
+                (arrived, graft.operators.Dedup.minhashBandPostings(
+                  arrived.limit(0), "doc_id", "text"))
+            Dedup.dedupBatchLedger(batch, keptPosts, "doc_id", "text",
+              n = 4, numHashes = 8, numBands = 4)
+          }
+          p
+        }
+        docs.filter(col("doc_id") <= split)
+          .write.mode("overwrite").parquet(staging.toString)
+        val r1 = freshProject().run(fullRefresh = true)
+        require(r1.ok, s"incremental dedup run 1 failed: ${r1.results}")
+        docs.filter(col("doc_id") > split)
+          .write.mode("append").parquet(staging.toString)
+        val r2 = freshProject().run()
+        require(r2.ok, s"incremental dedup run 2 failed: ${r2.results}")
+        s.table("incrq.dedup_ledger")
+          .groupBy(col("doc"))
+          .agg(max(col("kept")).as("kept"))
+          .withColumn("batch",
+            when(col("doc") <= split, 1L).otherwise(2L))
+          .select(col("doc").as("doc_id"), col("kept"), col("batch"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val sigs = (0 until 8).map(i => s"${minhashSigSql(i)} AS h$i").mkString(", ")
+        val bands = (0 until 4).map(b =>
+          s"SELECT doc_id AS doc, $b AS band, h${2 * b}||h${2 * b + 1} AS key FROM sg")
+          .mkString(" UNION ALL ")
+        s"""WITH tk AS (SELECT doc_id, $shingleSql AS s FROM documents
+              WHERE len(string_split(text,' ')) >= 4),
+          sg AS (SELECT doc_id, s, $sigs FROM tk),
+          posts AS ($bands),
+          sp AS (SELECT (min(doc_id) + max(doc_id))//2 AS v FROM documents),
+          b1 AS (SELECT p.* FROM posts p, sp WHERE p.doc <= sp.v),
+          b1bad AS (SELECT DISTINCT a.doc FROM b1 a JOIN b1 b
+                    ON a.band = b.band AND a.key = b.key AND b.doc < a.doc),
+          b1v AS (SELECT doc, doc NOT IN (SELECT doc FROM b1bad) AS kept
+                  FROM (SELECT DISTINCT doc FROM b1)),
+          hist AS (SELECT DISTINCT band, key FROM b1 JOIN b1v USING (doc)
+                   WHERE kept),
+          b2 AS (SELECT p.* FROM posts p, sp WHERE p.doc > sp.v),
+          b2bad AS (SELECT DISTINCT a.doc FROM b2 a JOIN b2 b
+                    ON a.band = b.band AND a.key = b.key AND b.doc < a.doc
+                    UNION
+                    SELECT DISTINCT a.doc FROM b2 a JOIN hist h
+                    ON a.band = h.band AND a.key = h.key),
+          b2v AS (SELECT doc, doc NOT IN (SELECT doc FROM b2bad) AS kept
+                  FROM (SELECT DISTINCT doc FROM b2)),
+          led AS (SELECT * FROM b1v UNION ALL SELECT * FROM b2v
+                  UNION ALL
+                  SELECT doc_id, true FROM documents
+                  WHERE len(string_split(text,' ')) < 4)
+        SELECT led.doc AS doc_id, led.kept,
+          CAST(CASE WHEN led.doc <= sp.v THEN 1 ELSE 2 END AS BIGINT) AS batch
+        FROM led, sp ORDER BY doc_id"""
+      })
   )
 }
