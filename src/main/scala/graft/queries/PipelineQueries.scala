@@ -1304,6 +1304,58 @@ object PipelineQueries extends QueryPack {
         SELECT led.doc AS doc_id, led.kept,
           CAST(CASE WHEN led.doc <= sp.v THEN 1 ELSE 2 END AS BIGINT) AS batch
         FROM led, sp ORDER BY doc_id"""
-      })
+      }),
+
+    // ---- CCNet-style SUPERVISED quality scoring: x28's heuristic rules
+    //      weak-label the corpus, a one-pass multinomial Naive Bayes
+    //      generalizes them to a per-doc log-likelihood ratio (the
+    //      fastText-classifier axis of CCNet next to x40's perplexity
+    //      axis); pred-vs-label disagreements = review queue ------------
+    Q("x51_nb_quality_score",
+      (s, dir) => {
+        val toks = col("toks")
+        val labeled = t(s, dir, "documents")
+          .withColumn("toks", tokens(col("text")))
+          .select(col("doc_id"), col("text"),
+            (nTokens(toks) >= 30 && dupTokenRatio(toks) <= 0.55 &&
+              avgTokenLen(toks) >= 4.0 && avgTokenLen(toks) <= 5.0 &&
+              stopwordRatio(toks) > 0.0).cast("long").as("label"))
+        graft.operators.NbQuality
+          .naiveBayesScore(labeled, "doc_id", "text", "label")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        lab AS (SELECT doc_id, ts,
+          CAST(len(ts) >= 30
+           AND 1.0 - CAST(len(list_distinct(ts)) AS DOUBLE)/len(ts) <= 0.55
+           AND CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)/len(ts) BETWEEN 4.0 AND 5.0
+           AND len(list_filter(ts, t -> t IN ('the','a','of','and','to','in','is'))) > 0
+          AS BIGINT) AS label FROM d),
+        tok AS (SELECT doc_id, label, unnest(ts) AS w FROM lab),
+        tot AS (SELECT
+          sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS nt1,
+          sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS nt0,
+          count(DISTINCT CASE WHEN label = 1 THEN doc_id END) AS nd1,
+          count(DISTINCT CASE WHEN label = 0 THEN doc_id END) AS nd0,
+          count(DISTINCT w) AS vsz FROM tok),
+        wc AS (SELECT w,
+          sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS c1,
+          sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS c0
+          FROM tok GROUP BY w),
+        lp AS (SELECT w,
+          CAST(round(ln((c1 + 1.0) / (nt1 + vsz)), 6) AS DECIMAL(18,6)) AS lp1,
+          CAST(round(ln((c0 + 1.0) / (nt0 + vsz)), 6) AS DECIMAL(18,6)) AS lp0
+          FROM wc CROSS JOIN tot),
+        pri AS (SELECT
+          CAST(round(ln((nd1 + 1.0) / (nd1 + nd0 + 2.0)), 6) AS DECIMAL(18,6)) AS lpr1,
+          CAST(round(ln((nd0 + 1.0) / (nd1 + nd0 + 2.0)), 6) AS DECIMAL(18,6)) AS lpr0
+          FROM tot),
+        sc AS (SELECT doc_id, label, count(*) AS n_tokens,
+          sum(lp1) AS s1, sum(lp0) AS s0
+          FROM tok JOIN lp USING (w) GROUP BY doc_id, label)
+        SELECT doc_id, label, n_tokens,
+          round(CAST((s1 + lpr1) - (s0 + lpr0) AS DOUBLE), 4) AS llr,
+          (s1 + lpr1) - (s0 + lpr0) > 0 AS pred
+        FROM sc, pri ORDER BY doc_id"""))
   )
 }
