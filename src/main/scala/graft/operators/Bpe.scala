@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained byte-pair encoding (Sennrich, Haddow & Birch, "Neural
+  * Machine Translation of Rare Words with Subword Units", ACL 2016): the
+  * standard subword tokenization whose counts — not whitespace counts —
+  * are what training budgets (chunking x42, sequence packing x35, corpus
+  * stats x47) are denominated in; the ~1.3× whitespace→subword gap
+  * otherwise distorts every downstream budget.
+  *
+  * Training follows the paper's frequency-dictionary formulation: merge
+  * rules are learned from the DISTINCT-WORD table weighted by word count
+  * (never from raw running text), each round merging the most frequent
+  * adjacent symbol pair (ties broken lexicographically so the merge table
+  * is deterministic across engines and reruns). Pair statistics count all
+  * adjacent positions; merge application is greedy left-to-right
+  * non-overlapping — both exactly the reference algorithm's get_stats /
+  * merge semantics.
+  *
+  * Scale shape: the corpus is tokenized ONCE into a word-frequency table
+  * (one hash agg — the only corpus-sized shuffle); every training round
+  * then runs on that vocab-sized table: pair counts are a map-side-
+  * combined hash agg over it, and only the ONE argmax row comes back to
+  * the driver per round (same bounded driver-reduce pattern as
+  * [[Similarity.trainKMeans]] centroids — rounds are bounded by
+  * `numMerges`, so driver traffic is O(numMerges) rows total). Merge
+  * application is a per-row array fold (zero shuffle); `localCheckpoint`
+  * truncates the per-round lineage like the connected-components loop
+  * ([[Dedup.duplicateComponents]]). Counting a corpus with a trained
+  * model ([[subwordCounts]]) is one explode + a broadcast join against
+  * the vocab-sized word→n_subtokens map + one aggregation — the merge
+  * fold never touches full documents.
+  *
+  * `topK` bounds the TRAINABLE vocabulary (pair statistics come from the
+  * topK most frequent words — standard frequency-threshold pruning; at
+  * 100 TB the head of the Zipf curve carries virtually all pair mass);
+  * merges still APPLY to every word, so counts cover the full corpus.
+  */
+object Bpe {
+
+  final case class Merge(rank: Long, lft: String, rgt: String, pairCount: Long)
+
+  /** merges = the learned table in rank order; wordSubtokens = the full
+    * distinct-word relation (w, n_subtokens) after applying all merges. */
+  final case class Model(merges: Seq[Merge], wordSubtokens: DataFrame)
+
+  /** Split a word into single-character symbols. (Spark's split with an
+    * empty pattern emits a trailing "" under limit -1; filter it so the
+    * symbol list matches regexp_extract_all(w, '.') exactly.) */
+  private def chars(w: Column): Column =
+    filter(split(w, ""), c => c =!= lit(""))
+
+  /** Greedy left-to-right non-overlapping application of one merge rule
+    * to a symbol array, as a fold: extend the accumulator, replacing its
+    * last element when (last, next) matches the rule. "aaa" + (a,a) →
+    * [aa, a], never [a, aa] or [aa, aa]. */
+  private def mergeOnce(syms: Column, a: String, b: String): Column =
+    aggregate(syms, lit(Array.empty[String]),
+      (acc, x) => when(
+          size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  def train(docs: DataFrame, textCol: String,
+      topK: Int = 50, numMerges: Int = 30): Model = {
+    // the one corpus-sized pass: word-frequency dictionary
+    val w0 = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    // trainable head of the frequency curve; the rank window is global
+    // but runs over the vocab-sized dictionary, not the corpus
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cnt"), asc("w"))
+    var words = w0
+      .withColumn("tr", row_number().over(win) <= topK)
+      .withColumn("syms", chars(col("w")))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      val best = words.filter(col("tr"))
+        .select(col("cnt"),
+          explode(transform(slice(col("syms"), lit(1), size(col("syms")) - 1),
+            (s, i) => struct(s.as("a"),
+              element_at(col("syms"), i + 2).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(desc("pc"), asc("a"), asc("b"))
+        .limit(1).collect() // ONE row per round (bounded driver reduce)
+      if (best.isEmpty) exhausted = true
+      else {
+        val a = best(0).getString(0)
+        val b = best(0).getString(1)
+        val pc = best(0).getLong(2)
+        merges += Merge(r.toLong, a, b, pc)
+        words = words
+          .withColumn("syms", mergeOnce(col("syms"), a, b))
+          .localCheckpoint() // truncate per-round lineage (vocab-sized)
+        r += 1
+      }
+    }
+    Model(merges.toSeq,
+      words.select(col("w"), size(col("syms")).cast("long").as("n_subtokens")))
+  }
+
+  /** The learned merge table as a relation (rank, lft, rgt, pair_count). */
+  def mergesDf(spark: SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    model.merges.toDF("rank", "lft", "rgt", "pair_count")
+  }
+
+  /** Per-document whitespace vs subword token counts under the trained
+    * model: one explode, a broadcast join against the vocab-sized
+    * word→n_subtokens map, one aggregation. */
+  def subwordCounts(docs: DataFrame, idCol: String, textCol: String,
+      model: Model): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .join(broadcast(model.wordSubtokens), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ws_tokens"),
+        sum(col("n_subtokens")).as("n_bpe_tokens"))
+      .withColumn("subword_ratio",
+        round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 4))
+}

@@ -37,6 +37,69 @@ object PipelineQueries extends QueryPack {
     s"list_distinct(list_transform(range(len(string_split(text,' '))-${n - 1}), i -> $parts))"
   }
 
+  /** BPE training parameters shared by x52/x53 and their oracles. */
+  private val bpeTopK = 50
+  private val bpeRounds = 30
+
+  /** DuckDB replica of [[graft.operators.Bpe.train]] as a recursive CTE
+    * whose working table is ONE ROW holding the whole distinct-word
+    * state as a list — each iteration picks the most frequent adjacent
+    * symbol pair over the trainable (top-K) words via scalar list
+    * lambdas (no aggregates over the recursive reference, which SQL
+    * forbids) and applies it to every word with a list_reduce fold.
+    * Pair keys round-trip through 'a b' strings because DuckDB 1.0
+    * list_distinct rejects structs — safe, symbols are whitespace-split
+    * word fragments and can never contain a space. Exposes `last`
+    * (merges + final words) for composition. */
+  private val bpeCtes = s"""WITH RECURSIVE
+    w0 AS (SELECT w, count(*) AS cnt
+           FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+           GROUP BY w),
+    wl AS (SELECT list({'w': w, 'cnt': cnt, 'tr': rnk <= $bpeTopK,
+                        'syms': regexp_extract_all(w,'.')} ORDER BY w) AS words
+           FROM (SELECT w, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, w) AS rnk FROM w0)),
+    rec AS (
+      SELECT 0 AS r, words,
+        CAST([] AS STRUCT(rank BIGINT, lft VARCHAR, rgt VARCHAR,
+                          pair_count BIGINT)[]) AS merges
+      FROM wl
+      UNION ALL
+      SELECT r + 1,
+        list_transform(words, wd -> {'w': wd.w, 'cnt': wd.cnt, 'tr': wd.tr,
+          'syms': CASE WHEN len(wd.syms) = 0 THEN wd.syms ELSE
+            list_reduce(list_transform(wd.syms, s -> [s]),
+              (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = best.a
+                               AND x[1] = best.b
+                THEN list_append(list_slice(acc, 1, len(acc) - 1),
+                                 best.a || best.b)
+                ELSE list_append(acc, x[1]) END) END}),
+        list_append(merges, {'rank': CAST(r + 1 AS BIGINT), 'lft': best.a,
+          'rgt': best.b, 'pair_count': CAST(-best.npc AS BIGINT)})
+      FROM (
+        SELECT r, words, merges,
+          CASE WHEN len(cand) = 0 THEN NULL ELSE list_sort(cand)[1] END AS best
+        FROM (
+          SELECT r, words, merges,
+            list_transform(
+              list_distinct(list_transform(pairs, p -> p.a || ' ' || p.b)),
+              q -> {'npc': -CAST(list_sum(list_transform(list_filter(pairs,
+                      p -> p.a = string_split(q,' ')[1]
+                       AND p.b = string_split(q,' ')[2]), p -> p.c)) AS BIGINT),
+                    'a': string_split(q,' ')[1],
+                    'b': string_split(q,' ')[2]}) AS cand
+          FROM (
+            SELECT r, words, merges,
+              flatten(list_transform(list_filter(words, wd -> wd.tr),
+                wd -> list_transform(list_slice(wd.syms, 1, len(wd.syms) - 1),
+                  (s, i) -> {'a': s, 'b': wd.syms[i + 1], 'c': wd.cnt}))) AS pairs
+            FROM rec WHERE r < $bpeRounds
+          )
+        )
+      ) WHERE best IS NOT NULL
+    ),
+    last AS (SELECT merges, words FROM rec ORDER BY r DESC LIMIT 1)"""
+
   private val dotSql =
     "list_sum(list_transform(range(len(%s)), i -> CAST(%s[i+1] AS DOUBLE)*CAST(%s[i+1] AS DOUBLE)))"
 
@@ -1356,6 +1419,44 @@ object PipelineQueries extends QueryPack {
         SELECT doc_id, label, n_tokens,
           round(CAST((s1 + lpr1) - (s0 + lpr0) AS DOUBLE), 4) AS llr,
           (s1 + lpr1) - (s0 + lpr0) > 0 AS pred
-        FROM sc, pri ORDER BY doc_id"""))
+        FROM sc, pri ORDER BY doc_id""")),
+
+    // ---- corpus-trained BPE (Sennrich ACL 2016): the merge table the
+    //      spark-side bounded merge loop learns (pair-count agg per
+    //      round, ONE argmax row to the driver), verified exactly by a
+    //      DuckDB single-row-state recursive CTE ----------------------
+    Q("x52_bpe_merges",
+      (s, dir) => graft.operators.Bpe.mergesDf(s,
+        graft.operators.Bpe.train(t(s, dir, "documents"), "text",
+          topK = bpeTopK, numMerges = bpeRounds))
+        .orderBy(col("rank")),
+      Some(s"""$bpeCtes
+        SELECT u.rank AS rank, u.lft AS lft, u.rgt AS rgt,
+          u.pair_count AS pair_count
+        FROM (SELECT unnest(merges) AS u FROM last) ORDER BY rank""")),
+
+    // ---- subword-aware token counts: retokenize the corpus under the
+    //      trained merge table — the budget denominator x42 chunking /
+    //      x35 packing actually need (whitespace counts understate by
+    //      the subword_ratio) ---------------------------------------
+    Q("x53_bpe_token_counts",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = graft.operators.Bpe.train(docs, "text",
+          topK = bpeTopK, numMerges = bpeRounds)
+        graft.operators.Bpe.subwordCounts(docs, "doc_id", "text", model)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$bpeCtes,
+        wm AS (SELECT u.w AS w, u.ns AS ns FROM
+          (SELECT unnest(list_transform(words,
+             wd -> {'w': wd.w, 'ns': CAST(len(wd.syms) AS BIGINT)})) AS u
+           FROM last)),
+        dt AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+               FROM documents)
+        SELECT doc_id, count(*) AS n_ws_tokens,
+          CAST(sum(ns) AS BIGINT) AS n_bpe_tokens,
+          round(CAST(sum(ns) AS DOUBLE) / count(*), 4) AS subword_ratio
+        FROM dt JOIN wm USING (w) GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** BPE invariants: the reference algorithm's merge choices (Sennrich
+  * ACL 2016 worked example), greedy non-overlapping application,
+  * deterministic tie-breaks, bounded/early-stopping rounds, and count
+  * accounting. */
+class BpeSpec extends SparkSpec {
+
+  test("learns the Sennrich-style merge sequence on a toy corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low lower"), (2L, "low newest newest"))
+      .toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", topK = 50, numMerges = 3)
+    // (l,o) ties (o,w) at 4 — lexicographic tie-break picks (l,o);
+    // then (lo,w); then (e,s) beats (e,w)/(w,e)/(n,e)/(s,t) ties on b
+    assert(m.merges.map(x => (x.lft, x.rgt, x.pairCount)) ==
+      Seq(("l", "o", 4L), ("lo", "w", 4L), ("e", "s", 2L)), m.merges)
+  }
+
+  test("greedy left-to-right non-overlapping merge application") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", topK = 10, numMerges = 2)
+    // pair (a,a) counts both adjacent positions; application merges only
+    // the leftmost occurrence -> [aa, a], then (aa, a) completes the word
+    assert(m.merges.map(x => (x.lft, x.rgt, x.pairCount)) ==
+      Seq(("a", "a", 2L), ("aa", "a", 1L)), m.merges)
+    val counts = Bpe.subwordCounts(docs, "doc_id", "text", m).collect()
+    assert(counts.head.getLong(1) == 1L && counts.head.getLong(2) == 1L)
+  }
+
+  test("stops early when no pairs remain; single-char words never merge") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", topK = 10, numMerges = 5)
+    assert(m.merges.isEmpty, m.merges)
+    val r = Bpe.subwordCounts(docs, "doc_id", "text", m).collect().head
+    assert(r.getLong(1) == 5L && r.getLong(2) == 5L && r.getDouble(3) == 1.0)
+  }
+
+  test("subword counts shrink toward 1x as merges accumulate") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, "tokenize tokenize subword subword"))
+      .toDF("doc_id", "text")
+    val m0 = Bpe.train(docs, "text", topK = 10, numMerges = 0)
+    val mN = Bpe.train(docs, "text", topK = 10, numMerges = 20)
+    def ratio(m: Bpe.Model): Double =
+      Bpe.subwordCounts(docs, "doc_id", "text", m)
+        .collect().head.getDouble(3)
+    assert(ratio(m0) == 7.5) // chars per word with no merges: (8+8+7+7)/4
+    assert(ratio(mN) == 1.0, // enough merges collapse every word
+      s"expected full collapse, got ${ratio(mN)}")
+  }
+
+  test("BPE counts feed the x35 packing budget directly") {
+    import spark.implicits._
+    // under-merged corpus: whitespace counts (2/doc) would pack ~4 docs
+    // per bin at budget 8, but the real subword cost is 8/doc — packing
+    // on n_bpe_tokens yields one doc per bin, the budget-honest answer
+    val docs = (1L to 4L).map(i => (i, "abcd efgh")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", topK = 10, numMerges = 0)
+    val counted = Bpe.subwordCounts(docs, "doc_id", "text", m)
+    val packed = Sampling.packByTokenBudget(
+      counted, "doc_id", "n_bpe_tokens", budget = 8L, shards = 1)
+    val perBin = packed.groupBy("shard", "bin").count()
+      .collect().map(_.getLong(2))
+    assert(perBin.forall(_ == 1L), perBin.toSeq)
+  }
+
+  test("topK restricts training statistics but merges apply to all words") {
+    import spark.implicits._
+    // 'zz' is below the top-1 cut: its pair stats must not train merges,
+    // but the (q,q) merge learned from frequent 'qq' still applies to it
+    val docs = Seq((1L, "qq qq qq zz")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", topK = 1, numMerges = 5)
+    assert(m.merges.map(x => (x.lft, x.rgt)) == Seq(("q", "q")), m.merges)
+    val sub = m.wordSubtokens.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sub == Map("qq" -> 1L, "zz" -> 2L), sub)
+  }
+}
