@@ -77,6 +77,62 @@ object Multimodal {
         lit(s";resized=${targetW}x$targetH")))
       .withColumn("sha256", sha2(col("payload"), 256))
 
+  /** Payload near-duplicates: byte-block SimHash over the packed binary,
+    * grouped per media_type — the multimodal twin of the x18 text
+    * near-dup machinery ([[Dedup.simhashNearDups]]). Features are
+    * OVERLAPPING `blockBytes`-byte windows of the payload (sliding by one
+    * byte, as hex strings), so the signature survives insertions/shifts
+    * the way text shingles do; the 64-bit signature and the pigeonhole
+    * band join are exactly the x18 design — radius < bands guarantees
+    * the banded result equals the all-pairs scan. NO codec stub in this
+    * path: byte-block hashing is the real production algorithm for
+    * near-identical binary payloads (re-encodes/crops need
+    * decoded-feature ANN — [[extractFeatures]] + Similarity — instead).
+    *
+    * Scale shape: signatures are one per-row expression pass (the md5s
+    * are the cost, ~n_bytes per row); candidates ride an id-only
+    * (media_type, band, key) join — 16-bit band keys keep volume
+    * ~n²/65536 per band within a media_type; the exact Hamming verify is
+    * codegen'd integer xor/bit_count. Payloads shorter than `blockBytes`
+    * carry no block evidence and are excluded (document-level exact dedup
+    * already covers them via sha256).
+    *
+    * Returns (media_type, id_a, id_b, hamming), id_a < id_b. */
+  def payloadNearDups(packed: DataFrame, radius: Int = 3, bands: Int = 4,
+      blockBytes: Int = 4): DataFrame = {
+    require(radius < bands, "pigeonhole needs radius < bands")
+    require(64 % bands == 0, "bands must divide 64")
+    require(blockBytes > 0, "blockBytes must be positive")
+    val bandLen = 64 / bands
+    val hx = hex(col("payload"))
+    val blocks = transform(
+      sequence(lit(0), (col("n_bytes") - blockBytes).cast("int")),
+      i => hx.substr(i * 2 + 1, lit(blockBytes * 2)))
+    val sigs = packed.filter(col("n_bytes") >= blockBytes)
+      .select(col("media_type"), col("id"),
+        graft.expressions.TextExpressions.simhash64Native(blocks).as("sig"))
+      .withColumn("hi", conv(substring(col("sig"), 1, 32), 2, 10).cast("long"))
+      .withColumn("lo", conv(substring(col("sig"), 33, 32), 2, 10).cast("long"))
+    val banded = sigs.select(col("media_type"), col("id"), col("hi"), col("lo"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("sig"), b * bandLen + 1, bandLen).as("key"))): _*))
+        .as("bk"))
+      .select(col("media_type"), col("id"), col("hi"), col("lo"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.select(col("media_type"), col("id").as("id_a"),
+        col("hi").as("ha"), col("lo").as("la"), col("band"), col("key"))
+      .join(banded.select(col("media_type"), col("id").as("id_b"),
+        col("hi").as("hb"), col("lo").as("lb"), col("band"), col("key")),
+        Seq("media_type", "band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("media_type"), col("id_a"), col("id_b"),
+        (bit_count(expr("ha ^ hb")) + bit_count(expr("la ^ lb")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= radius)
+      .dropDuplicates("media_type", "id_a", "id_b")
+  }
+
   /** STUB frame sampling: every `stride`-th byte stands in for every
     * stride-th video frame. One input row explodes to its sampled-frame
     * rows (posexplode keeps frame order) — the genuinely Spark-side

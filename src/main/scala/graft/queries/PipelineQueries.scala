@@ -1457,6 +1457,50 @@ object PipelineQueries extends QueryPack {
         SELECT doc_id, count(*) AS n_ws_tokens,
           CAST(sum(ns) AS BIGINT) AS n_bpe_tokens,
           round(CAST(sum(ns) AS DOUBLE) / count(*), 4) AS subword_ratio
-        FROM dt JOIN wm USING (w) GROUP BY doc_id ORDER BY doc_id"""))
+        FROM dt JOIN wm USING (w) GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- multimodal payload near-dups: byte-block SimHash per
+    //      media_type over the packed binary — the x18 banding machinery
+    //      applied to payload bytes (two media types packed from the
+    //      doc-id parity split; pairs never cross types) ---------------
+    Q("x54_payload_neardups",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val packed = Multimodal
+          .pack(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+            "text/plain")
+          .unionByName(Multimodal.pack(
+            docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+            "text/markdown"))
+        Multimodal.payloadNearDups(packed, radius = 3, bands = 4,
+            blockBytes = 4)
+          .orderBy(col("media_type"), col("id_a"), col("id_b"))
+      },
+      Some("""WITH p AS (SELECT doc_id AS id,
+          CASE WHEN doc_id % 2 = 0 THEN 'text/plain'
+               ELSE 'text/markdown' END AS media_type,
+          hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+          FROM documents),
+        ds AS (SELECT id, media_type,
+          list_transform(list_distinct(list_transform(range(nb - 3),
+            i -> substr(hx, 2*i + 1, 8))), t -> md5(t)) AS digs
+          FROM p WHERE nb >= 4),
+        sh AS (SELECT id, media_type,
+          array_to_string(list_transform(range(1, 65), j ->
+            CASE WHEN list_sum(list_transform(digs,
+                   d -> CASE WHEN (((strpos('0123456789abcdef',
+                        substr(d, CAST((j-1)//4 + 1 AS INT), 1)) - 1)
+                        >> CAST(3 - (j-1)%4 AS INT)) & 1) = 1
+                     THEN 1 ELSE -1 END)) >= 0
+            THEN '1' ELSE '0' END), '') AS sig
+          FROM ds)
+        SELECT a.media_type, a.id AS id_a, b.id AS id_b,
+          CAST(len(list_filter(range(64),
+            i -> substr(a.sig, i + 1, 1) <> substr(b.sig, i + 1, 1))) AS BIGINT) AS hamming
+        FROM sh a JOIN sh b
+          ON a.media_type = b.media_type AND a.id < b.id
+        WHERE len(list_filter(range(64),
+            i -> substr(a.sig, i + 1, 1) <> substr(b.sig, i + 1, 1))) <= 3
+        ORDER BY a.media_type, id_a, id_b"""))
   )
 }

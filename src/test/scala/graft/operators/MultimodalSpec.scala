@@ -52,6 +52,50 @@ class MultimodalSpec extends SparkSpec {
       (2L, 0L, "a")))
   }
 
+  test("payloadNearDups: shift-tolerant within a type, never across types") {
+    import spark.implicits._
+    // ~1.2 KB payload: a 1-byte insertion perturbs only blockBytes of the
+    // ~1200 overlapping blocks, so the signature moves a few bits
+    // (measured hamming = 5, deterministic — md5 has no seed); an 8-band
+    // pigeonhole covers radius <= 7
+    val base = ("the quick brown fox jumps over the lazy dog " +
+      "and keeps going " ).repeat(20).trim
+    val df = Seq(
+      (1L, base, "image/png"),
+      (2L, "X" + base, "image/png"),   // one byte inserted: blocks shift, most survive
+      (3L, base, "audio/wav"),          // identical bytes, different type
+      (4L, "completely different payload content with other words entirely", "image/png"))
+      .toDF("doc_id", "text", "mt")
+    val p = df.select(col("mt")).distinct().collect().map(_.getString(0))
+      .map(mt => Multimodal.pack(df.filter(col("mt") === mt), "doc_id", "text", mt))
+      .reduce(_ unionByName _)
+    val pairs = Multimodal.payloadNearDups(p, radius = 7, bands = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains(("image/png", 1L, 2L)),
+      s"shifted payload should stay a near-dup: $pairs")
+    assert(!pairs.exists { case (_, a, b) => Set(a, b) == Set(1L, 3L) },
+      s"identical payloads in different media types must not pair: $pairs")
+    assert(!pairs.exists { case (_, a, b) => b == 4L || a == 4L },
+      s"unrelated payload must not pair: $pairs")
+  }
+
+  test("payloadNearDups: banded result equals the all-pairs scan; shorts excluded") {
+    import spark.implicits._
+    val texts = Seq("aaaa bbbb cccc dddd", "aaaa bbbb cccc dddx",
+      "zzzz yyyy xxxx wwww", "ab", "aaaa bbbb cccc ddzz")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val p = Multimodal.pack(df, "doc_id", "text", "bin/x")
+    val banded = Multimodal.payloadNearDups(p, radius = 3, bands = 4)
+      .select("id_a", "id_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // measured all-pairs hammings (deterministic): (0,1)=2, (0,4)=6,
+    // (1,4)=6, rest ~27+ — so radius 3 admits exactly (0,1), and the
+    // pigeonhole banding must find exactly that; the 2-byte payload
+    // (doc 3) is below blockBytes and must be excluded, not crash
+    assert(banded == Set((0L, 1L, 2L)), banded)
+  }
+
   test("feature extraction streams per partition with stable schema") {
     val feats = Multimodal.extractFeatures(spark, packed).toDF()
     assert(feats.columns.toSeq == Seq("id", "width", "height", "features"))
