@@ -1501,6 +1501,59 @@ object PipelineQueries extends QueryPack {
           ON a.media_type = b.media_type AND a.id < b.id
         WHERE len(list_filter(range(64),
             i -> substr(a.sig, i + 1, 1) <> substr(b.sig, i + 1, 1))) <= 3
-        ORDER BY a.media_type, id_a, id_b"""))
+        ORDER BY a.media_type, id_a, id_b""")),
+
+    // ---- URL/domain curation: C4-style canonicalization + per-domain
+    //      volume/dup stats + the anti-domination cap (composes
+    //      Sampling.capPerGroup; kept_id_sum pins the md5-rank SELECTION,
+    //      not just its size). Pseudo-URLs are derived deterministically
+    //      from the fixture's source column with messy scheme/case/www/
+    //      query/fragment variants that must all collapse --------------
+    Q("x55_url_domain_curation",
+      (s, dir) => {
+        val url = expr("""CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN 'https://www.' || source || '.example.com/page/' ||
+            CAST(doc_id DIV 40 AS STRING) || '?utm_source=feed'
+          WHEN 1 THEN 'HTTP://' || upper(source) || '.Example.COM/page/' ||
+            CAST(doc_id DIV 40 AS STRING) || '#Section'
+          WHEN 2 THEN 'https://' || source || '.example.com/page/' ||
+            CAST(doc_id DIV 40 AS STRING) || '/'
+          ELSE source || '.example.com/page/' || CAST(doc_id DIV 40 AS STRING)
+          END""")
+        graft.operators.UrlCuration.domainStats(
+            t(s, dir, "documents").withColumn("url", url),
+            "url", "text", "doc_id", capN = 10)
+          .orderBy(col("domain"))
+      },
+      Some("""WITH u AS (SELECT doc_id, text,
+          CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 'https://www.' || source || '.example.com/page/' ||
+              CAST(doc_id // 40 AS VARCHAR) || '?utm_source=feed'
+            WHEN 1 THEN 'HTTP://' || upper(source) || '.Example.COM/page/' ||
+              CAST(doc_id // 40 AS VARCHAR) || '#Section'
+            WHEN 2 THEN 'https://' || source || '.example.com/page/' ||
+              CAST(doc_id // 40 AS VARCHAR) || '/'
+            ELSE source || '.example.com/page/' || CAST(doc_id // 40 AS VARCHAR)
+          END AS url FROM documents),
+        c AS (SELECT doc_id, text,
+          regexp_replace(regexp_replace(regexp_replace(
+            lower(split_part(split_part(url, '#', 1), '?', 1)),
+            '^[a-z][a-z0-9+.-]*://', ''), '^www\.', ''), '/+$', '') AS curl
+          FROM u),
+        d AS (SELECT doc_id, text, curl,
+          split_part(split_part(curl, '/', 1), ':', 1) AS domain FROM c),
+        k AS (SELECT domain, doc_id,
+          row_number() OVER (PARTITION BY domain
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM d),
+        ks AS (SELECT domain, count(*) AS n_kept,
+          CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+          FROM k WHERE rk <= 10 GROUP BY domain),
+        st AS (SELECT domain, count(*) AS n_docs,
+          count(DISTINCT curl) AS n_urls,
+          round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)/count(*), 4)
+            AS dup_ratio
+          FROM d GROUP BY domain)
+        SELECT st.domain, n_docs, n_urls, dup_ratio, n_kept, kept_id_sum
+        FROM st JOIN ks USING (domain) ORDER BY domain"""))
   )
 }
