@@ -136,6 +136,50 @@ object Docs {
       s"""<li>${link(id)} <span class=dim>${esc(kindOf(graph.nodes(id)))}</span></li>""")
       .mkString("\n")
 
+    // lineage DAG as an inline SVG (keeps the one-file property: no
+    // external assets or scripts). Topological layers: sources at layer
+    // 0, every other node one past its deepest upstream; edges are
+    // cubic curves carrying data-from/data-to attributes so the graph
+    // is queryable/testable straight off the markup.
+    val layerOf: Map[String, Int] = {
+      val memo = scala.collection.mutable.Map.empty[String, Int]
+      def lf(id: String): Int = memo.getOrElseUpdate(id, {
+        val ups = graph.upstream(id)
+        if (ups.isEmpty) 0 else ups.map(lf).max + 1
+      })
+      ids.foreach(lf)
+      memo.toMap
+    }
+    val rowOf: Map[String, Int] = ids.groupBy(layerOf).valuesIterator
+      .flatMap(_.sorted.zipWithIndex).toMap
+    val (boxW, boxH, colW, rowH, pad) = (180, 24, 230, 38, 12)
+    def nodeX(id: String): Int = pad + layerOf(id) * colW
+    def nodeY(id: String): Int = pad + rowOf(id) * rowH
+    val svgW = pad * 2 + (layerOf.values.max + 1) * colW - (colW - boxW)
+    val svgH = pad * 2 + (rowOf.values.max + 1) * rowH - (rowH - boxH)
+    val svgEdges = graph.edges.toSeq.sortBy(_._1).flatMap { case (id, ups) =>
+      ups.toSeq.sorted.map { up =>
+        val (x1, y1) = (nodeX(up) + boxW, nodeY(up) + boxH / 2)
+        val (x2, y2) = (nodeX(id), nodeY(id) + boxH / 2)
+        s"""<path class=edge data-from="${esc(up)}" data-to="${esc(id)}" """ +
+          s"""d="M $x1 $y1 C ${x1 + 40} $y1, ${x2 - 40} $y2, $x2 $y2"/>"""
+      }
+    }.mkString("\n")
+    val svgNodes = ids.map { id =>
+      val (x, y) = (nodeX(id), nodeY(id))
+      val label = if (id.length <= 26) id else id.take(25) + "…"
+      s"""<a href="#${esc(id)}"><g class="node ${esc(kindOf(graph.nodes(id)))}">""" +
+        s"""<rect x="$x" y="$y" width="$boxW" height="$boxH" rx="6">""" +
+        s"""<title>${esc(id)}</title></rect>""" +
+        s"""<text x="${x + 8}" y="${y + boxH / 2 + 4}">${esc(label)}</text></g></a>"""
+    }.mkString("\n")
+    val dagSvg =
+      s"""<svg viewBox="0 0 $svgW $svgH" width="$svgW" role="img"
+         |  aria-label="lineage DAG">
+         |$svgEdges
+         |$svgNodes
+         |</svg>""".stripMargin
+
     val cards = ids.map { id =>
       val node = graph.nodes(id)
       val cols = columnsOf(project, node)
@@ -181,10 +225,16 @@ object Docs {
        |td{border-top:1px solid #eee;padding:.15rem .8rem .15rem 0}
        |a{color:#2456c4;text-decoration:none} a:hover{text-decoration:underline}
        |ul{columns:2;list-style:none;padding:0}
+       |svg{display:block;margin:1rem 0;max-width:100%;overflow:visible}
+       |svg .edge{fill:none;stroke:#aab;stroke-width:1.5}
+       |svg rect{fill:#eef;stroke:#99b} svg .source rect{fill:#efe;stroke:#9b9}
+       |svg .test rect{fill:#fee;stroke:#b99}
+       |svg text{font:11px ui-monospace,monospace;fill:#1a1a1a}
        |</style></head><body>
        |<h1>graft docs — target ${esc(project.target.name)}</h1>
        |<p class=dim>invocation ${esc(QueryTags.invocationId)}</p>
        |<p>$kindCounts</p>
+       |$dagSvg
        |<ul>
        |$toc
        |</ul>

@@ -1295,7 +1295,11 @@ object PipelineQueries extends QueryPack {
         // the warehouse dir outlives the in-memory catalog across JVMs:
         // remove the stale physical table a previous process may have
         // left, or run 1's CTAS hits LOCATION_ALREADY_EXISTS (same
-        // pattern as x44)
+        // pattern as x44). DROP first — in a session where this query
+        // already ran (registry-wide test sweeps), deleting files behind
+        // the still-registered table leaves a cached listing of dead
+        // files and the rebuild fails with FAILED_READ_FILE
+        s.sql("DROP TABLE IF EXISTS incrq.dedup_ledger")
         Materializer.deleteRecursively(wh.resolve("incrq.db/dedup_ledger"))
         // fresh Project per run = two separate process invocations in
         // production; run 1 is full-refresh so reruns are deterministic

@@ -421,6 +421,27 @@ class OpsSpec extends SparkSpec {
     assert(html.contains("test.not_null__nations_site__n_nationkey"))
     // lineage: the model links its upstream source
     assert(html.contains("#source.tpch.nation"))
+    // the DAG renders as an inline SVG: every edge is a <path> carrying
+    // data-from/data-to, every node a clickable <rect> anchor — and the
+    // fixture has edges at three depths (source -> model -> test/analysis)
+    assert(graph.edges.exists(_._2.nonEmpty), "fixture lost its edges")
+    for ((id, ups) <- graph.edges; up <- ups)
+      assert(html.contains(
+        s"""<path class=edge data-from="$up" data-to="$id""""),
+        s"DAG edge $up -> $id missing from the SVG")
+    graph.nodes.keys.foreach { id =>
+      assert(html.contains(s"""<title>$id</title>"""),
+        s"node $id missing an SVG box")
+    }
+    // sources sit at layer 0 (x = left margin), their dependents deeper
+    val svg = html.substring(html.indexOf("<svg"), html.indexOf("</svg>"))
+    val xOf = """<rect x="(\d+)"[^>]*><title>([^<]+)</title>""".r
+    val boxes = xOf.findAllMatchIn(svg)
+      .map(m => m.group(2) -> m.group(1).toInt).toMap
+    assert(boxes("source.tpch.nation") < boxes("model.nations_site"),
+      boxes.toString)
+    assert(boxes("model.nations_site") <
+      boxes("test.not_null__nations_site__n_nationkey"), boxes.toString)
   }
 
   test("declare-time sql lints: trailing semicolon and parse errors fire") {

@@ -89,9 +89,15 @@ class ScaleSpec extends SparkSpec {
     //    attached via an explicit single-row broadcast (x45 composes x40)
     //  - x48: a GROUP-COUNT table (not corpus rows) cross-joins its own
     //    single-row weight total before broadcasting quotas
+    //  - x51: same 1-row shape as x25/x40 — the corpus-totals scalar and
+    //    the 1-row priors table attach via explicit single-row broadcasts
     val allow = Set("x06_embedding_neardups", "x25_tfidf_top_terms",
       "x14_ivf_ann", "x40_lm_bigram_nll", "x45_perplexity_buckets",
-      "x48_temperature_resample")
+      "x48_temperature_resample", "x51_nb_quality_score")
+    // sweep from a defined cache state: cached relations left by earlier
+    // tests (or by this sweep's own earlier queries) swap subplans for
+    // InMemoryRelation and change plan text order-dependently
+    spark.catalog.clearCache()
     def offenders(plan: String): Seq[String] =
       Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
     // the lint must see the offending operator through AQE plan wrappers —
@@ -113,34 +119,100 @@ class ScaleSpec extends SparkSpec {
       s"unexpected quadratic join shapes:\n${bad.mkString("\n")}")
   }
 
-  test("shuffle budgets hold for representative one-pass queries") {
-    // Pins the EXCHANGE COUNT (shuffles, not broadcasts) of queries whose
-    // scaladoc claims a specific shuffle budget — a regression adding a
-    // hidden shuffle to a "one hash agg" operator fails here, not in a
-    // 100x-scale incident. Budgets include the final total-order sort.
+  test("shuffle budgets: EVERY registered query declares one and holds it") {
+    // Pins the EXCHANGE COUNT (shuffles, not broadcasts; counted by
+    // graft.PlanAudit.shuffleCount, also a runnable dev main) of every
+    // query in the registry — a regression adding a hidden shuffle to any
+    // operator fails here, not in a 100x-scale incident. Budgets include
+    // the final total-order sort; values are the measured plan of record
+    // (PlanAudit at sf0.001). A NEW query must add its measured budget
+    // here — the completeness assertion below makes omission a failure.
     val budgets = Map(
-      "q06_forecast_revenue" -> 1, // partial+final agg (single partition)
-      "x01_dedup_exact" -> 2,      // one hash agg + order-by range
-      "x08_token_counts" -> 1,     // per-row expressions + order-by
-      "x23_quantize_embeddings" -> 1, // per-row expressions + order-by
-      "x22_hash_split" -> 3,       // zero-shuffle assignment, then
-                                   // agg + share-window + order-by
-      "x42_chunk_documents" -> 1,  // per-row array exprs + order-by only
-      "x41_weighted_sample" -> 2,  // map-side key, rank window + order-by
-      "x47_corpus_stats" -> 3)     // agg + the countDistinct expand's
-                                   // second exchange + order-by
-    // shuffle exchanges only: not BroadcastExchange, and not ReusedExchange
-    // lines (their simpleString embeds the reused child's 'Exchange ...'
-    // text, which would double-count) — filter line-wise, then match
-    val shuffleEx =
-      "(?<!Broadcast)Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
-    for ((name, maxEx) <- budgets) {
-      val plan = planOf(graft.SparkEntry.queries(name)(spark, sf0001))
-      val n = plan.linesIterator
-        .filterNot(_.contains("ReusedExchange"))
-        .map(l => shuffleEx.findAllIn(l).size).sum
-      assert(n <= maxEx, s"$name: $n shuffles (budget $maxEx)\n$plan")
-    }
+      // TPC-H-ish core: agg/join pipelines, usually partial+final agg
+      // (or broadcast-joined scans) + the total-order sort
+      "q01_pricing_summary" -> 2, "q02_revenue_by_nation" -> 2,
+      "q03_top_open_orders" -> 1, "q04_priority_with_returns" -> 2,
+      "q05_local_supplier_volume" -> 2, "q06_forecast_revenue" -> 1,
+      "q07_promo_revenue_share" -> 1, "q08_market_share" -> 2,
+      "q09_profit_by_nation_year" -> 2,
+      "q10_returned_revenue_by_customer" -> 1,
+      "q11_union_all_tiers" -> 1, "q12_union_by_name" -> 1,
+      "q13_distinct_status_priority" -> 2,
+      "q14_top3_orders_per_customer" -> 2,
+      "q15_running_customer_spend" -> 2,
+      "q16_customers_without_open_orders" -> 1,
+      "q17_suppliers_with_bulk_lines" -> 1, "q18_frequent_customers" -> 2,
+      "q19_rollup_status_priority" -> 2, "q20_events_json_extract" -> 2,
+      "q21_events_daily" -> 2, "q22_intersect_customers" -> 2,
+      "q23_except_customers" -> 2, "q24_pivot_status_counts" -> 3,
+      "q25_scalar_functions" -> 1, "q26_group_by_all" -> 2,
+      "q27_orders_above_customer_avg" -> 2, "q28_date_spine" -> 2,
+      "q29_surrogate_key" -> 1, "q30_approx_distinct" -> 3,
+      "q31_cheapest_open_order" -> 2, "q32_large_volume_orders" -> 2,
+      "q33_datetime_functions" -> 1, "q34_string_null_functions" -> 1,
+      "q35_listagg_priorities" -> 2, "q36_explode_type_words" -> 1,
+      "q37_variant_nested" -> 1, "q38_grouping_sets" -> 2,
+      "q39_unpivot_metrics" -> 1, "q40_percentiles" -> 2,
+      "q41_stats_aggregates" -> 2, "q42_window_navigation" -> 2,
+      // pipeline operators: per-row expression queries budget 1 (the
+      // order-by), one-agg queries 2, banded/candidate joins 2-4,
+      // iterative CC and multi-stage compositions higher (each stage's
+      // agg/join/window + the final sort)
+      "x01_dedup_exact" -> 2, "x02_jaccard_neardups" -> 8,
+      "x03_minhash_lsh" -> 2, "x04_simhash_groups" -> 2,
+      "x05_knn_cosine" -> 1, "x06_embedding_neardups" -> 1,
+      "x07_text_quality" -> 1, "x08_token_counts" -> 1,
+      "x09_winnow_fingerprints" -> 1, "x10_sessionize" -> 2,
+      "x11_stream_hourly" -> 1, "x12_multimodal_meta" -> 1,
+      "x13_multimodal_features" -> 1, "x14_ivf_ann" -> 9,
+      "x15_asof_join" -> 2, "x16_variant_json" -> 1,
+      "x17_range_join" -> 1, "x18_simhash_neardups" -> 2,
+      "x19_dup_components" -> 4, "x20_langid" -> 1,
+      "x21_stream_dedup" -> 2, "x22_hash_split" -> 3,
+      "x23_quantize_embeddings" -> 1, "x24_stream_join" -> 2,
+      "x25_tfidf_top_terms" -> 5, "x26_interval_overlap" -> 1,
+      "x27_dedup_keeplist" -> 3, "x28_quality_filters" -> 1,
+      "x29_stratified_cap" -> 2, "x30_containment_pairs" -> 12,
+      "x31_embedding_lsh_pairs" -> 2, "x32_dup_components_star" -> 5,
+      "x33_decontaminate" -> 3, "x34_pii_redaction" -> 1,
+      "x35_pack_bins" -> 2, "x36_repeated_spans" -> 3,
+      "x37_session_window" -> 2, "x38_remove_repeated_spans" -> 4,
+      "x39_srp_lsh_production" -> 2, "x40_lm_bigram_nll" -> 6,
+      "x41_weighted_sample" -> 2, "x42_chunk_documents" -> 1,
+      "x43_embedding_dedup_keeplist" -> 4, "x44_streaming_table_model" -> 2,
+      "x45_perplexity_buckets" -> 7, "x46_curation_pipeline" -> 5,
+      "x47_corpus_stats" -> 3, "x48_temperature_resample" -> 5,
+      "x49_multimodal_resize_frames" -> 2, "x50_incremental_dedup" -> 2,
+      "x51_nb_quality_score" -> 7, "x52_bpe_merges" -> 1,
+      "x53_bpe_token_counts" -> 2, "x54_payload_neardups" -> 2,
+      "x55_url_domain_curation" -> 4)
+    // completeness both ways: a new query without a declared budget (or a
+    // stale entry for a removed query) is itself a failure
+    val names = graft.SparkEntry.queries.keySet
+    assert((names -- budgets.keySet).isEmpty,
+      s"queries missing a shuffle budget: ${(names -- budgets.keySet).toSeq.sorted}")
+    assert((budgets.keySet -- names).isEmpty,
+      s"stale budget entries: ${(budgets.keySet -- names).toSeq.sorted}")
+    // same defined-cache-state rule as the plan lint: budgets are the
+    // measured plan of record from an empty cache (PlanAudit's state)
+    spark.catalog.clearCache()
+    // the counter must actually catch a busted budget: this fixture's
+    // agg + windowed rank + order-by is 3 shuffles, over any 1-budget
+    import spark.implicits._
+    val busting = (1 to 100).map(i => (i % 7, i)).toDF("k", "v")
+      .groupBy("k").agg(sum(col("v")).as("s"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("s"))))
+      .orderBy(col("r"))
+    assert(graft.PlanAudit.shuffleCount(busting) > 1,
+      "lint fixture: counter failed to see the extra shuffles")
+    val over = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val n = graft.PlanAudit.shuffleCount(fn(spark, sf0001))
+        if (n <= budgets(name)) Nil
+        else Seq(s"$name: $n shuffles (budget ${budgets(name)})")
+      }
+    assert(over.isEmpty, s"shuffle budgets exceeded:\n${over.mkString("\n")}")
   }
 
   test("salted join equals the plain join") {
