@@ -85,7 +85,13 @@ object Bench {
     "x44_streaming_table_model" -> 1234,
     "x45_perplexity_buckets" -> 1668, "x46_curation_pipeline" -> 1141,
     "x47_corpus_stats" -> 608, "x48_temperature_resample" -> 636,
-    "x49_multimodal_resize_frames" -> 718)
+    "x49_multimodal_resize_frames" -> 718,
+    // round-8 first measures (BASELINE.md §round 8); x52/x53 cost is the
+    // 30 bounded driver rounds of vocab-sized jobs, data-independent;
+    // x54 is the post-persist solo measure
+    "x50_incremental_dedup" -> 3509, "x51_nb_quality_score" -> 1617,
+    "x52_bpe_merges" -> 4807, "x53_bpe_token_counts" -> 4536,
+    "x54_payload_neardups" -> 6980, "x55_url_domain_curation" -> 808)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

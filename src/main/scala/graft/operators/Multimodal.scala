@@ -108,11 +108,16 @@ object Multimodal {
     val blocks = transform(
       sequence(lit(0), (col("n_bytes") - blockBytes).cast("int")),
       i => hx.substr(i * 2 + 1, lit(blockBytes * 2)))
+    // persisted: the band join reads this relation on BOTH sides, and the
+    // signature pass (one md5 per distinct block — the dominant cost) must
+    // not run twice. id+sig rows only, so residency is tiny; same
+    // documented cache-residency trade as LmScore.bigramNll.
     val sigs = packed.filter(col("n_bytes") >= blockBytes)
       .select(col("media_type"), col("id"),
         graft.expressions.TextExpressions.simhash64Native(blocks).as("sig"))
       .withColumn("hi", conv(substring(col("sig"), 1, 32), 2, 10).cast("long"))
       .withColumn("lo", conv(substring(col("sig"), 33, 32), 2, 10).cast("long"))
+      .persist()
     val banded = sigs.select(col("media_type"), col("id"), col("hi"), col("lo"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
