@@ -208,11 +208,23 @@ object Dedup {
     * Emitted verdicts ride id-only frames. */
   def dedupBatchLedger(batch: DataFrame, keptPostings: DataFrame,
       idCol: String, textCol: String,
-      n: Int = 4, numHashes: Int = 8, numBands: Int = 4): DataFrame = {
-    val base = batch.select(col(idCol).as("doc"),
-      graft.expressions.TextExpressions.wordShingles(col(textCol), n).as("sh"))
-    val posts = minhashBandPostings(batch, idCol, textCol, n, numHashes, numBands)
-      .persist()
+      n: Int = 4, numHashes: Int = 8, numBands: Int = 4): DataFrame =
+    ledgerStep(batch.select(col(idCol).as("doc")),
+      minhashBandPostings(batch, idCol, textCol, n, numHashes, numBands),
+      keptPostings)
+
+  /** The signature-agnostic core of one incremental-dedup ledger step
+    * (see [[dedupBatchLedger]] for the full contract): given the batch's
+    * doc ids, its banded postings (doc, band, key), and the historical
+    * kept postings, emit the batch's ledger rows for APPEND. Docs with
+    * NO postings (no similarity evidence — too short to shingle, null or
+    * mis-shaped vector) are always kept, recorded with a single sentinel
+    * row (band = -1, key NULL) found by anti-joining the posting relation
+    * — so every batch doc lands in the ledger and the incremental cursor
+    * (max processed doc) stays correct. */
+  private def ledgerStep(docIds: DataFrame, postings: DataFrame,
+      keptPostings: DataFrame): DataFrame = {
+    val posts = postings.persist()
     val histBad = posts
       .join(keptPostings.select(col("band"), col("key")), Seq("band", "key"),
         "left_semi")
@@ -227,11 +239,55 @@ object Dedup {
     val verdicts = posts.join(bad, Seq("doc"), "left")
       .select(col("doc"), col("band"), col("key"),
         col("__bad").isNull.as("kept"))
-    val shingleless = base.filter(size(col("sh")) === 0)
+    val sentinels = docIds
+      .join(posts.select("doc").distinct(), Seq("doc"), "left_anti")
       .select(col("doc"), lit(-1).as("band"),
         lit(null).cast("string").as("key"), lit(true).as("kept"))
-    verdicts.unionByName(shingleless)
+    verdicts.unionByName(sentinels)
   }
+
+  /** SRP band postings — the embedding analogue of
+    * [[minhashBandPostings]]: md5-seeded ±1 hyperplane sign bits
+    * (identical construction to [[embeddingLshPairs]], so both engines
+    * agree bit-for-bit), banded into (doc, band, key) index rows for the
+    * incremental ledger. Null or mis-dimensioned vectors emit no
+    * postings. Per-row codegen'd dot products, zero shuffle. */
+  def srpBandPostings(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, numPlanes: Int = 64, numBands: Int = 8): DataFrame = {
+    require(numPlanes % numBands == 0, "numPlanes must divide into bands")
+    val rows = numPlanes / numBands
+    val signs = srpSigns(numPlanes, dim)
+    val bits = (0 until numPlanes).map { p =>
+      when(round(dot(col("v"), typedLit(signs(p).toSeq)), 4) >= 0, lit("1"))
+        .otherwise(lit("0"))
+    }
+    val bandCols = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        concat((0 until rows).map(r => bits(b * rows + r)): _*).as("key"))
+    }
+    df.select(col(idCol).as("doc"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim)
+      .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** One step of INCREMENTAL embedding dedup — [[dedupBatchLedger]]'s
+    * contract over SRP signatures instead of MinHash shingles: dedup a
+    * new batch of vectors against the persisted kept postings without
+    * re-projecting the historical corpus. The bucket rule drops a batch
+    * vector iff one of its band keys matches a historical KEPT posting
+    * or a smaller-id batch peer — with production-sized keys (default
+    * 8-bit bands of a 64-plane signature) a shared bucket is the
+    * cosine-similarity candidate signal, traded one-shuffle-unverified
+    * exactly like the text ledger (the oracle recomputes the identical
+    * buckets, so the rule is exact even though the similarity it
+    * approximates is probabilistic). */
+  def embeddingDedupBatchLedger(batch: DataFrame, keptPostings: DataFrame,
+      idCol: String, vecCol: String, dim: Int,
+      numPlanes: Int = 64, numBands: Int = 8): DataFrame =
+    ledgerStep(batch.select(col(idCol).as("doc")),
+      srpBandPostings(batch, idCol, vecCol, dim, numPlanes, numBands),
+      keptPostings)
 
   /** SimHash duplicate groups: docs sharing a 64-bit simhash signature.
     * Per-row signature + one hash aggregation; Hamming-radius>0 search

@@ -1558,6 +1558,99 @@ object PipelineQueries extends QueryPack {
             AS dup_ratio
           FROM d GROUP BY domain)
         SELECT st.domain, n_docs, n_urls, dup_ratio, n_kept, kept_id_sum
-        FROM st JOIN ks USING (domain) ORDER BY domain"""))
+        FROM st JOIN ks USING (domain) ORDER BY domain""")),
+
+    // ---- INCREMENTAL embedding dedup: x50's ledger pattern over SRP
+    //      signatures — vectors arrive in two batches, an Incremental/
+    //      Append model keeps the (doc, band, key, kept) ledger, and each
+    //      run projects only the NEW batch (history never re-projected).
+    //      Oracle recomputes both batch verdicts from scratch -----------
+    Q("x56_incremental_embedding_dedup",
+      (s, dir) => {
+        import graft.engine._
+        val vecs = t(s, dir, "embeddings")
+        val split = vecs.agg(expr("(min(vec_id) + max(vec_id)) div 2"))
+          .first().getLong(0)
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val staging = wh.resolve("incrv_staging")
+        Materializer.deleteRecursively(staging)
+        s.sql("DROP TABLE IF EXISTS incrv.vec_ledger")
+        Materializer.deleteRecursively(wh.resolve("incrv.db/vec_ledger"))
+        def freshProject(): Project = {
+          val p = new Project(s, Target("dev", "incrv", threads = 2))
+          p.source("raw", "vecs", ParquetPath(staging.toString))
+          p.model("vec_ledger", ModelConfig(materialized =
+            Materialization.Incremental(None,
+              Materialization.IncrementalStrategy.Append))) { ctx =>
+            val arrived = ctx.source("raw", "vecs")
+            val (batch, keptPosts) =
+              if (ctx.isIncremental) {
+                val cursor = ctx.thisDf.agg(max(col("doc"))).first().getLong(0)
+                (arrived.filter(col("vec_id") > cursor),
+                  ctx.thisDf.filter(col("kept") && col("band") >= 0))
+              } else
+                (arrived, Dedup.srpBandPostings(
+                  arrived.limit(0), "vec_id", "embedding", dim = 64))
+            Dedup.embeddingDedupBatchLedger(batch, keptPosts,
+              "vec_id", "embedding", dim = 64, numPlanes = 64, numBands = 8)
+          }
+          p
+        }
+        vecs.filter(col("vec_id") <= split)
+          .write.mode("overwrite").parquet(staging.toString)
+        val r1 = freshProject().run(fullRefresh = true)
+        require(r1.ok, s"incremental embedding dedup run 1 failed: ${r1.results}")
+        vecs.filter(col("vec_id") > split)
+          .write.mode("append").parquet(staging.toString)
+        val r2 = freshProject().run()
+        require(r2.ok, s"incremental embedding dedup run 2 failed: ${r2.results}")
+        s.table("incrv.vec_ledger")
+          .groupBy(col("doc"))
+          .agg(max(col("kept")).as("kept"))
+          .withColumn("batch",
+            when(col("doc") <= split, 1L).otherwise(2L))
+          .select(col("doc").as("vec_id"), col("kept"), col("batch"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        def bitSql(p: Int) =
+          s"""CASE WHEN round(list_sum(list_transform(range(len(embedding)),
+             i -> CAST(embedding[i+1] AS DOUBLE) *
+               (CASE WHEN substr(md5('${p}_'||CAST(i AS VARCHAR)),1,1) >= '8'
+                THEN 1.0 ELSE -1.0 END))), 4) >= 0 THEN '1' ELSE '0' END"""
+        val bits = (0 until 64).map(p => s"${bitSql(p)} AS b$p").mkString(", ")
+        val bands = (0 until 8).map(b =>
+          s"SELECT doc, $b AS band, " +
+            (0 until 8).map(r => s"b${b * 8 + r}").mkString("||") +
+            " AS key FROM sg").mkString(" UNION ALL ")
+        s"""WITH e AS (SELECT vec_id AS doc, embedding FROM embeddings
+              WHERE len(embedding) = 64),
+          sg AS (SELECT doc, $bits FROM e),
+          posts AS ($bands),
+          sp AS (SELECT (min(vec_id) + max(vec_id))//2 AS v FROM embeddings),
+          b1 AS (SELECT p.* FROM posts p, sp WHERE p.doc <= sp.v),
+          b1bad AS (SELECT DISTINCT a.doc FROM b1 a JOIN b1 b
+                    ON a.band = b.band AND a.key = b.key AND b.doc < a.doc),
+          b1v AS (SELECT doc, doc NOT IN (SELECT doc FROM b1bad) AS kept
+                  FROM (SELECT DISTINCT doc FROM b1)),
+          hist AS (SELECT DISTINCT band, key FROM b1 JOIN b1v USING (doc)
+                   WHERE kept),
+          b2 AS (SELECT p.* FROM posts p, sp WHERE p.doc > sp.v),
+          b2bad AS (SELECT DISTINCT a.doc FROM b2 a JOIN b2 b
+                    ON a.band = b.band AND a.key = b.key AND b.doc < a.doc
+                    UNION
+                    SELECT DISTINCT a.doc FROM b2 a JOIN hist h
+                    ON a.band = h.band AND a.key = h.key),
+          b2v AS (SELECT doc, doc NOT IN (SELECT doc FROM b2bad) AS kept
+                  FROM (SELECT DISTINCT doc FROM b2)),
+          led AS (SELECT * FROM b1v UNION ALL SELECT * FROM b2v
+                  UNION ALL
+                  SELECT vec_id, true FROM embeddings
+                  WHERE len(embedding) <> 64)
+        SELECT led.doc AS vec_id, led.kept,
+          CAST(CASE WHEN led.doc <= sp.v THEN 1 ELSE 2 END AS BIGINT) AS batch
+        FROM led, sp ORDER BY vec_id"""
+      })
   )
 }

@@ -185,7 +185,8 @@ class ScaleSpec extends SparkSpec {
       "x49_multimodal_resize_frames" -> 2, "x50_incremental_dedup" -> 2,
       "x51_nb_quality_score" -> 7, "x52_bpe_merges" -> 1,
       "x53_bpe_token_counts" -> 2, "x54_payload_neardups" -> 2,
-      "x55_url_domain_curation" -> 4)
+      "x55_url_domain_curation" -> 4,
+      "x56_incremental_embedding_dedup" -> 2)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet

@@ -236,4 +236,38 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(out == Seq("en", "es", "unk", "en"))
   }
+
+  test("embeddingDedupBatchLedger: kept-history drops, dropped-history keeps, null = sentinel") {
+    import spark.implicits._
+    val dim = 4
+    def vec(xs: Double*) = xs.map(_.toFloat).toArray
+    val a = vec(1, 0, 0, 0)
+    val b = vec(0, 1, 0, 0)
+    // batch 1: docs 1 and 2 are identical vectors (same SRP keys), 3 distinct
+    val batch1 = Seq((1L, a), (2L, a), (3L, b)).toDF("vec_id", "embedding")
+    val empty = Dedup.srpBandPostings(batch1.limit(0), "vec_id", "embedding", dim)
+    val led1 = Dedup.embeddingDedupBatchLedger(batch1, empty,
+      "vec_id", "embedding", dim)
+    def verdicts(df: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      df.groupBy(col("doc")).agg(max(col("kept")).as("k")).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(verdicts(led1) == Map(1L -> true, 2L -> false, 3L -> true), verdicts(led1))
+    // history for batch 2 = batch-1 KEPT postings only
+    val keptPosts = led1.filter(col("kept") && col("band") >= 0)
+      .select("doc", "band", "key").localCheckpoint()
+    // batch 2: 11 duplicates KEPT history (dropped), 12 duplicates the
+    // DROPPED doc 2's vector too (same keys as doc 1 -> also dropped);
+    // 13 is new and kept; 14 has a null vector -> sentinel, always kept
+    val batch2 = Seq((11L, a), (12L, a), (13L, vec(0, 0, 1, 0)),
+      (14L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val led2 = Dedup.embeddingDedupBatchLedger(batch2, keptPosts,
+      "vec_id", "embedding", dim)
+    assert(verdicts(led2) ==
+      Map(11L -> false, 12L -> false, 13L -> true, 14L -> true), verdicts(led2))
+    // the sentinel row shape: band -1, null key, exactly one row
+    val sent = led2.filter(col("doc") === 14L).collect()
+    assert(sent.length == 1 && sent.head.getInt(1) == -1 && sent.head.isNullAt(2))
+    // ledger rows carry every posting of every non-sentinel doc: 3 docs x 8 bands
+    assert(led2.filter(col("band") >= 0).count() == 24)
+  }
 }
