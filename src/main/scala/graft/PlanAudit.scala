@@ -1,25 +1,47 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
 
 /** Dev utility + the shared shuffle-counting rule behind ScaleSpec's
   * registry-wide budgets: print `name shuffle-count` for every registered
-  * query (or the names passed as args). Usage: PlanAudit [sfDir] */
+  * query. Usage: PlanAudit [sfDir]
+  *
+  * The count walks the physical-plan TREE, not its string: shuffle
+  * exchange NODES only (broadcasts excluded), each persisted relation's
+  * cached plan visited ONCE no matter how many scans reference it, and
+  * ReusedExchange skipped — a string count would re-count a cached
+  * subtree's exchanges per consumer and overstate multi-consumer
+  * pipelines (they execute once, at first materialization). */
 object PlanAudit {
 
-  /** Count SHUFFLE exchanges in a physical-plan string: hash/range/
-    * single-partition Exchange nodes, excluding BroadcastExchange and
-    * ReusedExchange lines (whose simpleString embeds the reused child's
-    * 'Exchange ...' text and would double-count). */
-  private val shuffleEx =
-    "(?<!Broadcast)Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
-
-  def shuffleCount(plan: String): Int = plan.linesIterator
-    .filterNot(_.contains("ReusedExchange"))
-    .map(l => shuffleEx.findAllIn(l).size).sum
-
-  def shuffleCount(df: DataFrame): Int =
-    shuffleCount(df.queryExecution.executedPlan.toString)
+  def shuffleCount(df: DataFrame): Int = {
+    val seenCaches = scala.collection.mutable.Set.empty[Int]
+    def walk(p: SparkPlan): Int = {
+      val self = p match {
+        case _: ShuffleExchangeLike => 1
+        case _ => 0
+      }
+      val kids: Seq[SparkPlan] = p match {
+        case _: ReusedExchangeExec => Nil
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        // an already-executed adaptive subtree (a cached relation that
+        // was materialized mid-build) wraps its exchanges in query
+        // stages, which hide them from .children
+        case qs: QueryStageExec => Seq(qs.plan)
+        case s: InMemoryTableScanExec =>
+          val cached = s.relation.cachedPlan
+          if (seenCaches.add(System.identityHashCode(cached))) Seq(cached)
+          else Nil
+        case other => other.children ++ other.subqueries
+      }
+      self + kids.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
@@ -32,6 +54,9 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // defined cache state per query: a prior query's persisted relation
+      // would otherwise swap this query's subtrees for InMemoryRelation
+      spark.catalog.clearCache()
       val n =
         try shuffleCount(fn(spark, sfDir)).toString
         catch { case e: Throwable => s"ERR ${e.getMessage.take(80)}" }

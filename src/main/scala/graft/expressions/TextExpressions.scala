@@ -210,6 +210,63 @@ case class SimHash64(child: Expression)
     copy(child = c)
 }
 
+/** 64-bit SimHash over OVERLAPPING byte blocks of a BINARY payload —
+  * the multimodal near-dup signature (Multimodal.payloadNearDups) in one
+  * imperative pass. Bit-compatible by construction with
+  * `simhash64Native(<hex-window tokens>)`: each sliding `blockBytes`
+  * window is rendered as its UPPERCASE hex string (what Spark's
+  * `hex(payload)` + substr would produce) and md5-hashed once per
+  * distinct block, so the engine-neutral DuckDB oracle needs no change.
+  * The win over the expression-chain form is skipping the per-row
+  * materialization of the full hex string and the ~n_bytes-element
+  * block array. */
+case class ByteBlockSimHash64(child: Expression, blockBytes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(blockBytes > 0, "blockBytes must be positive")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "byte_block_simhash64"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+  private val HEXU = "0123456789ABCDEF".toCharArray
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val seen = scala.collection.mutable.HashSet[String]()
+    val sums = new Array[Int](64)
+    var i = 0
+    val last = bytes.length - blockBytes
+    while (i <= last) {
+      val block = new Array[Char](blockBytes * 2)
+      var k = 0
+      while (k < blockBytes) {
+        val b = bytes(i + k) & 0xFF
+        block(k * 2) = HEXU(b >> 4)
+        block(k * 2 + 1) = HEXU(b & 0xF)
+        k += 1
+      }
+      val t = new String(block)
+      if (seen.add(t)) {
+        val d = TextExprUtil.md5bytes(t)
+        var j = 0
+        while (j < 64) {
+          if (((d(j >> 3) >> (7 - (j & 7))) & 1) == 1) sums(j) += 1
+          else sums(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Char](64)
+    var j = 0
+    while (j < 64) { out(j) = if (sums(j) >= 0) '1' else '0'; j += 1 }
+    UTF8String.fromString(new String(out))
+  }
+  override protected def withNewChildInternal(c: Expression): ByteBlockSimHash64 =
+    copy(child = c)
+}
+
 /** md5hex of ordered k-gram shingles + w-window sliding minima,
   * deduplicated — the whole winnowing fingerprint in one pass. */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
@@ -285,6 +342,8 @@ object TextExpressions {
     GraftSql.column(SimHash32(GraftSql.expression(toks)))
   def simhash64Native(toks: Column): Column =
     GraftSql.column(SimHash64(GraftSql.expression(toks)))
+  def byteBlockSimhash64(payload: Column, blockBytes: Int): Column =
+    GraftSql.column(ByteBlockSimHash64(GraftSql.expression(payload), blockBytes))
   def winnowFingerprintsNative(text: Column, k: Int, w: Int): Column =
     GraftSql.column(WinnowFingerprints(GraftSql.expression(text), k, w))
 }

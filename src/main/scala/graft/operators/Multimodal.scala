@@ -104,17 +104,18 @@ object Multimodal {
     require(64 % bands == 0, "bands must divide 64")
     require(blockBytes > 0, "blockBytes must be positive")
     val bandLen = 64 / bands
-    val hx = hex(col("payload"))
-    val blocks = transform(
-      sequence(lit(0), (col("n_bytes") - blockBytes).cast("int")),
-      i => hx.substr(i * 2 + 1, lit(blockBytes * 2)))
     // persisted: the band join reads this relation on BOTH sides, and the
     // signature pass (one md5 per distinct block — the dominant cost) must
     // not run twice. id+sig rows only, so residency is tiny; same
-    // documented cache-residency trade as LmScore.bigramNll.
+    // documented cache-residency trade as LmScore.bigramNll. The
+    // signature itself is the native one-pass expression (bit-compatible
+    // with simhash64Native over hex-window tokens — MultimodalSpec
+    // asserts the equality — but skips materializing the hex string and
+    // the per-row block array).
     val sigs = packed.filter(col("n_bytes") >= blockBytes)
       .select(col("media_type"), col("id"),
-        graft.expressions.TextExpressions.simhash64Native(blocks).as("sig"))
+        graft.expressions.TextExpressions
+          .byteBlockSimhash64(col("payload"), blockBytes).as("sig"))
       .withColumn("hi", conv(substring(col("sig"), 1, 32), 2, 10).cast("long"))
       .withColumn("lo", conv(substring(col("sig"), 33, 32), 2, 10).cast("long"))
       .persist()

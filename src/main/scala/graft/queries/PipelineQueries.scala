@@ -51,9 +51,14 @@ object PipelineQueries extends QueryPack {
     * list_distinct rejects structs — safe, symbols are whitespace-split
     * word fragments and can never contain a space. Exposes `last`
     * (merges + final words) for composition. */
-  private val bpeCtes = s"""WITH RECURSIVE
+  private val bpeCtes = "WITH RECURSIVE\n" + bpeCtesBody("documents", bpeRounds)
+
+  /** The BPE training CTE chain WITHOUT the leading WITH RECURSIVE, so
+    * pipeline oracles can train on an upstream CTE (x57 trains on the
+    * deduped corpus `dd`). */
+  private def bpeCtesBody(fromTable: String, rounds: Int): String = s"""
     w0 AS (SELECT w, count(*) AS cnt
-           FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+           FROM (SELECT unnest(string_split(text,' ')) AS w FROM $fromTable)
            GROUP BY w),
     wl AS (SELECT list({'w': w, 'cnt': cnt, 'tr': rnk <= $bpeTopK,
                         'syms': regexp_extract_all(w,'.')} ORDER BY w) AS words
@@ -93,7 +98,7 @@ object PipelineQueries extends QueryPack {
               flatten(list_transform(list_filter(words, wd -> wd.tr),
                 wd -> list_transform(list_slice(wd.syms, 1, len(wd.syms) - 1),
                   (s, i) -> {'a': s, 'b': wd.syms[i + 1], 'c': wd.cnt}))) AS pairs
-            FROM rec WHERE r < $bpeRounds
+            FROM rec WHERE r < $rounds
           )
         )
       ) WHERE best IS NOT NULL
@@ -1651,6 +1656,134 @@ object PipelineQueries extends QueryPack {
         SELECT led.doc AS vec_id, led.kept,
           CAST(CASE WHEN led.doc <= sp.v THEN 1 ELSE 2 END AS BIGINT) AS batch
         FROM led, sp ORDER BY vec_id"""
-      })
+      }),
+
+    // ---- the round-8 operators composed into ONE nightly training-mix
+    //      pipeline, hash-checked end to end: provenance (URL canon +
+    //      anti-domination cap) → supervised quality (NB keep) → exact
+    //      dedup → subword-budget packing (BPE counts, not whitespace).
+    //      Every stage is the registered operator, not a re-derivation --
+    Q("x57_training_mix_pipeline",
+      (s, dir) => {
+        import graft.operators.{Bpe, NbQuality, Sampling, UrlCuration}
+        val docs = t(s, dir, "documents")
+        val url = expr("""CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN 'https://www.' || source || '.example.com/page/' ||
+            CAST(doc_id DIV 40 AS STRING) || '?utm_source=feed'
+          WHEN 1 THEN 'HTTP://' || upper(source) || '.Example.COM/page/' ||
+            CAST(doc_id DIV 40 AS STRING) || '#Section'
+          WHEN 2 THEN 'https://' || source || '.example.com/page/' ||
+            CAST(doc_id DIV 40 AS STRING) || '/'
+          ELSE source || '.example.com/page/' || CAST(doc_id DIV 40 AS STRING)
+          END""")
+        val withDomain = docs.withColumn("url", url)
+          .withColumn("domain",
+            UrlCuration.domainOf(UrlCuration.canonicalUrl(col("url"))))
+          .drop("url")
+        val capped = Sampling.capPerGroup(withDomain, "domain", "doc_id", 15)
+        val toks = col("toks")
+        val labeled = capped.withColumn("toks", tokens(col("text")))
+          .withColumn("label",
+            (nTokens(toks) >= 30 && dupTokenRatio(toks) <= 0.55 &&
+              avgTokenLen(toks) >= 4.0 && avgTokenLen(toks) <= 5.0 &&
+              stopwordRatio(toks) > 0.0).cast("long"))
+          .drop("toks")
+        // quality gate = the weak rules; the NB llr rides along as the
+        // smooth score (on this synthetic corpus token identity carries
+        // little of the rules' length/ratio signal, so pred alone would
+        // keep ~3% — the rule gate + score annotation is the production
+        // mix: filter hard, rank soft)
+        val q = capped.join(
+          NbQuality.naiveBayesScore(labeled, "doc_id", "text", "label")
+            .filter(col("label") === 1).select("doc_id", "llr"), "doc_id")
+        val keep = Dedup.exact(q, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        // persisted: the deduped corpus feeds THREE consumers (BPE
+        // training's word dictionary, the subword recount, the final
+        // domain/llr join) — unpersisted, the whole cap→NB→dedup prefix
+        // would recompute per consumer (same residency trade as
+        // LmScore.bigramNll)
+        val dd = q.join(keep, Seq("doc_id"), "left_semi").persist()
+        val model = Bpe.train(dd, "text", topK = bpeTopK, numMerges = 20)
+        Sampling.packByTokenBudget(
+            Bpe.subwordCounts(dd, "doc_id", "text", model),
+            "doc_id", "n_bpe_tokens", budget = 2048L, shards = 4)
+          .join(dd.select("doc_id", "domain", "llr"), "doc_id")
+          .select(col("doc_id"), col("domain"), col("llr"),
+            col("n_ws_tokens"), col("n_bpe_tokens"),
+            col("shard").cast("long").as("shard"), col("bin"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE
+        u AS (SELECT doc_id, text,
+          CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 'https://www.' || source || '.example.com/page/' ||
+              CAST(doc_id // 40 AS VARCHAR) || '?utm_source=feed'
+            WHEN 1 THEN 'HTTP://' || upper(source) || '.Example.COM/page/' ||
+              CAST(doc_id // 40 AS VARCHAR) || '#Section'
+            WHEN 2 THEN 'https://' || source || '.example.com/page/' ||
+              CAST(doc_id // 40 AS VARCHAR) || '/'
+            ELSE source || '.example.com/page/' || CAST(doc_id // 40 AS VARCHAR)
+          END AS url FROM documents),
+        dmn AS (SELECT doc_id, text,
+          split_part(split_part(
+            regexp_replace(regexp_replace(regexp_replace(
+              lower(split_part(split_part(url, '#', 1), '?', 1)),
+              '^[a-z][a-z0-9+.-]*://', ''), '^www\\.', ''), '/+$$', ''),
+            '/', 1), ':', 1) AS domain FROM u),
+        cap AS (SELECT doc_id, text, domain FROM
+          (SELECT dmn.*, row_number() OVER (PARTITION BY domain
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM dmn)
+          WHERE rk <= 15),
+        lab AS (SELECT doc_id, string_split(text,' ') AS ts,
+          CAST(len(string_split(text,' ')) >= 30
+           AND 1.0 - CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)/len(string_split(text,' ')) <= 0.55
+           AND CAST(list_sum(list_transform(string_split(text,' '), t -> length(t))) AS DOUBLE)/len(string_split(text,' ')) BETWEEN 4.0 AND 5.0
+           AND len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is'))) > 0
+          AS BIGINT) AS label FROM cap),
+        tok AS (SELECT doc_id, label, unnest(ts) AS w FROM lab),
+        tot AS (SELECT
+          sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS nt1,
+          sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS nt0,
+          count(DISTINCT CASE WHEN label = 1 THEN doc_id END) AS nd1,
+          count(DISTINCT CASE WHEN label = 0 THEN doc_id END) AS nd0,
+          count(DISTINCT w) AS vsz FROM tok),
+        wc AS (SELECT w,
+          sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS c1,
+          sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS c0
+          FROM tok GROUP BY w),
+        lp AS (SELECT w,
+          CAST(round(ln((c1 + 1.0) / (nt1 + vsz)), 6) AS DECIMAL(18,6)) AS lp1,
+          CAST(round(ln((c0 + 1.0) / (nt0 + vsz)), 6) AS DECIMAL(18,6)) AS lp0
+          FROM wc CROSS JOIN tot),
+        pri AS (SELECT
+          CAST(round(ln((nd1 + 1.0) / (nd1 + nd0 + 2.0)), 6) AS DECIMAL(18,6)) AS lpr1,
+          CAST(round(ln((nd0 + 1.0) / (nd1 + nd0 + 2.0)), 6) AS DECIMAL(18,6)) AS lpr0
+          FROM tot),
+        sc AS (SELECT doc_id, sum(lp1) AS s1, sum(lp0) AS s0
+          FROM tok JOIN lp USING (w) GROUP BY doc_id),
+        qk AS (SELECT doc_id,
+          round(CAST((s1 + lpr1) - (s0 + lpr0) AS DOUBLE), 4) AS llr
+          FROM sc JOIN lab USING (doc_id) CROSS JOIN pri WHERE label = 1),
+        q AS (SELECT cap.doc_id, cap.text, cap.domain, qk.llr
+              FROM cap JOIN qk USING (doc_id)),
+        keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+        dd AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+        ${bpeCtesBody("dd", 20)},
+        wm AS (SELECT uu.w AS w, uu.ns AS ns FROM
+          (SELECT unnest(list_transform(words,
+             wd -> {'w': wd.w, 'ns': CAST(len(wd.syms) AS BIGINT)})) AS uu
+           FROM last)),
+        cnt AS (SELECT doc_id, count(*) AS n_ws_tokens,
+          CAST(sum(ns) AS BIGINT) AS n_bpe_tokens
+          FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM dd)
+          JOIN wm USING (w) GROUP BY doc_id)
+        SELECT cnt.doc_id, dd.domain, dd.llr, cnt.n_ws_tokens,
+          cnt.n_bpe_tokens, cnt.doc_id % 4 AS shard,
+          CAST(floor(COALESCE(SUM(cnt.n_bpe_tokens) OVER (
+            PARTITION BY cnt.doc_id % 4 ORDER BY cnt.doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
+            AS BIGINT) AS bin
+        FROM cnt JOIN dd USING (doc_id) ORDER BY doc_id"""))
   )
 }

@@ -91,9 +91,12 @@ class ScaleSpec extends SparkSpec {
     //    single-row weight total before broadcasting quotas
     //  - x51: same 1-row shape as x25/x40 — the corpus-totals scalar and
     //    the 1-row priors table attach via explicit single-row broadcasts
+    //  - x57: composes the NB scorer, so it inherits x51's 1-row
+    //    broadcast shapes inside its quality stage
     val allow = Set("x06_embedding_neardups", "x25_tfidf_top_terms",
       "x14_ivf_ann", "x40_lm_bigram_nll", "x45_perplexity_buckets",
-      "x48_temperature_resample", "x51_nb_quality_score")
+      "x48_temperature_resample", "x51_nb_quality_score",
+      "x57_training_mix_pipeline")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -158,7 +161,7 @@ class ScaleSpec extends SparkSpec {
       // order-by), one-agg queries 2, banded/candidate joins 2-4,
       // iterative CC and multi-stage compositions higher (each stage's
       // agg/join/window + the final sort)
-      "x01_dedup_exact" -> 2, "x02_jaccard_neardups" -> 8,
+      "x01_dedup_exact" -> 2, "x02_jaccard_neardups" -> 5,
       "x03_minhash_lsh" -> 2, "x04_simhash_groups" -> 2,
       "x05_knn_cosine" -> 1, "x06_embedding_neardups" -> 1,
       "x07_text_quality" -> 1, "x08_token_counts" -> 1,
@@ -172,21 +175,22 @@ class ScaleSpec extends SparkSpec {
       "x23_quantize_embeddings" -> 1, "x24_stream_join" -> 2,
       "x25_tfidf_top_terms" -> 5, "x26_interval_overlap" -> 1,
       "x27_dedup_keeplist" -> 3, "x28_quality_filters" -> 1,
-      "x29_stratified_cap" -> 2, "x30_containment_pairs" -> 12,
+      "x29_stratified_cap" -> 2, "x30_containment_pairs" -> 5,
       "x31_embedding_lsh_pairs" -> 2, "x32_dup_components_star" -> 5,
       "x33_decontaminate" -> 3, "x34_pii_redaction" -> 1,
       "x35_pack_bins" -> 2, "x36_repeated_spans" -> 3,
       "x37_session_window" -> 2, "x38_remove_repeated_spans" -> 4,
-      "x39_srp_lsh_production" -> 2, "x40_lm_bigram_nll" -> 6,
+      "x39_srp_lsh_production" -> 2, "x40_lm_bigram_nll" -> 5,
       "x41_weighted_sample" -> 2, "x42_chunk_documents" -> 1,
       "x43_embedding_dedup_keeplist" -> 4, "x44_streaming_table_model" -> 2,
-      "x45_perplexity_buckets" -> 7, "x46_curation_pipeline" -> 5,
+      "x45_perplexity_buckets" -> 6, "x46_curation_pipeline" -> 5,
       "x47_corpus_stats" -> 3, "x48_temperature_resample" -> 5,
       "x49_multimodal_resize_frames" -> 2, "x50_incremental_dedup" -> 2,
       "x51_nb_quality_score" -> 7, "x52_bpe_merges" -> 1,
       "x53_bpe_token_counts" -> 2, "x54_payload_neardups" -> 2,
       "x55_url_domain_curation" -> 4,
-      "x56_incremental_embedding_dedup" -> 2)
+      "x56_incremental_embedding_dedup" -> 2,
+      "x57_training_mix_pipeline" -> 17)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
@@ -194,9 +198,6 @@ class ScaleSpec extends SparkSpec {
       s"queries missing a shuffle budget: ${(names -- budgets.keySet).toSeq.sorted}")
     assert((budgets.keySet -- names).isEmpty,
       s"stale budget entries: ${(budgets.keySet -- names).toSeq.sorted}")
-    // same defined-cache-state rule as the plan lint: budgets are the
-    // measured plan of record from an empty cache (PlanAudit's state)
-    spark.catalog.clearCache()
     // the counter must actually catch a busted budget: this fixture's
     // agg + windowed rank + order-by is 3 shuffles, over any 1-budget
     import spark.implicits._
@@ -209,6 +210,10 @@ class ScaleSpec extends SparkSpec {
       "lint fixture: counter failed to see the extra shuffles")
     val over = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
+        // per-query defined cache state (PlanAudit's rule): a prior
+        // query's persisted relation would otherwise swap this query's
+        // subtrees for InMemoryRelation order-dependently
+        spark.catalog.clearCache()
         val n = graft.PlanAudit.shuffleCount(fn(spark, sf0001))
         if (n <= budgets(name)) Nil
         else Seq(s"$name: $n shuffles (budget ${budgets(name)})")

@@ -96,6 +96,26 @@ class MultimodalSpec extends SparkSpec {
     assert(banded == Set((0L, 1L, 2L)), banded)
   }
 
+  test("byteBlockSimhash64 equals the hex-window simhash64Native form") {
+    import spark.implicits._
+    import graft.expressions.TextExpressions
+    val df = Seq("hello world, a payload long enough to slide over",
+        "abc", "abcd", "", "x")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val p = Multimodal.pack(df, "doc_id", "text", "t")
+    val hx = hex(col("payload"))
+    val blocks = transform(
+      sequence(lit(0), (col("n_bytes") - 4).cast("int")),
+      i => hx.substr(i * 2 + 1, lit(8)))
+    val both = p.filter(col("n_bytes") >= 4)
+      .select(col("id"),
+        TextExpressions.byteBlockSimhash64(col("payload"), 4).as("a"),
+        TextExpressions.simhash64Native(blocks).as("b"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getString(1) == r.getString(2), r))
+  }
+
   test("feature extraction streams per partition with stable schema") {
     val feats = Multimodal.extractFeatures(spark, packed).toDF()
     assert(feats.columns.toSeq == Seq("id", "width", "height", "features"))
