@@ -91,7 +91,7 @@ object Bench {
     // x54 is the post-persist solo measure
     "x50_incremental_dedup" -> 3509, "x51_nb_quality_score" -> 1617,
     "x52_bpe_merges" -> 4807, "x53_bpe_token_counts" -> 4536,
-    "x54_payload_neardups" -> 6980, "x55_url_domain_curation" -> 808,
+    "x54_payload_neardups" -> 990, "x55_url_domain_curation" -> 808,
     "x56_incremental_embedding_dedup" -> 3930,
     "x57_training_mix_pipeline" -> 4040)
 
