@@ -93,7 +93,9 @@ object Bench {
     "x52_bpe_merges" -> 4807, "x53_bpe_token_counts" -> 4536,
     "x54_payload_neardups" -> 990, "x55_url_domain_curation" -> 808,
     "x56_incremental_embedding_dedup" -> 3930,
-    "x57_training_mix_pipeline" -> 4040)
+    "x57_training_mix_pipeline" -> 4040,
+    // x58 is x50's streaming twin: two AvailableNow runs per invocation
+    "x58_streaming_dedup_ledger" -> 3135)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -37,6 +37,47 @@ object PipelineQueries extends QueryPack {
     s"list_distinct(list_transform(range(len(string_split(text,' '))-${n - 1}), i -> $parts))"
   }
 
+  /** Two-batch incremental-dedup ledger oracle, shared by x50 (batch,
+    * max-doc-id cursor) and x58 (streaming, offset-log cursor) — the two
+    * mechanisms implement the same semantics, so one from-scratch
+    * recomputation checks both: batches split at (min+max)/2 of doc_id,
+    * batch-1 verdicts by the in-batch bucket-min rule, batch-2 verdicts
+    * against batch-1's KEPT postings plus its own peers, shingleless
+    * docs always kept. */
+  private lazy val minhashLedgerOracleSql: String = {
+    val sigs = (0 until 8).map(i => s"${minhashSigSql(i)} AS h$i").mkString(", ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id AS doc, $b AS band, h${2 * b}||h${2 * b + 1} AS key FROM sg")
+      .mkString(" UNION ALL ")
+    s"""WITH tk AS (SELECT doc_id, $shingleSql AS s FROM documents
+          WHERE len(string_split(text,' ')) >= 4),
+      sg AS (SELECT doc_id, s, $sigs FROM tk),
+      posts AS ($bands),
+      sp AS (SELECT (min(doc_id) + max(doc_id))//2 AS v FROM documents),
+      b1 AS (SELECT p.* FROM posts p, sp WHERE p.doc <= sp.v),
+      b1bad AS (SELECT DISTINCT a.doc FROM b1 a JOIN b1 b
+                ON a.band = b.band AND a.key = b.key AND b.doc < a.doc),
+      b1v AS (SELECT doc, doc NOT IN (SELECT doc FROM b1bad) AS kept
+              FROM (SELECT DISTINCT doc FROM b1)),
+      hist AS (SELECT DISTINCT band, key FROM b1 JOIN b1v USING (doc)
+               WHERE kept),
+      b2 AS (SELECT p.* FROM posts p, sp WHERE p.doc > sp.v),
+      b2bad AS (SELECT DISTINCT a.doc FROM b2 a JOIN b2 b
+                ON a.band = b.band AND a.key = b.key AND b.doc < a.doc
+                UNION
+                SELECT DISTINCT a.doc FROM b2 a JOIN hist h
+                ON a.band = h.band AND a.key = h.key),
+      b2v AS (SELECT doc, doc NOT IN (SELECT doc FROM b2bad) AS kept
+              FROM (SELECT DISTINCT doc FROM b2)),
+      led AS (SELECT * FROM b1v UNION ALL SELECT * FROM b2v
+              UNION ALL
+              SELECT doc_id, true FROM documents
+              WHERE len(string_split(text,' ')) < 4)
+    SELECT led.doc AS doc_id, led.kept,
+      CAST(CASE WHEN led.doc <= sp.v THEN 1 ELSE 2 END AS BIGINT) AS batch
+    FROM led, sp ORDER BY doc_id"""
+  }
+
   /** BPE training parameters shared by x52/x53 and their oracles. */
   private val bpeTopK = 50
   private val bpeRounds = 30
@@ -1344,39 +1385,45 @@ object PipelineQueries extends QueryPack {
           .select(col("doc").as("doc_id"), col("kept"), col("batch"))
           .orderBy(col("doc_id"))
       },
-      Some {
-        val sigs = (0 until 8).map(i => s"${minhashSigSql(i)} AS h$i").mkString(", ")
-        val bands = (0 until 4).map(b =>
-          s"SELECT doc_id AS doc, $b AS band, h${2 * b}||h${2 * b + 1} AS key FROM sg")
-          .mkString(" UNION ALL ")
-        s"""WITH tk AS (SELECT doc_id, $shingleSql AS s FROM documents
-              WHERE len(string_split(text,' ')) >= 4),
-          sg AS (SELECT doc_id, s, $sigs FROM tk),
-          posts AS ($bands),
-          sp AS (SELECT (min(doc_id) + max(doc_id))//2 AS v FROM documents),
-          b1 AS (SELECT p.* FROM posts p, sp WHERE p.doc <= sp.v),
-          b1bad AS (SELECT DISTINCT a.doc FROM b1 a JOIN b1 b
-                    ON a.band = b.band AND a.key = b.key AND b.doc < a.doc),
-          b1v AS (SELECT doc, doc NOT IN (SELECT doc FROM b1bad) AS kept
-                  FROM (SELECT DISTINCT doc FROM b1)),
-          hist AS (SELECT DISTINCT band, key FROM b1 JOIN b1v USING (doc)
-                   WHERE kept),
-          b2 AS (SELECT p.* FROM posts p, sp WHERE p.doc > sp.v),
-          b2bad AS (SELECT DISTINCT a.doc FROM b2 a JOIN b2 b
-                    ON a.band = b.band AND a.key = b.key AND b.doc < a.doc
-                    UNION
-                    SELECT DISTINCT a.doc FROM b2 a JOIN hist h
-                    ON a.band = h.band AND a.key = h.key),
-          b2v AS (SELECT doc, doc NOT IN (SELECT doc FROM b2bad) AS kept
-                  FROM (SELECT DISTINCT doc FROM b2)),
-          led AS (SELECT * FROM b1v UNION ALL SELECT * FROM b2v
-                  UNION ALL
-                  SELECT doc_id, true FROM documents
-                  WHERE len(string_split(text,' ')) < 4)
-        SELECT led.doc AS doc_id, led.kept,
-          CAST(CASE WHEN led.doc <= sp.v THEN 1 ELSE 2 END AS BIGINT) AS batch
-        FROM led, sp ORDER BY doc_id"""
-      }),
+      Some(minhashLedgerOracleSql)),
+
+    // ---- STREAMING incremental dedup: the same two-batch ledger, but
+    //      the incremental cursor is the file-source OFFSET LOG (two
+    //      Trigger.AvailableNow runs over a landing dir; run 2's
+    //      checkpoint skips run 1's files) — arrival order and id space
+    //      are arbitrary, unlike x50's max-doc-id predicate. Identical
+    //      oracle: the mechanisms must agree --------------------------
+    Q("x58_streaming_dedup_ledger",
+      (s, dir) => {
+        import graft.engine._
+        val docs = t(s, dir, "documents")
+        val split = docs.agg(expr("(min(doc_id) + max(doc_id)) div 2"))
+          .first().getLong(0)
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val landing = wh.resolve("strldg_landing")
+        val ckpt = wh.resolve("_graft_checkpoints/strldg")
+        s.sql("CREATE DATABASE IF NOT EXISTS strldg")
+        s.sql("DROP TABLE IF EXISTS strldg.ledger")
+        for (p <- Seq(landing, ckpt, wh.resolve("strldg.db/ledger")))
+          Materializer.deleteRecursively(p)
+        docs.filter(col("doc_id") <= split)
+          .write.mode("overwrite").parquet(landing.toString)
+        EventStreams.streamingDedupLedger(s, landing.toString, docs.schema,
+          "strldg.ledger", ckpt.toString, "doc_id", "text")
+        docs.filter(col("doc_id") > split)
+          .write.mode("append").parquet(landing.toString)
+        EventStreams.streamingDedupLedger(s, landing.toString, docs.schema,
+          "strldg.ledger", ckpt.toString, "doc_id", "text")
+        s.table("strldg.ledger")
+          .groupBy(col("doc"))
+          .agg(max(col("kept")).as("kept"))
+          .withColumn("batch",
+            when(col("doc") <= split, 1L).otherwise(2L))
+          .select(col("doc").as("doc_id"), col("kept"), col("batch"))
+          .orderBy(col("doc_id"))
+      },
+      Some(minhashLedgerOracleSql)),
 
     // ---- CCNet-style SUPERVISED quality scoring: x28's heuristic rules
     //      weak-label the corpus, a one-pass multinomial Naive Bayes

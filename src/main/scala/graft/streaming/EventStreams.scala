@@ -200,4 +200,57 @@ object EventStreams {
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
+
+  /** STREAMING incremental corpus dedup — the continuous-ingest twin of
+    * the batch signature ledger ([[graft.operators.Dedup.dedupBatchLedger]]):
+    * a file-source stream over the landing directory, each microbatch
+    * dedup'd against the accumulated ledger table's kept postings via
+    * `foreachBatch`, verdict rows appended. The CHECKPOINTED OFFSET LOG
+    * is the incremental cursor — unlike the batch formulation's
+    * max-doc-id predicate, arrival order and id space are arbitrary:
+    * a re-run processes exactly the files that arrived since the last
+    * run's offsets (Trigger.AvailableNow), history is never re-read,
+    * let alone re-shingled.
+    *
+    * Delivery: the ledger append is per-microbatch; on a mid-batch crash
+    * a retry could double-append (foreachBatch is at-least-once). For
+    * exactly-once at warehouse scale, land the append as a MERGE on doc
+    * or an idempotent overwrite of a batchId-keyed partition — the
+    * single-driver AvailableNow runs here complete atomically per call. */
+  def streamingDedupLedger(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType, ledgerTable: String,
+      checkpointDir: String, idCol: String, textCol: String,
+      n: Int = 4, numHashes: Int = 8, numBands: Int = 4): Unit = {
+    import graft.operators.Dedup
+    val stream = spark.readStream.schema(schema).parquet(landingDir)
+    val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val s = batch.sparkSession
+        val kept =
+          if (s.catalog.tableExists(ledgerTable)) {
+            // the microbatch runs in a CLONED session whose relation cache
+            // may hold a pre-run file listing of the ledger — refresh so
+            // the history probe sees every batch appended so far
+            s.catalog.refreshTable(ledgerTable)
+            s.table(ledgerTable).filter(col("kept") && col("band") >= 0)
+          }
+          else // first batch: empty posting history with the right schema
+            Dedup.minhashBandPostings(batch.limit(0).toDF(), idCol, textCol,
+              n, numHashes, numBands)
+        Dedup.dedupBatchLedger(batch.toDF(), kept, idCol, textCol,
+            n, numHashes, numBands)
+          .write.mode("append").format("parquet").saveAsTable(ledgerTable)
+      }
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(step)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    // the appends above went through the cloned microbatch session; the
+    // CALLER's session still caches the old ledger file listing — without
+    // this refresh a post-run read sees the pre-run row count
+    if (spark.catalog.tableExists(ledgerTable))
+      spark.catalog.refreshTable(ledgerTable)
+  }
 }

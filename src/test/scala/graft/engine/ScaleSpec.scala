@@ -190,7 +190,8 @@ class ScaleSpec extends SparkSpec {
       "x53_bpe_token_counts" -> 2, "x54_payload_neardups" -> 2,
       "x55_url_domain_curation" -> 4,
       "x56_incremental_embedding_dedup" -> 2,
-      "x57_training_mix_pipeline" -> 17)
+      "x57_training_mix_pipeline" -> 17,
+      "x58_streaming_dedup_ledger" -> 2)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet

@@ -124,6 +124,41 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("StreamingTable"), e.getMessage)
   }
 
+  test("streaming dedup ledger: offset log is the cursor, run 2 skips run-1 files") {
+    import spark.implicits._
+    val landing = java.nio.file.Files.createTempDirectory("strldg_t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("strldg_ck").toString
+    spark.sql("CREATE DATABASE IF NOT EXISTS strldgt")
+    spark.sql("DROP TABLE IF EXISTS strldgt.ledger")
+    // same fixture as EngineSpec's batch-ledger case — the two incremental
+    // mechanisms (max-id cursor there, offset log here) must agree
+    Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    def run(): Unit = EventStreams.streamingDedupLedger(
+      spark, landing, schema, "strldgt.ledger", ckpt, "doc_id", "text")
+    def verdicts(): Map[Long, Boolean] =
+      spark.table("strldgt.ledger").groupBy(col("doc"))
+        .agg(max(col("kept")).as("kept")).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    run()
+    assert(verdicts() == Map(1L -> true, 2L -> false, 3L -> true))
+    assert(spark.table("strldgt.ledger").count() == 12) // 3 docs x 4 bands
+    // batch 2 lands: 4 dups history, 6 dups 5 in-batch, 7 too short
+    // to shingle (sentinel row, always kept)
+    Seq((4L, "a b c d e"), (5L, "p q r s t"), (6L, "p q r s t"), (7L, "hi"))
+      .toDF("doc_id", "text").write.mode("append").parquet(landing)
+    run()
+    assert(verdicts() == Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> false, 5L -> true, 6L -> false, 7L -> true))
+    // 12 + (3 docs x 4 bands + 1 sentinel): run-1 files were NOT re-read —
+    // a reprocess would double the batch-1 rows
+    assert(spark.table("strldgt.ledger").count() == 25)
+    // a third run with nothing new appends nothing
+    run()
+    assert(spark.table("strldgt.ledger").count() == 25)
+  }
+
   test("streaming hourly aggregation equals batch group-by") {
     val got = EventStreams.hourlyCounts(spark, sf0001)
     val events = {
