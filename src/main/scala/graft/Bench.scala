@@ -95,7 +95,8 @@ object Bench {
     "x56_incremental_embedding_dedup" -> 3930,
     "x57_training_mix_pipeline" -> 4040,
     // x58 is x50's streaming twin: two AvailableNow runs per invocation
-    "x58_streaming_dedup_ledger" -> 3135)
+    "x58_streaming_dedup_ledger" -> 3135,
+    "x59_repetition_signals" -> 518, "x60_source_overlap" -> 842)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

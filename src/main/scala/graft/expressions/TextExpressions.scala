@@ -331,6 +331,63 @@ case class ProfileScores(child: Expression, profiles: Seq[Seq[String]])
     copy(child = c)
 }
 
+/** One-pass within-doc repetition signals — the native twin of the
+  * staged HOF chain in `TextFunctions.dupNgramRatio`/`topNgramShare`
+  * (Gopher repetition filters, Rae et al. 2021 Table A1). Returns
+  * `array<double> [dup2, dup3, top2]`:
+  * bigram duplicate fraction (1 − distinct/total), trigram duplicate
+  * fraction, and the most-frequent bigram's occurrence share. One token
+  * walk with a count map — the HOF top-share is O(distinct × total)
+  * interpreted; this is O(total). Division/subtraction order matches the
+  * HOF form and the DuckDB oracle bit-for-bit (same integer operands,
+  * same IEEE ops). Docs too short for an n-gram score 0 on that axis. */
+case class RepetitionSignals(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def prettyName: String = "repetition_signals"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextExprUtil.splitTokens(input.asInstanceOf[UTF8String])
+    val n2 = toks.length - 1
+    var dup2 = 0.0
+    var top2 = 0.0
+    if (n2 > 0) {
+      val counts = new java.util.HashMap[String, Integer](n2 * 2)
+      var maxC = 0
+      var i = 0
+      while (i < n2) {
+        val g = toks(i) + "_" + toks(i + 1)
+        val prev = counts.get(g)
+        val c = if (prev == null) 1 else prev.intValue() + 1
+        counts.put(g, c)
+        if (c > maxC) maxC = c
+        i += 1
+      }
+      dup2 = 1.0 - counts.size.toDouble / n2
+      top2 = maxC.toDouble / n2
+    }
+    val n3 = toks.length - 2
+    var dup3 = 0.0
+    if (n3 > 0) {
+      val seen = new java.util.HashSet[String](n3 * 2)
+      var i = 0
+      while (i < n3) {
+        seen.add(toks(i) + "_" + toks(i + 1) + "_" + toks(i + 2))
+        i += 1
+      }
+      dup3 = 1.0 - seen.size.toDouble / n3
+    }
+    new GenericArrayData(Array[Any](dup2, dup3, top2))
+  }
+  override protected def withNewChildInternal(c: Expression): RepetitionSignals =
+    copy(child = c)
+}
+
 object TextExpressions {
   def wordShingles(text: Column, n: Int, distinct: Boolean = true): Column =
     GraftSql.column(WordShingles(GraftSql.expression(text), n, distinct))
@@ -346,4 +403,6 @@ object TextExpressions {
     GraftSql.column(ByteBlockSimHash64(GraftSql.expression(payload), blockBytes))
   def winnowFingerprintsNative(text: Column, k: Int, w: Int): Column =
     GraftSql.column(WinnowFingerprints(GraftSql.expression(text), k, w))
+  def repetitionSignals(text: Column): Column =
+    GraftSql.column(RepetitionSignals(GraftSql.expression(text)))
 }

@@ -131,6 +131,30 @@ object TextFunctions {
   def avgTokenLen(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)
 
+  /** Within-doc repetition signals — the Gopher repetition-filter axis
+    * (Rae et al. 2021, arXiv:2112.11446, Table A1), adapted to
+    * occurrence-count fractions over word n-grams. Both take an
+    * already-STAGED ordered n-gram column ([[shinglesOrdered]] behind a
+    * `.withColumn`): passing a raw expression would re-evaluate its whole
+    * tree per lambda element (see [[winnowFingerprints]]'s staging note).
+    * Per-row array math only — zero shuffle, linear in the corpus. */
+
+  /** Fraction of n-gram occurrences that repeat an earlier one:
+    * 1 − distinct/total. Docs too short for any n-gram → 0. */
+  def dupNgramRatio(ng: Column): Column =
+    when(size(ng) > 0,
+      lit(1.0) - size(array_distinct(ng)).cast("double") / size(ng))
+      .otherwise(lit(0.0))
+
+  /** Share of n-gram occurrences taken by the single most frequent
+    * n-gram. O(distinct × total) per row — bounded by document length.
+    * Docs too short for any n-gram → 0. */
+  def topNgramShare(ng: Column): Column =
+    when(size(ng) > 0,
+      array_max(transform(array_distinct(ng),
+        u => size(filter(ng, v => v === u)))).cast("double") / size(ng))
+      .otherwise(lit(0.0))
+
   /** BPE-ish subword count: runs of letters, runs of digits, or any other
     * non-space char (the usual pre-tokenizer regex family). */
   def bpeishTokenCount(text: Column): Column =

@@ -78,6 +78,13 @@ object PipelineQueries extends QueryPack {
     FROM led, sp ORDER BY doc_id"""
   }
 
+  /** x59's repetition thresholds — Gopher's filter family (Rae et al.
+    * 2021 Table A1) with cutoffs tuned to the synthetic corpus's signal
+    * distribution (p50 dup2 ≈ 0.028, p90 ≈ 0.065) so the keep verdict
+    * exercises both branches. Declared above the queries list: the oracle
+    * string interpolates these at object init. */
+  private val (dup2Max, dup3Max, top2Max) = (0.05, 0.02, 0.05)
+
   /** BPE training parameters shared by x52/x53 and their oracles. */
   private val bpeTopK = 50
   private val bpeRounds = 30
@@ -1831,6 +1838,64 @@ object PipelineQueries extends QueryPack {
             PARTITION BY cnt.doc_id % 4 ORDER BY cnt.doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
             AS BIGINT) AS bin
-        FROM cnt JOIN dd USING (doc_id) ORDER BY doc_id"""))
+        FROM cnt JOIN dd USING (doc_id) ORDER BY doc_id""")),
+
+    // NOTE: constants referenced from BOTH a query lambda and an oracle
+    // string must be declared ABOVE this list — the oracle interpolation
+    // runs at object init, and a val declared below the list would still
+    // be 0 at that point (the x59 thresholds hit exactly this).
+
+    // ---- WITHIN-doc repetition signals: the Gopher repetition-filter
+    //      axis (duplicate/top n-gram fractions) that x28's cascade does
+    //      not cover — per-row array math, zero shuffle ------------------
+    Q("x59_repetition_signals",
+      (s, dir) => {
+        // native one-pass expression (TextFunctionsSpec proves it equals
+        // the staged dupNgramRatio/topNgramShare HOF chain): the HOF
+        // top-share is O(distinct × total) interpreted per row
+        t(s, dir, "documents")
+          .withColumn("sig",
+            graft.expressions.TextExpressions.repetitionSignals(col("text")))
+          .select(col("doc_id"),
+            element_at(col("sig"), 1).as("dup2"),
+            element_at(col("sig"), 2).as("dup3"),
+            element_at(col("sig"), 3).as("top2"))
+          .withColumn("keep",
+            (col("dup2") <= dup2Max && col("dup3") <= dup3Max &&
+              col("top2") <= top2Max).cast("long"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH x AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        g AS (SELECT doc_id,
+          list_transform(range(len(ts)-1), i -> ts[i+1]||'_'||ts[i+2]) AS bg,
+          list_transform(range(len(ts)-2), i -> ts[i+1]||'_'||ts[i+2]||'_'||ts[i+3]) AS tg
+        FROM x),
+        f AS (SELECT doc_id,
+          CASE WHEN len(bg)>0 THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)/len(bg) ELSE 0.0 END AS dup2,
+          CASE WHEN len(tg)>0 THEN 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE)/len(tg) ELSE 0.0 END AS dup3,
+          CASE WHEN len(bg)>0 THEN CAST(list_max(list_transform(list_distinct(bg), u -> len(list_filter(bg, v -> v = u)))) AS DOUBLE)/len(bg) ELSE 0.0 END AS top2
+        FROM g)
+      SELECT doc_id, dup2, dup3, top2,
+        CAST(dup2 <= $dup2Max AND dup3 <= $dup3Max AND top2 <= $top2Max AS BIGINT) AS keep
+      FROM f ORDER BY doc_id""")),
+
+    // ---- CROSS-source overlap matrix: per-pair shared-shingle counts +
+    //      Jaccard — the corpus-level leakage/diversity report (which
+    //      sources are near-copies of each other) ------------------------
+    Q("x60_source_overlap",
+      (s, dir) => graft.operators.SourceOverlap
+        .overlapMatrix(t(s, dir, "documents"), "source", "text", n = 4)
+        .orderBy(col("src_a"), col("src_b")),
+      Some(s"""WITH p AS (SELECT DISTINCT source, unnest($shingleSql) AS sh
+          FROM documents),
+        tot AS (SELECT source, count(*) AS n_sh FROM p GROUP BY source),
+        pr AS (SELECT a.source AS src_a, b.source AS src_b
+               FROM p a JOIN p b ON a.sh = b.sh AND a.source < b.source),
+        c AS (SELECT src_a, src_b, count(*) AS shared FROM pr GROUP BY 1, 2)
+      SELECT c.src_a, c.src_b, c.shared, ta.n_sh AS n_a, tb.n_sh AS n_b,
+        CAST(c.shared AS DOUBLE)/(ta.n_sh + tb.n_sh - c.shared) AS jaccard
+      FROM c JOIN tot ta ON c.src_a = ta.source
+             JOIN tot tb ON c.src_b = tb.source
+      ORDER BY src_a, src_b"""))
   )
 }

@@ -53,6 +53,46 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("repetition signals match direct computation") {
+    // random docs rarely repeat bigrams — add genuinely repetitive ones
+    // so both signals move off zero
+    val docs = this.docs ++ Seq(
+      List("a", "b", "a", "b", "a", "b", "c"),
+      List("spam", "spam", "spam", "spam"),
+      List("x"), List("x", "y"))
+    // staged ngram columns, per the TextFunctions staging rule
+    import spark.implicits._
+    val rows = docs.map(_.mkString(" ")).toDF("text")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("bg", shinglesOrdered(col("toks"), 2))
+      .select(dupNgramRatio(col("bg")), topNgramShare(col("bg"))).collect()
+    docs.zip(rows).foreach { case (doc, row) =>
+      val bg = doc.sliding(2).filter(_.size == 2).map(_.mkString("_")).toList
+      val (wantDup, wantTop) =
+        if (bg.isEmpty) (0.0, 0.0)
+        else (1.0 - bg.distinct.size.toDouble / bg.size,
+          bg.groupBy(identity).values.map(_.size).max.toDouble / bg.size)
+      assert(row.getDouble(0) == wantDup, s"dup doc=$doc")
+      assert(row.getDouble(1) == wantTop, s"top doc=$doc")
+    }
+    // the native one-pass expression must match the HOF chain bit-for-bit
+    val both = docs.map(_.mkString(" ")).toDF("text")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("bg", shinglesOrdered(col("toks"), 2))
+      .withColumn("tg", shinglesOrdered(col("toks"), 3))
+      .withColumn("sig",
+        graft.expressions.TextExpressions.repetitionSignals(col("text")))
+      .select(dupNgramRatio(col("bg")), dupNgramRatio(col("tg")),
+        topNgramShare(col("bg")),
+        element_at(col("sig"), 1), element_at(col("sig"), 2),
+        element_at(col("sig"), 3)).collect()
+    docs.zip(both).foreach { case (doc, r) =>
+      assert(r.getDouble(0) == r.getDouble(3), s"dup2 native!=HOF doc=$doc")
+      assert(r.getDouble(1) == r.getDouble(4), s"dup3 native!=HOF doc=$doc")
+      assert(r.getDouble(2) == r.getDouble(5), s"top2 native!=HOF doc=$doc")
+    }
+  }
+
   test("quality metrics match direct computation") {
     val rows = evalAll(nTokens(col("toks")), nDistinctTokens(col("toks")),
       avgTokenLen(col("toks")))
