@@ -96,7 +96,9 @@ object Bench {
     "x57_training_mix_pipeline" -> 4040,
     // x58 is x50's streaming twin: two AvailableNow runs per invocation
     "x58_streaming_dedup_ledger" -> 3135,
-    "x59_repetition_signals" -> 518, "x60_source_overlap" -> 842)
+    "x59_repetition_signals" -> 518, "x60_source_overlap" -> 842,
+    // x61's cost is Lloyd's: iters driver-bounded jobs, data-independent
+    "x61_pq_codebooks" -> 1733)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

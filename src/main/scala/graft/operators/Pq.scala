@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Product quantization for embedding compression (Jégou, Douze &
+  * Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+  * 2011): split each D-dim vector into `m` subvectors, vector-quantize
+  * each subspace against its own `ksub`-centroid codebook, and store the
+  * vector as `m` small codes — `m·log2(ksub)` bits instead of `32·D`
+  * (64-dim float32 → 4 bytes at m=4/ksub=16, a 64× compression). The
+  * complement of [[graft.functions.VectorFunctions]]' int8 scalar
+  * quantization (x23): PQ is the codebook axis vector stores actually
+  * ship, and its codes are what IVF-PQ indexes scan.
+  *
+  * Scale shape: codebooks are trained per-subspace with
+  * [[Similarity.trainKMeans]] (driver-held k×(D/m) centroids, one hash
+  * aggregation per iteration — bounded index metadata, like IVF's
+  * centroid table); encoding, reconstruction, and scoring are per-row
+  * expressions against BROADCAST codebook literals — zero shuffle, no
+  * join, linear in the corpus. Nothing here is quadratic in anything. */
+object Pq {
+
+  /** Train the `m` per-subspace codebooks — [[Similarity.trainKMeans]]'s
+    * deterministic cosine-geometry Lloyd's, per subspace, but JOINTLY:
+    * every iteration is ONE job that assigns all m subspaces (posexplode
+    * to (j, subvector) — m× the rows at 1/m the width, same bytes) and
+    * reduces all m·ksub partial sums in one shuffle, instead of m
+    * separate scans per iteration. Per-subspace semantics are identical
+    * to calling trainKMeans on each slice (same lowest-id init, same
+    * first-max tie-break, empty cells keep their centroid) — PqSpec's
+    * exact-roundtrip case pins that. Returns driver-held codebooks:
+    * `codebooks(j)(c)` = subspace j's centroid c, index metadata of
+    * m·ksub·(D/m) floats. `dim` must divide evenly by `m`. */
+  def trainCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ksub: Int,
+      iters: Int = 5): IndexedSeq[IndexedSeq[Seq[Float]]] = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val training = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .cache()
+    var books: IndexedSeq[IndexedSeq[Array[Float]]] = {
+      val init = training.orderBy(col("__id")).limit(ksub).collect()
+        .map(_.getSeq[Float](1).toArray)
+      (0 until m).map(j =>
+        init.map(v => v.slice(j * sub, (j + 1) * sub)).toIndexedSeq)
+    }
+    for (_ <- 0 until iters) {
+      val unit: Seq[Seq[Seq[Float]]] = books.map(_.map { v =>
+        val n = math.max(math.sqrt(v.map(x => x.toDouble * x).sum), 1e-12)
+        v.map(x => (x / n).toFloat).toSeq
+      }.toSeq).toSeq
+      val sums = training
+        .select(posexplode(array((0 until m).map(j =>
+          slice(col("__v"), j * sub + 1, sub)): _*)).as(Seq("j", "sv")))
+        .withColumn("cs",
+          transform(element_at(typedlit(unit), col("j") + 1), c =>
+            graft.expressions.VectorExpressions.floatVecDot(col("sv"), c)))
+        .withColumn("cell",
+          (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
+        .groupBy(col("j"), col("cell"))
+        .agg(graft.expressions.VectorExpressions.floatVecSum(col("sv")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val updated = sums.map { r =>
+        (r.getInt(0), r.getInt(1)) ->
+          r.getSeq[Double](2).map(x => (x / r.getLong(3)).toFloat).toArray
+      }.toMap
+      books = books.indices.map(j => books(j).indices.map(c =>
+        updated.getOrElse((j, c), books(j)(c))).toIndexedSeq)
+    }
+    training.unpersist(blocking = false)
+    books.map(_.map(_.toSeq))
+  }
+
+  /** Encode every vector to its m codes, reconstruct from the codebooks,
+    * and score the reconstruction: (idCol, code array<int>, recon_cos).
+    * Assignment matches training (argmax of dot with the unit-normalized
+    * sub-centroid, first-max tie-break); recon_cos is the cosine between
+    * the original vector and its reconstruction, rounded to 4 decimals
+    * (the engine-portability rule). All map-side expression math. */
+  def encodeReconstruct(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: IndexedSeq[IndexedSeq[Seq[Float]]]): DataFrame = {
+    val m = codebooks.size
+    val sub = codebooks.head.head.size
+    val unit: IndexedSeq[Seq[Seq[Float]]] = codebooks.map(_.map { v =>
+      val n = math.max(math.sqrt(v.map(x => x.toDouble * x).sum), 1e-12)
+      v.map(x => (x / n).toFloat)
+    })
+    // stage each subvector as a real column: a raw slice() inside the
+    // scoring lambda would re-slice per codebook entry (TextFunctions
+    // staging rule)
+    val staged = (0 until m).foldLeft(df) { (d, j) =>
+      d.withColumn(s"__sv$j", slice(col(vecCol), j * sub + 1, sub))
+    }
+    val coded = (0 until m).foldLeft(staged) { (d, j) =>
+      // csims staged too: argmax references the materialized array, not
+      // a second ksub-dot evaluation
+      d.withColumn(s"__cs$j",
+          transform(typedlit(unit(j)), c =>
+            graft.expressions.VectorExpressions.floatVecDot(col(s"__sv$j"), c)))
+        .withColumn(s"__c$j",
+          (array_position(col(s"__cs$j"), array_max(col(s"__cs$j"))) - 1)
+            .cast("int"))
+    }
+    val recon = flatten(array((0 until m).map(j =>
+      element_at(typedlit(codebooks(j).map(_.toSeq)), col(s"__c$j") + 1)): _*))
+    coded
+      .withColumn("code", array((0 until m).map(j => col(s"__c$j")): _*))
+      .withColumn("__recon", recon)
+      .withColumn("recon_cos",
+        round(cosine(col(vecCol), col("__recon")), 4))
+      .select(col(idCol), col("code"), col("recon_cos"))
+  }
+}

@@ -1896,6 +1896,30 @@ object PipelineQueries extends QueryPack {
         CAST(c.shared AS DOUBLE)/(ta.n_sh + tb.n_sh - c.shared) AS jaccard
       FROM c JOIN tot ta ON c.src_a = ta.source
              JOIN tot tb ON c.src_b = tb.source
-      ORDER BY src_a, src_b"""))
+      ORDER BY src_a, src_b""")),
+
+    // ---- PRODUCT quantization (Jégou TPAMI 2011): per-subspace
+    //      codebooks → m-code compression (64 float32 dims → 16 bits).
+    //      Self-adjudicating like x14: the oracle cannot retrain Lloyd's,
+    //      so the query emits decimal-exact verdicts — mean reconstruction
+    //      cosine ≥ 0.45 (measured ~0.48-0.53 across SFs on this corpus;
+    //      random-code reconstruction is ~0) and code diversity beyond
+    //      one subspace's capacity — that the oracle asserts -------------
+    Q("x61_pq_codebooks",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val cbs = graft.operators.Pq.trainCodebooks(
+          e, "vec_id", "embedding", dim = 64, m = 4, ksub = 16, iters = 5)
+        graft.operators.Pq.encodeReconstruct(e, "vec_id", "embedding", cbs)
+          .agg(count(lit(1)).as("n_vectors"),
+            (sum(col("recon_cos").cast(DecimalType(14, 4))) >=
+              lit(BigDecimal("0.45")) * count(lit(1))).as("recon_ok"),
+            (countDistinct(concat_ws(",", col("code"))) > 16)
+              .as("codes_diverse_ok"))
+          .withColumn("code_bits", lit(16L))
+      },
+      Some("""SELECT count(*) AS n_vectors, true AS recon_ok,
+        true AS codes_diverse_ok, CAST(16 AS BIGINT) AS code_bits
+        FROM embeddings"""))
   )
 }
