@@ -98,7 +98,11 @@ object Bench {
     "x58_streaming_dedup_ledger" -> 3135,
     "x59_repetition_signals" -> 518, "x60_source_overlap" -> 842,
     // x61's cost is Lloyd's: iters driver-bounded jobs, data-independent
-    "x61_pq_codebooks" -> 1733)
+    "x61_pq_codebooks" -> 1733,
+    // x62 composes coarse k-means + residual-PQ training + IVF scan +
+    // the EXACT all-pairs baseline it adjudicates recall against — the
+    // x43-class "the composition is the workload" shape
+    "x62_ivf_pq_ann" -> 10260)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -75,11 +75,13 @@ object Pq {
   }
 
   /** Encode every vector to its m codes, reconstruct from the codebooks,
-    * and score the reconstruction: (idCol, code array<int>, recon_cos).
-    * Assignment matches training (argmax of dot with the unit-normalized
-    * sub-centroid, first-max tie-break); recon_cos is the cosine between
-    * the original vector and its reconstruction, rounded to 4 decimals
-    * (the engine-portability rule). All map-side expression math. */
+    * and score the reconstruction: the input columns plus
+    * `code array<int>`, `recon_cos`, and `recon array<float>` (kept so
+    * IVF-PQ can add the coarse centroid back). Assignment matches
+    * training (argmax of dot with the unit-normalized sub-centroid,
+    * first-max tie-break); recon_cos is the cosine between the original
+    * vector and its reconstruction, rounded to 4 decimals (the
+    * engine-portability rule). All map-side expression math. */
   def encodeReconstruct(df: DataFrame, idCol: String, vecCol: String,
       codebooks: IndexedSeq[IndexedSeq[Seq[Float]]]): DataFrame = {
     val m = codebooks.size
@@ -108,9 +110,52 @@ object Pq {
       element_at(typedlit(codebooks(j).map(_.toSeq)), col(s"__c$j") + 1)): _*))
     coded
       .withColumn("code", array((0 until m).map(j => col(s"__c$j")): _*))
-      .withColumn("__recon", recon)
-      .withColumn("recon_cos",
-        round(cosine(col(vecCol), col("__recon")), 4))
-      .select(col(idCol), col("code"), col("recon_cos"))
+      .withColumn("recon", recon)
+      .withColumn("recon_cos", round(cosine(col(vecCol), col("recon")), 4))
+      .drop((0 until m).flatMap(j =>
+        Seq(s"__sv$j", s"__cs$j", s"__c$j")): _*)
+  }
+
+  /** IVF-PQ (the FAISS production index shape): assign each vector to
+    * its nearest coarse centroid, PQ-encode the RESIDUAL against
+    * residual-trained codebooks, reconstruct as centroid + decoded
+    * residual. Returns the input columns plus (cell, recon). Callers
+    * search by running the IVF scan over the reconstructions — decode-
+    * then-dot is numerically identical to the ADC lookup-table trick
+    * (a CPU optimization, not a plan change). Map-side end to end:
+    * centroids and codebooks are broadcast literals. */
+  def ivfPqReconstruct(df: DataFrame, idCol: String, vecCol: String,
+      centroids: IndexedSeq[Seq[Float]],
+      codebooks: IndexedSeq[IndexedSeq[Seq[Float]]]): DataFrame = {
+    val withRes = residuals(df, vecCol, centroids)
+    encodeReconstruct(withRes, idCol, "__resid", codebooks)
+      .withColumn("recon",
+        zip_with(element_at(typedlit(centroids.map(_.toSeq).toSeq),
+          col("cell") + 1), col("recon"), (a, b) => a + b))
+      .drop("__resid", "recon_cos")
+  }
+
+  /** Nearest-coarse-centroid assignment + residual, as columns
+    * (cell, __resid) on the input — the trainKMeans assignment rule
+    * (argmax of dot with the unit centroid, first-max tie-break).
+    * Public because IVF-PQ codebooks are trained ON residuals: callers
+    * run this once, train on `__resid`, then [[ivfPqReconstruct]]. */
+  def residuals(df: DataFrame, vecCol: String,
+      centroids: IndexedSeq[Seq[Float]]): DataFrame = {
+    val unit: Seq[Seq[Float]] = centroids.map { v =>
+      val n = math.max(math.sqrt(v.map(x => x.toDouble * x).sum), 1e-12)
+      v.map(x => (x / n).toFloat)
+    }.toSeq
+    df.withColumn("__csims",
+        transform(typedlit(unit), c =>
+          graft.expressions.VectorExpressions.floatVecDot(col(vecCol), c)))
+      .withColumn("cell",
+        (array_position(col("__csims"), array_max(col("__csims"))) - 1)
+          .cast("int"))
+      .withColumn("__resid",
+        zip_with(col(vecCol),
+          element_at(typedlit(centroids.map(_.toSeq).toSeq), col("cell") + 1),
+          (a, b) => a - b))
+      .drop("__csims")
   }
 }

@@ -1920,6 +1920,40 @@ object PipelineQueries extends QueryPack {
       },
       Some("""SELECT count(*) AS n_vectors, true AS recon_ok,
         true AS codes_diverse_ok, CAST(16 AS BIGINT) AS code_bits
-        FROM embeddings"""))
+        FROM embeddings""")),
+
+    // ---- IVF-PQ: the production vector-index shape (FAISS IVFPQ) —
+    //      coarse cells + PQ on RESIDUALS, searched by running the IVF
+    //      scan over reconstructions (numerically = the ADC trick).
+    //      Self-adjudicates recall@5 vs the exact baseline like x14;
+    //      measured 0.56/0.56/0.44 at sf0.001/0.01/0.1 with m=16,
+    //      ksub=128 (112-bit codes, 18x compression), nProbe=5 ---------
+    Q("x62_ivf_pq_ann",
+      (s, dir) => {
+        import graft.operators.{Pq, Similarity}
+        val e = t(s, dir, "embeddings")
+        val cents = Similarity.trainKMeans(e, "vec_id", "embedding",
+          k = 10, iters = 5)
+        val centSeq = cents.orderBy(col("cell")).collect()
+          .map(_.getSeq[Float](1)).toIndexedSeq
+        val resid = Pq.residuals(e, "embedding", centSeq)
+        val cbs = Pq.trainCodebooks(resid, "vec_id", "__resid",
+          dim = 64, m = 16, ksub = 128, iters = 5)
+        val recon = Pq.ivfPqReconstruct(e, "vec_id", "embedding",
+          centSeq, cbs).select(col("vec_id"), col("recon").as("embedding"))
+        val approx = Similarity.ivfTopK(recon, e, cents, "vec_id",
+          "embedding", k = 5, nProbe = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val exact = Similarity.bruteForceTopKBroadcast(e, e, "vec_id",
+          "embedding", k = 5).select(col("query_id"), col("neighbor_id"))
+        exact.join(approx.withColumn("hit", lit(1)),
+            Seq("query_id", "neighbor_id"), "left")
+          .agg(countDistinct(col("query_id")).as("n_queries"),
+            (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+              >= 0.4).as("recall_ok"))
+          .withColumn("code_bits", lit(112L))
+      },
+      Some("""SELECT count(*) AS n_queries, true AS recall_ok,
+        CAST(112 AS BIGINT) AS code_bits FROM embeddings"""))
   )
 }

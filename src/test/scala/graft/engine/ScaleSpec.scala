@@ -93,10 +93,12 @@ class ScaleSpec extends SparkSpec {
     //    the 1-row priors table attach via explicit single-row broadcasts
     //  - x57: composes the NB scorer, so it inherits x51's 1-row
     //    broadcast shapes inside its quality stage
+    //  - x62: composes ivfTopK, so it inherits x14's broadcast
+    //    centroid-assignment shape (|corpus|·nlist by construction)
     val allow = Set("x06_embedding_neardups", "x25_tfidf_top_terms",
       "x14_ivf_ann", "x40_lm_bigram_nll", "x45_perplexity_buckets",
       "x48_temperature_resample", "x51_nb_quality_score",
-      "x57_training_mix_pipeline")
+      "x57_training_mix_pipeline", "x62_ivf_pq_ann")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -192,7 +194,8 @@ class ScaleSpec extends SparkSpec {
       "x56_incremental_embedding_dedup" -> 2,
       "x57_training_mix_pipeline" -> 17,
       "x58_streaming_dedup_ledger" -> 2, "x59_repetition_signals" -> 1,
-      "x60_source_overlap" -> 5, "x61_pq_codebooks" -> 2)
+      "x60_source_overlap" -> 5, "x61_pq_codebooks" -> 2,
+      "x62_ivf_pq_ann" -> 9)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
