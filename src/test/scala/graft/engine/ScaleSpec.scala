@@ -226,6 +226,39 @@ class ScaleSpec extends SparkSpec {
     assert(over.isEmpty, s"shuffle budgets exceeded:\n${over.mkString("\n")}")
   }
 
+  test("bucketed dedup ledger: history probe joins without re-shuffling history") {
+    // Dedup.dedupBatchLedger's scaladoc says the ledger should be
+    // bucketed by (band, key) at warehouse scale so the probe co-locates.
+    // Measure it: with the ledger a BucketedTable on those keys, the
+    // left_semi probe must shuffle ONLY the incoming batch's postings —
+    // the (huge) history side scans in place.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = new Project(spark, Target("dev", "ledgerb", threads = 2))
+      p.model("ledger", ModelConfig(materialized =
+        Materialization.BucketedTable(Seq("band", "key"), 4,
+          Seq("band", "key")))) { ctx =>
+        import ctx.spark.implicits._
+        (1 to 1000).map(i => (i % 4, s"k${i % 50}", i.toLong, i % 3 != 0))
+          .toDF("band", "key", "doc", "kept")
+      }
+      assert(p.run().ok)
+      import spark.implicits._
+      val kept = spark.table("ledgerb.ledger")
+        .filter(col("kept") && col("band") >= 0).select("band", "key")
+      val posts = (1 to 100).map(i => (i % 4, s"k${i % 50}", 10000L + i))
+        .toDF("band", "key", "doc")
+      val plan = planOf(posts.join(kept, Seq("band", "key"), "left_semi"))
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert("Exchange hashpartitioning".r.findAllMatchIn(plan).size == 1,
+        s"expected only the batch side to shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("salted join equals the plain join") {
     import spark.implicits._
     val left = (1 to 2000).map(i => (if (i % 3 == 0) 1L else i.toLong % 100, i))
