@@ -102,7 +102,9 @@ object Bench {
     // x62 composes coarse k-means + residual-PQ training + IVF scan +
     // the EXACT all-pairs baseline it adjudicates recall against — the
     // x43-class "the composition is the workload" shape
-    "x62_ivf_pq_ann" -> 10260)
+    "x62_ivf_pq_ann" -> 10260,
+    // x63 fuses two pair generators + star CC — composition-is-the-workload
+    "x63_fused_dedup_keeplist" -> 8200)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

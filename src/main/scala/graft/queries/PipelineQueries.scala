@@ -1954,6 +1954,70 @@ object PipelineQueries extends QueryPack {
           .withColumn("code_bits", lit(112L))
       },
       Some("""SELECT count(*) AS n_queries, true AS recall_ok,
-        CAST(112 AS BIGINT) AS code_bits FROM embeddings"""))
+        CAST(112 AS BIGINT) AS code_bits FROM embeddings""")),
+
+    // ---- MULTI-SIGNAL fused dedup: MinHash-Jaccard pairs ∪ SimHash
+    //      Hamming pairs → one dup graph → star components → keep-list.
+    //      The production fusion pattern: the two text signals catch
+    //      complementary near-dup classes (set-overlap vs bit-profile),
+    //      and a doc is dropped if EITHER links it to a smaller-id doc's
+    //      component. Oracle: both pair generators' SQL verbatim,
+    //      unioned, + the recursive-CTE min-label reachability ----------
+    Q("x63_fused_dedup_keeplist",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val mh = Dedup.minhashLsh(docs, "doc_id", "text",
+            n = 4, numHashes = 8, numBands = 4)
+          .filter(col("jaccard") >= 0.2).select("doc_a", "doc_b")
+        val sh = Dedup.simhashNearDups(docs, "doc_id", "text",
+            radius = 3, bands = 4).select("doc_a", "doc_b")
+        val pairs = mh.unionByName(sh).distinct()
+        val comp = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+        docs.join(comp, docs("doc_id") === comp("v"), "left")
+          .select(col("doc_id"),
+            (col("comp").isNull || col("comp") === col("doc_id")).as("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val sigs = (0 until 8).map(i => s"${minhashSigSql(i)} AS h$i").mkString(", ")
+        val bands = (0 until 4).map(b =>
+          s"SELECT doc_id, s, $b AS band, h${2 * b}||h${2 * b + 1} AS key FROM sg")
+          .mkString(" UNION ALL ")
+        s"""WITH RECURSIVE tk AS (SELECT doc_id, $shingleSql AS s FROM documents
+              WHERE len(string_split(text,' ')) >= 4),
+          sg AS (SELECT doc_id, s, $sigs FROM tk),
+          bands AS ($bands),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+          mh AS (SELECT doc_a, doc_b FROM cand
+                 JOIN tk ta ON doc_a = ta.doc_id JOIN tk tb ON doc_b = tb.doc_id
+                 WHERE CAST(len(list_intersect(ta.s, tb.s)) AS DOUBLE)
+                   / len(list_distinct(ta.s || tb.s)) >= 0.2),
+          shs AS (SELECT doc_id,
+              array_to_string(list_transform(range(1, 65), j ->
+                CASE WHEN list_sum(list_transform(list_distinct(string_split(text,' ')),
+                       t -> CASE WHEN (((strpos('0123456789abcdef',
+                            substr(md5(t), CAST((j-1)//4 + 1 AS INT), 1)) - 1)
+                            >> CAST(3 - (j-1)%4 AS INT)) & 1) = 1
+                         THEN 1 ELSE -1 END)) >= 0
+                THEN '1' ELSE '0' END), '') AS sig
+              FROM documents),
+          sp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+                 WHERE len(list_filter(range(64),
+                   i -> substr(a.sig, i + 1, 1) <> substr(b.sig, i + 1, 1))) <= 3),
+          pr AS (SELECT doc_a, doc_b FROM mh UNION SELECT doc_a, doc_b FROM sp),
+          edges AS (SELECT doc_a AS es, doc_b AS ed FROM pr
+                    UNION SELECT doc_b, doc_a FROM pr),
+          reach AS (SELECT es AS v, es AS l FROM edges
+                    UNION
+                    SELECT e.es, r.l FROM reach r JOIN edges e ON e.ed = r.v),
+          comp AS (SELECT v, min(l) AS component FROM reach GROUP BY v)
+        SELECT d.doc_id,
+          (c.component IS NULL OR c.component = d.doc_id) AS kept
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+        ORDER BY doc_id"""
+      })
   )
 }
