@@ -86,6 +86,12 @@ object Pq {
       codebooks: IndexedSeq[IndexedSeq[Seq[Float]]]): DataFrame = {
     val m = codebooks.size
     val sub = codebooks.head.head.size
+    // declare-time clash guard (the samplers' convention): the output
+    // columns would silently overwrite a caller's
+    val clash = df.columns.intersect(Seq("code", "recon", "recon_cos"))
+    require(clash.isEmpty,
+      s"encodeReconstruct writes columns ${clash.mkString(", ")} that " +
+        "already exist on the input — rename them first")
     val unit: IndexedSeq[Seq[Seq[Float]]] = codebooks.map(_.map { v =>
       val n = math.max(math.sqrt(v.map(x => x.toDouble * x).sum), 1e-12)
       v.map(x => (x / n).toFloat)
@@ -142,6 +148,8 @@ object Pq {
     * run this once, train on `__resid`, then [[ivfPqReconstruct]]. */
   def residuals(df: DataFrame, vecCol: String,
       centroids: IndexedSeq[Seq[Float]]): DataFrame = {
+    require(!df.columns.contains("cell"),
+      "residuals writes a 'cell' column that already exists on the input")
     val unit: Seq[Seq[Float]] = centroids.map { v =>
       val n = math.max(math.sqrt(v.map(x => x.toDouble * x).sum), 1e-12)
       v.map(x => (x / n).toFloat)
