@@ -104,7 +104,9 @@ object Bench {
     // x43-class "the composition is the workload" shape
     "x62_ivf_pq_ann" -> 10260,
     // x63 fuses two pair generators + star CC — composition-is-the-workload
-    "x63_fused_dedup_keeplist" -> 8200)
+    "x63_fused_dedup_keeplist" -> 8200,
+    // x64 = x58's two-AvailableNow-run shape over SRP postings
+    "x64_streaming_embedding_ledger" -> 3760)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

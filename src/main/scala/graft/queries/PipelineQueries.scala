@@ -85,6 +85,49 @@ object PipelineQueries extends QueryPack {
     * string interpolates these at object init. */
   private val (dup2Max, dup3Max, top2Max) = (0.05, 0.02, 0.05)
 
+  /** Two-batch EMBEDDING-ledger oracle, shared by x56 (batch, max-id
+    * cursor) and x64 (streaming, offset-log cursor) — the SRP analogue
+    * of [[minhashLedgerOracleSql]]. */
+  private lazy val srpLedgerOracleSql: String = {
+    def bitSql(p: Int) =
+      s"""CASE WHEN round(list_sum(list_transform(range(len(embedding)),
+         i -> CAST(embedding[i+1] AS DOUBLE) *
+           (CASE WHEN substr(md5('${p}_'||CAST(i AS VARCHAR)),1,1) >= '8'
+            THEN 1.0 ELSE -1.0 END))), 4) >= 0 THEN '1' ELSE '0' END"""
+    val bits = (0 until 64).map(p => s"${bitSql(p)} AS b$p").mkString(", ")
+    val bands = (0 until 8).map(b =>
+      s"SELECT doc, $b AS band, " +
+        (0 until 8).map(r => s"b${b * 8 + r}").mkString("||") +
+        " AS key FROM sg").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id AS doc, embedding FROM embeddings
+          WHERE len(embedding) = 64),
+      sg AS (SELECT doc, $bits FROM e),
+      posts AS ($bands),
+      sp AS (SELECT (min(vec_id) + max(vec_id))//2 AS v FROM embeddings),
+      b1 AS (SELECT p.* FROM posts p, sp WHERE p.doc <= sp.v),
+      b1bad AS (SELECT DISTINCT a.doc FROM b1 a JOIN b1 b
+                ON a.band = b.band AND a.key = b.key AND b.doc < a.doc),
+      b1v AS (SELECT doc, doc NOT IN (SELECT doc FROM b1bad) AS kept
+              FROM (SELECT DISTINCT doc FROM b1)),
+      hist AS (SELECT DISTINCT band, key FROM b1 JOIN b1v USING (doc)
+               WHERE kept),
+      b2 AS (SELECT p.* FROM posts p, sp WHERE p.doc > sp.v),
+      b2bad AS (SELECT DISTINCT a.doc FROM b2 a JOIN b2 b
+                ON a.band = b.band AND a.key = b.key AND b.doc < a.doc
+                UNION
+                SELECT DISTINCT a.doc FROM b2 a JOIN hist h
+                ON a.band = h.band AND a.key = h.key),
+      b2v AS (SELECT doc, doc NOT IN (SELECT doc FROM b2bad) AS kept
+              FROM (SELECT DISTINCT doc FROM b2)),
+      led AS (SELECT * FROM b1v UNION ALL SELECT * FROM b2v
+              UNION ALL
+              SELECT vec_id, true FROM embeddings
+              WHERE len(embedding) <> 64)
+    SELECT led.doc AS vec_id, led.kept,
+      CAST(CASE WHEN led.doc <= sp.v THEN 1 ELSE 2 END AS BIGINT) AS batch
+    FROM led, sp ORDER BY vec_id"""
+  }
+
   /** BPE training parameters shared by x52/x53 and their oracles. */
   private val bpeTopK = 50
   private val bpeRounds = 30
@@ -1672,45 +1715,7 @@ object PipelineQueries extends QueryPack {
           .select(col("doc").as("vec_id"), col("kept"), col("batch"))
           .orderBy(col("vec_id"))
       },
-      Some {
-        def bitSql(p: Int) =
-          s"""CASE WHEN round(list_sum(list_transform(range(len(embedding)),
-             i -> CAST(embedding[i+1] AS DOUBLE) *
-               (CASE WHEN substr(md5('${p}_'||CAST(i AS VARCHAR)),1,1) >= '8'
-                THEN 1.0 ELSE -1.0 END))), 4) >= 0 THEN '1' ELSE '0' END"""
-        val bits = (0 until 64).map(p => s"${bitSql(p)} AS b$p").mkString(", ")
-        val bands = (0 until 8).map(b =>
-          s"SELECT doc, $b AS band, " +
-            (0 until 8).map(r => s"b${b * 8 + r}").mkString("||") +
-            " AS key FROM sg").mkString(" UNION ALL ")
-        s"""WITH e AS (SELECT vec_id AS doc, embedding FROM embeddings
-              WHERE len(embedding) = 64),
-          sg AS (SELECT doc, $bits FROM e),
-          posts AS ($bands),
-          sp AS (SELECT (min(vec_id) + max(vec_id))//2 AS v FROM embeddings),
-          b1 AS (SELECT p.* FROM posts p, sp WHERE p.doc <= sp.v),
-          b1bad AS (SELECT DISTINCT a.doc FROM b1 a JOIN b1 b
-                    ON a.band = b.band AND a.key = b.key AND b.doc < a.doc),
-          b1v AS (SELECT doc, doc NOT IN (SELECT doc FROM b1bad) AS kept
-                  FROM (SELECT DISTINCT doc FROM b1)),
-          hist AS (SELECT DISTINCT band, key FROM b1 JOIN b1v USING (doc)
-                   WHERE kept),
-          b2 AS (SELECT p.* FROM posts p, sp WHERE p.doc > sp.v),
-          b2bad AS (SELECT DISTINCT a.doc FROM b2 a JOIN b2 b
-                    ON a.band = b.band AND a.key = b.key AND b.doc < a.doc
-                    UNION
-                    SELECT DISTINCT a.doc FROM b2 a JOIN hist h
-                    ON a.band = h.band AND a.key = h.key),
-          b2v AS (SELECT doc, doc NOT IN (SELECT doc FROM b2bad) AS kept
-                  FROM (SELECT DISTINCT doc FROM b2)),
-          led AS (SELECT * FROM b1v UNION ALL SELECT * FROM b2v
-                  UNION ALL
-                  SELECT vec_id, true FROM embeddings
-                  WHERE len(embedding) <> 64)
-        SELECT led.doc AS vec_id, led.kept,
-          CAST(CASE WHEN led.doc <= sp.v THEN 1 ELSE 2 END AS BIGINT) AS batch
-        FROM led, sp ORDER BY vec_id"""
-      }),
+      Some(srpLedgerOracleSql)),
 
     // ---- the round-8 operators composed into ONE nightly training-mix
     //      pipeline, hash-checked end to end: provenance (URL canon +
@@ -2018,6 +2023,44 @@ object PipelineQueries extends QueryPack {
           (c.component IS NULL OR c.component = d.doc_id) AS kept
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
         ORDER BY doc_id"""
-      })
+      }),
+
+    // ---- STREAMING incremental EMBEDDING dedup — completes the
+    //      batch/streaming × text/embedding ledger matrix (x50/x56/x58/
+    //      x64): SRP band postings, offset-log cursor, same from-scratch
+    //      oracle as the batch x56 ------------------------------------
+    Q("x64_streaming_embedding_ledger",
+      (s, dir) => {
+        import graft.engine._
+        val vecs = t(s, dir, "embeddings")
+        val split = vecs.agg(expr("(min(vec_id) + max(vec_id)) div 2"))
+          .first().getLong(0)
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val landing = wh.resolve("strvldg_landing")
+        val ckpt = wh.resolve("_graft_checkpoints/strvldg")
+        s.sql("CREATE DATABASE IF NOT EXISTS strvldg")
+        s.sql("DROP TABLE IF EXISTS strvldg.ledger")
+        for (p <- Seq(landing, ckpt, wh.resolve("strvldg.db/ledger")))
+          Materializer.deleteRecursively(p)
+        vecs.filter(col("vec_id") <= split)
+          .write.mode("overwrite").parquet(landing.toString)
+        EventStreams.streamingEmbeddingDedupLedger(s, landing.toString,
+          vecs.schema, "strvldg.ledger", ckpt.toString, "vec_id",
+          "embedding", dim = 64)
+        vecs.filter(col("vec_id") > split)
+          .write.mode("append").parquet(landing.toString)
+        EventStreams.streamingEmbeddingDedupLedger(s, landing.toString,
+          vecs.schema, "strvldg.ledger", ckpt.toString, "vec_id",
+          "embedding", dim = 64)
+        s.table("strvldg.ledger")
+          .groupBy(col("doc"))
+          .agg(max(col("kept")).as("kept"))
+          .withColumn("batch",
+            when(col("doc") <= split, 1L).otherwise(2L))
+          .select(col("doc").as("vec_id"), col("kept"), col("batch"))
+          .orderBy(col("vec_id"))
+      },
+      Some(srpLedgerOracleSql))
   )
 }

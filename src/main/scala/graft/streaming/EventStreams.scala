@@ -222,8 +222,43 @@ object EventStreams {
       checkpointDir: String, idCol: String, textCol: String,
       n: Int = 4, numHashes: Int = 8, numBands: Int = 4): Unit = {
     import graft.operators.Dedup
+    streamingLedger(spark, landingDir, schema, ledgerTable, checkpointDir,
+      (batch, kept) => Dedup.dedupBatchLedger(batch, kept, idCol, textCol,
+        n, numHashes, numBands),
+      b0 => Dedup.minhashBandPostings(b0, idCol, textCol,
+        n, numHashes, numBands))
+  }
+
+  /** The embedding twin of [[streamingDedupLedger]] — the same
+    * offset-log-cursored ledger over SRP band postings
+    * ([[graft.operators.Dedup.embeddingDedupBatchLedger]]) instead of
+    * MinHash shingles, completing the batch/streaming × text/embedding
+    * incremental-dedup matrix. */
+  def streamingEmbeddingDedupLedger(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType, ledgerTable: String,
+      checkpointDir: String, idCol: String, vecCol: String, dim: Int,
+      numPlanes: Int = 64, numBands: Int = 8): Unit = {
+    import graft.operators.Dedup
+    streamingLedger(spark, landingDir, schema, ledgerTable, checkpointDir,
+      (batch, kept) => Dedup.embeddingDedupBatchLedger(batch, kept, idCol,
+        vecCol, dim, numPlanes, numBands),
+      b0 => Dedup.srpBandPostings(b0, idCol, vecCol, dim, numPlanes,
+        numBands))
+  }
+
+  /** Signature-agnostic streaming-ledger core: one AvailableNow run over
+    * the landing dir, each microbatch passed through `step(batch, kept)`
+    * and appended to the ledger table; `emptyPostings(batch.limit(0))`
+    * supplies the posting schema before the ledger's first append. */
+  private def streamingLedger(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType, ledgerTable: String,
+      checkpointDir: String,
+      step: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame,
+      emptyPostings: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Unit = {
     val stream = spark.readStream.schema(schema).parquet(landingDir)
-    val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    val fb: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, _) => {
         val s = batch.sparkSession
         val kept =
@@ -234,17 +269,14 @@ object EventStreams {
             s.catalog.refreshTable(ledgerTable)
             s.table(ledgerTable).filter(col("kept") && col("band") >= 0)
           }
-          else // first batch: empty posting history with the right schema
-            Dedup.minhashBandPostings(batch.limit(0).toDF(), idCol, textCol,
-              n, numHashes, numBands)
-        Dedup.dedupBatchLedger(batch.toDF(), kept, idCol, textCol,
-            n, numHashes, numBands)
+          else emptyPostings(batch.limit(0).toDF())
+        step(batch.toDF(), kept)
           .write.mode("append").format("parquet").saveAsTable(ledgerTable)
       }
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch(step)
+      .foreachBatch(fb)
       .start()
     try q.awaitTermination() finally q.stop()
     // the appends above went through the cloned microbatch session; the

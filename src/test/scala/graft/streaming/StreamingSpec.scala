@@ -159,6 +159,46 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("strldgt.ledger").count() == 25)
   }
 
+  test("streaming embedding ledger equals the batch ledger on the same batches") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val landing = java.nio.file.Files.createTempDirectory("strvldg_t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("strvldg_ck").toString
+    spark.sql("CREATE DATABASE IF NOT EXISTS strvldgt")
+    spark.sql("DROP TABLE IF EXISTS strvldgt.ledger")
+    val rnd = new scala.util.Random(5)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+    val v1 = vec(); val v2 = vec()
+    // 1/2 identical (in-batch dup), 4 repeats v1 (cross-batch dup),
+    // 5 is mis-dimensioned (sentinel row)
+    val b1 = Seq((1L, v1), (2L, v1), (3L, v2))
+    val b2 = Seq((4L, v1), (5L, Array(1.0f)), (6L, vec()))
+    val dim = 8
+    // batch-operator expectation over the same two batches
+    val empty = Dedup.srpBandPostings(
+      b1.toDF("vec_id", "embedding").limit(0), "vec_id", "embedding", dim)
+    val l1 = Dedup.embeddingDedupBatchLedger(b1.toDF("vec_id", "embedding"),
+      empty, "vec_id", "embedding", dim)
+    val l2 = Dedup.embeddingDedupBatchLedger(b2.toDF("vec_id", "embedding"),
+      l1.filter(col("kept") && col("band") >= 0), "vec_id", "embedding", dim)
+    val want = l1.unionByName(l2).groupBy(col("doc"))
+      .agg(max(col("kept")).as("kept")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(want(1L) && !want(2L) && !want(4L) && want(5L), want)
+    // the streaming mechanism over the same arrival order
+    b1.toDF("vec_id", "embedding").write.mode("overwrite").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    def run(): Unit = EventStreams.streamingEmbeddingDedupLedger(spark,
+      landing, schema, "strvldgt.ledger", ckpt, "vec_id", "embedding", dim)
+    run()
+    b2.toDF("vec_id", "embedding").write.mode("append").parquet(landing)
+    run()
+    val got = spark.table("strvldgt.ledger").groupBy(col("doc"))
+      .agg(max(col("kept")).as("kept")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == want, s"streaming $got != batch $want")
+  }
+
   test("streaming hourly aggregation equals batch group-by") {
     val got = EventStreams.hourlyCounts(spark, sf0001)
     val events = {
