@@ -106,7 +106,8 @@ object Bench {
     // x63 fuses two pair generators + star CC — composition-is-the-workload
     "x63_fused_dedup_keeplist" -> 8200,
     // x64 = x58's two-AvailableNow-run shape over SRP postings
-    "x64_streaming_embedding_ledger" -> 3760)
+    "x64_streaming_embedding_ledger" -> 3760,
+    "x65_shard_manifest" -> 600)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -169,6 +169,26 @@ object Sampling {
   /** md5 emits LOWERCASE hex and the comparison is lexicographic, so an
     * uppercase threshold ('CD' < any lowercase letter) would silently
     * shift the fraction — normalize and validate. */
+  /** Size-balanced output sharding — the last mile of a curation run:
+    * assign each doc to one of `numShards` output files so shard sizes
+    * come out even. Round-robin over the size-descending rank (the
+    * classic LPT greedy's SQL-expressible cousin): the S largest docs
+    * land on S different shards, the next S likewise, so no shard can
+    * exceed another by more than one doc per round. Deterministic total
+    * order (size desc, then id). The rank is ONE global sort shuffle —
+    * the price of balance; hash sharding (`pmod(hash(id), S)`) is the
+    * zero-sort alternative when ±a few percent skew is acceptable. */
+  def shardBySize(df: DataFrame, idCol: String, sizeCol: String,
+      numShards: Int, shardCol: String = "shard"): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    require(!df.columns.contains(shardCol),
+      s"shardBySize writes '$shardCol' which already exists on the input")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(sizeCol).desc, col(idCol))
+    df.withColumn(shardCol,
+      ((row_number().over(w) - 1) % numShards).cast("long"))
+  }
+
   private def hexThreshold(t: String): String = {
     val lt = t.toLowerCase
     require(lt.nonEmpty && lt.forall(c => c.isDigit || (c >= 'a' && c <= 'f')),

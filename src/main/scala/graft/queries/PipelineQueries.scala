@@ -2061,6 +2061,35 @@ object PipelineQueries extends QueryPack {
           .select(col("doc").as("vec_id"), col("kept"), col("batch"))
           .orderBy(col("vec_id"))
       },
-      Some(srpLedgerOracleSql))
+      Some(srpLedgerOracleSql)),
+
+    // ---- SHARD manifest: size-balanced output sharding + the per-shard
+    //      manifest a writer job emits (doc/token/byte volumes, md5
+    //      content range) — the last mile before training-data files
+    //      ship. Round-robin over size-desc rank = LPT-style balance ----
+    Q("x65_shard_manifest",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("n_bpe", bpeishTokenCount(col("text")))
+        graft.operators.Sampling
+          .shardBySize(docs, "doc_id", "n_bpe", numShards = 8)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_bpe")).as("n_tokens"),
+            sum(col("n_chars")).as("n_bytes"),
+            min(md5(col("text"))).as("content_min"),
+            max(md5(col("text"))).as("content_max"))
+          .orderBy(col("shard"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text, n_chars,
+          CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe
+          FROM documents),
+        r AS (SELECT *, row_number() OVER (ORDER BY n_bpe DESC, doc_id) AS rk
+              FROM d)
+      SELECT (rk - 1) % 8 AS shard,
+        count(*) AS n_docs, CAST(sum(n_bpe) AS BIGINT) AS n_tokens,
+        CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+        min(md5(text)) AS content_min, max(md5(text)) AS content_max
+      FROM r GROUP BY 1 ORDER BY shard"""))
   )
 }

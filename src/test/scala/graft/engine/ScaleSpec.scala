@@ -196,7 +196,7 @@ class ScaleSpec extends SparkSpec {
       "x58_streaming_dedup_ledger" -> 2, "x59_repetition_signals" -> 1,
       "x60_source_overlap" -> 5, "x61_pq_codebooks" -> 2,
       "x62_ivf_pq_ann" -> 9, "x63_fused_dedup_keeplist" -> 4,
-      "x64_streaming_embedding_ledger" -> 2)
+      "x64_streaming_embedding_ledger" -> 2, "x65_shard_manifest" -> 1)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet

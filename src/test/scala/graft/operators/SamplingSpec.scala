@@ -148,4 +148,25 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("shardBySize: balanced totals, deterministic, full coverage") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 200L).map(id => (id, 1L + rnd.nextInt(1000)))
+    val df = rows.toDF("id", "sz")
+    def run() = Sampling.shardBySize(df, "id", "sz", numShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = run()
+    assert(a.sameElements(run()), "sharding not deterministic")
+    assert(a.map(_._1).toSet == rows.map(_._1).toSet, "doc lost or duplicated")
+    val perShard = a.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    assert(perShard.keySet == (0L until 8L).toSet)
+    // LPT-style round-robin: shard totals within ~one max-doc of each other
+    val spread = perShard.values.max - perShard.values.min
+    assert(spread <= rows.map(_._2).max,
+      s"shard totals spread $spread exceeds one max-doc bound: $perShard")
+    // counts differ by at most one (round-robin over ranks)
+    val counts = a.groupBy(_._3).view.mapValues(_.size).values
+    assert(counts.max - counts.min <= 1, counts.toSeq.sorted)
+  }
 }
