@@ -154,9 +154,18 @@ class StreamingSpec extends SparkSpec {
     // 12 + (3 docs x 4 bands + 1 sentinel): run-1 files were NOT re-read —
     // a reprocess would double the batch-1 rows
     assert(spark.table("strldgt.ledger").count() == 25)
-    // a third run with nothing new appends nothing
+    // a run with nothing new appends nothing
     run()
     assert(spark.table("strldgt.ledger").count() == 25)
+    // batch 3: 8 exactly repeats batch-2 SURVIVOR 5 (multi-generation
+    // history must catch it), 9 is fresh
+    Seq((8L, "p q r s t"), (9L, "m n o w v"))
+      .toDF("doc_id", "text").write.mode("append").parquet(landing)
+    run()
+    assert(verdicts() == Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> false, 5L -> true, 6L -> false, 7L -> true,
+      8L -> false, 9L -> true))
+    assert(spark.table("strldgt.ledger").count() == 33) // +2 docs x 4 bands
   }
 
   test("streaming embedding ledger equals the batch ledger on the same batches") {
