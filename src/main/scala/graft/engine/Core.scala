@@ -133,6 +133,15 @@ final case class CsvPath(path: String, header: Boolean = true,
 /** JSON-lines source; same schema guidance as [[CsvPath]]. */
 final case class JsonPath(path: String,
     schema: Option[String] = None) extends SourceLocation
+/** ORC source (columnar twin of [[ParquetPath]] — Spark's built-in
+  * reader, predicate pushdown and column pruning included). */
+final case class OrcPath(path: String) extends SourceLocation
+/** Raw-binary source (`binaryFile`): one row per file with (path,
+  * modificationTime, length, content) — how image/audio/video corpora
+  * land before [[graft.operators.Multimodal]] packs them. Optional glob
+  * (e.g. `*.jpg`) filters the directory scan. */
+final case class BinaryPath(path: String,
+    glob: Option[String] = None) extends SourceLocation
 
 /** A seed: CSV loaded as a table (`dbt_project.yml:17`). */
 final case class Seed(

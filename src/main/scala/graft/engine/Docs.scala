@@ -52,6 +52,8 @@ object Docs {
       case SourceDef(_, _, ParquetPath(p)) => Some(p)
       case SourceDef(_, _, CsvPath(p, _, _)) => Some(p)
       case SourceDef(_, _, JsonPath(p, _)) => Some(p)
+      case SourceDef(_, _, OrcPath(p)) => Some(p)
+      case SourceDef(_, _, BinaryPath(p, _)) => Some(p)
       case _ => None
     }
 

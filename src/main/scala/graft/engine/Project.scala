@@ -280,6 +280,10 @@ final class Project(val spark: SparkSession, val target: Target) {
       schema.fold(r.option("inferSchema", "true"))(r.schema).csv(p)
     case JsonPath(p, schema) =>
       schema.fold(spark.read)(spark.read.schema).json(p)
+    case OrcPath(p) => spark.read.orc(p)
+    case BinaryPath(p, glob) =>
+      glob.fold(spark.read)(g =>
+        spark.read.option("pathGlobFilter", g)).format("binaryFile").load(p)
   }
 
   /** Streaming read of a source: file stream over its location with the
@@ -314,6 +318,19 @@ final class Project(val spark: SparkSession, val target: Target) {
         val (dir, glob) = dirAndFilter(p)
         val r = spark.readStream.schema(schema)
         glob.fold(r)(g => r.option("pathGlobFilter", g)).json(dir)
+      case OrcPath(p) =>
+        val schema = spark.read.orc(p).schema
+        val (dir, glob) = dirAndFilter(p)
+        val r = spark.readStream.schema(schema)
+        glob.fold(r)(g => r.option("pathGlobFilter", g)).orc(dir)
+      case BinaryPath(p, glob) =>
+        // binaryFile has a FIXED schema; Structured Streaming still
+        // requires it upfront
+        val schema = spark.read.format("binaryFile")
+          .load(p).schema
+        val r = spark.readStream.schema(schema)
+        glob.fold(r)(g => r.option("pathGlobFilter", g))
+          .format("binaryFile").load(p)
       case CatalogTable(t) => spark.readStream.table(t)
     }
   }
@@ -441,6 +458,8 @@ final class Project(val spark: SparkSession, val target: Target) {
         case ParquetPath(p) => s"parquet.`$p`"
         case CsvPath(p, _, _) => s"csv.`$p`"
         case JsonPath(p, _) => s"json.`$p`"
+        case OrcPath(p) => s"orc.`$p`"
+        case BinaryPath(p, _) => s"binaryFile.`$p`"
       })
     })
   }

@@ -289,6 +289,56 @@ class OpsSpec extends SparkSpec {
     assert(sql.contains(s"csv.`$csv`") && sql.contains(s"json.`$jsonl`"), sql)
   }
 
+  test("orc and binaryFile source locations resolve and build") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("srcfmt2")
+    val orcDir = dir.resolve("o").toString
+    Seq((5L, "epsilon"), (6L, "zeta")).toDF("id", "name")
+      .write.mode("overwrite").orc(orcDir)
+    val binDir = dir.resolve("b")
+    java.nio.file.Files.createDirectories(binDir)
+    java.nio.file.Files.write(binDir.resolve("img1.jpg"),
+      Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(binDir.resolve("skip.txt"),
+      Array[Byte](9))
+    val p = new Project(spark, Target("dev", "srcfmt2", threads = 2))
+    p.source("raw", "o", OrcPath(orcDir))
+    p.source("raw", "b", BinaryPath(binDir.toString, glob = Some("*.jpg")))
+    p.model("orc_rows", ModelConfig(materialized = Materialization.Table)) {
+      ctx => ctx.source("raw", "o")
+    }
+    // binary source feeds the multimodal convention: name + bytes
+    p.model("bin_rows", ModelConfig(materialized = Materialization.Table)) {
+      ctx =>
+        ctx.source("raw", "b").select(
+          element_at(split(col("path"), "/"), -1).as("file"),
+          col("length"), col("content"))
+    }
+    assert(p.run().ok)
+    assert(spark.table("srcfmt2.orc_rows").orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(5L, 6L))
+    val bin = spark.table("srcfmt2.bin_rows").collect()
+    assert(bin.length == 1, "glob did not filter to *.jpg")
+    assert(bin.head.getString(0) == "img1.jpg" && bin.head.getLong(1) == 4L)
+    assert(bin.head.getAs[Array[Byte]](2).toSeq == Seq[Byte](1, 2, 3, 4))
+    // SQL-text models compile to format.`path` relations for both
+    val p2 = new Project(spark, Target("dev", "srcfmt2b", threads = 2))
+    p2.source("raw", "o", OrcPath(orcDir))
+    p2.sqlModel("orc_sql")("select id from {{ source('raw', 'o') }}")
+    val compiled = Cli.run(p2, Seq("compile"))
+    val sql = compiled(compiled.indexOf("-- compiled model.orc_sql") + 1)
+    assert(sql.contains(s"orc.`$orcDir`"), sql)
+    // the streaming read path works for ORC too (StreamingTable ingest)
+    val p3 = new Project(spark, Target("dev", "srcfmt2c", threads = 2))
+    p3.source("raw", "o", OrcPath(orcDir))
+    p3.model("orc_stream", ModelConfig(materialized =
+      Materialization.StreamingTable())) { ctx =>
+      ctx.sourceStream("raw", "o")
+    }
+    assert(p3.run().ok)
+    assert(spark.table("srcfmt2c.orc_stream").count() == 2)
+  }
+
   test("deps: lock-style report resolves every reference package") {
     val p = new Project(spark, Target("dev", "deps", threads = 2))
     val out = Cli.run(p, Seq("deps"))
