@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+import org.apache.spark.sql.execution.window.WindowExecBase
 
 /** Dev utility + the shared shuffle-counting rule behind ScaleSpec's
   * registry-wide budgets: print `name shuffle-count` for every registered
@@ -18,13 +19,22 @@ import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExcha
   * pipelines (they execute once, at first materialization). */
 object PlanAudit {
 
-  def shuffleCount(df: DataFrame): Int = {
+  def shuffleCount(df: DataFrame): Int =
+    countNodes(df) { case _: ShuffleExchangeLike => 1 }
+
+  /** WindowExec nodes with an EMPTY partitionSpec — the `row_number()
+    * OVER (ORDER BY ...)` shape that Spark plans as Exchange
+    * SinglePartition + one task over ALL rows. The scale-killer class:
+    * fine on a laptop, serializes the corpus on one executor at 100 TB.
+    * ScaleSpec sweeps every registered query with this. */
+  def globalWindowCount(df: DataFrame): Int =
+    countNodes(df) { case w: WindowExecBase if w.partitionSpec.isEmpty => 1 }
+
+  private def countNodes(df: DataFrame)(
+      score: PartialFunction[SparkPlan, Int]): Int = {
     val seenCaches = scala.collection.mutable.Set.empty[Int]
     def walk(p: SparkPlan): Int = {
-      val self = p match {
-        case _: ShuffleExchangeLike => 1
-        case _ => 0
-      }
+      val self = score.applyOrElse(p, (_: SparkPlan) => 0)
       val kids: Seq[SparkPlan] = p match {
         case _: ReusedExchangeExec => Nil
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
@@ -58,8 +68,10 @@ object PlanAudit {
       // would otherwise swap this query's subtrees for InMemoryRelation
       spark.catalog.clearCache()
       val n =
-        try shuffleCount(fn(spark, sfDir)).toString
-        catch { case e: Throwable => s"ERR ${e.getMessage.take(80)}" }
+        try {
+          val df = fn(spark, sfDir)
+          s"${shuffleCount(df)} gw=${globalWindowCount(df)}"
+        } catch { case e: Throwable => s"ERR ${e.getMessage.take(80)}" }
       println(s"[planaudit] $name $n")
     }
     spark.stop()

@@ -166,28 +166,75 @@ object Sampling {
       .drop("__rk", "quota")
   }
 
-  /** md5 emits LOWERCASE hex and the comparison is lexicographic, so an
-    * uppercase threshold ('CD' < any lowercase letter) would silently
-    * shift the fraction — normalize and validate. */
   /** Size-balanced output sharding — the last mile of a curation run:
     * assign each doc to one of `numShards` output files so shard sizes
     * come out even. Round-robin over the size-descending rank (the
     * classic LPT greedy's SQL-expressible cousin): the S largest docs
     * land on S different shards, the next S likewise, so no shard can
     * exceed another by more than one doc per round. Deterministic total
-    * order (size desc, then id). The rank is ONE global sort shuffle —
-    * the price of balance; hash sharding (`pmod(hash(id), S)`) is the
-    * zero-sort alternative when ±a few percent skew is acceptable. */
+    * order (size desc, then id).
+    *
+    * The global rank is computed as a DISTRIBUTED two-phase rank, not a
+    * single-partition window: `repartitionByRange` on the sort key gives
+    * globally ordered partition ranges, a partition-local sort + per-row
+    * index gives the rank WITHIN each range, and the bounded per-partition
+    * row counts (≤ shuffle-partitions rows, collected as index metadata)
+    * become broadcast cumulative offsets. No `WindowExec` with an empty
+    * partitionSpec ever appears — at 100 TB every partition ranks its own
+    * range in parallel, vs the naive `row_number() OVER (ORDER BY ...)`
+    * that funnels the whole corpus through one task. The `localCheckpoint`
+    * freezes the range sampler's boundaries AND the per-row ids so the
+    * offset job and the output job see the identical layout; its one
+    * materialization is the same order of IO as the global sort shuffle
+    * it replaces. Hash sharding (`pmod(hash(id), S)`) stays the zero-sort
+    * alternative when ±a few percent skew is acceptable. */
   def shardBySize(df: DataFrame, idCol: String, sizeCol: String,
       numShards: Int, shardCol: String = "shard"): DataFrame = {
     require(numShards > 0, "numShards must be positive")
     require(!df.columns.contains(shardCol),
       s"shardBySize writes '$shardCol' which already exists on the input")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(sizeCol).desc, col(idCol))
-    df.withColumn(shardCol,
-      ((row_number().over(w) - 1) % numShards).cast("long"))
+    val clash = df.columns.toSeq.intersect(Seq("__pid", "__mid", "__base", "__off"))
+    require(clash.isEmpty,
+      s"shardBySize uses ${clash.mkString(", ")} internally — " +
+        "rename or drop those input columns first")
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    // phase 1: range-partition so partition i holds rank-contiguous rows
+    // (desc ordering → partition 0 = largest sizes), sort each partition,
+    // then stamp a per-partition row index. spark_partition_id and
+    // monotonically_increasing_id are nondeterministic expressions, so
+    // Catalyst will not reorder them across the sort; the checkpoint then
+    // pins their values for both downstream jobs.
+    val ranked = df
+      .repartitionByRange(nPart, col(sizeCol).desc, col(idCol))
+      .sortWithinPartitions(col(sizeCol).desc, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint()
+    // phase 2: per-partition (count, first-id) — bounded by nPart rows,
+    // driver-held index metadata like the IVF centroid tables
+    val partStats = ranked.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("n"), min(col("__mid")).as("base"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsetRows = partStats.toSeq.map { case (pid, n, base) =>
+      val off = acc; acc += n; (pid, base, off)
+    }
+    import spark.implicits._
+    val offsets = offsetRows.toDF("__pid", "__base", "__off")
+    // 0-based global rank = partition offset + local index; shard = rank % S
+    ranked.join(broadcast(offsets), "__pid")
+      .withColumn(shardCol,
+        ((col("__off") + (col("__mid") - col("__base"))) % numShards)
+          .cast("long"))
+      .drop("__pid", "__mid", "__base", "__off")
   }
+
+  /** md5 emits LOWERCASE hex and the comparison is lexicographic, so an
+    * uppercase threshold ('CD' < any lowercase letter) would silently
+    * shift the fraction — normalize and validate. */
 
   private def hexThreshold(t: String): String = {
     val lt = t.toLowerCase

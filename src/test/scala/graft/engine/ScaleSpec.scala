@@ -196,7 +196,10 @@ class ScaleSpec extends SparkSpec {
       "x58_streaming_dedup_ledger" -> 2, "x59_repetition_signals" -> 1,
       "x60_source_overlap" -> 5, "x61_pq_codebooks" -> 2,
       "x62_ivf_pq_ann" -> 9, "x63_fused_dedup_keeplist" -> 4,
-      "x64_streaming_embedding_ledger" -> 2, "x65_shard_manifest" -> 1)
+      // x65: the two-phase rank checkpoints its ranked corpus up front
+      // (range shuffle happens at build time, before the returned plan),
+      // so the registered plan is broadcast-join + manifest agg + sort
+      "x64_streaming_embedding_ledger" -> 2, "x65_shard_manifest" -> 2)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
@@ -225,6 +228,43 @@ class ScaleSpec extends SparkSpec {
         else Seq(s"$name: $n shuffles (budget ${budgets(name)})")
       }
     assert(over.isEmpty, s"shuffle budgets exceeded:\n${over.mkString("\n")}")
+  }
+
+  test("registry-wide plan lint: no single-partition window funnels") {
+    // Standing tripwire for the scale-killer class VERDICT r8 caught in
+    // x65: `row_number() OVER (ORDER BY ...)` with no PARTITION BY plans
+    // as Exchange SinglePartition + a WindowExec over ALL rows on one
+    // task. PlanAudit.globalWindowCount walks the physical tree (through
+    // AQE wrappers and cached subtrees, like the shuffle counter) and
+    // counts WindowExec nodes with an empty partitionSpec. Allowlist is
+    // EMPTY: no registered query needs a global window — x65's shard
+    // rank is a distributed two-phase rank, and BPE's vocab-bounded
+    // window runs inside Bpe.train's driver loop, never in a registered
+    // plan. A future query that does need one must argue its bound here.
+    val allow = Set.empty[String]
+    // prove the counter sees the offending shape before trusting a
+    // clean sweep — including through the AQE wrapper
+    import spark.implicits._
+    val fixture = (1 to 100).map(i => (i % 7, i)).toDF("k", "v")
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("v"))))
+    assert(graft.PlanAudit.globalWindowCount(fixture) == 1,
+      "lint fixture: global window not visible to the counter")
+    val partitioned = (1 to 100).map(i => (i % 7, i)).toDF("k", "v")
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("v"))))
+    assert(graft.PlanAudit.globalWindowCount(partitioned) == 0,
+      "lint fixture: partitioned window wrongly flagged")
+    val bad = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => allow.contains(q._1))
+      .flatMap { case (name, fn) =>
+        spark.catalog.clearCache()
+        val n = graft.PlanAudit.globalWindowCount(fn(spark, sf0001))
+        if (n == 0) Nil else Seq(s"$name: $n global window(s)")
+      }
+    assert(bad.isEmpty,
+      s"single-partition window funnels:\n${bad.mkString("\n")}")
   }
 
   test("bucketed dedup ledger: history probe joins without re-shuffling history") {

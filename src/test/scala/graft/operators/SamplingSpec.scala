@@ -169,4 +169,35 @@ class SamplingSpec extends SparkSpec {
     val counts = a.groupBy(_._3).view.mapValues(_.size).values
     assert(counts.max - counts.min <= 1, counts.toSeq.sorted)
   }
+
+  test("shardBySize: two-phase rank equals the global-window rank, distributed plan") {
+    import spark.implicits._
+    // heavy ties in sz + enough rows that the range partitioner spreads
+    // the corpus over many partitions — the case where a buggy offset or
+    // boundary would misnumber ranks across partition edges
+    val rnd = new scala.util.Random(41)
+    val rows = (0L until 3000L).map(id => (id, 1L + rnd.nextInt(40)))
+    val df = rows.toDF("id", "sz").repartition(16)
+    val got = Sampling.shardBySize(df, "id", "sz", numShards = 7)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sz").desc, col("id"))
+    val want = df.withColumn("shard",
+      ((row_number().over(w) - 1) % 7).cast("long"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "two-phase rank diverges from the global-window reference")
+    // and the production plan is the distributed one: no global window,
+    // no single-partition exchange anywhere
+    assert(graft.PlanAudit.globalWindowCount(got) == 0)
+    assert(!got.queryExecution.executedPlan.toString
+      .contains("Exchange SinglePartition"),
+      "shardBySize still funnels through one partition")
+  }
+
+  test("shardBySize: internal column clash is rejected up front") {
+    import spark.implicits._
+    val clashing = Seq((1L, 2L, 3L)).toDF("id", "sz", "__mid")
+    assert(intercept[IllegalArgumentException] {
+      Sampling.shardBySize(clashing, "id", "sz", 4)
+    }.getMessage.contains("__mid"))
+  }
 }
