@@ -157,8 +157,12 @@ object Docs {
     val (boxW, boxH, colW, rowH, pad) = (180, 24, 230, 38, 12)
     def nodeX(id: String): Int = pad + layerOf(id) * colW
     def nodeY(id: String): Int = pad + rowOf(id) * rowH
-    val svgW = pad * 2 + (layerOf.values.max + 1) * colW - (colW - boxW)
-    val svgH = pad * 2 + (rowOf.values.max + 1) * rowH - (rowH - boxH)
+    // maxOption: a zero-node project renders an empty (but valid) SVG
+    // instead of crashing docs generation on values.max
+    val svgW = pad * 2 +
+      (layerOf.values.maxOption.getOrElse(0) + 1) * colW - (colW - boxW)
+    val svgH = pad * 2 +
+      (rowOf.values.maxOption.getOrElse(0) + 1) * rowH - (rowH - boxH)
     val svgEdges = graph.edges.toSeq.sortBy(_._1).flatMap { case (id, ups) =>
       ups.toSeq.sorted.map { up =>
         val (x1, y1) = (nodeX(up) + boxW, nodeY(up) + boxH / 2)

@@ -80,7 +80,12 @@ object Bpe {
     var r = 1
     var exhausted = false
     while (r <= numMerges && !exhausted) {
-      val best = words.filter(col("tr"))
+      // single-symbol words contribute no pairs, and the empty-string
+      // word (consecutive/leading/trailing spaces under the single-space
+      // split — typically high-frequency, so it lands in the trainable
+      // head) has ZERO symbols, which would evaluate slice with length
+      // -1 and crash; both drop out here
+      val best = words.filter(col("tr") && size(col("syms")) > 1)
         .select(col("cnt"),
           explode(transform(slice(col("syms"), lit(1), size(col("syms")) - 1),
             (s, i) => struct(s.as("a"),

@@ -133,12 +133,19 @@ object Pq {
   def ivfPqReconstruct(df: DataFrame, idCol: String, vecCol: String,
       centroids: IndexedSeq[Seq[Float]],
       codebooks: IndexedSeq[IndexedSeq[Seq[Float]]]): DataFrame = {
+    // one guard covering BOTH stages' working columns, so a caller
+    // column named e.g. 'code' fails here with the right context, not
+    // inside encodeReconstruct with a message about the inner call
+    val clash = df.columns.intersect(Seq("cell", "code", "recon", "recon_cos"))
+    require(clash.isEmpty,
+      s"ivfPqReconstruct uses columns ${clash.mkString(", ")} that " +
+        "already exist on the input — rename them first")
     val withRes = residuals(df, vecCol, centroids)
     encodeReconstruct(withRes, idCol, "__resid", codebooks)
       .withColumn("recon",
         zip_with(element_at(typedlit(centroids.map(_.toSeq).toSeq),
           col("cell") + 1), col("recon"), (a, b) => a + b))
-      .drop("__resid", "recon_cos")
+      .drop("__resid", "recon_cos", "code") // scaladoc contract: + (cell, recon)
   }
 
   /** Nearest-coarse-centroid assignment + residual, as columns

@@ -494,6 +494,14 @@ class OpsSpec extends SparkSpec {
       boxes("test.not_null__nations_site__n_nationkey"), boxes.toString)
   }
 
+  test("docs render an empty project (zero nodes) without crashing") {
+    // ADVICE r8: layerOf.values.max threw on a node-less graph
+    val p = new Project(spark, Target("dev", "docsempty", threads = 2))
+    val html = Docs.renderHtml(p)
+    assert(html.contains("<!doctype html"))
+    assert(Docs.generate(p).nonEmpty)
+  }
+
   test("declare-time sql lints: trailing semicolon and parse errors fire") {
     val p = new Project(spark, Target("dev", "lints", threads = 2))
     val semi = intercept[IllegalArgumentException] {

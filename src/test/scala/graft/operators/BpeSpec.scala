@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** BPE invariants: the reference algorithm's merge choices (Sennrich
   * ACL 2016 worked example), greedy non-overlapping application,
@@ -29,6 +30,23 @@ class BpeSpec extends SparkSpec {
       Seq(("a", "a", 2L), ("aa", "a", 1L)), m.merges)
     val counts = Bpe.subwordCounts(docs, "doc_id", "text", m).collect()
     assert(counts.head.getLong(1) == 1L && counts.head.getLong(2) == 1L)
+  }
+
+  test("empty-string words (consecutive spaces) train without crashing") {
+    import spark.implicits._
+    // "a  b" under the single-space split yields a '' word; its ZERO-
+    // symbol array used to reach the pair-stats slice as length -1 and
+    // crash. '' is high-frequency here, so it lands in the topK head —
+    // the exact shape ADVICE r8 flagged. Merges must match the same
+    // corpus with normalized spacing (the '' word contributes no pairs).
+    val docs = Seq((1L, "low  low   lower"), (2L, " low newest  newest "))
+      .toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", topK = 50, numMerges = 3)
+    assert(m.merges.map(x => (x.lft, x.rgt, x.pairCount)) ==
+      Seq(("l", "o", 4L), ("lo", "w", 4L), ("e", "s", 2L)), m.merges)
+    // the '' word still rides through application with 0 subtokens
+    val empt = m.wordSubtokens.filter(col("w") === "").collect()
+    assert(empt.length == 1 && empt.head.getLong(1) == 0L, empt.toSeq)
   }
 
   test("stops early when no pairs remain; single-char words never merge") {
