@@ -2090,6 +2090,44 @@ object PipelineQueries extends QueryPack {
         count(*) AS n_docs, CAST(sum(n_bpe) AS BIGINT) AS n_tokens,
         CAST(sum(n_chars) AS BIGINT) AS n_bytes,
         min(md5(text)) AS content_min, max(md5(text)) AS content_max
-      FROM r GROUP BY 1 ORDER BY shard"""))
+      FROM r GROUP BY 1 ORDER BY shard""")),
+
+    // ---- REAL image-header decode (no stub in this path): documents
+    //      drive deterministic dims, packImages builds spec-valid
+    //      PNG/JPEG/GIF container bytes (CRC-correct IHDR, JFIF+COM+SOF0
+    //      marker stream, GIF87a descriptor), decodeHeaders parses the
+    //      dims back OUT OF THE BYTES map-side; every 97th doc is
+    //      truncated mid-header to prove the unparseable path yields
+    //      nulls, not crashes. The oracle recomputes the dims from the
+    //      same generative arithmetic — a hash match proves decode∘pack
+    //      is the identity on (format, width, height). -----------------
+    Q("x66_image_decode",
+      (s, dir) => {
+        val spec = t(s, dir, "documents").select(col("doc_id"),
+          element_at(typedlit(Seq("png", "jpeg", "gif")),
+            (col("doc_id") % 3).cast("int") + 1).as("fmt"),
+          (lit(1) + pmod(col("doc_id") * 7 + col("n_chars"), lit(1024)))
+            .cast("int").as("w"),
+          (lit(1) + pmod(col("doc_id") * 13 + col("n_chars") * 3, lit(768)))
+            .cast("int").as("h"))
+        val packed = Multimodal.packImages(s, spec, "doc_id", "fmt", "w", "h")
+          .toDF()
+          .withColumn("payload", when(col("id") % 97 === 0,
+            expr("substring(payload, 1, 6)")).otherwise(col("payload")))
+        Multimodal.decodeHeaders(s, packed).toDF()
+          .select(col("id"), col("format"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"))
+          .orderBy(col("id"))
+      },
+      Some("""SELECT doc_id AS id,
+        CASE WHEN doc_id % 97 = 0 THEN NULL
+             WHEN doc_id % 3 = 0 THEN 'png'
+             WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        CASE WHEN doc_id % 97 = 0 THEN NULL
+             ELSE 1 + (doc_id * 7 + n_chars) % 1024 END AS width,
+        CASE WHEN doc_id % 97 = 0 THEN NULL
+             ELSE 1 + (doc_id * 13 + n_chars * 3) % 768 END AS height
+        FROM documents ORDER BY id"""))
   )
 }

@@ -199,7 +199,10 @@ class ScaleSpec extends SparkSpec {
       // x65: the two-phase rank checkpoints its ranked corpus up front
       // (range shuffle happens at build time, before the returned plan),
       // so the registered plan is broadcast-join + manifest agg + sort
-      "x64_streaming_embedding_ledger" -> 2, "x65_shard_manifest" -> 2)
+      "x64_streaming_embedding_ledger" -> 2, "x65_shard_manifest" -> 2,
+      // x66: pack + header decode are map-side; the only exchange is the
+      // final total-order sort
+      "x66_image_decode" -> 1)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet

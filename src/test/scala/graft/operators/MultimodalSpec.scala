@@ -116,6 +116,80 @@ class MultimodalSpec extends SparkSpec {
     both.foreach(r => assert(r.getString(1) == r.getString(2), r))
   }
 
+  test("image headers: pack→decode round-trips all three container formats") {
+    import spark.implicits._
+    // dims chosen to exercise byte-order edges: PNG width needs the full
+    // big-endian u32 (70000 > u16), GIF/JPEG sit near the u16 ceiling
+    // with asymmetric hi/lo bytes (0x1234 vs 0x0101)
+    for ((fmt, w, h) <- Seq(("png", 70000, 3), ("png", 1, 1),
+        ("jpeg", 0x1234, 257), ("gif", 65535, 2))) {
+      val got = Multimodal.decodeImageHeader(
+        Multimodal.packImageHeader(fmt, w, h))
+      assert(got.contains(Multimodal.ImageHeader(fmt, w, h)), s"$fmt $w x $h")
+    }
+    // distributed path: spec rows → real bytes → parsed dims, map-side
+    val spec = Seq((1L, "png", 640, 480), (2L, "jpeg", 31, 17),
+      (3L, "gif", 99, 7)).toDF("id", "fmt", "w", "h")
+    val packed = Multimodal.packImages(spark, spec, "id", "fmt", "w", "h").toDF()
+    val dec = Multimodal.decodeHeaders(spark, packed).toDF()
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(dec.toSeq == Seq((1L, "png", 640, 480), (2L, "jpeg", 31, 17),
+      (3L, "gif", 99, 7)))
+    // the packed frame's metadata reflects the REAL bytes
+    val m = packed.filter(col("id") === 1).collect().head
+    val payload = m.getAs[Array[Byte]]("payload")
+    assert(m.getString(1) == "image/png" && m.getLong(2) == payload.length)
+    val want = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(payload).map("%02x".format(_)).mkString
+    assert(m.getString(3) == want)
+  }
+
+  test("image headers: PNG chunk CRCs are spec-correct") {
+    // IEND's CRC over just its type bytes is the published constant
+    // AE 42 60 82 (PNG spec, W3C §5.6) — an independent check that the
+    // builder emits real chunk framing, not lookalike bytes
+    val png = Multimodal.packImageHeader("png", 2, 2)
+    assert(png.takeRight(4).map(b => f"${b & 0xFF}%02X").mkString == "AE426082")
+    assert(png.length == 8 + (12 + 13) + 12) // sig + IHDR + IEND
+  }
+
+  test("image headers: JPEG marker walk handles fill bytes, SOF2, and SOS-first") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // progressive JPEG (SOF2) with a fill byte before the frame marker
+    val sof2 = b(0xFF, 0xD8, 0xFF, 0xFE, 0, 4, 'h', 'i',
+      0xFF, 0xFF, 0xC2, 0, 11, 8, 1, 4, 2, 6, 1, 1, 0x11, 0)
+    assert(Multimodal.decodeImageHeader(sof2)
+      .contains(Multimodal.ImageHeader("jpeg", 0x206, 0x104)))
+    // DHT (C4) must be skipped as a table, not read as a frame header
+    val dhtFirst = b(0xFF, 0xD8, 0xFF, 0xC4, 0, 3, 0,
+      0xFF, 0xC0, 0, 11, 8, 0, 9, 0, 8, 1, 1, 0x11, 0)
+    assert(Multimodal.decodeImageHeader(dhtFirst)
+      .contains(Multimodal.ImageHeader("jpeg", 8, 9)))
+    // scan data before any SOF → unparseable, not a bogus dimension
+    val sosFirst = b(0xFF, 0xD8, 0xFF, 0xDA, 0, 2, 1, 2, 3)
+    assert(Multimodal.decodeImageHeader(sosFirst).isEmpty)
+  }
+
+  test("image headers: truncated / foreign / zero-dim payloads yield None") {
+    for (p <- Seq(
+        Multimodal.packImageHeader("png", 5, 5).take(6),   // mid-signature
+        Multimodal.packImageHeader("jpeg", 5, 5).take(6),  // mid-APP0
+        Multimodal.packImageHeader("gif", 5, 5).take(6),   // descriptor cut
+        "plain text, not an image".getBytes("UTF-8"),
+        Array.emptyByteArray,
+        "GIF87a".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0, 0, 0, 0, 0x3B)))
+      assert(Multimodal.decodeImageHeader(p).isEmpty, p.mkString(","))
+  }
+
+  test("feature extraction reports REAL dims for parseable image payloads") {
+    import spark.implicits._
+    val spec = Seq((10L, "jpeg", 320, 200)).toDF("id", "fmt", "w", "h")
+    val packed = Multimodal.packImages(spark, spec, "id", "fmt", "w", "h").toDF()
+    val f = Multimodal.extractFeatures(spark, packed).collect().head
+    assert(f.width == 320 && f.height == 200)
+  }
+
   test("feature extraction streams per partition with stable schema") {
     val feats = Multimodal.extractFeatures(spark, packed).toDF()
     assert(feats.columns.toSeq == Seq("id", "width", "height", "features"))
