@@ -20,7 +20,7 @@ import org.apache.spark.sql.execution.window.WindowExecBase
 object PlanAudit {
 
   def shuffleCount(df: DataFrame): Int =
-    countNodes(df) { case _: ShuffleExchangeLike => 1 }
+    countNodes(df) { case _: ShuffleExchangeLike => 1 }.toInt
 
   /** WindowExec nodes with an EMPTY partitionSpec — the `row_number()
     * OVER (ORDER BY ...)` shape that Spark plans as Exchange
@@ -29,12 +29,38 @@ object PlanAudit {
     * ScaleSpec sweeps every registered query with this. */
   def globalWindowCount(df: DataFrame): Int =
     countNodes(df) { case w: WindowExecBase if w.partitionSpec.isEmpty => 1 }
+      .toInt
+
+  /** EXECUTE the df's own physical plan, then sum the `shuffle bytes
+    * written` SQLMetric across its exchanges — the byte-level companion
+    * to [[shuffleCount]]: an exchange COUNT can stay flat while a plan
+    * change inflates the traffic through each exchange (wider rows, a
+    * dropped pre-aggregation, a lost broadcast). Reading the metric off
+    * the query's own executed plan (not a listener) attributes bytes to
+    * exactly this query, with no listener-bus race; cached subtrees are
+    * visited once and ReusedExchange skipped, mirroring the counter, so
+    * bytes written once are counted once. Relations persisted/executed
+    * BEFORE the returned plan was built (operator-internal
+    * checkpoints/ledgers) ran in their own query executions and are out
+    * of scope — the budget covers the registered plan's traffic.
+    *
+    * `toRdd.count()` forces execution on the SAME QueryExecution whose
+    * metrics we walk (a `.write`/`.collect` would plan a fresh one),
+    * streaming rows without materializing them on the driver. */
+  def executedShuffleBytes(df: DataFrame): Long = {
+    df.queryExecution.toRdd.count()
+    countNodes(df) { case s: ShuffleExchangeLike =>
+      s.metrics.collect {
+        case (k, m) if k == "shuffleBytesWritten" => m.value
+      }.sum
+    }
+  }
 
   private def countNodes(df: DataFrame)(
-      score: PartialFunction[SparkPlan, Int]): Int = {
+      score: PartialFunction[SparkPlan, Long]): Long = {
     val seenCaches = scala.collection.mutable.Set.empty[Int]
-    def walk(p: SparkPlan): Int = {
-      val self = score.applyOrElse(p, (_: SparkPlan) => 0)
+    def walk(p: SparkPlan): Long = {
+      val self = score.applyOrElse(p, (_: SparkPlan) => 0L)
       val kids: Seq[SparkPlan] = p match {
         case _: ReusedExchangeExec => Nil
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)

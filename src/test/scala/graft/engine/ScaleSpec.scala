@@ -270,6 +270,53 @@ class ScaleSpec extends SparkSpec {
       s"single-partition window funnels:\n${bad.mkString("\n")}")
   }
 
+  test("shuffle BYTE budgets: heavy queries hold their traffic ceilings") {
+    // An exchange COUNT can stay flat while traffic through it explodes
+    // (lost partial agg, un-broadcast dim, wider rows). Meter check
+    // first: two one-exchange plans over the same rows — partial-agg
+    // (64 combined groups cross the wire) vs repartition-then-agg (every
+    // row crosses). A byte cap calibrated on the lean plan must trip the
+    // inflated one even though shuffleCount can't tell them apart.
+    import spark.implicits._
+    val base = (1 to 20000).map(i => (i % 64, i)).toDF("k", "v")
+    val lean = base.groupBy("k").agg(sum(col("v")).as("s"))
+    val fat = base.repartition(col("k")).groupBy("k")
+      .agg(sum(col("v")).as("s"))
+    val leanB = graft.PlanAudit.executedShuffleBytes(lean)
+    val fatB = graft.PlanAudit.executedShuffleBytes(fat)
+    assert(graft.PlanAudit.shuffleCount(lean) ==
+      graft.PlanAudit.shuffleCount(fat), "fixtures must tie on count")
+    assert(leanB > 0, "meter read zero bytes from an executed exchange")
+    assert(fatB > 8 * leanB,
+      s"inflated fixture did not trip: lean=$leanB fat=$fatB")
+    // Ceilings for the heaviest banded/candidate-join queries, ~8x their
+    // measured shuffle-bytes-written (generous: catches order-of-
+    // magnitude inflation — a lost broadcast, a dropped partial agg —
+    // ignores codec/partition-count jitter). Measured at sf0.01, NOT
+    // sf0.001: x31 returns zero pairs at sf0.001 and AQE's
+    // empty-relation propagation collapses the whole executed plan to
+    // EmptyRelation — nothing left to meter. Operator-internal persisted
+    // builds (postings/sig caches) execute before the registered plan
+    // and are out of the meter's scope — budgeted here is the returned
+    // plan's own traffic. Measured: x03=1.6KB, x31=226KB, x63=13KB.
+    val sf001 = "/root/testdata/sf0.01"
+    val caps = Seq(
+      ("x03_minhash_lsh", 64L << 10),
+      ("x31_embedding_lsh_pairs", 2L << 20),
+      ("x63_fused_dedup_keeplist", 128L << 10))
+    val readings = caps.map { case (name, cap) =>
+      spark.catalog.clearCache()
+      val b = graft.PlanAudit.executedShuffleBytes(
+        graft.SparkEntry.queries(name)(spark, sf001))
+      (name, b, cap)
+    }
+    info(readings.map { case (n, b, _) => s"$n=$b" }.mkString(" "))
+    for ((name, b, cap) <- readings) {
+      assert(b > 0, s"$name: meter read zero shuffle bytes")
+      assert(b <= cap, s"$name: $b shuffle bytes exceeds ceiling $cap")
+    }
+  }
+
   test("bucketed dedup ledger: history probe joins without re-shuffling history") {
     // Dedup.dedupBatchLedger's scaladoc says the ledger should be
     // bucketed by (band, key) at warehouse scale so the probe co-locates.
@@ -300,6 +347,51 @@ class ScaleSpec extends SparkSpec {
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  test("AQE skew-join split fires on a genuinely skewed key; salting matches") {
+    // One key owns 90% of the left side. Under a forced sort-merge join
+    // the hot key lands in one shuffle partition ~40x its peers; with
+    // the skew thresholds scaled to fixture size, AQE's
+    // OptimizeSkewedJoin must SPLIT that partition — visible as
+    // `skew=true` on the executed SMJ node. Payload is md5 (roughly
+    // incompressible) so partition byte sizes track row counts.
+    import spark.implicits._
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val before = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "50KB")
+      val left = spark.range(200000).select(
+        when(pmod(col("id"), lit(10)) < 9, 0L)
+          .otherwise(pmod(col("id"), lit(99)) + 1).as("k"),
+        md5(col("id").cast("string")).as("payload"))
+      val right = (0L to 99L).map(k => (k, s"dim$k")).toDF("k", "name")
+      val joined = left.join(right, "k")
+      joined.queryExecution.toRdd.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire:\n${plan.take(2000)}")
+      // and the explicit salting path (for shapes AQE can't split)
+      // agrees with the plain join on the same skewed fixture
+      val saltedAgg = Skew.saltedJoin(left, right, "k", factor = 8)
+        .groupBy("k").agg(count(lit(1)).as("n"), max(col("name")).as("name"))
+      val plainAgg = joined
+        .groupBy("k").agg(count(lit(1)).as("n"), max(col("name")).as("name"))
+      assert(saltedAgg.exceptAll(plainAgg).isEmpty &&
+        plainAgg.exceptAll(saltedAgg).isEmpty)
+    } finally before.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 
