@@ -35,18 +35,21 @@ object Dedup {
     * persist Catalyst recomputes the tokenize+explode+df-filter subtree
     * each time — measured as the dominant cost of x02/x19/x27/x30. The
     * cached blocks are freed by the ContextCleaner once the returned plan
-    * is unreferenced; on a cluster an explicit checkpoint dir works too. */
+    * is unreferenced; on a cluster an explicit checkpoint dir works too,
+    * and callers of the public entry points can pass a [[CacheScope]] to
+    * reclaim them deterministically after their action. */
   private def filteredPostings(df: DataFrame, idCol: String, textCol: String,
-      n: Int, maxDf: Long): (DataFrame, DataFrame) = {
+      n: Int, maxDf: Long,
+      scope: Option[CacheScope] = None): (DataFrame, DataFrame) = {
     val sh = df
       .select(col(idCol).as("doc"),
         explode(graft.expressions.TextExpressions
           .wordShingles(col(textCol), n)).as("sh"))
-    val kept = sh.join(
+    val kept = CacheScope.route(scope, sh.join(
       sh.groupBy("sh").agg(count(lit(1)).as("df_count"))
         .filter(col("df_count") <= maxDf)
         .select("sh"),
-      "sh").persist()
+      "sh"))
     val sizes = kept.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     (kept, sizes)
   }
@@ -65,8 +68,9 @@ object Dedup {
     * Never materializes non-overlapping pairs. The only shuffles are the
     * postings join key (shingle) and the pair aggregation. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 4, threshold: Double = 0.2, maxDf: Long = 100L): DataFrame = {
-    val (kept, sizes) = filteredPostings(df, idCol, textCol, n, maxDf)
+      n: Int = 4, threshold: Double = 0.2, maxDf: Long = 100L,
+      scope: Option[CacheScope] = None): DataFrame = {
+    val (kept, sizes) = filteredPostings(df, idCol, textCol, n, maxDf, scope)
     val pairs = kept.select(col("doc").as("doc_a"), col("sh"))
       .join(kept.select(col("doc").as("doc_b"), col("sh")), "sh")
       .filter(col("doc_a") < col("doc_b"))
@@ -86,8 +90,9 @@ object Dedup {
     * inverted-index shape as [[jaccardPairs]]: only co-occurring pairs
     * materialize, shuffles on shingle then pair. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 4, threshold: Double = 0.6, maxDf: Long = 100L): DataFrame = {
-    val (kept, sizes) = filteredPostings(df, idCol, textCol, n, maxDf)
+      n: Int = 4, threshold: Double = 0.6, maxDf: Long = 100L,
+      scope: Option[CacheScope] = None): DataFrame = {
+    val (kept, sizes) = filteredPostings(df, idCol, textCol, n, maxDf, scope)
     kept.select(col("doc").as("doc_a"), col("sh"))
       .join(kept.select(col("doc").as("doc_b"), col("sh")), "sh")
       .filter(col("doc_a") < col("doc_b"))

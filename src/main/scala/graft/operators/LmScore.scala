@@ -40,25 +40,26 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object LmScore {
 
-  /** (doc_id, n_bigrams, avg_nll) per document with >= 1 bigram. */
+  /** (doc_id, n_bigrams, avg_nll) per document with >= 1 bigram.
+    *
+    * Pass a [[CacheScope]] to bound the `uni`/`bg` residency to the
+    * caller's action instead of the session lifetime. */
   def bigramNll(docs: DataFrame, idCol: String, textCol: String,
-      scoreScale: Int = 4): DataFrame = {
+      scoreScale: Int = 4, scope: Option[CacheScope] = None): DataFrame = {
     val D6 = DecimalType(18, 6)
     val toks = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("ts"))
     // persisted: consumed by BOTH the vocabulary-size count and the
     // scoring join — unpersisted, the corpus would tokenize+aggregate
     // twice (the table itself is vocab-sized, cheap to hold)
-    val uni = toks.select(explode(col("ts")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c1"))
-      .persist()
+    val uni = CacheScope.route(scope, toks.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1")))
     val vsz = uni.agg(count(lit(1)).as("vsz"))
-    val bg = toks.select(col("doc_id"),
+    val bg = CacheScope.route(scope, toks.select(col("doc_id"),
       explode(transform(slice(col("ts"), lit(1), size(col("ts")) - 1),
         (w, i) => struct(w.as("w1"),
           element_at(col("ts"), i + 2).as("w2")))).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .persist()
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
     val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     bg.join(bi, Seq("w1", "w2"))
       .join(uni.withColumnRenamed("w", "w1"), "w1")

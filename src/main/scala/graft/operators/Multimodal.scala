@@ -271,7 +271,7 @@ object Multimodal {
     *
     * Returns (media_type, id_a, id_b, hamming), id_a < id_b. */
   def payloadNearDups(packed: DataFrame, radius: Int = 3, bands: Int = 4,
-      blockBytes: Int = 4): DataFrame = {
+      blockBytes: Int = 4, scope: Option[CacheScope] = None): DataFrame = {
     require(radius < bands, "pigeonhole needs radius < bands")
     require(64 % bands == 0, "bands must divide 64")
     require(blockBytes > 0, "blockBytes must be positive")
@@ -284,13 +284,13 @@ object Multimodal {
     // with simhash64Native over hex-window tokens — MultimodalSpec
     // asserts the equality — but skips materializing the hex string and
     // the per-row block array).
-    val sigs = packed.filter(col("n_bytes") >= blockBytes)
-      .select(col("media_type"), col("id"),
-        graft.expressions.TextExpressions
-          .byteBlockSimhash64(col("payload"), blockBytes).as("sig"))
-      .withColumn("hi", conv(substring(col("sig"), 1, 32), 2, 10).cast("long"))
-      .withColumn("lo", conv(substring(col("sig"), 33, 32), 2, 10).cast("long"))
-      .persist()
+    val sigs = CacheScope.route(scope,
+      packed.filter(col("n_bytes") >= blockBytes)
+        .select(col("media_type"), col("id"),
+          graft.expressions.TextExpressions
+            .byteBlockSimhash64(col("payload"), blockBytes).as("sig"))
+        .withColumn("hi", conv(substring(col("sig"), 1, 32), 2, 10).cast("long"))
+        .withColumn("lo", conv(substring(col("sig"), 33, 32), 2, 10).cast("long")))
     val banded = sigs.select(col("media_type"), col("id"), col("hi"), col("lo"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),

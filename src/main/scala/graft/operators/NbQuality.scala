@@ -42,12 +42,12 @@ object NbQuality {
   /** (doc_id, label, n_tokens, llr, pred) per document, llr rounded to
     * `scoreScale` decimals, pred decided on the exact decimal sum. */
   def naiveBayesScore(docs: DataFrame, idCol: String, textCol: String,
-      labelCol: String, scoreScale: Int = 4): DataFrame = {
+      labelCol: String, scoreScale: Int = 4,
+      scope: Option[CacheScope] = None): DataFrame = {
     val D6 = DecimalType(18, 6)
-    val toks = docs
+    val toks = CacheScope.route(scope, docs
       .select(col(idCol).as("doc_id"), col(labelCol).cast("long").as("label"),
-        explode(split(col(textCol), " ")).as("w"))
-      .persist()
+        explode(split(col(textCol), " ")).as("w")))
     val totals = toks.agg(
       sum(when(col("label") === 1, 1L).otherwise(0L)).as("nt1"),
       sum(when(col("label") === 0, 1L).otherwise(0L)).as("nt0"),

@@ -37,18 +37,18 @@ object SourceOverlap {
     * persisted and feeds both the per-source totals and the pair counts
     * (without it Catalyst re-derives the index per consumer — three
     * corpus scans+shingles). Cache residency lasts until the caller's
-    * action completes — the documented [[LmScore.bigramNll]] trade. */
+    * action completes — the documented [[LmScore.bigramNll]] trade; pass
+    * a [[CacheScope]] to reclaim it deterministically afterwards. */
   def overlapMatrix(df: DataFrame, sourceCol: String, textCol: String,
-      n: Int = 4): DataFrame = {
+      n: Int = 4, scope: Option[CacheScope] = None): DataFrame = {
     val srcs = col("srcs")
-    val byShingle = df
+    val byShingle = CacheScope.route(scope, df
       .select(col(sourceCol).as("source"),
         explode(graft.expressions.TextExpressions
           .wordShingles(col(textCol), n)).as("sh"))
       .distinct()
       .groupBy(col("sh"))
-      .agg(sort_array(collect_set(col("source"))).as("srcs"))
-      .persist()
+      .agg(sort_array(collect_set(col("source"))).as("srcs")))
     // per-source distinct-shingle totals, derived FROM the index (one
     // explode over sets bounded by |sources|), not a second corpus pass
     val totals = byShingle
