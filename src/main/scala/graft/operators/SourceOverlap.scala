@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   * Scale shape: this is the INVERTED-INDEX formulation, never a doc×doc
   * or corpus×corpus join —
   *   1. per-row shingling (native expression, zero shuffle) + explode,
-  *      then distinct (source, shingle): one shuffle keyed by both
-  *      columns, corpus-sized but id-width rows;
-  *   2. group by shingle collecting the source set: one shuffle; the
-  *      collected set is bounded by the NUMBER OF SOURCES (dozens in
-  *      production), not the corpus;
+  *      straight into a group by shingle collecting the source set: ONE
+  *      corpus-sized shuffle, and collect_set's partial (map-side)
+  *      aggregation dedups repeat (shingle, source) occurrences before
+  *      the wire — no separate distinct pass; the collected set is
+  *      bounded by the NUMBER OF SOURCES (dozens in production), not
+  *      the corpus;
   *   3. pair fan-out via a per-row lambda over the sorted source set —
   *      at most C(|sources|, 2) rows per shingle, bounded by
   *      construction — then one count aggregation on (src_a, src_b);
@@ -42,11 +43,15 @@ object SourceOverlap {
   def overlapMatrix(df: DataFrame, sourceCol: String, textCol: String,
       n: Int = 4, scope: Option[CacheScope] = None): DataFrame = {
     val srcs = col("srcs")
+    // NO explicit distinct before the collect: collect_set dedups by
+    // definition and its PARTIAL (map-side) aggregation absorbs repeat
+    // (sh, source) occurrences before the wire — a prior .distinct()
+    // here was a second corpus-sized shuffle buying nothing (r9: its
+    // removal halved x60's shuffle traffic, hash-identical result)
     val byShingle = CacheScope.route(scope, df
       .select(col(sourceCol).as("source"),
         explode(graft.expressions.TextExpressions
           .wordShingles(col(textCol), n)).as("sh"))
-      .distinct()
       .groupBy(col("sh"))
       .agg(sort_array(collect_set(col("source"))).as("srcs")))
     // per-source distinct-shingle totals, derived FROM the index (one
