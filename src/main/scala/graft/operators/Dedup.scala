@@ -251,6 +251,51 @@ object Dedup {
     verdicts.unionByName(sentinels)
   }
 
+  /** Compact an incremental-dedup ledger: semantically LOSSLESS, rows
+    * shrink ~bands-fold on heavy-dup corpora.
+    *
+    * The ledgers of [[dedupBatchLedger]] / [[embeddingDedupBatchLedger]]
+    * (and their streaming twins) grow append-only: every processed doc
+    * adds all its band postings forever. But the ledger is only ever
+    * consumed through three views —
+    *   - the history probe: the (band, key) set of KEPT rows;
+    *   - the keep-list: per-doc verdict `groupBy(doc).agg(any(kept))`;
+    *   - the cursor: `max(doc)`.
+    * Kept postings are already probe-minimal BY CONSTRUCTION: two kept
+    * docs can never share a (band, key) bucket (the bucket-min/history
+    * rule would have dropped the later one), so every kept posting is
+    * its bucket's unique canonical. The dead weight is the DROPPED
+    * docs' postings — numBands rows each, never probed (the probe
+    * filters on kept), useful only as a verdict record one row could
+    * carry.
+    *
+    * Compaction therefore keeps every kept posting (band >= 0) verbatim
+    * and collapses each remaining doc — dropped docs and sentinel-only
+    * kept docs — to ONE sentinel row (band = -1, key NULL, the doc's
+    * real verdict). All three consumer views are exactly preserved:
+    * probe set identical, keep-list identical for EVERY processed doc,
+    * cursor identical (every doc retains at least one row). On a
+    * corpus that's mostly duplicates — the motivating case — the table
+    * shrinks toward one row per dropped doc.
+    *
+    * Scale shape: one filter scan plus one groupBy(doc) aggregation
+    * (map-side combine; the boolean-max carries the verdict) — no join
+    * wider than doc ids. Rewrite the result bucketed by (band, key)
+    * (`Materialization.BucketedTable(Seq("band", "key"), n)`) and
+    * subsequent increments' history probes co-locate without an
+    * exchange. Safe to run between any two increments, any number of
+    * times (idempotent: compacting a compacted ledger is a no-op). */
+  def compactLedger(ledger: DataFrame): DataFrame = {
+    val canon = ledger.filter(col("kept") && col("band") >= 0)
+    val sentinels = ledger.groupBy(col("doc")).agg(
+        max(col("kept")).as("kept"),
+        max(col("kept") && col("band") >= 0).as("has_canon"))
+      .filter(!col("has_canon"))
+      .select(col("doc"), lit(-1).as("band"),
+        lit(null).cast("string").as("key"), col("kept"))
+    canon.unionByName(sentinels)
+  }
+
   /** SRP band postings — the embedding analogue of
     * [[minhashBandPostings]]: md5-seeded ±1 hyperplane sign bits
     * (identical construction to [[embeddingLshPairs]], so both engines

@@ -261,6 +261,88 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("ledger compaction: fewer rows, identical next increment, bucketed probe") {
+    import graft.operators.Dedup
+    val staging = java.nio.file.Files.createTempDirectory("cmpldg_staging")
+    def proj(sch: String): Project = {
+      val p = new Project(spark, Target("dev", sch, threads = 2))
+      p.source("raw", "docs", ParquetPath(staging.toString))
+      p.model("ledger", ModelConfig(materialized =
+        Materialization.Incremental(None,
+          Materialization.IncrementalStrategy.Append))) { ctx =>
+        val arrived = ctx.source("raw", "docs")
+        val (batch, keptPosts) =
+          if (ctx.isIncremental) {
+            val cursor = ctx.thisDf.agg(max(col("doc"))).first().getLong(0)
+            (arrived.filter(col("doc_id") > cursor),
+              ctx.thisDf.filter(col("kept") && col("band") >= 0))
+          } else
+            (arrived, Dedup.minhashBandPostings(arrived.limit(0), "doc_id", "text"))
+        Dedup.dedupBatchLedger(batch, keptPosts, "doc_id", "text")
+      }
+      p
+    }
+    def keepList(df: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      df.groupBy(col("doc")).agg(max(col("kept")).as("kept"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    import spark.implicits._
+    // identical batches 1+2 into a control project and a to-be-compacted twin
+    Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(staging.toString)
+    for (sch <- Seq("cmpctl", "cmpcmp"))
+      assert(proj(sch).run(fullRefresh = true).ok)
+    Seq((4L, "a b c d e"), (5L, "p q r s t"), (6L, "p q r s t"), (7L, "hi"))
+      .toDF("doc_id", "text").write.mode("append").parquet(staging.toString)
+    for (sch <- Seq("cmpctl", "cmpcmp")) assert(proj(sch).run().ok)
+    // compact the twin IN PLACE between increments (staged through a
+    // localCheckpoint: a table can't be overwritten from its own scan)
+    val full = spark.table("cmpcmp.ledger")
+    val fullRows = full.count()
+    val compacted = Dedup.compactLedger(full).localCheckpoint()
+    assert(fullRows == 25 && compacted.count() == 16,
+      "12 kept postings + 4 sentinels expected after compaction")
+    assert(keepList(compacted) == keepList(spark.table("cmpctl.ledger")),
+      "compaction must preserve the FULL per-doc keep-list")
+    assert(compacted.agg(max(col("doc"))).first().getLong(0) == 7L,
+      "compaction must preserve the incremental cursor")
+    compacted.write.mode("overwrite").format("parquet")
+      .saveAsTable("cmpcmp.ledger")
+    // batch 3: dups of history (8, 9), a new doc (10), its in-batch dup
+    // (11), a too-short sentinel (12) — verdicts must be IDENTICAL
+    Seq((8L, "p q r s t"), (9L, "x y z w q"), (10L, "m n o p r"),
+      (11L, "m n o p r"), (12L, "yo"))
+      .toDF("doc_id", "text").write.mode("append").parquet(staging.toString)
+    for (sch <- Seq("cmpctl", "cmpcmp")) assert(proj(sch).run().ok)
+    val ctl = keepList(spark.table("cmpctl.ledger"))
+    val cmp = keepList(spark.table("cmpcmp.ledger"))
+    assert(ctl.view.filterKeys(_ >= 8L).toMap == Map(8L -> false,
+      9L -> false, 10L -> true, 11L -> false, 12L -> true), ctl)
+    assert(cmp == ctl,
+      "compacted ledger diverged from the uncompacted control")
+    // probe co-location: against a (band, key)-BUCKETED kept table the
+    // history probe elides the build-side exchange (broadcast disabled so
+    // the join actually plans its distributions)
+    spark.sql("DROP TABLE IF EXISTS cmpcmp.ledger_bkt")
+    compacted.filter(col("kept") && col("band") >= 0)
+      .write.format("parquet").bucketBy(4, "band", "key")
+      .saveAsTable("cmpcmp.ledger_bkt")
+    val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val oldBcast = spark.conf.get(bcastKey)
+    try {
+      spark.conf.set(bcastKey, "-1")
+      val posts = Dedup.minhashBandPostings(
+        Seq((13L, "p q r s t")).toDF("doc_id", "text"), "doc_id", "text")
+      def probeShuffles(kept: org.apache.spark.sql.DataFrame): Int =
+        graft.PlanAudit.shuffleCount(posts.join(
+          kept.select("band", "key"), Seq("band", "key"), "left_semi"))
+      val bucketed = probeShuffles(spark.table("cmpcmp.ledger_bkt"))
+      val plain = probeShuffles(
+        compacted.filter(col("kept") && col("band") >= 0))
+      assert(bucketed < plain,
+        s"bucketed probe kept its exchange ($bucketed vs $plain)")
+    } finally spark.conf.set(bcastKey, oldBcast)
+  }
+
   test("downstream of incremental reads the ACCUMULATED table, not the batch") {
     var batch = Seq((1L, 10L), (2L, 20L))
     def proj(): Project = {

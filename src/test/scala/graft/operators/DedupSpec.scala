@@ -270,4 +270,49 @@ class DedupSpec extends SparkSpec {
     // ledger rows carry every posting of every non-sentinel doc: 3 docs x 8 bands
     assert(led2.filter(col("band") >= 0).count() == 24)
   }
+
+  test("compactLedger: lossless views, fewer rows, probe-equal next increment") {
+    import spark.implicits._
+    val dim = 4
+    def vec(xs: Double*) = xs.map(_.toFloat).toArray
+    val a = vec(1, 0, 0, 0)
+    val batch1 = Seq((1L, a), (2L, a), (3L, vec(0, 1, 0, 0)),
+      (4L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val empty = Dedup.srpBandPostings(batch1.limit(0), "vec_id", "embedding", dim)
+    val full = Dedup.embeddingDedupBatchLedger(batch1, empty,
+      "vec_id", "embedding", dim).localCheckpoint()
+    val compact = Dedup.compactLedger(full).localCheckpoint()
+    def verdicts(df: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      df.groupBy(col("doc")).agg(max(col("kept")).as("k")).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // all three consumer views preserved: keep-list, cursor, probe set
+    assert(verdicts(compact) == verdicts(full))
+    assert(compact.agg(max(col("doc"))).first().getLong(0) ==
+      full.agg(max(col("doc"))).first().getLong(0))
+    def probe(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("kept") && col("band") >= 0).select("band", "key")
+    assert(probe(compact).collect().toSet == probe(full).collect().toSet)
+    // kept postings were ALREADY bucket-unique (the by-construction
+    // invariant the scaladoc claims) — compaction relies on it
+    assert(probe(full).count() == probe(full).distinct().count())
+    // dropped doc 2 collapses 8 postings -> 1 sentinel: 25 -> 18 rows
+    assert(full.count() == 25 && compact.count() == 18)
+    assert(compact.filter(col("doc") === 2L).collect().toSeq match {
+      case Seq(r) => r.getInt(1) == -1 && r.isNullAt(2) && !r.getBoolean(3)
+      case _ => false
+    })
+    // idempotent
+    assert(Dedup.compactLedger(compact).collect().toSet ==
+      compact.collect().toSet)
+    // next increment: verdicts from the compacted ledger == from the full
+    val batch2 = Seq((11L, a), (12L, vec(0, 0, 1, 0)), (13L, vec(0, 0, 1, 0)))
+      .toDF("vec_id", "embedding")
+    val viaFull = Dedup.embeddingDedupBatchLedger(batch2,
+      probe(full), "vec_id", "embedding", dim)
+    val viaCompact = Dedup.embeddingDedupBatchLedger(batch2,
+      probe(compact), "vec_id", "embedding", dim)
+    assert(verdicts(viaCompact) == verdicts(viaFull))
+    assert(verdicts(viaFull) ==
+      Map(11L -> false, 12L -> true, 13L -> false), verdicts(viaFull))
+  }
 }
