@@ -541,6 +541,40 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark contamination REPORT — the audit-side complement of
+    * [[decontaminate]]: for every benchmark/eval document, how much of it
+    * leaked into the training corpus. Per bench doc: its distinct n-gram
+    * count (`n_sh`), how many of those n-grams occur anywhere in the
+    * corpus (`n_hit_shingles`), and how many distinct corpus documents
+    * share at least one (`n_hit_docs`) — the table an eval-integrity
+    * review reads before trusting a score.
+    *
+    * Shape at scale (same as [[decontaminate]]): the bench shingle set is
+    * tiny next to the corpus and rides broadcast into the corpus-postings
+    * join, so the corpus is scanned once map-side and only matching
+    * postings reach the per-bench-doc aggregation; bench docs with zero
+    * leakage come back with zero counts via the final left join (also
+    * broadcast-scale: one row per bench doc). */
+  def contaminationReport(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val shingle = (c: Column) =>
+      graft.expressions.TextExpressions.wordShingles(c, n)
+    val benchSh = bench.select(col(idCol).as("bench_id"),
+      explode(shingle(col(textCol))).as("sh"))
+    val corpusSh = corpus.select(col(idCol).as("doc"),
+      explode(shingle(col(textCol))).as("sh")).distinct()
+    val hits = corpusSh.join(broadcast(benchSh), "sh")
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("doc")).as("n_hit_docs"),
+        countDistinct(col("sh")).as("n_hit_shingles"))
+    bench.select(col(idCol).as("bench_id"),
+        size(shingle(col(textCol))).cast("long").as("n_sh"))
+      .join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_sh"),
+        coalesce(col("n_hit_shingles"), lit(0L)).as("n_hit_shingles"),
+        coalesce(col("n_hit_docs"), lit(0L)).as("n_hit_docs"))
+  }
+
   /** Connected components via alternating large-star/small-star rounds
     * (R. Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC 2014): O(log² n) rounds on ANY topology, where hash-to-min

@@ -2128,6 +2128,145 @@ object PipelineQueries extends QueryPack {
              ELSE 1 + (doc_id * 7 + n_chars) % 1024 END AS width,
         CASE WHEN doc_id % 97 = 0 THEN NULL
              ELSE 1 + (doc_id * 13 + n_chars * 3) % 768 END AS height
-        FROM documents ORDER BY id"""))
+        FROM documents ORDER BY id""")),
+
+    // ---- SEMANTIC dedup (SemDeDup, Abbas et al. 2023): k-means cells →
+    //      within-cluster tau-graph → star components → keep min-id.
+    //      Self-adjudicating like x61/x62 (the oracle cannot retrain
+    //      Lloyd's): the query emits structural verdicts — every vector
+    //      assigned (n_vectors), cells within bounds, every dropped
+    //      vector has a tau-witness, no kept-kept tau-pair survives, and
+    //      the pass actually dropped something on this corpus ------------
+    Q("x67_semdedup",
+      (s, dir) => {
+        import graft.operators.{SemDedup, Similarity}
+        val e = t(s, dir, "embeddings")
+          .filter(size(col("embedding")) === 64)
+          .select(col("vec_id"), col("embedding"))
+        val cents = Similarity.trainKMeans(e, "vec_id", "embedding",
+          k = 8, iters = 5)
+        // assignment + pairs feed both the component rounds and the
+        // verdict joins — localCheckpoint shares the one computation
+        // (verdict-harness cost, not part of the production operator:
+        // SemDedup.semanticDedup never materializes corpus-sized state)
+        val assigned = SemDedup.assignCells(e, "embedding", cents)
+          .localCheckpoint()
+        val pairs = SemDedup
+          .clusterPairs(assigned, "vec_id", "embedding", tau = 0.35)
+          .localCheckpoint()
+        val comps = Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
+        val dropped = comps.filter(col("v") =!= col("comp"))
+          .select(col("v").as("id"), lit(true).as("is_dropped"))
+        val res = assigned.select(col("vec_id").as("id"), col("cell"))
+          .join(dropped, Seq("id"), "left")
+          .withColumn("kept", col("is_dropped").isNull)
+        val pv = pairs.select(col("id_a").as("id"))
+          .union(pairs.select(col("id_b").as("id"))).distinct()
+          .withColumn("has_pair", lit(true))
+        val keptIds = res.filter(col("kept")).select(col("id"))
+        val bothKept = pairs
+          .join(keptIds.select(col("id").as("id_a")), Seq("id_a"))
+          .join(keptIds.select(col("id").as("id_b")), Seq("id_b"))
+          .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+          .distinct().withColumn("in_bad", lit(true))
+        res.join(pv, Seq("id"), "left").join(bothKept, Seq("id"), "left")
+          .agg(count(lit(1)).as("n_vectors"),
+            (countDistinct(col("cell")) >= 1 &&
+              countDistinct(col("cell")) <= 8).as("clusters_ok"),
+            (sum(when(!col("kept") && col("has_pair").isNull, 1L)
+              .otherwise(0L)) === 0L).as("drop_witness_ok"),
+            (sum(when(col("in_bad"), 1L).otherwise(0L)) === 0L)
+              .as("kept_independent_ok"),
+            (sum(when(!col("kept"), 1L).otherwise(0L)) > 0L)
+              .as("dedup_effective_ok"))
+      },
+      Some("""SELECT count(*) AS n_vectors, true AS clusters_ok,
+        true AS drop_witness_ok, true AS kept_independent_ok,
+        true AS dedup_effective_ok
+        FROM embeddings WHERE len(embedding) = 64""")),
+
+    // ---- PERCENTILE-calibrated quality thresholds (CCNet, Wenzek et al.
+    //      LREC 2020): per-language cutoffs at fixed percentiles of each
+    //      language's own signal distribution — the adaptive counterpart
+    //      of x28's fixed Gopher rules. Exact percentile here (oracle:
+    //      quantile_cont); approx_percentile is the same-contract
+    //      100 TB path ------------------------------------------------
+    Q("x68_adaptive_quality",
+      (s, dir) => {
+        import graft.operators.Calibration
+        import graft.operators.Calibration.Rule
+        Calibration.calibratedKeep(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), tokens(col("text")).as("__toks")),
+          "lang",
+          Seq(
+            Rule("n_tokens", nTokens(col("__toks")), 0.10,
+              keepAtOrAbove = true),
+            Rule("dup_ratio", round(dupTokenRatio(col("__toks")), 6), 0.90,
+              keepAtOrAbove = false)))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            round(col("dup_ratio"), 4).as("dup_ratio"),
+            round(col("n_tokens_th"), 4).as("len_th"),
+            round(col("dup_ratio_th"), 4).as("dup_th"),
+            col("keep_n_tokens").as("keep_len"),
+            col("keep_dup_ratio").as("keep_dup"),
+            col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH x AS (SELECT doc_id, lang, string_split(text,' ') AS ts
+          FROM documents),
+        s AS (SELECT doc_id, lang, CAST(len(ts) AS BIGINT) AS n_tokens,
+          round(CASE WHEN len(ts) > 0
+            THEN 1.0 - CAST(len(list_distinct(ts)) AS DOUBLE)/len(ts)
+            ELSE 0.0 END, 6) AS dup_ratio FROM x),
+        th AS (SELECT lang, quantile_cont(n_tokens, 0.10) AS len_th,
+          quantile_cont(dup_ratio, 0.90) AS dup_th FROM s GROUP BY lang)
+      SELECT s.doc_id, s.lang, s.n_tokens, round(s.dup_ratio, 4) AS dup_ratio,
+        round(th.len_th, 4) AS len_th, round(th.dup_th, 4) AS dup_th,
+        CAST(round(CAST(s.n_tokens AS DOUBLE), 4) >= round(th.len_th, 4) AS BIGINT) AS keep_len,
+        CAST(round(s.dup_ratio, 4) <= round(th.dup_th, 4) AS BIGINT) AS keep_dup,
+        CAST(round(CAST(s.n_tokens AS DOUBLE), 4) >= round(th.len_th, 4)
+         AND round(s.dup_ratio, 4) <= round(th.dup_th, 4) AS BIGINT) AS keep
+      FROM s JOIN th USING (lang) ORDER BY doc_id""")),
+
+    // ---- CONTAMINATION report: the audit-side complement of x33 — per
+    //      benchmark doc, how many of its n-grams and how many distinct
+    //      corpus docs leak it (src0 plays the eval set) ----------------
+    Q("x69_contamination_report",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.contaminationReport(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 4)
+          .orderBy(col("bench_id"))
+      },
+      Some(s"""WITH b AS (SELECT doc_id AS bench_id, $shingleSql AS s
+          FROM documents WHERE source = 'src0'),
+        bp AS (SELECT bench_id, unnest(s) AS sh FROM b),
+        cp AS (SELECT DISTINCT doc_id, sh FROM
+          (SELECT doc_id, unnest($shingleSql) AS sh FROM documents
+           WHERE source <> 'src0')),
+        agg AS (SELECT bench_id, count(DISTINCT doc_id) AS n_hit_docs,
+            count(DISTINCT sh) AS n_hit_shingles
+          FROM bp JOIN cp USING (sh) GROUP BY bench_id)
+      SELECT b.bench_id, CAST(len(b.s) AS BIGINT) AS n_sh,
+        coalesce(agg.n_hit_shingles, 0) AS n_hit_shingles,
+        coalesce(agg.n_hit_docs, 0) AS n_hit_docs
+      FROM b LEFT JOIN agg USING (bench_id) ORDER BY bench_id""")),
+
+    // ---- CARDINALITY report: per-source distinct docs + distinct
+    //      shingles, exact (oracle-checked) alongside the HLL++ sketch
+    //      that self-adjudicates against it — the 100 TB report path
+    //      where exact distinct is a full posting shuffle ---------------
+    Q("x70_cardinality_sketch",
+      (s, dir) => graft.operators.Cardinality.shingleCardinality(
+          t(s, dir, "documents"), "source", "doc_id", "text", n = 4)
+        .orderBy(col("source")),
+      Some(s"""WITH p AS (SELECT source, doc_id, unnest($shingleSql) AS sh
+          FROM documents)
+        SELECT source, count(DISTINCT doc_id) AS n_docs,
+          count(DISTINCT sh) AS n_shingles, true AS sketch_ok
+        FROM p GROUP BY source ORDER BY source"""))
   )
 }

@@ -202,7 +202,19 @@ class ScaleSpec extends SparkSpec {
       "x64_streaming_embedding_ledger" -> 2, "x65_shard_manifest" -> 2,
       // x66: pack + header decode are map-side; the only exchange is the
       // final total-order sort
-      "x66_image_decode" -> 1)
+      "x66_image_decode" -> 1,
+      // x67: the verdict harness reads the checkpointed assignment/pair
+      // frames from several consumers (CC rounds + witness/independence
+      // joins + final agg) — each consumer re-exchanges id-width rows
+      "x67_semdedup" -> 15,
+      // x68: one per-group percentile agg + the total-order sort (the
+      // threshold join is broadcast)
+      "x68_adaptive_quality" -> 2,
+      // x69: corpus-postings distinct + per-bench-doc agg + the zero-row
+      // left join + sort; the bench shingle side is broadcast
+      "x69_contamination_report" -> 5,
+      // x70: partial+final distinct-count agg + sort
+      "x70_cardinality_sketch" -> 3)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet

@@ -200,6 +200,29 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  test("contaminationReport: per-bench leak counts, zero rows retained") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon"),   // 2 shingles, both leak
+      (101L, "one two three four"),               // 1 shingle, leaks to 2 docs
+      (102L, "never seen anywhere at all"))       // 2 shingles, clean
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x alpha beta gamma delta epsilon y"), // hits both 100-shingles
+      (2L, "one two three four"),                 // hits 101's shingle
+      (3L, "pad one two three four pad"),         // hits 101's shingle too
+      (4L, "totally unrelated content here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(corpus, bench, "doc_id", "text",
+        n = 4).orderBy("bench_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (100L, 2L, 2L, 1L),   // n_sh=2, both found, in 1 corpus doc
+      (101L, 1L, 1L, 2L),   // 1 shingle, found, in docs 2 and 3
+      (102L, 2L, 0L, 0L)),  // clean bench doc keeps its zero row
+      s"got=${got.toSeq}")
+  }
+
   test("native profileScores equals the HOF profileScore per profile") {
     import spark.implicits._
     import graft.functions.TextFunctions._
