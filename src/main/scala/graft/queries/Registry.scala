@@ -24,19 +24,15 @@ trait QueryPack {
   def all: Seq[Q]
   /** Load one of the driver test tables from the given sf directory.
     *
-    * `events.parquet` stores ts as TIMESTAMP(NANOS), which Spark 4 rejects
-    * by default; read nanos as long and truncate to µs — the same value
-    * DuckDB sees after its ns→µs truncation, so oracles stay bit-identical.
+    * `events.parquet`'s ts physical type varies by generator version
+    * (TIMESTAMP(NANOS) / TIMESTAMP_NTZ µs / TIMESTAMP); normalize through
+    * [[graft.functions.EventTime.normalizeTs]] so every query sees the
+    * identical session-TZ TimestampType micros the oracle sees.
     */
   protected def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(s"$dir/$name.parquet")
-      // integer division, NOT col/1000: `/` promotes the int64 nanos to
-      // double (53-bit mantissa), losing the low bits of ~1.7e18 values
-      // and shifting some timestamps by 1µs.
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      graft.functions.EventTime.normalizeTs(
+        s.read.parquet(s"$dir/$name.parquet"))
     } else s.read.parquet(s"$dir/$name.parquet")
 }

@@ -19,16 +19,17 @@ object EventStreams {
   case class Sess(user_id: Long, n_events: Long, sum_value: Double)
 
   private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) in parquet: read nanos as long, then
-    // truncate to µs (same value DuckDB sees after its ns→µs truncation).
+    // ts physical type varies by generator version (nanos-as-long /
+    // NTZ µs / TZ); EventTime.normalizeTs maps all three to the same
+    // session-TZ TimestampType micros. The conf only matters for the
+    // TIMESTAMP(NANOS) vintage and is harmless otherwise.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
     // the file stream source wants a directory; glob-filter to this table
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      // DIV: exact int64 ns→µs (see QueryPack.t)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.functions.EventTime.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
   }
 
   /** Session conf selecting the state-store backend for the stateful

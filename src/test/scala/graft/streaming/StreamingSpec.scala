@@ -13,9 +13,8 @@ class StreamingSpec extends SparkSpec {
     // the batch twin
     val events = {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$sf0001/events.parquet")
-      raw.withColumn("ts",
-        timestamp_micros(expr("ts DIV 1000")))
+      graft.functions.EventTime.normalizeTs(
+        spark.read.parquet(s"$sf0001/events.parquet"))
     }
     val batch = EventStreams.sessionizeBatch(events, 30)
       .groupBy("user_id")
@@ -29,8 +28,8 @@ class StreamingSpec extends SparkSpec {
   test("native session_window equals the lag formulation on gap-free-boundary data") {
     val events = {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sf0001/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      graft.functions.EventTime.normalizeTs(
+        spark.read.parquet(s"$sf0001/events.parquet"))
     }
     // same sessions when no inter-event gap is EXACTLY 30:00 (the one
     // boundary where the two formulations legitimately differ — x37's
@@ -210,11 +209,8 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming hourly aggregation equals batch group-by") {
     val got = EventStreams.hourlyCounts(spark, sf0001)
-    val events = {
-      val raw = spark.read.parquet(s"$sf0001/events.parquet")
-      raw.withColumn("ts",
-        timestamp_micros(expr("ts DIV 1000")))
-    }
+    val events = graft.functions.EventTime.normalizeTs(
+      spark.read.parquet(s"$sf0001/events.parquet"))
     val want = events
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
         col("event_type"))
