@@ -388,6 +388,54 @@ case class RepetitionSignals(child: Expression)
     copy(child = c)
 }
 
+/** BPE-ish pre-tokenizer token count — the number of matches of
+  * `[a-z]+|[0-9]+|[^a-z0-9 ]` — as a single byte-level pass over the
+  * UTF-8 payload, no regex engine and no match-array materialization.
+  * A token is a maximal run of lowercase letters, a maximal run of
+  * digits, or ONE other code point (uppercase, punctuation, anything
+  * non-ASCII; spaces separate). Non-ASCII code points are counted at
+  * their UTF-8 lead byte — one per code point, exactly what the Java
+  * regex's negated class matches (supplementary chars included). The
+  * regex twin `TextFunctions.bpeishTokenCountRegex` stays the oracle
+  * form; BpeishSpec proves them bit-equal on unicode fuzz. */
+case class BpeishTokenCount(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "bpeish_token_count"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes
+    var count = 0L
+    var inLetter = false
+    var inDigit = false
+    var i = 0
+    while (i < n) {
+      val c = s.getByte(i) & 0xff
+      if (c >= 'a' && c <= 'z') {
+        if (!inLetter) count += 1
+        inLetter = true; inDigit = false
+      } else if (c >= '0' && c <= '9') {
+        if (!inDigit) count += 1
+        inDigit = true; inLetter = false
+      } else {
+        inLetter = false; inDigit = false
+        // count ASCII non-space directly; for multi-byte sequences count
+        // only the lead byte ((c & 0xC0) == 0x80 marks continuations)
+        if (c != ' ' && (c & 0xc0) != 0x80) count += 1
+      }
+      i += 1
+    }
+    count
+  }
+  override protected def withNewChildInternal(c: Expression): BpeishTokenCount =
+    copy(child = c)
+}
+
 object TextExpressions {
   def wordShingles(text: Column, n: Int, distinct: Boolean = true): Column =
     GraftSql.column(WordShingles(GraftSql.expression(text), n, distinct))
@@ -405,4 +453,6 @@ object TextExpressions {
     GraftSql.column(WinnowFingerprints(GraftSql.expression(text), k, w))
   def repetitionSignals(text: Column): Column =
     GraftSql.column(RepetitionSignals(GraftSql.expression(text)))
+  def bpeishTokenCountNative(text: Column): Column =
+    GraftSql.column(BpeishTokenCount(GraftSql.expression(text)))
 }

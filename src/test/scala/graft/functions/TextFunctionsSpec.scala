@@ -193,4 +193,26 @@ class TextFunctionsSpec extends SparkSpec {
         assert(row.getString(1) == sh.map(t => md5hex(s"7|$t")).min, s"doc=$doc")
     }
   }
+
+  test("native bpeish token count equals the regex form on unicode fuzz") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    // alphabet spanning every branch: letter/digit runs, space, uppercase,
+    // punctuation, tab/newline, 2- and 3-byte BMP chars, a supplementary
+    // (4-byte, surrogate pair) code point
+    val alpha: IndexedSeq[String] = IndexedSeq(
+      "a", "b", "z", "0", "7", " ", "  ", "A", "Z", ".", ",", "!", "\t",
+      "\n", "é", "ü", "€", "世", "😀")
+    val fuzz = Seq.fill(300)(
+      Seq.fill(r.nextInt(60))(alpha(r.nextInt(alpha.size))).mkString) ++
+      Seq("", " ", "abc", "abc def", "a1b2", "AB CD", "héllo wörld",
+        "😀😀", "a😀b")
+    val rows = fuzz.toDF("text").select(
+      bpeishTokenCount(col("text")),
+      bpeishTokenCountRegex(col("text"))).collect()
+    fuzz.zip(rows).foreach { case (doc, row) =>
+      assert(row.getLong(0) == row.getLong(1),
+        s"native=${row.getLong(0)} regex=${row.getLong(1)} doc=${doc.take(80)}")
+    }
+  }
 }

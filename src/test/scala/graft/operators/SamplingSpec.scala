@@ -195,9 +195,9 @@ class SamplingSpec extends SparkSpec {
 
   test("shardBySize: internal column clash is rejected up front") {
     import spark.implicits._
-    val clashing = Seq((1L, 2L, 3L)).toDF("id", "sz", "__mid")
+    val clashing = Seq((1L, 2L, 3L)).toDF("id", "sz", "__sid")
     assert(intercept[IllegalArgumentException] {
       Sampling.shardBySize(clashing, "id", "sz", 4)
-    }.getMessage.contains("__mid"))
+    }.getMessage.contains("__sid"))
   }
 }
