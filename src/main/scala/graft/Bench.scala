@@ -107,7 +107,13 @@ object Bench {
     "x63_fused_dedup_keeplist" -> 8200,
     // x64 = x58's two-AvailableNow-run shape over SRP postings
     "x64_streaming_embedding_ledger" -> 3760,
-    "x65_shard_manifest" -> 600)
+    "x65_shard_manifest" -> 600,
+    // round-10 first measures for the round-9 additions (BASELINE.md
+    // §round 10); x67's cost is k-means clustering + within-cluster
+    // pair verification — composition-is-the-workload
+    "x66_image_decode" -> 642, "x67_semdedup" -> 5668,
+    "x68_adaptive_quality" -> 638, "x69_contamination_report" -> 1220,
+    "x70_cardinality_sketch" -> 1751)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
