@@ -113,7 +113,9 @@ object Bench {
     // pair verification — composition-is-the-workload
     "x66_image_decode" -> 642, "x67_semdedup" -> 5668,
     "x68_adaptive_quality" -> 638, "x69_contamination_report" -> 1220,
-    "x70_cardinality_sketch" -> 1751)
+    "x70_cardinality_sketch" -> 1751,
+    // round-10 addition, first measure (BASELINE.md §round 10)
+    "x71_heavy_hitters" -> 763)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -44,7 +44,34 @@ object GraftFunctions {
     ("profile_scores",
       new ExpressionInfo(classOf[ProfileScores].getName, "profile_scores"),
       (args: Seq[Expression]) => ProfileScores(args.head,
-        args.tail.map(foldableStringArray)))
+        args.tail.map(foldableStringArray))),
+    ("bpeish_token_count",
+      new ExpressionInfo(classOf[BpeishTokenCount].getName, "bpeish_token_count"),
+      (args: Seq[Expression]) => BpeishTokenCount(args.head)),
+    // minhash_signatures(shingles, numHashes)
+    ("minhash_signatures",
+      new ExpressionInfo(classOf[MinHashSignatures].getName, "minhash_signatures"),
+      (args: Seq[Expression]) =>
+        MinHashSignatures(args.head, foldableInt(args(1)))),
+    // winnow_fingerprints(text, k, w)
+    ("winnow_fingerprints",
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (args: Seq[Expression]) =>
+        WinnowFingerprints(args.head, foldableInt(args(1)), foldableInt(args(2)))),
+    // byte_block_simhash64(payload, blockBytes)
+    ("byte_block_simhash64",
+      new ExpressionInfo(classOf[ByteBlockSimHash64].getName, "byte_block_simhash64"),
+      (args: Seq[Expression]) =>
+        ByteBlockSimHash64(args.head, foldableInt(args(1)))),
+    ("repetition_signals",
+      new ExpressionInfo(classOf[RepetitionSignals].getName, "repetition_signals"),
+      (args: Seq[Expression]) => RepetitionSignals(args.head)),
+    // misra_gries_topk(term, capacity) — aggregate
+    ("misra_gries_topk",
+      new ExpressionInfo(classOf[MisraGriesTopK].getName, "misra_gries_topk"),
+      (args: Seq[Expression]) =>
+        MisraGriesTopK(args.head, foldableInt(args(1)))
+          .toAggregateExpression())
   )
 
   private def foldableInt(e: Expression): Int = {

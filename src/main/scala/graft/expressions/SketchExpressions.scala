@@ -1,0 +1,153 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, GraftSql}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra–Gries heavy-hitters summary (Misra & Gries 1982; merge analysis
+  * in Agarwal et al., "Mergeable Summaries", PODS 2012) as a native
+  * aggregate — the bounded-state path to "top terms at 100 TB", where the
+  * exact answer is a full shuffle of the distinct-term set (x25's TF-IDF
+  * shape) but the sketch is one map-side pass with a `capacity`-entry
+  * summary per task.
+  *
+  * Guarantees (the x70 self-adjudication contract):
+  *  - each per-partition summary holds ≤ `capacity` entries, and an
+  *    entry's estimate undercounts its partition-local frequency by at
+  *    most n_p/(capacity+1) (each decrement round retires capacity+1
+  *    occurrences);
+  *  - the merge is a pointwise SUM of summaries — commutative and
+  *    associative, so shuffle-fetch order cannot change the result (the
+  *    merged map is bounded by map-tasks × capacity, never truncated
+  *    mid-merge; truncation to `capacity` happens once, at eval, on the
+  *    order-independent merged map);
+  *  - summed undercounts telescope: est(x) ∈ [f(x) − n/(capacity+1), f(x)],
+  *    and any term with global frequency > n/(capacity+1) must exceed the
+  *    local threshold in at least one partition (pigeonhole), so it
+  *    SURVIVES into the merged summary.
+  *
+  * Output: array<struct<term string, est long>> sorted (est desc, term
+  * asc) — the ENTIRE merged summary, bounded by map-tasks × capacity
+  * entries (index-metadata scale, like the IVF centroid tables), never
+  * truncated: cutting to `capacity` at eval could evict a true heavy
+  * hitter whose estimate sits just above its guarantee floor beneath a
+  * crowd of mid-estimate tail terms, voiding the presence guarantee.
+  * Callers take the prefix they need.
+  */
+case class MisraGriesTopK(
+    child: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[String, Long]]
+    with UnaryLike[Expression] {
+  require(capacity >= 1, "capacity must be >= 1")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("est", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "misra_gries_topk"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+    new java.util.HashMap[String, Long](capacity * 2)
+
+  override def update(buf: java.util.HashMap[String, Long],
+      input: InternalRow): java.util.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val term = v.asInstanceOf[UTF8String].toString
+    val cur = buf.get(term)
+    if (cur != 0L || buf.containsKey(term)) buf.put(term, cur + 1L)
+    else if (buf.size < capacity) buf.put(term, 1L)
+    else {
+      // decrement round: the new term and every stored term each give up
+      // one occurrence — capacity+1 total per round, hence the bound
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+      }
+    }
+    buf
+  }
+
+  override def merge(a: java.util.HashMap[String, Long],
+      b: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
+    val (into, from) = if (a.size >= b.size) (a, b) else (b, a)
+    val it = from.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = into.get(e.getKey)
+      into.put(e.getKey, cur + e.getValue)
+    }
+    into
+  }
+
+  override def eval(buf: java.util.HashMap[String, Long]): Any = {
+    val entries = new Array[(String, Long)](buf.size)
+    val it = buf.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1
+    }
+    val top = entries.sortBy { case (t, c) => (-c, t) }
+    new GenericArrayData(top.map { case (t, c) =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString(t), c))
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(e.getValue)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val m = new java.util.HashMap[String, Long](n * 2)
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt()); in.readFully(kb)
+      m.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MisraGriesTopK =
+    copy(child = newChild)
+}
+
+object SketchExpressions {
+  /** Column handle for [[MisraGriesTopK]] (an aggregate function). */
+  def misraGriesTopK(term: Column, capacity: Int): Column =
+    GraftSql.column(MisraGriesTopK(GraftSql.expression(term), capacity)
+      .toAggregateExpression())
+}

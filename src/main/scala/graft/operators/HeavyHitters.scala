@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.expressions.SketchExpressions
+
+/** Heavy-hitters report: the exact top-k terms of a corpus column,
+  * each self-adjudicated against the bounded-state Misra–Gries sketch
+  * ([[graft.expressions.MisraGriesTopK]]) — the x70 pattern, applied to
+  * frequent items instead of cardinality. The exact side is the full
+  * (distinct-term) shuffle the oracle can recompute; the sketch side is
+  * what a 100 TB caller actually runs: one map-side pass, a
+  * `capacity`-entry summary per task, one single-row agg — no posting
+  * shuffle. `sketch_ok` asserts the Misra–Gries theorems held on this
+  * corpus: every QUALIFYING term (exact count > n/(capacity+1)) is
+  * present in the merged summary with its estimate inside
+  * [exact − n/(capacity+1), exact]. All comparisons are integer-exact
+  * (cross-multiplied by capacity+1) — no float rounding in verdicts.
+  */
+object HeavyHitters {
+
+  /** (term, n_exact, qualifies, sketch_ok) for the exact top-k terms of
+    * `termCol`, ordered (n_exact desc, term asc). The sketch rides in as
+    * ONE single-row aggregate broadcast against the k exact rows. */
+  def report(df: DataFrame, termCol: String, capacity: Int,
+      topK: Int): DataFrame = {
+    require(capacity >= 1 && topK >= 1, "capacity and topK must be >= 1")
+    val term = col(termCol)
+    val exactTop = df.groupBy(term.as("term"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("term"))
+      .limit(topK)
+    // one row: total occurrences + the merged sketch summary
+    val sk = df.agg(
+      count(lit(1)).as("__n"),
+      SketchExpressions.misraGriesTopK(term, capacity).as("__sk"))
+    val m1 = lit(capacity + 1L)
+    // try_element_at: a term absent from the summary yields null (ANSI
+    // element_at throws on the empty filter result)
+    val est = try_element_at(expr("filter(__sk, s -> s.term = term)"), lit(1))
+      .getField("est")
+    exactTop.crossJoin(broadcast(sk))
+      .withColumn("qualifies", col("n_exact") * m1 > col("__n"))
+      .withColumn("__est", est)
+      .withColumn("sketch_ok",
+        !col("qualifies") ||
+          (col("__est").isNotNull &&
+            col("__est") <= col("n_exact") &&
+            (col("n_exact") - col("__est")) * m1 <= col("__n")))
+      .select(col("term"), col("n_exact"), col("qualifies"), col("sketch_ok"))
+      .orderBy(col("n_exact").desc, col("term"))
+  }
+}

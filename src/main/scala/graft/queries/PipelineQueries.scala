@@ -2267,6 +2267,35 @@ object PipelineQueries extends QueryPack {
           FROM documents)
         SELECT source, count(DISTINCT doc_id) AS n_docs,
           count(DISTINCT sh) AS n_shingles, true AS sketch_ok
-        FROM p GROUP BY source ORDER BY source"""))
+        FROM p GROUP BY source ORDER BY source""")),
+
+    // ---- HEAVY HITTERS: exact top terms self-adjudicated against the
+    //      bounded-state Misra-Gries sketch (x70's pattern for frequent
+    //      items). The driver testdata is uniform by construction, so the
+    //      query synthesizes a deterministic Zipf-ish key from event_id:
+    //      even ids map to exponential-sized 'h<bucket>' buckets
+    //      (floor(log2) via length(bin(..))-1 — integer-exact in both
+    //      engines), odd ids are a unique 't<id>' tail that forces the
+    //      sketch to evict constantly (tail vocab >> capacity) ----------
+    Q("x71_heavy_hitters",
+      (s, dir) => {
+        val term = when(col("event_id") % 2 === 0,
+          concat(lit("h"),
+            (length(bin(expr("event_id DIV 2") % 1024 + 1)) - 1)
+              .cast("string")))
+          .otherwise(concat(lit("t"), col("event_id").cast("string")))
+        graft.operators.HeavyHitters.report(
+          t(s, dir, "events").select(term.as("term")),
+          "term", capacity = 128, topK = 8)
+      },
+      Some("""WITH tm AS (SELECT CASE WHEN event_id % 2 = 0
+          THEN 'h' || CAST(length(bin((event_id // 2) % 1024 + 1)) - 1 AS VARCHAR)
+          ELSE 't' || CAST(event_id AS VARCHAR) END AS term
+        FROM events),
+      c AS (SELECT term, count(*) AS n_exact FROM tm GROUP BY term),
+      tot AS (SELECT count(*) AS n FROM tm)
+      SELECT term, n_exact, n_exact * 129 > n AS qualifies,
+        true AS sketch_ok
+      FROM c, tot ORDER BY n_exact DESC, term LIMIT 8"""))
   )
 }

@@ -95,10 +95,14 @@ class ScaleSpec extends SparkSpec {
     //    broadcast shapes inside its quality stage
     //  - x62: composes ivfTopK, so it inherits x14's broadcast
     //    centroid-assignment shape (|corpus|·nlist by construction)
+    //  - x71: the k exact top rows cross-join the ONE (total, sketch)
+    //    aggregate row via an explicit single-row broadcast — x25/x40's
+    //    1-row shape
     val allow = Set("x06_embedding_neardups", "x25_tfidf_top_terms",
       "x14_ivf_ann", "x40_lm_bigram_nll", "x45_perplexity_buckets",
       "x48_temperature_resample", "x51_nb_quality_score",
-      "x57_training_mix_pipeline", "x62_ivf_pq_ann")
+      "x57_training_mix_pipeline", "x62_ivf_pq_ann",
+      "x71_heavy_hitters")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -214,7 +218,10 @@ class ScaleSpec extends SparkSpec {
       // left join + sort; the bench shingle side is broadcast
       "x69_contamination_report" -> 5,
       // x70: partial+final distinct-count agg + sort
-      "x70_cardinality_sketch" -> 3)
+      "x70_cardinality_sketch" -> 3,
+      // x71: exact top-k agg + its order-by; the sketch side is ONE
+      // map-side-summarized single-row agg (no shuffle of its own)
+      "x71_heavy_hitters" -> 2)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet

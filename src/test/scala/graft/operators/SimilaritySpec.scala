@@ -88,6 +88,19 @@ class SimilaritySpec extends SparkSpec {
     assert(t.getSeq[String](0) == Seq("a_b", "b_c", "c_d"))
     assert(t.getString(1).length == 32)
     assert(t.getSeq[Long](2) == Seq(2L, 0L))
+    val u = spark.sql("""SELECT
+        bpeish_token_count('abc 12 X!') AS bp,
+        minhash_signatures(word_shingles('a b c d', 2), 3) AS mh,
+        winnow_fingerprints('a b c d e f g h', 3, 4) AS wf,
+        byte_block_simhash64(cast('abcdefgh' AS binary), 4) AS bb,
+        repetition_signals('a b a b a') AS rs""")
+      .collect().head
+    assert(u.getLong(0) == 4L) // abc, 12, X, !
+    assert(u.getSeq[String](1).length == 3 &&
+      u.getSeq[String](1).forall(_.length == 32))
+    assert(u.getSeq[String](2).nonEmpty)
+    assert(u.get(3) != null)
+    assert(u.getSeq[Double](4).length == 3)
   }
 
   test("centroids are float vectors (FloatVecDot strictness)") {
