@@ -114,8 +114,9 @@ object Bench {
     "x66_image_decode" -> 642, "x67_semdedup" -> 5668,
     "x68_adaptive_quality" -> 638, "x69_contamination_report" -> 1220,
     "x70_cardinality_sketch" -> 1751,
-    // round-10 addition, first measure (BASELINE.md §round 10)
-    "x71_heavy_hitters" -> 763)
+    // round-10 additions, first measures (BASELINE.md §round 10); x72 is
+    // the two-AvailableNow-run streaming shape, like x58/x64
+    "x71_heavy_hitters" -> 763, "x72_streaming_heavy_hitters" -> 2483)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

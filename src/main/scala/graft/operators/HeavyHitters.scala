@@ -26,22 +26,47 @@ object HeavyHitters {
       topK: Int): DataFrame = {
     require(capacity >= 1 && topK >= 1, "capacity and topK must be >= 1")
     val term = col(termCol)
-    val exactTop = df.groupBy(term.as("term"))
-      .agg(count(lit(1)).as("n_exact"))
-      .orderBy(col("n_exact").desc, col("term"))
-      .limit(topK)
     // one row: total occurrences + the merged sketch summary
     val sk = df.agg(
       count(lit(1)).as("__n"),
       SketchExpressions.misraGriesTopK(term, capacity).as("__sk"))
-    val m1 = lit(capacity + 1L)
     // try_element_at: a term absent from the summary yields null (ANSI
     // element_at throws on the empty filter result)
     val est = try_element_at(expr("filter(__sk, s -> s.term = term)"), lit(1))
       .getField("est")
-    exactTop.crossJoin(broadcast(sk))
-      .withColumn("qualifies", col("n_exact") * m1 > col("__n"))
+    exactTopK(df, termCol, topK).crossJoin(broadcast(sk))
       .withColumn("__est", est)
+      .transform(verdicts(capacity))
+  }
+
+  /** The ledger-side twin: verdicts against an already-merged summary
+    * (rows of (term, est)) and a one-row totals frame (`__n`) — e.g. the
+    * streaming sketch ledger's groupBy-sum over appended per-batch
+    * summaries. Both sketch inputs are summary-sized (bounded by
+    * batches × tasks × capacity before the merge, capacity-ish after),
+    * so they broadcast. */
+  def reportFromSummary(df: DataFrame, termCol: String, summary: DataFrame,
+      totals: DataFrame, capacity: Int, topK: Int): DataFrame = {
+    require(capacity >= 1 && topK >= 1, "capacity and topK must be >= 1")
+    exactTopK(df, termCol, topK)
+      .join(broadcast(summary.select(col("term"), col("est").as("__est"))),
+        Seq("term"), "left")
+      .crossJoin(broadcast(totals.select(col("__n"))))
+      .transform(verdicts(capacity))
+  }
+
+  private def exactTopK(df: DataFrame, termCol: String, topK: Int): DataFrame =
+    df.groupBy(col(termCol).as("term"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("term"))
+      .limit(topK)
+
+  /** Integer-exact Misra–Gries verdict columns over (term, n_exact,
+    * __est, __n) — shared by the in-query and ledger report paths. */
+  private def verdicts(capacity: Int)(joined: DataFrame): DataFrame = {
+    val m1 = lit(capacity + 1L)
+    joined
+      .withColumn("qualifies", col("n_exact") * m1 > col("__n"))
       .withColumn("sketch_ok",
         !col("qualifies") ||
           (col("__est").isNotNull &&

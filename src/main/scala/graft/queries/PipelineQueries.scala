@@ -29,6 +29,27 @@ object PipelineQueries extends QueryPack {
   private def minhashSigSql(seed: Int): String =
     s"list_aggregate(list_transform(s, t -> md5('$seed|'||t)), 'min')"
 
+  /** Shared by x71 (batch) and x72 (streaming ledger): exact top-8 of the
+    * synthesized Zipf key over events + hardcoded-true sketch verdicts —
+    * one oracle pinning both sketch paths to one semantics (the
+    * x50/x58 ledger precedent). */
+  private val heavyHittersOracleSql =
+    """WITH tm AS (SELECT CASE WHEN event_id % 2 = 0
+        THEN 'h' || CAST(length(bin((event_id // 2) % 1024 + 1)) - 1 AS VARCHAR)
+        ELSE 't' || CAST(event_id AS VARCHAR) END AS term
+      FROM events),
+    c AS (SELECT term, count(*) AS n_exact FROM tm GROUP BY term),
+    tot AS (SELECT count(*) AS n FROM tm)
+    SELECT term, n_exact, n_exact * 129 > n AS qualifies,
+      true AS sketch_ok
+    FROM c, tot ORDER BY n_exact DESC, term LIMIT 8"""
+
+  /** The synthesized Zipf-ish term key (see x71's comment). */
+  private def zipfTerm = when(col("event_id") % 2 === 0,
+    concat(lit("h"),
+      (length(bin(expr("event_id DIV 2") % 1024 + 1)) - 1).cast("string")))
+    .otherwise(concat(lit("t"), col("event_id").cast("string")))
+
   /** n-gram distinct shingle list for arbitrary n (the 4-gram constant
     * above predates this; kept for oracle-text stability). */
   private def shingleSqlN(n: Int): String = {
@@ -2278,24 +2299,50 @@ object PipelineQueries extends QueryPack {
     //      engines), odd ids are a unique 't<id>' tail that forces the
     //      sketch to evict constantly (tail vocab >> capacity) ----------
     Q("x71_heavy_hitters",
+      (s, dir) => graft.operators.HeavyHitters.report(
+        t(s, dir, "events").select(zipfTerm.as("term")),
+        "term", capacity = 128, topK = 8),
+      Some(heavyHittersOracleSql)),
+
+    // ---- STREAMING heavy-hitters sketch LEDGER: x58's two-AvailableNow-
+    //      run shape over per-batch Misra-Gries summaries. Run 1 sketches
+    //      the first half of events, run 2 ONLY the appended half — the
+    //      offset log is the cursor, history is never re-read. The global
+    //      summary is groupBy-sum over the appended summary rows (MG
+    //      merge = pointwise sum), and the x71 verdicts hold across
+    //      increments because the bounds telescope. Same oracle as x71 —
+    //      one semantics for both sketch paths (the x50/x58 precedent) --
+    Q("x72_streaming_heavy_hitters",
       (s, dir) => {
-        val term = when(col("event_id") % 2 === 0,
-          concat(lit("h"),
-            (length(bin(expr("event_id DIV 2") % 1024 + 1)) - 1)
-              .cast("string")))
-          .otherwise(concat(lit("t"), col("event_id").cast("string")))
-        graft.operators.HeavyHitters.report(
-          t(s, dir, "events").select(term.as("term")),
-          "term", capacity = 128, topK = 8)
+        import graft.engine._
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), zipfTerm.as("term"))
+        val split = ev.agg(expr("(min(event_id) + max(event_id)) div 2"))
+          .first().getLong(0)
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val landing = wh.resolve("strhh_landing")
+        val ckpt = wh.resolve("_graft_checkpoints/strhh")
+        s.sql("CREATE DATABASE IF NOT EXISTS strhh")
+        s.sql("DROP TABLE IF EXISTS strhh.sketch")
+        for (p <- Seq(landing, ckpt, wh.resolve("strhh.db/sketch")))
+          Materializer.deleteRecursively(p)
+        ev.filter(col("event_id") <= split)
+          .write.mode("overwrite").parquet(landing.toString)
+        EventStreams.streamingHeavyHitters(s, landing.toString, ev.schema,
+          "strhh.sketch", ckpt.toString, "term", capacity = 128)
+        ev.filter(col("event_id") > split)
+          .write.mode("append").parquet(landing.toString)
+        EventStreams.streamingHeavyHitters(s, landing.toString, ev.schema,
+          "strhh.sketch", ckpt.toString, "term", capacity = 128)
+        val ledger = s.table("strhh.sketch")
+        val summary = ledger.filter(col("term").isNotNull)
+          .groupBy(col("term")).agg(sum(col("est")).as("est"))
+        val totals = ledger.filter(col("term").isNull)
+          .agg(sum(col("est")).as("__n"))
+        graft.operators.HeavyHitters.reportFromSummary(
+          ev, "term", summary, totals, capacity = 128, topK = 8)
       },
-      Some("""WITH tm AS (SELECT CASE WHEN event_id % 2 = 0
-          THEN 'h' || CAST(length(bin((event_id // 2) % 1024 + 1)) - 1 AS VARCHAR)
-          ELSE 't' || CAST(event_id AS VARCHAR) END AS term
-        FROM events),
-      c AS (SELECT term, count(*) AS n_exact FROM tm GROUP BY term),
-      tot AS (SELECT count(*) AS n FROM tm)
-      SELECT term, n_exact, n_exact * 129 > n AS qualifies,
-        true AS sketch_ok
-      FROM c, tot ORDER BY n_exact DESC, term LIMIT 8"""))
+      Some(heavyHittersOracleSql))
   )
 }

@@ -286,4 +286,47 @@ object EventStreams {
     if (spark.catalog.tableExists(ledgerTable))
       spark.catalog.refreshTable(ledgerTable)
   }
+
+  /** Streaming heavy-hitters sketch LEDGER — corpus term monitoring that
+    * never reprocesses history: each microbatch contributes ONE
+    * Misra–Gries summary ([[graft.expressions.MisraGriesTopK]]) plus its
+    * row count, appended as (term, est) rows (count rides a null-term
+    * sentinel, the ledger-sentinel convention). Because the MG merge is a
+    * pointwise SUM, the ledger's global summary is just
+    * `groupBy(term).sum(est)` — and the merged bounds telescope across
+    * batches exactly as they do across partitions (Agarwal et al., PODS
+    * 2012), so [[graft.operators.HeavyHitters.reportFromSummary]] can
+    * assert the same integer-exact guarantees over any number of
+    * increments. Per batch the appended rows are bounded by
+    * tasks × capacity + 1 — sketch-sized, never corpus-sized; the one
+    * collected row is the same bounded-metadata shape as the BPE merge
+    * loop's argmax row. */
+  def streamingHeavyHitters(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType, sketchTable: String,
+      checkpointDir: String, termCol: String, capacity: Int): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(landingDir)
+    val fb: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val s = batch.sparkSession
+        // ONE pass over the microbatch: (n, summary) in a single row
+        val row = batch.toDF().agg(
+          count(lit(1)).as("__n"),
+          graft.expressions.SketchExpressions
+            .misraGriesTopK(col(termCol), capacity).as("__sk")).first()
+        val n = row.getLong(0)
+        val entries = row.getSeq[org.apache.spark.sql.Row](1)
+          .map(e => (e.getString(0), e.getLong(1)))
+        import s.implicits._
+        val out = ((null.asInstanceOf[String], n) +: entries).toDF("term", "est")
+        out.write.mode("append").format("parquet").saveAsTable(sketchTable)
+      }
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(fb)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    if (spark.catalog.tableExists(sketchTable))
+      spark.catalog.refreshTable(sketchTable)
+  }
 }

@@ -95,14 +95,14 @@ class ScaleSpec extends SparkSpec {
     //    broadcast shapes inside its quality stage
     //  - x62: composes ivfTopK, so it inherits x14's broadcast
     //    centroid-assignment shape (|corpus|·nlist by construction)
-    //  - x71: the k exact top rows cross-join the ONE (total, sketch)
+    //  - x71/x72: the k exact top rows cross-join the ONE totals
     //    aggregate row via an explicit single-row broadcast — x25/x40's
     //    1-row shape
     val allow = Set("x06_embedding_neardups", "x25_tfidf_top_terms",
       "x14_ivf_ann", "x40_lm_bigram_nll", "x45_perplexity_buckets",
       "x48_temperature_resample", "x51_nb_quality_score",
       "x57_training_mix_pipeline", "x62_ivf_pq_ann",
-      "x71_heavy_hitters")
+      "x71_heavy_hitters", "x72_streaming_heavy_hitters")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -221,7 +221,9 @@ class ScaleSpec extends SparkSpec {
       "x70_cardinality_sketch" -> 3,
       // x71: exact top-k agg + its order-by; the sketch side is ONE
       // map-side-summarized single-row agg (no shuffle of its own)
-      "x71_heavy_hitters" -> 2)
+      "x71_heavy_hitters" -> 2,
+      // x72: x71's two + the sketch-sized ledger groupBy-sum merge
+      "x72_streaming_heavy_hitters" -> 3)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet

@@ -207,6 +207,63 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"streaming $got != batch $want")
   }
 
+  test("streaming heavy-hitters ledger: bounds hold across increments, history never recounted") {
+    import spark.implicits._
+    val landing = java.nio.file.Files.createTempDirectory("strhh_t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("strhh_ck").toString
+    spark.sql("CREATE DATABASE IF NOT EXISTS strhht")
+    spark.sql("DROP TABLE IF EXISTS strhht.sketch")
+    // skewed fixture split over two increments: hot terms span both
+    val rnd = new scala.util.Random(23)
+    val hot = (1 to 6).flatMap(i => Seq.fill(1 << (i + 2))(s"hot$i"))
+    val tail = (0 until 300).map(i => s"tail$i")
+    val all = rnd.shuffle(hot ++ tail)
+    val (b1, b2) = all.splitAt(all.size / 2)
+    b1.toDF("term").write.mode("overwrite").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    val cap = 16
+    def run(): Unit = EventStreams.streamingHeavyHitters(spark, landing,
+      schema, "strhht.sketch", ckpt, "term", cap)
+    run()
+    val sentinels1 = spark.table("strhht.sketch")
+      .filter(col("term").isNull).agg(sum(col("est"))).first().getLong(0)
+    assert(sentinels1 == b1.size, "run 1 sentinel total != batch-1 rows")
+    b2.toDF("term").write.mode("append").parquet(landing)
+    run()
+    val ledger = spark.table("strhht.sketch")
+    // history never recounted: sentinel totals sum to EXACTLY n
+    val n = all.size.toLong
+    assert(ledger.filter(col("term").isNull)
+      .agg(sum(col("est"))).first().getLong(0) == n,
+      "sentinel totals double-counted history")
+    // merged summary obeys the telescoped MG bounds vs exact counts
+    val merged = ledger.filter(col("term").isNotNull)
+      .groupBy(col("term")).agg(sum(col("est")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = n.toDouble / (cap + 1)
+    exact.foreach { case (t, f) =>
+      if (f > bound) {
+        assert(merged.contains(t), s"qualifying $t evicted from the ledger")
+        assert(merged(t) <= f && f - merged(t) <= bound,
+          s"$t est=${merged(t)} outside [${f - bound}, $f]")
+      }
+    }
+    merged.foreach { case (t, est) =>
+      assert(exact.contains(t) && est <= exact(t), s"phantom/overcount $t")
+    }
+    // and the report operator agrees end-to-end
+    val rep = graft.operators.HeavyHitters.reportFromSummary(
+      all.toDF("term"), "term",
+      ledger.filter(col("term").isNotNull)
+        .groupBy(col("term")).agg(sum(col("est")).as("est")),
+      ledger.filter(col("term").isNull).agg(sum(col("est")).as("__n")),
+      cap, topK = 5).collect()
+    assert(rep.map(_.getString(0)).toSeq ==
+      Seq("hot6", "hot5", "hot4", "hot3", "hot2"))
+    assert(rep.forall(_.getBoolean(3)), rep.mkString(", "))
+  }
+
   test("streaming hourly aggregation equals batch group-by") {
     val got = EventStreams.hourlyCounts(spark, sf0001)
     val events = graft.functions.EventTime.normalizeTs(
