@@ -2343,6 +2343,57 @@ object PipelineQueries extends QueryPack {
         graft.operators.HeavyHitters.reportFromSummary(
           ev, "term", summary, totals, capacity = 128, topK = 8)
       },
-      Some(heavyHittersOracleSql))
+      Some(heavyHittersOracleSql)),
+
+    // ---- QUANTILE sketch: per-source doc-length percentiles, the exact
+    //      interpolated value (oracle-checked, q40's convention) next to
+    //      the Greenwald-Khanna `percentile_approx` sketch, which
+    //      self-adjudicates in-query (completing the sketch trio with
+    //      x70 HLL cardinality and x71 MG frequency). GK guarantees the
+    //      returned DATA VALUE has some rank within eps*n of the target
+    //      (eps = 1/accuracy); because the value may be duplicated, the
+    //      verdict checks the value's rank RANGE [count(<v)+1, count(<=v)]
+    //      intersects the eps-window — integer-exact, no float ranks ----
+    Q("x73_quantile_sketch",
+      (s, dir) => {
+        val acc = 100
+        val docs = t(s, dir, "documents")
+        val agged = docs.groupBy(col("source")).agg(
+          count(lit(1)).as("n"),
+          round(percentile(col("n_chars"), lit(0.5)), 4).as("p50_exact"),
+          round(percentile(col("n_chars"), lit(0.9)), 4).as("p90_exact"),
+          percentile_approx(col("n_chars"), lit(0.5), lit(acc)).as("__a50"),
+          percentile_approx(col("n_chars"), lit(0.9), lit(acc)).as("__a90"))
+        // rank check scan: the approx VALUES are sketch output (not
+        // oracle-reproducible), so they feed verdicts only
+        def within(lo: org.apache.spark.sql.Column,
+            hi: org.apache.spark.sql.Column, p: Double) = {
+          val slack = col("n") * lit(p * acc).cast("long") // p*n*acc
+          // rank window in acc-ths: [p*n*acc - n*1, p*n*acc + n*1] vs
+          // value range [lo+1, hi] scaled by acc — all integer math
+          (lo * acc < slack + col("n") + acc) &&
+            (hi * acc >= slack - col("n"))
+        }
+        docs.join(broadcast(agged), "source")
+          .groupBy(col("source"))
+          .agg(
+            first(col("n")).as("n"),
+            first(col("p50_exact")).as("p50_exact"),
+            first(col("p90_exact")).as("p90_exact"),
+            sum(when(col("n_chars") < col("__a50"), 1L).otherwise(0L)).as("__lo50"),
+            sum(when(col("n_chars") <= col("__a50"), 1L).otherwise(0L)).as("__hi50"),
+            sum(when(col("n_chars") < col("__a90"), 1L).otherwise(0L)).as("__lo90"),
+            sum(when(col("n_chars") <= col("__a90"), 1L).otherwise(0L)).as("__hi90"))
+          .withColumn("p50_ok", within(col("__lo50"), col("__hi50"), 0.5))
+          .withColumn("p90_ok", within(col("__lo90"), col("__hi90"), 0.9))
+          .select(col("source"), col("n"), col("p50_exact"),
+            col("p90_exact"), col("p50_ok"), col("p90_ok"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n,
+          round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS p50_exact,
+          round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 4) AS p90_exact,
+          true AS p50_ok, true AS p90_ok
+        FROM documents GROUP BY source ORDER BY source"""))
   )
 }

@@ -223,7 +223,10 @@ class ScaleSpec extends SparkSpec {
       // map-side-summarized single-row agg (no shuffle of its own)
       "x71_heavy_hitters" -> 2,
       // x72: x71's two + the sketch-sized ledger groupBy-sum merge
-      "x72_streaming_heavy_hitters" -> 3)
+      "x72_streaming_heavy_hitters" -> 3,
+      // x73: percentile agg + the rank-check re-agg + sort (the 5-row
+      // per-source sketch table broadcasts into the rank scan)
+      "x73_quantile_sketch" -> 3)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
