@@ -2394,6 +2394,63 @@ object PipelineQueries extends QueryPack {
           round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS p50_exact,
           round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 4) AS p90_exact,
           true AS p50_ok, true AS p90_ok
-        FROM documents GROUP BY source ORDER BY source"""))
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // ---- MULTIMODAL curation end-to-end (the family's x46/x57-style
+    //      capstone): build real container bytes (x66's packer, every
+    //      97th truncated mid-header) → header-parse gate (unparseable
+    //      dropped) → EXACT payload dedup on md5 of the bytes (payload is
+    //      a pure function of (fmt,w,h), so the oracle reproduces dup
+    //      groups from the dim formulas) → per-format curated manifest.
+    //      bytes_kept verifies the CONTAINER sizes byte-for-byte --------
+    Q("x74_multimodal_curation",
+      (s, dir) => {
+        val spec = t(s, dir, "documents").select(col("doc_id"),
+          element_at(typedlit(Seq("png", "jpeg", "gif")),
+            (col("doc_id") % 3).cast("int") + 1).as("fmt"),
+          (lit(1) + pmod(col("doc_id") * 7 + col("n_chars"), lit(1024)))
+            .cast("int").as("w"),
+          (lit(1) + pmod(col("doc_id") * 13 + col("n_chars") * 3, lit(768)))
+            .cast("int").as("h"))
+        val packed = Multimodal.packImages(s, spec, "doc_id", "fmt", "w", "h")
+          .toDF()
+          .withColumn("payload", when(col("id") % 97 === 0,
+            expr("substring(payload, 1, 6)")).otherwise(col("payload")))
+        val decoded = Multimodal.decodeHeaders(s, packed).toDF()
+        val keyed = decoded.filter(col("format").isNotNull)
+          .join(packed.select(col("id"), col("payload")), "id")
+          .withColumn("pmd5", md5(col("payload")))
+          .withColumn("n_bytes", length(col("payload")).cast("long"))
+        val groups = keyed.groupBy(col("format"), col("pmd5")).agg(
+          count(lit(1)).as("grp_n"),
+          first(col("width")).cast("long").as("w"),
+          first(col("height")).cast("long").as("h"),
+          first(col("n_bytes")).as("n_bytes"))
+        groups.groupBy(col("format")).agg(
+          sum(col("grp_n")).as("n_parseable"),
+          count(lit(1)).as("n_kept"),
+          (sum(col("grp_n")) - count(lit(1))).as("n_dropped_dup"),
+          sum(col("w")).as("sum_w_kept"),
+          sum(col("h")).as("sum_h_kept"),
+          sum(col("n_bytes")).as("bytes_kept"))
+          .orderBy(col("format"))
+      },
+      Some("""WITH spec AS (SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'png'
+               WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'gif' END AS fmt,
+          1 + (doc_id * 7 + n_chars) % 1024 AS w,
+          1 + (doc_id * 13 + n_chars * 3) % 768 AS h
+        FROM documents WHERE doc_id % 97 <> 0),
+      k AS (SELECT fmt, w, h, count(*) AS grp_n
+        FROM spec GROUP BY fmt, w, h)
+      SELECT fmt AS format,
+        CAST(sum(grp_n) AS BIGINT) AS n_parseable,
+        CAST(count(*) AS BIGINT) AS n_kept,
+        CAST(sum(grp_n) - count(*) AS BIGINT) AS n_dropped_dup,
+        CAST(sum(w) AS BIGINT) AS sum_w_kept,
+        CAST(sum(h) AS BIGINT) AS sum_h_kept,
+        CAST(count(*) * CASE fmt WHEN 'png' THEN 45 WHEN 'jpeg' THEN 44
+          ELSE 14 END AS BIGINT) AS bytes_kept
+      FROM k GROUP BY fmt ORDER BY format"""))
   )
 }

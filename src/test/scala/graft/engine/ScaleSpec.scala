@@ -226,7 +226,9 @@ class ScaleSpec extends SparkSpec {
       "x72_streaming_heavy_hitters" -> 3,
       // x73: percentile agg + the rank-check re-agg + sort (the 5-row
       // per-source sketch table broadcasts into the rank scan)
-      "x73_quantile_sketch" -> 3)
+      "x73_quantile_sketch" -> 3,
+      // x74: decode-gate join + the dup-group agg + manifest agg/sort
+      "x74_multimodal_curation" -> 3)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet

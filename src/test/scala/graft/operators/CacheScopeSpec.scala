@@ -30,7 +30,7 @@ class CacheScopeSpec extends SparkSpec {
     }
     assert(during > baseline,
       s"persists never materialized inside the scope ($during vs $baseline)")
-    assert(CacheScope.cachedBlockCount(spark) == baseline,
+    assert(CacheScope.cachedBlockCount(spark) <= baseline,
       "cached blocks survived release()")
     assert(scoped == unscoped, "scoping must not change results")
   }
@@ -51,7 +51,7 @@ class CacheScopeSpec extends SparkSpec {
         Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.1,
           scope = Some(sc)).orderBy("doc_a", "doc_b").collect().toSeq)
     }
-    assert(CacheScope.cachedBlockCount(spark) == baseline,
+    assert(CacheScope.cachedBlockCount(spark) <= baseline,
       "cached blocks survived release()")
     assert(gotO == wantO && gotJ == wantJ)
   }
@@ -69,8 +69,14 @@ class CacheScopeSpec extends SparkSpec {
     sc.release()
     sc.release() // second release: no throw, no effect
     assert(sc.trackedCount == 0)
-    assert(CacheScope.cachedBlockCount(spark) == baseline,
+    // <= not ==: the shared session's ContextCleaner may drain stale
+    // localCheckpoint blocks from EARLIER suites at any moment (async
+    // unpersist), so unrelated counts can only fall. The scope-local
+    // claim is pinned by the outside persist surviving untouched.
+    assert(CacheScope.cachedBlockCount(spark) <= baseline,
       "scope released a cache it did not acquire, or missed its own")
+    assert(outside.storageLevel.isValid,
+      "scope released the unrelated outside persist")
     outside.unpersist(blocking = true)
   }
 }
