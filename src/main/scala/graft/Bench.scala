@@ -117,7 +117,8 @@ object Bench {
     // round-10 additions, first measures (BASELINE.md §round 10); x72 is
     // the two-AvailableNow-run streaming shape, like x58/x64
     "x71_heavy_hitters" -> 763, "x72_streaming_heavy_hitters" -> 2483,
-    "x73_quantile_sketch" -> 766, "x74_multimodal_curation" -> 1083)
+    "x73_quantile_sketch" -> 766, "x74_multimodal_curation" -> 1083,
+    "x75_decontaminate_bloom" -> 1161)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

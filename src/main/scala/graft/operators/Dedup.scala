@@ -541,6 +541,41 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** [[decontaminate]]'s scale path for a benchmark set TOO BIG to
+    * broadcast exactly: a Bloom filter over the bench shingles (built
+    * with `DataFrameStatFunctions.bloomFilter` — driver-held, kilobytes
+    * to megabytes regardless of bench size, the runtime-filter pattern)
+    * prunes the corpus shingle stream MAP-SIDE, so only candidate
+    * postings (true matches + the fpp sliver) reach the exact
+    * verification join. Bloom filters have no false negatives, so the
+    * result is IDENTICAL to the exact path — x75 shares x33's oracle
+    * semantics, and DedupSpec proves equality on the same split. The
+    * per-row membership probe is a scala UDF by necessity: Spark exposes
+    * no public Column function over a sketch BloomFilter (might_contain
+    * is internal to the runtime-filter rule); the probe is one virtual
+    * call per row against a broadcast bitset — not a codegen hot path.
+    *
+    * `expectedShingles` sizes the filter (bits ∝ n·ln(1/fpp)); estimate
+    * high — an undersized bloom only raises the FP sliver the exact join
+    * removes anyway. */
+  def decontaminateBloom(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      expectedShingles: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val shingle = (c: Column) =>
+      graft.expressions.TextExpressions.wordShingles(c, n)
+    val benchSh = bench.select(explode(shingle(col(textCol))).as("sh"))
+    val bloom = benchSh.stat.bloomFilter("sh", expectedShingles, fpp)
+    val mightContain = udf((s: String) => bloom.mightContainString(s))
+    val candidates = corpus
+      .select(col(idCol).as("doc"), explode(shingle(col(textCol))).as("sh"))
+      .filter(mightContain(col("sh")))
+    // exact verify join removes bloom false positives; benchSh dedups in
+    // the join's aggregation on the tiny candidate side
+    val contaminated = candidates.join(benchSh.distinct(), "sh")
+      .select(col("doc").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark contamination REPORT — the audit-side complement of
     * [[decontaminate]]: for every benchmark/eval document, how much of it
     * leaked into the training corpus. Per bench doc: its distinct n-gram

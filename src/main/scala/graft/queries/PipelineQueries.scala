@@ -2451,6 +2451,33 @@ object PipelineQueries extends QueryPack {
         CAST(sum(h) AS BIGINT) AS sum_h_kept,
         CAST(count(*) * CASE fmt WHEN 'png' THEN 45 WHEN 'jpeg' THEN 44
           ELSE 14 END AS BIGINT) AS bytes_kept
-      FROM k GROUP BY fmt ORDER BY format"""))
+      FROM k GROUP BY fmt ORDER BY format""")),
+
+    // ---- BLOOM-gated decontamination: x33's semantics when the bench
+    //      set is TOO BIG to broadcast exactly — a driver-held Bloom over
+    //      bench shingles prunes the corpus stream map-side; the exact
+    //      join on survivors removes the fpp sliver. No false negatives,
+    //      so the oracle is x33's exact SQL on this split verbatim ------
+    Q("x75_decontaminate_bloom",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bench = docs.filter(col("doc_id") % 10 === 0)
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        Dedup.decontaminateBloom(corpus, bench, "doc_id", "text", n = 8,
+          expectedShingles = 300000L, fpp = 0.01)
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH bench AS (
+          SELECT DISTINCT unnest(${shingleSqlN(8)}) AS sh
+          FROM documents WHERE doc_id % 10 = 0),
+        corp AS (
+          SELECT doc_id, unnest(${shingleSqlN(8)}) AS sh
+          FROM documents WHERE doc_id % 10 <> 0),
+        bad AS (SELECT DISTINCT doc_id FROM corp JOIN bench USING (sh))
+        SELECT d.doc_id, d.source FROM documents d
+        WHERE d.doc_id % 10 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+        ORDER BY doc_id"""))
   )
 }

@@ -228,7 +228,10 @@ class ScaleSpec extends SparkSpec {
       // per-source sketch table broadcasts into the rank scan)
       "x73_quantile_sketch" -> 3,
       // x74: decode-gate join + the dup-group agg + manifest agg/sort
-      "x74_multimodal_curation" -> 3)
+      "x74_multimodal_curation" -> 3,
+      // x75: bloom-pruned candidates join bench shingles + contaminated-id
+      // distinct + sort; the bloom build itself is a driver-side sketch
+      "x75_decontaminate_bloom" -> 3)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet

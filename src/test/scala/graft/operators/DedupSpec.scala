@@ -200,6 +200,33 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  test("decontaminateBloom equals the exact path (no false negatives)") {
+    import spark.implicits._
+    // seeded corpus with planted contamination: every 7th doc embeds a
+    // bench 4-gram; the bloom path must drop EXACTLY the same docs even
+    // at an aggressive fpp (false positives die in the verify join)
+    val rnd = new scala.util.Random(31)
+    def words(k: Int) = Seq.fill(k)(s"w${rnd.nextInt(200)}").mkString(" ")
+    val bench = (0 until 10)
+      .map(i => (1000L + i, s"mark$i alpha$i beta$i gamma$i"))
+      .toDF("doc_id", "text")
+    val corpus = (0 until 140).map { i =>
+      val base = words(8)
+      val text = if (i % 7 == 0) s"$base mark${i % 10} alpha${i % 10} beta${i % 10} gamma${i % 10}"
+        else base
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    for (fpp <- Seq(0.5, 0.01)) {
+      val bloomed = Dedup.decontaminateBloom(corpus, bench, "doc_id",
+        "text", n = 4, expectedShingles = 100L, fpp = fpp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(bloomed == exact, s"fpp=$fpp diverged from the exact path")
+    }
+    assert(exact.size < 140, "fixture never contaminated anything")
+  }
+
   test("contaminationReport: per-bench leak counts, zero rows retained") {
     import spark.implicits._
     val bench = Seq(
