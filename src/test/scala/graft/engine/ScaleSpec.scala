@@ -327,12 +327,17 @@ class ScaleSpec extends SparkSpec {
     // EmptyRelation — nothing left to meter. Operator-internal persisted
     // builds (postings/sig caches) execute before the registered plan
     // and are out of the meter's scope — budgeted here is the returned
-    // plan's own traffic. Measured: x03=1.6KB, x31=226KB, x63=13KB.
+    // plan's own traffic. Measured: x03=1.6KB, x31=226KB, x63=13KB,
+    // x67=18KB, x75=83KB. x75's ceiling IS its scale claim: the bloom
+    // prune must keep candidate traffic shingle-sliver-sized — a broken
+    // bloom (every shingle a candidate) inflates the verify join past it.
     val sf001 = "/root/testdata/sf0.01"
     val caps = Seq(
       ("x03_minhash_lsh", 64L << 10),
       ("x31_embedding_lsh_pairs", 2L << 20),
-      ("x63_fused_dedup_keeplist", 128L << 10))
+      ("x63_fused_dedup_keeplist", 128L << 10),
+      ("x67_semdedup", 160L << 10),
+      ("x75_decontaminate_bloom", 768L << 10))
     val readings = caps.map { case (name, cap) =>
       spark.catalog.clearCache()
       val b = graft.PlanAudit.executedShuffleBytes(
