@@ -58,7 +58,10 @@ object Bench {
     "x07_text_quality" -> 461, "x08_token_counts" -> 338,
     "x09_winnow_fingerprints" -> 407, "x10_sessionize" -> 648,
     "x11_stream_hourly" -> 2145, "x12_multimodal_meta" -> 252,
-    "x13_multimodal_features" -> 350, "x14_ivf_ann" -> 3483,
+    // x13/x49 re-baselined in round 11: the queries became REAL
+    // javax.imageio pixel workloads (encode+decode per row), a different
+    // cost class from the deleted byte-stub forms (BASELINE.md §round 11)
+    "x13_multimodal_features" -> 1033, "x14_ivf_ann" -> 3483,
     "x15_asof_join" -> 475, "x16_variant_json" -> 975,
     "x17_range_join" -> 896, "x18_simhash_neardups" -> 1591,
     "x19_dup_components" -> 3078, "x20_langid" -> 460,
@@ -85,7 +88,7 @@ object Bench {
     "x44_streaming_table_model" -> 1234,
     "x45_perplexity_buckets" -> 1668, "x46_curation_pipeline" -> 1141,
     "x47_corpus_stats" -> 608, "x48_temperature_resample" -> 636,
-    "x49_multimodal_resize_frames" -> 718,
+    "x49_multimodal_resize_frames" -> 1514, // round-11 re-baseline (ditto)
     // round-8 first measures (BASELINE.md §round 8); x52/x53 cost is the
     // 30 bounded driver rounds of vocab-sized jobs, data-independent;
     // x54 is the post-persist solo measure

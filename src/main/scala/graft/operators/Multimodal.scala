@@ -7,22 +7,35 @@ import org.apache.spark.sql.functions._
   * typed metadata struct alongside, plus the Spark-side plumbing for
   * per-partition decode/feature-extraction.
   *
-  * Header decode is REAL: [[decodeImageHeader]] parses PNG/JPEG/GIF
+  * Everything here is REAL: [[decodeImageHeader]] parses PNG/JPEG/GIF
   * container bytes (signatures, chunk/marker framing, dimension fields)
-  * with no codec dependency, and [[packImageHeader]] builds spec-valid
-  * bytes for the reverse direction. Only pixel-level work (the feature
-  * vector, resize resampling, frame extraction) remains a clearly-marked
-  * deterministic STUB — the container has no image/audio codecs — while
-  * the schema convention, binary packing, and `mapPartitions` batch shape
-  * (one decoder instantiation per partition, streamed rows, no collect)
-  * are production-real throughout.
+  * with no codec dependency; [[packImageHeader]] builds spec-valid bytes
+  * for the reverse direction; and the pixel paths — [[extractFeatures]]
+  * (decoded luminance histograms), [[resizeImages]] (decode →
+  * nearest-neighbor rescale → re-encode), [[sampleFrames]] (animated-GIF
+  * frame decode) — run the JDK's own `javax.imageio` codecs (PNG/JPEG/GIF,
+  * headless-safe, deterministic). The schema convention, binary packing,
+  * and `mapPartitions` batch shape (streamed rows, no collect, decode
+  * map-side where the bytes live) are the 100 TB plumbing.
   */
 object Multimodal {
 
   case class MediaRow(id: Long, media_type: String, n_bytes: Long,
       sha256: String, payload: Array[Byte])
-  case class Features(id: Long, width: Int, height: Int,
-      features: Array[Float])
+  /** REAL decoded features: dims + normalized luminance histogram; None
+    * fields degrade gracefully (pixels undecodable → header dims only;
+    * unparseable → all null). */
+  case class PixelFeatures(id: Long, width: Option[Int],
+      height: Option[Int], features: Option[Array[Float]])
+  /** Resize output: `resized = false` marks payloads the codecs couldn't
+    * decode (payload passes through unchanged — never silently dropped). */
+  case class ResizedRow(id: Long, media_type: String, n_bytes: Long,
+      sha256: String, payload: Array[Byte], resized: Boolean)
+  /** One sampled (every `stride`-th) frame of an animated GIF:
+    * `n_frames` is the REAL container frame count, `frame_bin` the
+    * argmax luminance-histogram bin of the decoded frame raster. */
+  case class SampledFrame(id: Long, frame_idx: Long, n_frames: Long,
+      frame_bin: Int)
   /** A parsed image-container header: canonical format tag + pixel dims. */
   case class ImageHeader(format: String, width: Int, height: Int)
   case class DecodedHeader(id: Long, format: Option[String],
@@ -195,59 +208,178 @@ object Multimodal {
       }
   }
 
-  /** STUB decoder — deterministic fake in place of a real codec (none in
-    * this container). Derives pseudo-dimensions and an 8-float feature
-    * vector from the payload bytes. Replace with e.g. a JNI/ONNX decoder;
-    * the surrounding plumbing (schema, batching, partitioning) is real. */
-  private def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
-    val w = 1 + (payload.length % 64)
-    val h = 1 + (payload.length % 48)
-    // & 0xFF: UNSIGNED byte values — for ASCII payloads this equals the
-    // code point (what the x13 oracle's ascii() computes); a signed Java
-    // byte would go negative on any byte >= 0x80
-    val feats = Array.tabulate(8) { i =>
-      if (payload.isEmpty) 0f
-      else (payload(i * payload.length / 8) & 0xFF).toFloat / 128f
-    }
-    (w, h, feats)
+  // ---- REAL pixel codec (javax.imageio — in-JDK, headless-safe) -------
+
+  /** One-time per-JVM: disable ImageIO's disk-backed stream cache so
+    * every encode/decode stays in memory (a temp-file write per image
+    * would dominate the cost at scale). */
+  private lazy val imageIoInit: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Render a deterministic two-band grayscale fixture image: rows
+    * `[0, h/2)` at gray `gTop`, rows `[h/2, h)` at gray `gBot`
+    * (`gTop == gBot` gives a constant image — the pattern that survives
+    * lossy JPEG and any resampling exactly). Grayscale means the Rec.601
+    * luma of every pixel IS its gray value, so the oracle can predict
+    * [[luminanceHistogram]] with integer arithmetic. */
+  def renderGrayBands(fmt: String, w: Int, h: Int, gTop: Int,
+      gBot: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    require(gTop >= 0 && gTop <= 255 && gBot >= 0 && gBot <= 255,
+      s"gray out of range: $gTop/$gBot")
+    encodeImage(grayBandsRaster(w, h, gTop, gBot), fmt)
   }
 
-  /** Per-partition feature extraction over packed media rows. The decoder
-    * is constructed once per partition (the expensive-init pattern for
-    * codecs/models); rows stream through without materializing the
-    * partition. Dimensions come from the REAL container-header parse
-    * ([[decodeImageHeader]]) whenever the payload is a parseable
-    * PNG/JPEG/GIF; non-image payloads (e.g. packed text) fall back to the
-    * deterministic pseudo-dims, and only the pixel-feature vector remains
-    * stubbed (no codec in this container). */
-  def extractFeatures(spark: SparkSession, packed: DataFrame): Dataset[Features] = {
+  /** Bulk-filled two-band raster (one setRGB call — the per-pixel call
+    * pays a ColorModel conversion each time). */
+  private def grayBandsRaster(w: Int, h: Int, gTop: Int,
+      gBot: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    val top = (gTop << 16) | (gTop << 8) | gTop
+    val bot = (gBot << 16) | (gBot << 8) | gBot
+    val split = (h / 2) * w
+    java.util.Arrays.fill(px, 0, split, top)
+    java.util.Arrays.fill(px, split, w * h, bot)
+    img.setRGB(0, 0, w, h, px, 0, w)
+    img
+  }
+
+  /** Encode a raster via the JDK's ImageIO writers (png/jpeg/gif ship in
+    * JDK 17; writes are deterministic — probe-verified byte-identical
+    * across calls). */
+  def encodeImage(img: java.awt.image.BufferedImage,
+      fmt: String): Array[Byte] = {
+    imageIoInit
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, fmt, bos)
+    require(ok, s"no ImageIO writer for format '$fmt' (png|jpeg|gif)")
+    bos.toByteArray
+  }
+
+  /** REAL pixel decode: ImageIO over the payload bytes. None for
+    * anything the JDK codecs can't parse (truncated, header-only, not an
+    * image) — callers surface that as nulls, never a crash. */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    imageIoInit
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+  }
+
+  /** Integer Rec.601 luma histogram over decoded pixels: bin =
+    * `luma / (256/bins)` with luma `(299R + 587G + 114B) / 1000` — exact
+    * `v` for gray pixels `R=G=B=v`, so fixture histograms are
+    * oracle-predictable. */
+  def luminanceHistogram(img: java.awt.image.BufferedImage,
+      bins: Int = 8): Array[Long] = {
+    require(bins > 0 && 256 % bins == 0, "bins must divide 256")
+    val width = 256 / bins
+    val c = new Array[Long](bins)
+    val w = img.getWidth
+    val px = img.getRGB(0, 0, w, img.getHeight, null, 0, w) // one bulk read
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      val lum = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+        114 * (rgb & 0xFF)) / 1000
+      c(math.min(bins - 1, lum / width)) += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Distributed pixel-image ingestion: (id, format, w, h, gTop, gBot)
+    * spec rows → REAL encoded rasters in the standard MediaRow frame.
+    * Map-side only, no shuffle; sha256/n_bytes from the actual bytes. */
+  def packPixelImages(spark: SparkSession, df: DataFrame, idCol: String,
+      formatCol: String, widthCol: String, heightCol: String,
+      gTopCol: String, gBotCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(formatCol),
+        col(widthCol).cast("int"), col(heightCol).cast("int"),
+        col(gTopCol).cast("int"), col(gBotCol).cast("int"))
+      .as[(Long, String, Int, Int, Int, Int)]
+      .map { case (id, fmt, w, h, gT, gB) =>
+        val payload = renderGrayBands(fmt, w, h, gT, gB)
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(payload).map("%02x".format(_)).mkString
+        MediaRow(id, s"image/$fmt", payload.length.toLong, sha, payload)
+      }
+  }
+
+  /** Per-partition REAL feature extraction over packed media rows: decode
+    * via the JDK codecs, emit decoded dims + the `bins`-bin normalized
+    * luminance histogram as the feature vector. Payloads whose pixels
+    * don't decode fall back to the container-header parse for dims
+    * (features null); fully unparseable payloads yield an all-null row.
+    * Rows stream through one partition at a time — no shuffle, no
+    * partition materialization; per-partition init (ImageIO cache-off)
+    * happens once per JVM. */
+  def extractFeatures(spark: SparkSession, packed: DataFrame,
+      bins: Int = 8): Dataset[PixelFeatures] = {
     import spark.implicits._
     packed.select(col("id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition init would go here (decoder/model handle)
         rows.map { case (id, payload) =>
-          val (sw, sh, f) = decodeStub(payload)
-          decodeImageHeader(payload) match {
-            case Some(h) => Features(id, h.width, h.height, f)
-            case None => Features(id, sw, sh, f)
+          decodeImage(payload) match {
+            case Some(img) =>
+              val hist = luminanceHistogram(img, bins)
+              val total = math.max(1L, hist.sum)
+              PixelFeatures(id, Some(img.getWidth), Some(img.getHeight),
+                Some(hist.map(c => (c.toDouble / total).toFloat)))
+            case None => decodeImageHeader(payload) match {
+              case Some(h) => PixelFeatures(id, Some(h.width),
+                Some(h.height), None)
+              case None => PixelFeatures(id, None, None, None)
+            }
           }
         }
       }
   }
 
-  /** STUB resize: a real implementation decodes, scales to
-    * (targetW, targetH), re-encodes. The stub derives a deterministic
-    * resized payload (truncated/cycled bytes) and rewrites the metadata —
-    * the Spark shape (projection over binary, new payload + metadata,
-    * no shuffle) is the real part. */
-  def resize(packed: DataFrame, targetW: Int, targetH: Int): DataFrame =
-    packed
-      .withColumn("payload",
-        expr(s"substring(payload, 1, int(least(n_bytes, ${targetW.toLong * targetH})))"))
-      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
-      .withColumn("media_type", concat(col("media_type"),
-        lit(s";resized=${targetW}x$targetH")))
-      .withColumn("sha256", sha2(col("payload"), 256))
+  /** REAL resize: decode → nearest-neighbor rescale to
+    * (targetW, targetH) → re-encode in the payload's own container
+    * format. Nearest-neighbor (pinned via RenderingHints) introduces no
+    * new colors, so a fixture image's palette — and its luminance-bin
+    * support — survives the rescale, which is what the oracle checks.
+    * Undecodable payloads pass through unchanged with `resized = false`
+    * (no silent drop). Map-side projection over the binary — no shuffle. */
+  def resizeImages(spark: SparkSession, packed: DataFrame, targetW: Int,
+      targetH: Int): Dataset[ResizedRow] = {
+    require(targetW > 0 && targetH > 0, s"bad target ${targetW}x$targetH")
+    import spark.implicits._
+    packed.select(col("id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, mt, payload) =>
+          val out = decodeImage(payload).flatMap { img =>
+            // re-encode in the format the bytes themselves declare
+            decodeImageHeader(payload).map { hdr =>
+              val dst = new java.awt.image.BufferedImage(targetW, targetH,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g2 = dst.createGraphics()
+              try {
+                g2.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+                g2.drawImage(img, 0, 0, targetW, targetH, null)
+              } finally g2.dispose()
+              encodeImage(dst, hdr.format)
+            }
+          }
+          val (bytes, resized) = out match {
+            case Some(b) => (b, true)
+            case None => (payload, false)
+          }
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(bytes).map("%02x".format(_)).mkString
+          val tag = if (resized) s";resized=${targetW}x$targetH" else ""
+          ResizedRow(id, mt + tag, bytes.length.toLong, sha, bytes, resized)
+        }
+      }
+  }
 
   /** Payload near-duplicates: byte-block SimHash over the packed binary,
     * grouped per media_type — the multimodal twin of the x18 text
@@ -311,20 +443,77 @@ object Multimodal {
       .dropDuplicates("media_type", "id_a", "id_b")
   }
 
-  /** STUB frame sampling: every `stride`-th byte stands in for every
-    * stride-th video frame. One input row explodes to its sampled-frame
-    * rows (posexplode keeps frame order) — the genuinely Spark-side
-    * concerns are the row-explosion shape and frame indexing. */
-  def sampleFrames(packed: DataFrame, stride: Int): DataFrame = {
+  /** Distributed multi-frame GIF ingestion (the video stand-in whose
+    * codec genuinely ships in the JDK): per spec row, write a REAL
+    * animated GIF of `nFrames` full-size constant-gray frames — frame i
+    * at gray `(gBase + i * gStep) mod 256` — via the ImageIO sequence
+    * writer. Map-side only; sha256/n_bytes from the actual bytes. */
+  def packAnimatedGifs(spark: SparkSession, df: DataFrame, idCol: String,
+      widthCol: String, heightCol: String, nFramesCol: String,
+      gBaseCol: String, gStepCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(widthCol).cast("int"),
+        col(heightCol).cast("int"), col(nFramesCol).cast("int"),
+        col(gBaseCol).cast("int"), col(gStepCol).cast("int"))
+      .as[(Long, Int, Int, Int, Int, Int)]
+      .map { case (id, w, h, n, gBase, gStep) =>
+        require(n > 0, s"need at least one frame, got $n (id=$id)")
+        imageIoInit
+        val bos = new java.io.ByteArrayOutputStream()
+        val writer =
+          javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var i = 0
+          while (i < n) {
+            val g = java.lang.Math.floorMod(gBase + i * gStep, 256)
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(grayBandsRaster(w, h, g, g),
+                null, null), null)
+            i += 1
+          }
+          writer.endWriteSequence()
+          ios.flush()
+        } finally { writer.dispose(); ios.close() }
+        val payload = bos.toByteArray
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(payload).map("%02x".format(_)).mkString
+        MediaRow(id, "image/gif", payload.length.toLong, sha, payload)
+      }
+  }
+
+  /** REAL frame sampling over animated GIFs: decode the container with
+    * the JDK GIF reader, keep every `stride`-th frame, emit the decoded
+    * frame's argmax luminance bin plus the container's REAL total frame
+    * count. One input row streams out its sampled-frame rows inside
+    * `mapPartitions` (flatMap shape — frame order preserved by
+    * construction); non-GIF / undecodable payloads contribute no rows by
+    * the same None-degradation convention as [[decodeHeaders]]. */
+  def sampleFrames(spark: SparkSession, packed: DataFrame,
+      stride: Int): Dataset[SampledFrame] = {
     require(stride > 0, "stride must be positive")
-    packed
-      .select(col("id"), col("media_type"), col("payload"),
-        posexplode(expr(
-          s"CASE WHEN n_bytes > 0 THEN sequence(0, int(n_bytes) - 1, $stride)" +
-            " ELSE cast(array() AS array<int>) END"))
-          .as(Seq("frame_idx", "offset")))
-      .select(col("id"), col("media_type"),
-        col("frame_idx").cast("long").as("frame_idx"),
-        expr("substring(payload, offset + 1, 1)").as("frame_byte"))
+    import spark.implicits._
+    packed.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          imageIoInit
+          val reader =
+            javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          try {
+            reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(payload)))
+            val n = reader.getNumImages(true)
+            (0 until n by stride).map { i =>
+              val hist = luminanceHistogram(reader.read(i))
+              val bin = hist.indexOf(hist.max) // ties → lowest bin
+              SampledFrame(id, i.toLong, n.toLong, bin)
+            }
+          } catch {
+            case _: Exception => Seq.empty[SampledFrame]
+          } finally reader.dispose()
+        }
+      }
   }
 }

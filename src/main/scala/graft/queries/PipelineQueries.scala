@@ -50,6 +50,46 @@ object PipelineQueries extends QueryPack {
       (length(bin(expr("event_id DIV 2") % 1024 + 1)) - 1).cast("string")))
     .otherwise(concat(lit("t"), col("event_id").cast("string")))
 
+  /** Deterministic pixel-image fixture spec shared by x13/x49: format
+    * cycles png/jpeg/gif by `doc_id % 3`; dims 8..64 × 8..56; grays —
+    * PNG gets two independent bands (lossless, any value), JPEG a
+    * CONSTANT bin-center gray 16+32k (so its ±2 lossy round-trip stays
+    * in-bin), GIF a constant arbitrary gray (palette round-trip is
+    * exact). [[pixelFixtureSpecSql]] is the same arithmetic in DuckDB. */
+  private def pixelFixtureSpec(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val m3 = col("doc_id") % 3
+    docs.select(col("doc_id"),
+      element_at(typedlit(Seq("png", "jpeg", "gif")),
+        m3.cast("int") + 1).as("fmt"),
+      (lit(8) + pmod(col("doc_id") * 7 + col("n_chars"), lit(57)))
+        .cast("int").as("w"),
+      (lit(8) + pmod(col("doc_id") * 13 + col("n_chars") * 3, lit(49)))
+        .cast("int").as("h"),
+      when(m3 === 1, lit(16) + pmod(col("doc_id") * 5 + 3, lit(8)) * 32)
+        .when(m3 === 2, pmod(col("doc_id") * 53 + 7, lit(256)))
+        .otherwise(pmod(col("doc_id") * 37 + 11, lit(256)))
+        .cast("int").as("g_top"),
+      when(m3 === 1, lit(16) + pmod(col("doc_id") * 5 + 3, lit(8)) * 32)
+        .when(m3 === 2, pmod(col("doc_id") * 53 + 7, lit(256)))
+        .otherwise(pmod(col("doc_id") * 59 + 23, lit(256)))
+        .cast("int").as("g_bot"))
+  }
+
+  /** DuckDB twin of [[pixelFixtureSpec]] (format column omitted — the
+    * oracles check decoded pixels, which don't depend on the container). */
+  private val pixelFixtureSpecSql =
+    """SELECT doc_id AS id,
+      8 + (doc_id*7 + n_chars) % 57 AS w,
+      8 + (doc_id*13 + n_chars*3) % 49 AS h,
+      CASE WHEN doc_id % 3 = 1 THEN 16 + ((doc_id*5 + 3) % 8) * 32
+           WHEN doc_id % 3 = 2 THEN (doc_id*53 + 7) % 256
+           ELSE (doc_id*37 + 11) % 256 END AS g1,
+      CASE WHEN doc_id % 3 = 1 THEN 16 + ((doc_id*5 + 3) % 8) * 32
+           WHEN doc_id % 3 = 2 THEN (doc_id*53 + 7) % 256
+           ELSE (doc_id*59 + 23) % 256 END AS g2
+      FROM documents"""
+
   /** n-gram distinct shingle list for arbitrary n (the 4-gram constant
     * above predates this; kept for oracle-text stability). */
   private def shingleSqlN(n: Int): String = {
@@ -608,49 +648,104 @@ object PipelineQueries extends QueryPack {
         octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256
         FROM documents ORDER BY id""")),
 
-    // ---- multimodal feature extraction. The decode STUB is deterministic
-    //      (dims from byte length, f0 = first byte / 128 — exact in
-    //      float32, power-of-two divisor), so even the stub path is
-    //      hash-checked against DuckDB ----------------------------------
+    // ---- multimodal feature extraction over REAL pixels: deterministic
+    //      gray-pattern fixtures (PNG two-band, JPEG/GIF constant) are
+    //      encoded AND decoded with the JDK's own javax.imageio codecs;
+    //      the 8-bin luminance histogram of the decoded raster is
+    //      integer-exact arithmetic of the spec (grayscale ⇒ Rec.601
+    //      luma = gray value; JPEG grays sit at bin centers 16+32k, so
+    //      its ±2 lossy round-trip can't cross a bin edge) — hash-checked
+    //      bin COUNTS, no float tolerance anywhere -----------------------
     Q("x13_multimodal_features",
       (s, dir) => {
-        val packed = Multimodal.pack(t(s, dir, "documents"), "doc_id", "text", "text/plain")
-        Multimodal.extractFeatures(s, packed).toDF()
-          .select(col("id"), col("width").cast("long"), col("height").cast("long"),
-            round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+        // repartition BEFORE the codec map: documents is one small
+        // parquet split, but encode+decode is expensive per row — spread
+        // the narrow (id, spec) rows across every core first (at 100 TB
+        // the scan is already wide and this exchange is a no-op-sized
+        // rebalance; here it buys 32× on the dominant cost)
+        val packed = Multimodal.packPixelImages(s,
+          pixelFixtureSpec(t(s, dir, "documents"))
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "fmt", "w", "h", "g_top", "g_bot").toDF()
+        val feats = Multimodal.extractFeatures(s, packed).toDF()
+        feats.select(
+          (col("id") +: col("width").cast("long").as("width") +:
+            col("height").cast("long").as("height") +:
+            (0 until 8).map(b =>
+              round(element_at(col("features"), b + 1) *
+                col("width") * col("height"))
+                .cast("long").as(s"c$b"))): _*)
           .orderBy(col("id"))
       },
-      Some("""SELECT doc_id AS id,
-        CAST(1 + octet_length(encode(text)) % 64 AS BIGINT) AS width,
-        CAST(1 + octet_length(encode(text)) % 48 AS BIGINT) AS height,
-        round(CAST(ascii(text) AS DOUBLE)/128, 6) AS f0
-        FROM documents ORDER BY id""")),
+      Some(s"""WITH s AS ($pixelFixtureSpecSql)
+        SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        ${(0 until 8).map(b =>
+          s"""CAST(CASE WHEN g1//32 = $b THEN (h//2)*w ELSE 0 END
+             + CASE WHEN g2//32 = $b THEN (h - h//2)*w ELSE 0 END
+             AS BIGINT) AS c$b""").mkString(",\n        ")}
+        FROM s ORDER BY id""")),
 
-    // ---- multimodal resize + frame sampling (the remaining stubbed
-    //      decode surfaces, deterministic by construction): resized
-    //      payload metadata joined with per-doc sampled-frame counts and
-    //      the first frame byte — all hash-checked --------------------
+    // ---- multimodal resize + video-frame sampling, REAL end to end:
+    //      still fixtures are decoded → nearest-neighbor rescaled →
+    //      re-encoded in their own format → RE-decoded, and checked on
+    //      decoded dims + luminance mass (nearest-neighbor introduces no
+    //      new colors, so all 24x16=384 resized pixels stay in the source
+    //      bands' bins — integer-exact); per doc a REAL multi-frame
+    //      animated GIF is written via the ImageIO sequence writer, every
+    //      2nd frame decoded back, its constant gray recovered as the
+    //      argmax luminance bin --------------------------------------
     Q("x49_multimodal_resize_frames",
       (s, dir) => {
-        val packed = Multimodal.pack(t(s, dir, "documents"),
-          "doc_id", "text", "text/plain")
-        val resized = Multimodal.resize(packed, targetW = 16, targetH = 4)
-          .select(col("id"), col("media_type"), col("n_bytes"), col("sha256"))
-        val frames = Multimodal.sampleFrames(packed, stride = 50)
-        val frameCounts = frames.groupBy(col("id"))
-          .agg(count(lit(1)).as("n_frames"))
-        val firstFrame = frames.filter(col("frame_idx") === 0)
-          .select(col("id"), expr("string(frame_byte)").as("frame0"))
-        resized.join(frameCounts, "id").join(firstFrame, "id")
-          .orderBy(col("id"))
+        // same pre-codec rebalance as x13 — the stills and the animated
+        // GIFs each run ~3 codec passes per row off a one-split scan.
+        // Only the codec path is repartitioned; the b1/b2 verdict side
+        // stays on the raw (cheap, broadcastable) scan.
+        val spec = pixelFixtureSpec(t(s, dir, "documents"))
+        val packed = Multimodal.packPixelImages(s,
+          spec.repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "fmt", "w", "h", "g_top", "g_bot").toDF()
+        val resized = Multimodal
+          .resizeImages(s, packed, targetW = 24, targetH = 16).toDF()
+        // NOT broadcast-hinted: spec is corpus-sized (one row per doc) —
+        // at 100 TB this must stay an id-shuffle join; AQE broadcasts it
+        // on its own at bench scale
+        val rp = Multimodal.extractFeatures(s, resized).toDF()
+          .join(spec.select(col("doc_id").as("id"),
+            expr("int(g_top DIV 32)").as("b1"),
+            expr("int(g_bot DIV 32)").as("b2")), "id")
+          .select(col("id"),
+            col("width").cast("long").as("out_w"),
+            col("height").cast("long").as("out_h"),
+            (round(element_at(col("features"), col("b1") + 1) *
+              col("width") * col("height")) +
+              when(col("b2") === col("b1"), lit(0.0))
+                .otherwise(round(element_at(col("features"), col("b2") + 1) *
+                  col("width") * col("height"))))
+              .cast("long").as("mass"))
+        val gifs = Multimodal.packAnimatedGifs(s,
+          t(s, dir, "documents").select(col("doc_id"),
+            lit(16).as("fw"), lit(12).as("fh"),
+            (lit(2) + pmod(col("doc_id"), lit(4))).cast("int").as("nf"),
+            pmod(col("doc_id") * 29 + 5, lit(256)).cast("int").as("gb"),
+            lit(37).as("gs"))
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "fw", "fh", "nf", "gb", "gs").toDF()
+        Multimodal.sampleFrames(s, gifs, stride = 2).toDF()
+          .join(rp, "id")
+          .select(col("id"), col("frame_idx"), col("n_frames"),
+            col("frame_bin"), col("out_w"), col("out_h"), col("mass"))
+          .orderBy(col("id"), col("frame_idx"))
       },
-      Some("""SELECT doc_id AS id,
-        'text/plain;resized=16x4' AS media_type,
-        CAST(least(length(text), 64) AS BIGINT) AS n_bytes,
-        sha256(substr(text, 1, 64)) AS sha256,
-        CAST((length(text) + 49) // 50 AS BIGINT) AS n_frames,
-        substr(text, 1, 1) AS frame0
-        FROM documents ORDER BY id""")),
+      Some("""WITH s AS (SELECT doc_id AS id, 2 + doc_id % 4 AS nf,
+          (doc_id*29 + 5) % 256 AS gb FROM documents),
+        f AS (SELECT id, i, nf, gb FROM s
+          CROSS JOIN (VALUES (0), (2), (4)) AS v(i) WHERE i < nf)
+        SELECT id, CAST(i AS BIGINT) AS frame_idx,
+          CAST(nf AS BIGINT) AS n_frames,
+          CAST(((gb + i*37) % 256) // 32 AS INT) AS frame_bin,
+          CAST(24 AS BIGINT) AS out_w, CAST(16 AS BIGINT) AS out_h,
+          CAST(384 AS BIGINT) AS mass
+        FROM f ORDER BY id, frame_idx""")),
 
     // ---- as-of join: each purchase matched to the user's most recent
     //      preceding click (union+window, one shuffle — AsOfJoin doc) ----

@@ -173,7 +173,8 @@ class ScaleSpec extends SparkSpec {
       "x07_text_quality" -> 1, "x08_token_counts" -> 1,
       "x09_winnow_fingerprints" -> 1, "x10_sessionize" -> 2,
       "x11_stream_hourly" -> 1, "x12_multimodal_meta" -> 1,
-      "x13_multimodal_features" -> 1, "x14_ivf_ann" -> 9,
+      // x13: pre-codec round-robin rebalance + the total-order sort
+      "x13_multimodal_features" -> 2, "x14_ivf_ann" -> 9,
       "x15_asof_join" -> 2, "x16_variant_json" -> 1,
       "x17_range_join" -> 1, "x18_simhash_neardups" -> 2,
       "x19_dup_components" -> 4, "x20_langid" -> 1,
@@ -191,7 +192,11 @@ class ScaleSpec extends SparkSpec {
       "x43_embedding_dedup_keeplist" -> 4, "x44_streaming_table_model" -> 2,
       "x45_perplexity_buckets" -> 6, "x46_curation_pipeline" -> 5,
       "x47_corpus_stats" -> 3, "x48_temperature_resample" -> 5,
-      "x49_multimodal_resize_frames" -> 2, "x50_incremental_dedup" -> 2,
+      // x49: two pre-codec rebalances (stills, animated GIFs) + the
+      // total-order sort; the id joins AQE-broadcast at audit scale and
+      // shuffle-join correctly at 100 TB (no broadcast hint — spec is
+      // corpus-sized)
+      "x49_multimodal_resize_frames" -> 3, "x50_incremental_dedup" -> 2,
       "x51_nb_quality_score" -> 7, "x52_bpe_merges" -> 1,
       "x53_bpe_token_counts" -> 2, "x54_payload_neardups" -> 2,
       "x55_url_domain_curation" -> 4,

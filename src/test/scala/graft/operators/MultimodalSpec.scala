@@ -3,8 +3,9 @@ package graft.operators
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing invariants (the decode itself is a documented
-  * stub — these pin the schema/partitioning/row-shape contracts). */
+/** Multimodal invariants: REAL javax.imageio pixel round-trips (encode →
+  * decode → exact luminance histograms), real resize and animated-GIF
+  * frame sampling, plus the schema/partitioning/row-shape contracts. */
 class MultimodalSpec extends SparkSpec {
 
   private lazy val packed = {
@@ -27,29 +28,69 @@ class MultimodalSpec extends SparkSpec {
     assert(sha == want)
   }
 
-  test("resize truncates payload and rewrites metadata consistently") {
-    val r = Multimodal.resize(packed, targetW = 2, targetH = 3) // 6 bytes
-    val rows = r.orderBy("id")
-      .select(col("n_bytes"), decode(col("payload"), "utf-8"), col("media_type"))
-      .collect()
-    assert(rows.map(_.getLong(0)).toSeq == Seq(6L, 3L, 0L))
-    assert(rows.map(_.getString(1)).toSeq == Seq("hello ", "abc", ""))
-    assert(rows.forall(_.getString(2) == "text/plain;resized=2x3"))
-    // sha256 matches the new payload, not the old one
-    val sha = r.filter(col("id") === 1).select("sha256").collect().head.getString(0)
-    val want = java.security.MessageDigest.getInstance("SHA-256")
-      .digest("hello ".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    assert(sha == want)
+  test("pixel round-trip: encoded fixtures decode to exact luminance histograms") {
+    // png two-band is lossless; gif palettes the constant exactly; jpeg's
+    // bin-center constant may drift ±2 in value but never crosses a bin
+    val png = Multimodal.renderGrayBands("png", 37, 23, 200, 40)
+    val hPng = Multimodal.luminanceHistogram(Multimodal.decodeImage(png).get)
+    // top band: 11 rows at 200 (bin 6); bottom: 12 rows at 40 (bin 1)
+    assert(hPng.toSeq == Seq(0L, 12L * 37, 0L, 0L, 0L, 0L, 11L * 37, 0L))
+    for ((fmt, g) <- Seq(("jpeg", 16 + 3 * 32), ("gif", 147))) {
+      val bytes = Multimodal.renderGrayBands(fmt, 21, 9, g, g)
+      val img = Multimodal.decodeImage(bytes).get
+      assert(img.getWidth == 21 && img.getHeight == 9)
+      val h = Multimodal.luminanceHistogram(img)
+      assert(h(g / 32) == 21L * 9, s"$fmt: ${h.toSeq}")
+    }
   }
 
-  test("sampleFrames: every stride-th byte, ordered, empties drop out") {
-    val f = Multimodal.sampleFrames(packed, stride = 4)
-    val got = f.orderBy("id", "frame_idx")
-      .select(col("id"), col("frame_idx"), decode(col("frame_byte"), "utf-8"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-    // "hello world": offsets 0,4,8 -> h,o,r ; "abc": offset 0 -> a
-    assert(got.toSeq == Seq((1L, 0L, "h"), (1L, 1L, "o"), (1L, 2L, "r"),
-      (2L, 0L, "a")))
+  test("resizeImages: real rescale preserves band bins; undecodable passes through") {
+    import spark.implicits._
+    val spec = Seq((1L, "png", 40, 30, 200, 40), (2L, "jpeg", 33, 17, 112, 112),
+      (3L, "gif", 9, 8, 77, 77)).toDF("id", "fmt", "w", "h", "gt", "gb")
+    val imgs = Multimodal.packPixelImages(spark, spec,
+      "id", "fmt", "w", "h", "gt", "gb").toDF()
+    val withText = imgs.unionByName(
+      Multimodal.pack(Seq((9L, "not an image")).toDF("doc_id", "text"),
+        "doc_id", "text", "text/plain"))
+    val r = Multimodal.resizeImages(spark, withText, 24, 16)
+    val rows = r.collect().map(x => x.id -> x).toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(rows(id).resized, s"id=$id should resize")
+      assert(rows(id).media_type.endsWith(";resized=24x16"))
+      val img = Multimodal.decodeImage(rows(id).payload).get
+      assert(img.getWidth == 24 && img.getHeight == 16)
+      // sha/n_bytes describe the NEW payload
+      val want = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(rows(id).payload).map("%02x".format(_)).mkString
+      assert(rows(id).sha256 == want && rows(id).n_bytes == rows(id).payload.length)
+    }
+    // nearest-neighbor introduces no new colors: all 384 pixels stay in
+    // the source bands' bins
+    val h1 = Multimodal.luminanceHistogram(
+      Multimodal.decodeImage(rows(1L).payload).get)
+    assert(h1(6) + h1(1) == 24L * 16 && h1(6) > 0 && h1(1) > 0, h1.toSeq)
+    // undecodable: untouched payload, no resized tag, flag false
+    assert(!rows(9L).resized && rows(9L).media_type == "text/plain")
+    assert(new String(rows(9L).payload, "UTF-8") == "not an image")
+  }
+
+  test("sampleFrames: real animated GIFs, every stride-th decoded frame") {
+    import spark.implicits._
+    val spec = Seq((1L, 16, 12, 5, 10, 37), (2L, 8, 8, 1, 200, 0))
+      .toDF("id", "w", "h", "nf", "gb", "gs")
+    val gifs = Multimodal.packAnimatedGifs(spark, spec,
+      "id", "w", "h", "nf", "gb", "gs").toDF()
+    // the container holds the REAL frame count
+    val f = Multimodal.sampleFrames(spark, gifs, stride = 2)
+      .collect().sortBy(x => (x.id, x.frame_idx))
+    assert(f.map(x => (x.id, x.frame_idx, x.n_frames)).toSeq ==
+      Seq((1L, 0L, 5L), (1L, 2L, 5L), (1L, 4L, 5L), (2L, 0L, 1L)))
+    // frame grays 10, 84, 158 -> bins 0, 2, 4; constant 200 -> bin 6
+    assert(f.map(_.frame_bin).toSeq == Seq(0, 2, 4, 6))
+    // non-GIF payloads contribute no rows (None-degradation, no crash)
+    val none = Multimodal.sampleFrames(spark, packed, stride = 2).count()
+    assert(none == 0)
   }
 
   test("payloadNearDups: shift-tolerant within a type, never across types") {
@@ -182,19 +223,31 @@ class MultimodalSpec extends SparkSpec {
       assert(Multimodal.decodeImageHeader(p).isEmpty, p.mkString(","))
   }
 
-  test("feature extraction reports REAL dims for parseable image payloads") {
+  test("feature extraction: real pixels → real histogram features") {
     import spark.implicits._
-    val spec = Seq((10L, "jpeg", 320, 200)).toDF("id", "fmt", "w", "h")
-    val packed = Multimodal.packImages(spark, spec, "id", "fmt", "w", "h").toDF()
-    val f = Multimodal.extractFeatures(spark, packed).collect().head
-    assert(f.width == 320 && f.height == 200)
+    val spec = Seq((10L, "png", 40, 30, 200, 40)).toDF("id", "fmt", "w", "h", "gt", "gb")
+    val imgs = Multimodal.packPixelImages(spark, spec,
+      "id", "fmt", "w", "h", "gt", "gb").toDF()
+    val f = Multimodal.extractFeatures(spark, imgs).collect().head
+    assert(f.width.contains(40) && f.height.contains(30))
+    val feats = f.features.get
+    // 15 rows at 200 (bin 6), 15 rows at 40 (bin 1), normalized
+    assert(math.abs(feats(6) - 0.5f) < 1e-6 && math.abs(feats(1) - 0.5f) < 1e-6)
+    assert(feats.sum > 0.999f && feats.sum < 1.001f)
   }
 
-  test("feature extraction streams per partition with stable schema") {
+  test("feature extraction degrades: header-only dims, then all-null") {
+    import spark.implicits._
+    // header-only JPEG (x66's packer — valid SOF, no scan data): pixels
+    // can't decode, dims still come from the container-header parse
+    val spec = Seq((10L, "jpeg", 320, 200)).toDF("id", "fmt", "w", "h")
+    val headerOnly = Multimodal.packImages(spark, spec, "id", "fmt", "w", "h").toDF()
+    val f = Multimodal.extractFeatures(spark, headerOnly).collect().head
+    assert(f.width.contains(320) && f.height.contains(200) && f.features.isEmpty)
+    // packed text: not an image at all → all-null row, stable schema
     val feats = Multimodal.extractFeatures(spark, packed).toDF()
     assert(feats.columns.toSeq == Seq("id", "width", "height", "features"))
     assert(feats.count() == 3)
-    val f1 = feats.filter(col("id") === 1).collect().head
-    assert(f1.getSeq[Float](f1.fieldIndex("features")).length == 8)
+    assert(feats.filter(col("features").isNotNull).count() == 0)
   }
 }
