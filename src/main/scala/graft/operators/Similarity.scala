@@ -156,6 +156,97 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** FAISS-style refine step (the IndexRefineFlat pattern): re-score an
+    * approximate candidate list with EXACT cosine over the true vectors
+    * and keep the top-k per query. `candidates` is (query_id,
+    * neighbor_id) — typically the top-C (C ≥ 3–5×k) of an ADC /
+    * reconstruction scan, so the joins here move C rows per query,
+    * never corpus². Both vector fetches are id-equi joins (shuffle on
+    * id — co-locatable with the corpus layout at scale); ranking
+    * follows the bruteForceTopK contract (round-4 cosine, id
+    * tie-break), so a refined list over a candidate set containing the
+    * true top-k IS the exact top-k. */
+  def refineTopK(candidates: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vc"))
+      .withColumn("nc", norm(col("vc")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("vq"))
+      .withColumn("nq", norm(col("vq")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    candidates.select(col("query_id"), col("neighbor_id"))
+      .join(q, "query_id").join(c, "neighbor_id")
+      .withColumn("cos",
+        round(cosinePrenormed(col("vq"), col("vc"), col("nq"), col("nc")), 4))
+      // vectors dropped before the rank shuffle (see bruteForceTopK)
+      .select("query_id", "neighbor_id", "cos")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic k-means++-style seeding (Arthur & Vassilvitskii,
+    * SODA 2007, derandomized): pull a BOUNDED md5-rank sample of the
+    * corpus to the driver — `max(64k, 2048)` rows by lowest
+    * `md5("kpp|" + id)`, an engine-neutral uniform draw (the srpSigns
+    * convention) that Spark plans as TakeOrdered (per-partition top-N +
+    * driver merge, no shuffle) — then run farthest-point selection
+    * locally over the sample: seed 0 is the lowest-rank vector; each
+    * next seed maximizes `D² · (0.5 + 0.5·u)` where
+    * `D = 1 − cos(v, nearest chosen seed)` and `u ∈ [0,1)` is the
+    * md5-derived per-row uniform — k-means++'s D²-proportional sampling
+    * with the randomness replaced by a reproducible hash weight (the
+    * bounded factor keeps far points dominant while breaking
+    * grid/ordering artifacts); ties break by lowest id. Seeding off a
+    * uniform sample is the standard large-scale practice (MLlib's
+    * k-means|| oversamples for the same reason); the driver holds
+    * sample×dim floats and the selection is sample×k dot products —
+    * microseconds, and NO distributed pass beyond the one TakeOrdered.
+    * Far better dispersion than lowest-k-ids (which seeds k
+    * near-identical vectors when low ids correlate). */
+  private def kppSeeds(training: DataFrame, idCol: String, vecCol: String,
+      k: Int): IndexedSeq[Array[Float]] = {
+    val sampleN = math.max(64 * k, 2048)
+    val rank = md5(concat(lit("kpp|"), col(idCol).cast("string")))
+    // (id, vec, u) by ascending rank; u = first 8 rank nibbles / 2^32
+    val sample: Array[(Long, Array[Float], Double)] = training
+      .select(col(idCol).cast("long"), col(vecCol), rank.as("__r"))
+      .orderBy(col("__r")).limit(sampleN)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        java.lang.Long.parseLong(r.getString(2).take(8), 16) / 4294967296.0))
+    require(sample.nonEmpty, "kppSeeds: empty training set")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12)
+    }
+    // best-so-far distance to the chosen set, updated per new seed
+    val best = Array.fill(sample.length)(Double.MaxValue)
+    var seeds = IndexedSeq(sample.head._2)
+    var latest = sample.head._2
+    while (seeds.size < k) {
+      var pick = -1; var pickScore = -1.0; var pickId = Long.MaxValue
+      var i = 0
+      while (i < sample.length) {
+        val (id, v, u) = sample(i)
+        val d = math.min(best(i), 1.0 - cos(v, latest))
+        best(i) = d
+        val score = d * d * (0.5 + 0.5 * u)
+        if (score > pickScore || (score == pickScore && id < pickId)) {
+          pick = i; pickScore = score; pickId = id
+        }
+        i += 1
+      }
+      latest = sample(pick)._2
+      seeds = seeds :+ latest
+    }
+    seeds
+  }
+
   /** Lloyd's k-means over an embedding column, cosine geometry.
     *
     * MLlib-style driver-held centroids: each iteration broadcasts the k
@@ -163,9 +254,10 @@ object Similarity {
     * side), assigns every row to its nearest centroid with one hash
     * aggregation, and reduces new means with [[graft.expressions.FloatVecSumAgg]] —
     * so per iteration exactly k×dim partial sums cross the shuffle, no
-    * matter the corpus size. Deterministic: init = the k lowest-id
-    * vectors; ties in assignment break by cell id. Empty cells keep their
-    * previous centroid. Train on a `df.sample` at very large scale.
+    * matter the corpus size. Deterministic: init = [[kppSeeds]]
+    * (derandomized k-means++ — md5-rank-weighted farthest-point); ties
+    * in assignment break by cell id. Empty cells keep their previous
+    * centroid. Train on a `df.sample` at very large scale.
     */
   def trainKMeans(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 5): DataFrame = {
@@ -175,10 +267,7 @@ object Similarity {
     // (MLlib KMeans does the same); unpersisted before returning
     val training = df.select(col(idCol), col(vecCol)).cache()
     // cells are 0..k-1, positional: cents(i) is cell i's vector
-    var cents: IndexedSeq[Array[Float]] =
-      training.orderBy(col(idCol)).limit(k)
-        .collect().toIndexedSeq
-        .map(r => r.getSeq[Float](1).toArray)
+    var cents: IndexedSeq[Array[Float]] = kppSeeds(training, idCol, vecCol, k)
     for (_ <- 0 until iters) {
       // unit-normalized centroid literal: assignment is a per-row argmax of
       // dot(v, ĉ_i) — entirely map-side, no join, no row blowup; the only

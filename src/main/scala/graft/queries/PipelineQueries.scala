@@ -2045,10 +2045,15 @@ object PipelineQueries extends QueryPack {
 
     // ---- IVF-PQ: the production vector-index shape (FAISS IVFPQ) —
     //      coarse cells + PQ on RESIDUALS, searched by running the IVF
-    //      scan over reconstructions (numerically = the ADC trick).
+    //      scan over reconstructions (numerically = the ADC trick), then
+    //      REFINED: the top-25 ADC candidates per query are re-scored
+    //      with exact cosine over the true vectors (FAISS
+    //      IndexRefineFlat) and the top-5 kept — the standard recall
+    //      recovery, one candidate-volume id join, never corpus².
     //      Self-adjudicates recall@5 vs the exact baseline like x14;
-    //      measured 0.56/0.56/0.44 at sf0.001/0.01/0.1 with m=16,
-    //      ksub=128 (112-bit codes, 18x compression), nProbe=5 ---------
+    //      pre-refine this measured 0.56/0.56/0.44 across SFs, the
+    //      refined floor is 0.6 (m=16, ksub=128: 112-bit codes, 18x
+    //      compression; nProbe=5) ------------------------------------
     Q("x62_ivf_pq_ann",
       (s, dir) => {
         import graft.operators.{Pq, Similarity}
@@ -2062,8 +2067,11 @@ object PipelineQueries extends QueryPack {
           dim = 64, m = 16, ksub = 128, iters = 5)
         val recon = Pq.ivfPqReconstruct(e, "vec_id", "embedding",
           centSeq, cbs).select(col("vec_id"), col("recon").as("embedding"))
-        val approx = Similarity.ivfTopK(recon, e, cents, "vec_id",
-          "embedding", k = 5, nProbe = 5)
+        val candidates = Similarity.ivfTopK(recon, e, cents, "vec_id",
+          "embedding", k = 25, nProbe = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = Similarity.refineTopK(candidates, e, e, "vec_id",
+          "embedding", k = 5)
           .select(col("query_id"), col("neighbor_id"))
         val exact = Similarity.bruteForceTopKBroadcast(e, e, "vec_id",
           "embedding", k = 5).select(col("query_id"), col("neighbor_id"))
@@ -2071,7 +2079,7 @@ object PipelineQueries extends QueryPack {
             Seq("query_id", "neighbor_id"), "left")
           .agg(countDistinct(col("query_id")).as("n_queries"),
             (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
-              >= 0.4).as("recall_ok"))
+              >= 0.6).as("recall_ok"))
           .withColumn("code_bits", lit(112L))
       },
       Some("""SELECT count(*) AS n_queries, true AS recall_ok,

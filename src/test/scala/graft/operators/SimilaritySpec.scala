@@ -45,6 +45,61 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@$k = $recall")
   }
 
+  test("refineTopK over a candidate set containing the true top-k IS exact") {
+    val k = 3
+    val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k)
+    // candidates = exact top-10: a superset of the true top-3, so the
+    // refine contract says the refined list equals the exact top-3
+    val cands = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val refined = Similarity.refineTopK(cands, emb, emb, "vec_id", "embedding", k)
+    assert(exact.exceptAll(refined).isEmpty && refined.exceptAll(exact).isEmpty)
+    assert(refined.count() == exact.count())
+  }
+
+  test("refineTopK lifts IVF-PQ-style recall over its own candidate scan") {
+    val k = 5
+    val cents = Similarity.trainKMeans(emb, "vec_id", "embedding", k = 10, iters = 5)
+    // degrade the scoring side by coarse rounding (a stand-in for PQ
+    // reconstruction error), search with it, then refine with the TRUE
+    // vectors — refined recall must not be lower
+    val degraded = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double"), 1).cast("float")).as("embedding"))
+    val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k)
+      .select(col("query_id"), col("neighbor_id"))
+    val raw = Similarity.ivfTopK(degraded, emb, cents, "vec_id", "embedding",
+      k, nProbe = 3).select(col("query_id"), col("neighbor_id"))
+    val cands = Similarity.ivfTopK(degraded, emb, cents, "vec_id", "embedding",
+      k = 25, nProbe = 3).select(col("query_id"), col("neighbor_id"))
+    val refined = Similarity.refineTopK(cands, emb, emb, "vec_id", "embedding", k)
+      .select(col("query_id"), col("neighbor_id"))
+    val n = exact.count()
+    val rawRecall = exact.intersect(raw).count().toDouble / n
+    val refRecall = exact.intersect(refined).count().toDouble / n
+    assert(refRecall >= rawRecall,
+      s"refine must not lose recall: raw=$rawRecall refined=$refRecall")
+  }
+
+  test("k-means++ seeding spreads cells: no cell swallows the corpus") {
+    // lowest-k-ids seeding on clustered data can seed k near-identical
+    // vectors and leave one giant cell; the kpp init must not. Assert a
+    // balance bound that lowest-id seeding fails on pathological
+    // orderings: largest cell < 60% of rows, and >= half the cells
+    // non-trivially populated.
+    val k = 8
+    val cents = Similarity.trainKMeans(emb, "vec_id", "embedding", k, iters = 5)
+    val assigned = SemDedup.assignCells(
+      emb.select(col("vec_id"), col("embedding")), "embedding", cents)
+    val counts = assigned.groupBy(col("cell")).count()
+      .collect().map(_.getLong(1))
+    val total = counts.sum
+    assert(counts.max.toDouble / total < 0.6,
+      s"a single cell holds ${counts.max}/$total rows")
+    assert(counts.count(_ >= total / (4L * k)) >= k / 2,
+      s"cell sizes too degenerate: ${counts.toSeq.sorted.reverse}")
+  }
+
   test("broadcast-corpus top-k is identical to the join+window form") {
     val a = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5)
     val b = Similarity.bruteForceTopKBroadcast(emb, emb, "vec_id", "embedding", 5)
