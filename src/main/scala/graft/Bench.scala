@@ -110,7 +110,11 @@ object Bench {
     "x63_fused_dedup_keeplist" -> 8200,
     // x64 = x58's two-AvailableNow-run shape over SRP postings
     "x64_streaming_embedding_ledger" -> 3760,
-    "x65_shard_manifest" -> 600,
+    // x65 re-baselined r11: shardBySize now enforces its unique-id
+    // contract (one id-width guard agg before the assignment join —
+    // silently multiplied/dropped rows became loud errors); solo
+    // min-of-4 with the guard (BASELINE.md §round 11)
+    "x65_shard_manifest" -> 1132,
     // round-10 first measures for the round-9 additions (BASELINE.md
     // §round 10); x67's cost is k-means clustering + within-cluster
     // pair verification — composition-is-the-workload

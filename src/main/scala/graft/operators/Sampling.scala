@@ -189,13 +189,19 @@ object Sampling {
     * boundaries and per-row ids across the offset job and the emit job
     * materializes two columns, not the corpus (a full-row checkpoint of
     * a text table measured 2.3x the whole query). The resulting
-    * (id, shard) assignment joins back to the input on the unique id —
-    * one corpus-width shuffle, the same order of IO as the global sort
+    * (id, shard) assignment joins back to the input on the id — which
+    * therefore MUST be unique and non-null; both are validated up front
+    * (duplicates would multiply rows, nulls would silently drop) — one
+    * corpus-width shuffle, the same order of IO as the global sort
     * it replaces, but spread over every task instead of one. Hash
     * sharding (`pmod(hash(id), S)`) stays the zero-sort alternative
-    * when ±a few percent skew is acceptable. */
+    * when ±a few percent skew is acceptable (and tolerates duplicate
+    * ids). `reliableCheckpoint = true` swaps the executor-local pin for
+    * the caller-configured `setCheckpointDir` storage on long-lived
+    * clusters. */
   def shardBySize(df: DataFrame, idCol: String, sizeCol: String,
-      numShards: Int, shardCol: String = "shard"): DataFrame = {
+      numShards: Int, shardCol: String = "shard",
+      reliableCheckpoint: Boolean = false): DataFrame = {
     require(numShards > 0, "numShards must be positive")
     require(!df.columns.contains(shardCol),
       s"shardBySize writes '$shardCol' which already exists on the input")
@@ -210,13 +216,44 @@ object Sampling {
     // nondeterministic expressions, so Catalyst will not reorder them
     // across the sort; the checkpoint then pins their values for both
     // downstream jobs.
-    val ranked = df
+    //
+    // localCheckpoint blocks are EXECUTOR-LOCAL (not fault-tolerant): an
+    // executor loss between the offset job and the emit job kills the
+    // query — fine in local mode and for restartable batch jobs. On a
+    // long-lived cluster pass reliableCheckpoint = true: the pin goes
+    // through sc.setCheckpointDir's reliable storage instead (the
+    // connectedComponents-documented fault-tolerant variant; the caller
+    // must have called spark.sparkContext.setCheckpointDir).
+    val staged = df
       .select(col(idCol).as("__sid"), col(sizeCol).as("__ssz"))
       .repartitionByRange(nPart, col("__ssz").desc, col("__sid"))
       .sortWithinPartitions(col("__ssz").desc, col("__sid"))
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint()
+    val ranked =
+      if (reliableCheckpoint) staged.checkpoint() else staged.localCheckpoint()
+    // uniqueness/null guard: a DUPLICATE id would multiply its rows
+    // through the assignment join below (one output row per matching
+    // assignment), and a NULL id would silently vanish (null === null
+    // is null) — both are caller data bugs; fail loudly instead of
+    // corrupting output. One id-width hash agg over the narrow
+    // checkpointed projection (same cost class as the rank machinery
+    // itself); hash sharding remains the guard-free alternative.
+    val bad = ranked.groupBy(col("__sid"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__sid").isNull || col("__n") > 1)
+      .limit(1).collect()
+    if (bad.nonEmpty) {
+      val r = bad.head
+      if (r.isNullAt(0)) throw new IllegalArgumentException(
+        s"shardBySize: id column '$idCol' contains nulls, which the " +
+          "assignment join would silently drop — filter or fill them first")
+      else throw new IllegalArgumentException(
+        s"shardBySize: id column '$idCol' is not unique (id ${r.get(0)} " +
+          s"appears ${r.getLong(1)} times), which the assignment join " +
+          "would multiply — deduplicate first, or use hash sharding " +
+          "(pmod(hash(id), S)) which tolerates duplicates")
+    }
     // phase 2: per-partition (count, first-id) — bounded by nPart rows,
     // driver-held index metadata like the IVF centroid tables
     val partStats = ranked.groupBy(col("__pid"))

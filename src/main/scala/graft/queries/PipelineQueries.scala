@@ -2438,11 +2438,10 @@ object PipelineQueries extends QueryPack {
           .write.mode("append").parquet(landing.toString)
         EventStreams.streamingHeavyHitters(s, landing.toString, ev.schema,
           "strhh.sketch", ckpt.toString, "term", capacity = 128)
-        val ledger = s.table("strhh.sketch")
-        val summary = ledger.filter(col("term").isNotNull)
-          .groupBy(col("term")).agg(sum(col("est")).as("est"))
-        val totals = ledger.filter(col("term").isNull)
-          .agg(sum(col("est")).as("__n"))
+        // mergeSketchLedger, not a bare groupBy-sum: collapses
+        // at-least-once replays on batch_id before summing
+        val (summary, totals) =
+          EventStreams.mergeSketchLedger(s.table("strhh.sketch"))
         graft.operators.HeavyHitters.reportFromSummary(
           ev, "term", summary, totals, capacity = 128, topK = 8)
       },

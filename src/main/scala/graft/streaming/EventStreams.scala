@@ -300,13 +300,23 @@ object EventStreams {
     * increments. Per batch the appended rows are bounded by
     * tasks × capacity + 1 — sketch-sized, never corpus-sized; the one
     * collected row is the same bounded-metadata shape as the BPE merge
-    * loop's argmax row. */
+    * loop's argmax row.
+    *
+    * DELIVERY: foreachBatch is at-least-once — a crash between the
+    * append and the offset commit replays the batch and appends its
+    * summary AGAIN. Every row therefore carries the streaming
+    * `batch_id`, and [[mergeSketchLedger]] collapses duplicate
+    * deliveries (`dropDuplicates(batch_id, term)`) before the pointwise
+    * sum — read the ledger through it, never a bare groupBy-sum, or a
+    * replay would overcount and break the est ≤ exact invariant the
+    * report's sketch_ok verdict asserts (the streamingDedupLedger
+    * delivery caveat, made idempotent instead of just documented). */
   def streamingHeavyHitters(spark: SparkSession, landingDir: String,
       schema: org.apache.spark.sql.types.StructType, sketchTable: String,
       checkpointDir: String, termCol: String, capacity: Int): Unit = {
     val stream = spark.readStream.schema(schema).parquet(landingDir)
     val fb: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, _) => {
+      (batch, batchId) => {
         val s = batch.sparkSession
         // ONE pass over the microbatch: (n, summary) in a single row
         val row = batch.toDF().agg(
@@ -318,6 +328,7 @@ object EventStreams {
           .map(e => (e.getString(0), e.getLong(1)))
         import s.implicits._
         val out = ((null.asInstanceOf[String], n) +: entries).toDF("term", "est")
+          .withColumn("batch_id", lit(batchId))
         out.write.mode("append").format("parquet").saveAsTable(sketchTable)
       }
     val q = stream.writeStream
@@ -328,5 +339,22 @@ object EventStreams {
     try q.awaitTermination() finally q.stop()
     if (spark.catalog.tableExists(sketchTable))
       spark.catalog.refreshTable(sketchTable)
+  }
+
+  /** Idempotent merge of a [[streamingHeavyHitters]] ledger:
+    * `dropDuplicates(batch_id, term)` collapses at-least-once replays
+    * (a replayed batch re-appends rows with the SAME batch_id; each
+    * delivery is individually a valid MG summary of that batch, so
+    * keeping any one preserves est ≤ exact), then the pointwise sum.
+    * Returns (summary = per-term merged estimates,
+    * totals = single-row exact n from the null-term sentinels) — the
+    * two frames [[graft.operators.HeavyHitters.reportFromSummary]]
+    * takes. */
+  def mergeSketchLedger(ledger: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val once = ledger.dropDuplicates("batch_id", "term")
+    (once.filter(col("term").isNotNull)
+      .groupBy(col("term")).agg(sum(col("est")).as("est")),
+      once.filter(col("term").isNull).agg(sum(col("est")).as("__n")))
   }
 }

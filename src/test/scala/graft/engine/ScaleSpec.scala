@@ -227,8 +227,11 @@ class ScaleSpec extends SparkSpec {
       // x71: exact top-k agg + its order-by; the sketch side is ONE
       // map-side-summarized single-row agg (no shuffle of its own)
       "x71_heavy_hitters" -> 2,
-      // x72: x71's two + the sketch-sized ledger groupBy-sum merge
-      "x72_streaming_heavy_hitters" -> 3,
+      // x72: x71's two + the sketch-sized ledger merge, which now
+      // dedups at-least-once replays on (batch_id, term) before the
+      // groupBy-sum — the dedup exchange feeds both the summary and the
+      // sentinel-totals consumers (all sketch-sized rows)
+      "x72_streaming_heavy_hitters" -> 5,
       // x73: percentile agg + the rank-check re-agg + sort (the 5-row
       // per-source sketch table broadcasts into the rank scan)
       "x73_quantile_sketch" -> 3,

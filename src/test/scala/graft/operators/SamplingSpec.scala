@@ -200,4 +200,23 @@ class SamplingSpec extends SparkSpec {
       Sampling.shardBySize(clashing, "id", "sz", 4)
     }.getMessage.contains("__sid"))
   }
+
+  test("shardBySize: duplicate and null ids fail loudly, not corrupt") {
+    import spark.implicits._
+    // a duplicate id would get TWO assignment rows and the join would
+    // multiply it; pre-guard this silently doubled the doc
+    val dup = Seq((1L, 10L), (2L, 20L), (2L, 30L), (3L, 5L)).toDF("id", "sz")
+    val eDup = intercept[IllegalArgumentException] {
+      Sampling.shardBySize(dup, "id", "sz", 2)
+    }
+    assert(eDup.getMessage.contains("not unique") &&
+      eDup.getMessage.contains("hash sharding"), eDup.getMessage)
+    // a null id would vanish through the equi-join
+    val withNull = Seq((java.lang.Long.valueOf(1L), 10L),
+      (null.asInstanceOf[java.lang.Long], 20L)).toDF("id", "sz")
+    val eNull = intercept[IllegalArgumentException] {
+      Sampling.shardBySize(withNull, "id", "sz", 2)
+    }
+    assert(eNull.getMessage.contains("null"), eNull.getMessage)
+  }
 }

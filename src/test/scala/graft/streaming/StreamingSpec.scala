@@ -231,14 +231,13 @@ class StreamingSpec extends SparkSpec {
     b2.toDF("term").write.mode("append").parquet(landing)
     run()
     val ledger = spark.table("strhht.sketch")
+    val (summaryDf, totalsDf) = EventStreams.mergeSketchLedger(ledger)
     // history never recounted: sentinel totals sum to EXACTLY n
     val n = all.size.toLong
-    assert(ledger.filter(col("term").isNull)
-      .agg(sum(col("est"))).first().getLong(0) == n,
+    assert(totalsDf.first().getLong(0) == n,
       "sentinel totals double-counted history")
     // merged summary obeys the telescoped MG bounds vs exact counts
-    val merged = ledger.filter(col("term").isNotNull)
-      .groupBy(col("term")).agg(sum(col("est")).as("est"))
+    val merged = summaryDf
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val bound = n.toDouble / (cap + 1)
@@ -254,14 +253,22 @@ class StreamingSpec extends SparkSpec {
     }
     // and the report operator agrees end-to-end
     val rep = graft.operators.HeavyHitters.reportFromSummary(
-      all.toDF("term"), "term",
-      ledger.filter(col("term").isNotNull)
-        .groupBy(col("term")).agg(sum(col("est")).as("est")),
-      ledger.filter(col("term").isNull).agg(sum(col("est")).as("__n")),
+      all.toDF("term"), "term", summaryDf, totalsDf,
       cap, topK = 5).collect()
     assert(rep.map(_.getString(0)).toSeq ==
       Seq("hot6", "hot5", "hot4", "hot3", "hot2"))
     assert(rep.forall(_.getBoolean(3)), rep.mkString(", "))
+    // at-least-once replay: re-appending a batch's rows with the SAME
+    // batch_id (what a crash-retry does) must not change the merge
+    val replay = ledger.filter(col("batch_id") === 0)
+    replay.write.mode("append").format("parquet")
+      .saveAsTable("strhht.sketch")
+    spark.catalog.refreshTable("strhht.sketch")
+    val (s2, t2) = EventStreams.mergeSketchLedger(spark.table("strhht.sketch"))
+    assert(t2.first().getLong(0) == n,
+      "replayed batch double-counted in sentinel totals")
+    val m2 = s2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m2 == merged, "replayed batch changed the merged summary")
   }
 
   test("streaming hourly aggregation equals batch group-by") {
