@@ -167,7 +167,8 @@ final case class Snapshot(
     checkCols: Seq[String],
     config: ModelConfig = ModelConfig(Materialization.Table),
     asOf: () => java.sql.Timestamp =
-      () => new java.sql.Timestamp(System.currentTimeMillis())) extends Node {
+      () => new java.sql.Timestamp(System.currentTimeMillis()),
+    partitions: Option[Int] = None) extends Node {
   def id: String = s"snapshot.$name"
 }
 

@@ -266,26 +266,54 @@ object Materializer {
       checkCols.map(c =>
         coalesce(col(c).cast("string"), lit("_graft_null_"))): _*), 256))
 
+  /** The bucket a key's whole SCD-2 history lives in when the snapshot
+    * is partitioned: `pmod(hash(key), n)` — Murmur3, deterministic
+    * across runs, so a key never migrates between buckets. */
+  private def snapshotPart(uniqueKey: String, n: Int) =
+    pmod(hash(col(uniqueKey)), lit(n)).cast("int")
+
   /** The snapshot table's first-run shape: hashed check key + open SCD-2
-    * validity columns. Doubles as the COMPILE-TIME schema of a `ref` to a
-    * not-yet-built snapshot (Project.snapshotDf). */
+    * validity columns (+ the `graft_part` bucket when partitioned).
+    * Doubles as the COMPILE-TIME schema of a `ref` to a not-yet-built
+    * snapshot (Project.snapshotDf). */
   private[engine] def snapshotFirstRun(fresh: DataFrame,
-      checkCols: Seq[String], asOf: java.sql.Timestamp): DataFrame =
-    snapshotHashed(fresh, checkCols)
+      checkCols: Seq[String], asOf: java.sql.Timestamp,
+      uniqueKey: String = "", partitions: Option[Int] = None): DataFrame = {
+    val base = snapshotHashed(fresh, checkCols)
       .withColumn("valid_from", lit(asOf))
       .withColumn("valid_to", lit(null).cast("timestamp"))
+    partitions match {
+      case Some(n) =>
+        base.withColumn("graft_part", snapshotPart(uniqueKey, n))
+      case None => base
+    }
+  }
 
+  /** SCD-2 snapshot build. `partitions = None` (default) rewrites the
+    * whole table via staging + atomic RENAME swap. `partitions = Some(n)`
+    * is the 100 TB path: the table is bucketed by
+    * `graft_part = pmod(hash(uniqueKey), n)`, and each run rewrites ONLY
+    * the buckets containing changed / new / disappeared keys (dynamic
+    * partition overwrite, the InsertOverwrite machinery) — a steady-state
+    * run that touches 1% of keys rewrites ~the same fraction of buckets,
+    * not the accumulated history. Unchanged buckets' files are never
+    * opened for write (EngineSpec proves them byte-identical across a
+    * run). Semantics are identical to the full rewrite. */
   def snapshot(p: Project, table: String, fresh: DataFrame,
       uniqueKey: String, checkCols: Seq[String],
-      asOf: java.sql.Timestamp): Unit = {
+      asOf: java.sql.Timestamp, partitions: Option[Int] = None): Unit = {
     val spark = p.spark
     val physical = table
     ensureSchema(p, physical.split('.').head)
     val open = lit(null).cast("timestamp")
     def hashed(df: DataFrame) = snapshotHashed(df, checkCols)
     if (!spark.catalog.tableExists(physical)) {
-      snapshotFirstRun(fresh, checkCols, asOf)
-        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(physical)
+      val first = snapshotFirstRun(fresh, checkCols, asOf, uniqueKey, partitions)
+      val w = first.write.mode(SaveMode.Overwrite).format("parquet")
+      partitions match {
+        case Some(_) => w.partitionBy("graft_part").saveAsTable(physical)
+        case None => w.saveAsTable(physical)
+      }
       return
     }
     val current = spark.table(physical)
@@ -304,16 +332,47 @@ object Materializer {
         (col(s"n.$uniqueKey").isNull || col("c.graft_check") =!= col("n.graft_check")))
       .select(cur.columns.map(c => col(s"c.$c")): _*)
       .withColumn("valid_to", lit(asOf))
-    val inserted = joined
+    val insertedBare = joined
       .filter(col(s"n.$uniqueKey").isNotNull &&
         (col(s"c.$uniqueKey").isNull || col("c.graft_check") =!= col("n.graft_check")))
       .select(next.columns.map(c => col(s"n.$c")): _*)
       .withColumn("valid_from", lit(asOf))
       .withColumn("valid_to", open)
-    val result = currentClosed
-      .unionByName(stillOpen).unionByName(closedOut).unionByName(inserted)
-    val staging = physical + "__staging"
-    result.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(staging)
-    swapTables(spark, staging, physical)
+    partitions match {
+      case None =>
+        val result = currentClosed
+          .unionByName(stillOpen).unionByName(closedOut).unionByName(insertedBare)
+        val staging = physical + "__staging"
+        result.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(staging)
+        swapTables(spark, staging, physical)
+      case Some(n) =>
+        // the fresh side has no bucket column yet; a key's bucket is a
+        // pure hash so new versions land with their history
+        val inserted = insertedBare
+          .withColumn("graft_part", snapshotPart(uniqueKey, n))
+        // buckets that gained, lost, or changed a key; everything else
+        // is untouched on disk. closedOut ∪ inserted covers all three
+        // classes (a disappeared key close-out is in closedOut; a new or
+        // changed key's open row is in inserted). Bounded collect: ≤ n.
+        val buckets = closedOut.select(col("graft_part"))
+          .unionByName(inserted.select(col("graft_part")))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        if (buckets.isEmpty) return // no drift — zero partitions rewritten
+        val affected = currentClosed
+          .unionByName(stillOpen).unionByName(closedOut).unionByName(inserted)
+          .filter(col("graft_part").isin(buckets: _*))
+          // eager pin: the rewrite below reads FROM the table it
+          // overwrites; cut that lineage before the write (the
+          // incremental-merge staging swap's moral equivalent, scoped to
+          // the affected buckets)
+          .localCheckpoint()
+        val ordered = affected.select(
+          (affected.columns.filterNot(_ == "graft_part") :+ "graft_part")
+            .map(col): _*)
+        SessionConf.withConf(spark,
+          "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+          ordered.write.mode(SaveMode.Overwrite).insertInto(physical)
+        }
+    }
   }
 }

@@ -114,11 +114,13 @@ final class Project(val spark: SparkSession, val target: Target) {
   def snapshot(name: String, uniqueKey: String, checkCols: Seq[String],
       config: ModelConfig = ModelConfig(Materialization.Table),
       asOf: () => java.sql.Timestamp =
-        () => new java.sql.Timestamp(System.currentTimeMillis()))(
+        () => new java.sql.Timestamp(System.currentTimeMillis()),
+      partitions: Option[Int] = None)(
       build: Ctx => DataFrame): this.type = {
     require(!snapshots.contains(name) && !models.contains(name) &&
       !analyses.contains(name), s"duplicate node $name")
-    snapshots(name) = Snapshot(name, build, uniqueKey, checkCols, config, asOf)
+    snapshots(name) =
+      Snapshot(name, build, uniqueKey, checkCols, config, asOf, partitions)
     this
   }
 
@@ -252,7 +254,7 @@ final class Project(val spark: SparkSession, val target: Target) {
   private def snapshotDf(s: Snapshot): DataFrame =
     if (spark.catalog.tableExists(physicalName(s))) spark.table(physicalName(s))
     else Materializer.snapshotFirstRun(resolveSnapshotFresh(s.name),
-      s.checkCols, new java.sql.Timestamp(0L))
+      s.checkCols, new java.sql.Timestamp(0L), s.uniqueKey, s.partitions)
 
   // synchronized: exec-time resolution records edges from the run thread
   // pool (compile-time resolution is single-threaded, but not exclusively)
@@ -646,7 +648,7 @@ final class Project(val spark: SparkSession, val target: Target) {
           // materialized upstreams, which topo order has already built)
           val fresh = s.build(execCtxFor(s.id, mutable.Map()))
           Materializer.snapshot(this, physicalName(s), fresh,
-            s.uniqueKey, s.checkCols, s.asOf())
+            s.uniqueKey, s.checkCols, s.asOf(), s.partitions)
           NodeResult(s.id, "success", ms)
         case t: DataTest =>
           val viol = t.violations(materializedDf(t.modelName))

@@ -543,6 +543,63 @@ class EngineSpec extends SparkSpec {
     assert(open2.head.getAs[java.sql.Timestamp]("valid_from") == t1)
   }
 
+  test("snapshot: partition-scoped rewrite leaves unchanged buckets byte-identical") {
+    import spark.implicits._
+    val p = newProject("snappart")
+    val t1 = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2026-02-02 00:00:00")
+    val nPart = 8
+    val v1 = (1L to 64L).map(id => (id, s"v$id")).toDF("id", "v")
+    Materializer.snapshot(p, "snappart.c", v1, "id", Seq("v"), t1,
+      partitions = Some(nPart))
+    val loc = java.nio.file.Paths.get(new java.net.URI(
+      spark.sql("DESCRIBE TABLE EXTENDED snappart.c")
+        .filter(col("col_name") === "Location")
+        .collect().head.getString(1)))
+    def fileState(): Map[String, (Long, Long)] = {
+      val out = scala.collection.mutable.Map[String, (Long, Long)]()
+      java.nio.file.Files.walk(loc).forEach { f =>
+        val rel = loc.relativize(f).toString
+        if (rel.endsWith(".parquet"))
+          out(rel) = (java.nio.file.Files.size(f),
+            java.nio.file.Files.getLastModifiedTime(f).toMillis)
+      }
+      out.toMap
+    }
+    val before = fileState()
+    assert(before.keySet.map(_.split('/').head).size > 1,
+      s"fixture must span several buckets: ${before.keySet}")
+    // change exactly one key — only its bucket may be rewritten
+    val changedBucket = v1.filter(col("id") === 5L)
+      .select(pmod(hash(col("id")), lit(nPart)).cast("int"))
+      .collect().head.getInt(0)
+    val v2 = (1L to 64L).map(id =>
+      (id, if (id == 5L) "CHANGED" else s"v$id")).toDF("id", "v")
+    Materializer.snapshot(p, "snappart.c", v2, "id", Seq("v"), t2,
+      partitions = Some(nPart))
+    val after = fileState()
+    val untouchedBefore = before.filterNot(_._1.startsWith(s"graft_part=$changedBucket/"))
+    val untouchedAfter = after.filterNot(_._1.startsWith(s"graft_part=$changedBucket/"))
+    assert(untouchedBefore == untouchedAfter,
+      "files outside the changed bucket were rewritten")
+    assert(before.keys.exists(_.startsWith(s"graft_part=$changedBucket/")) &&
+      before.filter(_._1.startsWith(s"graft_part=$changedBucket/")) !=
+        after.filter(_._1.startsWith(s"graft_part=$changedBucket/")),
+      "the changed bucket must actually be rewritten")
+    // semantics identical to the full-rewrite snapshot
+    Materializer.snapshot(p, "snappart.full", v1, "id", Seq("v"), t1)
+    Materializer.snapshot(p, "snappart.full", v2, "id", Seq("v"), t2)
+    val got = spark.table("snappart.c").drop("graft_part")
+    val want = spark.table("snappart.full")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "partitioned snapshot diverged from the full-rewrite semantics")
+    // a zero-drift run rewrites nothing at all
+    Materializer.snapshot(p, "snappart.c", v2, "id", Seq("v"),
+      java.sql.Timestamp.valueOf("2026-02-03 00:00:00"),
+      partitions = Some(nPart))
+    assert(fileState() == after, "no-drift run must not touch any file")
+  }
+
   test("snapshot as DAG node: topo order, downstream ref, orphan claim, selection") {
     import spark.implicits._
     val p = newProject("snapdag")
