@@ -125,7 +125,9 @@ object Bench {
     // the two-AvailableNow-run streaming shape, like x58/x64
     "x71_heavy_hitters" -> 763, "x72_streaming_heavy_hitters" -> 2483,
     "x73_quantile_sketch" -> 766, "x74_multimodal_curation" -> 1083,
-    "x75_decontaminate_bloom" -> 1161)
+    "x75_decontaminate_bloom" -> 1161,
+    // r11 first-measures (solo min-of-4, quiet host — BASELINE.md r11)
+    "x76_dsir_resample" -> 1172)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

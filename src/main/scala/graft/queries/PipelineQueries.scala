@@ -2580,6 +2580,42 @@ object PipelineQueries extends QueryPack {
         SELECT d.doc_id, d.source FROM documents d
         WHERE d.doc_id % 10 <> 0
           AND d.doc_id NOT IN (SELECT doc_id FROM bad)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- DSIR importance resampling (Xie et al. NeurIPS'23): hashed
+    //      unigram+bigram bucket distributions for target (lang='en')
+    //      vs raw corpus; per-doc decimal-exact log importance weight;
+    //      top-100 non-target docs resampled via TakeOrdered. The
+    //      bucket log-ratio table is B-row broadcast; totals ride the
+    //      x25/x40 single-row broadcast shape -------------------------
+    Q("x76_dsir_resample",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val scores = graft.operators.Dsir.importanceScores(
+          docs, "doc_id", "text", isTarget = col("lang") === "en",
+          buckets = 256)
+        graft.operators.Dsir.resampleTopK(scores, k = 100)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sp AS (SELECT doc_id, lang = 'en' AS is_target,
+          string_split(text,' ') AS ts FROM documents),
+        f AS (SELECT doc_id, is_target,
+          unnest(list_concat(ts, list_transform(range(len(ts)-1),
+            i -> ts[i+1]||'_'||ts[i+2]))) AS f FROM sp),
+        fb AS (SELECT doc_id, is_target,
+          ('0x'||substr(md5(f),1,8))::BIGINT % 256 AS bucket FROM f),
+        st AS (SELECT bucket, count(*) AS cr,
+          sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+          FROM fb GROUP BY bucket),
+        tt AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM st),
+        lr AS (SELECT bucket,
+          CAST(round(ln((ct+1.0)/(tt+256)) - ln((cr+1.0)/(tr+256)), 6)
+            AS DECIMAL(18,6)) AS lr FROM st, tt),
+        sc AS (SELECT doc_id, is_target, count(*) AS n_feats,
+          round(CAST(sum(lr) AS DOUBLE), 6) AS logw
+          FROM fb JOIN lr USING (bucket) GROUP BY doc_id, is_target),
+        top AS (SELECT doc_id, n_feats, logw FROM sc WHERE NOT is_target
+          ORDER BY logw DESC, doc_id LIMIT 100)
+        SELECT doc_id, n_feats, logw FROM top ORDER BY doc_id"""))
   )
 }

@@ -98,11 +98,15 @@ class ScaleSpec extends SparkSpec {
     //  - x71/x72: the k exact top rows cross-join the ONE totals
     //    aggregate row via an explicit single-row broadcast — x25/x40's
     //    1-row shape
+    //  - x76: the B-row bucket-stats table (not corpus rows) cross-joins
+    //    its own single-row totals aggregate before broadcasting the
+    //    log-ratio table — x48's group-count shape
     val allow = Set("x06_embedding_neardups", "x25_tfidf_top_terms",
       "x14_ivf_ann", "x40_lm_bigram_nll", "x45_perplexity_buckets",
       "x48_temperature_resample", "x51_nb_quality_score",
       "x57_training_mix_pipeline", "x62_ivf_pq_ann",
-      "x71_heavy_hitters", "x72_streaming_heavy_hitters")
+      "x71_heavy_hitters", "x72_streaming_heavy_hitters",
+      "x76_dsir_resample")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -239,7 +243,11 @@ class ScaleSpec extends SparkSpec {
       "x74_multimodal_curation" -> 3,
       // x75: bloom-pruned candidates join bench shingles + contaminated-id
       // distinct + sort; the bloom build itself is a driver-side sketch
-      "x75_decontaminate_bloom" -> 3)
+      "x75_decontaminate_bloom" -> 3,
+      // x76: bucket-stats agg + its 1-row totals agg + the per-doc
+      // scoring agg + the post-TakeOrdered doc_id sort (the log-ratio
+      // table broadcasts)
+      "x76_dsir_resample" -> 4)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
