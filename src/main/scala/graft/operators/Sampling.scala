@@ -30,6 +30,34 @@ object Sampling {
     df.filter(hashKey(col(idCol), lt.length) < lt)
   }
 
+  /** LEAKAGE-SAFE split: assign each document the split of its near-dup
+    * COMPONENT, not of its own id — so near-duplicates can never straddle
+    * train/holdout. Splitting by doc id leaks: a near-duplicate of a
+    * holdout document lands in train with probability = the train share,
+    * and evaluation scores are inflated by memorized twins (the train/test
+    * overlap failure mode measured by Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022 §6.2).
+    *
+    * `components` is a (v, comp) frame as produced by
+    * [[Dedup.connectedComponents]] / [[Dedup.connectedComponentsStar]]
+    * over any near-dup pair generator; documents absent from it (no
+    * near-dup edge) are their own singleton component. The join is on the
+    * doc id — component frames are dedup outputs, orders of magnitude
+    * smaller than the corpus, so AQE broadcasts them when they fit and
+    * shuffle-joins on id otherwise; the split itself stays a pure
+    * map-side md5 expression on the component label. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String,
+      components: DataFrame, trainHexLt: String = "cd",
+      splitCol: String = "split"): DataFrame = {
+    val lt = hexThreshold(trainHexLt)
+    docs.join(components, docs(idCol) === components("v"), "left")
+      .withColumn("component", coalesce(col("comp"), col(idCol)))
+      .drop("v", "comp")
+      .withColumn(splitCol,
+        when(hashKey(col("component"), lt.length) < lt, "train")
+          .otherwise("holdout"))
+  }
+
   /** Deterministic per-group cap (e.g. at most N docs per source domain —
     * the standard anti-domination step in corpus curation): rank rows
     * within each group by md5(id) and keep the first `n`. The hash order

@@ -2616,6 +2616,80 @@ object PipelineQueries extends QueryPack {
           FROM fb JOIN lr USING (bucket) GROUP BY doc_id, is_target),
         top AS (SELECT doc_id, n_feats, logw FROM sc WHERE NOT is_target
           ORDER BY logw DESC, doc_id LIMIT 100)
-        SELECT doc_id, n_feats, logw FROM top ORDER BY doc_id"""))
+        SELECT doc_id, n_feats, logw FROM top ORDER BY doc_id""")),
+
+    // ---- LEAKAGE-SAFE train/holdout split: the x22 hash split keyed on
+    //      the x19 near-dup COMPONENT instead of the doc id, so near-
+    //      duplicates never straddle splits (Lee et al. ACL'22 §6.2's
+    //      train-test overlap failure mode). Same CC oracle as x19 with
+    //      the split CASE on the component label ------------------------
+    Q("x77_leakage_safe_split",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          n = 4, threshold = 0.2, maxDf = 100L)
+        val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+          maxRounds = 60)
+        graft.operators.Sampling.leakageSafeSplit(docs, "doc_id", comp)
+          .select(col("doc_id"), col("component"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE tk AS (SELECT doc_id, $shingleSql AS s FROM documents),
+        ex0 AS (SELECT doc_id AS doc, unnest(s) AS sh FROM tk),
+        keep AS (SELECT sh FROM ex0 GROUP BY sh HAVING count(*) <= 100),
+        ex AS (SELECT doc, ex0.sh FROM ex0 JOIN keep ON ex0.sh = keep.sh),
+        sz AS (SELECT doc, count(*) AS n_sh FROM ex GROUP BY doc),
+        co AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+               FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc < b.doc
+               GROUP BY a.doc, b.doc),
+        pr AS (SELECT doc_a, doc_b
+               FROM co JOIN sz sa ON doc_a = sa.doc JOIN sz sb ON doc_b = sb.doc
+               WHERE CAST(common AS DOUBLE)/(sa.n_sh + sb.n_sh - common) >= 0.2),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+                  UNION SELECT doc_b, doc_a FROM pr),
+        reach AS (SELECT s AS v, s AS l FROM edges
+                  UNION
+                  SELECT e.s, r.l FROM reach r JOIN edges e ON e.d = r.v),
+        comp AS (SELECT v, min(l) AS component FROM reach GROUP BY v)
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+          CASE WHEN substr(md5(CAST(coalesce(c.component, d.doc_id)
+                 AS VARCHAR)),1,2) < 'cd'
+               THEN 'train' ELSE 'holdout' END AS split
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+        ORDER BY doc_id""")),
+
+    // ---- per-source distribution drift: JS divergence between each
+    //      source's token distribution and the corpus distribution over
+    //      the global top-64 terms + OOV (Lin 1991). Full source×bucket
+    //      support grid — a source that never emits a top-K term still
+    //      owes its q-side mass; contributions decimal-summed ----------
+    Q("x78_source_js_drift",
+      (s, dir) => graft.operators.CorpusDrift.jsDivergencePerSource(
+        t(s, dir, "documents"), "source", "text", k = 64)
+        .orderBy(col("source")),
+      Some("""WITH tk AS (SELECT source, unnest(string_split(text,' ')) AS term
+          FROM documents),
+        gc AS (SELECT term, count(*) AS cg FROM tk GROUP BY term),
+        vocab AS (SELECT term FROM gc ORDER BY cg DESC, term LIMIT 64),
+        b AS (SELECT source, CASE WHEN term IN (SELECT term FROM vocab)
+          THEN term ELSE '__oov__' END AS bterm FROM tk),
+        ps AS (SELECT source, bterm, count(*) AS cs FROM b
+          GROUP BY source, bterm),
+        so AS (SELECT source, sum(cs) AS ns FROM ps GROUP BY source),
+        c AS (SELECT bterm, sum(cs) AS cq FROM ps GROUP BY bterm),
+        n AS (SELECT sum(cq) AS nq FROM c),
+        g AS (SELECT so.source, so.ns, c.bterm, c.cq, n.nq,
+            coalesce(ps.cs, 0) AS cs
+          FROM so CROSS JOIN c CROSS JOIN n
+          LEFT JOIN ps ON ps.source = so.source AND ps.bterm = c.bterm),
+        j AS (SELECT source, cs, CAST(round((CASE WHEN cs > 0
+            THEN (cs*1.0/ns) * ln((cs*1.0/ns) /
+              (((cs*1.0/ns)+(cq*1.0/nq))/2)) ELSE 0 END
+            + (cq*1.0/nq) * ln((cq*1.0/nq) /
+              (((cs*1.0/ns)+(cq*1.0/nq))/2))) / 2, 8)
+            AS DECIMAL(18,8)) AS contrib FROM g)
+        SELECT source, CAST(sum(cs) AS BIGINT) AS n_tokens,
+          round(CAST(sum(contrib) AS DOUBLE), 6) AS js
+        FROM j GROUP BY source ORDER BY source"""))
   )
 }

@@ -101,12 +101,15 @@ class ScaleSpec extends SparkSpec {
     //  - x76: the B-row bucket-stats table (not corpus rows) cross-joins
     //    its own single-row totals aggregate before broadcasting the
     //    log-ratio table — x48's group-count shape
+    //  - x78: the S-row per-source totals cross-join the (K+1)-row
+    //    corpus-bucket table (and its 1-row total) to build the FULL
+    //    JS support grid — both sides bounded group-count tables
     val allow = Set("x06_embedding_neardups", "x25_tfidf_top_terms",
       "x14_ivf_ann", "x40_lm_bigram_nll", "x45_perplexity_buckets",
       "x48_temperature_resample", "x51_nb_quality_score",
       "x57_training_mix_pipeline", "x62_ivf_pq_ann",
       "x71_heavy_hitters", "x72_streaming_heavy_hitters",
-      "x76_dsir_resample")
+      "x76_dsir_resample", "x78_source_js_drift")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -244,10 +247,17 @@ class ScaleSpec extends SparkSpec {
       // x75: bloom-pruned candidates join bench shingles + contaminated-id
       // distinct + sort; the bloom build itself is a driver-side sketch
       "x75_decontaminate_bloom" -> 3,
-      // x76: bucket-stats agg + its 1-row totals agg + the per-doc
-      // scoring agg + the post-TakeOrdered doc_id sort (the log-ratio
-      // table broadcasts)
-      "x76_dsir_resample" -> 4)
+      // x76: bucket-stats agg (persisted; its 1-row totals agg reads the
+      // cache) + the per-doc scoring agg + the post-TakeOrdered doc_id
+      // sort (the log-ratio table broadcasts)
+      "x76_dsir_resample" -> 3,
+      // x77: CC label probe join + split map + the total-order sort (the
+      // CC internals checkpoint before the registered plan)
+      "x77_leakage_safe_split" -> 3,
+      // x78: the corpus-sized exchanges are the vocab agg and the
+      // per-source bucket agg; the other five (source totals, corpus
+      // buckets, 1-row total, final agg, sort) move S×(K+1)-row tables
+      "x78_source_js_drift" -> 7)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet

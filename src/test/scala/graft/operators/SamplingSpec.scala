@@ -219,4 +219,29 @@ class SamplingSpec extends SparkSpec {
     }
     assert(eNull.getMessage.contains("null"), eNull.getMessage)
   }
+
+  test("leakageSafeSplit: no component straddles splits; singletons match hashSplit") {
+    import spark.implicits._
+    val docs = (0L until 200L).toDF("doc_id")
+    // components: {0..9}->0, {10,11}->10; the rest are singletons
+    val comp = ((0L until 10L).map(v => (v, 0L)) ++ Seq((10L, 10L), (11L, 10L)))
+      .toDF("v", "comp")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", comp)
+    // every component maps to exactly one split
+    val perComp = out.groupBy("component")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(perComp == 0, "a component straddles splits")
+    // singleton docs get exactly the plain hashSplit assignment
+    val single = out.filter(col("doc_id") >= 12L)
+      .select(col("doc_id"), col("split"))
+    val plain = Sampling.hashSplit(docs.filter(col("doc_id") >= 12L), "doc_id")
+      .select(col("doc_id"), col("split"))
+    assert(single.exceptAll(plain).isEmpty && plain.exceptAll(single).isEmpty)
+    // members of one component share the split of their label
+    val zeroSplits = out.filter(col("component") === 0L)
+      .select("split").distinct().as[String].collect().toSeq
+    assert(zeroSplits.size == 1)
+    assert(out.count() == 200)
+  }
 }
