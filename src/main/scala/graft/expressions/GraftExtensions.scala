@@ -66,6 +66,12 @@ object GraftFunctions {
     ("repetition_signals",
       new ExpressionInfo(classOf[RepetitionSignals].getName, "repetition_signals"),
       (args: Seq[Expression]) => RepetitionSignals(args.head)),
+    // deflate_length(data[, level]) — compressed byte count
+    ("deflate_length",
+      new ExpressionInfo(classOf[DeflateLength].getName, "deflate_length"),
+      (args: Seq[Expression]) =>
+        DeflateLength(args.head,
+          if (args.length > 1) foldableInt(args(1)) else 6)),
     // misra_gries_topk(term, capacity) — aggregate
     ("misra_gries_topk",
       new ExpressionInfo(classOf[MisraGriesTopK].getName, "misra_gries_topk"),

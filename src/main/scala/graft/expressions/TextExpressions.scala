@@ -436,6 +436,57 @@ case class BpeishTokenCount(child: Expression)
     copy(child = c)
 }
 
+/** DEFLATE (RFC 1951) compressed length of a string's UTF-8 bytes (or of
+  * a binary payload) via the JDK's `java.util.zip.Deflater` — the
+  * compressibility quality signal of web-corpus curation (highly
+  * repetitive boilerplate compresses far below natural text; see e.g.
+  * the Gopher rules' repetition family, Rae et al. arXiv:2112.11446
+  * §A1.1, which this signal summarizes in one number). Returns the
+  * compressed byte count; callers derive ratios. One native pass per
+  * row; the Deflater instance is thread-local and reset per value (no
+  * per-row native allocation).
+  *
+  * The exact byte count is zlib-implementation-specific, so oracle
+  * queries must assert INEQUALITY verdicts (bounds, repetition gains),
+  * never the raw count — see x80.
+  */
+case class DeflateLength(child: Expression, level: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(level >= 1 && level <= 9, "deflate level must be in 1..9")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "deflate_length"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | org.apache.spark.sql.types.BinaryType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string or binary, got ${other.simpleString}")
+  }
+  @transient private lazy val deflater =
+    new ThreadLocal[java.util.zip.Deflater] {
+      override def initialValue(): java.util.zip.Deflater =
+        new java.util.zip.Deflater(level, false)
+    }
+  @transient private lazy val buf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8192)
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input match {
+      case s: UTF8String => s.getBytes
+      case b: Array[Byte] => b
+    }
+    val d = deflater.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val b = buf.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(b)
+    total
+  }
+  override protected def withNewChildInternal(c: Expression): DeflateLength =
+    copy(child = c)
+}
+
 object TextExpressions {
   def wordShingles(text: Column, n: Int, distinct: Boolean = true): Column =
     GraftSql.column(WordShingles(GraftSql.expression(text), n, distinct))
@@ -455,4 +506,6 @@ object TextExpressions {
     GraftSql.column(RepetitionSignals(GraftSql.expression(text)))
   def bpeishTokenCountNative(text: Column): Column =
     GraftSql.column(BpeishTokenCount(GraftSql.expression(text)))
+  def deflateLength(data: Column, level: Int = 6): Column =
+    GraftSql.column(DeflateLength(GraftSql.expression(data), level))
 }

@@ -2690,6 +2690,65 @@ object PipelineQueries extends QueryPack {
             AS DECIMAL(18,8)) AS contrib FROM g)
         SELECT source, CAST(sum(cs) AS BIGINT) AS n_tokens,
           round(CAST(sum(contrib) AS DOUBLE), 6) AS js
-        FROM j GROUP BY source ORDER BY source"""))
+        FROM j GROUP BY source ORDER BY source""")),
+
+    // ---- main-content extraction (jusText/C4 block-length heuristic):
+    //      each doc wrapped in deterministic HTML chrome (title, nav,
+    //      ads, footer), then tag-strip + block split + short-block
+    //      drop must recover EXACTLY the original text (roundtrip_ok
+    //      hash-checked per row). Zero-shuffle Column composition ------
+    Q("x79_boilerplate_strip",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val html = concat(
+          lit("<html><head><title>doc "), col("doc_id").cast("string"),
+          lit("</title></head><body>\n<nav>home about contact login</nav>\n<p>"),
+          col("text"),
+          lit("</p>\n<div class=\"ads\">buy now best deals</div>\n<footer>copyright 2024 "),
+          col("source"), lit("</footer>\n</body></html>"))
+        graft.operators.Boilerplate.extractMainContent(
+            docs.withColumn("html", html), "html", minWords = 5)
+          .select(col("doc_id"), col("clean_text"),
+            col("n_blocks_kept"), col("n_blocks_dropped"),
+            (col("clean_text") === col("text")).as("roundtrip_ok"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH h AS (SELECT doc_id, text,
+          '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+          '</title></head><body>' || chr(10) ||
+          '<nav>home about contact login</nav>' || chr(10) ||
+          '<p>' || text || '</p>' || chr(10) ||
+          '<div class="ads">buy now best deals</div>' || chr(10) ||
+          '<footer>copyright 2024 ' || source || '</footer>' || chr(10) ||
+          '</body></html>' AS html FROM documents),
+        b AS (SELECT doc_id, text, list_filter(list_transform(
+            string_split(regexp_replace(html, '<[^>]*>', ' ', 'g'), chr(10)),
+            l -> trim(regexp_replace(l, ' +', ' ', 'g'))),
+          l -> l <> '') AS bs FROM h),
+        k AS (SELECT doc_id, text, bs,
+          list_filter(bs, x -> len(string_split(x, ' ')) >= 5) AS kept
+          FROM b)
+        SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
+          CAST(len(kept) AS BIGINT) AS n_blocks_kept,
+          CAST(len(bs) - len(kept) AS BIGINT) AS n_blocks_dropped,
+          array_to_string(kept, ' ') = text AS roundtrip_ok
+        FROM k ORDER BY doc_id""")),
+
+    // ---- compression-ratio quality signal (Gopher repetition family in
+    //      one scalar): native DEFLATE pass per doc, zero shuffles. The
+    //      raw compressed count is zlib-impl-specific, so the oracle
+    //      checks n_bytes exactly and the two INEQUALITY verdicts
+    //      (repetition gain, stored-block sanity bound) — the x62/x67
+    //      self-adjudication pattern -----------------------------------
+    Q("x80_compression_signal",
+      (s, dir) => graft.operators.CompressionSignal.compressionSignals(
+        t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_bytes"),
+          col("repeat_gain_ok"), col("ratio_sane"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          true AS repeat_gain_ok, true AS ratio_sane
+        FROM documents ORDER BY doc_id"""))
   )
 }

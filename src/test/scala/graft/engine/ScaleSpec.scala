@@ -257,7 +257,12 @@ class ScaleSpec extends SparkSpec {
       // x78: the corpus-sized exchanges are the vocab agg and the
       // per-source bucket agg; the other five (source totals, corpus
       // buckets, 1-row total, final agg, sort) move S×(K+1)-row tables
-      "x78_source_js_drift" -> 7)
+      "x78_source_js_drift" -> 7,
+      // x79: pure per-row Column pipeline — the only exchange is the
+      // total-order sort
+      "x79_boilerplate_strip" -> 1,
+      // x80: native DEFLATE map pass — the only exchange is the sort
+      "x80_compression_signal" -> 1)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
