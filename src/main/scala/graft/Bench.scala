@@ -129,7 +129,8 @@ object Bench {
     // r11 first-measures (solo min-of-4, quiet host — BASELINE.md r11)
     "x76_dsir_resample" -> 1172, "x77_leakage_safe_split" -> 2639,
     "x78_source_js_drift" -> 928, "x79_boilerplate_strip" -> 874,
-    "x80_compression_signal" -> 681)
+    "x80_compression_signal" -> 681, "x81_bm25_topk" -> 552,
+    "x82_unicode_normalize" -> 613)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -72,6 +72,15 @@ object GraftFunctions {
       (args: Seq[Expression]) =>
         DeflateLength(args.head,
           if (args.length > 1) foldableInt(args(1)) else 6)),
+    // normalize_text(text[, form]) — UAX #15 normalization
+    ("normalize_text",
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      (args: Seq[Expression]) =>
+        NormalizeText(args.head,
+          if (args.length > 1) foldableString(args(1)) else "NFC")),
+    ("strip_accents",
+      new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+      (args: Seq[Expression]) => StripAccents(args.head)),
     // misra_gries_topk(term, capacity) — aggregate
     ("misra_gries_topk",
       new ExpressionInfo(classOf[MisraGriesTopK].getName, "misra_gries_topk"),
@@ -83,6 +92,11 @@ object GraftFunctions {
   private def foldableInt(e: Expression): Int = {
     require(e.foldable, "argument must be a literal")
     e.eval().asInstanceOf[Number].intValue()
+  }
+
+  private def foldableString(e: Expression): String = {
+    require(e.foldable, "argument must be a literal")
+    e.eval().toString
   }
 
   private def foldableStringArray(e: Expression): Seq[String] = {

@@ -487,6 +487,60 @@ case class DeflateLength(child: Expression, level: Int)
     copy(child = c)
 }
 
+/** Unicode normalization via `java.text.Normalizer` (UAX #15 forms NFC /
+  * NFD / NFKC / NFKD) — the canonicalization step every multilingual
+  * corpus pipeline runs before tokenizing or hashing: composed and
+  * decomposed spellings of the same grapheme must dedup/shingle/count
+  * identically. DuckDB's `nfc_normalize` implements the same standard,
+  * so outputs are exactly cross-checkable. */
+case class NormalizeText(child: Expression, form: String)
+    extends UnaryExpression with CodegenFallback {
+  private val normForm = java.text.Normalizer.Form.valueOf(form.toUpperCase)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString, normForm))
+  override protected def withNewChildInternal(c: Expression): NormalizeText =
+    copy(child = c)
+}
+
+/** Accent stripping: NFD-decompose, drop combining marks (Unicode
+  * category Mn), NFC-recompose — ASCII-folds Latin diacritics the same
+  * way DuckDB's `strip_accents` does for the Latin-1 range. */
+case class StripAccents(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_accents"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val nfd = java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val cp = nfd.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      sb.toString, java.text.Normalizer.Form.NFC))
+  }
+  override protected def withNewChildInternal(c: Expression): StripAccents =
+    copy(child = c)
+}
+
 object TextExpressions {
   def wordShingles(text: Column, n: Int, distinct: Boolean = true): Column =
     GraftSql.column(WordShingles(GraftSql.expression(text), n, distinct))
@@ -508,4 +562,8 @@ object TextExpressions {
     GraftSql.column(BpeishTokenCount(GraftSql.expression(text)))
   def deflateLength(data: Column, level: Int = 6): Column =
     GraftSql.column(DeflateLength(GraftSql.expression(data), level))
+  def normalizeText(text: Column, form: String = "NFC"): Column =
+    GraftSql.column(NormalizeText(GraftSql.expression(text), form))
+  def stripAccents(text: Column): Column =
+    GraftSql.column(StripAccents(GraftSql.expression(text)))
 }

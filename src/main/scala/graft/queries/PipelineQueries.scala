@@ -2749,6 +2749,74 @@ object PipelineQueries extends QueryPack {
       Some("""SELECT doc_id,
           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
           true AS repeat_gain_ok, true AS ratio_sane
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- Okapi BM25 retrieval (Robertson & Walker SIGIR'94, Lucene
+    //      idf): rank the corpus against a fixed query term set. Only
+    //      query-term occurrences shuffle (map-side isin filter); stats
+    //      broadcast; top-20 via TakeOrdered. Contributions decimal-
+    //      summed; identical arithmetic grouping on both engines --------
+    Q("x81_bm25_topk",
+      (s, dir) => graft.operators.Bm25.topDocs(t(s, dir, "documents"),
+        "doc_id", "text",
+        queryTerms = Seq("spark", "window", "hash", "join", "stream"),
+        topK = 20)
+        .orderBy(col("doc_id")),
+      Some("""WITH q AS (SELECT unnest(['spark','window','hash','join','stream']) AS term),
+        dl AS (SELECT doc_id, len(string_split(text,' ')) AS dl FROM documents),
+        st AS (SELECT count(*) AS n, sum(dl)*1.0/count(*) AS avgdl FROM dl),
+        tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+          JOIN q USING (term) GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+          GROUP BY term),
+        sc AS (SELECT tf.doc_id, CAST(round(
+            ln((st.n - df.df + 0.5)/(df.df + 0.5) + 1) *
+            ((tf.tf * (1.2+1)) /
+             (tf.tf + 1.2 * (1 - 0.75 + 0.75*dl.dl/st.avgdl))), 6)
+            AS DECIMAL(18,6)) AS c
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN st),
+        agg AS (SELECT doc_id, count(*) AS n_hit_terms,
+          round(CAST(sum(c) AS DOUBLE), 4) AS score
+          FROM sc GROUP BY doc_id),
+        top AS (SELECT * FROM agg ORDER BY score DESC, doc_id LIMIT 20)
+        SELECT doc_id, n_hit_terms, score FROM top ORDER BY doc_id""")),
+
+    // ---- Unicode canonicalization (UAX #15): NFC-normalize + accent
+    //      strip over a fixture that injects the SAME grapheme composed
+    //      (doc_id%3=0: U+00E1) and decomposed (%3=1: 'a'+U+0301) —
+    //      normalization must converge both to one spelling and the
+    //      accent fold must recover the original ASCII text exactly.
+    //      Both engines implement the same standard, so every output
+    //      column is exact-checked (no verdict-only columns) -----------
+    Q("x82_unicode_normalize",
+      (s, dir) => {
+        import graft.expressions.TextExpressions.{normalizeText, stripAccents}
+        val m3 = col("doc_id") % 3
+        val raw = when(m3 === 0, translate(col("text"), "a", "á"))
+          .when(m3 === 1, regexp_replace(col("text"), "a", "a\u0301"))
+          .otherwise(col("text"))
+        val norm = normalizeText(raw, "NFC")
+        val ascii = stripAccents(norm)
+        t(s, dir, "documents")
+          .select(col("doc_id"), norm.as("norm_text"),
+            ascii.as("ascii_text"),
+            length(raw).cast("long").as("raw_chars"),
+            length(norm).cast("long").as("norm_chars"),
+            (ascii === col("text")).as("roundtrip_ok"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH f AS (SELECT doc_id, text,
+          CASE WHEN doc_id % 3 = 0 THEN replace(text, 'a', chr(225))
+               WHEN doc_id % 3 = 1 THEN replace(text, 'a', 'a' || chr(769))
+               ELSE text END AS raw FROM documents)
+        SELECT doc_id, nfc_normalize(raw) AS norm_text,
+          strip_accents(nfc_normalize(raw)) AS ascii_text,
+          CAST(length(raw) AS BIGINT) AS raw_chars,
+          CAST(length(nfc_normalize(raw)) AS BIGINT) AS norm_chars,
+          strip_accents(nfc_normalize(raw)) = text AS roundtrip_ok
+        FROM f ORDER BY doc_id"""))
   )
 }

@@ -104,12 +104,14 @@ class ScaleSpec extends SparkSpec {
     //  - x78: the S-row per-source totals cross-join the (K+1)-row
     //    corpus-bucket table (and its 1-row total) to build the FULL
     //    JS support grid — both sides bounded group-count tables
+    //  - x81: the N/avgdl corpus-stats scalar attaches via an explicit
+    //    single-row broadcast — x25/x40's 1-row shape
     val allow = Set("x06_embedding_neardups", "x25_tfidf_top_terms",
       "x14_ivf_ann", "x40_lm_bigram_nll", "x45_perplexity_buckets",
       "x48_temperature_resample", "x51_nb_quality_score",
       "x57_training_mix_pipeline", "x62_ivf_pq_ann",
       "x71_heavy_hitters", "x72_streaming_heavy_hitters",
-      "x76_dsir_resample", "x78_source_js_drift")
+      "x76_dsir_resample", "x78_source_js_drift", "x81_bm25_topk")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -262,7 +264,13 @@ class ScaleSpec extends SparkSpec {
       // total-order sort
       "x79_boilerplate_strip" -> 1,
       // x80: native DEFLATE map pass — the only exchange is the sort
-      "x80_compression_signal" -> 1)
+      "x80_compression_signal" -> 1,
+      // x81: query-term tf agg + |Q|-row df agg + the dl probe join +
+      // the per-doc score agg + the post-TakeOrdered doc_id sort (N/avgdl
+      // ride the 1-row broadcast)
+      "x81_bm25_topk" -> 5,
+      // x82: per-row normalization expressions — only the sort
+      "x82_unicode_normalize" -> 1)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
