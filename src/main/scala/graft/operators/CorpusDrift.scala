@@ -59,6 +59,15 @@ object CorpusDrift {
     // totals, the corpus bucket counts, AND the grid probe — all tiny
     val perSource = CacheScope.route(scope,
       bucketed.groupBy("source", "bterm").agg(count(lit(1)).as("cs")))
+    jsFromBucketCounts(perSource)
+  }
+
+  /** JS divergence from a (source, bterm, cs) bucket-count table — the
+    * batch tail of [[jsDivergencePerSource]], also fed by the streaming
+    * drift ledger (x84), whose merged counts telescope to exactly this
+    * shape. `perSource` must be tiny (S×(K+1) rows) and, if consumed
+    * lazily elsewhere, already persisted by the caller. */
+  def jsFromBucketCounts(perSource: DataFrame): DataFrame = {
     val sources = perSource.groupBy("source").agg(sum(col("cs")).as("ns"))
     val corpus = perSource.groupBy("bterm").agg(sum(col("cs")).as("cq"))
     val nq = corpus.agg(sum(col("cq")).as("nq"))
@@ -82,5 +91,31 @@ object CorpusDrift {
     joined.groupBy("source")
       .agg(sum(col("cs")).as("n_tokens"),
         round(sum(col("contrib")).cast(DoubleType), 6).as("js"))
+  }
+
+  /** Top-`k` terms of a REFERENCE corpus sample, as a driver-held list
+    * (k-bounded pull via TakeOrdered — the centroid-index convention).
+    * Streaming drift monitors pin the vocabulary up front: a micro-batch
+    * cannot know the global top-K, and a moving vocabulary would make
+    * drift numbers incomparable across batches. */
+  def referenceVocabulary(docs: DataFrame, textCol: String,
+      k: Int): Seq[String] =
+    docs.select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(k)
+      .collect().map(_.getString(0)).toSeq
+
+  /** (source, bterm, cs) bucket counts of `df` against a PINNED
+    * vocabulary — the map-side work a streaming micro-batch does before
+    * appending to the drift ledger. */
+  def bucketCountsAgainstVocab(df: DataFrame, sourceCol: String,
+      textCol: String, vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "vocabulary must be non-empty")
+    df.select(col(sourceCol).as("source"),
+        explode(split(col(textCol), " ")).as("term"))
+      .withColumn("bterm",
+        when(col("term").isin(vocab: _*), col("term"))
+          .otherwise(lit("__oov__")))
+      .groupBy("source", "bterm").agg(count(lit(1)).as("cs"))
   }
 }

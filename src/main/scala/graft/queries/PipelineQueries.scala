@@ -2817,6 +2817,103 @@ object PipelineQueries extends QueryPack {
           CAST(length(raw) AS BIGINT) AS raw_chars,
           CAST(length(nfc_normalize(raw)) AS BIGINT) AS norm_chars,
           strip_accents(nfc_normalize(raw)) = text AS roundtrip_ok
-        FROM f ORDER BY doc_id"""))
+        FROM f ORDER BY doc_id""")),
+
+    // ---- label-noise candidates: bottom-5 cosine-to-own-class-centroid
+    //      per label (nearest-centroid outlier screen). Centroids are
+    //      decimal-exact means of 4dp-rounded components (labels×dim
+    //      rows cross the shuffle); the bottom-k is TWO-PHASE salted —
+    //      with 10 labels a plain per-label window would funnel 10% of
+    //      a 100 TB corpus through one task --------------------------
+    Q("x83_label_outliers",
+      (s, dir) => graft.operators.LabelNoise.labelOutliers(
+        t(s, dir, "embeddings").filter(size(col("embedding")) === 64),
+        "vec_id", "label", "embedding", k = 5)
+        .orderBy(col("label"), col("rank")),
+      Some("""WITH pe AS (SELECT label, r.range AS pos,
+          CAST(round(CAST(embedding[r.range+1] AS DOUBLE), 4)
+            AS DECIMAL(18,4)) AS comp
+          FROM embeddings, range(64) r WHERE len(embedding) = 64),
+        ct AS (SELECT label, pos,
+          round(CAST(sum(comp) AS DOUBLE)/count(*), 6) AS c
+          FROM pe GROUP BY label, pos),
+        ca AS (SELECT label, list(c ORDER BY pos) AS centroid
+          FROM ct GROUP BY label),
+        sc AS (SELECT e.label, e.vec_id,
+          round(list_sum(list_transform(range(64),
+              i -> CAST(e.embedding[i+1] AS DOUBLE)*ca.centroid[i+1]))
+            / (sqrt(list_sum(list_transform(range(64),
+                i -> CAST(e.embedding[i+1] AS DOUBLE)
+                   * CAST(e.embedding[i+1] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(64),
+                i -> ca.centroid[i+1]*ca.centroid[i+1])))), 4) AS cos
+          FROM embeddings e JOIN ca USING (label)
+          WHERE len(e.embedding) = 64),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY label
+          ORDER BY cos, vec_id) AS rank FROM sc)
+        SELECT label, CAST(rank AS BIGINT) AS rank, vec_id, cos
+        FROM rk WHERE rank <= 5 ORDER BY label, rank""")),
+
+    // ---- STREAMING source-drift monitor: x78's JS drift as an
+    //      incremental ledger. The vocabulary is PINNED from a reference
+    //      sample (doc_id%10=0) — a micro-batch cannot know the global
+    //      top-K, and a moving vocabulary makes drift incomparable
+    //      across batches. Two AvailableNow runs append additive
+    //      (source, bterm) counts stamped with batch_id; the merge
+    //      dedups replays then sums — counts telescope to the batch
+    //      table, so the oracle is the batch SQL with the pinned vocab --
+    Q("x84_streaming_source_drift",
+      (s, dir) => {
+        import graft.engine._
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val vocab = graft.operators.CorpusDrift.referenceVocabulary(
+          docs.filter(col("doc_id") % 10 === 0), "text", k = 64)
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val landing = wh.resolve("strdrift_landing")
+        val ckpt = wh.resolve("_graft_checkpoints/strdrift")
+        s.sql("CREATE DATABASE IF NOT EXISTS strdrift")
+        s.sql("DROP TABLE IF EXISTS strdrift.ledger")
+        for (p <- Seq(landing, ckpt, wh.resolve("strdrift.db/ledger")))
+          Materializer.deleteRecursively(p)
+        docs.filter(col("doc_id") % 2 === 0)
+          .write.mode("overwrite").parquet(landing.toString)
+        EventStreams.streamingDriftLedger(s, landing.toString, docs.schema,
+          "strdrift.ledger", ckpt.toString, "source", "text", vocab)
+        docs.filter(col("doc_id") % 2 === 1)
+          .write.mode("append").parquet(landing.toString)
+        EventStreams.streamingDriftLedger(s, landing.toString, docs.schema,
+          "strdrift.ledger", ckpt.toString, "source", "text", vocab)
+        val merged = EventStreams.mergeDriftLedger(s.table("strdrift.ledger"))
+        graft.operators.CorpusDrift.jsFromBucketCounts(merged)
+          .orderBy(col("source"))
+      },
+      Some("""WITH v AS (SELECT term FROM (
+            SELECT unnest(string_split(text,' ')) AS term FROM documents
+            WHERE doc_id % 10 = 0)
+          GROUP BY term ORDER BY count(*) DESC, term LIMIT 64),
+        tk AS (SELECT source, unnest(string_split(text,' ')) AS term
+          FROM documents),
+        b AS (SELECT source, CASE WHEN term IN (SELECT term FROM v)
+          THEN term ELSE '__oov__' END AS bterm FROM tk),
+        ps AS (SELECT source, bterm, count(*) AS cs FROM b
+          GROUP BY source, bterm),
+        so AS (SELECT source, sum(cs) AS ns FROM ps GROUP BY source),
+        c AS (SELECT bterm, sum(cs) AS cq FROM ps GROUP BY bterm),
+        n AS (SELECT sum(cq) AS nq FROM c),
+        g AS (SELECT so.source, so.ns, c.bterm, c.cq, n.nq,
+            coalesce(ps.cs, 0) AS cs
+          FROM so CROSS JOIN c CROSS JOIN n
+          LEFT JOIN ps ON ps.source = so.source AND ps.bterm = c.bterm),
+        j AS (SELECT source, cs, CAST(round((CASE WHEN cs > 0
+            THEN (cs*1.0/ns) * ln((cs*1.0/ns) /
+              (((cs*1.0/ns)+(cq*1.0/nq))/2)) ELSE 0 END
+            + (cq*1.0/nq) * ln((cq*1.0/nq) /
+              (((cs*1.0/ns)+(cq*1.0/nq))/2))) / 2, 8)
+            AS DECIMAL(18,8)) AS contrib FROM g)
+        SELECT source, CAST(sum(cs) AS BIGINT) AS n_tokens,
+          round(CAST(sum(contrib) AS DOUBLE), 6) AS js
+        FROM j GROUP BY source ORDER BY source"""))
   )
 }

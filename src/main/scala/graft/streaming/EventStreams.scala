@@ -341,6 +341,47 @@ object EventStreams {
       spark.catalog.refreshTable(sketchTable)
   }
 
+  /** Streaming source-drift ledger: each AvailableNow run appends the
+    * micro-batch's (source, bterm, cs) bucket counts — bucketed against
+    * a PINNED reference vocabulary — stamped with `batch_id`. Counts are
+    * additive, so the merged ledger telescopes to exactly the batch
+    * bucket-count table and the x78 JS machinery
+    * ([[graft.operators.CorpusDrift.jsFromBucketCounts]]) reports drift
+    * without ever re-reading history. Delivery is at-least-once
+    * (foreachBatch): read the ledger through [[mergeDriftLedger]], whose
+    * `dropDuplicates(batch_id, source, bterm)` collapses replays before
+    * the sum (the x72 idempotency convention). */
+  def streamingDriftLedger(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType, ledgerTable: String,
+      checkpointDir: String, sourceCol: String, textCol: String,
+      vocab: Seq[String]): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(landingDir)
+    val fb: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        graft.operators.CorpusDrift
+          .bucketCountsAgainstVocab(batch.toDF(), sourceCol, textCol, vocab)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").format("parquet").saveAsTable(ledgerTable)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(fb)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    if (spark.catalog.tableExists(ledgerTable))
+      spark.catalog.refreshTable(ledgerTable)
+  }
+
+  /** Idempotent merge of a [[streamingDriftLedger]]: collapse
+    * at-least-once replays on (batch_id, source, bterm) — a replayed
+    * batch re-appends identical count rows, so keeping any one copy is
+    * exact — then sum to the (source, bterm, cs) bucket-count table
+    * [[graft.operators.CorpusDrift.jsFromBucketCounts]] consumes. */
+  def mergeDriftLedger(ledger: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ledger.dropDuplicates("batch_id", "source", "bterm")
+      .groupBy("source", "bterm").agg(sum(col("cs")).as("cs"))
+
   /** Idempotent merge of a [[streamingHeavyHitters]] ledger:
     * `dropDuplicates(batch_id, term)` collapses at-least-once replays
     * (a replayed batch re-appends rows with the SAME batch_id; each

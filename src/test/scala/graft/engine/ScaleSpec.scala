@@ -106,12 +106,15 @@ class ScaleSpec extends SparkSpec {
     //    JS support grid — both sides bounded group-count tables
     //  - x81: the N/avgdl corpus-stats scalar attaches via an explicit
     //    single-row broadcast — x25/x40's 1-row shape
+    //  - x84: inherits x78's support-grid shape over the merged drift
+    //    ledger (S×(K+1)-row group-count tables)
     val allow = Set("x06_embedding_neardups", "x25_tfidf_top_terms",
       "x14_ivf_ann", "x40_lm_bigram_nll", "x45_perplexity_buckets",
       "x48_temperature_resample", "x51_nb_quality_score",
       "x57_training_mix_pipeline", "x62_ivf_pq_ann",
       "x71_heavy_hitters", "x72_streaming_heavy_hitters",
-      "x76_dsir_resample", "x78_source_js_drift", "x81_bm25_topk")
+      "x76_dsir_resample", "x78_source_js_drift", "x81_bm25_topk",
+      "x84_streaming_source_drift")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -270,7 +273,16 @@ class ScaleSpec extends SparkSpec {
       // ride the 1-row broadcast)
       "x81_bm25_topk" -> 5,
       // x82: per-row normalization expressions — only the sort
-      "x82_unicode_normalize" -> 1)
+      "x82_unicode_normalize" -> 1,
+      // x83: labels×dim component agg + centroid rebuild + the two
+      // salted bottom-k windows + the total-order sort (centroids
+      // broadcast into the scoring join)
+      "x83_label_outliers" -> 5,
+      // x84: the streaming appends run at build time; the registered
+      // plan is ledger-sized — replay dedup + the x78 JS tail, whose
+      // grid/total aggs each re-exchange S×(K+1)-row tables (the
+      // un-persisted merged ledger feeds three consumers)
+      "x84_streaming_source_drift" -> 13)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet

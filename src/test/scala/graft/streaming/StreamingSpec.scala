@@ -271,6 +271,52 @@ class StreamingSpec extends SparkSpec {
     assert(m2 == merged, "replayed batch changed the merged summary")
   }
 
+  test("streaming drift ledger: merged counts equal batch counts, replay-safe") {
+    import spark.implicits._
+    val landing = java.nio.file.Files.createTempDirectory("strdr_t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("strdr_ck").toString
+    spark.sql("CREATE DATABASE IF NOT EXISTS strdrt")
+    spark.sql("DROP TABLE IF EXISTS strdrt.ledger")
+    val docs = Seq(
+      (1L, "a", "x x y common"), (2L, "a", "x y y common"),
+      (3L, "b", "z z q common"), (4L, "b", "q z y common"),
+      (5L, "a", "rare y x common"), (6L, "b", "z q q common")
+    )
+    val vocab = Seq("x", "y", "z", "common")
+    val (b1, b2) = docs.splitAt(3)
+    b1.toDF("doc_id", "source", "text").write.mode("overwrite").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    def run(): Unit = EventStreams.streamingDriftLedger(spark, landing,
+      schema, "strdrt.ledger", ckpt, "source", "text", vocab)
+    run()
+    b2.toDF("doc_id", "source", "text").write.mode("append").parquet(landing)
+    run()
+    // merged ledger == one-shot batch bucket counts
+    val merged = EventStreams.mergeDriftLedger(spark.table("strdrt.ledger"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val batch = graft.operators.CorpusDrift.bucketCountsAgainstVocab(
+      docs.toDF("doc_id", "source", "text"), "source", "text", vocab)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(merged == batch, s"merged $merged != batch $batch")
+    // at-least-once replay: re-append batch 0's rows with the SAME
+    // batch_id — the merge must not change
+    spark.table("strdrt.ledger").filter(col("batch_id") === 0)
+      .write.mode("append").format("parquet").saveAsTable("strdrt.ledger")
+    spark.catalog.refreshTable("strdrt.ledger")
+    val replayed = EventStreams.mergeDriftLedger(spark.table("strdrt.ledger"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(replayed == batch, "replayed batch changed the merged counts")
+    // and the JS report runs off the merged counts
+    val js = graft.operators.CorpusDrift.jsFromBucketCounts(
+      EventStreams.mergeDriftLedger(spark.table("strdrt.ledger")))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(js.keySet == Set("a", "b") && js.values.forall(v =>
+      v >= 0 && v <= math.log(2) + 1e-9), js.toString)
+  }
+
   test("streaming hourly aggregation equals batch group-by") {
     val got = EventStreams.hourlyCounts(spark, sf0001)
     val events = graft.functions.EventTime.normalizeTs(
