@@ -131,7 +131,7 @@ object Bench {
     "x78_source_js_drift" -> 928, "x79_boilerplate_strip" -> 874,
     "x80_compression_signal" -> 681, "x81_bm25_topk" -> 552,
     "x82_unicode_normalize" -> 613, "x83_label_outliers" -> 1107,
-    "x84_streaming_source_drift" -> 1876)
+    "x84_streaming_source_drift" -> 1876, "x85_split_leakage_audit" -> 1215)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -30,6 +30,33 @@ object Sampling {
     df.filter(hashKey(col(idCol), lt.length) < lt)
   }
 
+  /** Split-leakage audit row: how many near-dup PAIRS straddle splits
+    * under a given assignment. `assign` is (id, split); every pair
+    * endpoint must resolve (inner joins — near-dup pairs come from the
+    * same corpus the assignment covers). Returns ONE row
+    * (method, n_pairs, n_cross_split, leak_free) — the quantified form
+    * of the Lee et al. ACL'22 §6.2 train-test-overlap argument: a naive
+    * id-keyed split leaks ≈ 2·p·(1−p) of near-dup pairs across the
+    * boundary; a component-keyed split leaks none. Join shape: the
+    * assignment is a narrow (id, split) projection joined on each
+    * endpoint — shuffle-joins on id at corpus scale, AQE-broadcasts when
+    * the pair set is small. */
+  def splitCrossings(pairs: DataFrame, aCol: String, bCol: String,
+      assign: DataFrame, idCol: String, splitCol: String,
+      method: String): DataFrame = {
+    val sa = assign.select(col(idCol).as("__ida"),
+      col(splitCol).as("__sa"))
+    val sb = assign.select(col(idCol).as("__idb"),
+      col(splitCol).as("__sb"))
+    pairs.join(sa, col(aCol) === col("__ida"))
+      .join(sb, col(bCol) === col("__idb"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L))
+          .as("n_cross_split"))
+      .select(lit(method).as("method"), col("n_pairs"),
+        col("n_cross_split"), (col("n_cross_split") === 0).as("leak_free"))
+  }
+
   /** LEAKAGE-SAFE split: assign each document the split of its near-dup
     * COMPONENT, not of its own id — so near-duplicates can never straddle
     * train/holdout. Splitting by doc id leaks: a near-duplicate of a

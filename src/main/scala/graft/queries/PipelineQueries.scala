@@ -2914,6 +2914,71 @@ object PipelineQueries extends QueryPack {
             AS DECIMAL(18,8)) AS contrib FROM g)
         SELECT source, CAST(sum(cs) AS BIGINT) AS n_tokens,
           round(CAST(sum(contrib) AS DOUBLE), 6) AS js
-        FROM j GROUP BY source ORDER BY source"""))
+        FROM j GROUP BY source ORDER BY source""")),
+
+    // ---- split-leakage AUDIT: the quantified case for x77. Count
+    //      near-dup pairs straddling train/holdout under (a) the naive
+    //      id-keyed hash split — leaks ≈ 2p(1−p) of pairs — and (b) the
+    //      component-keyed split — leaks ZERO by construction. Both
+    //      numbers exact-checked; 2 rows out ---------------------------
+    Q("x85_split_leakage_audit",
+      (s, dir) => {
+        import graft.operators.Sampling
+        val docs = t(s, dir, "documents")
+        // persisted: three consumers (CC + both audits) would otherwise
+        // re-run the band join per consumer
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          n = 4, threshold = 0.2, maxDf = 100L).persist()
+        val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+          maxRounds = 60)
+        val ids = docs.select(col("doc_id"))
+        val naive = Sampling.hashSplit(ids, "doc_id")
+        val safe = Sampling.leakageSafeSplit(ids, "doc_id", comp)
+          .select(col("doc_id"), col("split"))
+        Sampling.splitCrossings(pairs, "doc_a", "doc_b", naive,
+            "doc_id", "split", "hash_by_id")
+          .unionByName(Sampling.splitCrossings(pairs, "doc_a", "doc_b",
+            safe, "doc_id", "split", "hash_by_component"))
+          .orderBy(col("method"))
+      },
+      Some(s"""WITH RECURSIVE tk AS (SELECT doc_id, $shingleSql AS s FROM documents),
+        ex0 AS (SELECT doc_id AS doc, unnest(s) AS sh FROM tk),
+        keep AS (SELECT sh FROM ex0 GROUP BY sh HAVING count(*) <= 100),
+        ex AS (SELECT doc, ex0.sh FROM ex0 JOIN keep ON ex0.sh = keep.sh),
+        sz AS (SELECT doc, count(*) AS n_sh FROM ex GROUP BY doc),
+        co AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+               FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc < b.doc
+               GROUP BY a.doc, b.doc),
+        pr AS (SELECT doc_a, doc_b
+               FROM co JOIN sz sa ON doc_a = sa.doc JOIN sz sb ON doc_b = sb.doc
+               WHERE CAST(common AS DOUBLE)/(sa.n_sh + sb.n_sh - common) >= 0.2),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+                  UNION SELECT doc_b, doc_a FROM pr),
+        reach AS (SELECT s AS v, s AS l FROM edges
+                  UNION
+                  SELECT e.s, r.l FROM reach r JOIN edges e ON e.d = r.v),
+        comp AS (SELECT v, min(l) AS component FROM reach GROUP BY v),
+        naive AS (SELECT doc_id, CASE WHEN
+            substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'cd'
+          THEN 'train' ELSE 'holdout' END AS split FROM documents),
+        safe AS (SELECT d.doc_id, CASE WHEN
+            substr(md5(CAST(coalesce(c.component, d.doc_id)
+              AS VARCHAR)),1,2) < 'cd'
+          THEN 'train' ELSE 'holdout' END AS split
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
+        a1 AS (SELECT 'hash_by_id' AS method, count(*) AS n_pairs,
+          CAST(sum(CASE WHEN x.split <> y.split THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cross_split
+          FROM pr JOIN naive x ON pr.doc_a = x.doc_id
+                  JOIN naive y ON pr.doc_b = y.doc_id),
+        a2 AS (SELECT 'hash_by_component' AS method, count(*) AS n_pairs,
+          CAST(sum(CASE WHEN x.split <> y.split THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cross_split
+          FROM pr JOIN safe x ON pr.doc_a = x.doc_id
+                  JOIN safe y ON pr.doc_b = y.doc_id)
+        SELECT method, n_pairs, n_cross_split,
+          n_cross_split = 0 AS leak_free
+        FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+        ORDER BY method"""))
   )
 }

@@ -282,7 +282,10 @@ class ScaleSpec extends SparkSpec {
       // plan is ledger-sized — replay dedup + the x78 JS tail, whose
       // grid/total aggs each re-exchange S×(K+1)-row tables (the
       // un-persisted merged ledger feeds three consumers)
-      "x84_streaming_source_drift" -> 13)
+      "x84_streaming_source_drift" -> 13,
+      // x85: the persisted pair cache feeds CC + two audit joins; each
+      // consumer re-exchanges id-width pair/assignment rows
+      "x85_split_leakage_audit" -> 11)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet

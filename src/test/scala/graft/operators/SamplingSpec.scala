@@ -220,6 +220,32 @@ class SamplingSpec extends SparkSpec {
     assert(eNull.getMessage.contains("null"), eNull.getMessage)
   }
 
+  test("splitCrossings counts straddling pairs; component split is leak-free") {
+    import spark.implicits._
+    val docs = (0L until 100L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    // adversarial assignment: exactly two pairs straddle
+    val assign = (0L until 100L).map(i =>
+      (i, if (i == 2L || i == 4L) "holdout" else "train"))
+      .toDF("doc_id", "split")
+    val row = Sampling.splitCrossings(pairs, "doc_a", "doc_b", assign,
+      "doc_id", "split", "fixed").head()
+    assert(row.getAs[String]("method") == "fixed")
+    assert(row.getAs[Long]("n_pairs") == 4L)
+    assert(row.getAs[Long]("n_cross_split") == 2L)
+    assert(!row.getAs[Boolean]("leak_free"))
+    // component-keyed split over the pair components never straddles
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L),
+      (6L, 5L), (7L, 7L), (8L, 7L)).toDF("v", "comp")
+    val safe = Sampling.leakageSafeSplit(docs, "doc_id", comp)
+      .select(col("doc_id"), col("split"))
+    val safeRow = Sampling.splitCrossings(pairs, "doc_a", "doc_b", safe,
+      "doc_id", "split", "safe").head()
+    assert(safeRow.getAs[Long]("n_cross_split") == 0L &&
+      safeRow.getAs[Boolean]("leak_free"))
+  }
+
   test("leakageSafeSplit: no component straddles splits; singletons match hashSplit") {
     import spark.implicits._
     val docs = (0L until 200L).toDF("doc_id")
