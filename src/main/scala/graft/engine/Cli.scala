@@ -44,8 +44,13 @@ object Cli {
         // dbt test only EVALUATES tests against existing relations — it
         // must not materialize models as a side effect (running them
         // would, e.g., append another batch to every incremental table).
+        // Unit tests run first (dbt 1.8: `dbt test` includes unit tests;
+        // they touch only their mocked inputs, never relations).
+        val ut = project.runUnitTests().map(r =>
+          s"${if (r.ok) "PASS" else "FAIL"} unit_test.${r.name}" +
+          (if (r.detail.nonEmpty) s" (${r.detail})" else ""))
         val res = project.testOnly(selectArg(rest))
-        res.results.map(r => s"${r.status.toUpperCase} ${r.id}")
+        ut ++ res.results.map(r => s"${r.status.toUpperCase} ${r.id}")
       case "ls" :: _ =>
         project.compile().nodes.keys.toSeq.sorted
       case "compile" :: rest =>

@@ -193,6 +193,30 @@ final case class DataTest(
   def id: String = s"test.$name"
 }
 
+/** A dbt-style UNIT test (dbt-core 1.8 `unit_tests:`): run a model's
+  * build function against MOCKED inputs and compare the result to
+  * expected rows. `given` keys name the mocked dependency — a model
+  * name (as resolved by `ctx.ref`, after versioning) or
+  * `"source.<source>.<table>"`. */
+final case class UnitTestDef(
+    name: String,
+    modelName: String,
+    given: Map[String, DataFrame],
+    expect: DataFrame) {
+  def id: String = s"unit_test.$name"
+}
+
+/** Outcome of one unit test: row-multiset comparison of the mocked
+  * build's output vs the expectation. `missing` = expected rows the
+  * build did not produce; `unexpected` = produced rows not expected. */
+final case class UnitTestResult(
+    name: String,
+    modelName: String,
+    ok: Boolean,
+    missing: Long,
+    unexpected: Long,
+    detail: String = "")
+
 /** Build-time context handed to model build functions. */
 final class Ctx(
     val spark: SparkSession,

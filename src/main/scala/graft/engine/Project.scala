@@ -126,6 +126,91 @@ final class Project(val spark: SparkSession, val target: Target) {
 
   def test(t: DataTest): this.type = { tests += t; this }
 
+  /** Declare a dbt-style UNIT test (dbt-core 1.8 `unit_tests:`): the
+    * model's build function runs against MOCKED inputs only and the
+    * result is compared to `expect` as a row multiset. `given` keys are
+    * the mocked dependency names — a model name (what the build's
+    * `ctx.ref` resolves to, after versioning; snapshots by their name)
+    * or `"source.<source>.<table>"`. Every dependency the build touches
+    * must be mocked: resolving an unmocked one fails the test with the
+    * mocked-key list, so a unit test can never silently read production
+    * relations. `isIncremental` is false under the mock context (the
+    * dbt default — unit tests exercise the full-refresh branch). */
+  def unitTest(name: String, model: String, given: Map[String, DataFrame],
+      expect: DataFrame): this.type = {
+    require(!unitTestDefs.contains(name), s"duplicate unit test $name")
+    unitTestDefs(name) = UnitTestDef(name, model, given, expect)
+    this
+  }
+
+  private val unitTestDefs = mutable.LinkedHashMap[String, UnitTestDef]()
+
+  /** Run every declared unit test (or those for one `model`). */
+  def runUnitTests(model: String = "*"): Seq[UnitTestResult] =
+    unitTestDefs.values.toSeq
+      .filter(ut => model == "*" || ut.modelName == model)
+      .map(runUnitTest)
+
+  private def runUnitTest(ut: UnitTestDef): UnitTestResult =
+    models.get(ut.modelName) match {
+      case None => UnitTestResult(ut.name, ut.modelName, ok = false, 0, 0,
+        s"unknown model '${ut.modelName}'")
+      case Some(m) =>
+        val mockCtx = new Ctx(
+          spark,
+          (dep0, version) => {
+            val dep =
+              try versionedName(dep0, version)
+              catch { case _: NoSuchElementException => dep0 }
+            ut.given.getOrElse(dep, ut.given.getOrElse(dep0,
+              throw new NoSuchElementException(
+                s"unit test '${ut.name}': ref('$dep0') -> '$dep' is not " +
+                s"mocked (given: ${ut.given.keys.mkString(", ")})")))
+          },
+          (s0, t0) => ut.given.getOrElse(s"source.$s0.$t0",
+            throw new NoSuchElementException(
+              s"unit test '${ut.name}': source('$s0','$t0') is not " +
+              s"mocked (given: ${ut.given.keys.mkString(", ")})")))
+        try {
+          val got = m.build(mockCtx)
+          val gotCols = got.columns.toSeq
+          val expCols = ut.expect.columns.toSeq
+          if (gotCols.toSet != expCols.toSet)
+            UnitTestResult(ut.name, ut.modelName, ok = false, 0, 0,
+              s"column mismatch: got ${gotCols.mkString(",")} expected " +
+              expCols.mkString(","))
+          else {
+            // row-multiset compare via collected counted rows (exceptAll
+            // is unreliable on some Spark 4.1 plans — BASELINE.md note);
+            // unit-test fixtures are small by construction
+            def counted(df: DataFrame): Map[String, Int] =
+              df.select(expCols.map(org.apache.spark.sql.functions.col): _*)
+                .collect()
+                .groupBy(_.toString).view.mapValues(_.length).toMap
+            val g = counted(got)
+            val e = counted(ut.expect)
+            val missing = e.map { case (r, n) =>
+              math.max(n - g.getOrElse(r, 0), 0) }.sum
+            val unexpected = g.map { case (r, n) =>
+              math.max(n - e.getOrElse(r, 0), 0) }.sum
+            val detail =
+              if (missing + unexpected == 0) ""
+              else {
+                val miss = e.keys.filterNot(g.contains).take(3)
+                val unex = g.keys.filterNot(e.contains).take(3)
+                s"missing=${miss.mkString(";")} unexpected=${unex.mkString(";")}"
+              }
+            UnitTestResult(ut.name, ut.modelName,
+              ok = missing + unexpected == 0,
+              missing.toLong, unexpected.toLong, detail)
+          }
+        } catch {
+          case e: Exception =>
+            UnitTestResult(ut.name, ut.modelName, ok = false, 0, 0,
+              s"build failed: ${e.getMessage}")
+        }
+    }
+
   /** Rebind every declaration to another target (dbt `--target`,
     * `README.md:162`): same models/sources/seeds/snapshots/tests/hooks,
     * different schema/threads. The new instance resolves fresh against
@@ -138,6 +223,7 @@ final class Project(val spark: SparkSession, val target: Target) {
     snapshots.foreach { case (k, v) => p.snapshots(k) = v }
     analyses.foreach { case (k, v) => p.analyses(k) = v }
     tests.foreach(p.tests += _)
+    unitTestDefs.foreach { case (k, v) => p.unitTestDefs(k) = v }
     runStartHooks.foreach(p.runStartHooks += _)
     runEndHooks.foreach(p.runEndHooks += _)
     p.failuresSchema = failuresSchema
