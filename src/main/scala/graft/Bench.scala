@@ -6,11 +6,18 @@ import java.util.Locale
   * compact total-only JSON line, and writes the full line to
   * `target/bench.json` so the record survives any stdout truncation.
   *
-  * Passes are INTERLEAVED: we sweep every query once, then sweep again, and
-  * take the per-query min across sweeps. On this host the Firecracker
-  * hypervisor deschedules the guest for ~20-minute windows (documented in
-  * BASELINE.md); back-to-back passes of one query can both land inside a
-  * window, but two passes separated by a full sweep (~1 min+) rarely do.
+  * Protocol (round 11): each query runs as a BLOCK — `clearCache()` then
+  * `runs` back-to-back passes, per-query min. The clear pins every
+  * query's cache state to what the solo min-of-N baseline protocol saw:
+  * its own persisted internals warm across its passes, NOTHING inherited
+  * from other queries. The previous interleaved-sweep design let ~100
+  * queries' session-persisted internals (CacheScope.route(None))
+  * accumulate, and late-alphabet queries ran under memory pressure that
+  * solo adjudication could never reproduce — x60's chronic
+  * sweep-2x/solo-0.7x split (r10 verdict flag, r11 sweep repeat) was
+  * exactly this. Host-descheduling windows (BASELINE.md) are ~20 min, so
+  * interleaving passes ~80 s apart never actually escaped a window;
+  * alignment with the baseline protocol matters more.
   */
 object Bench {
 
@@ -143,10 +150,35 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-footer init otherwise lands
-    // entirely on the first measured query
-    try spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .limit(1000).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // entirely on the first measured query. With per-query cache blocks
+    // the warmup must also exercise the INTERPRETED machinery the text
+    // and vector operators share (staged HOF columns, native
+    // expressions): their JIT warm-up is a one-off process cost, not a
+    // per-query plan cost, and without this it lands on whichever pass
+    // runs those expression classes first (x28 measured 2.7 s cold vs
+    // 0.55 s warm — BASELINE.md r11).
+    try {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .limit(1000).write.format("noop").mode("overwrite").save()
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      val toks = split(col("text"), " ")
+      // two repetitions: one pass leaves the interpreted HOF evaluators
+      // still inside C2 warm-up (measured 1.47 s -> 0.70 s -> 0.55 s)
+      for (_ <- 1 to 2)
+        d.select(col("doc_id"),
+            graft.functions.TextFunctions.stopwordRatio(toks),
+            graft.functions.TextFunctions.dupTokenRatio(toks),
+            graft.functions.TextFunctions.avgTokenLen(toks),
+            graft.expressions.TextExpressions.wordShingles(col("text"), 4),
+            graft.expressions.TextExpressions
+              .bpeishTokenCountNative(col("text")))
+          .write.format("noop").mode("overwrite").save()
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200)
+      e.select(graft.expressions.VectorExpressions
+          .floatVecDot(col("embedding"), col("embedding")))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     // noop sink: forces full evaluation of every output column (count()
     // would let Catalyst prune the very projections being measured).
     // Optional comma-separated query-name filter for local iteration.
@@ -154,21 +186,25 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
-    // min across interleaved sweeps; a failed pass measures nothing (+inf)
-    // so a fast crash can't become the reported best time.
+    // per-query block: defined cache state, then `runs` passes, min kept;
+    // a failed pass measures nothing (+inf) so a fast crash can't become
+    // the reported best time.
     val best = Array.fill(selected.size)(Double.PositiveInfinity)
-    for (pass <- 1 to runs; ((name, fn), i) <- selected.zipWithIndex) {
-      val t0 = System.nanoTime()
-      val sec =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}")
-          Double.PositiveInfinity
-        }
-      best(i) = math.min(best(i), sec)
-      System.err.println(f"[bench] pass $pass $name $sec%.2f s")
+    for (((name, fn), i) <- selected.zipWithIndex) {
+      spark.catalog.clearCache()
+      for (pass <- 1 to runs) {
+        val t0 = System.nanoTime()
+        val sec =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}")
+            Double.PositiveInfinity
+          }
+        best(i) = math.min(best(i), sec)
+        System.err.println(f"[bench] pass $pass $name $sec%.2f s")
+      }
     }
     def fmt(v: Double): String =
       if (v.isFinite) String.format(Locale.ROOT, "%.3f", Double.box(v)) else "-1"
