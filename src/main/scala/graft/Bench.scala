@@ -138,7 +138,13 @@ object Bench {
     "x78_source_js_drift" -> 928, "x79_boilerplate_strip" -> 874,
     "x80_compression_signal" -> 681, "x81_bm25_topk" -> 552,
     "x82_unicode_normalize" -> 613, "x83_label_outliers" -> 1107,
-    "x84_streaming_source_drift" -> 1876, "x85_split_leakage_audit" -> 1215)
+    "x84_streaming_source_drift" -> 1876, "x85_split_leakage_audit" -> 1215,
+    // r11 additions, first measures (solo min-of-4 — BASELINE.md r11);
+    // x89's cost is the deletion-variant index (~79 variants/key over
+    // ~3k distinct keys) + candidate verify
+    "x86_setsim_exact_join" -> 1507, "x87_countmin_freq" -> 590,
+    "x88_memorization_risk" -> 1357, "x89_editdist_join" -> 2401,
+    "x90_mmr_select" -> 531)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

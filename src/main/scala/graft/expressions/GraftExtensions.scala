@@ -86,6 +86,12 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MisraGriesTopK].getName, "misra_gries_topk"),
       (args: Seq[Expression]) =>
         MisraGriesTopK(args.head, foldableInt(args(1)))
+          .toAggregateExpression()),
+    // count_min_sketch(term, depth, width) — aggregate
+    ("count_min_sketch",
+      new ExpressionInfo(classOf[CountMinSketch].getName, "count_min_sketch"),
+      (args: Seq[Expression]) =>
+        CountMinSketch(args.head, foldableInt(args(1)), foldableInt(args(2)))
           .toAggregateExpression())
   )
 

@@ -145,9 +145,134 @@ case class MisraGriesTopK(
     copy(child = newChild)
 }
 
+/** Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) as a
+  * native aggregate — the POINT-FREQUENCY complement to
+  * [[MisraGriesTopK]]: MG answers "which terms are heavy", CM answers
+  * "how often did THIS term occur" for any term, in `depth × width`
+  * longs of state per task regardless of corpus size.
+  *
+  * Each of the `depth` rows hashes a term to one of `width` counters and
+  * increments it; the estimate for a term is the MIN of its `depth`
+  * counters. Guarantees:
+  *  - est(x) >= f(x) always (counters only ever over-count — every
+  *    occurrence of x lands in all of x's counters);
+  *  - est(x) <= f(x) + 2n/width per row with probability >= 1/2
+  *    (Markov on the colliding mass), so >= 1 − 2^−depth after the min.
+  *
+  * The buffer is a flat long[depth*width]; merge is pointwise sum —
+  * commutative, associative, order-independent — which is exactly why
+  * the STANDARD update is used and not the conservative-update variant
+  * (Estan & Varghese 2002): conservative update reads the current min
+  * before incrementing, making the sketch depend on arrival order and
+  * breaking partial-aggregation mergeability.
+  *
+  * The row-d bucket of term t is the first 32 bits of md5("d:" + t) mod
+  * width — reproducible in plain SQL on BOTH engines
+  * (`conv(substr(md5(concat('d:', t)), 1, 8), 16, 10) % width`), so an
+  * oracle can rebuild the whole sketch and the estimates are
+  * exact-checkable, not verdict-only.
+  *
+  * Output: array<long> of length depth*width, row-major (row d occupies
+  * [d*width, (d+1)*width)).
+  */
+case class CountMinSketch(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] {
+  require(depth >= 1 && depth <= 16, "depth must be in [1, 16]")
+  require(width >= 2, "width must be >= 2")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "count_min_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val term = v.asInstanceOf[UTF8String].toString
+    var d = 0
+    while (d < depth) {
+      buf(d * width + CountMinSketch.bucket(d, term, width)) += 1L
+      d += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(buf.map(Long.box).toArray[Any])
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bytes = new Array[Byte](buf.length * 8)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    buf.foreach(bb.putLong)
+    bytes
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CountMinSketch =
+    copy(child = newChild)
+}
+
+object CountMinSketch {
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Row-d bucket of `term`: first 32 bits of md5("d:" + term), as an
+    * unsigned value, mod width — the exact integer SQL
+    * `conv(substr(md5(concat('d:', term)), 1, 8), 16, 10) % width`
+    * computes. */
+  def bucket(d: Int, term: String, width: Int): Int = {
+    val md = md5Local.get()
+    md.reset()
+    val h = md.digest(s"$d:$term"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val u = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    (u % width).toInt
+  }
+}
+
 object SketchExpressions {
   /** Column handle for [[MisraGriesTopK]] (an aggregate function). */
   def misraGriesTopK(term: Column, capacity: Int): Column =
     GraftSql.column(MisraGriesTopK(GraftSql.expression(term), capacity)
+      .toAggregateExpression())
+
+  /** Column handle for [[CountMinSketch]] (an aggregate function). */
+  def countMinSketch(term: Column, depth: Int, width: Int): Column =
+    GraftSql.column(CountMinSketch(GraftSql.expression(term), depth, width)
       .toAggregateExpression())
 }

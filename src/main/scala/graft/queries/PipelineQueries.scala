@@ -2979,6 +2979,159 @@ object PipelineQueries extends QueryPack {
         SELECT method, n_pairs, n_cross_split,
           n_cross_split = 0 AS leak_free
         FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
-        ORDER BY method"""))
+        ORDER BY method""")),
+
+    // ---- EXACT set-similarity join via prefix filtering (AllPairs,
+    //      Bayardo WWW'07): every Jaccard >= 0.5 pair with NO recall
+    //      loss — x03's LSH misses band-miss pairs, x02's maxDf prune
+    //      misses frequent-shingle-only overlap; prefix filtering bounds
+    //      the index by theorem (rarest-first order, |x|−⌈t|x|⌉+1
+    //      prefix). The oracle is the UNPRUNED brute-force pair join —
+    //      exactly the ground truth the operator claims -----------------
+    Q("x86_setsim_exact_join",
+      (s, dir) => graft.operators.SetSimJoin.jaccardJoinExact(
+        t(s, dir, "documents"), "doc_id", "text", n = 4, threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH tk AS (SELECT doc_id, $shingleSql AS s FROM documents),
+        ex AS (SELECT doc_id AS doc, unnest(s) AS sh FROM tk),
+        sz AS (SELECT doc, count(*) AS n FROM ex GROUP BY doc),
+        co AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+               FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc < b.doc
+               GROUP BY a.doc, b.doc)
+        SELECT doc_a, doc_b,
+          CAST(common AS DOUBLE)/(sa.n + sb.n - common) AS jaccard
+        FROM co JOIN sz sa ON doc_a = sa.doc JOIN sz sb ON doc_b = sb.doc
+        WHERE CAST(common AS DOUBLE)/(sa.n + sb.n - common) >= 0.5
+        ORDER BY doc_a, doc_b""")),
+
+    // ---- Count-Min point-frequency sketch (Cormode & Muthukrishnan
+    //      2005): completes the sketch quartet (HLL cardinality x70,
+    //      Misra-Gries heavy hitters x71/x72, GK quantiles x73) with the
+    //      "how often did THIS term occur" primitive. The md5-bucket
+    //      arithmetic is plain SQL, so the oracle rebuilds the ENTIRE
+    //      sketch and exact-checks the estimates — not verdict-only.
+    //      Same Zipf key as x71; depth 4 × width 1024 longs of state ----
+    Q("x87_countmin_freq",
+      (s, dir) => graft.operators.HeavyHitters.countMinReport(
+        t(s, dir, "events").select(zipfTerm.as("term")),
+        "term", depth = 4, width = 1024, topK = 8),
+      Some("""WITH tm AS (SELECT CASE WHEN event_id % 2 = 0
+          THEN 'h' || CAST(length(bin((event_id // 2) % 1024 + 1)) - 1 AS VARCHAR)
+          ELSE 't' || CAST(event_id AS VARCHAR) END AS term FROM events),
+        c AS (SELECT term, count(*) AS n_exact FROM tm GROUP BY term),
+        top AS (SELECT term, n_exact FROM c
+                ORDER BY n_exact DESC, term LIMIT 8),
+        bk AS (SELECT d.range AS d,
+            ('0x'||substr(md5(d.range||':'||term),1,8))::BIGINT % 1024
+              AS bucket,
+            count(*) AS cnt
+          FROM tm, range(4) d GROUP BY 1, 2),
+        e AS (SELECT t.term, t.n_exact, min(bk.cnt) AS est
+          FROM top t JOIN bk ON bk.bucket =
+            ('0x'||substr(md5(bk.d||':'||t.term),1,8))::BIGINT % 1024
+          GROUP BY t.term, t.n_exact)
+        SELECT term, n_exact, est,
+          true AS never_under, true AS overcount_ok
+        FROM e ORDER BY n_exact DESC, term""")),
+
+    // ---- memorization-risk screen (Carlini et al. arXiv:2202.07646:
+    //      memorization scales with duplicate count; Kandpal et al.
+    //      ICML'22): per-doc duplication-weighted shingle exposure —
+    //      the report a sampler reads BEFORE deciding effective epochs.
+    //      Inverted-index shape, no pairwise term anywhere -------------
+    Q("x88_memorization_risk",
+      (s, dir) => graft.operators.MemorizationRisk.report(
+        t(s, dir, "documents"), "doc_id", "text", n = 4, minDocs = 2L)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tk AS (SELECT doc_id, $shingleSql AS s FROM documents),
+        ex AS (SELECT doc_id AS doc, unnest(s) AS sh FROM tk),
+        d AS (SELECT sh, count(*) AS dfc FROM ex GROUP BY sh),
+        p AS (SELECT doc, count(*) AS ns,
+            sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS ne,
+            max(dfc) AS mx
+          FROM ex JOIN d USING (sh) GROUP BY doc)
+        SELECT doc_id,
+          CAST(coalesce(ns, 0) AS BIGINT) AS n_shingles,
+          CAST(coalesce(ne, 0) AS BIGINT) AS n_exposed,
+          CASE WHEN coalesce(ns, 0) > 0
+            THEN CAST(ne AS DOUBLE) / ns ELSE 0.0 END AS exposed_frac,
+          CAST(coalesce(mx, 0) AS BIGINT) AS max_df,
+          CASE WHEN coalesce(ns, 0) = 0 THEN 'none'
+            WHEN CAST(ne AS DOUBLE)/ns >= 0.5 THEN 'high'
+            WHEN CAST(ne AS DOUBLE)/ns >= 0.1 THEN 'medium'
+            WHEN ne > 0 THEN 'low' ELSE 'none' END AS risk
+        FROM documents LEFT JOIN p ON doc_id = p.doc
+        ORDER BY doc_id""")),
+
+    // ---- edit-distance self-join via deletion-neighborhood blocking
+    //      (FastSS; Gravano VLDB'01 family) over the distinct 12-char
+    //      text-prefix key: the entity-resolution primitive the
+    //      shingle-set joins can't express (character-level edits, not
+    //      token overlap). Recall-complete by the common-subsequence
+    //      pigeonhole; candidates verified with true levenshtein. The
+    //      oracle is the brute-force distinct-key pair scan ------------
+    Q("x89_editdist_join",
+      (s, dir) => graft.operators.EditDistJoin.selfJoin(
+        t(s, dir, "documents")
+          .select(substring(col("text"), 1, 12).as("key")),
+        "key", maxDist = 2)
+        .orderBy(col("key_a"), col("key_b")),
+      Some("""WITH k AS (SELECT DISTINCT substr(text, 1, 12) AS key
+          FROM documents WHERE text IS NOT NULL)
+        SELECT a.key AS key_a, b.key AS key_b,
+          CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+        FROM k a JOIN k b ON a.key < b.key
+        WHERE abs(length(a.key) - length(b.key)) <= 2
+          AND levenshtein(a.key, b.key) <= 2
+        ORDER BY key_a, key_b""")),
+
+    // ---- Maximal Marginal Relevance selection (Carbonell & Goldstein
+    //      SIGIR'98): relevant-but-diverse top-k — the anti-redundancy
+    //      selection rule. Corpus side distributed (cosine-to-query +
+    //      TakeOrdered pool); the quadratic term confined to the bounded
+    //      24-item pool; the greedy runs in EXACT decimal on both
+    //      engines (scale-5 scores, id tie-break), so the oracle's
+    //      recursive CTE replays the identical pick sequence -----------
+    Q("x90_mmr_select",
+      (s, dir) => graft.operators.Mmr.mmrSelect(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 7L, poolSize = 24, k = 8)
+        .select(col("step"), col("id").as("vec_id"), col("mmr_score"))
+        .orderBy(col("step")),
+      Some {
+        val d = dotSql.format("e.embedding", "e.embedding", "qv.embedding")
+        val dab = dotSql.format("a.embedding", "a.embedding", "b.embedding")
+        val nq = dotSql.format("embedding", "embedding", "embedding")
+        s"""WITH RECURSIVE e AS (SELECT vec_id, embedding, sqrt($nq) AS nrm
+            FROM embeddings),
+          qv AS (SELECT embedding, nrm FROM e WHERE vec_id = 7),
+          r AS (SELECT e.vec_id, round($d / (e.nrm * qv.nrm), 4) AS rel
+            FROM e, qv),
+          pool AS (SELECT vec_id, rel FROM r
+            ORDER BY rel DESC, vec_id LIMIT 24),
+          ps AS (SELECT a.vec_id AS pa, b.vec_id AS pb,
+              round($dab / (a.nrm * b.nrm), 4) AS s
+            FROM e a JOIN e b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id IN (SELECT vec_id FROM pool)
+              AND b.vec_id IN (SELECT vec_id FROM pool)),
+          sel(step, ids, picked, score) AS (
+            (SELECT 1, [vec_id], vec_id, CAST(rel AS DECIMAL(14,5))
+             FROM pool ORDER BY rel DESC, vec_id LIMIT 1)
+            UNION ALL
+            SELECT sel.step + 1, list_append(sel.ids, nxt.vec_id),
+              nxt.vec_id, nxt.score
+            FROM sel, LATERAL (
+              SELECT p.vec_id,
+                CAST(CAST(p.rel AS DECIMAL(14,4)) - 0.5 * CAST((
+                  SELECT max(ps.s) FROM ps
+                  WHERE ps.pa = p.vec_id AND list_contains(sel.ids, ps.pb))
+                  AS DECIMAL(14,4)) AS DECIMAL(14,5)) AS score
+              FROM pool p WHERE NOT list_contains(sel.ids, p.vec_id)
+              ORDER BY score DESC, p.vec_id LIMIT 1) nxt
+            WHERE sel.step < 8)
+        SELECT CAST(step AS BIGINT) AS step, picked AS vec_id,
+          CAST(score AS DOUBLE) AS mmr_score
+        FROM sel ORDER BY step"""
+      })
   )
 }

@@ -108,13 +108,15 @@ class ScaleSpec extends SparkSpec {
     //    single-row broadcast — x25/x40's 1-row shape
     //  - x84: inherits x78's support-grid shape over the merged drift
     //    ledger (S×(K+1)-row group-count tables)
+    //  - x87: the k exact top rows cross-join the ONE sketch/totals
+    //    aggregate row via an explicit single-row broadcast — x71's shape
     val allow = Set("x06_embedding_neardups", "x25_tfidf_top_terms",
       "x14_ivf_ann", "x40_lm_bigram_nll", "x45_perplexity_buckets",
       "x48_temperature_resample", "x51_nb_quality_score",
       "x57_training_mix_pipeline", "x62_ivf_pq_ann",
       "x71_heavy_hitters", "x72_streaming_heavy_hitters",
       "x76_dsir_resample", "x78_source_js_drift", "x81_bm25_topk",
-      "x84_streaming_source_drift")
+      "x84_streaming_source_drift", "x87_countmin_freq")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -285,7 +287,24 @@ class ScaleSpec extends SparkSpec {
       "x84_streaming_source_drift" -> 13,
       // x85: the persisted pair cache feeds CC + two audit joins; each
       // consumer re-exchanges id-width pair/assignment rows
-      "x85_split_leakage_audit" -> 11)
+      "x85_split_leakage_audit" -> 11,
+      // x86: df agg + the per-doc rarest-first sort agg + the prefix
+      // self-join's candidate distinct + verify joins + the final sort
+      // (the persisted doc→shingles relation exchanges once)
+      "x86_setsim_exact_join" -> 5,
+      // x87: exact top-k agg + its order-by; the sketch is ONE
+      // map-side-summarized single-row agg (x71's shape)
+      "x87_countmin_freq" -> 2,
+      // x88: shingle-df agg + per-doc agg + the shingleless left join
+      // feeding the total-order sort
+      "x88_memorization_risk" -> 3,
+      // x89: key distinct + variant self-join candidate distinct + the
+      // final sort (levenshtein verify is map-side)
+      "x89_editdist_join" -> 3,
+      // x90: the distributed pool selection + bounded-pool pairwise
+      // cosines execute at BUILD time (x65's checkpoint pattern); the
+      // registered plan is the k-row local result + its sort
+      "x90_mmr_select" -> 1)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
