@@ -144,7 +144,12 @@ object Bench {
     // ~3k distinct keys) + candidate verify
     "x86_setsim_exact_join" -> 1507, "x87_countmin_freq" -> 590,
     "x88_memorization_risk" -> 1357, "x89_editdist_join" -> 2401,
-    "x90_mmr_select" -> 531)
+    "x90_mmr_select" -> 531,
+    // x92's cost is the 128-plane bipartite signature pass over
+    // corpus+twins+bench plus the band join
+    "x91_hybrid_rrf" -> 1043, "x92_semantic_decontaminate" -> 2888,
+    // x93's cost is the per-pixel md5 render + PNG encode/decode passes
+    "x93_perceptual_neardups" -> 1000)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -767,19 +767,7 @@ object Dedup {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
       .persist()
-    // rounding before the sign test keeps the bit decision away from the
-    // last ulp; both engines fold the identical double sequence, so the
-    // bits agree exactly
-    val bits = (0 until numPlanes).map { p =>
-      when(round(dot(col("v"), typedLit(signs(p).toSeq)), 4) >= 0, lit("1"))
-        .otherwise(lit("0"))
-    }
-    val bandCols = (0 until numBands).map { b =>
-      struct(lit(b).as("band"),
-        concat((0 until rows).map(r => bits(b * rows + r)): _*).as("key"))
-    }
-    val bands = base.select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bands = srpBandFrame(base, numPlanes, numBands, signs)
     val cand = bands.select(col("id").as("id_a"), col("band"), col("key"))
       .join(bands.select(col("id").as("id_b"), col("band"), col("key")),
         Seq("band", "key"))
@@ -792,5 +780,72 @@ object Dedup {
       .withColumn("cos", round(cosinePrenormed(col("va"), col("vb"), col("na"), col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+  }
+
+  /** (id, band, key) SRP band postings of a (id, v, nrm) relation — the
+    * shared signature stage of [[embeddingLshPairs]] and
+    * [[semanticDecontaminate]]. Rounding before the sign test keeps the
+    * bit decision away from the last ulp; both engines fold the
+    * identical double sequence, so the bits agree exactly. */
+  private def srpBandFrame(base: DataFrame, numPlanes: Int, numBands: Int,
+      signs: Array[Array[Float]]): DataFrame = {
+    val rows = numPlanes / numBands
+    val bits = (0 until numPlanes).map { p =>
+      when(round(dot(col("v"), typedLit(signs(p).toSeq)), 4) >= 0, lit("1"))
+        .otherwise(lit("0"))
+    }
+    val bandCols = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        concat((0 until rows).map(r => bits(b * rows + r)): _*).as("key"))
+    }
+    base.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** SEMANTIC decontamination — [[decontaminate]]'s embedding-space
+    * twin: drop every corpus vector whose cosine to ANY benchmark
+    * vector reaches `threshold` (paraphrased or re-embedded benchmark
+    * leakage that exact n-gram collision (x33/x75) cannot see).
+    *
+    * Bipartite SRP-LSH blocking: both sides get band keys from the SAME
+    * md5-seeded hyperplanes ([[srpSigns]]), candidates are corpus×bench
+    * band-key collisions ONLY (ids-only shuffle, the
+    * [[embeddingLshPairs]] slim-join shape), and candidates are
+    * verified with exact 4dp cosine before any drop — so a band
+    * collision alone never removes a document. At production
+    * parameterization (cos >= 0.9, 8-bit bands) the candidate volume
+    * tracks true-leak volume, never corpus×bench. The whole pipeline is
+    * deterministic (fixed hyperplanes), so an engine-neutral oracle
+    * regenerates it exactly.
+    *
+    * Returns the surviving corpus rows (all columns). */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, threshold: Double, dim: Int,
+      numPlanes: Int = 128, numBands: Int = 16): DataFrame = {
+    require(numPlanes % numBands == 0, "numPlanes must divide into bands")
+    val signs = srpSigns(numPlanes, dim)
+    def baseOf(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("nrm", norm(col("v")))
+        .persist()                 // bands + the verify join read it twice
+    val cBase = baseOf(corpus)
+    val bBase = baseOf(bench)
+    val cand = srpBandFrame(cBase, numPlanes, numBands, signs)
+      .select(col("id").as("cid"), col("band"), col("key"))
+      .join(srpBandFrame(bBase, numPlanes, numBands, signs)
+        .select(col("id").as("bid"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select("cid", "bid")
+      .dropDuplicates("cid", "bid")
+    val contaminated = cand
+      .join(cBase.select(col("id").as("cid"), col("v").as("vc"),
+        col("nrm").as("nc")), "cid")
+      .join(bBase.select(col("id").as("bid"), col("v").as("vb"),
+        col("nrm").as("nb")), "bid")
+      .filter(round(cosinePrenormed(col("vc"), col("vb"),
+        col("nc"), col("nb")), 4) >= threshold)
+      .select(col("cid").as(idCol))
+      .distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 }

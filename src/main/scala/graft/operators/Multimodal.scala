@@ -443,6 +443,159 @@ object Multimodal {
       .dropDuplicates("media_type", "id_a", "id_b")
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** gray(pat, x, y) = first 32 bits of md5("pat:x:y") mod 200 + cBase —
+    * the engine-neutral noise pixel (cBase <= 55, so no 8-bit wrap: a +k
+    * brightness shift moves every pixel by exactly k). High-entropy by
+    * construction — a perceptual hash over a smooth synthetic gradient
+    * degenerates (most images share the "bright half" bit pattern, and
+    * the near-dup graph goes quadratic; measured 9.9k pairs vs the 50
+    * planted ones), while md5 noise makes unrelated hashes uncorrelated. */
+  def noiseGray(pat: Long, x: Int, y: Int, cBase: Int): Int = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s"$pat:$x:$y"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (u % 200).toInt + cBase
+  }
+
+  /** Deterministic noise raster over [[noiseGray]]. */
+  def renderNoisePattern(pat: Long, w: Int, h: Int,
+      cBase: Int): java.awt.image.BufferedImage = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    require(cBase >= 0 && cBase <= 55, s"cBase out of range: $cBase")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = noiseGray(pat, x, y, cBase)
+        px(y * w + x) = (g << 16) | (g << 8) | g
+        x += 1
+      }
+      y += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    img
+  }
+
+  /** Distributed noise-image ingestion: (id, pattern seed, w, h, cBase)
+    * spec rows → REAL PNG payloads (lossless, so decoded pixels equal
+    * the md5 formula and an oracle can predict the perceptual hash
+    * exactly). Map-side only, no shuffle. */
+  def packNoiseImages(spark: SparkSession, df: DataFrame, idCol: String,
+      patCol: String, widthCol: String, heightCol: String,
+      cCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(patCol).cast("long"),
+        col(widthCol).cast("int"), col(heightCol).cast("int"),
+        col(cCol).cast("int"))
+      .as[(Long, Long, Int, Int, Int)]
+      .map { case (id, pat, w, h, cb) =>
+        val payload = encodeImage(renderNoisePattern(pat, w, h, cb), "png")
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(payload).map("%02x".format(_)).mkString
+        MediaRow(id, "image/png", payload.length.toLong, sha, payload)
+      }
+  }
+
+  /** One row of [[perceptualHash]]: decoded dims + the grid²-bit aHash
+    * as a '0'/'1' string; nulls when the pixels don't decode. */
+  case class PHashRow(id: Long, width: Option[Int], height: Option[Int],
+      phash: Option[String])
+
+  /** REAL perceptual hashing over decoded pixels — average hash (aHash),
+    * the classic near-duplicate-image signature: nearest-neighbor
+    * downsample to a grid×grid luma raster (source pixel (x·w/g, y·h/g),
+    * integer division — deterministic and oracle-replicable, no
+    * area-averaging codec variance), then bit_i = luma_i·grid² > Σ luma
+    * (strictly above the mean, integer-exact). Invariant to uniform
+    * brightness shifts (every luma moves with the mean) and to rescaling
+    * that preserves the NN samples — the two perturbations byte-level
+    * signatures ([[payloadNearDups]]) are blind to, because re-encoding
+    * changes every compressed byte. Map-side mapPartitions over the
+    * payload binary, no shuffle. */
+  def perceptualHash(spark: SparkSession, packed: DataFrame,
+      grid: Int = 8): Dataset[PHashRow] = {
+    require(grid >= 2 && grid * grid <= 256, "grid must be in [2, 16]")
+    import spark.implicits._
+    packed.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          decodeImage(payload) match {
+            case Some(img) =>
+              val w = img.getWidth; val h = img.getHeight
+              val px = img.getRGB(0, 0, w, h, null, 0, w)
+              val d = new Array[Long](grid * grid)
+              var sum = 0L
+              var y = 0
+              while (y < grid) {
+                var x = 0
+                while (x < grid) {
+                  val rgb = px((y * h / grid) * w + (x * w / grid))
+                  val lum = (299 * ((rgb >> 16) & 0xFF) +
+                    587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF)) / 1000
+                  d(y * grid + x) = lum; sum += lum
+                  x += 1
+                }
+                y += 1
+              }
+              val n = (grid * grid).toLong
+              val bits = new StringBuilder(grid * grid)
+              d.foreach(v => bits.append(if (v * n > sum) '1' else '0'))
+              PHashRow(id, Some(w), Some(h), Some(bits.toString))
+            case None => PHashRow(id, None, None, None)
+          }
+        }
+      }
+  }
+
+  /** Perceptual near-duplicate pairs over [[perceptualHash]] output:
+    * pigeonhole band join (Hamming <= radius over bands > radius bands
+    * forces an identical band — the x18/payloadNearDups scheme), then
+    * exact per-bit verification on the candidate pairs. The bit strings
+    * stay strings end to end — no conv() to long, whose unsigned parse
+    * nulls out hashes with the top bit set. */
+  def perceptualNearDups(hashes: DataFrame, radius: Int = 3,
+      bands: Int = 4, scope: Option[CacheScope] = None): DataFrame = {
+    require(radius < bands, "pigeonhole needs radius < bands")
+    val h = CacheScope.route(scope,
+      hashes.filter(col("phash").isNotNull)
+        .select(col("id"), col("phash")))
+    val probe = h.select(length(col("phash"))).take(1)
+    if (probe.isEmpty)   // nothing decodable: empty pairs, stable schema
+      return h.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0L).as("hamming")).limit(0)
+    val bitLen = probe(0).getInt(0)
+    require(bitLen % bands == 0, s"bands must divide hash length $bitLen")
+    val bandLen = bitLen / bands
+    val banded = h.select(col("id"), col("phash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("phash"), b * bandLen + 1, bandLen).as("key"))): _*))
+        .as("bk"))
+      .select(col("id"), col("phash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val diff = size(filter(sequence(lit(0), lit(bitLen - 1)),
+      i => col("ha").substr(i + 1, lit(1)) =!= col("hb").substr(i + 1, lit(1))))
+    banded.select(col("id").as("id_a"), col("phash").as("ha"),
+        col("band"), col("key"))
+      .join(banded.select(col("id").as("id_b"), col("phash").as("hb"),
+        col("band"), col("key")), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), diff.cast("long").as("hamming"))
+      .filter(col("hamming") <= radius)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Distributed multi-frame GIF ingestion (the video stand-in whose
     * codec genuinely ships in the JDK): per spec row, write a REAL
     * animated GIF of `nFrames` full-size constant-gray frames — frame i

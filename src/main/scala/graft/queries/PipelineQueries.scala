@@ -314,6 +314,54 @@ object PipelineQueries extends QueryPack {
     s"""WITH ${srpCtes(numPlanes, numBands, threshold, table)}
       SELECT id_a, id_b, cos FROM pr ORDER BY id_a, id_b"""
 
+  /** DuckDB oracle for x92's [[Dedup.semanticDecontaminate]] run:
+    * regenerates the twin fixture, the identical SRP hyperplanes/band
+    * keys for BOTH sides, the bipartite corpus×bench candidate join,
+    * the 4dp-cosine verify, and the anti-join of surviving corpus ids. */
+  private def srpDecontOracleSql(numPlanes: Int, numBands: Int,
+      threshold: Double): String = {
+    val rows = numPlanes / numBands
+    def bitSql(p: Int) =
+      s"""CASE WHEN round(list_sum(list_transform(range(len(embedding)),
+         i -> CAST(embedding[i+1] AS DOUBLE) *
+           (CASE WHEN substr(md5('${p}_'||CAST(i AS VARCHAR)),1,1) >= '8'
+            THEN 1.0 ELSE -1.0 END))), 4) >= 0 THEN '1' ELSE '0' END"""
+    val bits = (0 until numPlanes).map(p => s"${bitSql(p)} AS b$p")
+      .mkString(", ")
+    val bands = (0 until numBands).map(b =>
+      s"SELECT vec_id, is_bench, $b AS band, " +
+        (0 until rows).map(r => s"b${b * rows + r}").mkString("||") +
+        " AS key FROM e").mkString(" UNION ALL ")
+    val d = dotSql.format("ec.embedding", "ec.embedding", "eb.embedding")
+    val n = dotSql.format("embedding", "embedding", "embedding")
+    s"""WITH allv AS (
+        SELECT vec_id, embedding, FALSE AS is_bench FROM embeddings
+        WHERE vec_id % 10 <> 0
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+          list_transform(range(len(embedding)),
+            i -> CASE WHEN i % 16 = 0 THEN CAST(0.0 AS FLOAT)
+                 ELSE embedding[i+1] END) AS embedding,
+          FALSE AS is_bench
+        FROM embeddings WHERE vec_id % 20 = 0
+        UNION ALL
+        SELECT vec_id, embedding, TRUE AS is_bench FROM embeddings
+        WHERE vec_id % 10 = 0),
+      e AS (SELECT vec_id, is_bench, embedding, sqrt($n) AS nrm, $bits
+        FROM allv),
+      bands AS ($bands),
+      cand AS (SELECT DISTINCT a.vec_id AS cid, b.vec_id AS bid
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        WHERE NOT a.is_bench AND b.is_bench),
+      bad AS (SELECT DISTINCT cid FROM cand
+        JOIN e ec ON cand.cid = ec.vec_id
+        JOIN e eb ON cand.bid = eb.vec_id
+        WHERE round($d / (ec.nrm * eb.nrm), 4) >= $threshold)
+    SELECT vec_id FROM allv
+    WHERE NOT is_bench AND vec_id NOT IN (SELECT cid FROM bad)
+    ORDER BY vec_id"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- exact dedup: one hash aggregation -----------------------------
@@ -3132,6 +3180,176 @@ object PipelineQueries extends QueryPack {
         SELECT CAST(step AS BIGINT) AS step, picked AS vec_id,
           CAST(score AS DOUBLE) AS mmr_score
         FROM sel ORDER BY step"""
-      })
+      }),
+
+    // ---- hybrid retrieval via Reciprocal Rank Fusion (Cormack SIGIR'09):
+    //      fuse the x81 BM25 top-20 with the embedding top-20 (the two
+    //      production retrieval modalities) by Σ 1/(60+rank) — no score
+    //      calibration, rank-only. Ranks of the BOUNDED lists come from
+    //      K×K broadcast comparison joins, never a global window;
+    //      contributions are 8dp decimals so both engines sum exactly.
+    //      The embeddings table shares the documents id space (driver
+    //      fixture wiring), so the fused id IS the doc id --------------
+    Q("x91_hybrid_rrf",
+      (s, dir) => {
+        import graft.operators.Rrf
+        val lex = graft.operators.Bm25.topDocs(t(s, dir, "documents"),
+          "doc_id", "text",
+          queryTerms = Seq("spark", "window", "hash", "join", "stream"),
+          topK = 20)
+        val e = t(s, dir, "embeddings")
+        val qVec = e.filter(col("vec_id") === 7L)
+          .select(col("embedding")).first().getSeq[Float](0)
+        val sem = e.select(col("vec_id").as("doc_id"),
+            round(cosine(col("embedding"), typedlit(qVec)), 4).as("rel"))
+          .orderBy(col("rel").desc, col("doc_id")).limit(20)
+        Rrf.fuse(Seq(
+            Rrf.boundedRank(lex, "doc_id", "score"),
+            Rrf.boundedRank(sem, "doc_id", "rel")),
+          "doc_id", k = 60, topN = 10)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val d = dotSql.format("e.embedding", "e.embedding", "qv.embedding")
+        val nq = dotSql.format("embedding", "embedding", "embedding")
+        s"""WITH q AS (SELECT unnest(['spark','window','hash','join','stream']) AS term),
+          dl AS (SELECT doc_id, len(string_split(text,' ')) AS dl FROM documents),
+          st AS (SELECT count(*) AS n, sum(dl)*1.0/count(*) AS avgdl FROM dl),
+          tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+            FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+            JOIN q USING (term) GROUP BY doc_id, term),
+          df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+            GROUP BY term),
+          sc AS (SELECT tf.doc_id, CAST(round(
+              ln((st.n - df.df + 0.5)/(df.df + 0.5) + 1) *
+              ((tf.tf * (1.2+1)) /
+               (tf.tf + 1.2 * (1 - 0.75 + 0.75*dl.dl/st.avgdl))), 6)
+              AS DECIMAL(18,6)) AS c
+            FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN st),
+          lexagg AS (SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS score
+            FROM sc GROUP BY doc_id),
+          lextop AS (SELECT doc_id, score FROM lexagg
+            ORDER BY score DESC, doc_id LIMIT 20),
+          lex AS (SELECT doc_id, row_number() OVER
+            (ORDER BY score DESC, doc_id) AS rank FROM lextop),
+          e AS (SELECT vec_id, embedding, sqrt($nq) AS nrm FROM embeddings),
+          qv AS (SELECT embedding, nrm FROM e WHERE vec_id = 7),
+          relt AS (SELECT e.vec_id AS doc_id,
+              round($d / (e.nrm * qv.nrm), 4) AS rel FROM e, qv),
+          semtop AS (SELECT doc_id, rel FROM relt
+            ORDER BY rel DESC, doc_id LIMIT 20),
+          sem AS (SELECT doc_id, row_number() OVER
+            (ORDER BY rel DESC, doc_id) AS rank FROM semtop),
+          u AS (SELECT doc_id, CAST(round(1.0/(60+rank), 8)
+                AS DECIMAL(18,8)) AS c FROM lex
+            UNION ALL
+            SELECT doc_id, CAST(round(1.0/(60+rank), 8)
+                AS DECIMAL(18,8)) AS c FROM sem),
+          f AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+              round(CAST(sum(c) AS DOUBLE), 8) AS rrf_score
+            FROM u GROUP BY doc_id),
+          top AS (SELECT * FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10)
+        SELECT doc_id, n_lists, rrf_score FROM top ORDER BY doc_id"""
+      }),
+
+    // ---- SEMANTIC decontamination: x33/x75's embedding-space twin —
+    //      drop corpus vectors with cos >= 0.9 to ANY benchmark vector
+    //      (paraphrased leakage exact n-gram collision can't see).
+    //      Bipartite SRP-LSH blocking at the production 8-bit-band
+    //      parameterization, exact-cosine verify before any drop. The
+    //      corpus unions in x39-style near-twins of every 20th benchmark
+    //      vector (cos ≈ 0.97) so the drop path is actually exercised;
+    //      the oracle regenerates fixture, hyperplanes, bands and verify
+    //      identically ------------------------------------------------
+    Q("x92_semantic_decontaminate",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val bench = e.filter(col("vec_id") % 10 === 0)
+        val twins = bench.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i % 16 === 0, lit(0.0f)).otherwise(x))
+              .as("embedding"))
+        val corpus = e.filter(col("vec_id") % 10 =!= 0).unionByName(twins)
+        Dedup.semanticDecontaminate(corpus, bench, "vec_id", "embedding",
+          threshold = 0.9, dim = 64, numPlanes = 128, numBands = 16)
+          .select(col("vec_id"))
+          .orderBy(col("vec_id"))
+      },
+      Some(srpDecontOracleSql(numPlanes = 128, numBands = 16,
+        threshold = 0.9))),
+
+    // ---- perceptual-hash image near-dups: aHash over REAL decoded
+    //      pixels (decode → NN 8×8 luma grid → above-mean bits) +
+    //      pigeonhole Hamming banding — the near-dup class byte-level
+    //      signatures (x54) are blind to, exercised by +5-brightness
+    //      twins whose every compressed byte differs but whose aHash is
+    //      IDENTICAL. PNG noise fixtures (md5-seeded pixels) keep
+    //      unrelated hashes uncorrelated — a smooth gradient fixture
+    //      measured 9.9k spurious pairs vs the 50 planted. The oracle
+    //      recomputes the hash from the pixel formula (lossless PNG ⇒
+    //      decoded == formula) and replays banding + verify ------------
+    Q("x93_perceptual_neardups",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        def dims(d: org.apache.spark.sql.DataFrame) = d.select(
+          col("__id").as("id"), col("doc_id").as("pat"),
+          (lit(8) + pmod(col("doc_id") * 7 + col("n_chars"), lit(57)))
+            .cast("int").as("w"),
+          (lit(8) + pmod(col("doc_id") * 13 + col("n_chars") * 3, lit(49)))
+            .cast("int").as("h"),
+          col("__cb").cast("int").as("cb"))
+        val spec = dims(docs
+          .withColumn("__id", col("doc_id"))
+          .withColumn("__cb", pmod(col("doc_id"), lit(40))))
+        val twins = dims(docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("__id", col("doc_id") + 1000000L)
+          .withColumn("__cb", pmod(col("doc_id"), lit(40)) + 5))
+        // same pre-codec rebalance as x13: encode+decode dominate, the
+        // spec scan is one split
+        val packed = Multimodal.packNoiseImages(s,
+          spec.unionByName(twins)
+            .repartition(s.sparkContext.defaultParallelism),
+          "id", "pat", "w", "h", "cb").toDF()
+        val hashes = Multimodal.perceptualHash(s, packed, grid = 8).toDF()
+        Multimodal.perceptualNearDups(hashes, radius = 3, bands = 4)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH spec AS (
+          SELECT doc_id AS id, doc_id AS pat,
+            8 + (doc_id*7 + n_chars) % 57 AS w,
+            8 + (doc_id*13 + n_chars*3) % 49 AS h,
+            doc_id % 40 AS cb
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, doc_id,
+            8 + (doc_id*7 + n_chars) % 57,
+            8 + (doc_id*13 + n_chars*3) % 49,
+            doc_id % 40 + 5
+          FROM documents WHERE doc_id % 10 = 0),
+        d AS (SELECT id, list_transform(range(64),
+            i -> ('0x'||substr(md5(pat||':'||((i % 8) * w // 8)||':'||
+              ((i // 8) * h // 8)),1,8))::BIGINT % 200 + cb) AS dv
+          FROM spec),
+        ph AS (SELECT id, array_to_string(list_transform(dv,
+            v -> CASE WHEN v * 64 > list_sum(dv) THEN '1' ELSE '0' END),
+            '') AS phash
+          FROM d),
+        bd AS (SELECT id, phash, b.range AS band,
+            substr(phash, b.range * 16 + 1, 16) AS key
+          FROM ph, range(4) b),
+        cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+            x.phash AS ha, y.phash AS hb
+          FROM bd x JOIN bd y
+            ON x.band = y.band AND x.key = y.key AND x.id < y.id),
+        pr AS (SELECT id_a, id_b, CAST(len(list_filter(range(64),
+            i -> substr(ha, i+1, 1) <> substr(hb, i+1, 1))) AS BIGINT)
+            AS hamming
+          FROM cand)
+      SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3
+      ORDER BY id_a, id_b"""))
   )
 }

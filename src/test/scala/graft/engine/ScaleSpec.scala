@@ -110,13 +110,17 @@ class ScaleSpec extends SparkSpec {
     //    ledger (S×(K+1)-row group-count tables)
     //  - x87: the k exact top rows cross-join the ONE sketch/totals
     //    aggregate row via an explicit single-row broadcast — x71's shape
+    //  - x91: inherits x81's 1-row corpus-stats broadcast, plus the two
+    //    BOUNDED top-K rank joins (K×K broadcast comparison joins over
+    //    20-row retrieval lists — the deliberate no-global-window rank)
     val allow = Set("x06_embedding_neardups", "x25_tfidf_top_terms",
       "x14_ivf_ann", "x40_lm_bigram_nll", "x45_perplexity_buckets",
       "x48_temperature_resample", "x51_nb_quality_score",
       "x57_training_mix_pipeline", "x62_ivf_pq_ann",
       "x71_heavy_hitters", "x72_streaming_heavy_hitters",
       "x76_dsir_resample", "x78_source_js_drift", "x81_bm25_topk",
-      "x84_streaming_source_drift", "x87_countmin_freq")
+      "x84_streaming_source_drift", "x87_countmin_freq",
+      "x91_hybrid_rrf")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -304,7 +308,18 @@ class ScaleSpec extends SparkSpec {
       // x90: the distributed pool selection + bounded-pool pairwise
       // cosines execute at BUILD time (x65's checkpoint pattern); the
       // registered plan is the k-row local result + its sort
-      "x90_mmr_select" -> 1)
+      "x90_mmr_select" -> 1,
+      // x91: the x81 BM25 chain (tf agg + df agg + dl join + score agg)
+      // + the semantic TakeOrdered + the two bounded rank aggs + the
+      // fused agg + sort (rank joins themselves broadcast)
+      "x91_hybrid_rrf" -> 10,
+      // x92: two persisted (id, v, nrm) bases exchange once each; the
+      // bipartite band join, candidate distinct, contaminated distinct
+      // and the anti-join + sort make up the rest
+      "x92_semantic_decontaminate" -> 7,
+      // x93: pre-codec rebalance + band join + candidate distinct + sort
+      // over the persisted (id, phash) relation
+      "x93_perceptual_neardups" -> 3)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet

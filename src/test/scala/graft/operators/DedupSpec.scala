@@ -365,4 +365,31 @@ class DedupSpec extends SparkSpec {
     assert(verdicts(viaFull) ==
       Map(11L -> false, 12L -> true, 13L -> false), verdicts(viaFull))
   }
+
+  test("semanticDecontaminate: near-bench vectors dropped, diverse kept, " +
+      "band collision alone never drops") {
+    import spark.implicits._
+    def vec(xs: Double*) = xs.map(_.toFloat).toArray
+    val b1 = vec(1, 0, 0, 0)
+    val b2 = vec(0, 1, 0, 0)
+    val bench = Seq((100L, b1), (101L, b2)).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      1L -> vec(0.99, 0.141, 0, 0),   // cos ~0.99 to b1 → dropped
+      2L -> b2,                        // identical to b2 → dropped
+      3L -> vec(0, 0, 1, 0),           // orthogonal to both → kept
+      4L -> vec(1, 1, 0, 0)            // cos ~0.707 to both, < 0.9 → kept
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDecontaminate(corpus, bench,
+      "vec_id", "embedding", threshold = 0.9, dim = 4,
+      numPlanes = 16, numBands = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L), kept)
+    // id 4 collides with b1 in many sign bands (shares the positive
+    // half-space) yet survives: the exact-cosine verify gates every drop
+    val all = Dedup.semanticDecontaminate(corpus, bench,
+      "vec_id", "embedding", threshold = 0.999, dim = 4,
+      numPlanes = 16, numBands = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 3L, 4L))   // at 0.999 only the identical copy drops
+  }
 }

@@ -250,4 +250,43 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.count() == 3)
     assert(feats.filter(col("features").isNotNull).count() == 0)
   }
+
+  test("perceptual hash: decoded hash equals the formula, brightness " +
+      "shift is hash-invariant while every payload byte differs") {
+    import spark.implicits._
+    val spec = Seq(
+      (1L, 42L, 33, 21, 10),   // base noise image
+      (2L, 42L, 33, 21, 15),   // same pattern, +5 brightness
+      (3L, 43L, 33, 21, 10))   // different pattern
+      .toDF("id", "pat", "w", "h", "cb")
+    val packed = Multimodal.packNoiseImages(spark, spec,
+      "id", "pat", "w", "h", "cb").toDF()
+    val hs = Multimodal.perceptualHash(spark, packed).collect()
+      .map(r => r.id -> r).toMap
+    // formula-expected hash for id 1, computed WITHOUT any decode
+    val d = (0 until 64).map { i =>
+      Multimodal.noiseGray(42L, (i % 8) * 33 / 8, (i / 8) * 21 / 8, 10).toLong
+    }
+    val expected = d.map(v => if (v * 64 > d.sum) '1' else '0').mkString
+    assert(hs(1L).phash.contains(expected))
+    // aHash invariance: +5 on every pixel moves the mean by +5 → same bits
+    assert(hs(1L).phash == hs(2L).phash)
+    // ...even though the encoded payloads share not even their size class
+    val payloads = packed.select(col("id"), col("sha256")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(payloads(1L) != payloads(2L))
+    // different pattern → different hash
+    assert(hs(1L).phash != hs(3L).phash)
+    // pairs: only the (1,2) twin survives radius 3
+    val pairs = Multimodal.perceptualNearDups(
+      Multimodal.perceptualHash(spark, packed).toDF(), radius = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)), pairs.toSeq)
+  }
+
+  test("perceptual hash: undecodable payloads yield null and never pair") {
+    val hs = Multimodal.perceptualHash(spark, packed).toDF()   // text bytes
+    assert(hs.filter(col("phash").isNotNull).count() == 0)
+    assert(Multimodal.perceptualNearDups(hs).count() == 0)
+  }
 }
