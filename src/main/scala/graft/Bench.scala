@@ -149,7 +149,9 @@ object Bench {
     // corpus+twins+bench plus the band join
     "x91_hybrid_rrf" -> 1043, "x92_semantic_decontaminate" -> 2888,
     // x93's cost is the per-pixel md5 render + PNG encode/decode passes
-    "x93_perceptual_neardups" -> 1000)
+    "x93_perceptual_neardups" -> 1000,
+    // x94 = x72's two-AvailableNow-run streaming shape over CM counters
+    "x94_streaming_countmin" -> 2963)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.expressions.SketchExpressions
 
@@ -75,23 +75,57 @@ object HeavyHitters {
       count(lit(1)).as("__n"),
       SketchExpressions.countMinSketch(col(termCol), depth, width)
         .as("__sk"))
-    // row-d counter of `term`: first 32 bits of md5("d:" + term) mod
-    // width — conv() returns a string, hence the long cast
-    val counters = (0 until depth).map { d =>
-      element_at(col("__sk"),
-        (lit(d * width) + conv(substring(md5(
-          concat(lit(s"$d:"), col("term"))), 1, 8), 16, 10)
-          .cast("long") % width + 1).cast("int"))
-    }
     exactTopK(df, termCol, topK).crossJoin(broadcast(sk))
-      .withColumn("est", least(counters: _*))
+      .withColumn("est", cmEstimate(col("__sk"), col("term"), depth, width))
+      .transform(cmVerdicts(width))
+  }
+
+  /** The ledger-side twin of [[countMinReport]]: verdicts against an
+    * already-merged counter table (rows of (pos, cnt), sparse) and a
+    * one-row totals frame (`__n`) — e.g. the streaming Count-Min
+    * ledger's replay-deduped sum. The counter table is bounded by
+    * depth×width entries (index-metadata scale, the k-means-centroid
+    * class), so it rides into the plan as a driver-pulled dense literal
+    * array — the same sketch column shape the in-query path reads. */
+  def countMinReportFromCounters(df: DataFrame, termCol: String,
+      counters: DataFrame, totals: DataFrame, depth: Int, width: Int,
+      topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val arr = new Array[Long](depth * width)
+    counters.collect().foreach { r =>
+      val pos = r.getAs[Number]("pos").intValue()
+      require(pos >= 0 && pos < arr.length, s"counter pos $pos out of range")
+      arr(pos) = r.getAs[Number]("cnt").longValue()
+    }
+    val n = totals.first().getAs[Number](0).longValue()
+    exactTopK(df, termCol, topK)
+      .withColumn("__n", lit(n))
+      .withColumn("est",
+        cmEstimate(typedlit(arr.toSeq), col("term"), depth, width))
+      .transform(cmVerdicts(width))
+  }
+
+  /** CM estimate of `term` from a sketch array column: min over the
+    * `depth` counters; row-d counter = first 32 bits of md5("d:" + term)
+    * mod width — conv() returns a string, hence the long cast. */
+  private def cmEstimate(sketch: Column, term: Column, depth: Int,
+      width: Int): Column =
+    least((0 until depth).map { d =>
+      element_at(sketch,
+        (lit(d * width) + conv(substring(md5(
+          concat(lit(s"$d:"), term)), 1, 8), 16, 10)
+          .cast("long") % width + 1).cast("int"))
+    }: _*)
+
+  /** Integer-exact CM verdict columns over (term, n_exact, est, __n). */
+  private def cmVerdicts(width: Int)(joined: DataFrame): DataFrame =
+    joined
       .withColumn("never_under", col("est") >= col("n_exact"))
       .withColumn("overcount_ok",
         (col("est") - col("n_exact")) * width <= col("__n") * 2L)
       .select(col("term"), col("n_exact"), col("est"),
         col("never_under"), col("overcount_ok"))
       .orderBy(col("n_exact").desc, col("term"))
-  }
 
   private def exactTopK(df: DataFrame, termCol: String, topK: Int): DataFrame =
     df.groupBy(col(termCol).as("term"))

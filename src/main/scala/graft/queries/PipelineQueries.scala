@@ -44,6 +44,32 @@ object PipelineQueries extends QueryPack {
       true AS sketch_ok
     FROM c, tot ORDER BY n_exact DESC, term LIMIT 8"""
 
+  /** Shared by x87 (batch) and x94 (streaming ledger): the DuckDB-side
+    * REBUILD of the whole Count-Min sketch (depth 4 × width 1024, the
+    * same md5 bucket arithmetic) + exact top-8 estimates and verdicts.
+    * CM counters are additive, so the streaming ledger telescopes to
+    * this exact sketch — one oracle pins both paths (the x71/x72
+    * precedent). */
+  private val countMinOracleSql =
+    """WITH tm AS (SELECT CASE WHEN event_id % 2 = 0
+        THEN 'h' || CAST(length(bin((event_id // 2) % 1024 + 1)) - 1 AS VARCHAR)
+        ELSE 't' || CAST(event_id AS VARCHAR) END AS term FROM events),
+      c AS (SELECT term, count(*) AS n_exact FROM tm GROUP BY term),
+      top AS (SELECT term, n_exact FROM c
+              ORDER BY n_exact DESC, term LIMIT 8),
+      bk AS (SELECT d.range AS d,
+          ('0x'||substr(md5(d.range||':'||term),1,8))::BIGINT % 1024
+            AS bucket,
+          count(*) AS cnt
+        FROM tm, range(4) d GROUP BY 1, 2),
+      e AS (SELECT t.term, t.n_exact, min(bk.cnt) AS est
+        FROM top t JOIN bk ON bk.bucket =
+          ('0x'||substr(md5(bk.d||':'||t.term),1,8))::BIGINT % 1024
+        GROUP BY t.term, t.n_exact)
+      SELECT term, n_exact, est,
+        true AS never_under, true AS overcount_ok
+      FROM e ORDER BY n_exact DESC, term"""
+
   /** The synthesized Zipf-ish term key (see x71's comment). */
   private def zipfTerm = when(col("event_id") % 2 === 0,
     concat(lit("h"),
@@ -3063,24 +3089,7 @@ object PipelineQueries extends QueryPack {
       (s, dir) => graft.operators.HeavyHitters.countMinReport(
         t(s, dir, "events").select(zipfTerm.as("term")),
         "term", depth = 4, width = 1024, topK = 8),
-      Some("""WITH tm AS (SELECT CASE WHEN event_id % 2 = 0
-          THEN 'h' || CAST(length(bin((event_id // 2) % 1024 + 1)) - 1 AS VARCHAR)
-          ELSE 't' || CAST(event_id AS VARCHAR) END AS term FROM events),
-        c AS (SELECT term, count(*) AS n_exact FROM tm GROUP BY term),
-        top AS (SELECT term, n_exact FROM c
-                ORDER BY n_exact DESC, term LIMIT 8),
-        bk AS (SELECT d.range AS d,
-            ('0x'||substr(md5(d.range||':'||term),1,8))::BIGINT % 1024
-              AS bucket,
-            count(*) AS cnt
-          FROM tm, range(4) d GROUP BY 1, 2),
-        e AS (SELECT t.term, t.n_exact, min(bk.cnt) AS est
-          FROM top t JOIN bk ON bk.bucket =
-            ('0x'||substr(md5(bk.d||':'||t.term),1,8))::BIGINT % 1024
-          GROUP BY t.term, t.n_exact)
-        SELECT term, n_exact, est,
-          true AS never_under, true AS overcount_ok
-        FROM e ORDER BY n_exact DESC, term""")),
+      Some(countMinOracleSql)),
 
     // ---- memorization-risk screen (Carlini et al. arXiv:2202.07646:
     //      memorization scales with duplicate count; Kandpal et al.
@@ -3350,6 +3359,46 @@ object PipelineQueries extends QueryPack {
             AS hamming
           FROM cand)
       SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3
-      ORDER BY id_a, id_b"""))
+      ORDER BY id_a, id_b""")),
+
+    // ---- STREAMING Count-Min sketch LEDGER: x87's point-frequency
+    //      sketch as the x72-shape two-AvailableNow-run ledger — each
+    //      run appends its microbatch's sparse (pos, cnt) counters +
+    //      row-count sentinel, the offset log is the cursor, history is
+    //      never re-read. CM counters are ADDITIVE, so the replay-
+    //      deduped sum telescopes to the whole-corpus sketch and x87's
+    //      oracle pins both paths to one semantics ---------------------
+    Q("x94_streaming_countmin",
+      (s, dir) => {
+        import graft.engine._
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), zipfTerm.as("term"))
+        val split = ev.agg(expr("(min(event_id) + max(event_id)) div 2"))
+          .first().getLong(0)
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val landing = wh.resolve("strcm_landing")
+        val ckpt = wh.resolve("_graft_checkpoints/strcm")
+        s.sql("CREATE DATABASE IF NOT EXISTS strcm")
+        s.sql("DROP TABLE IF EXISTS strcm.sketch")
+        for (p <- Seq(landing, ckpt, wh.resolve("strcm.db/sketch")))
+          Materializer.deleteRecursively(p)
+        ev.filter(col("event_id") <= split)
+          .write.mode("overwrite").parquet(landing.toString)
+        EventStreams.streamingCountMin(s, landing.toString, ev.schema,
+          "strcm.sketch", ckpt.toString, "term", depth = 4, width = 1024)
+        ev.filter(col("event_id") > split)
+          .write.mode("append").parquet(landing.toString)
+        EventStreams.streamingCountMin(s, landing.toString, ev.schema,
+          "strcm.sketch", ckpt.toString, "term", depth = 4, width = 1024)
+        // mergeCountMinLedger, not a bare groupBy-sum: collapses
+        // at-least-once replays on (batch_id, pos) before summing
+        val (counters, totals) =
+          EventStreams.mergeCountMinLedger(s.table("strcm.sketch"))
+        graft.operators.HeavyHitters.countMinReportFromCounters(
+          ev.select(col("term")), "term", counters, totals,
+          depth = 4, width = 1024, topK = 8)
+      },
+      Some(countMinOracleSql))
   )
 }

@@ -382,6 +382,68 @@ object EventStreams {
     ledger.dropDuplicates("batch_id", "source", "bterm")
       .groupBy("source", "bterm").agg(sum(col("cs")).as("cs"))
 
+  /** Streaming Count-Min sketch LEDGER — point-frequency monitoring
+    * that never reprocesses history (completes the streaming sketch
+    * matrix: dedup x58/x64, heavy hitters x72, drift x84): each
+    * microbatch contributes its own CM sketch
+    * ([[graft.expressions.CountMinSketch]]) appended as sparse
+    * (pos, cnt) counter rows — bounded by depth×width per batch, never
+    * corpus-sized — plus the batch row count on a pos = −1 sentinel.
+    * CM counters are ADDITIVE (the merge is a pointwise sum), so the
+    * ledger telescopes to exactly the whole-corpus sketch and the x87
+    * estimate/verdict machinery holds over any number of increments.
+    *
+    * DELIVERY: foreachBatch is at-least-once — every row carries
+    * `batch_id`, and [[mergeCountMinLedger]] collapses replays
+    * (`dropDuplicates(batch_id, pos)`) before summing (the x72/x84
+    * idempotency convention). Read the ledger through it, never a bare
+    * groupBy-sum. */
+  def streamingCountMin(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType, sketchTable: String,
+      checkpointDir: String, termCol: String, depth: Int,
+      width: Int): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(landingDir)
+    val fb: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) => {
+        val s = batch.sparkSession
+        // ONE pass over the microbatch: (n, sketch) in a single row
+        val row = batch.toDF().agg(
+          count(lit(1)).as("__n"),
+          graft.expressions.SketchExpressions
+            .countMinSketch(col(termCol), depth, width).as("__sk")).first()
+        val n = row.getLong(0)
+        val sparse = row.getSeq[Long](1).zipWithIndex
+          .collect { case (c, i) if c != 0L => (i, c) }
+        import s.implicits._
+        val out = ((-1, n) +: sparse).toDF("pos", "cnt")
+          .withColumn("batch_id", lit(batchId))
+        out.write.mode("append").format("parquet").saveAsTable(sketchTable)
+      }
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(fb)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    if (spark.catalog.tableExists(sketchTable))
+      spark.catalog.refreshTable(sketchTable)
+  }
+
+  /** Idempotent merge of a [[streamingCountMin]] ledger: collapse
+    * at-least-once replays on (batch_id, pos) — a replayed batch
+    * re-appends identical counter rows, so keeping any one copy is
+    * exact — then sum to (counters = (pos, cnt) merged counter table,
+    * totals = single-row exact n from the pos = −1 sentinels) — the two
+    * frames [[graft.operators.HeavyHitters.countMinReportFromCounters]]
+    * takes. */
+  def mergeCountMinLedger(ledger: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val once = ledger.dropDuplicates("batch_id", "pos")
+    (once.filter(col("pos") >= 0)
+      .groupBy(col("pos")).agg(sum(col("cnt")).as("cnt")),
+      once.filter(col("pos") === -1).agg(sum(col("cnt")).as("__n")))
+  }
+
   /** Idempotent merge of a [[streamingHeavyHitters]] ledger:
     * `dropDuplicates(batch_id, term)` collapses at-least-once replays
     * (a replayed batch re-appends rows with the SAME batch_id; each

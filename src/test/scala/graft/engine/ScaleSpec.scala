@@ -319,7 +319,12 @@ class ScaleSpec extends SparkSpec {
       "x92_semantic_decontaminate" -> 7,
       // x93: pre-codec rebalance + band join + candidate distinct + sort
       // over the persisted (id, phash) relation
-      "x93_perceptual_neardups" -> 3)
+      "x93_perceptual_neardups" -> 3,
+      // x94: the streaming appends run at build time; the registered
+      // plan is exact top-k agg + its order-by + the sketch-sized
+      // ledger-merge dedup (the x72 shape minus the cross joins — the
+      // counters ride in as a driver-pulled dense literal)
+      "x94_streaming_countmin" -> 3)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet

@@ -328,4 +328,62 @@ class StreamingSpec extends SparkSpec {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("streaming count-min ledger: telescopes to the batch sketch, replay-safe") {
+    import spark.implicits._
+    val landing = java.nio.file.Files.createTempDirectory("strcm_t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("strcm_ck").toString
+    spark.sql("CREATE DATABASE IF NOT EXISTS strcmt")
+    spark.sql("DROP TABLE IF EXISTS strcmt.sketch")
+    val rnd = new scala.util.Random(31)
+    val hot = (1 to 4).flatMap(i => Seq.fill(1 << (i + 3))(s"hot$i"))
+    val tail = (0 until 200).map(i => s"tail$i")
+    val all = rnd.shuffle(hot ++ tail)
+    val (b1, b2) = all.splitAt(all.size / 2)
+    b1.toDF("term").write.mode("overwrite").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    val (depth, width) = (4, 512)
+    def run(): Unit = EventStreams.streamingCountMin(spark, landing,
+      schema, "strcmt.sketch", ckpt, "term", depth, width)
+    run()
+    b2.toDF("term").write.mode("append").parquet(landing)
+    run()
+    val ledger = spark.table("strcmt.sketch")
+    // two increments landed, history not re-sketched: batch sentinel
+    // totals sum to exactly n
+    val (counters, totals) = EventStreams.mergeCountMinLedger(ledger)
+    assert(totals.first().getLong(0) == all.size.toLong)
+    // CM counters are additive: the merged ledger equals the one-shot
+    // batch sketch, counter for counter
+    val batchSketch = all.toDF("term")
+      .agg(graft.expressions.SketchExpressions
+        .countMinSketch(col("term"), depth, width))
+      .first().getSeq[Long](0)
+    val mergedArr = new Array[Long](depth * width)
+    counters.collect().foreach(r =>
+      mergedArr(r.getAs[Int]("pos")) = r.getAs[Long]("cnt"))
+    assert(mergedArr.toSeq == batchSketch.toSeq,
+      "merged ledger != one-shot batch sketch")
+    // end-to-end report: never_under always, overcount within bound
+    val rep = graft.operators.HeavyHitters.countMinReportFromCounters(
+      all.toDF("term"), "term", counters, totals, depth, width, topK = 4)
+      .collect()
+    assert(rep.map(_.getString(0)).toSeq ==
+      Seq("hot4", "hot3", "hot2", "hot1"))
+    assert(rep.forall(r => r.getBoolean(3) && r.getBoolean(4)),
+      rep.mkString(", "))
+    // at-least-once replay: re-appending batch 0's rows with the SAME
+    // batch_id must not change the merge
+    ledger.filter(col("batch_id") === 0).write.mode("append")
+      .format("parquet").saveAsTable("strcmt.sketch")
+    spark.catalog.refreshTable("strcmt.sketch")
+    val (c2, t2) = EventStreams.mergeCountMinLedger(spark.table("strcmt.sketch"))
+    assert(t2.first().getLong(0) == all.size.toLong,
+      "replayed batch double-counted in sentinel totals")
+    val replayArr = new Array[Long](depth * width)
+    c2.collect().foreach(r =>
+      replayArr(r.getAs[Int]("pos")) = r.getAs[Long]("cnt"))
+    assert(replayArr.toSeq == mergedArr.toSeq,
+      "replayed batch changed the merged counters")
+  }
 }
