@@ -151,7 +151,14 @@ object Bench {
     // x93's cost is the per-pixel md5 render + PNG encode/decode passes
     "x93_perceptual_neardups" -> 1000,
     // x94 = x72's two-AvailableNow-run streaming shape over CM counters
-    "x94_streaming_countmin" -> 2963)
+    "x94_streaming_countmin" -> 2963,
+    // x95's cost is 10 driver-bounded rounds × (contribution join +
+    // per-dst agg) with a localCheckpoint barrier per round — per-round
+    // latency, not data volume, at sf0.1
+    "x95_pagerank" -> 4246,
+    "x96_pmi_collocations" -> 252,
+    // x97 = sketch path + the exact x60-shaped adjudication matrix
+    "x97_kmv_overlap" -> 491)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

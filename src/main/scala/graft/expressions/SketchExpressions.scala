@@ -265,6 +265,105 @@ object CountMinSketch {
   }
 }
 
+/** KMV (k-minimum-values) distinct-value sketch (Bar-Yossef et al.
+  * RANDOM'02; estimators and multiset-operation analysis in Beyer, Haas,
+  * Reinwald, Sismanis & Gemulla, SIGMOD 2007) as a native aggregate —
+  * the SET-OPERATION member of the sketch family: HLL (x70) answers
+  * "how many distinct", but two HLLs cannot intersect; two KMV sketches
+  * over the SAME hash function compose under union AND intersection
+  * (Broder's bottom-k coordinated sample, "On the resemblance and
+  * containment of documents", SEQUENCES 1997), giving cross-source
+  * distinct-overlap estimates in k longs of state per group regardless
+  * of corpus size.
+  *
+  * The buffer holds the k SMALLEST DISTINCT hash values seen; merge is
+  * set-union-then-truncate — commutative, associative, and idempotent on
+  * duplicates, so partial aggregation and shuffle-fetch order cannot
+  * change the result. Hashes are supplied BY THE CALLER as longs from an
+  * engine-portable integer expression (first 48 bits of md5 — the x87
+  * discipline), so an oracle rebuilds the identical sketch with window
+  * SQL and the ESTIMATES are exact-checkable, not verdict-only.
+  *
+  * Guarantees (Beyer et al. §4): with U(k) the k-th smallest hash as a
+  * fraction of the hash space, (k−1)/U(k) is the unbiased distinct-count
+  * estimator with relative standard error ~ 1/sqrt(k−2); a sketch
+  * holding fewer than k values IS the complete distinct hash set (the
+  * estimate is exact). Output: array<long>, ascending.
+  */
+case class KmvSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+  require(k >= 2 && k <= 65536, "k must be in [2, 65536]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint (a portable integer hash), got " +
+        other.simpleString)
+  }
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val h = v.asInstanceOf[Long]
+    if (buf.size < k) buf.add(h)
+    else if (h < buf.last) { if (buf.add(h)) buf.pollLast() }
+    buf
+  }
+
+  override def merge(a: java.util.TreeSet[java.lang.Long],
+      b: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    a.addAll(b)
+    while (a.size > k) a.pollLast()
+    a
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bytes = new Array[Byte](4 + buf.size * 8)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next().longValue())
+    bytes
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val s = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { s.add(bb.getLong); i += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvSketch =
+    copy(child = newChild)
+}
+
 object SketchExpressions {
   /** Column handle for [[MisraGriesTopK]] (an aggregate function). */
   def misraGriesTopK(term: Column, capacity: Int): Column =
@@ -274,5 +373,12 @@ object SketchExpressions {
   /** Column handle for [[CountMinSketch]] (an aggregate function). */
   def countMinSketch(term: Column, depth: Int, width: Int): Column =
     GraftSql.column(CountMinSketch(GraftSql.expression(term), depth, width)
+      .toAggregateExpression())
+
+  /** Column handle for [[KmvSketch]] (an aggregate function); `hash`
+    * must be a bigint from an engine-portable expression, canonically
+    * `conv(substr(md5(x), 1, 12), 16, 10)` (48 bits — no sign trap). */
+  def kmvSketch(hash: Column, k: Int): Column =
+    GraftSql.column(KmvSketch(GraftSql.expression(hash), k)
       .toAggregateExpression())
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** PageRank (Brin & Page, WWW 1998) over an edge list — the canonical
+  * iterative graph-analytics operator, complementing the connected-
+  * components family ([[Dedup.connectedComponents]]): corpus-level link
+  * authority for crawl prioritization and source weighting.
+  *
+  * Scale shape: each of the (driver-bounded) `iters` rounds is ONE
+  * contribution join + ONE per-destination aggregation — the classic
+  * rank-vector × adjacency product, shuffling id-width rows keyed by
+  * node; no global collect, no window. The rank frame is
+  * `localCheckpoint`ed each round (eager) so lineage stays flat — the
+  * [[Dedup.connectedComponents]] iteration discipline; on a long-lived
+  * cluster swap in a reliable checkpoint dir exactly as documented
+  * there.
+  *
+  * Cross-engine determinism (so a SQL oracle can replay every round
+  * bit-for-bit): ranks are 8dp-rounded doubles; each contribution
+  * rank/outdeg is computed in double (identical IEEE ops on identical
+  * inputs), rounded to 10dp, and SUMMED AS DECIMAL — exact and
+  * order-independent, so shuffle order can't flip a rounding; the new
+  * rank re-rounds to 8dp. Nodes are REQUIRED to have out-degree >= 1
+  * (no dangling-mass redistribution — callers add sink self-loops if
+  * their graph has dangling nodes; the check is one aggregate). */
+object PageRank {
+
+  /** Ranks after `iters` rounds of r' = (1−d)/N + d·Σ_in r/outdeg.
+    * `edges` must be a deduplicated (srcCol, dstCol) edge list whose
+    * node set is exactly the nodes to rank (isolated nodes: add a
+    * self-loop). Returns (node, rank). */
+  def ranks(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 100, "iters must be in [1, 100]")
+    require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist()   // read every round (join) + for degrees/nodes
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outd"))
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val dangling = nodes.join(deg.withColumnRenamed("src", "node"),
+      Seq("node"), "left_anti").limit(1).count()
+    require(dangling == 0L,
+      "PageRank.ranks requires out-degree >= 1 for every node (no " +
+        "dangling-mass redistribution); add sink self-loops first")
+    val teleport = (1.0 - damping) / n
+    var ranks = nodes
+      .withColumn("rank", round(lit(1.0 / n), 8))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = ranks
+        .join(deg.withColumnRenamed("src", "node"), "node")
+        .join(e.withColumnRenamed("src", "node"), "node")
+        .select(col("dst").as("node"),
+          round(col("rank") / col("outd"), 10)
+            .cast(DecimalType(28, 10)).as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("in_mass"))
+      // every node keeps a row (left join): with out-degree enforced,
+      // in-link-free nodes still exist in graphs that have them
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(teleport) +
+            lit(damping) * coalesce(col("in_mass").cast("double"),
+              lit(0.0)), 8).as("rank"))
+        .localCheckpoint()
+    }
+    // the returned frame is a localCheckpoint — lineage-free — so the
+    // iteration-internal caches can be dropped eagerly, not left to the
+    // session (the CacheScope concern does not arise here)
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    ranks
+  }
+}

@@ -3399,6 +3399,138 @@ object PipelineQueries extends QueryPack {
           ev.select(col("term")), "term", counters, totals,
           depth = 4, width = 1024, topK = 8)
       },
-      Some(countMinOracleSql))
+      Some(countMinOracleSql)),
+
+    // ---- PageRank (Brin & Page WWW'98) over a deterministic synthetic
+    //      link graph (every doc links to its successor + two hashed
+    //      targets — out-degree >= 1 and in-link coverage by
+    //      construction, so neither engine's iteration drops nodes).
+    //      Ten driver-bounded rounds, each ONE join + ONE per-dst agg;
+    //      contributions are 10dp decimals so shuffle order can't flip
+    //      a rounding, and the oracle's recursive CTE replays every
+    //      round bit-for-bit ------------------------------------------
+    Q("x95_pagerank",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"))
+        val n = docs.count()
+        val dsts = Seq(col("doc_id") + 1, col("doc_id") * 17 + 3,
+          col("doc_id") * 31 + 7)
+        val edges = dsts.map(d => docs.select(col("doc_id").as("src"),
+            pmod(d, lit(n)).as("dst")))
+          .reduce(_ unionByName _).distinct()
+        graft.operators.PageRank.ranks(edges, "src", "dst",
+          iters = 10, damping = 0.85)
+          .orderBy(col("node"))
+      },
+      Some("""WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        edges AS (SELECT DISTINCT src, dst FROM (
+          SELECT doc_id AS src,
+            (doc_id+1) % (SELECT n FROM nn) AS dst FROM documents
+          UNION ALL SELECT doc_id,
+            (doc_id*17+3) % (SELECT n FROM nn) FROM documents
+          UNION ALL SELECT doc_id,
+            (doc_id*31+7) % (SELECT n FROM nn) FROM documents) u(src, dst)),
+        deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src),
+        pr(iter, node, rank) AS (
+          SELECT 0, doc_id, round(1.0/(SELECT n FROM nn), 8)
+          FROM documents
+          UNION ALL
+          SELECT pr.iter + 1, e.dst,
+            round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                / (SELECT n FROM nn)
+              + CAST(0.85 AS DOUBLE) * CAST(sum(
+                CAST(round(pr.rank / deg.outd, 10) AS DECIMAL(28,10)))
+                AS DOUBLE), 8)
+          FROM pr JOIN edges e ON pr.node = e.src
+               JOIN deg ON pr.node = deg.src
+          WHERE pr.iter < 10
+          GROUP BY pr.iter, e.dst)
+      SELECT node, rank FROM pr WHERE iter = 10 ORDER BY node""")),
+
+    // ---- PMI collocations (Church & Hanks, CL 1990): adjacent pairs
+    //      co-occurring above chance — the tokenizer-vocabulary health
+    //      report. One bigram agg + one unigram agg, totals on the
+    //      single-row broadcast shape; the PMI is ONE left-associated
+    //      double expression over integer counts, so the 6dp rounding
+    //      is oracle-exact --------------------------------------------
+    Q("x96_pmi_collocations",
+      (s, dir) => graft.operators.Collocations.topPmi(
+        t(s, dir, "documents"), "text", minCount = 5L, topK = 20)
+        .orderBy(col("pmi").desc, col("w1"), col("w2")),
+      Some("""WITH t AS (SELECT string_split(text,' ') AS ts FROM documents),
+        u AS (SELECT w, count(*) AS n_w FROM
+          (SELECT unnest(ts) AS w FROM t) GROUP BY w),
+        nu AS (SELECT sum(n_w) AS n_uni FROM u),
+        bp AS (SELECT p[1] AS w1, p[2] AS w2 FROM (SELECT unnest(
+            list_transform(range(len(ts)-1), i -> [ts[i+1], ts[i+2]]))
+            AS p FROM t)),
+        ba AS (SELECT w1, w2, count(*) AS n_pair FROM bp GROUP BY w1, w2),
+        nb AS (SELECT sum(n_pair) AS n_bi FROM ba),
+        sc AS (SELECT w1, w2, n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+            round(ln((CAST(n_pair AS DOUBLE) * n_uni * n_uni) /
+              (CAST(n_bi AS DOUBLE) * u1.n_w * u2.n_w)), 6) AS pmi
+          FROM ba JOIN u u1 ON w1 = u1.w JOIN u u2 ON w2 = u2.w, nu, nb
+          WHERE n_pair >= 5),
+        top AS (SELECT * FROM sc ORDER BY pmi DESC, w1, w2 LIMIT 20)
+      SELECT w1, w2, n_pair, n_w1, n_w2, pmi FROM top
+      ORDER BY pmi DESC, w1, w2""")),
+
+    // ---- KMV cross-source overlap (Beyer SIGMOD'07 / Broder '97):
+    //      the sketch-cost twin of x60 — per-source bottom-256 sketches
+    //      over 48-bit shingle hashes; union/Jaccard/intersection per
+    //      pair from s×k longs, exact matrix attached in-row as the
+    //      adjudication baseline (within_bound = |ΔJ| <= 0.1, > 3σ).
+    //      Hashes are md5-derived integers, so the oracle REBUILDS the
+    //      identical sketches with window SQL (the x87 discipline) ------
+    Q("x97_kmv_overlap",
+      (s, dir) => graft.operators.KmvOverlap.overlapEstimates(
+        t(s, dir, "documents"), "source", "text", n = 4, k = 256)
+        .orderBy(col("src_a"), col("src_b")),
+      Some(s"""WITH hx AS (SELECT DISTINCT source,
+          ('0x'||substr(md5(sh),1,12))::BIGINT AS h
+        FROM (SELECT source, unnest($shingleSql) AS sh FROM documents)),
+      sk AS (SELECT source, h FROM (
+          SELECT source, h,
+            row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM hx) WHERE rn <= 256),
+      srcs AS (SELECT DISTINCT source FROM hx),
+      pairs AS (SELECT a.source AS sa, b.source AS sb
+        FROM srcs a JOIN srcs b ON a.source < b.source),
+      ud AS (SELECT p.sa, p.sb, s.h,
+          max(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+          max(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS in_b
+        FROM pairs p JOIN sk s ON s.source IN (p.sa, p.sb)
+        GROUP BY p.sa, p.sb, s.h),
+      ub AS (SELECT *,
+          row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+        FROM ud),
+      agg AS (SELECT sa, sb, count(*) AS m, max(h) AS theta,
+          sum(in_a * in_b) AS matches
+        FROM ub WHERE rn <= 256 GROUP BY sa, sb),
+      tot AS (SELECT source, count(*) AS n_sh FROM hx GROUP BY source),
+      sh2 AS (SELECT a.source AS sa, b.source AS sb, count(*) AS shared
+        FROM hx a JOIN hx b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2),
+      est AS (SELECT sa AS src_a, sb AS src_b,
+          CASE WHEN m < 256 THEN CAST(m AS DOUBLE)
+               ELSE round(255.0 / (theta / 281474976710656.0), 4)
+          END AS est_union,
+          round(CAST(matches AS DOUBLE) / m, 6) AS est_jaccard
+        FROM agg),
+      fin AS (SELECT e.src_a, e.src_b, e.est_union, e.est_jaccard,
+          round(e.est_jaccard * e.est_union, 4) AS est_inter,
+          round(coalesce(s.shared, 0) /
+            CAST(ta.n_sh + tb.n_sh - coalesce(s.shared, 0) AS DOUBLE),
+            6) AS exact_jaccard
+        FROM est e
+        LEFT JOIN sh2 s ON s.sa = e.src_a AND s.sb = e.src_b
+        JOIN tot ta ON ta.source = e.src_a
+        JOIN tot tb ON tb.source = e.src_b)
+      SELECT src_a, src_b, est_union, est_jaccard, est_inter,
+        exact_jaccard,
+        round(abs(est_jaccard - exact_jaccard), 6) AS abs_err,
+        (round(abs(est_jaccard - exact_jaccard), 6) <= 0.1)
+          AS within_bound
+      FROM fin ORDER BY src_a, src_b"""))
   )
 }

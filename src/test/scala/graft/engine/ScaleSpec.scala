@@ -113,6 +113,8 @@ class ScaleSpec extends SparkSpec {
     //  - x91: inherits x81's 1-row corpus-stats broadcast, plus the two
     //    BOUNDED top-K rank joins (K×K broadcast comparison joins over
     //    20-row retrieval lists — the deliberate no-global-window rank)
+    //  - x96: the two corpus totals (unigram/bigram) attach via explicit
+    //    single-row broadcasts — x25/x40's 1-row shape
     val allow = Set("x06_embedding_neardups", "x25_tfidf_top_terms",
       "x14_ivf_ann", "x40_lm_bigram_nll", "x45_perplexity_buckets",
       "x48_temperature_resample", "x51_nb_quality_score",
@@ -120,7 +122,7 @@ class ScaleSpec extends SparkSpec {
       "x71_heavy_hitters", "x72_streaming_heavy_hitters",
       "x76_dsir_resample", "x78_source_js_drift", "x81_bm25_topk",
       "x84_streaming_source_drift", "x87_countmin_freq",
-      "x91_hybrid_rrf")
+      "x91_hybrid_rrf", "x96_pmi_collocations")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -324,7 +326,18 @@ class ScaleSpec extends SparkSpec {
       // plan is exact top-k agg + its order-by + the sketch-sized
       // ledger-merge dedup (the x72 shape minus the cross joins — the
       // counters ride in as a driver-pulled dense literal)
-      "x94_streaming_countmin" -> 3)
+      "x94_streaming_countmin" -> 3,
+      // x95: the 10 contribution-join + per-dst-agg rounds checkpoint at
+      // build time (the CC iteration discipline); the registered plan is
+      // the final checkpointed rank frame + its total-order sort
+      "x95_pagerank" -> 1,
+      // x96: bigram agg + unigram agg + the two word-keyed stat joins +
+      // the post-TakeOrdered sort (totals ride 1-row broadcasts)
+      "x96_pmi_collocations" -> 4,
+      // x97: sketch groupBy(source) + the 1-row collect_list + the exact
+      // index groupBy(h) + its derived totals + pair counts + the final
+      // sort (the pair/exact attachments are tiny broadcasts)
+      "x97_kmv_overlap" -> 6)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
