@@ -158,7 +158,8 @@ object Bench {
     "x95_pagerank" -> 4246,
     "x96_pmi_collocations" -> 252,
     // x97 = sketch path + the exact x60-shaped adjudication matrix
-    "x97_kmv_overlap" -> 491)
+    "x97_kmv_overlap" -> 491,
+    "x98_unimax_mix" -> 422, "x99_blocklist_screen" -> 312)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -541,6 +541,126 @@ case class StripAccents(child: Expression)
     copy(child = c)
 }
 
+/** Multi-phrase token-boundary match counts in ONE pass — the blocklist
+  * screen of C4 (Raffel et al., JMLR 2020 §2.2: drop pages containing
+  * any "bad word") and MassiveText (Rae et al. 2021), generalized to
+  * word PHRASES: element i = the number of token positions where phrase
+  * i's full word sequence occurs (overlaps counted, the Aho–Corasick
+  * convention). A per-phrase HOF scan is O(phrases × tokens); this is a
+  * word-level Aho–Corasick automaton (Aho & Corasick, CACM 1975) —
+  * O(tokens + matches) regardless of blocklist size, the property that
+  * matters when production blocklists run to hundreds of entries.
+  * Matching is at token boundaries over the space-split stream ("scan"
+  * never matches inside "rescan" — the C4 word-boundary semantics). */
+case class PhraseHits(child: Expression, phrases: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+  require(phrases.nonEmpty, "at least one phrase")
+  require(phrases.forall(_.nonEmpty), "phrases must be non-empty")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "phrase_hits"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  // goto/fail/output automaton over the WORD alphabet, built once per
+  // executor (transient lazy): children as per-node hash maps, failure
+  // links by BFS, outputs inherited through the failure chain
+  @transient private lazy val automaton: PhraseHits.Automaton =
+    PhraseHits.build(phrases)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextExprUtil.splitTokens(input.asInstanceOf[UTF8String])
+    val a = automaton
+    val counts = new Array[Long](phrases.length)
+    var state = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var s = state
+      var next = a.children(s).getOrDefault(t, -1)
+      while (next == -1 && s != 0) {
+        s = a.fail(s)
+        next = a.children(s).getOrDefault(t, -1)
+      }
+      state = if (next == -1) 0 else next
+      var o = a.outputs(state)
+      while (o ne Nil) {
+        counts(o.head) += 1L
+        o = o.tail
+      }
+      i += 1
+    }
+    new GenericArrayData(counts.toArray[Any])
+  }
+  override protected def withNewChildInternal(c: Expression): PhraseHits =
+    copy(child = c)
+}
+
+object PhraseHits {
+  private[expressions] final case class Automaton(
+      children: Array[java.util.HashMap[String, Integer]],
+      fail: Array[Int],
+      outputs: Array[List[Int]])
+
+  private[expressions] def build(phrases: Seq[Seq[String]]): Automaton = {
+    val children =
+      scala.collection.mutable.ArrayBuffer(
+        new java.util.HashMap[String, Integer]())
+    val terminal = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    phrases.zipWithIndex.foreach { case (p, pi) =>
+      var node = 0
+      p.foreach { w =>
+        val nxt = children(node).get(w)
+        node = if (nxt != null) nxt.intValue()
+        else {
+          children += new java.util.HashMap[String, Integer]()
+          terminal += Nil
+          val id = children.size - 1
+          children(node).put(w, Integer.valueOf(id))
+          id
+        }
+      }
+      terminal(node) = pi :: terminal(node)
+    }
+    val n = children.size
+    val fail = new Array[Int](n)
+    val outputs = new Array[List[Int]](n)
+    val queue = new Array[Int](n)
+    var qh = 0
+    var qt = 0
+    outputs(0) = terminal(0)
+    val rootIt = children(0).values().iterator()
+    while (rootIt.hasNext) {
+      val c = rootIt.next().intValue()
+      fail(c) = 0
+      outputs(c) = terminal(c)
+      queue(qt) = c; qt += 1
+    }
+    while (qh < qt) {
+      val u = queue(qh); qh += 1
+      val it = children(u).entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val w = e.getKey
+        val v = e.getValue.intValue()
+        var f = fail(u)
+        var nxt = children(f).getOrDefault(w, -1)
+        while (nxt == -1 && f != 0) {
+          f = fail(f)
+          nxt = children(f).getOrDefault(w, -1)
+        }
+        fail(v) = if (nxt == -1 || nxt == v) 0 else nxt
+        outputs(v) = terminal(v) ::: outputs(fail(v))
+        queue(qt) = v; qt += 1
+      }
+    }
+    Automaton(children.toArray, fail, outputs)
+  }
+}
+
 object TextExpressions {
   def wordShingles(text: Column, n: Int, distinct: Boolean = true): Column =
     GraftSql.column(WordShingles(GraftSql.expression(text), n, distinct))
@@ -566,4 +686,6 @@ object TextExpressions {
     GraftSql.column(NormalizeText(GraftSql.expression(text), form))
   def stripAccents(text: Column): Column =
     GraftSql.column(StripAccents(GraftSql.expression(text)))
+  def phraseHits(text: Column, phrases: Seq[Seq[String]]): Column =
+    GraftSql.column(PhraseHits(GraftSql.expression(text), phrases))
 }

@@ -50,6 +50,42 @@ object PipelineQueries extends QueryPack {
     * CM counters are additive, so the streaming ledger telescopes to
     * this exact sketch — one oracle pins both paths (the x71/x72
     * precedent). */
+  /** x99's blocklist: lengths 1–3, "slow" ⊂ "slow query" (overlap
+    * semantics exercised), "leak" absent from the corpus vocabulary
+    * (the zero-hit path). */
+  private val blocklistPhrases = Seq(
+    "slow", "table scan", "slow query", "big table scan", "leak")
+
+  /** x99 oracle: per-phrase positional counts + the first-max tie rule,
+    * generated from [[blocklistPhrases]] so query and oracle can never
+    * drift. */
+  private val blocklistOracleSql: String = {
+    val n = blocklistPhrases.length
+    def cnt(p: String): String = {
+      val ws = p.split(" ")
+      val conj = ws.zipWithIndex
+        .map { case (w, j) => s"ts[i+${j + 1}] = '$w'" }.mkString(" AND ")
+      s"len(list_filter(range(len(ts)-${ws.length - 1}), i -> $conj))"
+    }
+    val cols = blocklistPhrases.zipWithIndex
+      .map { case (p, i) => s"${cnt(p)} AS c$i" }.mkString(", ")
+    val nhits = (0 until n).map(i => s"c$i").mkString(" + ")
+    val nph = (0 until n)
+      .map(i => s"CASE WHEN c$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    val greatest = s"greatest(${(0 until n).map(i => s"c$i").mkString(", ")})"
+    val top = s"CASE WHEN $nhits = 0 THEN NULL " +
+      blocklistPhrases.zipWithIndex
+        .map { case (p, i) => s"WHEN c$i = $greatest THEN '$p'" }
+        .mkString(" ") + " END"
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+        FROM documents),
+      c AS (SELECT doc_id, $cols FROM t)
+      SELECT doc_id, CAST($nhits AS BIGINT) AS n_hits,
+        CAST($nph AS BIGINT) AS n_phrases, $top AS top_phrase,
+        ($nhits > 0) AS blocked
+      FROM c ORDER BY doc_id"""
+  }
+
   private val countMinOracleSql =
     """WITH tm AS (SELECT CASE WHEN event_id % 2 = 0
         THEN 'h' || CAST(length(bin((event_id // 2) % 1024 + 1)) - 1 AS VARCHAR)
@@ -3531,6 +3567,55 @@ object PipelineQueries extends QueryPack {
         round(abs(est_jaccard - exact_jaccard), 6) AS abs_err,
         (round(abs(est_jaccard - exact_jaccard), 6) <= 0.1)
           AS within_bound
-      FROM fin ORDER BY src_a, src_b"""))
+      FROM fin ORDER BY src_a, src_b""")),
+
+    // ---- UniMax budget allocation (Chung et al. ICLR'23): water-fill a
+    //      token budget across languages smallest-first with an epoch
+    //      cap — the bounded-repetition alternative to temperature
+    //      sampling (x48/x57). lang is the skewed grouping in this
+    //      corpus (en ≈ 3.3x de), so at budget = ⌊9T/10⌋, cap = 1 epoch
+    //      the four small langs cap at exactly 1.0 and en takes the
+    //      redistributed remainder — both branches exercised. Integer
+    //      shares (⌊U/remaining⌋), so the recursive-CTE oracle replays
+    //      the driver loop exactly ------------------------------------
+    Q("x98_unimax_mix",
+      (s, dir) => graft.operators.Unimax.allocateFraction(s,
+        t(s, dir, "documents"), "lang", "text",
+        budgetNum = 9L, budgetDen = 10L, epochCap = 1)
+        .orderBy(col("source")),
+      Some("""WITH RECURSIVE c AS (SELECT lang AS source,
+          CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n
+        FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS t, count(*) AS s FROM c),
+      rk AS (SELECT source, n,
+          row_number() OVER (ORDER BY n, source) AS r FROM c),
+      rec(r, u, source, n, alloc, capped) AS (
+        SELECT 0, (SELECT t * 9 // 10 FROM tot), CAST(NULL AS VARCHAR),
+          CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+          CAST(NULL AS BOOLEAN)
+        UNION ALL
+        SELECT rk.r,
+          rec.u - least(rec.u // ((SELECT s FROM tot) - rec.r), rk.n),
+          rk.source, rk.n,
+          least(rec.u // ((SELECT s FROM tot) - rec.r), rk.n),
+          (rk.n < rec.u // ((SELECT s FROM tot) - rec.r))
+        FROM rec JOIN rk ON rk.r = rec.r + 1)
+      SELECT source, CAST(n AS BIGINT) AS n_tokens,
+        CAST(alloc AS BIGINT) AS alloc_tokens,
+        round(alloc / CAST(n AS DOUBLE), 6) AS epochs, capped
+      FROM rec WHERE r > 0 ORDER BY source""")),
+
+    // ---- blocklist screen (C4, Raffel JMLR'20 §2.2; MassiveText):
+    //      every phrase counted at token boundaries in ONE Aho-Corasick
+    //      pass per doc (PhraseHits native) — zero shuffles, blocklist
+    //      compiled into the plan. The list mixes lengths 1-3, an
+    //      overlapping pair ("slow" ⊂ "slow query" — both count), and a
+    //      never-matching entry; the oracle re-counts each phrase with
+    //      positional list SQL and replays the first-max tie rule ------
+    Q("x99_blocklist_screen",
+      (s, dir) => graft.operators.Blocklist.screen(
+        t(s, dir, "documents"), "doc_id", "text", blocklistPhrases)
+        .orderBy(col("doc_id")),
+      Some(blocklistOracleSql))
   )
 }

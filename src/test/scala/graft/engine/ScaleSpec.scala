@@ -337,7 +337,13 @@ class ScaleSpec extends SparkSpec {
       // x97: sketch groupBy(source) + the 1-row collect_list + the exact
       // index groupBy(h) + its derived totals + pair counts + the final
       // sort (the pair/exact attachments are tiny broadcasts)
-      "x97_kmv_overlap" -> 6)
+      "x97_kmv_overlap" -> 6,
+      // x98: the registered plan is the s-row driver-built allocation
+      // table + its sort (the count agg runs at build time, bounded
+      // collect — the x52 argmax precedent)
+      "x98_unimax_mix" -> 1,
+      // x99: one Aho-Corasick map pass (zero shuffles) + the sort
+      "x99_blocklist_screen" -> 1)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
