@@ -3616,6 +3616,67 @@ object PipelineQueries extends QueryPack {
       (s, dir) => graft.operators.Blocklist.screen(
         t(s, dir, "documents"), "doc_id", "text", blocklistPhrases)
         .orderBy(col("doc_id")),
-      Some(blocklistOracleSql))
+      Some(blocklistOracleSql)),
+
+    // ---- BM25 hard-negative mining (Karpukhin EMNLP'20 §3.2): per
+    //      query, the top BM25 hits that are NOT the positive — the
+    //      retriever-training negative sampler built on x81's scoring.
+    //      Queries derive deterministically from every 97th doc: 4
+    //      md5-ranked distinct tokens (per-query variety; the smallest-
+    //      token variant collapsed every query to the same stopwords).
+    //      tf computed ONCE per (doc, term) then fanned to queries by a
+    //      broadcast join; per-query top-k is the x83 two-phase window --
+    Q("x100_hard_negatives",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        val queries = docs.filter(col("doc_id") % 97 === 1)
+          .select(col("doc_id").as("query_id"),
+            explode(array_distinct(split(col("text"), " "))).as("term"))
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("query_id"))
+            .orderBy(md5(concat(col("query_id").cast("string"),
+              lit(":"), col("term"))))))
+          .filter(col("rn") <= 4)
+          .groupBy(col("query_id"))
+          .agg(collect_list(col("term")).as("terms"))
+        graft.operators.HardNegatives.mine(docs, "doc_id", "text",
+          queries, topK = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH qtok AS (SELECT DISTINCT doc_id AS query_id,
+          unnest(string_split(text,' ')) AS term
+        FROM documents WHERE doc_id % 97 = 1),
+      qt AS (SELECT query_id, term FROM (
+          SELECT query_id, term, row_number() OVER (PARTITION BY query_id
+            ORDER BY md5(query_id || ':' || term)) AS rn FROM qtok)
+        WHERE rn <= 4),
+      dl AS (SELECT doc_id, len(string_split(text,' ')) AS dl
+        FROM documents),
+      st AS (SELECT count(*) AS n, sum(dl)*1.0/count(*) AS avgdl FROM dl),
+      tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT DISTINCT term FROM qt)
+        GROUP BY doc_id, term),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+        GROUP BY term),
+      sc AS (SELECT tf.doc_id, tf.term, CAST(round(
+          ln((st.n - df.df + 0.5)/(df.df + 0.5) + 1) *
+          ((tf.tf * (1.2+1)) /
+           (tf.tf + 1.2 * (1 - 0.75 + 0.75*dl.dl/st.avgdl))), 6)
+          AS DECIMAL(18,6)) AS c
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN st),
+      agg AS (SELECT qt.query_id, sc.doc_id, count(*) AS n_hit_terms,
+          CAST(round(sum(sc.c), 4) AS DOUBLE) AS score
+        FROM sc JOIN qt USING (term)
+        WHERE sc.doc_id <> qt.query_id
+        GROUP BY 1, 2),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY score DESC, doc_id) AS rank FROM agg)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+        n_hit_terms, score
+      FROM rk WHERE rank <= 10 ORDER BY query_id, rank"""))
   )
 }

@@ -115,6 +115,8 @@ class ScaleSpec extends SparkSpec {
     //    20-row retrieval lists — the deliberate no-global-window rank)
     //  - x96: the two corpus totals (unigram/bigram) attach via explicit
     //    single-row broadcasts — x25/x40's 1-row shape
+    //  - x100: inherits x81's 1-row N/avgdl broadcast (the BM25 scoring
+    //    chain, verbatim)
     val allow = Set("x06_embedding_neardups", "x25_tfidf_top_terms",
       "x14_ivf_ann", "x40_lm_bigram_nll", "x45_perplexity_buckets",
       "x48_temperature_resample", "x51_nb_quality_score",
@@ -122,7 +124,7 @@ class ScaleSpec extends SparkSpec {
       "x71_heavy_hitters", "x72_streaming_heavy_hitters",
       "x76_dsir_resample", "x78_source_js_drift", "x81_bm25_topk",
       "x84_streaming_source_drift", "x87_countmin_freq",
-      "x91_hybrid_rrf", "x96_pmi_collocations")
+      "x91_hybrid_rrf", "x96_pmi_collocations", "x100_hard_negatives")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -343,7 +345,12 @@ class ScaleSpec extends SparkSpec {
       // collect — the x52 argmax precedent)
       "x98_unimax_mix" -> 1,
       // x99: one Aho-Corasick map pass (zero shuffles) + the sort
-      "x99_blocklist_screen" -> 1)
+      "x99_blocklist_screen" -> 1,
+      // x100: query-construction (explode + md5-rank window + regroup)
+      // + the x81 scoring chain (tf/df aggs, dl join) + the two-phase
+      // per-query top-k windows + the final sort — composition cost,
+      // every window partitionSpec'd and bounded
+      "x100_hard_negatives" -> 11)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
