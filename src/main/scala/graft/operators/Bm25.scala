@@ -58,7 +58,10 @@ object Bm25 {
             lit(b) * col("dl") / col("avgdl")))), 6).cast(D6))
     contrib.groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit_terms"),
-        round(sum(col("c")).cast(DoubleType), 4).as("score"))
+        // round the EXACT decimal sum, then cast (x100's lesson: the
+        // double cast puts .00005-grid sums one ulp under the half and
+        // HALF_UP never fires — engine-dependent at exactly that grid)
+        round(sum(col("c")), 4).cast(DoubleType).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
   }

@@ -90,7 +90,10 @@ object CorpusDrift {
                col("q") * log(col("q") / col("m"))) / 2, 8).cast(D8))
     joined.groupBy("source")
       .agg(sum(col("cs")).as("n_tokens"),
-        round(sum(col("contrib")).cast(DoubleType), 6).as("js"))
+        // exact-decimal round BEFORE the double cast (the x100 lesson:
+        // an 8dp sum on the .0000005 grid flips engine-dependently when
+        // rounded after the cast)
+        round(sum(col("contrib")), 6).cast(DoubleType).as("js"))
   }
 
   /** Top-`k` terms of a REFERENCE corpus sample, as a driver-held list

@@ -2799,7 +2799,7 @@ object PipelineQueries extends QueryPack {
               (((cs*1.0/ns)+(cq*1.0/nq))/2))) / 2, 8)
             AS DECIMAL(18,8)) AS contrib FROM g)
         SELECT source, CAST(sum(cs) AS BIGINT) AS n_tokens,
-          round(CAST(sum(contrib) AS DOUBLE), 6) AS js
+          CAST(round(sum(contrib), 6) AS DOUBLE) AS js
         FROM j GROUP BY source ORDER BY source""")),
 
     // ---- main-content extraction (jusText/C4 block-length heuristic):
@@ -2889,7 +2889,7 @@ object PipelineQueries extends QueryPack {
           FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
           CROSS JOIN st),
         agg AS (SELECT doc_id, count(*) AS n_hit_terms,
-          round(CAST(sum(c) AS DOUBLE), 4) AS score
+          CAST(round(sum(c), 4) AS DOUBLE) AS score
           FROM sc GROUP BY doc_id),
         top AS (SELECT * FROM agg ORDER BY score DESC, doc_id LIMIT 20)
         SELECT doc_id, n_hit_terms, score FROM top ORDER BY doc_id""")),
@@ -3023,7 +3023,7 @@ object PipelineQueries extends QueryPack {
               (((cs*1.0/ns)+(cq*1.0/nq))/2))) / 2, 8)
             AS DECIMAL(18,8)) AS contrib FROM g)
         SELECT source, CAST(sum(cs) AS BIGINT) AS n_tokens,
-          round(CAST(sum(contrib) AS DOUBLE), 6) AS js
+          CAST(round(sum(contrib), 6) AS DOUBLE) AS js
         FROM j GROUP BY source ORDER BY source""")),
 
     // ---- split-leakage AUDIT: the quantified case for x77. Count
@@ -3273,7 +3273,8 @@ object PipelineQueries extends QueryPack {
               AS DECIMAL(18,6)) AS c
             FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
             CROSS JOIN st),
-          lexagg AS (SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS score
+          lexagg AS (SELECT doc_id, CAST(round(sum(c), 4) AS DOUBLE)
+              AS score
             FROM sc GROUP BY doc_id),
           lextop AS (SELECT doc_id, score FROM lexagg
             ORDER BY score DESC, doc_id LIMIT 20),
