@@ -161,7 +161,8 @@ object Bench {
     "x97_kmv_overlap" -> 491,
     "x98_unimax_mix" -> 422, "x99_blocklist_screen" -> 312,
     // x100 = the x81 scoring chain over ~52 queries + two-phase top-k
-    "x100_hard_negatives" -> 1589)
+    "x100_hard_negatives" -> 1589,
+    "x101_jl_projection" -> 762)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -86,6 +86,39 @@ object PipelineQueries extends QueryPack {
       FROM c ORDER BY doc_id"""
   }
 
+  /** x101's oracle: regenerate the md5-seeded ±1 projections (the SRP
+    * hyperplane formula, shared with srpCtes), pair consecutive ids,
+    * compare 4dp cosines before/after. */
+  private def jlOracleSql(m: Int, bound: Double): String = {
+    def comp(p: Int) =
+      s"""round(list_sum(list_transform(range(len(embedding)),
+         i -> CAST(embedding[i+1] AS DOUBLE) *
+           (CASE WHEN substr(md5('${p}_'||CAST(i AS VARCHAR)),1,1) >= '8'
+            THEN 1.0 ELSE -1.0 END))), 4)"""
+    val proj = (0 until m).map(comp).mkString("[", ", ", "]")
+    def d(a: String, b: String) =
+      s"list_sum(list_transform(range(len($a)), i -> CAST($a[i+1] AS DOUBLE)*CAST($b[i+1] AS DOUBLE)))"
+    def cosSql(a: String, b: String) =
+      s"""CASE WHEN ${d(a, a)} * ${d(b, b)} = 0 THEN 0.0
+         ELSE round(${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)})), 4)
+         END"""
+    s"""WITH pr AS (SELECT vec_id, $proj AS proj FROM embeddings),
+      pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          a.embedding AS va, b.embedding AS vb
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id % 2 = 0),
+      j AS (SELECT p.id_a, p.id_b, p.va, p.vb, pa.proj AS pa,
+          pb.proj AS pb
+        FROM pairs p JOIN pr pa ON pa.vec_id = p.id_a
+        JOIN pr pb ON pb.vec_id = p.id_b),
+      c AS (SELECT id_a, id_b, ${cosSql("va", "vb")} AS cos_orig,
+          ${cosSql("pa", "pb")} AS cos_proj FROM j)
+      SELECT id_a, id_b, cos_orig, cos_proj,
+        round(abs(cos_orig - cos_proj), 4) AS abs_err,
+        (round(abs(cos_orig - cos_proj), 4) <= $bound) AS within_bound
+      FROM c ORDER BY id_a"""
+  }
+
   private val countMinOracleSql =
     """WITH tm AS (SELECT CASE WHEN event_id % 2 = 0
         THEN 'h' || CAST(length(bin((event_id // 2) % 1024 + 1)) - 1 AS VARCHAR)
@@ -3678,6 +3711,20 @@ object PipelineQueries extends QueryPack {
           ORDER BY score DESC, doc_id) AS rank FROM agg)
       SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
         n_hit_terms, score
-      FROM rk WHERE rank <= 10 ORDER BY query_id, rank"""))
+      FROM rk WHERE rank <= 10 ORDER BY query_id, rank""")),
+
+    // ---- JL signed random projection (Achlioptas JCSS'03, the SRP
+    //      hyperplane family): 64 → 32 dims, cosine-preservation report
+    //      over consecutive-id pairs. Components are UNSCALED 4dp dots
+    //      (cosine is scale-invariant; the 1/sqrt(m) factor would cost
+    //      exactness for nothing). Per-pair bound 0.75 ≈ 3σ at m=32
+    //      (σ ~ sqrt((1+cos²)/m)); the spec adjudicates the mean, which
+    //      concentrates — measured mean ≈ 0.14, max ≈ 0.47 at sf0.01 ---
+    Q("x101_jl_projection",
+      (s, dir) => graft.operators.JlProjection.pairPreservation(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, m = 32, bound = 0.75)
+        .orderBy(col("id_a")),
+      Some(jlOracleSql(m = 32, bound = 0.75)))
   )
 }

@@ -350,7 +350,10 @@ class ScaleSpec extends SparkSpec {
       // + the x81 scoring chain (tf/df aggs, dl join) + the two-phase
       // per-query top-k windows + the final sort — composition cost,
       // every window partitionSpec'd and bounded
-      "x100_hard_negatives" -> 11)
+      "x100_hard_negatives" -> 11,
+      // x101: zero-shuffle projection map; the consecutive-id pair
+      // joins broadcast at the audit SF, leaving only the final sort
+      "x101_jl_projection" -> 1)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
