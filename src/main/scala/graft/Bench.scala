@@ -155,7 +155,7 @@ object Bench {
     // x95's cost is 10 driver-bounded rounds × (contribution join +
     // per-dst agg) with a localCheckpoint barrier per round — per-round
     // latency, not data volume, at sf0.1
-    "x95_pagerank" -> 4246,
+    "x95_pagerank" -> 3290,
     "x96_pmi_collocations" -> 252,
     // x97 = sketch path + the exact x60-shaped adjudication matrix
     "x97_kmv_overlap" -> 491,

@@ -49,13 +49,18 @@ object PageRank {
       "PageRank.ranks requires out-degree >= 1 for every node (no " +
         "dangling-mass redistribution); add sink self-loops first")
     val teleport = (1.0 - damping) / n
+    // the degree table is static: attach outd to the edge list ONCE
+    // instead of re-joining deg inside every round (saves a join +
+    // its exchange per iteration)
+    val edgesWithDeg = e.join(deg, "src")
+      .select(col("src").as("node"), col("dst"), col("outd"))
+      .localCheckpoint()
     var ranks = nodes
       .withColumn("rank", round(lit(1.0 / n), 8))
       .localCheckpoint()
     for (_ <- 1 to iters) {
       val contribs = ranks
-        .join(deg.withColumnRenamed("src", "node"), "node")
-        .join(e.withColumnRenamed("src", "node"), "node")
+        .join(edgesWithDeg, "node")
         .select(col("dst").as("node"),
           round(col("rank") / col("outd"), 10)
             .cast(DecimalType(28, 10)).as("c"))
