@@ -162,7 +162,8 @@ object Bench {
     "x98_unimax_mix" -> 422, "x99_blocklist_screen" -> 312,
     // x100 = the x81 scoring chain over ~52 queries + two-phase top-k
     "x100_hard_negatives" -> 1589,
-    "x101_jl_projection" -> 762)
+    "x101_jl_projection" -> 762,
+    "x102_ict_pairs" -> 509, "x103_span_corruption" -> 825)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

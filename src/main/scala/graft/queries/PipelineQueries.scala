@@ -3725,6 +3725,67 @@ object PipelineQueries extends QueryPack {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, m = 32, bound = 0.75)
         .orderBy(col("id_a")),
-      Some(jlOracleSql(m = 32, bound = 0.75)))
+      Some(jlOracleSql(m = 32, bound = 0.75))),
+
+    // ---- Inverse Cloze Task pairs (Lee ACL'19 §3.2): per doc, an
+    //      md5-offset 8-token pseudo-query + its surrounding context —
+    //      retriever-pretraining supervision from document structure
+    //      alone. Zero-shuffle expression-only generator; short docs
+    //      (< 16 tokens) dropped, not emitted with empty contexts ------
+    Q("x102_ict_pairs",
+      (s, dir) => graft.operators.Ict.pairs(
+        t(s, dir, "documents"), "doc_id", "text", qTokens = 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS ts,
+          len(string_split(text,' ')) AS n FROM documents),
+      e AS (SELECT doc_id, ts, n,
+          CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,12))::BIGINT
+            % (n - 8 + 1) AS INT) AS start
+        FROM t WHERE n >= 16)
+      SELECT doc_id, CAST(start AS BIGINT) AS start,
+        array_to_string(ts[start+1 : start+8], ' ') AS query,
+        array_to_string(ts[1:start] || ts[start+9 : n], ' ') AS context,
+        CAST(n AS BIGINT) AS n_tokens
+      FROM e ORDER BY doc_id""")),
+
+    // ---- T5 span corruption (Raffel JMLR'20 §3.1.4): sentinel-masked
+    //      denoising examples — deterministic stride variant (spans of 3
+    //      every 20 tokens from an md5 per-doc phase ⇒ exactly 15%
+    //      corruption, engine-portable); inputs/targets both rebuilt by
+    //      the oracle token-for-token, sub-stride docs dropped ----------
+    Q("x103_span_corruption",
+      (s, dir) => graft.operators.SpanCorruption.corrupt(
+        t(s, dir, "documents"), "doc_id", "text",
+        spanLen = 3, stride = 20)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS ts,
+          len(string_split(text,' ')) AS n FROM documents),
+      e AS (SELECT doc_id, ts, n,
+          CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,12))::BIGINT
+            % 20 AS INT) AS off
+        FROM t WHERE n >= 20),
+      m AS (SELECT doc_id, ts, n, off,
+          CAST(len(list_filter(range(n),
+            p -> p - off >= 0 AND (p - off) % 20 = 0)) AS BIGINT)
+            AS n_spans,
+          CAST(len(list_filter(range(n),
+            p -> p - off >= 0 AND (p - off) % 20 < 3)) AS BIGINT)
+            AS n_masked
+        FROM e)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, n_spans,
+        array_to_string(flatten(list_transform(range(n), p ->
+          CASE WHEN p - off >= 0 AND (p - off) % 20 = 0
+            THEN ['<extra_id_' || CAST((p - off) // 20 AS VARCHAR) || '>']
+          WHEN p - off >= 0 AND (p - off) % 20 < 3
+            THEN CAST([] AS VARCHAR[])
+          ELSE [ts[p+1]] END)), ' ') AS inputs,
+        array_to_string(flatten(list_transform(list_filter(range(n), p ->
+            p - off >= 0 AND (p - off) % 20 = 0), p ->
+          ['<extra_id_' || CAST((p - off) // 20 AS VARCHAR) || '>']
+            || ts[p+1 : p+3]))
+          || ['<extra_id_' || CAST(n_spans AS VARCHAR) || '>'], ' ')
+          AS targets,
+        round(n_masked / CAST(n AS DOUBLE), 4) AS corruption_ratio
+      FROM m ORDER BY doc_id"""))
   )
 }

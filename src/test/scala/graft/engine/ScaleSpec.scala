@@ -353,7 +353,9 @@ class ScaleSpec extends SparkSpec {
       "x100_hard_negatives" -> 11,
       // x101: zero-shuffle projection map; the consecutive-id pair
       // joins broadcast at the audit SF, leaving only the final sort
-      "x101_jl_projection" -> 1)
+      "x101_jl_projection" -> 1,
+      // x102/x103: zero-shuffle expression-only generators + the sort
+      "x102_ict_pairs" -> 1, "x103_span_corruption" -> 1)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
