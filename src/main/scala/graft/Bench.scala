@@ -163,7 +163,10 @@ object Bench {
     // x100 = the x81 scoring chain over ~52 queries + two-phase top-k
     "x100_hard_negatives" -> 1589,
     "x101_jl_projection" -> 762,
-    "x102_ict_pairs" -> 509, "x103_span_corruption" -> 825)
+    "x102_ict_pairs" -> 509, "x103_span_corruption" -> 825,
+    // x104 = exact truth join + 4 candidate generations off one
+    // shared 32-hash signature pass
+    "x104_lsh_tuning" -> 2856)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -119,6 +119,69 @@ object PipelineQueries extends QueryPack {
       FROM c ORDER BY id_a"""
   }
 
+  /** x104's oracle: shared 32-hash signatures, per-combo banding +
+    * candidate pairs + counts vs the x86 brute-force truth; precision/
+    * recall by INTEGER half-up micro-rounding (dyadic ratios like 1/128
+    * land exactly on the 6dp half and double-rounding would tie-break
+    * engine-dependently). */
+  private def lshTuningOracleSql(numHashes: Int, grid: Seq[Int],
+      threshold: Double): String = {
+    val sigs = (0 until numHashes)
+      .map(i => s"${minhashSigSql(i)} AS h$i").mkString(", ")
+    val comboCtes = grid.map { b =>
+      val r = numHashes / b
+      val bands = (0 until b).map { j =>
+        val key = (0 until r).map(k => s"h${j * r + k}").mkString("||")
+        s"SELECT doc_id, $j AS band, $key AS key FROM sg"
+      }.mkString(" UNION ALL ")
+      s"""bands_$b AS ($bands),
+        cand_$b AS (SELECT DISTINCT a.doc_id AS doc_a,
+            b.doc_id AS doc_b
+          FROM bands_$b a JOIN bands_$b b
+            ON a.band = b.band AND a.key = b.key
+              AND a.doc_id < b.doc_id),
+        cnt_$b AS (SELECT $b AS bands, $r AS rows,
+          (SELECT count(*) FROM cand_$b) AS n_cand,
+          (SELECT count(*) FROM cand_$b c JOIN truth t
+            ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_found)"""
+    }.mkString(",\n        ")
+    val union = grid.map(b => s"SELECT * FROM cnt_$b")
+      .mkString(" UNION ALL ")
+    val sCurve = grid.map { b =>
+      val r = numHashes / b
+      val v = BigDecimal.valueOf(math.pow(1.0 / b, 1.0 / r))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      s"WHEN bands = $b THEN $v"
+    }.mkString(" ")
+    s"""WITH tk AS (SELECT doc_id, $shingleSql AS s FROM documents
+          WHERE len(string_split(text,' ')) >= 4),
+      sg AS (SELECT doc_id, s, $sigs FROM tk),
+      ex AS (SELECT doc_id AS doc, unnest(s) AS sh FROM tk),
+      sz AS (SELECT doc, count(*) AS n FROM ex GROUP BY doc),
+      co AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+             FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc < b.doc
+             GROUP BY a.doc, b.doc),
+      truth AS (SELECT doc_a, doc_b
+        FROM co JOIN sz sa ON doc_a = sa.doc JOIN sz sb ON doc_b = sb.doc
+        WHERE CAST(common AS DOUBLE)/(sa.n + sb.n - common)
+          >= $threshold),
+      $comboCtes,
+      u AS ($union)
+      SELECT CAST(bands AS BIGINT) AS bands, CAST(rows AS BIGINT) AS rows,
+        (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+        CAST(n_cand AS BIGINT) AS n_cand,
+        CAST(n_found AS BIGINT) AS n_found,
+        CASE WHEN n_cand = 0 THEN NULL ELSE
+          CAST((n_found*2000000 + n_cand) // (2*n_cand) AS DOUBLE)
+            / 1000000.0 END AS precision,
+        CASE WHEN (SELECT count(*) FROM truth) = 0 THEN NULL ELSE
+          CAST((n_found*2000000 + (SELECT count(*) FROM truth))
+            // (2*(SELECT count(*) FROM truth)) AS DOUBLE)
+            / 1000000.0 END AS recall,
+        CASE $sCurve END AS s_curve
+      FROM u ORDER BY bands DESC"""
+  }
+
   private val countMinOracleSql =
     """WITH tm AS (SELECT CASE WHEN event_id % 2 = 0
         THEN 'h' || CAST(length(bin((event_id // 2) % 1024 + 1)) - 1 AS VARCHAR)
@@ -3786,6 +3849,23 @@ object PipelineQueries extends QueryPack {
           || ['<extra_id_' || CAST(n_spans AS VARCHAR) || '>'], ' ')
           AS targets,
         round(n_masked / CAST(n AS DOUBLE), 4) AS corruption_ratio
-      FROM m ORDER BY doc_id"""))
+      FROM m ORDER BY doc_id""")),
+
+    // ---- MinHash-LSH parameter tuning (Leskovec/Rajaraman/Ullman MMDS
+    //      ch.3): per (bands, rows) split of ONE shared 32-hash
+    //      signature, measured candidates/precision/recall vs the x86
+    //      exact join, next to the theoretical S-curve threshold —
+    //      the report that picks the banding BEFORE a 100 TB dedup.
+    //      Precision/recall via integer half-up micro-rounding (dyadic
+    //      ratios land exactly on the 6dp half; doubles tie-break
+    //      engine-dependently) ----------------------------------------
+    Q("x104_lsh_tuning",
+      (s, dir) => graft.operators.LshTuning.report(s,
+        t(s, dir, "documents"), "doc_id", "text", n = 4,
+        threshold = 0.5, numHashes = 32,
+        bandsGrid = Seq(32, 16, 8, 4))
+        .orderBy(col("bands").desc),
+      Some(lshTuningOracleSql(numHashes = 32, grid = Seq(32, 16, 8, 4),
+        threshold = 0.5)))
   )
 }

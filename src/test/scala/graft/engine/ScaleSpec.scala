@@ -355,7 +355,11 @@ class ScaleSpec extends SparkSpec {
       // joins broadcast at the audit SF, leaving only the final sort
       "x101_jl_projection" -> 1,
       // x102/x103: zero-shuffle expression-only generators + the sort
-      "x102_ict_pairs" -> 1, "x103_span_corruption" -> 1)
+      "x102_ict_pairs" -> 1, "x103_span_corruption" -> 1,
+      // x104: the registered plan is the grid-sized driver-built report
+      // + its sort (truth/candidate counts run at build time — the
+      // x52/x98 bounded-reduce precedent)
+      "x104_lsh_tuning" -> 1)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
