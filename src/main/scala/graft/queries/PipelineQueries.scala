@@ -3866,6 +3866,42 @@ object PipelineQueries extends QueryPack {
         bandsGrid = Seq(32, 16, 8, 4))
         .orderBy(col("bands").desc),
       Some(lshTuningOracleSql(numHashes = 32, grid = Seq(32, 16, 8, 4),
-        threshold = 0.5)))
+        threshold = 0.5))),
+
+    // ---- langid confusion matrix: x20's stopword-profile classifier
+    //      evaluated against the labeled lang column — the trust-report
+    //      a pipeline runs before routing on a heuristic. On this
+    //      shared-vocab synthetic corpus every label collapses to
+    //      en/unk, which is exactly the failure the report exposes
+    //      (zh has no profile at all). Fractions via the x104 integer
+    //      micro-rounding (58/64 = 0.90625 is dyadic) ------------------
+    Q("x105_langid_eval",
+      (s, dir) => graft.operators.LangidEval.confusion(
+        t(s, dir, "documents"), "lang", "text")
+        .orderBy(col("lang_true"), col("lang_pred")),
+      Some("""WITH sc AS (SELECT doc_id, lang,
+          len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is'))) AS c_en,
+          len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','que','y','en','los'))) AS c_es,
+          len(list_filter(string_split(text,' '), t -> t IN ('le','la','de','et','les','des','une'))) AS c_fr,
+          len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das','von','den','zu'))) AS c_de
+        FROM documents),
+      pr AS (SELECT lang AS lang_true,
+          CASE WHEN c_en > 0 AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_de THEN 'en'
+               WHEN c_es > 0 AND c_es >= c_fr AND c_es >= c_de THEN 'es'
+               WHEN c_fr > 0 AND c_fr >= c_de THEN 'fr'
+               WHEN c_de > 0 THEN 'de'
+               ELSE 'unk' END AS lang_pred
+        FROM sc),
+      cells AS (SELECT lang_true, lang_pred,
+          CAST(count(*) AS BIGINT) AS n
+        FROM pr GROUP BY 1, 2),
+      tot AS (SELECT lang_true, CAST(sum(n) AS BIGINT) AS tot
+        FROM cells GROUP BY 1)
+      SELECT c.lang_true, c.lang_pred, c.n,
+        CAST((c.n*2000000 + t.tot) // (2*t.tot) AS DOUBLE)/1000000.0
+          AS frac_of_true,
+        (c.lang_true = c.lang_pred) AS is_correct
+      FROM cells c JOIN tot t USING (lang_true)
+      ORDER BY c.lang_true, c.lang_pred"""))
   )
 }

@@ -359,7 +359,11 @@ class ScaleSpec extends SparkSpec {
       // x104: the registered plan is the grid-sized driver-built report
       // + its sort (truth/candidate counts run at build time — the
       // x52/x98 bounded-reduce precedent)
-      "x104_lsh_tuning" -> 1)
+      "x104_lsh_tuning" -> 1,
+      // x105: scoring map + (label,pred) cells agg + the cells-derived
+      // totals agg (broadcast back; its own partial+final pair) + the
+      // final sort — measured 4 at the audit SF
+      "x105_langid_eval" -> 4)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
