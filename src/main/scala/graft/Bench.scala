@@ -166,7 +166,9 @@ object Bench {
     "x102_ict_pairs" -> 509, "x103_span_corruption" -> 825,
     // x104 = exact truth join + 4 candidate generations off one
     // shared 32-hash signature pass
-    "x104_lsh_tuning" -> 2856)
+    "x104_lsh_tuning" -> 2856,
+    // x105 = one native scoring pass + (label,pred) cells agg
+    "x105_langid_eval" -> 533)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
