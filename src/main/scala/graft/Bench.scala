@@ -168,7 +168,10 @@ object Bench {
     // shared 32-hash signature pass
     "x104_lsh_tuning" -> 2856,
     // x105 = one native scoring pass + (label,pred) cells agg
-    "x105_langid_eval" -> 533)
+    "x105_langid_eval" -> 533,
+    // x106 = one x40 scoring pass + domains agg; EG arithmetic on the
+    // persisted domains frame
+    "x106_doremi_mix" -> 1164)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3902,6 +3902,43 @@ object PipelineQueries extends QueryPack {
           AS frac_of_true,
         (c.lang_true = c.lang_pred) AS is_correct
       FROM cells c JOIN tot t USING (lang_true)
-      ORDER BY c.lang_true, c.lang_pred"""))
+      ORDER BY c.lang_true, c.lang_pred""")),
+
+    // ---- DoReMi-lite domain reweighting (Xie NeurIPS'23): per-source
+    //      excess bigram-NLL over the corpus reference → EG boost →
+    //      micro-rounded normalized weights + uniform-smoothed mix.
+    //      Corpus work = ONE x40 scoring pass; the rest is arithmetic
+    //      on the sources-sized frame ----------------------------------
+    Q("x106_doremi_mix",
+      (s, dir) => graft.operators.DomainReweight.doremiMix(
+        t(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy(col("source")),
+      Some(s"""WITH scored AS ($lmNllSql),
+        j AS (SELECT s.doc_id, s.avg_nll, d.source
+              FROM scored s JOIN documents d USING (doc_id)),
+        dom AS (SELECT source, count(*) AS n_docs,
+            sum(CAST(avg_nll AS DECIMAL(18,4))) AS snll
+          FROM j GROUP BY 1),
+        ref AS (SELECT sum(CAST(avg_nll AS DECIMAL(18,4))) AS rs,
+            count(*) AS rn FROM j),
+        st AS (SELECT source, n_docs,
+            round(CAST(snll AS DOUBLE)/n_docs, 6) AS mean_nll,
+            greatest(0.0, round(round(CAST(snll AS DOUBLE)/n_docs, 6)
+              - round(CAST(rs AS DOUBLE)/rn, 6), 6)) AS excess
+          FROM dom CROSS JOIN ref),
+        bm AS (SELECT source, n_docs, mean_nll, excess,
+            CAST(round(exp(1.0*excess), 6) AS DECIMAL(18,6)) AS boost,
+            CAST(CAST(round(exp(1.0*excess), 6) AS DECIMAL(18,6))*1000000
+              AS BIGINT) AS bmicro
+          FROM st),
+        tb AS (SELECT CAST(sum(bmicro) AS BIGINT) AS btot,
+            count(*) AS nsrc FROM bm)
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs, mean_nll, excess,
+          CAST(boost AS DOUBLE) AS boost,
+          CAST((bmicro*2000000 + btot) // (2*btot) AS DOUBLE)/1000000.0
+            AS weight,
+          CAST((2000000*((5-1)*bmicro*nsrc + 1*btot) + 5*nsrc*btot)
+            // (2*5*nsrc*btot) AS DOUBLE)/1000000.0 AS mix
+        FROM bm CROSS JOIN tb ORDER BY source"""))
   )
 }

@@ -117,6 +117,10 @@ class ScaleSpec extends SparkSpec {
     //    single-row broadcasts — x25/x40's 1-row shape
     //  - x100: inherits x81's 1-row N/avgdl broadcast (the BM25 scoring
     //    chain, verbatim)
+    //  - x106: composes the x40 scorer (its 1-row vocabulary scalar),
+    //    then attaches the 1-row corpus-reference and boost-total
+    //    aggregates to the DOMAINS-sized frame via explicit single-row
+    //    broadcasts — x25/x40's 1-row shape
     val allow = Set("x06_embedding_neardups", "x25_tfidf_top_terms",
       "x14_ivf_ann", "x40_lm_bigram_nll", "x45_perplexity_buckets",
       "x48_temperature_resample", "x51_nb_quality_score",
@@ -124,7 +128,8 @@ class ScaleSpec extends SparkSpec {
       "x71_heavy_hitters", "x72_streaming_heavy_hitters",
       "x76_dsir_resample", "x78_source_js_drift", "x81_bm25_topk",
       "x84_streaming_source_drift", "x87_countmin_freq",
-      "x91_hybrid_rrf", "x96_pmi_collocations", "x100_hard_negatives")
+      "x91_hybrid_rrf", "x96_pmi_collocations", "x100_hard_negatives",
+      "x106_doremi_mix")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -363,7 +368,12 @@ class ScaleSpec extends SparkSpec {
       // x105: scoring map + (label,pred) cells agg + the cells-derived
       // totals agg (broadcast back; its own partial+final pair) + the
       // final sort — measured 4 at the audit SF
-      "x105_langid_eval" -> 4)
+      "x105_langid_eval" -> 4,
+      // x106: the x40 scoring chain (uni agg, bigram agg, two count
+      // joins, per-doc agg) + the doc->domain join + the domains agg;
+      // reference/boost totals derive from the persisted domains frame
+      // — measured 9 at the audit SF
+      "x106_doremi_mix" -> 9)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
