@@ -171,7 +171,10 @@ object Bench {
     "x105_langid_eval" -> 533,
     // x106 = one x40 scoring pass + domains agg; EG arithmetic on the
     // persisted domains frame
-    "x106_doremi_mix" -> 1164)
+    "x106_doremi_mix" -> 1164,
+    // x107 = the x51 scoring chain + bins cells agg; ECE from the
+    // persisted bins frame
+    "x107_nb_calibration" -> 819)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -75,7 +75,11 @@ object NbQuality {
         sum(col("lp1")).as("s1"), sum(col("lp0")).as("s0"))
       .crossJoin(broadcast(priors))
       .select(col("doc_id"), col("label"), col("n_tokens"),
-        round(llrDec.cast(DoubleType), scoreScale).as("llr"),
+        // round the EXACT decimal, then cast (the x100 lesson: sums on
+        // the .00005 grid land one ulp under the half after a double
+        // cast, and HALF_UP fires engine-dependently — sf0.1 has a live
+        // -1.02005 hit)
+        round(llrDec, scoreScale).cast(DoubleType).as("llr"),
         (llrDec > 0).as("pred"))
   }
 }

@@ -435,6 +435,58 @@ object PipelineQueries extends QueryPack {
         round(-(CAST(sum(lp) AS DOUBLE) / count(*)), 4) AS avg_nll
       FROM sc GROUP BY doc_id"""
 
+  /** The x51 scorer chain (x28-rule weak labels → [[graft.operators.NbQuality]]),
+    * shared with its x107 calibration report. */
+  private def nbScored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val toks = col("toks")
+    val labeled = t(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("text"),
+        (nTokens(toks) >= 30 && dupTokenRatio(toks) <= 0.55 &&
+          avgTokenLen(toks) >= 4.0 && avgTokenLen(toks) <= 5.0 &&
+          stopwordRatio(toks) > 0.0).cast("long").as("label"))
+    graft.operators.NbQuality
+      .naiveBayesScore(labeled, "doc_id", "text", "label")
+  }
+
+  /** x51's oracle body (no ORDER BY) — also the `sc` input of the x107
+    * calibration oracle. */
+  private val nbScoreSql =
+    """WITH d AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        lab AS (SELECT doc_id, ts,
+          CAST(len(ts) >= 30
+           AND 1.0 - CAST(len(list_distinct(ts)) AS DOUBLE)/len(ts) <= 0.55
+           AND CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)/len(ts) BETWEEN 4.0 AND 5.0
+           AND len(list_filter(ts, t -> t IN ('the','a','of','and','to','in','is'))) > 0
+          AS BIGINT) AS label FROM d),
+        tok AS (SELECT doc_id, label, unnest(ts) AS w FROM lab),
+        tot AS (SELECT
+          sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS nt1,
+          sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS nt0,
+          count(DISTINCT CASE WHEN label = 1 THEN doc_id END) AS nd1,
+          count(DISTINCT CASE WHEN label = 0 THEN doc_id END) AS nd0,
+          count(DISTINCT w) AS vsz FROM tok),
+        wc AS (SELECT w,
+          sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS c1,
+          sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS c0
+          FROM tok GROUP BY w),
+        lp AS (SELECT w,
+          CAST(round(ln((c1 + 1.0) / (nt1 + vsz)), 6) AS DECIMAL(18,6)) AS lp1,
+          CAST(round(ln((c0 + 1.0) / (nt0 + vsz)), 6) AS DECIMAL(18,6)) AS lp0
+          FROM wc CROSS JOIN tot),
+        pri AS (SELECT
+          CAST(round(ln((nd1 + 1.0) / (nd1 + nd0 + 2.0)), 6) AS DECIMAL(18,6)) AS lpr1,
+          CAST(round(ln((nd0 + 1.0) / (nd1 + nd0 + 2.0)), 6) AS DECIMAL(18,6)) AS lpr0
+          FROM tot),
+        sc AS (SELECT doc_id, label, count(*) AS n_tokens,
+          sum(lp1) AS s1, sum(lp0) AS s0
+          FROM tok JOIN lp USING (w) GROUP BY doc_id, label)
+        SELECT doc_id, label, n_tokens,
+          CAST(round((s1 + lpr1) - (s0 + lpr0), 4) AS DOUBLE) AS llr,
+          (s1 + lpr1) - (s0 + lpr0) > 0 AS pred
+        FROM sc, pri"""
+
   /** Shared CTE body for the [[Dedup.embeddingLshPairs]] oracles:
     * `e` (vectors + md5-seeded ±1 projection bits), `bands`, `cand`
     * (blocked candidate pairs), `pr` (exact-cosine-verified pairs above
@@ -1803,51 +1855,44 @@ object PipelineQueries extends QueryPack {
     //      fastText-classifier axis of CCNet next to x40's perplexity
     //      axis); pred-vs-label disagreements = review queue ------------
     Q("x51_nb_quality_score",
-      (s, dir) => {
-        val toks = col("toks")
-        val labeled = t(s, dir, "documents")
-          .withColumn("toks", tokens(col("text")))
-          .select(col("doc_id"), col("text"),
-            (nTokens(toks) >= 30 && dupTokenRatio(toks) <= 0.55 &&
-              avgTokenLen(toks) >= 4.0 && avgTokenLen(toks) <= 5.0 &&
-              stopwordRatio(toks) > 0.0).cast("long").as("label"))
-        graft.operators.NbQuality
-          .naiveBayesScore(labeled, "doc_id", "text", "label")
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
-        lab AS (SELECT doc_id, ts,
-          CAST(len(ts) >= 30
-           AND 1.0 - CAST(len(list_distinct(ts)) AS DOUBLE)/len(ts) <= 0.55
-           AND CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)/len(ts) BETWEEN 4.0 AND 5.0
-           AND len(list_filter(ts, t -> t IN ('the','a','of','and','to','in','is'))) > 0
-          AS BIGINT) AS label FROM d),
-        tok AS (SELECT doc_id, label, unnest(ts) AS w FROM lab),
-        tot AS (SELECT
-          sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS nt1,
-          sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS nt0,
-          count(DISTINCT CASE WHEN label = 1 THEN doc_id END) AS nd1,
-          count(DISTINCT CASE WHEN label = 0 THEN doc_id END) AS nd0,
-          count(DISTINCT w) AS vsz FROM tok),
-        wc AS (SELECT w,
-          sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS c1,
-          sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS c0
-          FROM tok GROUP BY w),
-        lp AS (SELECT w,
-          CAST(round(ln((c1 + 1.0) / (nt1 + vsz)), 6) AS DECIMAL(18,6)) AS lp1,
-          CAST(round(ln((c0 + 1.0) / (nt0 + vsz)), 6) AS DECIMAL(18,6)) AS lp0
-          FROM wc CROSS JOIN tot),
-        pri AS (SELECT
-          CAST(round(ln((nd1 + 1.0) / (nd1 + nd0 + 2.0)), 6) AS DECIMAL(18,6)) AS lpr1,
-          CAST(round(ln((nd0 + 1.0) / (nd1 + nd0 + 2.0)), 6) AS DECIMAL(18,6)) AS lpr0
-          FROM tot),
-        sc AS (SELECT doc_id, label, count(*) AS n_tokens,
-          sum(lp1) AS s1, sum(lp0) AS s0
-          FROM tok JOIN lp USING (w) GROUP BY doc_id, label)
-        SELECT doc_id, label, n_tokens,
-          round(CAST((s1 + lpr1) - (s0 + lpr0) AS DOUBLE), 4) AS llr,
-          (s1 + lpr1) - (s0 + lpr0) > 0 AS pred
-        FROM sc, pri ORDER BY doc_id""")),
+      (s, dir) => nbScored(s, dir).orderBy(col("doc_id")),
+      Some(s"""$nbScoreSql ORDER BY doc_id""")),
+
+    // ---- NB calibration report (Guo ICML'17): reliability bins + ECE
+    //      over the x51 scorer — whether its CONFIDENCE (not just its
+    //      ranking) can drive a curation threshold. Sigmoid of the llr,
+    //      BIGINT micro-unit binning, totals-from-cells ECE ------------
+    Q("x107_nb_calibration",
+      (s, dir) => graft.operators.ClassifierCalibration
+        .reliabilityReport(nbScored(s, dir))
+        .orderBy(col("bin")),
+      Some(s"""WITH sc AS ($nbScoreSql),
+        pc AS (SELECT label, pred,
+            round(1.0/(1.0+exp(-llr)), 6) AS p1 FROM sc),
+        cf AS (SELECT (pred = (label = 1)) AS ok,
+            round(CASE WHEN pred THEN p1 ELSE 1.0 - p1 END, 6) AS conf
+          FROM pc),
+        bn AS (SELECT conf, ok,
+            least((CAST(round(conf*1000000) AS BIGINT)*10) // 1000000,
+              9) AS bin
+          FROM cf),
+        cells AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(conf AS DECIMAL(18,6))) AS sconf,
+            CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_correct
+          FROM bn GROUP BY bin),
+        st AS (SELECT bin, n, n_correct,
+            round(CAST(sconf AS DOUBLE)/n, 6) AS mean_conf,
+            CAST((n_correct*2000000 + n) // (2*n) AS DOUBLE)/1000000.0
+              AS acc
+          FROM cells),
+        g AS (SELECT bin, n, n_correct, mean_conf, acc,
+            round(abs(acc - mean_conf), 6) AS gap FROM st),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+            sum(n * CAST(gap AS DECIMAL(18,6))) AS sg FROM g)
+        SELECT bin, n, n_correct, mean_conf, acc, gap,
+          round(CAST(sg AS DOUBLE)/nt, 6) AS ece
+        FROM g CROSS JOIN tot ORDER BY bin""")),
 
     // ---- corpus-trained BPE (Sennrich ACL 2016): the merge table the
     //      spark-side bounded merge loop learns (pair-count agg per
@@ -2144,7 +2189,7 @@ object PipelineQueries extends QueryPack {
         sc AS (SELECT doc_id, sum(lp1) AS s1, sum(lp0) AS s0
           FROM tok JOIN lp USING (w) GROUP BY doc_id),
         qk AS (SELECT doc_id,
-          round(CAST((s1 + lpr1) - (s0 + lpr0) AS DOUBLE), 4) AS llr
+          CAST(round((s1 + lpr1) - (s0 + lpr0), 4) AS DOUBLE) AS llr
           FROM sc JOIN lab USING (doc_id) CROSS JOIN pri WHERE label = 1),
         q AS (SELECT cap.doc_id, cap.text, cap.domain, qk.llr
               FROM cap JOIN qk USING (doc_id)),

@@ -117,6 +117,10 @@ class ScaleSpec extends SparkSpec {
     //    single-row broadcasts — x25/x40's 1-row shape
     //  - x100: inherits x81's 1-row N/avgdl broadcast (the BM25 scoring
     //    chain, verbatim)
+    //  - x107: composes the x51 scorer (its 1-row corpus-totals and
+    //    priors broadcasts), then attaches the 1-row ECE-total aggregate
+    //    to the BINS-sized frame via an explicit single-row broadcast —
+    //    x25/x40's 1-row shape
     //  - x106: composes the x40 scorer (its 1-row vocabulary scalar),
     //    then attaches the 1-row corpus-reference and boost-total
     //    aggregates to the DOMAINS-sized frame via explicit single-row
@@ -129,7 +133,7 @@ class ScaleSpec extends SparkSpec {
       "x76_dsir_resample", "x78_source_js_drift", "x81_bm25_topk",
       "x84_streaming_source_drift", "x87_countmin_freq",
       "x91_hybrid_rrf", "x96_pmi_collocations", "x100_hard_negatives",
-      "x106_doremi_mix")
+      "x106_doremi_mix", "x107_nb_calibration")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -373,7 +377,12 @@ class ScaleSpec extends SparkSpec {
       // joins, per-doc agg) + the doc->domain join + the domains agg;
       // reference/boost totals derive from the persisted domains frame
       // — measured 9 at the audit SF
-      "x106_doremi_mix" -> 9)
+      "x106_doremi_mix" -> 9,
+      // x107: the x51 scoring chain (tokenize agg, totals, word counts,
+      // scoring join, per-doc agg) + the bins cells agg; the ECE total
+      // derives from the persisted bins frame — measured 9 at the
+      // audit SF
+      "x107_nb_calibration" -> 9)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
