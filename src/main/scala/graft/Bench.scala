@@ -174,7 +174,9 @@ object Bench {
     "x106_doremi_mix" -> 1164,
     // x107 = the x51 scoring chain + bins cells agg; ECE from the
     // persisted bins frame
-    "x107_nb_calibration" -> 819)
+    "x107_nb_calibration" -> 819,
+    // x108 = one x40 scoring pass + signals join + group-moments agg
+    "x108_quality_ensemble" -> 1160)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

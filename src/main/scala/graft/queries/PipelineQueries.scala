@@ -3984,6 +3984,68 @@ object PipelineQueries extends QueryPack {
             AS weight,
           CAST((2000000*((5-1)*bmicro*nsrc + 1*btot) + 5*nsrc*btot)
             // (2*5*nsrc*btot) AS DOUBLE)/1000000.0 AS mix
-        FROM bm CROSS JOIN tb ORDER BY source"""))
+        FROM bm CROSS JOIN tb ORDER BY source""")),
+
+    // ---- FineWeb/DCLM-style quality ensemble: three heterogeneous
+    //      signals (negated x40 NLL, log token count, stopword ratio)
+    //      z-normalized per source from EXACT decimal moments — no
+    //      per-source window sort, one corpus agg + broadcast stats.
+    //      Docs without bigrams carry no NLL and drop (inner join) -----
+    Q("x108_quality_ensemble",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val scored = graft.operators.LmScore
+          .bigramNll(docs, "doc_id", "text")
+        val sig = docs
+          .join(scored.select(col("doc_id"), col("avg_nll")), "doc_id")
+          .withColumn("toks", tokens(col("text")))
+        graft.operators.QualityEnsemble.zscoreComposite(
+          sig, "doc_id", "source", Seq(
+            "nll" -> -col("avg_nll"),
+            "logtok" -> round(log(lit(1.0)
+              + nTokens(col("toks"))), 6),
+            "stop" -> stopwordRatio(col("toks"))))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH scored AS ($lmNllSql),
+        sig AS (SELECT d.doc_id, d.source,
+            CAST(round(-s.avg_nll, 6) AS DECIMAL(18,6)) AS s1,
+            CAST(round(ln(1.0 + len(string_split(d.text,' '))), 6)
+              AS DECIMAL(18,6)) AS s2,
+            CAST(round(CAST(len(list_filter(string_split(d.text,' '),
+              t -> t IN ('the','a','of','and','to','in','is')))
+              AS DOUBLE) / len(string_split(d.text,' ')), 6)
+              AS DECIMAL(18,6)) AS s3
+          FROM documents d JOIN scored s USING (doc_id)),
+        st AS (SELECT source, count(*) AS n,
+            sum(s1) AS sx1, sum(s1*s1) AS sxx1,
+            sum(s2) AS sx2, sum(s2*s2) AS sxx2,
+            sum(s3) AS sx3, sum(s3*s3) AS sxx3
+          FROM sig GROUP BY 1),
+        ms AS (SELECT source, n,
+            CAST(sx1 AS DOUBLE)/n AS m1,
+            sqrt(CAST(sxx1 AS DOUBLE)/n
+              - (CAST(sx1 AS DOUBLE)/n)*(CAST(sx1 AS DOUBLE)/n)) AS sd1,
+            CAST(sx2 AS DOUBLE)/n AS m2,
+            sqrt(CAST(sxx2 AS DOUBLE)/n
+              - (CAST(sx2 AS DOUBLE)/n)*(CAST(sx2 AS DOUBLE)/n)) AS sd2,
+            CAST(sx3 AS DOUBLE)/n AS m3,
+            sqrt(CAST(sxx3 AS DOUBLE)/n
+              - (CAST(sx3 AS DOUBLE)/n)*(CAST(sx3 AS DOUBLE)/n)) AS sd3
+          FROM st),
+        z AS (SELECT g.doc_id, g.source,
+            CASE WHEN sd1 > 0.0
+              THEN round((CAST(s1 AS DOUBLE) - m1)/sd1, 6)
+              ELSE 0.0 END AS z_nll,
+            CASE WHEN sd2 > 0.0
+              THEN round((CAST(s2 AS DOUBLE) - m2)/sd2, 6)
+              ELSE 0.0 END AS z_logtok,
+            CASE WHEN sd3 > 0.0
+              THEN round((CAST(s3 AS DOUBLE) - m3)/sd3, 6)
+              ELSE 0.0 END AS z_stop
+          FROM sig g JOIN ms USING (source))
+        SELECT doc_id, source, z_nll, z_logtok, z_stop,
+          round((z_nll + z_logtok + z_stop)/3, 6) AS composite
+        FROM z ORDER BY doc_id"""))
   )
 }

@@ -121,6 +121,8 @@ class ScaleSpec extends SparkSpec {
     //    priors broadcasts), then attaches the 1-row ECE-total aggregate
     //    to the BINS-sized frame via an explicit single-row broadcast —
     //    x25/x40's 1-row shape
+    //  - x108: composes the x40 scorer (its 1-row vocabulary scalar);
+    //    group stats attach by key join, no new cross-join shapes
     //  - x106: composes the x40 scorer (its 1-row vocabulary scalar),
     //    then attaches the 1-row corpus-reference and boost-total
     //    aggregates to the DOMAINS-sized frame via explicit single-row
@@ -133,7 +135,8 @@ class ScaleSpec extends SparkSpec {
       "x76_dsir_resample", "x78_source_js_drift", "x81_bm25_topk",
       "x84_streaming_source_drift", "x87_countmin_freq",
       "x91_hybrid_rrf", "x96_pmi_collocations", "x100_hard_negatives",
-      "x106_doremi_mix", "x107_nb_calibration")
+      "x106_doremi_mix", "x107_nb_calibration",
+      "x108_quality_ensemble")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -382,7 +385,11 @@ class ScaleSpec extends SparkSpec {
       // scoring join, per-doc agg) + the bins cells agg; the ECE total
       // derives from the persisted bins frame — measured 9 at the
       // audit SF
-      "x107_nb_calibration" -> 9)
+      "x107_nb_calibration" -> 9,
+      // x108: the x40 scoring chain + doc->signals join + the
+      // group-moments agg (stats broadcast back; its partial+final
+      // pair) — measured 6 at the audit SF
+      "x108_quality_ensemble" -> 6)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
