@@ -176,7 +176,9 @@ object Bench {
     // persisted bins frame
     "x107_nb_calibration" -> 819,
     // x108 = one x40 scoring pass + signals join + group-moments agg
-    "x108_quality_ensemble" -> 1160)
+    "x108_quality_ensemble" -> 1160,
+    // x109 = one (source,gram) count agg + rollup per gram order
+    "x109_diversity_report" -> 784)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4046,6 +4046,44 @@ object PipelineQueries extends QueryPack {
           FROM sig g JOIN ms USING (source))
         SELECT doc_id, source, z_nll, z_logtok, z_stop,
           round((z_nll + z_logtok + z_stop)/3, 6) AS composite
-        FROM z ORDER BY doc_id"""))
+        FROM z ORDER BY doc_id""")),
+
+    // ---- per-source lexical diversity: TTR, distinct-bigram ratio,
+    //      unigram entropy via H = ln N − (Σ c·ln c)/N — the corpus
+    //      health axis x47's volume/dup shares don't see (template
+    //      soup = low entropy at equal volume). Vocab-sized count
+    //      tables, sources-sized rollups, no distinct over raw rows ----
+    Q("x109_diversity_report",
+      (s, dir) => graft.operators.Diversity.report(
+        t(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy(col("source")),
+      Some("""WITH t AS (SELECT doc_id, source,
+          string_split(text,' ') AS ts FROM documents),
+        dc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM t GROUP BY 1),
+        uni AS (SELECT source, unnest(ts) AS w FROM t),
+        uc AS (SELECT source, w, count(*) AS c FROM uni GROUP BY 1, 2),
+        us AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+            CAST(count(*) AS BIGINT) AS distinct_tokens,
+            sum(c * CAST(round(ln(c), 6) AS DECIMAL(18,6))) AS slc
+          FROM uc GROUP BY 1),
+        bgx AS (SELECT source, ts[i+1] || ' ' || ts[i+2] AS b
+          FROM (SELECT source, ts, unnest(range(len(ts)-1)) AS i FROM t)),
+        bc AS (SELECT source, b, count(*) AS c FROM bgx GROUP BY 1, 2),
+        bs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_bigrams,
+            CAST(count(*) AS BIGINT) AS distinct_bigrams
+          FROM bc GROUP BY 1)
+        SELECT dc.source, dc.n_docs, us.n_tokens, us.distinct_tokens,
+          CAST((us.distinct_tokens*2000000 + us.n_tokens)
+            // (2*us.n_tokens) AS DOUBLE)/1000000.0 AS ttr,
+          COALESCE(bs.n_bigrams, 0) AS n_bigrams,
+          COALESCE(bs.distinct_bigrams, 0) AS distinct_bigrams,
+          CASE WHEN bs.n_bigrams > 0 THEN
+            CAST((bs.distinct_bigrams*2000000 + bs.n_bigrams)
+              // (2*bs.n_bigrams) AS DOUBLE)/1000000.0 END AS distinct2,
+          round(round(ln(us.n_tokens), 6)
+            - CAST(us.slc AS DOUBLE)/us.n_tokens, 6) AS entropy
+        FROM dc JOIN us USING (source) LEFT JOIN bs USING (source)
+        ORDER BY dc.source"""))
   )
 }

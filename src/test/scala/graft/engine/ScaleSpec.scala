@@ -389,7 +389,11 @@ class ScaleSpec extends SparkSpec {
       // x108: the x40 scoring chain + doc->signals join + the
       // group-moments agg (stats broadcast back; its partial+final
       // pair) — measured 6 at the audit SF
-      "x108_quality_ensemble" -> 6)
+      "x108_quality_ensemble" -> 6,
+      // x109: (source,word) agg + its source rollup, (source,bigram)
+      // agg + its rollup, the doc-count agg + the sources-sized joins
+      // — measured 6 at the audit SF
+      "x109_diversity_report" -> 6)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
