@@ -178,7 +178,9 @@ object Bench {
     // x108 = one x40 scoring pass + signals join + group-moments agg
     "x108_quality_ensemble" -> 1160,
     // x109 = one (source,gram) count agg + rollup per gram order
-    "x109_diversity_report" -> 784)
+    "x109_diversity_report" -> 784,
+    // x110 = x35's shard window + the finer (shard,bin) offset window
+    "x110_pack_boundaries" -> 598)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -143,6 +143,37 @@ object Sampling {
       .withColumnRenamed("__shard", "shard")
   }
 
+  /** Boundary manifest over [[packByTokenBudget]]'s bins — the
+    * attention-mask metadata a sequence packer materializes when bins
+    * are concatenated into fixed training windows (T5's pack-with-
+    * sentinels, GPT-style document packing): for every document, its
+    * position and [offset, end) token span within its (shard, bin)
+    * sequence, plus the bin's total fill and doc count. Each bin is a
+    * fresh sequence (its first doc starts at offset 0); a boundary-
+    * straddling doc stays in the bin its start falls in, so `fill` may
+    * exceed `budget` by at most one document (x35's spill rule).
+    *
+    * Scale: inherits packByTokenBudget's shard-partitioned windows —
+    * the added offset/position windows partition by (shard, bin),
+    * strictly finer than the assignment window, so no new skew class;
+    * bin totals ride the same partition-bounded frame (no join). */
+  def packManifest(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, shards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val packed = packByTokenBudget(df, idCol, tokenCol, budget, shards)
+    val wOrd = Window.partitionBy(col("shard"), col("bin"))
+      .orderBy(col(idCol))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("shard"), col("bin"))
+    packed
+      .withColumn("pos_in_bin", row_number().over(wOrd).cast("long"))
+      .withColumn("offset",
+        coalesce(sum(col(tokenCol)).over(wPrev), lit(0L)))
+      .withColumn("end_offset", col("offset") + col(tokenCol))
+      .withColumn("bin_docs", count(lit(1)).over(wAll))
+      .withColumn("bin_fill", sum(col(tokenCol)).over(wAll))
+  }
+
   /** Deterministic weighted sampling without replacement, k per group
     * (Efraimidis & Spirakis, IPL 2006): each row draws a reproducible
     * uniform u from md5(id) and is ranked by key = -ln(u)/w — keeping

@@ -4084,6 +4084,45 @@ object PipelineQueries extends QueryPack {
           round(round(ln(us.n_tokens), 6)
             - CAST(us.slc AS DOUBLE)/us.n_tokens, 6) AS entropy
         FROM dc JOIN us USING (source) LEFT JOIN bs USING (source)
-        ORDER BY dc.source"""))
+        ORDER BY dc.source""")),
+
+    // ---- packing boundary manifest: x35's bins + each doc's
+    //      [offset, end) span / position inside its (shard, bin)
+    //      sequence + bin totals — the attention-mask metadata a
+    //      packer writes when bins concatenate into training windows ---
+    Q("x110_pack_boundaries",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("n_tokens", nTokens(tokens(col("text"))))
+        graft.operators.Sampling.packManifest(docs, "doc_id",
+          "n_tokens", budget = 2048L, shards = 8)
+          .select(col("doc_id"), col("shard").cast("long").as("shard"),
+            col("bin"), col("n_tokens"), col("pos_in_bin"),
+            col("offset"), col("end_offset"), col("bin_docs"),
+            col("bin_fill"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH p AS (SELECT doc_id, doc_id % 8 AS shard,
+          CAST(floor(COALESCE(SUM(len(string_split(text,' '))) OVER (
+            PARTITION BY doc_id % 8 ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
+            AS BIGINT) AS bin,
+          CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+        FROM documents)
+        SELECT doc_id, shard, bin, n_tokens,
+          CAST(row_number() OVER w AS BIGINT) AS pos_in_bin,
+          CAST(COALESCE(SUM(n_tokens) OVER (w
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS offset,
+          CAST(COALESCE(SUM(n_tokens) OVER (w
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + n_tokens AS BIGINT) AS end_offset,
+          CAST(count(*) OVER (PARTITION BY shard, bin) AS BIGINT)
+            AS bin_docs,
+          CAST(SUM(n_tokens) OVER (PARTITION BY shard, bin) AS BIGINT)
+            AS bin_fill
+        FROM p
+        WINDOW w AS (PARTITION BY shard, bin ORDER BY doc_id)
+        ORDER BY doc_id"""))
   )
 }

@@ -393,7 +393,10 @@ class ScaleSpec extends SparkSpec {
       // x109: (source,word) agg + its source rollup, (source,bigram)
       // agg + its rollup, the doc-count agg + the sources-sized joins
       // — measured 6 at the audit SF
-      "x109_diversity_report" -> 6)
+      "x109_diversity_report" -> 6,
+      // x110: the x35 shard-window exchange + the finer (shard,bin)
+      // window exchange — measured 2 at the audit SF
+      "x110_pack_boundaries" -> 2)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
