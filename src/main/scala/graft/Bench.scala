@@ -180,7 +180,9 @@ object Bench {
     // x109 = one (source,gram) count agg + rollup per gram order
     "x109_diversity_report" -> 784,
     // x110 = x35's shard window + the finer (shard,bin) offset window
-    "x110_pack_boundaries" -> 598)
+    "x110_pack_boundaries" -> 598,
+    // x111 = broadcast bench-shingle join + hit-starts agg + rebuild
+    "x111_span_decontaminate" -> 965)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -518,6 +518,49 @@ object Dedup {
         (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"))
   }
 
+  /** SPAN-level (surgical) decontamination: instead of dropping every
+    * document that shares an n-gram with the benchmark ([[decontaminate]]'s
+    * GPT-3 rule — which discards a 10k-token doc over one quoted test
+    * sentence), remove only the words covered by a benchmark-colliding
+    * n-gram occurrence and keep the rest (the span-removal practice of
+    * PaLM 2 / Llama-style decontamination; rewrite machinery shared
+    * with [[removeRepeatedSpans]]). Returns every corpus doc:
+    * (doc_id, clean_text, n_removed, n_hit_spans, contaminated) —
+    * uncontaminated docs pass through with their text intact.
+    *
+    * Scale shape: the benchmark's DISTINCT shingle-hash set broadcasts
+    * (x33's asymmetry); corpus positional shingles stream map-side into
+    * the broadcast join, and only HIT positions shuffle (per-doc start
+    * lists, bounded by tokens-per-doc); the rebuild is the x38
+    * codegen'd higher-order coverage filter — no corpus shuffle at all. */
+  def spanDecontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val corpusSh = corpus.select(col(idCol).as("doc"),
+      posexplode(graft.expressions.TextExpressions
+        .wordShingles(col(textCol), n, distinct = false))
+        .as(Seq("pos", "span")))
+      .select(col("doc"), col("pos"), md5(col("span")).as("h"))
+    val benchSh = bench.select(explode(graft.expressions.TextExpressions
+        .wordShingles(col(textCol), n)).as("span"))
+      .select(md5(col("span")).as("h")).distinct()
+    val badStarts = corpusSh.join(broadcast(benchSh), "h")
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_set(col("pos"))).as("starts"))
+    corpus.join(badStarts, corpus(idCol) === badStarts("doc"), "left")
+      .select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .withColumn("kept",
+        filter(col("toks"), (_, j) =>
+          !exists(col("starts"), s => s <= j && j <= s + lit(n - 1))))
+      .select(col("doc_id"),
+        concat_ws(" ", col("kept")).as("clean_text"),
+        (size(col("toks")) - size(col("kept"))).cast("long")
+          .as("n_removed"),
+        size(col("starts")).cast("long").as("n_hit_spans"),
+        (size(col("starts")) > 0).as("contaminated"))
+  }
+
   /** Benchmark decontamination: drop every corpus document that shares
     * at least one word n-gram with a benchmark/test set (the GPT-3-style
     * n-gram collision rule — a training doc containing verbatim

@@ -4123,6 +4123,47 @@ object PipelineQueries extends QueryPack {
             AS bin_fill
         FROM p
         WINDOW w AS (PARTITION BY shard, bin ORDER BY doc_id)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- SPAN-level decontamination: x33's benchmark split, but only
+    //      the words covered by a bench-colliding 8-gram are removed
+    //      (x38's rewrite machinery) — the surgical alternative to
+    //      dropping a whole doc over one quoted test sentence ----------
+    Q("x111_span_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.spanDecontaminate(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tt AS (SELECT doc_id, string_split(text,' ') AS ts
+          FROM documents WHERE doc_id % 20 <> 0),
+        bt AS (SELECT string_split(text,' ') AS ts
+          FROM documents WHERE doc_id % 20 = 0),
+        bh AS (SELECT DISTINCT
+            md5(array_to_string(list_slice(ts, pos+1, pos+8), '_')) AS h
+          FROM (SELECT ts, unnest(range(len(ts)-7)) AS pos FROM bt)),
+        ch AS (SELECT doc_id, pos,
+            md5(array_to_string(list_slice(ts, pos+1, pos+8), '_')) AS h
+          FROM (SELECT doc_id, ts, unnest(range(len(ts)-7)) AS pos
+                FROM tt)),
+        bad AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS starts
+          FROM ch JOIN bh USING (h) GROUP BY doc_id),
+        jn AS (SELECT tt.doc_id, tt.ts, coalesce(bad.starts, []) AS starts
+          FROM tt LEFT JOIN bad USING (doc_id)),
+        kp AS (SELECT doc_id, ts, starts,
+            list_filter(range(len(ts)),
+              p -> len(list_filter(starts,
+                s -> s <= p AND p <= s + 7)) = 0) AS keepj
+          FROM jn)
+        SELECT doc_id,
+          coalesce(array_to_string(
+            list_transform(keepj, p -> ts[p+1]), ' '), '') AS clean_text,
+          CAST(len(ts) - len(keepj) AS BIGINT) AS n_removed,
+          CAST(len(starts) AS BIGINT) AS n_hit_spans,
+          len(starts) > 0 AS contaminated
+        FROM kp ORDER BY doc_id"""))
   )
 }

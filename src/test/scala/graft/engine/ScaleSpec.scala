@@ -396,7 +396,12 @@ class ScaleSpec extends SparkSpec {
       "x109_diversity_report" -> 6,
       // x110: the x35 shard-window exchange + the finer (shard,bin)
       // window exchange — measured 2 at the audit SF
-      "x110_pack_boundaries" -> 2)
+      "x110_pack_boundaries" -> 2,
+      // x111: bench distinct-shingle agg + per-doc hit-starts agg + the
+      // left join back onto the corpus — measured 3 at the audit SF
+      // (the corpus shingle stream itself is map-side into the
+      // broadcast bench join)
+      "x111_span_decontaminate" -> 3)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
