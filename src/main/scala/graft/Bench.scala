@@ -182,7 +182,9 @@ object Bench {
     // x110 = x35's shard window + the finer (shard,bin) offset window
     "x110_pack_boundaries" -> 598,
     // x111 = broadcast bench-shingle join + hit-starts agg + rebuild
-    "x111_span_decontaminate" -> 965)
+    "x111_span_decontaminate" -> 965,
+    // x112 = one quasi-identifier classes agg, total from the classes
+    "x112_k_anonymity" -> 426)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

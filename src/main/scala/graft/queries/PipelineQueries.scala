@@ -4164,6 +4164,29 @@ object PipelineQueries extends QueryPack {
           CAST(len(ts) - len(keepj) AS BIGINT) AS n_removed,
           CAST(len(starts) AS BIGINT) AS n_hit_spans,
           len(starts) > 0 AS contaminated
-        FROM kp ORDER BY doc_id"""))
+        FROM kp ORDER BY doc_id""")),
+
+    // ---- k-anonymity audit (Sweeney IJUFKS'02): equivalence classes
+    //      over (source, lang, 256-char size bucket) with n < k flagged
+    //      — the metadata-linkage privacy axis x34's token-level PII
+    //      redaction cannot see ----------------------------------------
+    Q("x112_k_anonymity",
+      (s, dir) => graft.operators.KAnonymity.classReport(
+        t(s, dir, "documents"), Seq(
+          "source" -> col("source"),
+          "lang" -> col("lang"),
+          "size_bucket" -> expr("n_chars DIV 256")), k = 5L)
+        .orderBy(col("source"), col("lang"), col("size_bucket")),
+      Some("""WITH cls AS (SELECT source, lang,
+            n_chars // 256 AS size_bucket,
+            CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY 1, 2, 3),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cls)
+        SELECT source, lang, size_bucket, n,
+          n >= 5 AS k_anonymous,
+          CAST((n*2000000 + nt) // (2*nt) AS DOUBLE)/1000000.0
+            AS share_of_corpus
+        FROM cls CROSS JOIN tot
+        ORDER BY source, lang, size_bucket"""))
   )
 }

@@ -121,6 +121,9 @@ class ScaleSpec extends SparkSpec {
     //    priors broadcasts), then attaches the 1-row ECE-total aggregate
     //    to the BINS-sized frame via an explicit single-row broadcast —
     //    x25/x40's 1-row shape
+    //  - x112: the CLASSES-sized frame cross-joins its own single-row
+    //    corpus-total aggregate via an explicit broadcast — x48's
+    //    group-count shape
     //  - x108: composes the x40 scorer (its 1-row vocabulary scalar);
     //    group stats attach by key join, no new cross-join shapes
     //  - x106: composes the x40 scorer (its 1-row vocabulary scalar),
@@ -136,7 +139,7 @@ class ScaleSpec extends SparkSpec {
       "x84_streaming_source_drift", "x87_countmin_freq",
       "x91_hybrid_rrf", "x96_pmi_collocations", "x100_hard_negatives",
       "x106_doremi_mix", "x107_nb_calibration",
-      "x108_quality_ensemble")
+      "x108_quality_ensemble", "x112_k_anonymity")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -401,7 +404,11 @@ class ScaleSpec extends SparkSpec {
       // left join back onto the corpus — measured 3 at the audit SF
       // (the corpus shingle stream itself is map-side into the
       // broadcast bench join)
-      "x111_span_decontaminate" -> 3)
+      "x111_span_decontaminate" -> 3,
+      // x112: the quasi-identifier classes agg (persisted; the corpus
+      // total derives from it) + the final sort — measured 3 at the
+      // audit SF
+      "x112_k_anonymity" -> 3)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
