@@ -184,7 +184,9 @@ object Bench {
     // x111 = broadcast bench-shingle join + hit-starts agg + rebuild
     "x111_span_decontaminate" -> 965,
     // x112 = one quasi-identifier classes agg, total from the classes
-    "x112_k_anonymity" -> 426)
+    "x112_k_anonymity" -> 426,
+    // x113 = one per-lang integer agg over the x08 natives
+    "x113_tokenizer_fertility" -> 359)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4187,6 +4187,41 @@ object PipelineQueries extends QueryPack {
           CAST((n*2000000 + nt) // (2*nt) AS DOUBLE)/1000000.0
             AS share_of_corpus
         FROM cls CROSS JOIN tot
-        ORDER BY source, lang, size_bucket"""))
+        ORDER BY source, lang, size_bucket""")),
+
+    // ---- tokenizer fertility by language (the UniMax/x98 companion
+    //      metric: subword-per-word and chars-per-subword rates decide
+    //      how a token budget converts to text volume per language;
+    //      Chung ICLR'23 budgets in tokens, fertility converts) — one
+    //      integer agg over the x08 natives ----------------------------
+    Q("x113_tokenizer_fertility",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"),
+          sum(nTokens(tokens(col("text")))).as("ws_tokens"),
+          sum(bpeishTokenCount(col("text")).cast("long"))
+            .as("bpeish_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_chars"),
+          col("ws_tokens"), col("bpeish_tokens"),
+          expr("CAST((bpeish_tokens*2000000 + ws_tokens) " +
+            "DIV (2*ws_tokens) AS DOUBLE)/1000000.0").as("fertility"),
+          expr("CAST((n_chars*2000000 + bpeish_tokens) " +
+            "DIV (2*bpeish_tokens) AS DOUBLE)/1000000.0")
+            .as("chars_per_token"))
+        .orderBy(col("lang")),
+      Some("""WITH a AS (SELECT lang,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(length(text)) AS BIGINT) AS n_chars,
+          CAST(sum(len(string_split(text,' '))) AS BIGINT) AS ws_tokens,
+          CAST(sum(len(regexp_extract_all(text,
+            '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS bpeish_tokens
+        FROM documents GROUP BY 1)
+        SELECT lang, n_docs, n_chars, ws_tokens, bpeish_tokens,
+          CAST((bpeish_tokens*2000000 + ws_tokens)
+            // (2*ws_tokens) AS DOUBLE)/1000000.0 AS fertility,
+          CAST((n_chars*2000000 + bpeish_tokens)
+            // (2*bpeish_tokens) AS DOUBLE)/1000000.0 AS chars_per_token
+        FROM a ORDER BY lang"""))
   )
 }

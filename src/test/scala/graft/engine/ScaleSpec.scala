@@ -408,7 +408,9 @@ class ScaleSpec extends SparkSpec {
       // x112: the quasi-identifier classes agg (persisted; the corpus
       // total derives from it) + the final sort — measured 3 at the
       // audit SF
-      "x112_k_anonymity" -> 3)
+      "x112_k_anonymity" -> 3,
+      // x113: one per-lang integer agg + the sort — measured 2
+      "x113_tokenizer_fertility" -> 2)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
