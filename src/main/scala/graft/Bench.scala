@@ -186,7 +186,9 @@ object Bench {
     // x112 = one quasi-identifier classes agg, total from the classes
     "x112_k_anonymity" -> 426,
     // x113 = one per-lang integer agg over the x08 natives
-    "x113_tokenizer_fertility" -> 359)
+    "x113_tokenizer_fertility" -> 359,
+    // x114 = delete-list join + per-shard agg + unmatched anti count
+    "x114_deletion_impact" -> 759)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

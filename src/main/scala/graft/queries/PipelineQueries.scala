@@ -4222,6 +4222,49 @@ object PipelineQueries extends QueryPack {
             // (2*ws_tokens) AS DOUBLE)/1000000.0 AS fertility,
           CAST((n_chars*2000000 + bpeish_tokens)
             // (2*bpeish_tokens) AS DOUBLE)/1000000.0 AS chars_per_token
-        FROM a ORDER BY lang"""))
+        FROM a ORDER BY lang""")),
+
+    // ---- deletion-impact audit (right-to-be-forgotten planning):
+    //      which shards a takedown id-list touches, at what doc/byte
+    //      cost, and whether each needs a rewrite — unmatched takedown
+    //      ids surface as an audit count, never silence ----------------
+    Q("x114_deletion_impact",
+      (s, dir) => {
+        val assigned = t(s, dir, "documents")
+          .select(col("doc_id"), pmod(col("doc_id"), lit(16L)).as("shard"),
+            col("n_chars"))
+        val deletes = t(s, dir, "documents")
+          .filter(col("doc_id") % 97 === 3).select(col("doc_id"))
+          .union(s.range(1).select((lit(10000000L)).as("doc_id")))
+        graft.operators.DeletionImpact.report(assigned, deletes,
+          "doc_id", "shard", "n_chars")
+          .orderBy(col("shard"))
+      },
+      Some("""WITH asg AS (SELECT doc_id, doc_id % 16 AS shard,
+            n_chars FROM documents),
+        del AS (SELECT DISTINCT doc_id FROM (
+            SELECT doc_id FROM documents WHERE doc_id % 97 = 3
+            UNION ALL SELECT 10000000 AS doc_id)),
+        mk AS (SELECT a.shard, a.n_chars,
+            (d.doc_id IS NOT NULL) AS hit
+          FROM asg a LEFT JOIN del d USING (doc_id)),
+        ps AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+            CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_deleted,
+            CAST(sum(CASE WHEN hit THEN n_chars ELSE 0 END) AS BIGINT)
+              AS deleted_bytes
+          FROM mk GROUP BY 1),
+        um AS (SELECT CAST(count(*) AS BIGINT) AS n_unmatched
+          FROM del WHERE doc_id NOT IN (SELECT doc_id FROM asg))
+        SELECT shard, n_docs, n_bytes, n_deleted, deleted_bytes,
+          CAST((n_deleted*2000000 + n_docs) // (2*n_docs) AS DOUBLE)
+            /1000000.0 AS share_docs_deleted,
+          CASE WHEN n_bytes > 0 THEN
+            CAST((deleted_bytes*2000000 + n_bytes) // (2*n_bytes)
+              AS DOUBLE)/1000000.0 ELSE 0.0 END AS share_bytes_deleted,
+          n_deleted > 0 AS needs_rewrite,
+          um.n_unmatched
+        FROM ps CROSS JOIN um ORDER BY shard"""))
   )
 }

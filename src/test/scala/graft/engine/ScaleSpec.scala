@@ -121,6 +121,8 @@ class ScaleSpec extends SparkSpec {
     //    priors broadcasts), then attaches the 1-row ECE-total aggregate
     //    to the BINS-sized frame via an explicit single-row broadcast —
     //    x25/x40's 1-row shape
+    //  - x114: the SHARDS-sized frame cross-joins the 1-row unmatched
+    //    count via an explicit single-row broadcast — x25/x40's shape
     //  - x112: the CLASSES-sized frame cross-joins its own single-row
     //    corpus-total aggregate via an explicit broadcast — x48's
     //    group-count shape
@@ -139,7 +141,8 @@ class ScaleSpec extends SparkSpec {
       "x84_streaming_source_drift", "x87_countmin_freq",
       "x91_hybrid_rrf", "x96_pmi_collocations", "x100_hard_negatives",
       "x106_doremi_mix", "x107_nb_calibration",
-      "x108_quality_ensemble", "x112_k_anonymity")
+      "x108_quality_ensemble", "x112_k_anonymity",
+      "x114_deletion_impact")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -410,7 +413,10 @@ class ScaleSpec extends SparkSpec {
       // audit SF
       "x112_k_anonymity" -> 3,
       // x113: one per-lang integer agg + the sort — measured 2
-      "x113_tokenizer_fertility" -> 2)
+      "x113_tokenizer_fertility" -> 2,
+      // x114: delete-list distinct + assignment join + per-shard agg +
+      // the unmatched left_anti count — measured 5 at the audit SF
+      "x114_deletion_impact" -> 5)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
