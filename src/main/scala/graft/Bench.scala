@@ -155,10 +155,10 @@ object Bench {
     // x95's cost is 10 driver-bounded rounds × (contribution join +
     // per-dst agg) with a localCheckpoint barrier per round — per-round
     // latency, not data volume, at sf0.1
-    "x95_pagerank" -> 3290,
+    "x95_pagerank" -> 5346,  // re-baselined r11 (see BASELINE.md)
     "x96_pmi_collocations" -> 252,
     // x97 = sketch path + the exact x60-shaped adjudication matrix
-    "x97_kmv_overlap" -> 491,
+    "x97_kmv_overlap" -> 832,  // re-baselined r11 (see BASELINE.md)
     "x98_unimax_mix" -> 422, "x99_blocklist_screen" -> 312,
     // x100 = the x81 scoring chain over ~52 queries + two-phase top-k
     "x100_hard_negatives" -> 1589,
