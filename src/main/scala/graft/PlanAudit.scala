@@ -89,6 +89,21 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // bytes mode: `PlanAudit <sfDir> bytes q1,q2,...` — EXECUTE the named
+    // queries and print their executed-plan shuffle-bytes-written (the
+    // ScaleSpec byte-ceiling meter, exposed for baseline measurement)
+    if (args.length >= 3 && args(1) == "bytes") {
+      args(2).split(",").foreach { name =>
+        spark.catalog.clearCache()
+        val n =
+          try executedShuffleBytes(SparkEntry.queries(name)(spark, sfDir))
+            .toString
+          catch { case e: Throwable => s"ERR ${e.getMessage.take(80)}" }
+        println(s"[planaudit-bytes] $name $n")
+      }
+      spark.stop()
+      return
+    }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // defined cache state per query: a prior query's persisted relation
       // would otherwise swap this query's subtrees for InMemoryRelation

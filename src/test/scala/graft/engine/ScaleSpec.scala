@@ -516,13 +516,24 @@ class ScaleSpec extends SparkSpec {
     // x67=18KB, x75=83KB. x75's ceiling IS its scale claim: the bloom
     // prune must keep candidate traffic shingle-sliver-sized — a broken
     // bloom (every shingle a candidate) inflates the verify join past it.
+    // Round-11 heavies measured the same way: x86=2.1MB (the exact
+    // truth join — candidate pairs ARE the workload), x89=8KB (banded
+    // edit-distance candidates), x92=25KB (cell-bounded semantic
+    // candidates), x100=291KB (per-query scoring postings), x111=127KB
+    // (hit positions only — the no-corpus-shuffle claim: a dropped
+    // bench broadcast would push the whole shingle stream through).
     val sf001 = "/root/testdata/sf0.01"
     val caps = Seq(
       ("x03_minhash_lsh", 64L << 10),
       ("x31_embedding_lsh_pairs", 2L << 20),
       ("x63_fused_dedup_keeplist", 128L << 10),
       ("x67_semdedup", 160L << 10),
-      ("x75_decontaminate_bloom", 768L << 10))
+      ("x75_decontaminate_bloom", 768L << 10),
+      ("x86_setsim_exact_join", 16L << 20),
+      ("x89_editdist_join", 64L << 10),
+      ("x92_semantic_decontaminate", 256L << 10),
+      ("x100_hard_negatives", 4L << 20),
+      ("x111_span_decontaminate", 2L << 20))
     val readings = caps.map { case (name, cap) =>
       spark.catalog.clearCache()
       val b = graft.PlanAudit.executedShuffleBytes(
