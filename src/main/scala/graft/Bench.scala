@@ -156,7 +156,7 @@ object Bench {
     // per-dst agg) with a localCheckpoint barrier per round — per-round
     // latency, not data volume, at sf0.1
     "x95_pagerank" -> 5346,  // re-baselined r11 (see BASELINE.md)
-    "x96_pmi_collocations" -> 252,
+    "x96_pmi_collocations" -> 442,  // re-baselined r11 (see BASELINE.md)
     // x97 = sketch path + the exact x60-shaped adjudication matrix
     "x97_kmv_overlap" -> 832,  // re-baselined r11 (see BASELINE.md)
     "x98_unimax_mix" -> 422, "x99_blocklist_screen" -> 312,
