@@ -188,7 +188,9 @@ object Bench {
     // x113 = one per-lang integer agg over the x08 natives
     "x113_tokenizer_fertility" -> 359,
     // x114 = delete-list join + per-shard agg + unmatched anti count
-    "x114_deletion_impact" -> 759)
+    "x114_deletion_impact" -> 759,
+    // x115 = two AvailableNow ledger runs + the x114 report shape
+    "x115_streaming_suppression" -> 2243)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

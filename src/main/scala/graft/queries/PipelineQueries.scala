@@ -4265,6 +4265,70 @@ object PipelineQueries extends QueryPack {
               AS DOUBLE)/1000000.0 ELSE 0.0 END AS share_bytes_deleted,
           n_deleted > 0 AS needs_rewrite,
           um.n_unmatched
-        FROM ps CROSS JOIN um ORDER BY shard"""))
+        FROM ps CROSS JOIN um ORDER BY shard""")),
+
+    // ---- STREAMING suppression ledger (x114's continuous twin):
+    //      takedown requests land as files, two AvailableNow runs append
+    //      only unseen request batches (offset-log cursor), and the
+    //      impact report runs over the cumulative replay-idempotent
+    //      suppression set -------------------------------------------
+    Q("x115_streaming_suppression",
+      (s, dir) => {
+        import graft.engine._
+        val docs = t(s, dir, "documents")
+        val requests = docs.filter(col("doc_id") % 97 === 3)
+          .select(col("doc_id"))
+        val split = requests.agg(expr("(min(doc_id) + max(doc_id)) div 2"))
+          .first().getLong(0)
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val landing = wh.resolve("supldg_landing")
+        val ckpt = wh.resolve("_graft_checkpoints/supldg")
+        s.sql("CREATE DATABASE IF NOT EXISTS supldg")
+        s.sql("DROP TABLE IF EXISTS supldg.ledger")
+        for (p <- Seq(landing, ckpt, wh.resolve("supldg.db/ledger")))
+          Materializer.deleteRecursively(p)
+        requests.filter(col("doc_id") <= split)
+          .write.mode("overwrite").parquet(landing.toString)
+        val schema = s.read.parquet(landing.toString).schema
+        graft.streaming.EventStreams.streamingSuppressionLedger(s,
+          landing.toString, schema, "supldg.ledger", ckpt.toString,
+          "doc_id")
+        requests.filter(col("doc_id") > split)
+          .write.mode("append").parquet(landing.toString)
+        graft.streaming.EventStreams.streamingSuppressionLedger(s,
+          landing.toString, schema, "supldg.ledger", ckpt.toString,
+          "doc_id")
+        val assigned = docs.select(col("doc_id"),
+          pmod(col("doc_id"), lit(16L)).as("shard"), col("n_chars"))
+        graft.operators.DeletionImpact.report(assigned,
+          graft.streaming.EventStreams.suppressionSet(
+            s.table("supldg.ledger"), "doc_id"),
+          "doc_id", "shard", "n_chars")
+          .orderBy(col("shard"))
+      },
+      Some("""WITH asg AS (SELECT doc_id, doc_id % 16 AS shard,
+            n_chars FROM documents),
+        del AS (SELECT DISTINCT doc_id FROM documents
+          WHERE doc_id % 97 = 3),
+        mk AS (SELECT a.shard, a.n_chars,
+            (d.doc_id IS NOT NULL) AS hit
+          FROM asg a LEFT JOIN del d USING (doc_id)),
+        ps AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+            CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_deleted,
+            CAST(sum(CASE WHEN hit THEN n_chars ELSE 0 END) AS BIGINT)
+              AS deleted_bytes
+          FROM mk GROUP BY 1)
+        SELECT shard, n_docs, n_bytes, n_deleted, deleted_bytes,
+          CAST((n_deleted*2000000 + n_docs) // (2*n_docs) AS DOUBLE)
+            /1000000.0 AS share_docs_deleted,
+          CASE WHEN n_bytes > 0 THEN
+            CAST((deleted_bytes*2000000 + n_bytes) // (2*n_bytes)
+              AS DOUBLE)/1000000.0 ELSE 0.0 END AS share_bytes_deleted,
+          n_deleted > 0 AS needs_rewrite,
+          CAST(0 AS BIGINT) AS n_unmatched
+        FROM ps ORDER BY shard"""))
   )
 }

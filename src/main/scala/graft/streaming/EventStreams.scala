@@ -460,4 +460,42 @@ object EventStreams {
       .groupBy(col("term")).agg(sum(col("est")).as("est")),
       once.filter(col("term").isNull).agg(sum(col("est")).as("__n")))
   }
+
+  /** Streaming takedown/suppression LEDGER — right-to-be-forgotten
+    * requests arrive continuously (x114's batch audit is the one-shot
+    * form); each AvailableNow run appends every microbatch's DISTINCT
+    * request ids as (id, batch_id) rows, with the offset log as the
+    * cursor, so already-processed request files are never re-read.
+    * Suppression is idempotent BY ID, so at-least-once delivery is safe
+    * by construction — a replayed batch re-asserts ids it already
+    * asserted; readers go through [[suppressionSet]], which collapses
+    * duplicates and keeps the FIRST asserting batch per id (the audit
+    * trail: when did this id become suppressed). */
+  def streamingSuppressionLedger(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType, ledgerTable: String,
+      checkpointDir: String, idCol: String): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(landingDir)
+    val fb: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        batch.toDF().select(col(idCol)).distinct()
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").format("parquet").saveAsTable(ledgerTable)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(fb)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    // appends ran in the cloned microbatch session; refresh the caller's
+    // cached file listing (the streamingLedger convention)
+    if (spark.catalog.tableExists(ledgerTable))
+      spark.catalog.refreshTable(ledgerTable)
+  }
+
+  /** The deduplicated suppression set from a [[streamingSuppressionLedger]]
+    * table: one row per suppressed id + the first batch that asserted it
+    * (replay-idempotent: duplicate deliveries collapse under min). */
+  def suppressionSet(ledger: DataFrame, idCol: String): DataFrame =
+    ledger.groupBy(col(idCol))
+      .agg(min(col("batch_id")).as("first_batch"))
 }

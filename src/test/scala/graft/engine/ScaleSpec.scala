@@ -142,7 +142,7 @@ class ScaleSpec extends SparkSpec {
       "x91_hybrid_rrf", "x96_pmi_collocations", "x100_hard_negatives",
       "x106_doremi_mix", "x107_nb_calibration",
       "x108_quality_ensemble", "x112_k_anonymity",
-      "x114_deletion_impact")
+      "x114_deletion_impact", "x115_streaming_suppression")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -416,7 +416,12 @@ class ScaleSpec extends SparkSpec {
       "x113_tokenizer_fertility" -> 2,
       // x114: delete-list distinct + assignment join + per-shard agg +
       // the unmatched left_anti count — measured 5 at the audit SF
-      "x114_deletion_impact" -> 5)
+      "x114_deletion_impact" -> 5,
+      // x115: the ledger runs execute at build time (x58's precedent);
+      // the registered plan is the x114 report over the ledger table —
+      // suppressionSet agg + assignment join + per-shard agg + the
+      // unmatched anti count — measured 5 at the audit SF
+      "x115_streaming_suppression" -> 5)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
