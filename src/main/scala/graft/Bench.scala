@@ -190,7 +190,9 @@ object Bench {
     // x114 = delete-list join + per-shard agg + unmatched anti count
     "x114_deletion_impact" -> 759,
     // x115 = two AvailableNow ledger runs + the x114 report shape
-    "x115_streaming_suppression" -> 2243)
+    "x115_streaming_suppression" -> 2243,
+    // x116 = one minimal-bucket agg + buckets-sized cumulative window
+    "x116_ablation_slices" -> 716)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

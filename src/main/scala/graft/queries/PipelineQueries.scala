@@ -4329,6 +4329,39 @@ object PipelineQueries extends QueryPack {
               AS DOUBLE)/1000000.0 ELSE 0.0 END AS share_bytes_deleted,
           n_deleted > 0 AS needs_rewrite,
           CAST(0 AS BIGINT) AS n_unmatched
-        FROM ps ORDER BY shard"""))
+        FROM ps ORDER BY shard""")),
+
+    // ---- nested ablation subsets (scaling-law methodology): doc ∈
+    //      p-subset iff frac(md5(id)) < p, so 1% ⊂ 2% ⊂ 5% ⊂ … by
+    //      construction; membership is an integer/hex-string compare,
+    //      cumulative counts over the buckets-sized frame --------------
+    Q("x116_ablation_slices",
+      (s, dir) => graft.operators.AblationSlices.nestedCounts(
+        t(s, dir, "documents"), "doc_id", "text", "source",
+        ablationPermilles)
+        .orderBy(col("permille"), col("source")),
+      Some(s"""WITH f AS (SELECT source,
+            substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS h6,
+            len(string_split(text,' ')) AS nt FROM documents),
+        b AS (SELECT source, nt,
+            CASE $ablationCaseSql END AS permille FROM f),
+        g AS (SELECT permille, source, CAST(count(*) AS BIGINT) AS d,
+            CAST(sum(nt) AS BIGINT) AS t FROM b GROUP BY 1, 2)
+        SELECT CAST(permille AS BIGINT) AS permille, source,
+          CAST(sum(d) OVER w AS BIGINT) AS n_docs,
+          CAST(sum(t) OVER w AS BIGINT) AS n_tokens
+        FROM g
+        WINDOW w AS (PARTITION BY source ORDER BY permille
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY permille, source"""))
   )
+
+  /** x116's nested-subset thresholds (permille) and the hex-string
+    * CASE chain their oracle replays: frac < p·16^6/1000 ⟺ the first
+    * six md5 hex digits compare below the cutoff's %06x rendering
+    * (fixed width + lowercase makes string order = integer order). */
+  private def ablationPermilles = Seq(10, 20, 50, 100, 250, 500, 1000)
+  private def ablationCaseSql = ablationPermilles.init
+    .map(p => f"WHEN h6 < '${p * (1L << 24) / 1000}%06x' THEN $p")
+    .mkString(" ") + s" ELSE ${ablationPermilles.last}"
 }

@@ -421,7 +421,10 @@ class ScaleSpec extends SparkSpec {
       // the registered plan is the x114 report over the ledger table —
       // suppressionSet agg + assignment join + per-shard agg + the
       // unmatched anti count — measured 5 at the audit SF
-      "x115_streaming_suppression" -> 5)
+      "x115_streaming_suppression" -> 5,
+      // x116: one (bucket, source) count agg + the buckets-sized
+      // cumulative window + the sort — measured 3 at the audit SF
+      "x116_ablation_slices" -> 3)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
