@@ -192,7 +192,9 @@ object Bench {
     // x115 = two AvailableNow ledger runs + the x114 report shape
     "x115_streaming_suppression" -> 2243,
     // x116 = one minimal-bucket agg + buckets-sized cumulative window
-    "x116_ablation_slices" -> 716)
+    "x116_ablation_slices" -> 716,
+    // x117 = map-side WAV synth+pack+decode; the sort is the one shuffle
+    "x117_audio_decode" -> 2117)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity}
+import graft.operators.{AsOfJoin, Audio, Dedup, Multimodal, RangeJoin, Similarity}
 import graft.streaming.EventStreams
 
 /** Training-data pipeline operators as verifiable queries: deduplication
@@ -4353,7 +4353,67 @@ object PipelineQueries extends QueryPack {
         FROM g
         WINDOW w AS (PARTITION BY source ORDER BY permille
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        ORDER BY permille, source"""))
+        ORDER BY permille, source""")),
+
+    // ---- audio decode + energy signals (multimodal: the audio member).
+    //      REAL RIFF/WAVE PCM-16 bytes packed from a deterministic
+    //      square-wave fixture, decoded back by a real chunk walk; the
+    //      oracle computes every signal in CLOSED FORM from the same
+    //      fixture arithmetic (all-integer — no sample replay, no float).
+    //      Signals: duration, peak, energy (Σs²), clipping count,
+    //      windowed silence (160-sample energy-VAD windows) -------------
+    Q("x117_audio_decode",
+      (s, dir) => {
+        val spec = t(s, dir, "documents").select(col("doc_id"),
+          element_at(typedlit(Seq(8000, 16000, 44100)),
+            (col("doc_id") % 3).cast("int") + 1).as("rate"),
+          (lit(400) + pmod(col("doc_id") * 7 + col("n_chars"), lit(800)))
+            .cast("int").as("n"),
+          when(col("doc_id") % 5 === 0, lit(32767))
+            .otherwise(lit(500) + pmod(col("doc_id") * 13, lit(30)) * 1000)
+            .cast("int").as("amp"),
+          (lit(4) + pmod(col("doc_id"), lit(13))).cast("int").as("halfp"),
+          (pmod(col("doc_id") * 3 + 1, lit(5)) * 80).cast("int").as("q"))
+        // silent prefix of q samples, then a ±amp square wave of
+        // half-period halfp — synthesized as a column, packed as bytes
+        val withSamples = spec.withColumn("samples", expr(
+          """transform(sequence(0, n - 1), i ->
+               CASE WHEN i < q THEN 0
+                    WHEN ((i - q) div halfp) % 2 = 0 THEN amp
+                    ELSE -amp END)"""))
+        val packed = Audio.packWav(s, withSamples, "doc_id", "rate",
+          "samples").toDF()
+          .withColumn("payload", when(col("id") % 97 === 0,
+            expr("substring(payload, 1, 6)")).otherwise(col("payload")))
+        Audio.analyze(s, packed).toDF().orderBy(col("id"))
+      },
+      Some("""WITH s AS (SELECT doc_id AS id,
+          CASE WHEN doc_id % 3 = 0 THEN 8000
+               WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END AS rate,
+          400 + (doc_id*7 + n_chars) % 800 AS n,
+          CASE WHEN doc_id % 5 = 0 THEN 32767
+               ELSE 500 + (doc_id*13 % 30) * 1000 END AS amp,
+          (doc_id*3 + 1) % 5 * 80 AS q
+        FROM documents)
+        SELECT id,
+          CASE WHEN id % 97 = 0 THEN NULL
+               ELSE CAST(rate AS BIGINT) END AS sample_rate,
+          CASE WHEN id % 97 = 0 THEN NULL
+               ELSE CAST(n AS BIGINT) END AS n_samples,
+          CASE WHEN id % 97 = 0 THEN NULL
+               ELSE CAST(n*1000 // rate AS BIGINT) END AS duration_ms,
+          CASE WHEN id % 97 = 0 THEN NULL
+               ELSE CAST(amp AS BIGINT) END AS peak_abs,
+          CASE WHEN id % 97 = 0 THEN NULL
+               ELSE CAST((n-q)*amp*amp AS BIGINT) END AS sum_sq,
+          CASE WHEN id % 97 = 0 THEN NULL
+               WHEN amp = 32767 THEN CAST(n-q AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS n_clipped,
+          CAST(CASE WHEN id % 97 = 0 THEN NULL
+               ELSE n // 160 END AS BIGINT) AS n_windows,
+          CAST(CASE WHEN id % 97 = 0 THEN NULL
+               ELSE q // 160 END AS BIGINT) AS n_silent_windows
+        FROM s ORDER BY id"""))
   )
 
   /** x116's nested-subset thresholds (permille) and the hex-string

@@ -424,7 +424,10 @@ class ScaleSpec extends SparkSpec {
       "x115_streaming_suppression" -> 5,
       // x116: one (bucket, source) count agg + the buckets-sized
       // cumulative window + the sort — measured 3 at the audit SF
-      "x116_ablation_slices" -> 3)
+      "x116_ablation_slices" -> 3,
+      // x117: pack/decode are map-side mapPartitions where the bytes
+      // live; the final sort is the only exchange
+      "x117_audio_decode" -> 1)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Audio: WAV pack/decode round-trip, chunk-walk robustness, and
+  * hand-computed metrics. */
+class AudioSpec extends SparkSpec {
+
+  test("pack/decode round-trip preserves rate and samples, junk chunk or not") {
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 7)
+    for (junk <- Seq(false, true)) {
+      val bytes = Audio.packWavPcm16(16000, samples, withJunkChunk = junk)
+      val Some((rate, back)) = Audio.decodeWav(bytes)
+      assert(rate == 16000 && back.sameElements(samples), s"junk=$junk")
+    }
+  }
+
+  test("malformed payloads decode to None, never throw") {
+    val good = Audio.packWavPcm16(8000, Array[Short](1, 2, 3))
+    assert(Audio.decodeWav(good.take(6)).isEmpty, "truncated header")
+    assert(Audio.decodeWav(good.dropRight(2)).isEmpty, "truncated data")
+    assert(Audio.decodeWav(Array[Byte](1, 2, 3)).isEmpty, "not RIFF")
+    assert(Audio.decodeWav("RIFF1234WAVE".getBytes).isEmpty, "no chunks")
+    // stereo: patch channels=2 in fmt (offset 12+8+2 = 22)
+    val stereo = good.clone(); stereo(22) = 2
+    assert(Audio.decodeWav(stereo).isEmpty, "stereo refused")
+    // 8-bit: patch bitsPerSample (offset 12+8+22 = 34)
+    val eight = good.clone(); eight(34) = 8
+    assert(Audio.decodeWav(eight).isEmpty, "8-bit refused")
+    // non-PCM: patch audioFormat (offset 12+8 = 20)
+    val ulaw = good.clone(); ulaw(20) = 7
+    assert(Audio.decodeWav(ulaw).isEmpty, "non-PCM refused")
+  }
+
+  test("analyze: hand-computed metrics, windows, clipping incl. -32768") {
+    import spark.implicits._
+    // id 1: 4 zero samples then 2,-2 — window=2 → 3 windows, 2 silent;
+    //       peak 2, sum_sq 8, no clipping
+    // id 2: 32767,-32768,0,0 → peak 32768, sum_sq 32767²+32768²,
+    //       clipped 2, windows 2, silent 1
+    // id 3: corrupted payload → all null
+    val rows = Seq(
+      (1L, Audio.packWavPcm16(8000, Array[Short](0, 0, 0, 0, 2, -2))),
+      (2L, Audio.packWavPcm16(8000, Array[Short](32767, -32768, 0, 0))),
+      (3L, Array[Byte](9, 9, 9))).toDF("id", "payload")
+    val m = Audio.analyze(spark, rows, windowSamples = 2).collect()
+      .map(r => r.id -> r).toMap
+    val a = m(1L)
+    assert(a.peak_abs.contains(2L) && a.sum_sq.contains(8L) &&
+      a.n_clipped.contains(0L) && a.n_windows.contains(3L) &&
+      a.n_silent_windows.contains(2L) && a.duration_ms.contains(0L))
+    val b = m(2L)
+    assert(b.peak_abs.contains(32768L) &&
+      b.sum_sq.contains(32767L * 32767 + 32768L * 32768) &&
+      b.n_clipped.contains(2L) && b.n_windows.contains(2L) &&
+      b.n_silent_windows.contains(1L))
+    val c = m(3L)
+    assert(c.sample_rate.isEmpty && c.n_samples.isEmpty &&
+      c.sum_sq.isEmpty && c.n_silent_windows.isEmpty)
+  }
+
+  test("silencePeak threshold: low-amplitude noise counts as silence") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Audio.packWavPcm16(8000, Array[Short](3, -3, 500, 500))))
+      .toDF("id", "payload")
+    val m = Audio.analyze(spark, rows, windowSamples = 2, silencePeak = 4)
+      .collect().head
+    assert(m.n_windows.contains(2L) && m.n_silent_windows.contains(1L))
+  }
+
+  test("packWav dataset: media_type/n_bytes/sha match the payload bytes") {
+    import spark.implicits._
+    val df = Seq((5L, 8000, Seq(1, -1, 0))).toDF("id", "rate", "samples")
+    val row = Audio.packWav(spark, df, "id", "rate", "samples").collect().head
+    assert(row.media_type == "audio/wav" &&
+      row.n_bytes == row.payload.length.toLong)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(row.payload).map("%02x".format(_)).mkString
+    assert(row.sha256 == sha)
+    // junk-chunk branch: even id → JUNK chunk present, still decodes
+    val Some((r2, s2)) = Audio.decodeWav(
+      Audio.packWav(spark, Seq((4L, 8000, Seq(9))).toDF("id", "rate",
+        "samples"), "id", "rate", "samples").collect().head.payload)
+    assert(r2 == 8000 && s2.sameElements(Array[Short](9)))
+  }
+
+  test("duration uses integer millis: 44100 Hz, 44099 samples -> 999 ms") {
+    val bytes = Audio.packWavPcm16(44100, new Array[Short](44099))
+    import spark.implicits._
+    val m = Audio.analyze(spark,
+      Seq((1L, bytes)).toDF("id", "payload")).collect().head
+    assert(m.duration_ms.contains(999L) && m.n_samples.contains(44099L))
+  }
+}
