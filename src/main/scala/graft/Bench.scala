@@ -194,7 +194,9 @@ object Bench {
     // x116 = one minimal-bucket agg + buckets-sized cumulative window
     "x116_ablation_slices" -> 716,
     // x117 = map-side WAV synth+pack+decode; the sort is the one shuffle
-    "x117_audio_decode" -> 2117)
+    "x117_audio_decode" -> 2117,
+    // x118 = two broadcast-kNN scans + den aggs/joins + best-pair windows
+    "x118_bitext_margin" -> 2360)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4413,7 +4413,61 @@ object PipelineQueries extends QueryPack {
                ELSE n // 160 END AS BIGINT) AS n_windows,
           CAST(CASE WHEN id % 97 = 0 THEN NULL
                ELSE q // 160 END AS BIGINT) AS n_silent_windows
-        FROM s ORDER BY id"""))
+        FROM s ORDER BY id""")),
+
+    // ---- margin-based bitext mining (Artetxe & Schwenk ACL'19, the
+    //      CCMatrix/LASER step): pairs between two embedding sets score
+    //      by cos over the mean of both sides' top-k neighborhoods —
+    //      raw cosine is hubness-miscalibrated, the ratio margin isn't.
+    //      4dp cosines → e4 integers → micro-unit margins via integer
+    //      div (nonnegative operands: Spark div == DuckDB //) ----------
+    Q("x118_bitext_margin",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        graft.operators.Bitext.mineMargin(
+          e.filter(col("vec_id") % 2 === 0),
+          e.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4, minMarginMicro = 1000000L)
+          .orderBy(col("src_id"))
+      },
+      Some {
+        val d = dotSql.format("x.embedding", "x.embedding", "y.embedding")
+        val n = dotSql.format("embedding", "embedding", "embedding")
+        s"""WITH e AS (SELECT vec_id, embedding, sqrt($n) AS nrm
+            FROM embeddings),
+          p AS (SELECT x.vec_id AS sid, y.vec_id AS tid,
+              round($d / (x.nrm*y.nrm), 4) AS cos,
+              CAST(round(round($d / (x.nrm*y.nrm), 4)*10000) AS BIGINT) AS c4
+            FROM e x JOIN e y
+              ON x.vec_id % 2 = 0 AND y.vec_id % 2 = 1),
+          fk AS (SELECT * FROM (SELECT *, row_number() OVER
+              (PARTITION BY sid ORDER BY cos DESC, tid) rk FROM p)
+            WHERE rk <= 4),
+          bk AS (SELECT * FROM (SELECT *, row_number() OVER
+              (PARTITION BY tid ORDER BY cos DESC, sid) rk FROM p)
+            WHERE rk <= 4),
+          dx AS (SELECT sid, sum(c4) AS den_x FROM fk GROUP BY sid),
+          dy AS (SELECT tid, sum(c4) AS den_y FROM bk GROUP BY tid),
+          mf AS (SELECT fk.sid, fk.tid, fk.cos,
+              fk.c4 * 8 * 1000000 // (dx.den_x + dy.den_y) AS mm
+            FROM fk JOIN dx USING (sid) JOIN dy USING (tid)
+            WHERE fk.c4 > 0 AND dx.den_x + dy.den_y > 0),
+          bf AS (SELECT *, row_number() OVER
+              (PARTITION BY sid ORDER BY mm DESC, tid) r FROM mf),
+          mb AS (SELECT bk.sid, bk.tid,
+              bk.c4 * 8 * 1000000 // (dx.den_x + dy.den_y) AS mm
+            FROM bk JOIN dx USING (sid) JOIN dy USING (tid)
+            WHERE bk.c4 > 0 AND dx.den_x + dy.den_y > 0),
+          bb AS (SELECT sid, tid FROM (SELECT *, row_number() OVER
+              (PARTITION BY tid ORDER BY mm DESC, sid) r FROM mb)
+            WHERE r = 1)
+          SELECT bf.sid AS src_id, bf.tid AS tgt_id, bf.cos,
+            CAST(bf.mm AS BIGINT) AS margin_micro,
+            (bb.sid IS NOT NULL) AS is_mutual
+          FROM bf LEFT JOIN bb ON bf.sid = bb.sid AND bf.tid = bb.tid
+          WHERE bf.r = 1 AND bf.mm >= 1000000
+          ORDER BY src_id"""
+      })
   )
 
   /** x116's nested-subset thresholds (permille) and the hex-string

@@ -427,7 +427,11 @@ class ScaleSpec extends SparkSpec {
       "x116_ablation_slices" -> 3,
       // x117: pack/decode are map-side mapPartitions where the bytes
       // live; the final sort is the only exchange
-      "x117_audio_decode" -> 1)
+      "x117_audio_decode" -> 1,
+      // x118: kNN generation is broadcast-scan (shuffle-free); the
+      // exchanges are the two den aggs, their joins onto both candidate
+      // sets, the two best-pair windows, and the sort — measured 7
+      "x118_bitext_margin" -> 7)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
