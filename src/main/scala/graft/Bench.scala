@@ -196,7 +196,9 @@ object Bench {
     // x117 = map-side WAV synth+pack+decode; the sort is the one shuffle
     "x117_audio_decode" -> 2117,
     // x118 = two broadcast-kNN scans + den aggs/joins + best-pair windows
-    "x118_bitext_margin" -> 2360)
+    "x118_bitext_margin" -> 2360,
+    // x119 = the x51 scorer chain + the tiny persisted kappa cell table
+    "x119_filter_agreement" -> 938)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4467,7 +4467,38 @@ object PipelineQueries extends QueryPack {
           FROM bf LEFT JOIN bb ON bf.sid = bb.sid AND bf.tid = bb.tid
           WHERE bf.r = 1 AND bf.mm >= 1000000
           ORDER BY src_id"""
-      })
+      }),
+
+    // ---- inter-filter agreement (Cohen 1960): the x51 weak-label rule
+    //      gate vs the classifier it supervises — raw agreement looks
+    //      high whenever one class dominates; kappa reports the excess
+    //      over the chance floor, and the disagreement mass is the
+    //      docs-to-audit list. Integer counts end-to-end; kappa in
+    //      micro-units via FLOORED division (κ < 0 = systematic
+    //      disagreement; Spark div truncates, so floor is spelled out) --
+    Q("x119_filter_agreement",
+      (s, dir) => graft.operators.Agreement.cohenKappa(
+        nbScored(s, dir).select(col("label"),
+          col("pred").cast("long").as("pred")),
+        "label", "pred"),
+      Some(s"""WITH sc AS ($nbScoreSql),
+        r AS (SELECT CAST(label AS BIGINT) AS a, CAST(pred AS BIGINT) AS b
+          FROM sc),
+        cells AS (SELECT a, b, count(*) AS c FROM r GROUP BY a, b),
+        t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS n_agree
+          FROM cells),
+        ra AS (SELECT a AS v, sum(c) AS ra FROM cells GROUP BY a),
+        cb AS (SELECT b AS v, sum(c) AS cb FROM cells GROUP BY b),
+        pe AS (SELECT CAST(coalesce(sum(ra*cb), 0) AS BIGINT) AS pe_num
+          FROM ra JOIN cb USING (v))
+        SELECT n, n_agree, n - n_agree AS n_disagree,
+          CAST(n_agree*1000000 // n AS BIGINT) AS po_micro,
+          CAST(pe_num*1000000 // (n*n) AS BIGINT) AS pe_micro,
+          CAST(CASE WHEN n*n - pe_num > 0 THEN
+            (n*n_agree - pe_num)*1000000 // (n*n - pe_num) END AS BIGINT)
+            AS kappa_micro
+        FROM t CROSS JOIN pe"""))
   )
 
   /** x116's nested-subset thresholds (permille) and the hex-string

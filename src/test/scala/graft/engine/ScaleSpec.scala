@@ -142,7 +142,11 @@ class ScaleSpec extends SparkSpec {
       "x91_hybrid_rrf", "x96_pmi_collocations", "x100_hard_negatives",
       "x106_doremi_mix", "x107_nb_calibration",
       "x108_quality_ensemble", "x112_k_anonymity",
-      "x114_deletion_impact", "x115_streaming_suppression")
+      "x114_deletion_impact", "x115_streaming_suppression",
+      // x119 composes the x51 scorer (its 1-row corpus-totals and priors
+      // broadcasts) and adds its own 1-row × 1-row kappa-totals
+      // cross-join — x25/x40's shape
+      "x119_filter_agreement")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -431,7 +435,11 @@ class ScaleSpec extends SparkSpec {
       // x118: kNN generation is broadcast-scan (shuffle-free); the
       // exchanges are the two den aggs, their joins onto both candidate
       // sets, the two best-pair windows, and the sort — measured 7
-      "x118_bitext_margin" -> 7)
+      "x118_bitext_margin" -> 7,
+      // x119: the x51 scorer chain (7) + kappa cell agg + the marginal
+      // aggs/join over the PERSISTED classes²-sized cell table —
+      // measured 11 (was 25 before the cells persist)
+      "x119_filter_agreement" -> 11)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
