@@ -198,7 +198,9 @@ object Bench {
     // x118 = two broadcast-kNN scans + den aggs/joins + best-pair windows
     "x118_bitext_margin" -> 2360,
     // x119 = the x51 scorer chain + the tiny persisted kappa cell table
-    "x119_filter_agreement" -> 938)
+    "x119_filter_agreement" -> 938,
+    // x120 = map-side SRP cells + one cap window + the sort
+    "x120_semantic_cap" -> 498)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

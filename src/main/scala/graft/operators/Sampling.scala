@@ -101,6 +101,36 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** SEMANTIC diversity cap — [[capPerGroup]]'s embedding-space twin:
+    * downsample over-dense regions of embedding space instead of
+    * over-represented source domains. Each vector is assigned a cell by
+    * the signs of `cellBits` md5-seeded random projections (Charikar
+    * STOC'02, the [[Dedup.embeddingLshPairs]] hyperplane machinery —
+    * engine-neutral, so an oracle can replay cells exactly), then at
+    * most `n` rows per cell survive, chosen by md5-rank of the id.
+    *
+    * This is the sampling-side complement of SemDeDup-style pruning: no
+    * pair graph, no dedup semantics — just "no embedding neighborhood
+    * dominates the mix", rerun/backfill-stable like every hash rule
+    * here. Cell assignment is a pure map-side expression (`cellBits`
+    * codegen'd dot products against ±1 literal hyperplanes — zero
+    * shuffle); the only exchange is [[capPerGroup]]'s window on the
+    * cell key. 2^cellBits cells: size the bits so corpus/2^bits rows
+    * per cell sort comfortably in one task at the target scale. */
+  def semanticCellCap(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, cellBits: Int, n: Int,
+      cellCol: String = "cell"): DataFrame = {
+    require(cellBits > 0 && cellBits <= 24, s"bad cellBits $cellBits")
+    require(!df.columns.contains(cellCol),
+      s"input already has a '$cellCol' column — rename or drop first")
+    val signs = Dedup.srpSigns(cellBits, dim)
+    val bits = (0 until cellBits).map { p =>
+      when(round(graft.functions.VectorFunctions.dot(col(vecCol),
+        typedlit(signs(p).toSeq)), 4) >= 0, lit("1")).otherwise(lit("0"))
+    }
+    capPerGroup(df.withColumn(cellCol, concat(bits: _*)), cellCol, idCol, n)
+  }
+
   /** Deterministic context-window packing: assign documents to training
     * bins of ≈ `budget` tokens by cumulative fill in id order — the
     * sequence-packing prep step (docs later concatenated per bin).

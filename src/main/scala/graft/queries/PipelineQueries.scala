@@ -4498,8 +4498,36 @@ object PipelineQueries extends QueryPack {
           CAST(CASE WHEN n*n - pe_num > 0 THEN
             (n*n_agree - pe_num)*1000000 // (n*n - pe_num) END AS BIGINT)
             AS kappa_micro
-        FROM t CROSS JOIN pe"""))
+        FROM t CROSS JOIN pe""")),
+
+    // ---- semantic diversity cap: capPerGroup's embedding-space twin —
+    //      at most n vectors survive per SRP sign-cell, so no embedding
+    //      neighborhood dominates the mix. Cells replay exactly in the
+    //      oracle (md5-seeded ±1 hyperplanes, the x31 machinery);
+    //      selection is md5-rank within cell, rerun-stable ------------
+    Q("x120_semantic_cap",
+      (s, dir) => graft.operators.Sampling.semanticCellCap(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, cellBits = 6, n = 8)
+        .select(col("vec_id"), col("cell"))
+        .orderBy(col("cell"), col("vec_id")),
+      Some(s"""WITH c AS (SELECT vec_id,
+          ${(0 until 6).map(srpBitSql).mkString("||")} AS cell
+          FROM embeddings),
+        r AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+          FROM c)
+        SELECT vec_id, cell FROM r WHERE rk <= 8
+        ORDER BY cell, vec_id"""))
   )
+
+  /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):
+    * plane `p` against the md5-seeded ±1 hyperplane over `embedding`. */
+  private def srpBitSql(p: Int): String =
+    s"""CASE WHEN round(list_sum(list_transform(range(len(embedding)),
+       i -> CAST(embedding[i+1] AS DOUBLE) *
+         (CASE WHEN substr(md5('${p}_'||CAST(i AS VARCHAR)),1,1) >= '8'
+          THEN 1.0 ELSE -1.0 END))), 4) >= 0 THEN '1' ELSE '0' END"""
 
   /** x116's nested-subset thresholds (permille) and the hex-string
     * CASE chain their oracle replays: frac < p·16^6/1000 ⟺ the first

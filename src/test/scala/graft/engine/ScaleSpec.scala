@@ -439,7 +439,10 @@ class ScaleSpec extends SparkSpec {
       // x119: the x51 scorer chain (7) + kappa cell agg + the marginal
       // aggs/join over the PERSISTED classes²-sized cell table —
       // measured 11 (was 25 before the cells persist)
-      "x119_filter_agreement" -> 11)
+      "x119_filter_agreement" -> 11,
+      // x120: cell assignment is map-side codegen'd dots; the cap
+      // window on the cell key + the sort — measured 2
+      "x120_semantic_cap" -> 2)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet

@@ -270,4 +270,49 @@ class SamplingSpec extends SparkSpec {
     assert(zeroSplits.size == 1)
     assert(out.count() == 200)
   }
+
+  test("semanticCellCap: cells are SRP signs, cap holds, md5-rank selects") {
+    import spark.implicits._
+    val dim = 8
+    val vecs = (0L until 120L)
+      .map(i => (i, Array.tabulate(dim)(d => ((i * 7 + d * 3) % 11 - 5).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Sampling.semanticCellCap(df, "vec_id", "embedding",
+      dim, cellBits = 3, n = 5).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // cap holds per cell
+    out.groupBy(_._2).foreach { case (cell, rows) =>
+      assert(rows.size <= 5, s"cell $cell over cap")
+    }
+    // cells match a direct sign computation against the same hyperplanes
+    val signs = Dedup.srpSigns(3, dim)
+    val expectCell = vecs.map { case (id, v) =>
+      id -> (0 until 3).map { p =>
+        val d = BigDecimal((0 until dim).map(j => v(j).toDouble * signs(p)(j)).sum)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        if (d >= 0) "1" else "0"
+      }.mkString
+    }.toMap
+    out.foreach { case (id, cell) =>
+      assert(cell == expectCell(id), s"id $id cell $cell")
+    }
+    // selection within a cell = md5-rank prefix of that cell's members
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes).map("%02x".format(_)).mkString
+    expectCell.groupBy(_._2).foreach { case (cell, members) =>
+      val want = members.keys.toSeq.sortBy(id => (md5hex(id.toString), id))
+        .take(5).toSet
+      val got = out.filter(_._2 == cell).keySet
+      assert(got == want, s"cell $cell: $got vs $want")
+    }
+    // rerun keeps the SAME rows
+    val again = Sampling.semanticCellCap(df, "vec_id", "embedding",
+      dim, cellBits = 3, n = 5).collect().map(_.getLong(0)).toSet
+    assert(again == out.keySet)
+    // cell-column clash refused
+    intercept[IllegalArgumentException] {
+      Sampling.semanticCellCap(df.withColumn("cell", lit(1)),
+        "vec_id", "embedding", dim, cellBits = 3, n = 5)
+    }
+  }
 }
