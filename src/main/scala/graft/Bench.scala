@@ -200,7 +200,9 @@ object Bench {
     // x119 = the x51 scorer chain + the tiny persisted kappa cell table
     "x119_filter_agreement" -> 938,
     // x120 = map-side SRP cells + one cap window + the sort
-    "x120_semantic_cap" -> 498)
+    "x120_semantic_cap" -> 498,
+    // x121 = map-side synth+pack+decode+trim+re-encode; sort only
+    "x121_audio_trim" -> 2888)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -130,6 +130,53 @@ object Audio {
       }
   }
 
+  /** Silence-trim output: trimmed payload re-encoded as a spec-valid WAV
+    * (same rate); `trimmed = false` marks undecodable payloads (passed
+    * through unchanged, never dropped — the [[Multimodal.ResizedRow]]
+    * convention). Counts are None exactly when `trimmed` is false. */
+  case class TrimmedRow(id: Long, media_type: String, n_bytes: Long,
+      sha256: String, payload: Array[Byte], trimmed: Boolean,
+      n_in: Option[Long], n_out: Option[Long], lead_trimmed: Option[Long],
+      trail_trimmed: Option[Long], duration_out_ms: Option[Long])
+
+  /** Trim leading/trailing silence (|s| ≤ `silencePeak`) — the standard
+    * audio-curation normalization before windowing/packing. Decode,
+    * locate the first/last above-threshold sample, slice, re-encode
+    * ([[packWavPcm16]], canonical layout). An ALL-silent payload trims
+    * to zero samples (a valid empty WAV), not an error. Map-side
+    * `mapPartitions` like [[analyze]] — no shuffle. */
+  def trimSilence(spark: SparkSession, packed: DataFrame,
+      silencePeak: Int = 0): Dataset[TrimmedRow] = {
+    import spark.implicits._
+    packed.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          decodeWav(payload) match {
+            case Some((rate, s)) =>
+              var i0 = 0
+              while (i0 < s.length && math.abs(s(i0).toInt) <= silencePeak)
+                i0 += 1
+              var i1 = s.length - 1
+              while (i1 >= i0 && math.abs(s(i1).toInt) <= silencePeak)
+                i1 -= 1
+              val out = java.util.Arrays.copyOfRange(s, i0, i1 + 1)
+              val bytes = packWavPcm16(rate, out)
+              val sha = java.security.MessageDigest.getInstance("SHA-256")
+                .digest(bytes).map("%02x".format(_)).mkString
+              TrimmedRow(id, "audio/wav", bytes.length.toLong, sha, bytes,
+                trimmed = true, Some(s.length.toLong), Some(out.length.toLong),
+                Some(i0.toLong), Some((s.length - i0 - out.length).toLong),
+                Some(out.length.toLong * 1000L / rate))
+            case None =>
+              val sha = java.security.MessageDigest.getInstance("SHA-256")
+                .digest(payload).map("%02x".format(_)).mkString
+              TrimmedRow(id, "audio/wav", payload.length.toLong, sha, payload,
+                trimmed = false, None, None, None, None, None)
+          }
+        }
+      }
+  }
+
   /** Distributed audio analysis over packed rows: decode map-side, emit
     * the integer-exact signal set (see [[AudioMetrics]]). Windowed
     * silence uses COMPLETE `windowSamples`-spans only (a ragged tail

@@ -4518,7 +4518,62 @@ object PipelineQueries extends QueryPack {
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
           FROM c)
         SELECT vec_id, cell FROM r WHERE rk <= 8
-        ORDER BY cell, vec_id"""))
+        ORDER BY cell, vec_id""")),
+
+    // ---- audio silence trim (x117's transform twin, the x49 shape for
+    //      sound): decode → strip leading/trailing silence → re-encode a
+    //      spec-valid WAV. Fixture carries BOTH a silent prefix q and a
+    //      silent tail r around the square wave; the oracle states every
+    //      output count in closed form — all integers -------------------
+    Q("x121_audio_trim",
+      (s, dir) => {
+        val spec = t(s, dir, "documents").select(col("doc_id"),
+          element_at(typedlit(Seq(8000, 16000, 44100)),
+            (col("doc_id") % 3).cast("int") + 1).as("rate"),
+          (lit(600) + pmod(col("doc_id") * 7 + col("n_chars"), lit(800)))
+            .cast("int").as("n"),
+          (lit(500) + pmod(col("doc_id") * 13, lit(30)) * 1000)
+            .cast("int").as("amp"),
+          (lit(4) + pmod(col("doc_id"), lit(13))).cast("int").as("halfp"),
+          (pmod(col("doc_id") * 3 + 1, lit(5)) * 80).cast("int").as("q"),
+          (pmod(col("doc_id") * 7 + 2, lit(5)) * 40).cast("int").as("r"))
+        val withSamples = spec.withColumn("samples", expr(
+          """transform(sequence(0, n - 1), i ->
+               CASE WHEN i < q OR i >= n - r THEN 0
+                    WHEN ((i - q) div halfp) % 2 = 0 THEN amp
+                    ELSE -amp END)"""))
+        val packed = Audio.packWav(s, withSamples, "doc_id", "rate",
+          "samples").toDF()
+          .withColumn("payload", when(col("id") % 97 === 0,
+            expr("substring(payload, 1, 6)")).otherwise(col("payload")))
+        Audio.trimSilence(s, packed).toDF()
+          .select(col("id"), col("trimmed"), col("n_in"), col("n_out"),
+            col("lead_trimmed"), col("trail_trimmed"),
+            col("duration_out_ms"), col("n_bytes"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH s AS (SELECT doc_id AS id,
+          CASE WHEN doc_id % 3 = 0 THEN 8000
+               WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END AS rate,
+          600 + (doc_id*7 + n_chars) % 800 AS n,
+          (doc_id*3 + 1) % 5 * 80 AS q,
+          (doc_id*7 + 2) % 5 * 40 AS r
+        FROM documents)
+        SELECT id, id % 97 <> 0 AS trimmed,
+          CASE WHEN id % 97 = 0 THEN NULL
+               ELSE CAST(n AS BIGINT) END AS n_in,
+          CASE WHEN id % 97 = 0 THEN NULL
+               ELSE CAST(n - q - r AS BIGINT) END AS n_out,
+          CASE WHEN id % 97 = 0 THEN NULL
+               ELSE CAST(q AS BIGINT) END AS lead_trimmed,
+          CASE WHEN id % 97 = 0 THEN NULL
+               ELSE CAST(r AS BIGINT) END AS trail_trimmed,
+          CASE WHEN id % 97 = 0 THEN NULL
+               ELSE CAST((n - q - r)*1000 // rate AS BIGINT)
+               END AS duration_out_ms,
+          CASE WHEN id % 97 = 0 THEN CAST(6 AS BIGINT)
+               ELSE CAST(44 + 2*(n - q - r) AS BIGINT) END AS n_bytes
+        FROM s ORDER BY id"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

@@ -442,7 +442,9 @@ class ScaleSpec extends SparkSpec {
       "x119_filter_agreement" -> 11,
       // x120: cell assignment is map-side codegen'd dots; the cap
       // window on the cell key + the sort — measured 2
-      "x120_semantic_cap" -> 2)
+      "x120_semantic_cap" -> 2,
+      // x121: x117's map-side shape plus the re-encode — sort only
+      "x121_audio_trim" -> 1)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet

@@ -86,6 +86,45 @@ class AudioSpec extends SparkSpec {
     assert(r2 == 8000 && s2.sameElements(Array[Short](9)))
   }
 
+  test("trimSilence: lead/trail stripped, round-trip decodes, edge cases") {
+    import spark.implicits._
+    val rows = Seq(
+      // 2 lead + 3 signal + 1 trail
+      (1L, Audio.packWavPcm16(8000, Array[Short](0, 0, 5, -7, 5, 0))),
+      // all-silent -> zero-sample valid WAV
+      (2L, Audio.packWavPcm16(8000, Array[Short](0, 0, 0))),
+      // nothing to trim
+      (3L, Audio.packWavPcm16(8000, Array[Short](9, 9))),
+      // undecodable passthrough
+      (4L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val m = Audio.trimSilence(spark, rows).collect().map(r => r.id -> r).toMap
+    val a = m(1L)
+    assert(a.trimmed && a.n_in.contains(6L) && a.n_out.contains(3L) &&
+      a.lead_trimmed.contains(2L) && a.trail_trimmed.contains(1L))
+    val Some((8000, back)) = Audio.decodeWav(a.payload)
+    assert(back.sameElements(Array[Short](5, -7, 5)))
+    assert(a.n_bytes == 44 + 6 && a.n_bytes == a.payload.length.toLong)
+    val b = m(2L)
+    assert(b.trimmed && b.n_out.contains(0L) &&
+      Audio.decodeWav(b.payload).exists(_._2.isEmpty))
+    val c = m(3L)
+    assert(c.n_out.contains(2L) && c.lead_trimmed.contains(0L) &&
+      c.trail_trimmed.contains(0L))
+    val d = m(4L)
+    assert(!d.trimmed && d.n_in.isEmpty &&
+      d.payload.sameElements(Array[Byte](1, 2, 3)))
+  }
+
+  test("trimSilence honors silencePeak: low-amplitude margins trimmed") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Audio.packWavPcm16(8000, Array[Short](2, -2, 100, 2, 2))))
+      .toDF("id", "payload")
+    val m = Audio.trimSilence(spark, rows, silencePeak = 3).collect().head
+    assert(m.lead_trimmed.contains(2L) && m.trail_trimmed.contains(2L) &&
+      Audio.decodeWav(m.payload).exists(_._2.sameElements(Array[Short](100))))
+  }
+
   test("duration uses integer millis: 44100 Hz, 44099 samples -> 999 ms") {
     val bytes = Audio.packWavPcm16(44100, new Array[Short](44099))
     import spark.implicits._
