@@ -202,7 +202,9 @@ object Bench {
     // x120 = map-side SRP cells + one cap window + the sort
     "x120_semantic_cap" -> 498,
     // x121 = map-side synth+pack+decode+trim+re-encode; sort only
-    "x121_audio_trim" -> 2888)
+    "x121_audio_trim" -> 2888,
+    // x122 = pack+decode chain broadcast-joined to caption signals
+    "x122_pair_curation" -> 1179)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4573,7 +4573,72 @@ object PipelineQueries extends QueryPack {
                END AS duration_out_ms,
           CASE WHEN id % 97 = 0 THEN CAST(6 AS BIGINT)
                ELSE CAST(44 + 2*(n - q - r) AS BIGINT) END AS n_bytes
-        FROM s ORDER BY id"""))
+        FROM s ORDER BY id""")),
+
+    // ---- image-text PAIR curation (the LAION-style manifest): join
+    //      captions with their packed images, gate on BOTH sides —
+    //      image must decode with min dims, caption must pass quality —
+    //      and emit the pair manifest with a deterministic first-failing
+    //      reject_reason (audit-friendly: every drop is attributable) --
+    Q("x122_pair_curation",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val spec = docs.select(col("doc_id"),
+          element_at(typedlit(Seq("png", "jpeg", "gif")),
+            (col("doc_id") % 3).cast("int") + 1).as("fmt"),
+          (lit(1) + pmod(col("doc_id") * 7 + col("n_chars"), lit(1024)))
+            .cast("int").as("w"),
+          (lit(1) + pmod(col("doc_id") * 13 + col("n_chars") * 3, lit(768)))
+            .cast("int").as("h"))
+        val packed = Multimodal.packImages(s, spec, "doc_id", "fmt", "w", "h")
+          .toDF()
+          .withColumn("payload", when(col("id") % 97 === 0,
+            expr("substring(payload, 1, 6)")).otherwise(col("payload")))
+        val dec = Multimodal.decodeHeaders(s, packed).toDF()
+          .select(col("id").as("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"))
+        val txt = docs.withColumn("toks", tokens(col("text")))
+          .select(col("doc_id"), nTokens(col("toks")).as("n_tokens"),
+            (stopwordRatio(col("toks")) > 0).as("has_stopword"))
+        txt.join(dec, Seq("doc_id"))
+          .withColumn("image_ok", col("width").isNotNull &&
+            col("width") >= 64 && col("height") >= 64)
+          .withColumn("text_ok",
+            col("n_tokens").between(5, 2000) && col("has_stopword"))
+          .withColumn("pair_ok", col("image_ok") && col("text_ok"))
+          .withColumn("reject_reason",
+            when(col("width").isNull, "undecodable")
+              .when(col("width") < 64 || col("height") < 64, "too_small")
+              .when(!col("text_ok"), "bad_caption"))
+          .select(col("doc_id"), col("n_tokens"), col("has_stopword"),
+            col("width"), col("height"), col("image_ok"), col("text_ok"),
+            col("pair_ok"), col("reject_reason"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (SELECT doc_id,
+          CASE WHEN doc_id % 97 = 0 THEN NULL
+               ELSE 1 + (doc_id*7 + n_chars) % 1024 END AS w,
+          CASE WHEN doc_id % 97 = 0 THEN NULL
+               ELSE 1 + (doc_id*13 + n_chars*3) % 768 END AS h,
+          string_split(text, ' ') AS ts
+        FROM documents),
+        g AS (SELECT doc_id, w, h,
+          CAST(len(ts) AS BIGINT) AS n_tokens,
+          len(list_filter(ts, t ->
+            t IN ('the','a','of','and','to','in','is'))) > 0 AS has_stopword
+        FROM b),
+        v AS (SELECT *,
+          w IS NOT NULL AND w >= 64 AND h >= 64 AS image_ok,
+          n_tokens BETWEEN 5 AND 2000 AND has_stopword AS text_ok
+        FROM g)
+        SELECT doc_id, n_tokens, has_stopword,
+          CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+          image_ok, text_ok, image_ok AND text_ok AS pair_ok,
+          CASE WHEN w IS NULL THEN 'undecodable'
+               WHEN w < 64 OR h < 64 THEN 'too_small'
+               WHEN NOT text_ok THEN 'bad_caption' END AS reject_reason
+        FROM v ORDER BY doc_id"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

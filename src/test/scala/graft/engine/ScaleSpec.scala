@@ -444,7 +444,10 @@ class ScaleSpec extends SparkSpec {
       // window on the cell key + the sort — measured 2
       "x120_semantic_cap" -> 2,
       // x121: x117's map-side shape plus the re-encode — sort only
-      "x121_audio_trim" -> 1)
+      "x121_audio_trim" -> 1,
+      // x122: decode side joins caption signals under AQE broadcast
+      // (both sides prune to slim columns) — the sort is the exchange
+      "x122_pair_curation" -> 1)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
