@@ -204,7 +204,9 @@ object Bench {
     // x121 = map-side synth+pack+decode+trim+re-encode; sort only
     "x121_audio_trim" -> 2888,
     // x122 = pack+decode chain broadcast-joined to caption signals
-    "x122_pair_curation" -> 1179)
+    "x122_pair_curation" -> 1179,
+    // x123 = one corpus (source,word) agg; everything after is vocab-sized
+    "x123_zipf_fit" -> 965)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Zipf rank-frequency fit per source (Zipf 1949; the corpus-health
+  * diagnostic: natural text follows freq ∝ rank^(-s) with s ≈ 1 —
+  * machine-generated/boilerplate-heavy/deduplicated-to-death corpora
+  * bend away from it, so the fitted exponent and its drift across
+  * sources is a cheap generation/contamination smell test).
+  *
+  * Fit: ordinary least squares over (ln rank, ln count) of each
+  * source's top-`topK` types — the standard log-log regression,
+  * restricted to the head both for statistical sanity (the tail is
+  * quantized at count 1..3 and bends the line) and for bounded
+  * integer arithmetic.
+  *
+  * Determinism contract: logs become MILLI-unit integers
+  * (`round(ln(v)*1000)` — the x40 cross-engine ln-rounding discipline,
+  * one digit coarser than its 6dp), means are truncating integer
+  * divisions, and the slope is centered-sum integer division in micro
+  * units. Bounds: |x|,|y| ≤ ~15000 (counts ≤ e^15 per type would need
+  * a 3M-occurrence type at topK rank — beyond any real head), so
+  * Σcx·cy ≤ topK·2.25e8 ≈ 1e11 at topK 500 and the 10^6 scale-up stays
+  * far from BIGINT range; a pathological overflow is LOUD under ANSI,
+  * never a silent wrap.
+  *
+  * Scale shape: one (source, word) count aggregation (map-side
+  * combined) over the corpus; everything after runs on the
+  * vocab-sized frame — rank window, per-source mean windows, final
+  * per-source aggregation. No corpus-sized shuffle beyond the count. */
+object ZipfFit {
+
+  /** Per-source fit report: (source, n_types, n_tokens, k_used,
+    * slope_micro, mean_ln_rank_milli, mean_ln_count_milli). `slope_micro`
+    * is null for degenerate heads (fewer than 2 distinct ranks, or all
+    * head counts equal — zero x-variance cannot anchor a line). */
+  def zipfReport(df: DataFrame, textCol: String, sourceCol: String,
+      topK: Int = 500): DataFrame = {
+    require(topK >= 2, s"bad topK $topK")
+    val counts = df
+      .select(col(sourceCol).as("source"),
+        explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("w"))
+    val head = counts
+      .withColumn("src_types", count(lit(1))
+        .over(Window.partitionBy(col("source"))))
+      .withColumn("src_tokens", sum(col("c"))
+        .over(Window.partitionBy(col("source"))))
+      .withColumn("r", row_number().over(wRank))
+      .filter(col("r") <= topK)
+      .withColumn("x", round(log(col("r")) * 1000).cast("long"))
+      .withColumn("y", round(log(col("c")) * 1000).cast("long"))
+    val wSrc = Window.partitionBy(col("source"))
+    val centered = head
+      .withColumn("n", count(lit(1)).over(wSrc))
+      .withColumn("mx", expr("sum(x) over (partition by source) div n"))
+      .withColumn("my", expr("sum(y) over (partition by source) div n"))
+      .withColumn("cx", col("x") - col("mx"))
+      .withColumn("cy", col("y") - col("my"))
+    centered.groupBy(col("source"))
+      .agg(
+        first(col("src_types")).as("n_types"),
+        first(col("src_tokens")).as("n_tokens"),
+        count(lit(1)).as("k_used"),
+        first(col("mx")).as("mean_ln_rank_milli"),
+        first(col("my")).as("mean_ln_count_milli"),
+        sum(col("cx") * col("cy")).as("sxy"),
+        sum(col("cx") * col("cx")).as("sxx"))
+      .withColumn("slope_micro",
+        expr("CASE WHEN sxx > 0 THEN sxy * 1000000 div sxx END"))
+      .select("source", "n_types", "n_tokens", "k_used", "slope_micro",
+        "mean_ln_rank_milli", "mean_ln_count_milli")
+  }
+}

@@ -4638,7 +4638,43 @@ object PipelineQueries extends QueryPack {
           CASE WHEN w IS NULL THEN 'undecodable'
                WHEN w < 64 OR h < 64 THEN 'too_small'
                WHEN NOT text_ok THEN 'bad_caption' END AS reject_reason
-        FROM v ORDER BY doc_id"""))
+        FROM v ORDER BY doc_id""")),
+
+    // ---- Zipf rank-frequency fit per source (corpus-health smell
+    //      test: natural text has slope ≈ -1 on the log-log head;
+    //      generated/boilerplate corpora bend away). Milli-integer
+    //      logs, truncating-div means, centered-sum micro slope ------
+    Q("x123_zipf_fit",
+      (s, dir) => graft.operators.ZipfFit.zipfReport(
+        t(s, dir, "documents"), "text", "source", topK = 500)
+        .orderBy(col("source")),
+      Some("""WITH tok AS (SELECT source, unnest(string_split(text,' ')) AS w
+          FROM documents),
+        cnt AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        st AS (SELECT source, w, c,
+            count(*) OVER (PARTITION BY source) AS src_types,
+            sum(c) OVER (PARTITION BY source) AS src_tokens,
+            row_number() OVER (PARTITION BY source
+              ORDER BY c DESC, w) AS r
+          FROM cnt),
+        hd AS (SELECT *, CAST(round(ln(r)*1000) AS BIGINT) AS x,
+            CAST(round(ln(c)*1000) AS BIGINT) AS y
+          FROM st WHERE r <= 500),
+        ctr AS (SELECT *, count(*) OVER (PARTITION BY source) AS n,
+            sum(x) OVER (PARTITION BY source) AS sx,
+            sum(y) OVER (PARTITION BY source) AS sy FROM hd),
+        c2 AS (SELECT source, src_types, src_tokens, n,
+            x - sx // n AS cx, y - sy // n AS cy,
+            sx // n AS mx, sy // n AS my FROM ctr)
+        SELECT source, CAST(min(src_types) AS BIGINT) AS n_types,
+          CAST(min(src_tokens) AS BIGINT) AS n_tokens,
+          CAST(count(*) AS BIGINT) AS k_used,
+          CAST(CASE WHEN sum(cx*cx) > 0 THEN
+            sum(cx*cy) * 1000000 // sum(cx*cx) END AS BIGINT)
+            AS slope_micro,
+          CAST(min(mx) AS BIGINT) AS mean_ln_rank_milli,
+          CAST(min(my) AS BIGINT) AS mean_ln_count_milli
+        FROM c2 GROUP BY source ORDER BY source"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

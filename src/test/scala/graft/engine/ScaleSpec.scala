@@ -447,7 +447,11 @@ class ScaleSpec extends SparkSpec {
       "x121_audio_trim" -> 1,
       // x122: decode side joins caption signals under AQE broadcast
       // (both sides prune to slim columns) — the sort is the exchange
-      "x122_pair_curation" -> 1)
+      "x122_pair_curation" -> 1,
+      // x123: the corpus (source,word) count agg; rank/mean windows and
+      // the fit run on the vocab-sized frame (shared source partition),
+      // + the final agg and sort — measured 3
+      "x123_zipf_fit" -> 3)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
