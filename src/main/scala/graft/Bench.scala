@@ -206,7 +206,9 @@ object Bench {
     // x122 = pack+decode chain broadcast-joined to caption signals
     "x122_pair_curation" -> 1179,
     // x123 = one corpus (source,word) agg; everything after is vocab-sized
-    "x123_zipf_fit" -> 965)
+    "x123_zipf_fit" -> 965,
+    // x124 = the x123 corpus agg; grid/cumulative on tiny frames
+    "x124_vocab_coverage" -> 838)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

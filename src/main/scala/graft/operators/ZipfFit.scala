@@ -76,4 +76,59 @@ object ZipfFit {
       .select("source", "n_types", "n_tokens", "k_used", "slope_micro",
         "mean_ln_rank_milli", "mean_ln_count_milli")
   }
+
+  /** Vocabulary coverage curve per source — the tokenizer-design report:
+    * for each vocab-size threshold V, what fraction of the source's
+    * TOKEN mass the top-V types cover (types ranked by count desc, ties
+    * by word). The knee of this curve is where growing the vocabulary
+    * stops paying; per-source curves expose sources a shared vocabulary
+    * under-serves.
+    *
+    * DENSE grid: every (source, V) row exists even when a threshold
+    * adds no types (coverage saturates at the source's full vocabulary
+    * — `n_types_used = min(V, n_types)` makes saturation visible).
+    * Coverage is integer micro-units (`covered·10^6 div src_tokens`).
+    *
+    * Scale shape: the corpus pays ONE (source, word) count aggregation;
+    * the rank window, bucket sums, threshold grid, and cumulative
+    * roll-up all run on vocab-sized (or |thresholds|-sized) frames. */
+  def vocabCoverage(df: DataFrame, textCol: String, sourceCol: String,
+      thresholds: Seq[Int]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    require(thresholds == thresholds.sorted &&
+      thresholds.distinct == thresholds && thresholds.head > 0,
+      s"thresholds must be strictly increasing positives: $thresholds")
+    val counts = df
+      .select(col(sourceCol).as("source"),
+        explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val srcStats = counts.groupBy(col("source"))
+      .agg(sum(col("c")).as("src_tokens"), count(lit(1)).as("src_types"))
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("w"))
+    // minimal containing threshold per rank (the x116 bucket shape)
+    val ranked = counts.withColumn("r", row_number().over(wRank))
+      .filter(col("r") <= thresholds.last)
+    val bucket = thresholds.reverse.foldLeft(lit(null).cast("int")) {
+      (acc, v) => when(col("r") <= v, lit(v)).otherwise(acc)
+    }
+    val bucketSums = ranked.withColumn("vt", bucket)
+      .groupBy(col("source"), col("vt")).agg(sum(col("c")).as("bt"))
+    val grid = srcStats.withColumn("v_threshold",
+      explode(typedlit(thresholds)))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("v_threshold"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(bucketSums,
+        grid("source") === bucketSums("source") &&
+          grid("v_threshold") === bucketSums("vt"), "left")
+      .select(grid("source"), col("v_threshold"), col("src_tokens"),
+        col("src_types"), coalesce(col("bt"), lit(0L)).as("bt"))
+      .withColumn("tokens_covered", sum(col("bt")).over(wCum))
+      .select(col("source"), col("v_threshold").cast("long").as("v_threshold"),
+        least(col("v_threshold"), col("src_types")).cast("long")
+          .as("n_types_used"),
+        col("tokens_covered"),
+        expr("tokens_covered * 1000000 div src_tokens").as("coverage_micro"))
+  }
 }

@@ -4674,7 +4674,43 @@ object PipelineQueries extends QueryPack {
             AS slope_micro,
           CAST(min(mx) AS BIGINT) AS mean_ln_rank_milli,
           CAST(min(my) AS BIGINT) AS mean_ln_count_milli
-        FROM c2 GROUP BY source ORDER BY source"""))
+        FROM c2 GROUP BY source ORDER BY source""")),
+
+    // ---- vocabulary coverage curve per source (tokenizer design):
+    //      token-mass coverage of the top-V types at a DENSE grid of
+    //      vocab sizes — the knee is where growing the vocab stops
+    //      paying; n_types_used makes saturation visible ---------------
+    Q("x124_vocab_coverage",
+      (s, dir) => graft.operators.ZipfFit.vocabCoverage(
+        t(s, dir, "documents"), "text", "source", Seq(5, 10, 20, 50))
+        .orderBy(col("source"), col("v_threshold")),
+      Some("""WITH tok AS (SELECT source, unnest(string_split(text,' ')) AS w
+          FROM documents),
+        cnt AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        ss AS (SELECT source, CAST(sum(c) AS BIGINT) AS src_tokens,
+            CAST(count(*) AS BIGINT) AS src_types FROM cnt GROUP BY source),
+        st AS (SELECT source, c, row_number() OVER (PARTITION BY source
+            ORDER BY c DESC, w) AS r FROM cnt),
+        b AS (SELECT source,
+            CASE WHEN r <= 5 THEN 5 WHEN r <= 10 THEN 10
+                 WHEN r <= 20 THEN 20 ELSE 50 END AS vt,
+            CAST(sum(c) AS BIGINT) AS bt
+          FROM st WHERE r <= 50 GROUP BY 1, 2),
+        grid AS (SELECT ss.source, ss.src_tokens, ss.src_types, v
+          FROM ss CROSS JOIN (SELECT unnest([5, 10, 20, 50]) AS v)),
+        d AS (SELECT grid.source, grid.src_tokens, grid.src_types,
+            grid.v AS v_threshold, coalesce(b.bt, 0) AS bt
+          FROM grid LEFT JOIN b
+            ON grid.source = b.source AND grid.v = b.vt)
+        SELECT source, CAST(v_threshold AS BIGINT) AS v_threshold,
+          CAST(least(v_threshold, src_types) AS BIGINT) AS n_types_used,
+          CAST(sum(bt) OVER w AS BIGINT) AS tokens_covered,
+          CAST(sum(bt) OVER w * 1000000 // src_tokens AS BIGINT)
+            AS coverage_micro
+        FROM d
+        WINDOW w AS (PARTITION BY source ORDER BY v_threshold
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY source, v_threshold"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

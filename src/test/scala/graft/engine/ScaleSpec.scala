@@ -451,7 +451,11 @@ class ScaleSpec extends SparkSpec {
       // x123: the corpus (source,word) count agg; rank/mean windows and
       // the fit run on the vocab-sized frame (shared source partition),
       // + the final agg and sort — measured 3
-      "x123_zipf_fit" -> 3)
+      "x123_zipf_fit" -> 3,
+      // x124: the corpus (source,word) agg + src-stats agg + rank
+      // window + bucket agg/grid join + the sort — measured 5, all
+      // frames after the first agg are vocab- or grid-sized
+      "x124_vocab_coverage" -> 5)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet

@@ -70,4 +70,40 @@ class ZipfFitSpec extends SparkSpec {
       ZipfFit.zipfReport(corpusOf(Map("a" -> 1)), "text", "source", 1)
     }
   }
+
+  test("vocabCoverage: dense grid, hand-computed coverage, saturation") {
+    // counts: a=6 b=3 c=2 d=1 (12 tokens, 4 types); thresholds 1,2,10
+    val out = ZipfFit.vocabCoverage(
+      corpusOf(Map("a" -> 6, "b" -> 3, "c" -> 2, "d" -> 1)),
+      "text", "source", Seq(1, 2, 10)).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out.size == 3, "dense grid: every threshold row present")
+    assert(out(1L) == ((1L, 6L, 500000L)))   // top-1 = a: 6/12
+    assert(out(2L) == ((2L, 9L, 750000L)))   // +b: 9/12
+    assert(out(10L) == ((4L, 12L, 1000000L))) // saturated at 4 types
+  }
+
+  test("vocabCoverage: per-source independence and tie-break by word") {
+    import spark.implicits._
+    val df = (Seq.fill(2)(("x", "s1")) ++ Seq.fill(2)(("y", "s1")) ++
+      Seq.fill(5)(("z", "s2"))).toDF("text", "source")
+    val out = ZipfFit.vocabCoverage(df, "text", "source", Seq(1))
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    // s1: tie x/y broken by word -> x (2 of 4) = 500000; s2: z = all
+    assert(out == Map("s1" -> 500000L, "s2" -> 1000000L))
+  }
+
+  test("vocabCoverage threshold validation") {
+    val df = corpusOf(Map("a" -> 1))
+    intercept[IllegalArgumentException] {
+      ZipfFit.vocabCoverage(df, "text", "source", Seq(10, 5))
+    }
+    intercept[IllegalArgumentException] {
+      ZipfFit.vocabCoverage(df, "text", "source", Seq(0, 5))
+    }
+    intercept[IllegalArgumentException] {
+      ZipfFit.vocabCoverage(df, "text", "source", Nil)
+    }
+  }
 }
