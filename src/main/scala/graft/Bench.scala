@@ -208,7 +208,9 @@ object Bench {
     // x123 = one corpus (source,word) agg; everything after is vocab-sized
     "x123_zipf_fit" -> 965,
     // x124 = the x123 corpus agg; grid/cumulative on tiny frames
-    "x124_vocab_coverage" -> 838)
+    "x124_vocab_coverage" -> 838,
+    // x125 = id join + posexplode centroid agg; pair join on S rows
+    "x125_source_similarity" -> 1256)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4710,7 +4710,50 @@ object PipelineQueries extends QueryPack {
         FROM d
         WINDOW w AS (PARTITION BY source ORDER BY v_threshold
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        ORDER BY source, v_threshold"""))
+        ORDER BY source, v_threshold""")),
+
+    // ---- source semantic-similarity matrix: pairwise cosine between
+    //      per-source centroid embeddings — the mix-design companion to
+    //      lexical overlap (x60) and drift (x78): near-identical
+    //      centroids = redundant sources, an outlier centroid = the
+    //      diversity a source brings. Decimal-exact centroid means
+    //      (x83's contract), groups×groups join on a GROUPS-sized frame -
+    Q("x125_source_similarity",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .filter(size(col("embedding")) === 64)
+        val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        graft.operators.SourceSimilarity.centroidSimilarity(
+          e.join(d, e("vec_id") === d("doc_id"))
+            .select(col("source"), col("embedding")),
+          "source", "embedding")
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""WITH j AS (SELECT d.source AS label, e.embedding
+          FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+          WHERE len(e.embedding) = 64),
+        pe AS (SELECT label, r.range AS pos,
+          CAST(round(CAST(embedding[r.range+1] AS DOUBLE), 4)
+            AS DECIMAL(18,4)) AS comp
+          FROM j, range(64) r),
+        ct AS (SELECT label, pos,
+          round(CAST(sum(comp) AS DOUBLE)/count(*), 6) AS c
+          FROM pe GROUP BY label, pos),
+        ca AS (SELECT label, list(c ORDER BY pos) AS centroid
+          FROM ct GROUP BY label),
+        sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+          FROM j GROUP BY label),
+        w AS (SELECT ca.label, centroid, n FROM ca JOIN sz USING (label))
+        SELECT a.label AS source_a, b.label AS source_b,
+          a.n AS n_a, b.n AS n_b,
+          round(list_sum(list_transform(range(64),
+              i -> a.centroid[i+1]*b.centroid[i+1]))
+            / (sqrt(list_sum(list_transform(range(64),
+                i -> a.centroid[i+1]*a.centroid[i+1])))
+             * sqrt(list_sum(list_transform(range(64),
+                i -> b.centroid[i+1]*b.centroid[i+1])))), 4) AS cos
+        FROM w a JOIN w b ON a.label < b.label
+        ORDER BY source_a, source_b"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

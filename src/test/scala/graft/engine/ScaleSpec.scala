@@ -146,7 +146,11 @@ class ScaleSpec extends SparkSpec {
       // x119 composes the x51 scorer (its 1-row corpus-totals and priors
       // broadcasts) and adds its own 1-row × 1-row kappa-totals
       // cross-join — x25/x40's shape
-      "x119_filter_agreement")
+      "x119_filter_agreement",
+      // x125: the source_a < source_b pair join runs over the
+      // GROUPS-sized centroid frame (S rows of index metadata, not
+      // corpus rows) — x78's bounded-group-table join class
+      "x125_source_similarity")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -455,7 +459,11 @@ class ScaleSpec extends SparkSpec {
       // x124: the corpus (source,word) agg + src-stats agg + rank
       // window + bucket agg/grid join + the sort — measured 5, all
       // frames after the first agg are vocab- or grid-sized
-      "x124_vocab_coverage" -> 5)
+      "x124_vocab_coverage" -> 5,
+      // x125: the embeddings-documents id join + the posexplode
+      // centroid agg + sizes agg/join; the pair join runs on the
+      // GROUPS-sized frame — measured 7
+      "x125_source_similarity" -> 7)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
