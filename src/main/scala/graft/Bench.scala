@@ -210,7 +210,9 @@ object Bench {
     // x124 = the x123 corpus agg; grid/cumulative on tiny frames
     "x124_vocab_coverage" -> 838,
     // x125 = id join + posexplode centroid agg; pair join on S rows
-    "x125_source_similarity" -> 1256)
+    "x125_source_similarity" -> 1256,
+    // x126 = the x05 broadcast-kNN scan + label joins + two-level agg
+    "x126_retrieval_eval" -> 2787)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

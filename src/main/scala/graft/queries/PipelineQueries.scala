@@ -4753,7 +4753,66 @@ object PipelineQueries extends QueryPack {
              * sqrt(list_sum(list_transform(range(64),
                 i -> b.centroid[i+1]*b.centroid[i+1])))), 4) AS cos
         FROM w a JOIN w b ON a.label < b.label
-        ORDER BY source_a, source_b"""))
+        ORDER BY source_a, source_b""")),
+
+    // ---- retrieval evaluation (MRR / recall@k / NDCG@k, Järvelin &
+    //      Kekäläinen TOIS'02): the x05 exact cosine retriever scored
+    //      against group-membership relevance (same label) — the
+    //      clustering-style eval needing no human qrels. Micro-integer
+    //      metrics; position discounts are a k-sized integer table both
+    //      engines derive identically ------------------------------------
+    Q("x126_retrieval_eval",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").filter(size(col("embedding")) === 64)
+        val runs = Similarity
+          .bruteForceTopKBroadcast(e, e, "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank"))
+        graft.operators.RetrievalEval.groupRelevanceEval(
+          e.select(col("vec_id"), col("label")), "vec_id", "label",
+          runs, k = 10)
+          .select(col("group").cast("long").as("label"), col("n_queries"),
+            col("mrr_micro"), col("recall_micro"), col("ndcg_micro"))
+          .orderBy(col("label"))
+      },
+      Some {
+        val d = dotSql.format("q.embedding", "q.embedding", "c.embedding")
+        val n = dotSql.format("embedding", "embedding", "embedding")
+        s"""WITH e AS (SELECT vec_id, label, embedding, sqrt($n) AS nrm
+            FROM embeddings WHERE len(embedding) = 64),
+          p AS (SELECT q.vec_id AS query_id, q.label AS qg,
+              c.vec_id AS doc_id, c.label AS dg,
+              round($d / (q.nrm*c.nrm), 4) AS cos
+            FROM e q JOIN e c ON q.vec_id <> c.vec_id),
+          run AS (SELECT * FROM (SELECT *, row_number() OVER
+              (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
+            FROM p) WHERE rank <= 10),
+          gs AS (SELECT label, count(*) AS gn FROM e GROUP BY label),
+          qq AS (SELECT e.vec_id AS query_id, e.label AS qg,
+              least(gs.gn - 1, 10) AS n_rel
+            FROM e JOIN gs USING (label) WHERE gs.gn > 1),
+          pq AS (SELECT run.query_id, qq.qg, qq.n_rel,
+              min(CASE WHEN run.dg = qq.qg THEN run.rank END) AS first_rel,
+              sum(CASE WHEN run.dg = qq.qg THEN 1 ELSE 0 END) AS n_hits,
+              sum(CASE WHEN run.dg = qq.qg THEN
+                CAST(round(1000000/log2(run.rank+1)) AS BIGINT)
+                ELSE 0 END) AS dcg
+            FROM run JOIN qq USING (query_id)
+            GROUP BY run.query_id, qq.qg, qq.n_rel),
+          sc AS (SELECT qg,
+              coalesce(1000000 // first_rel, 0) AS rr,
+              n_hits * 1000000 // n_rel AS rec,
+              dcg * 1000000 // list_sum(list_transform(
+                range(1, CAST(n_rel AS INT) + 1),
+                i -> CAST(round(1000000/log2(i+1)) AS BIGINT))) AS nd
+            FROM pq)
+          SELECT CAST(qg AS BIGINT) AS label,
+            CAST(count(*) AS BIGINT) AS n_queries,
+            CAST(sum(rr) // count(*) AS BIGINT) AS mrr_micro,
+            CAST(sum(rec) // count(*) AS BIGINT) AS recall_micro,
+            CAST(sum(nd) // count(*) AS BIGINT) AS ndcg_micro
+          FROM sc GROUP BY qg ORDER BY label"""
+      })
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

@@ -463,7 +463,12 @@ class ScaleSpec extends SparkSpec {
       // x125: the embeddings-documents id join + the posexplode
       // centroid agg + sizes agg/join; the pair join runs on the
       // GROUPS-sized frame — measured 7
-      "x125_source_similarity" -> 7)
+      "x125_source_similarity" -> 7,
+      // x126: the broadcast-corpus top-k scan is shuffle-free; the
+      // doc-label and query-label id joins + the per-query agg + the
+      // group agg + the sort — measured 4, all post-run frames are
+      // |queries|·k-sized or smaller
+      "x126_retrieval_eval" -> 4)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
