@@ -212,7 +212,9 @@ object Bench {
     // x125 = id join + posexplode centroid agg; pair join on S rows
     "x125_source_similarity" -> 1256,
     // x126 = the x05 broadcast-kNN scan + label joins + two-level agg
-    "x126_retrieval_eval" -> 2787)
+    "x126_retrieval_eval" -> 2787,
+    // x127 = seg_hash window + per-doc cut agg + rebuild join
+    "x127_keep_first_dedup" -> 844)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AsOfJoin, Audio, Dedup, Multimodal, RangeJoin, Similarity}
+import graft.operators.{AsOfJoin, Audio, Dedup, Multimodal, RangeJoin, SegmentDedup, Similarity}
 import graft.streaming.EventStreams
 
 /** Training-data pipeline operators as verifiable queries: deduplication
@@ -4812,7 +4812,39 @@ object PipelineQueries extends QueryPack {
             CAST(sum(rec) // count(*) AS BIGINT) AS recall_micro,
             CAST(sum(nd) // count(*) AS BIGINT) AS ndcg_micro
           FROM sc GROUP BY qg ORDER BY label"""
-      })
+      }),
+
+    // ---- C4 keep-one segment dedup (Raffel et al. JMLR'20 §2.2: drop
+    //      all but ONE occurrence of a repeated span): globally-first
+    //      occurrence by (doc, position) survives — the complement of
+    //      x38's remove-ALL boilerplate stripping. Non-overlapping
+    //      15-word segments; shuffles move md5+position only -----------
+    Q("x127_keep_first_dedup",
+      (s, dir) => SegmentDedup.keepFirst(t(s, dir, "documents"),
+        "doc_id", "text", segWords = 15, minCount = 2L)
+        .orderBy(col("doc_id")),
+      Some("""WITH tt AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        sg AS (SELECT doc_id, ts,
+               unnest(range((len(ts) + 14) // 15)) AS seg_idx FROM tt),
+        h AS (SELECT doc_id, seg_idx,
+              md5(array_to_string(
+                list_slice(ts, seg_idx*15+1, seg_idx*15+15), ' ')) AS sh
+              FROM sg),
+        w AS (SELECT doc_id, seg_idx,
+              row_number() OVER (PARTITION BY sh
+                ORDER BY doc_id, seg_idx) AS rn,
+              count(*) OVER (PARTITION BY sh) AS cnt FROM h),
+        bad AS (SELECT doc_id, list_sort(list(seg_idx)) AS cuts
+                FROM w WHERE cnt >= 2 AND rn > 1 GROUP BY doc_id),
+        jn AS (SELECT tt.doc_id, ts, coalesce(cuts, []) AS cuts
+               FROM tt LEFT JOIN bad USING (doc_id))
+        SELECT doc_id,
+          coalesce(array_to_string(list_transform(
+            list_filter(range(len(ts)), j -> NOT list_contains(cuts, j // 15)),
+            p -> ts[p+1]), ' '), '') AS clean_text,
+          CAST((len(ts) + 14) // 15 AS BIGINT) AS n_segments,
+          CAST(len(cuts) AS BIGINT) AS n_removed
+        FROM jn ORDER BY doc_id"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

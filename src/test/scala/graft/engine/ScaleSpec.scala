@@ -468,7 +468,11 @@ class ScaleSpec extends SparkSpec {
       // doc-label and query-label id joins + the per-query agg + the
       // group agg + the sort — measured 4, all post-run frames are
       // |queries|·k-sized or smaller
-      "x126_retrieval_eval" -> 4)
+      "x126_retrieval_eval" -> 4,
+      // x127: the seg_hash window + the per-doc cut-list agg + the
+      // cut-list join back onto documents (sort folds into it) —
+      // measured 3; shuffles carry md5+position, never segment text
+      "x127_keep_first_dedup" -> 3)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
