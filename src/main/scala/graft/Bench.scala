@@ -214,7 +214,9 @@ object Bench {
     // x126 = the x05 broadcast-kNN scan + label joins + two-level agg
     "x126_retrieval_eval" -> 2787,
     // x127 = seg_hash window + per-doc cut agg + rebuild join
-    "x127_keep_first_dedup" -> 844)
+    "x127_keep_first_dedup" -> 844,
+    // x128 = x02 candidate chain + two text joins + per-row BLEU HOFs
+    "x128_bleu_pair_qa" -> 3177)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

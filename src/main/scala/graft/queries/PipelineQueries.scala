@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AsOfJoin, Audio, Dedup, Multimodal, RangeJoin, SegmentDedup, Similarity}
+import graft.operators.{AsOfJoin, Audio, Bleu, Dedup, Multimodal, RangeJoin, SegmentDedup, Similarity}
 import graft.streaming.EventStreams
 
 /** Training-data pipeline operators as verifiable queries: deduplication
@@ -4844,7 +4844,62 @@ object PipelineQueries extends QueryPack {
             p -> ts[p+1]), ' '), '') AS clean_text,
           CAST((len(ts) + 14) // 15 AS BIGINT) AS n_segments,
           CAST(len(cuts) AS BIGINT) AS n_removed
-        FROM jn ORDER BY doc_id"""))
+        FROM jn ORDER BY doc_id""")),
+
+    // ---- BLEU-2 pair verification (Papineni ACL'02): the x02 Jaccard
+    //      near-dup candidates re-scored with clipped asymmetric n-gram
+    //      precision + brevity penalty — blocking proposes, BLEU
+    //      adjudicates. Integer clip/precision/geo-sqrt; only the bp
+    //      exp goes through the x40 6dp-round discipline ---------------
+    Q("x128_bleu_pair_qa",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          n = 4, threshold = 0.2, maxDf = 100L)
+        Bleu.scorePairs(pairs, docs, "doc_a", "doc_b", "doc_id", "text")
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $shingleSql AS s FROM documents),
+        ex0 AS (SELECT doc_id AS doc, unnest(s) AS sh FROM tk),
+        keep AS (SELECT sh FROM ex0 GROUP BY sh HAVING count(*) <= 100),
+        ex AS (SELECT doc, ex0.sh FROM ex0 JOIN keep ON ex0.sh = keep.sh),
+        sz AS (SELECT doc, count(*) AS n_sh FROM ex GROUP BY doc),
+        co AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+               FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc < b.doc
+               GROUP BY a.doc, b.doc),
+        pr AS (SELECT doc_a, doc_b
+               FROM co JOIN sz sa ON doc_a = sa.doc JOIN sz sb ON doc_b = sb.doc
+               WHERE CAST(common AS DOUBLE)/(sa.n_sh + sb.n_sh - common) >= 0.2),
+        tx AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        j AS (SELECT doc_a, doc_b, a.ts AS ta, b.ts AS tb FROM pr
+              JOIN tx a ON doc_a = a.doc_id JOIN tx b ON doc_b = b.doc_id
+              WHERE len(a.ts) >= 2),
+        g AS (SELECT doc_a, doc_b, ta, tb,
+              list_transform(range(len(ta)-1), i -> ta[i+1]||'_'||ta[i+2]) AS ba,
+              list_transform(range(len(tb)-1), i -> tb[i+1]||'_'||tb[i+2]) AS bb
+              FROM j),
+        c AS (SELECT doc_a, doc_b, len(ta) AS len_a, len(tb) AS len_b,
+              CAST(coalesce(list_sum(list_transform(list_distinct(ta), t ->
+                least(len(list_filter(ta, x -> x = t)),
+                      len(list_filter(tb, x -> x = t))))), 0) AS BIGINT) AS c1,
+              CAST(coalesce(list_sum(list_transform(list_distinct(ba), t ->
+                least(len(list_filter(ba, x -> x = t)),
+                      len(list_filter(bb, x -> x = t))))), 0) AS BIGINT) AS c2
+              FROM g),
+        m AS (SELECT doc_a, doc_b, len_a, len_b,
+              c1 * 1000000 // len_a AS p1_micro,
+              c2 * 1000000 // (len_a - 1) AS p2_micro FROM c),
+        f AS (SELECT *,
+              CAST(floor(sqrt(CAST(p1_micro * p2_micro AS DOUBLE))) AS BIGINT)
+                AS geo_micro,
+              round(exp(least(0.0, 1.0 - CAST(len_b AS DOUBLE)/len_a)), 6)
+                AS bp_6 FROM m)
+        SELECT doc_a, doc_b, CAST(len_a AS BIGINT) AS len_a,
+          CAST(len_b AS BIGINT) AS len_b,
+          CAST(p1_micro AS BIGINT) AS p1_micro,
+          CAST(p2_micro AS BIGINT) AS p2_micro, geo_micro, bp_6,
+          round(bp_6 * geo_micro / 1e6, 6) AS bleu_6
+        FROM f ORDER BY doc_a, doc_b"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

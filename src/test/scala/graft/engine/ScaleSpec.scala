@@ -472,7 +472,11 @@ class ScaleSpec extends SparkSpec {
       // x127: the seg_hash window + the per-doc cut-list agg + the
       // cut-list join back onto documents (sort folds into it) —
       // measured 3; shuffles carry md5+position, never segment text
-      "x127_keep_first_dedup" -> 3)
+      "x127_keep_first_dedup" -> 3,
+      // x128: the x02 inverted-index candidate chain (postings keep +
+      // sizes + pair agg) feeding two slim text-attach joins; all BLEU
+      // math is per-row HOF work — measured 5
+      "x128_bleu_pair_qa" -> 5)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
