@@ -216,7 +216,9 @@ object Bench {
     // x127 = seg_hash window + per-doc cut agg + rebuild join
     "x127_keep_first_dedup" -> 844,
     // x128 = x02 candidate chain + two text joins + per-row BLEU HOFs
-    "x128_bleu_pair_qa" -> 3177)
+    "x128_bleu_pair_qa" -> 3177,
+    // x129 = doc-rank window + corpus min-rank agg + bounded OLS
+    "x129_heaps_fit" -> 857)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

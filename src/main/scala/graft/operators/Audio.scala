@@ -177,6 +177,72 @@ object Audio {
       }
   }
 
+  /** Resample output: decimated payload re-encoded as a spec-valid WAV
+    * at `rate/factor`; `resampled = false` marks undecodable payloads
+    * (passed through unchanged, never dropped). peak/sum_sq are the
+    * OUTPUT signal's, so the filter math is verifiable in-query. */
+  case class ResampledRow(id: Long, media_type: String, n_bytes: Long,
+      sha256: String, payload: Array[Byte], resampled: Boolean,
+      rate_in: Option[Long], rate_out: Option[Long], n_in: Option[Long],
+      n_out: Option[Long], peak_out: Option[Long], sum_sq_out: Option[Long],
+      duration_out_ms: Option[Long])
+
+  /** Integer decimation by `factor` with a `factor`-tap box (moving
+    * average) anti-alias filter — the standard cheap downsampler:
+    * out(j) = (s(jf) + … + s(jf+f-1)) / f with truncating (toward-zero)
+    * integer division, complete frames only (a ragged tail frame would
+    * bias the last sample small-file-dependently — [[analyze]]'s
+    * complete-window rule). `factor` must divide the sample rate (a
+    * fractional output rate isn't representable in the WAV header; the
+    * violation is a LOUD per-row error, never a silent wrong rate).
+    * Map-side `mapPartitions` like [[analyze]] — no shuffle. */
+  def resample(spark: SparkSession, packed: DataFrame,
+      factor: Int = 2): Dataset[ResampledRow] = {
+    require(factor >= 2, s"bad factor $factor")
+    import spark.implicits._
+    packed.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          decodeWav(payload) match {
+            case Some((rate, s)) =>
+              if (rate % factor != 0)
+                throw new IllegalArgumentException(
+                  s"row $id: factor $factor does not divide rate $rate")
+              val n = s.length / factor
+              val out = new Array[Short](n)
+              var peak = 0L; var sumSq = 0L
+              var j = 0
+              while (j < n) {
+                var acc = 0
+                var i = j * factor
+                val end = i + factor
+                while (i < end) { acc += s(i); i += 1 }
+                val v = acc / factor
+                out(j) = v.toShort
+                val a = math.abs(v).toLong
+                if (a > peak) peak = a
+                sumSq += v.toLong * v
+                j += 1
+              }
+              val bytes = packWavPcm16(rate / factor, out)
+              val sha = java.security.MessageDigest.getInstance("SHA-256")
+                .digest(bytes).map("%02x".format(_)).mkString
+              ResampledRow(id, "audio/wav", bytes.length.toLong, sha, bytes,
+                resampled = true, Some(rate.toLong),
+                Some((rate / factor).toLong), Some(s.length.toLong),
+                Some(n.toLong), Some(peak), Some(sumSq),
+                Some(n.toLong * 1000L / (rate / factor)))
+            case None =>
+              val sha = java.security.MessageDigest.getInstance("SHA-256")
+                .digest(payload).map("%02x".format(_)).mkString
+              ResampledRow(id, "audio/wav", payload.length.toLong, sha,
+                payload, resampled = false, None, None, None, None, None,
+                None, None)
+          }
+        }
+      }
+  }
+
   /** Distributed audio analysis over packed rows: decode map-side, emit
     * the integer-exact signal set (see [[AudioMetrics]]). Windowed
     * silence uses COMPLETE `windowSamples`-spans only (a ragged tail

@@ -77,6 +77,92 @@ object ZipfFit {
         "mean_ln_rank_milli", "mean_ln_count_milli")
   }
 
+  /** Heaps-law vocabulary-growth fit per source (Heaps 1978; Herdan
+    * 1960): natural text grows vocabulary as V(N) = K·N^β with
+    * β ≈ 0.4–0.6 — the third leg of the corpus-health trio next to the
+    * Zipf exponent ([[zipfReport]]) and the coverage knee
+    * ([[vocabCoverage]]). A β near 1 means the source never repeats
+    * itself (id-like/generated text); β near 0 means a closed template
+    * vocabulary; drift across sources is a contamination smell test,
+    * and β feeds tokenizer-vocab sizing (how fast OOV mass shrinks as
+    * the corpus grows).
+    *
+    * Construction: docs rank by id within source; the growth curve is
+    * (cumulative tokens, cumulative distinct types) at each rank, with
+    * the type count derived from each word's FIRST rank of appearance —
+    * one (source, word) min-rank aggregation, the [[zipfReport]] corpus
+    * shuffle class. The OLS then runs ONLY on ranks that are powers of
+    * two (plus each source's final rank): measurement points double, so
+    * the fitted frame is ≤ log2(n_docs)+1 rows per source — bounded at
+    * any corpus size, same role topK plays in [[zipfReport]].
+    *
+    * Determinism: milli-integer logs, truncating-div means, micro-unit
+    * centered-sum slope — [[zipfReport]]'s exact integer contract;
+    * ln K comes out of the fitted line as `my - (beta·mx) div 10^6`
+    * milli-units. Degenerate curves (a single sample point) report
+    * nulls, never divide-by-zero.
+    *
+    * Scale shape: one docs-sized rank window per source, one corpus
+    * (source, word) min aggregation, then everything runs on docs-/
+    * points-sized frames. The ranked-docs frame feeds two consumers
+    * (token curve + first-occurrence agg), so it persists via `scope`
+    * ([[CacheScope]] knob, the x40 residency trade). */
+  def heapsReport(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, scope: Option[CacheScope] = None): DataFrame = {
+    val wRank = Window.partitionBy(col("source")).orderBy(col("doc"))
+    val ranked = CacheScope.route(scope, df
+      .select(col(sourceCol).as("source"), col(idCol).as("doc"),
+        split(col(textCol), " ").as("ts"))
+      .withColumn("dr", row_number().over(wRank).cast("long"))
+      .withColumn("nt", size(col("ts")).cast("long")))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("dr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val firstRank = ranked
+      .select(col("source"), col("dr"), explode(col("ts")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(min(col("dr")).as("fr"))
+    val newTypes = firstRank.groupBy(col("source"), col("fr"))
+      .agg(count(lit(1)).as("nw"))
+      .select(col("source").as("nsrc"), col("fr"), col("nw"))
+    val curve = ranked.select(col("source"), col("dr"), col("nt"))
+      .join(newTypes,
+        col("source") === col("nsrc") && col("dr") === col("fr"), "left")
+      .select(col("source"), col("dr"), col("nt"),
+        coalesce(col("nw"), lit(0L)).as("nw"))
+      .withColumn("ctok", sum(col("nt")).over(wCum))
+      .withColumn("ctyp", sum(col("nw")).over(wCum))
+      .withColumn("last_dr",
+        max(col("dr")).over(Window.partitionBy(col("source"))))
+    val pts = curve
+      .filter((col("dr").bitwiseAND(col("dr") - 1) === 0) ||
+        col("dr") === col("last_dr"))
+      .withColumn("x", round(log(col("ctok")) * 1000).cast("long"))
+      .withColumn("y", round(log(col("ctyp")) * 1000).cast("long"))
+    val wSrc = Window.partitionBy(col("source"))
+    val centered = pts
+      .withColumn("n", count(lit(1)).over(wSrc))
+      .withColumn("mx", expr("sum(x) over (partition by source) div n"))
+      .withColumn("my", expr("sum(y) over (partition by source) div n"))
+      .withColumn("cx", col("x") - col("mx"))
+      .withColumn("cy", col("y") - col("my"))
+    centered.groupBy(col("source"))
+      .agg(
+        max(col("last_dr")).as("n_docs"),
+        max(col("ctok")).as("n_tokens"),
+        max(col("ctyp")).as("n_types"),
+        count(lit(1)).as("k_points"),
+        first(col("mx")).as("mx"),
+        first(col("my")).as("my"),
+        sum(col("cx") * col("cy")).as("sxy"),
+        sum(col("cx") * col("cx")).as("sxx"))
+      .withColumn("beta_micro",
+        expr("CASE WHEN sxx > 0 THEN sxy * 1000000 div sxx END"))
+      .withColumn("ln_k_milli",
+        expr("CASE WHEN sxx > 0 THEN my - (sxy * 1000000 div sxx) * mx div 1000000 END"))
+      .select("source", "n_docs", "n_tokens", "n_types", "k_points",
+        "beta_micro", "ln_k_milli")
+  }
+
   /** Vocabulary coverage curve per source — the tokenizer-design report:
     * for each vocab-size threshold V, what fraction of the source's
     * TOKEN mass the top-V types cover (types ranked by count desc, ties

@@ -4899,7 +4899,50 @@ object PipelineQueries extends QueryPack {
           CAST(p1_micro AS BIGINT) AS p1_micro,
           CAST(p2_micro AS BIGINT) AS p2_micro, geo_micro, bp_6,
           round(bp_6 * geo_micro / 1e6, 6) AS bleu_6
-        FROM f ORDER BY doc_a, doc_b"""))
+        FROM f ORDER BY doc_a, doc_b""")),
+
+    // ---- Heaps-law vocabulary growth per source (Heaps'78): V = K·N^β
+    //      fitted on the (cum tokens, cum types) curve at power-of-two
+    //      doc ranks — the third corpus-health leg beside the Zipf
+    //      exponent (x123) and the coverage knee (x124) ----------------
+    Q("x129_heaps_fit",
+      (s, dir) => graft.operators.ZipfFit.heapsReport(
+        t(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy(col("source")),
+      Some("""WITH rr AS (SELECT source, doc_id, string_split(text,' ') AS ts,
+            row_number() OVER (PARTITION BY source ORDER BY doc_id) AS dr
+          FROM documents),
+        cv AS (SELECT source, dr, len(ts) AS nt,
+            sum(len(ts)) OVER (PARTITION BY source ORDER BY dr) AS ctok
+          FROM rr),
+        fw AS (SELECT source, w, min(dr) AS fr FROM (
+            SELECT source, dr, unnest(ts) AS w FROM rr) GROUP BY source, w),
+        nw AS (SELECT source, fr, count(*) AS nnw FROM fw GROUP BY source, fr),
+        cy AS (SELECT cv.source, cv.dr, cv.ctok,
+            sum(coalesce(nw.nnw, 0)) OVER (PARTITION BY cv.source
+              ORDER BY cv.dr) AS ctyp,
+            max(cv.dr) OVER (PARTITION BY cv.source) AS last_dr
+          FROM cv LEFT JOIN nw ON cv.source = nw.source AND cv.dr = nw.fr),
+        pts AS (SELECT source, dr, ctok, ctyp, last_dr,
+            CAST(round(ln(ctok)*1000) AS BIGINT) AS x,
+            CAST(round(ln(ctyp)*1000) AS BIGINT) AS y
+          FROM cy WHERE (dr & (dr-1)) = 0 OR dr = last_dr),
+        ctr AS (SELECT *, count(*) OVER (PARTITION BY source) AS n,
+            sum(x) OVER (PARTITION BY source) AS sx,
+            sum(y) OVER (PARTITION BY source) AS sy FROM pts),
+        c2 AS (SELECT source, last_dr, ctok, ctyp, n,
+            x - sx // n AS cx, y - sy // n AS cyy,
+            sx // n AS mx, sy // n AS my FROM ctr)
+        SELECT source, CAST(max(last_dr) AS BIGINT) AS n_docs,
+          CAST(max(ctok) AS BIGINT) AS n_tokens,
+          CAST(max(ctyp) AS BIGINT) AS n_types,
+          CAST(count(*) AS BIGINT) AS k_points,
+          CAST(CASE WHEN sum(cx*cx) > 0 THEN
+            sum(cx*cyy) * 1000000 // sum(cx*cx) END AS BIGINT) AS beta_micro,
+          CAST(CASE WHEN sum(cx*cx) > 0 THEN
+            min(my) - (sum(cx*cyy) * 1000000 // sum(cx*cx)) * min(mx) // 1000000
+            END AS BIGINT) AS ln_k_milli
+        FROM c2 GROUP BY source ORDER BY source"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

@@ -476,7 +476,11 @@ class ScaleSpec extends SparkSpec {
       // x128: the x02 inverted-index candidate chain (postings keep +
       // sizes + pair agg) feeding two slim text-attach joins; all BLEU
       // math is per-row HOF work — measured 5
-      "x128_bleu_pair_qa" -> 5)
+      "x128_bleu_pair_qa" -> 5,
+      // x129: per-source doc-rank window + the corpus (source,word)
+      // min-rank agg + the new-types join + points window + final agg —
+      // measured 5; the OLS frame is <= log2(n_docs)+1 rows per source
+      "x129_heaps_fit" -> 5)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet

@@ -132,4 +132,40 @@ class AudioSpec extends SparkSpec {
       Seq((1L, bytes)).toDF("id", "payload")).collect().head
     assert(m.duration_ms.contains(999L) && m.n_samples.contains(44099L))
   }
+
+  test("resample: box filter, truncating division, ragged tail dropped") {
+    import spark.implicits._
+    // frames (4,-2) -> 1 and (-5,2) -> -1 (toward-zero: -3/2 = -1);
+    // tail sample 7 has no complete frame
+    val rows = Seq(
+      (1L, Audio.packWavPcm16(8000, Array[Short](4, -2, -5, 2, 7))),
+      (2L, Array[Byte](9, 9, 9))) // undecodable passthrough
+    val out = Audio.resample(spark, rows.toDF("id", "payload"))
+      .collect().map(r => r.id -> r).toMap
+    val r1 = out(1L)
+    assert(r1.resampled && r1.rate_in.contains(8000L) &&
+      r1.rate_out.contains(4000L) && r1.n_in.contains(5L) &&
+      r1.n_out.contains(2L) && r1.peak_out.contains(1L) &&
+      r1.sum_sq_out.contains(2L) && r1.duration_out_ms.contains(0L))
+    val Some((rate, back)) = Audio.decodeWav(r1.payload)
+    assert(rate == 4000 && back.sameElements(Array[Short](1, -1)),
+      "re-encoded payload decodes to the filtered signal")
+    assert(r1.n_bytes == r1.payload.length.toLong)
+    val r2 = out(2L)
+    assert(!r2.resampled && r2.rate_in.isEmpty &&
+      r2.payload.sameElements(Array[Byte](9, 9, 9)))
+  }
+
+  test("resample: factor must divide the rate — loud error, not a wrong header") {
+    import spark.implicits._
+    val rows = Seq((1L, Audio.packWavPcm16(8000, Array[Short](1, 2, 3, 4))))
+    val e = intercept[Exception] {
+      Audio.resample(spark, rows.toDF("id", "payload"), factor = 3).collect()
+    }
+    assert(e.toString.contains("does not divide") ||
+      Option(e.getCause).exists(_.toString.contains("does not divide")))
+    intercept[IllegalArgumentException] {
+      Audio.resample(spark, rows.toDF("id", "payload"), factor = 1)
+    }
+  }
 }

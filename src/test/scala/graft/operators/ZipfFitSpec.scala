@@ -94,6 +94,54 @@ class ZipfFitSpec extends SparkSpec {
     assert(out == Map("s1" -> 500000L, "s2" -> 1000000L))
   }
 
+  test("heapsReport: hand-computed growth fit (beta exactly 0.5)") {
+    import spark.implicits._
+    // docs rank 1..4; curve at power-of-two ranks (1,2,4):
+    //   (ctok,ctyp) = (2,2),(4,3),(8,4) -> milli-logs
+    //   x = 693,1386,2079  y = 693,1099,1386
+    //   mx=1386 my=1059 sxy=480249 sxx=960498 -> beta = 500000 micro
+    //   ln_k = 1059 - (500000*1386) div 1e6 = 366 milli
+    val df = Seq((1L, "a b", "s"), (2L, "a c", "s"), (3L, "a b", "s"),
+      (4L, "d d", "s")).toDF("doc_id", "text", "source")
+    val r = ZipfFit.heapsReport(df, "doc_id", "text", "source")
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((4L, 8L, 4L, 3L)), "n_docs, n_tokens, n_types, k_points")
+    assert(r.getLong(5) == 500000L, "beta_micro")
+    assert(r.getLong(6) == 366L, "ln_k_milli")
+  }
+
+  test("heapsReport: non-power-of-two last rank is a sample point") {
+    import spark.implicits._
+    val df = (1L to 5L).map(i => (i, s"w$i x", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = ZipfFit.heapsReport(df, "doc_id", "text", "source")
+      .collect().head
+    assert(r.getLong(1) == 5L && r.getLong(4) == 4L,
+      "ranks 1,2,4 plus the final rank 5")
+  }
+
+  test("heapsReport: single-doc source reports null fit, not an error") {
+    import spark.implicits._
+    val df = Seq((7L, "a b c", "solo")).toDF("doc_id", "text", "source")
+    val r = ZipfFit.heapsReport(df, "doc_id", "text", "source")
+      .collect().head
+    assert(r.getLong(4) == 1L && r.isNullAt(5) && r.isNullAt(6))
+  }
+
+  test("heapsReport: sources fit independently") {
+    import spark.implicits._
+    // "open" never repeats a word (beta -> 1); "closed" repeats one
+    // word forever (vocab flat after rank 1)
+    val open = (1L to 8L).map(i => (i, s"o$i p$i", "open"))
+    val closed = (11L to 18L).map(i => (i, "z z", "closed"))
+    val out = ZipfFit.heapsReport((open ++ closed)
+        .toDF("doc_id", "text", "source"), "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(out("open") > 900000L, s"open-vocab beta ~1: ${out("open")}")
+    assert(out("closed") == 0L, "closed vocab: flat type curve")
+  }
+
   test("vocabCoverage threshold validation") {
     val df = corpusOf(Map("a" -> 1))
     intercept[IllegalArgumentException] {
