@@ -218,7 +218,11 @@ object Bench {
     // x128 = x02 candidate chain + two text joins + per-row BLEU HOFs
     "x128_bleu_pair_qa" -> 3177,
     // x129 = doc-rank window + corpus min-rank agg + bounded OLS
-    "x129_heaps_fit" -> 857)
+    "x129_heaps_fit" -> 857,
+    // x130 = x117/x121's map-side fixture+decode class + re-encode of
+    // the half-length output; baseline 0.9x of x121's (not the 2063 ms
+    // solo sample) — full-sweep adjudication, BASELINE.md r11
+    "x130_audio_resample" -> 2600)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4942,7 +4942,63 @@ object PipelineQueries extends QueryPack {
           CAST(CASE WHEN sum(cx*cx) > 0 THEN
             min(my) - (sum(cx*cyy) * 1000000 // sum(cx*cx)) * min(mx) // 1000000
             END AS BIGINT) AS ln_k_milli
-        FROM c2 GROUP BY source ORDER BY source"""))
+        FROM c2 GROUP BY source ORDER BY source""")),
+
+    // ---- audio resample (decimate-by-2 with a 2-tap box anti-alias
+    //      filter): REAL WAV decode → filter → re-encode, map-side where
+    //      the bytes live. The fixture pins every decimation frame
+    //      inside one half-period (halfp even, frames aligned), so the
+    //      output is exactly the ±amp square wave at half rate and
+    //      peak/energy are CLOSED-FORM integers the oracle replays -----
+    Q("x130_audio_resample",
+      (s, dir) => {
+        val spec = t(s, dir, "documents").select(col("doc_id"),
+          element_at(typedlit(Seq(8000, 16000, 44100)),
+            (col("doc_id") % 3).cast("int") + 1).as("rate"),
+          (lit(2) * (lit(300) + pmod(col("doc_id") * 7 + col("n_chars"),
+            lit(400)))).cast("int").as("n"),
+          (lit(500) + pmod(col("doc_id") * 13, lit(30)) * 1000)
+            .cast("int").as("amp"),
+          (lit(2) * (lit(2) + pmod(col("doc_id"), lit(12))))
+            .cast("int").as("halfp"))
+        val withSamples = spec.withColumn("samples", expr(
+          """transform(sequence(0, n - 1), i ->
+               CASE WHEN (i div halfp) % 2 = 0 THEN amp ELSE -amp END)"""))
+        val packed = Audio.packWav(s, withSamples, "doc_id", "rate",
+          "samples").toDF()
+          .withColumn("payload", when(col("id") % 97 === 0,
+            expr("substring(payload, 1, 6)")).otherwise(col("payload")))
+        Audio.resample(s, packed, factor = 2).toDF()
+          .select(col("id"), col("resampled"), col("rate_in"),
+            col("rate_out"), col("n_in"), col("n_out"), col("peak_out"),
+            col("sum_sq_out"), col("duration_out_ms"), col("n_bytes"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH s AS (SELECT doc_id AS id,
+          CASE WHEN doc_id % 3 = 0 THEN 8000
+               WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END AS rate,
+          2*(300 + (doc_id*7 + n_chars) % 400) AS n,
+          500 + (doc_id*13) % 30 * 1000 AS amp
+        FROM documents)
+        SELECT id, id % 97 <> 0 AS resampled,
+          CASE WHEN id % 97 = 0 THEN NULL
+               ELSE CAST(rate AS BIGINT) END AS rate_in,
+          CASE WHEN id % 97 = 0 THEN NULL
+               ELSE CAST(rate // 2 AS BIGINT) END AS rate_out,
+          CASE WHEN id % 97 = 0 THEN NULL
+               ELSE CAST(n AS BIGINT) END AS n_in,
+          CASE WHEN id % 97 = 0 THEN NULL
+               ELSE CAST(n // 2 AS BIGINT) END AS n_out,
+          CASE WHEN id % 97 = 0 THEN NULL
+               ELSE CAST(amp AS BIGINT) END AS peak_out,
+          CASE WHEN id % 97 = 0 THEN NULL
+               ELSE CAST(n // 2 AS BIGINT) * amp * amp END AS sum_sq_out,
+          CASE WHEN id % 97 = 0 THEN NULL
+               ELSE CAST((n // 2) * 1000 // (rate // 2) AS BIGINT)
+               END AS duration_out_ms,
+          CASE WHEN id % 97 = 0 THEN CAST(6 AS BIGINT)
+               ELSE CAST(44 + 2*(n // 2) AS BIGINT) END AS n_bytes
+        FROM s ORDER BY id"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

@@ -480,7 +480,11 @@ class ScaleSpec extends SparkSpec {
       // x129: per-source doc-rank window + the corpus (source,word)
       // min-rank agg + the new-types join + points window + final agg —
       // measured 5; the OLS frame is <= log2(n_docs)+1 rows per source
-      "x129_heaps_fit" -> 5)
+      "x129_heaps_fit" -> 5,
+      // x130: pack + decode + box-filter + re-encode are all map-side
+      // mapPartitions where the bytes live; the sort is the only
+      // exchange — measured 1 (the x117/x121 audio cost class)
+      "x130_audio_resample" -> 1)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
