@@ -222,7 +222,9 @@ object Bench {
     // x130 = x117/x121's map-side fixture+decode class + re-encode of
     // the half-length output; baseline 0.9x of x121's (not the 2063 ms
     // solo sample) — full-sweep adjudication, BASELINE.md r11
-    "x130_audio_resample" -> 2600)
+    "x130_audio_resample" -> 2600,
+    // x131 = the x128 candidate chain + one native chargram pass
+    "x131_chrf_pair_qa" -> 1390)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2,10 +2,10 @@ package graft.expressions
 
 import org.apache.spark.sql.{Column, GraftSql}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native one-pass text expressions for the dedup hot path.
@@ -661,6 +661,56 @@ object PhraseHits {
   }
 }
 
+/** All chrF clipped character-n-gram overlaps in ONE pass: element
+  * n−1 = Σ_{g ∈ n-grams} min(count_left(g), count_right(g)) for
+  * n = 1..maxN. The HOF twin (aggregate over array_distinct × two
+  * filters) is O(distinct·len) per order — O(len²) for the trigram
+  * order on character data; this is O(maxN·(|a|+|b|)) via one hash map
+  * per order (count right's grams, then walk left's decrementing).
+  * Bit-compatible with the HOF/DuckDB formulation by construction:
+  * clipped counts are exact integers. Null if either side is null. */
+case class CharGramOverlaps(left: Expression, right: Expression, maxN: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(maxN >= 1 && maxN <= 6, s"maxN $maxN outside 1..6")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "chargram_overlaps"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got $other")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = a.asInstanceOf[UTF8String].toString
+    val sb = b.asInstanceOf[UTF8String].toString
+    val out = new Array[Any](maxN)
+    var n = 1
+    while (n <= maxN) {
+      val counts = new java.util.HashMap[String, Int]()
+      var i = 0
+      val endB = sb.length - n
+      while (i <= endB) {
+        counts.merge(sb.substring(i, i + n), 1, Integer.sum _)
+        i += 1
+      }
+      var ov = 0L
+      i = 0
+      val endA = sa.length - n
+      while (i <= endA) {
+        val g = sa.substring(i, i + n)
+        val c = counts.getOrDefault(g, 0)
+        if (c > 0) { ov += 1; counts.put(g, c - 1) }
+        i += 1
+      }
+      out(n - 1) = ov
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): CharGramOverlaps = copy(left = l, right = r)
+}
+
 object TextExpressions {
   def wordShingles(text: Column, n: Int, distinct: Boolean = true): Column =
     GraftSql.column(WordShingles(GraftSql.expression(text), n, distinct))
@@ -688,4 +738,7 @@ object TextExpressions {
     GraftSql.column(StripAccents(GraftSql.expression(text)))
   def phraseHits(text: Column, phrases: Seq[Seq[String]]): Column =
     GraftSql.column(PhraseHits(GraftSql.expression(text), phrases))
+  def charGramOverlaps(a: Column, b: Column, maxN: Int): Column =
+    GraftSql.column(CharGramOverlaps(GraftSql.expression(a),
+      GraftSql.expression(b), maxN))
 }

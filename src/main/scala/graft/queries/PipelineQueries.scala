@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AsOfJoin, Audio, Bleu, Dedup, Multimodal, RangeJoin, SegmentDedup, Similarity}
+import graft.operators.{AsOfJoin, Audio, Bleu, Chrf, Dedup, Multimodal, RangeJoin, SegmentDedup, Similarity}
 import graft.streaming.EventStreams
 
 /** Training-data pipeline operators as verifiable queries: deduplication
@@ -4998,7 +4998,75 @@ object PipelineQueries extends QueryPack {
                END AS duration_out_ms,
           CASE WHEN id % 97 = 0 THEN CAST(6 AS BIGINT)
                ELSE CAST(44 + 2*(n // 2) AS BIGINT) END AS n_bytes
-        FROM s ORDER BY id"""))
+        FROM s ORDER BY id""")),
+
+    // ---- chrF2 pair verification (Popović WMT'15): character n-gram
+    //      F-score over the x02/x128 candidate chain — the
+    //      tokenization-free BLEU sibling; every score column is pure
+    //      BIGINT micro arithmetic, hash-exact by construction ---------
+    Q("x131_chrf_pair_qa",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          n = 4, threshold = 0.2, maxDf = 100L)
+        Chrf.scorePairs(pairs, docs, "doc_a", "doc_b", "doc_id", "text")
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $shingleSql AS s FROM documents),
+        ex0 AS (SELECT doc_id AS doc, unnest(s) AS sh FROM tk),
+        keep AS (SELECT sh FROM ex0 GROUP BY sh HAVING count(*) <= 100),
+        ex AS (SELECT doc, ex0.sh FROM ex0 JOIN keep ON ex0.sh = keep.sh),
+        sz AS (SELECT doc, count(*) AS n_sh FROM ex GROUP BY doc),
+        co AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+               FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc < b.doc
+               GROUP BY a.doc, b.doc),
+        pr AS (SELECT doc_a, doc_b
+               FROM co JOIN sz sa ON doc_a = sa.doc JOIN sz sb ON doc_b = sb.doc
+               WHERE CAST(common AS DOUBLE)/(sa.n_sh + sb.n_sh - common) >= 0.2),
+        tx AS (SELECT doc_id, regexp_replace(text, '\\s+', '', 'g') AS cs
+               FROM documents),
+        j AS (SELECT doc_a, doc_b, a.cs AS sa, b.cs AS sb FROM pr
+              JOIN tx a ON doc_a = a.doc_id JOIN tx b ON doc_b = b.doc_id
+              WHERE len(a.cs) >= 3 AND len(b.cs) >= 3),
+        g AS (SELECT doc_a, doc_b, len(sa) AS len_a, len(sb) AS len_b,
+              list_transform(range(len(sa)), i -> substr(sa, i+1, 1)) AS ga1,
+              list_transform(range(len(sb)), i -> substr(sb, i+1, 1)) AS gb1,
+              list_transform(range(len(sa)-1), i -> substr(sa, i+1, 2)) AS ga2,
+              list_transform(range(len(sb)-1), i -> substr(sb, i+1, 2)) AS gb2,
+              list_transform(range(len(sa)-2), i -> substr(sa, i+1, 3)) AS ga3,
+              list_transform(range(len(sb)-2), i -> substr(sb, i+1, 3)) AS gb3
+              FROM j),
+        c AS (SELECT doc_a, doc_b, len_a, len_b,
+              CAST(coalesce(list_sum(list_transform(list_distinct(ga1), t ->
+                least(len(list_filter(ga1, x -> x = t)),
+                      len(list_filter(gb1, x -> x = t))))), 0) AS BIGINT) AS ov_1,
+              CAST(coalesce(list_sum(list_transform(list_distinct(ga2), t ->
+                least(len(list_filter(ga2, x -> x = t)),
+                      len(list_filter(gb2, x -> x = t))))), 0) AS BIGINT) AS ov_2,
+              CAST(coalesce(list_sum(list_transform(list_distinct(ga3), t ->
+                least(len(list_filter(ga3, x -> x = t)),
+                      len(list_filter(gb3, x -> x = t))))), 0) AS BIGINT) AS ov_3
+              FROM g),
+        m AS (SELECT *,
+              ov_1 * 1000000 // len_a AS p1, ov_1 * 1000000 // len_b AS r1,
+              ov_2 * 1000000 // (len_a - 1) AS p2,
+              ov_2 * 1000000 // (len_b - 1) AS r2,
+              ov_3 * 1000000 // (len_a - 2) AS p3,
+              ov_3 * 1000000 // (len_b - 2) AS r3 FROM c),
+        f AS (SELECT doc_a, doc_b, len_a, len_b, ov_1, ov_2, ov_3,
+              CASE WHEN 4*p1 + r1 = 0 THEN 0
+                   ELSE 5*p1*r1 // (4*p1 + r1) END AS f1_micro,
+              CASE WHEN 4*p2 + r2 = 0 THEN 0
+                   ELSE 5*p2*r2 // (4*p2 + r2) END AS f2_micro,
+              CASE WHEN 4*p3 + r3 = 0 THEN 0
+                   ELSE 5*p3*r3 // (4*p3 + r3) END AS f3_micro FROM m)
+        SELECT doc_a, doc_b, CAST(len_a AS BIGINT) AS len_a,
+          CAST(len_b AS BIGINT) AS len_b, ov_1, ov_2, ov_3,
+          CAST(f1_micro AS BIGINT) AS f1_micro,
+          CAST(f2_micro AS BIGINT) AS f2_micro,
+          CAST(f3_micro AS BIGINT) AS f3_micro,
+          CAST((f1_micro + f2_micro + f3_micro) // 3 AS BIGINT) AS chrf_micro
+        FROM f ORDER BY doc_a, doc_b"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

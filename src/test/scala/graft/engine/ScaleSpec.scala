@@ -484,7 +484,11 @@ class ScaleSpec extends SparkSpec {
       // x130: pack + decode + box-filter + re-encode are all map-side
       // mapPartitions where the bytes live; the sort is the only
       // exchange — measured 1 (the x117/x121 audio cost class)
-      "x130_audio_resample" -> 1)
+      "x130_audio_resample" -> 1,
+      // x131: the x128 candidate chain (shingle index + pair agg) + two
+      // slim text joins; ALL chrF gram work is per-row HOFs — measured 5
+      // (identical to x128's plan shape)
+      "x131_chrf_pair_qa" -> 5)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
