@@ -5066,7 +5066,34 @@ object PipelineQueries extends QueryPack {
           CAST(f2_micro AS BIGINT) AS f2_micro,
           CAST(f3_micro AS BIGINT) AS f3_micro,
           CAST((f1_micro + f2_micro + f3_micro) // 3 AS BIGINT) AS chrf_micro
-        FROM f ORDER BY doc_a, doc_b"""))
+        FROM f ORDER BY doc_a, doc_b""")),
+
+    // ---- interpolated Kneser-Ney bigram LM (Kneser-Ney ICASSP'95,
+    //      Chen-Goodman TR-10-98, D = 3/4): the production-grade
+    //      smoothing upgrade of x40's add-one proxy — continuation
+    //      probabilities back off by context DIVERSITY, not frequency;
+    //      each bigram's probability is an exact BIGINT rational -------
+    Q("x132_kneser_ney_nll",
+      (s, dir) => graft.operators.LmScore.kneserNeyNll(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS ts
+               FROM documents),
+        bg AS (SELECT doc_id, ts[i+1] AS w1, ts[i+2] AS w2
+               FROM (SELECT doc_id, ts, unnest(range(len(ts)-1)) AS i FROM t)),
+        bi AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        ctx AS (SELECT w1, sum(c2) AS c1, count(*) AS n1p FROM bi GROUP BY w1),
+        ends AS (SELECT w2, count(*) AS nend FROM bi GROUP BY w2),
+        ty AS (SELECT count(*) AS tt FROM bi),
+        sc AS (SELECT doc_id,
+               CAST(round(ln(
+                 CAST((4*bi.c2 - 3)*ty.tt + 3*ctx.n1p*ends.nend AS DOUBLE) /
+                 CAST(4*ctx.c1*ty.tt AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp
+               FROM bg JOIN bi USING (w1, w2) JOIN ctx USING (w1)
+                 JOIN ends USING (w2) CROSS JOIN ty)
+        SELECT doc_id, count(*) AS n_bigrams,
+          round(-(CAST(sum(lp) AS DOUBLE) / count(*)), 4) AS avg_nll
+        FROM sc GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

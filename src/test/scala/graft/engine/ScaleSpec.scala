@@ -150,7 +150,10 @@ class ScaleSpec extends SparkSpec {
       // x125: the source_a < source_b pair join runs over the
       // GROUPS-sized centroid frame (S rows of index metadata, not
       // corpus rows) — x78's bounded-group-table join class
-      "x125_source_similarity")
+      "x125_source_similarity",
+      // x132: the bigram-type-count scalar T attaches via an explicit
+      // single-row broadcast — x25/x40's 1-row shape
+      "x132_kneser_ney_nll")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -488,7 +491,11 @@ class ScaleSpec extends SparkSpec {
       // x131: the x128 candidate chain (shingle index + pair agg) + two
       // slim text joins; ALL chrF gram work is per-row HOFs — measured 5
       // (identical to x128's plan shape)
-      "x131_chrf_pair_qa" -> 5)
+      "x131_chrf_pair_qa" -> 5,
+      // x132: bigram-type agg + ctx/ends vocab aggs + scoring joins +
+      // per-doc agg — measured 6 (x40's class + one more vocab agg;
+      // the bigram stream and type table persist via CacheScope)
+      "x132_kneser_ney_nll" -> 6)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
