@@ -226,7 +226,9 @@ object Bench {
     // x131 = the x128 candidate chain + one native chargram pass
     "x131_chrf_pair_qa" -> 1390,
     // x132 = x40's corpus-bigram class + vocab-sized KN count joins
-    "x132_kneser_ney_nll" -> 1180)
+    "x132_kneser_ney_nll" -> 1180,
+    // x133 = one blocked candidate join + literal-sum scoring
+    "x133_record_linkage" -> 680)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

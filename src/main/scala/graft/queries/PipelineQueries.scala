@@ -5093,7 +5093,83 @@ object PipelineQueries extends QueryPack {
                  JOIN ends USING (w2) CROSS JOIN ty)
         SELECT doc_id, count(*) AS n_bigrams,
           round(-(CAST(sum(lp) AS DOUBLE) / count(*)), 4) AS avg_nll
-        FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+        FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- Fellegi-Sunter probabilistic record linkage (JASA 1969):
+    //      entity resolution over STRUCTURED records — blocked candidate
+    //      join + pinned integer micro log-weights, thresholded into
+    //      match/possible/non_match. The right side is a deterministic
+    //      perturbed twin of customer (case flips, segment loss, balance
+    //      drift), so the oracle replays end to end. Balance tiers use a
+    //      +100000-shift before integer division: cents go negative and
+    //      Spark's div truncates toward zero while DuckDB's // floors --
+    Q("x133_record_linkage",
+      (s, dir) => {
+        import graft.operators.RecordLinkage
+        import graft.operators.RecordLinkage.FieldWeight
+        val c = t(s, dir, "customer").select(
+          col("c_custkey").as("cid"), col("c_nationkey"),
+          substring(col("c_name"), 10, 7).as("blk"),
+          col("c_name").as("name"), col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+        val pert = c.select(col("cid"), col("c_nationkey"), col("blk"),
+          when(col("cid") % 3 === 0, upper(col("name")))
+            .otherwise(col("name")).as("name"),
+          when(col("cid") % 6 === 0, lit("UNKNOWN"))
+            .otherwise(col("seg")).as("seg"),
+          (col("cents") + when(col("cid") % 7 === 0, lit(50L))
+            .otherwise(lit(0L))).as("cents"))
+        val fields = Seq(
+          FieldWeight("name", col("name_l") === col("name_r"),
+            2944439L, -2944439L),                   // m=.95 u=.05
+          FieldWeight("seg", col("seg_l") === col("seg_r"),
+            1504077L, -2079442L),                   // m=.90 u=.20
+          FieldWeight("bal",
+            abs(col("cents_l") - col("cents_r")) <= 10,
+            3860730L, -2975530L),                   // m=.95 u=.02
+          FieldWeight("tier",
+            expr("(cents_l + 100000) div 100000") ===
+              expr("(cents_r + 100000) div 100000"),
+            2197225L, -2197225L))                   // m=.90 u=.10
+        RecordLinkage.linkScored(c, pert, "cid",
+          Seq("c_nationkey", "blk"), fields,
+          upperMicro = 5000000L, lowerMicro = 0L)
+          .orderBy(col("id_l"), col("id_r"))
+      },
+      Some("""WITH c AS (SELECT c_custkey AS cid, c_nationkey,
+          substr(c_name, 10, 7) AS blk, c_name AS name,
+          c_mktsegment AS seg,
+          CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        p AS (SELECT cid, c_nationkey, blk,
+          CASE WHEN cid % 3 = 0 THEN upper(name) ELSE name END AS name,
+          CASE WHEN cid % 6 = 0 THEN 'UNKNOWN' ELSE seg END AS seg,
+          cents + CASE WHEN cid % 7 = 0 THEN 50 ELSE 0 END AS cents
+          FROM c),
+        j AS (SELECT l.cid AS id_l, r.cid AS id_r, l.name AS name_l,
+          r.name AS name_r, l.seg AS seg_l, r.seg AS seg_r,
+          l.cents AS cents_l, r.cents AS cents_r
+          FROM c l JOIN p r
+            ON l.c_nationkey = r.c_nationkey AND l.blk = r.blk),
+        b AS (SELECT id_l, id_r,
+          CASE WHEN name_l = name_r THEN 1 ELSE 0 END AS name_agree,
+          CASE WHEN seg_l = seg_r THEN 1 ELSE 0 END AS seg_agree,
+          CASE WHEN abs(cents_l - cents_r) <= 10 THEN 1 ELSE 0
+            END AS bal_agree,
+          CASE WHEN (cents_l + 100000) // 100000 =
+                    (cents_r + 100000) // 100000 THEN 1 ELSE 0
+            END AS tier_agree FROM j),
+        sc AS (SELECT *,
+          CASE WHEN name_agree = 1 THEN 2944439 ELSE -2944439 END
+          + CASE WHEN seg_agree = 1 THEN 1504077 ELSE -2079442 END
+          + CASE WHEN bal_agree = 1 THEN 3860730 ELSE -2975530 END
+          + CASE WHEN tier_agree = 1 THEN 2197225 ELSE -2197225 END
+            AS score_micro FROM b)
+        SELECT id_l, id_r, name_agree, seg_agree, bal_agree, tier_agree,
+          CAST(score_micro AS BIGINT) AS score_micro,
+          CASE WHEN score_micro >= 5000000 THEN 'match'
+               WHEN score_micro >= 0 THEN 'possible'
+               ELSE 'non_match' END AS decision
+        FROM sc ORDER BY id_l, id_r"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

@@ -495,7 +495,11 @@ class ScaleSpec extends SparkSpec {
       // x132: bigram-type agg + ctx/ends vocab aggs + scoring joins +
       // per-doc agg — measured 6 (x40's class + one more vocab agg;
       // the bigram stream and type table persist via CacheScope)
-      "x132_kneser_ney_nll" -> 6)
+      "x132_kneser_ney_nll" -> 6,
+      // x133: ONE blocked candidate equi-join (broadcast at this SF;
+      // block-key shuffle at scale) + per-row literal sums + the sort —
+      // measured 1
+      "x133_record_linkage" -> 1)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
