@@ -228,7 +228,9 @@ object Bench {
     // x132 = x40's corpus-bigram class + vocab-sized KN count joins
     "x132_kneser_ney_nll" -> 1180,
     // x133 = one blocked candidate join + literal-sum scoring
-    "x133_record_linkage" -> 680)
+    "x133_record_linkage" -> 680,
+    // x134 = K user-keyed stage aggs over the persisted slim events
+    "x134_funnel" -> 660)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

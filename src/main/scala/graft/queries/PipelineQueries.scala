@@ -5169,7 +5169,47 @@ object PipelineQueries extends QueryPack {
           CASE WHEN score_micro >= 5000000 THEN 'match'
                WHEN score_micro >= 0 THEN 'possible'
                ELSE 'non_match' END AS decision
-        FROM sc ORDER BY id_l, id_r"""))
+        FROM sc ORDER BY id_l, id_r""")),
+
+    // ---- ordered funnel (view -> click -> purchase, 72 h conversion
+    //      window from entry): first-completion stage times via
+    //      user-keyed min-aggs — no windows, no per-user sorts; the
+    //      funnel chart's exact reach + step/overall conversion --------
+    Q("x134_funnel",
+      (s, dir) => graft.operators.Funnel.firstCompletion(s,
+        t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowHours = 72)
+        .orderBy(col("stage_idx")),
+      Some("""WITH e AS (SELECT user_id AS u, ts, event_type AS et
+               FROM events
+               WHERE event_type IN ('view', 'click', 'purchase')),
+        s1 AS (SELECT u, min(ts) AS t,
+               min(ts) + INTERVAL 72 HOUR AS deadline
+               FROM e WHERE et = 'view' GROUP BY u),
+        s2 AS (SELECT e.u, min(e.ts) AS t, max(s1.deadline) AS deadline
+               FROM e JOIN s1 ON e.u = s1.u
+               WHERE e.et = 'click' AND e.ts > s1.t
+                 AND e.ts <= s1.deadline
+               GROUP BY e.u),
+        s3 AS (SELECT e.u, min(e.ts) AS t
+               FROM e JOIN s2 ON e.u = s2.u
+               WHERE e.et = 'purchase' AND e.ts > s2.t
+                 AND e.ts <= s2.deadline
+               GROUP BY e.u),
+        n AS (SELECT 1 AS stage_idx, 'view' AS stage,
+                count(*) AS n_users FROM s1
+              UNION ALL SELECT 2, 'click', count(*) FROM s2
+              UNION ALL SELECT 3, 'purchase', count(*) FROM s3),
+        t1 AS (SELECT n_users AS n_top FROM n WHERE stage_idx = 1)
+        SELECT n.stage_idx, n.stage, CAST(n.n_users AS BIGINT) AS n_users,
+          CAST(CASE WHEN coalesce(p.n_users, n.n_users) > 0
+               THEN n.n_users * 1000000 // coalesce(p.n_users, n.n_users)
+               ELSE 0 END AS BIGINT) AS conv_vs_prev_micro,
+          CAST(CASE WHEN t1.n_top > 0
+               THEN n.n_users * 1000000 // t1.n_top
+               ELSE 0 END AS BIGINT) AS conv_vs_top_micro
+        FROM n LEFT JOIN n p ON n.stage_idx = p.stage_idx + 1
+        CROSS JOIN t1 ORDER BY n.stage_idx"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

@@ -153,7 +153,10 @@ class ScaleSpec extends SparkSpec {
       "x125_source_similarity",
       // x132: the bigram-type-count scalar T attaches via an explicit
       // single-row broadcast — x25/x40's 1-row shape
-      "x132_kneser_ney_nll")
+      "x132_kneser_ney_nll",
+      // x134: the 1-row funnel-entry count cross-joins the K-row report
+      // frame via an explicit single-row broadcast — x25/x40's shape
+      "x134_funnel")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -499,7 +502,12 @@ class ScaleSpec extends SparkSpec {
       // x133: ONE blocked candidate equi-join (broadcast at this SF;
       // block-key shuffle at scale) + per-row literal sums + the sort —
       // measured 1
-      "x133_record_linkage" -> 1)
+      "x133_record_linkage" -> 1,
+      // x134: three user-keyed stage aggs + two stage joins over the
+      // persisted slim events projection, then K-row report frames
+      // (three 1-row count aggs + the prev/top joins) — measured 12,
+      // every exchange either user-keyed or report-sized
+      "x134_funnel" -> 12)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
