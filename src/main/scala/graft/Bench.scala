@@ -230,7 +230,9 @@ object Bench {
     // x133 = one blocked candidate join + literal-sum scoring
     "x133_record_linkage" -> 680,
     // x134 = K user-keyed stage aggs over the persisted slim events
-    "x134_funnel" -> 660)
+    "x134_funnel" -> 660,
+    // x135 = first-event agg + (user,week) distinct + cohort joins
+    "x135_cohort_retention" -> 550)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

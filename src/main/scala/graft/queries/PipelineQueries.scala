@@ -5209,7 +5209,34 @@ object PipelineQueries extends QueryPack {
                THEN n.n_users * 1000000 // t1.n_top
                ELSE 0 END AS BIGINT) AS conv_vs_top_micro
         FROM n LEFT JOIN n p ON n.stage_idx = p.stage_idx + 1
-        CROSS JOIN t1 ORDER BY n.stage_idx"""))
+        CROSS JOIN t1 ORDER BY n.stage_idx""")),
+
+    // ---- weekly cohort retention (the growth-dashboard triangle):
+    //      cohort = Monday-start week of a user's first event; cell
+    //      (cohort, k) = users active in offset week k ------------------
+    Q("x135_cohort_retention",
+      (s, dir) => graft.operators.Retention.weeklyCohorts(
+        t(s, dir, "events"), "user_id", "ts")
+        .orderBy(col("cohort_week"), col("week_offset")),
+      Some("""WITH f AS (SELECT user_id AS u,
+               CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+               FROM events GROUP BY user_id),
+        a AS (SELECT DISTINCT user_id AS u,
+               CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        sz AS (SELECT cohort_week, count(*) AS cohort_size
+               FROM f GROUP BY cohort_week),
+        m AS (SELECT f.cohort_week,
+               CAST(datediff('day', f.cohort_week, a.week) // 7 AS INT)
+                 AS week_offset,
+               count(*) AS n_active
+               FROM a JOIN f ON a.u = f.u
+               GROUP BY f.cohort_week, 2)
+        SELECT CAST(m.cohort_week AS VARCHAR) AS cohort_week,
+          m.week_offset, CAST(m.n_active AS BIGINT) AS n_active,
+          CAST(m.n_active * 1000000 // sz.cohort_size AS BIGINT)
+            AS retention_micro
+        FROM m JOIN sz ON m.cohort_week = sz.cohort_week
+        ORDER BY cohort_week, week_offset"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

@@ -507,7 +507,11 @@ class ScaleSpec extends SparkSpec {
       // persisted slim events projection, then K-row report frames
       // (three 1-row count aggs + the prev/top joins) — measured 12,
       // every exchange either user-keyed or report-sized
-      "x134_funnel" -> 12)
+      "x134_funnel" -> 12,
+      // x135: first-event user agg, (user,week) distinct, the user-keyed
+      // cohort join, the (cohort,offset) agg, and the weeks-sized size
+      // join — measured 6
+      "x135_cohort_retention" -> 6)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
