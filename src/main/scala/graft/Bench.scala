@@ -232,7 +232,9 @@ object Bench {
     // x134 = K user-keyed stage aggs over the persisted slim events
     "x134_funnel" -> 660,
     // x135 = first-event agg + (user,week) distinct + cohort joins
-    "x135_cohort_retention" -> 550)
+    "x135_cohort_retention" -> 550,
+    // x136 = one per-row md5 argmax pass + one matrix agg
+    "x136_shard_rebalance" -> 470)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5236,7 +5236,43 @@ object PipelineQueries extends QueryPack {
           CAST(m.n_active * 1000000 // sz.cohort_size AS BIGINT)
             AS retention_micro
         FROM m JOIN sz ON m.cohort_week = sz.cohort_week
-        ORDER BY cohort_week, week_offset"""))
+        ORDER BY cohort_week, week_offset""")),
+
+    // ---- shard rebalancing plan (Thaler-Ravishankar HRW/rendezvous
+    //      vs naive mod-hash, 12 -> 16 shards): the movement matrix a
+    //      100 TB re-partition quotes before touching data — HRW moves
+    //      ONLY keys won by a new shard (~(M-N)/M); mod remaps nearly
+    //      everything -------------------------------------------------
+    Q("x136_shard_rebalance",
+      (s, dir) => graft.operators.Sharding.rebalancePlan(
+        t(s, dir, "documents"), "doc_id", nOld = 12, nNew = 16)
+        .orderBy(col("strategy"), col("old_shard"), col("new_shard")),
+      Some("""WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS id
+               FROM documents),
+        a AS (SELECT
+          CAST(('0x' || substr(md5(id), 1, 8))::BIGINT % 12 AS INT)
+            AS mod_old,
+          CAST(('0x' || substr(md5(id), 1, 8))::BIGINT % 16 AS INT)
+            AS mod_new,
+          CAST(list_position(l12, list_aggregate(l12, 'max')) - 1 AS INT)
+            AS hrw_old,
+          CAST(list_position(l16, list_aggregate(l16, 'max')) - 1 AS INT)
+            AS hrw_new
+          FROM (SELECT id,
+            list_transform(range(12),
+              s -> md5(id || ':' || CAST(s AS VARCHAR))) AS l12,
+            list_transform(range(16),
+              s -> md5(id || ':' || CAST(s AS VARCHAR))) AS l16
+            FROM ids)),
+        m AS (SELECT 'mod' AS strategy, mod_old AS old_shard,
+                mod_new AS new_shard FROM a
+              UNION ALL
+              SELECT 'hrw', hrw_old, hrw_new FROM a)
+        SELECT strategy, old_shard, new_shard,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          old_shard <> new_shard AS moved
+        FROM m GROUP BY strategy, old_shard, new_shard
+        ORDER BY strategy, old_shard, new_shard"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

@@ -511,7 +511,11 @@ class ScaleSpec extends SparkSpec {
       // x135: first-event user agg, (user,week) distinct, the user-keyed
       // cohort join, the (cohort,offset) agg, and the weeks-sized size
       // join — measured 6
-      "x135_cohort_retention" -> 6)
+      "x135_cohort_retention" -> 6,
+      // x136: one per-row assignment pass (O(M) md5 argmax on a
+      // literal-sized shard list) + the (strategy,old,new) matrix agg +
+      // the sort — measured 2
+      "x136_shard_rebalance" -> 2)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
