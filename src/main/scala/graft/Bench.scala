@@ -234,7 +234,9 @@ object Bench {
     // x135 = first-event agg + (user,week) distinct + cohort joins
     "x135_cohort_retention" -> 550,
     // x136 = one per-row md5 argmax pass + one matrix agg
-    "x136_shard_rebalance" -> 470)
+    "x136_shard_rebalance" -> 470,
+    // x137 = one key-count agg + count-table-sized report sections
+    "x137_skew_profile" -> 810)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

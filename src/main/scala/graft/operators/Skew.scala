@@ -53,4 +53,53 @@ object Skew {
         }: _*)
       .drop("__salt")
   }
+
+  /** Join-skew DIAGNOSIS — the profile run before picking a remedy
+    * above: simulate hash-partitioning `keyCol` into `partitions`
+    * buckets (portable md5 bucket, not engine-internal murmur — the
+    * RELATIVE load picture is what the decision needs) and report
+    *
+    *  - `key` rows: the topK heaviest keys with their corpus share —
+    *    candidates for broadcast/salt special-casing,
+    *  - `bucket` rows: per-bucket load as a ratio to the mean
+    *    (metric_micro = n·P·10⁶ / total; 10⁶ = exactly mean),
+    *  - one `summary` row: the max bucket ratio — "the hottest
+    *    partition runs X× the mean", the number that predicts the
+    *    straggler before the join runs.
+    *
+    * Scale shape: ONE key-count aggregation (map-side combined,
+    * key-cardinality-sized output, persisted via the CacheScope knob —
+    * three consumers); top keys via sort-limit (TakeOrdered); buckets
+    * re-aggregate the count table, not the corpus; the total rides a
+    * 1-row broadcast. Metrics are truncating BIGINT micro divisions. */
+  def keyProfile(df: DataFrame, keyCol: String, partitions: Int,
+      topK: Int, scope: Option[CacheScope] = None): DataFrame = {
+    require(partitions >= 2, s"bad partition count $partitions")
+    require(topK >= 1, s"bad topK $topK")
+    val counts = CacheScope.route(scope,
+      df.select(col(keyCol).cast("string").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n")))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val topKeys = counts.orderBy(desc("n"), col("k")).limit(topK)
+      .crossJoin(broadcast(total))
+      .select(lit("key").as("section"), col("k").as("item"),
+        col("n").as("n_rows"),
+        expr("n * 1000000 div total").as("metric_micro"))
+    val buckets = counts
+      .withColumn("bucket", pmod(
+        conv(substring(md5(col("k")), 1, 8), 16, 10).cast("long"),
+        lit(partitions)))
+      .groupBy("bucket").agg(sum(col("n")).as("n"))
+      .crossJoin(broadcast(total))
+      .select(lit("bucket").as("section"),
+        col("bucket").cast("string").as("item"), col("n").as("n_rows"),
+        expr(s"n * $partitions * 1000000 div total").as("metric_micro"))
+    val summary = buckets
+      .groupBy(lit("summary").as("section"))
+      .agg(max(col("n_rows")).as("n_rows"),
+        max(col("metric_micro")).as("metric_micro"))
+      .select(col("section"), lit("max_bucket_vs_mean").as("item"),
+        col("n_rows"), col("metric_micro"))
+    topKeys.unionAll(buckets).unionAll(summary)
+  }
 }

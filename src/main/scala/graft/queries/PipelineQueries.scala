@@ -5272,7 +5272,36 @@ object PipelineQueries extends QueryPack {
           CAST(count(*) AS BIGINT) AS n_rows,
           old_shard <> new_shard AS moved
         FROM m GROUP BY strategy, old_shard, new_shard
-        ORDER BY strategy, old_shard, new_shard"""))
+        ORDER BY strategy, old_shard, new_shard""")),
+
+    // ---- join-skew profile of a LOW-CARDINALITY key (event_type into
+    //      32 hash buckets): top keys by share, per-bucket load vs
+    //      mean, and the max-bucket straggler factor — the diagnosis
+    //      run before choosing broadcast/salting/AQE ------------------
+    Q("x137_skew_profile",
+      (s, dir) => graft.operators.Skew.keyProfile(
+        t(s, dir, "events"), "event_type", partitions = 32, topK = 5)
+        .orderBy(col("section"), col("item")),
+      Some("""WITH c AS (SELECT CAST(event_type AS VARCHAR) AS k,
+               count(*) AS n FROM events GROUP BY 1),
+        t AS (SELECT sum(n) AS total FROM c),
+        tk AS (SELECT 'key' AS section, k AS item, n AS n_rows,
+               n * 1000000 // total AS metric_micro
+               FROM c CROSS JOIN t ORDER BY n DESC, k LIMIT 5),
+        b AS (SELECT ('0x' || substr(md5(k), 1, 8))::BIGINT % 32
+                 AS bucket, sum(n) AS n FROM c GROUP BY 1),
+        bk AS (SELECT 'bucket' AS section, CAST(bucket AS VARCHAR)
+                 AS item, n AS n_rows,
+               n * 32 * 1000000 // total AS metric_micro
+               FROM b CROSS JOIN t),
+        sm AS (SELECT 'summary' AS section, 'max_bucket_vs_mean' AS item,
+               max(n_rows) AS n_rows, max(metric_micro) AS metric_micro
+               FROM bk)
+        SELECT section, item, CAST(n_rows AS BIGINT) AS n_rows,
+          CAST(metric_micro AS BIGINT) AS metric_micro
+        FROM (SELECT * FROM tk UNION ALL SELECT * FROM bk
+              UNION ALL SELECT * FROM sm)
+        ORDER BY section, item"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

@@ -156,7 +156,10 @@ class ScaleSpec extends SparkSpec {
       "x132_kneser_ney_nll",
       // x134: the 1-row funnel-entry count cross-joins the K-row report
       // frame via an explicit single-row broadcast — x25/x40's shape
-      "x134_funnel")
+      "x134_funnel",
+      // x137: the 1-row key-count total cross-joins the key-cardinality
+      // count table via explicit single-row broadcasts — x25/x40's shape
+      "x137_skew_profile")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -515,7 +518,11 @@ class ScaleSpec extends SparkSpec {
       // x136: one per-row assignment pass (O(M) md5 argmax on a
       // literal-sized shard list) + the (strategy,old,new) matrix agg +
       // the sort — measured 2
-      "x136_shard_rebalance" -> 2)
+      "x136_shard_rebalance" -> 2,
+      // x137: the key-count agg (persisted — three consumers), total
+      // agg, TakeOrdered top keys, bucket agg + summary agg, final sort
+      // — measured 8, all over the count table, never the corpus twice
+      "x137_skew_profile" -> 8)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
