@@ -236,7 +236,9 @@ object Bench {
     // x136 = one per-row md5 argmax pass + one matrix agg
     "x136_shard_rebalance" -> 470,
     // x137 = one key-count agg + count-table-sized report sections
-    "x137_skew_profile" -> 810)
+    "x137_skew_profile" -> 810,
+    // x138 = one hourly agg + the hours-sized offset self-join
+    "x138_rate_anomalies" -> 800)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

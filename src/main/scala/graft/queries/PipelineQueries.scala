@@ -5301,7 +5301,45 @@ object PipelineQueries extends QueryPack {
           CAST(metric_micro AS BIGINT) AS metric_micro
         FROM (SELECT * FROM tk UNION ALL SELECT * FROM bk
               UNION ALL SELECT * FROM sm)
-        ORDER BY section, item"""))
+        ORDER BY section, item""")),
+
+    // ---- hourly error-rate anomaly flags (trailing-24h z-test, z=3,
+    //      min 12 baseline hours): the z^2 comparison multiplies
+    //      through by c^2 so the WHOLE test is integer arithmetic —
+    //      engine-exact flags, no doubles --------------------------
+    Q("x138_rate_anomalies",
+      (s, dir) => graft.operators.Anomaly.hourlyRateSpikes(
+        t(s, dir, "events"), "ts", "event_type", "error")
+        .orderBy(col("hour")),
+      Some("""WITH h AS (SELECT date_trunc('hour', ts) AS hour,
+               count(*) AS n_events,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 AS n_matched
+               FROM events GROUP BY 1),
+        h2 AS (SELECT hour, CAST(n_events AS BIGINT) AS n_events,
+               CAST(n_matched AS BIGINT) AS n_matched,
+               CAST(n_matched * 1000000 // n_events AS BIGINT)
+                 AS share_micro,
+               epoch(hour) AS ep FROM h),
+        o AS (SELECT ep, ep - k * 3600 AS b_ep
+              FROM h2 CROSS JOIN unnest(range(1, 25)) AS t(k)),
+        b AS (SELECT o.ep, CAST(count(*) AS BIGINT) AS baseline_hours,
+              CAST(sum(x.share_micro) AS BIGINT) AS s1,
+              CAST(sum(x.share_micro * x.share_micro) AS BIGINT) AS s2
+              FROM o JOIN h2 x ON o.b_ep = x.ep GROUP BY o.ep)
+        SELECT CAST(h2.hour AS VARCHAR) AS hour, h2.n_events,
+          h2.n_matched, h2.share_micro,
+          coalesce(b.baseline_hours, 0) AS baseline_hours,
+          CAST(CASE WHEN coalesce(b.baseline_hours, 0) > 0
+               THEN b.s1 // b.baseline_hours ELSE 0 END AS BIGINT)
+            AS baseline_mean_micro,
+          (coalesce(b.baseline_hours, 0) >= 12
+           AND b.baseline_hours * h2.share_micro > b.s1
+           AND (b.baseline_hours * h2.share_micro - b.s1) *
+               (b.baseline_hours * h2.share_micro - b.s1) >
+               9 * (b.baseline_hours * b.s2 - b.s1 * b.s1)) AS flag
+        FROM h2 LEFT JOIN b ON h2.ep = b.ep
+        ORDER BY hour"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

@@ -522,7 +522,11 @@ class ScaleSpec extends SparkSpec {
       // x137: the key-count agg (persisted — three consumers), total
       // agg, TakeOrdered top keys, bucket agg + summary agg, final sort
       // — measured 8, all over the count table, never the corpus twice
-      "x137_skew_profile" -> 8)
+      "x137_skew_profile" -> 8,
+      // x138: the corpus hourly agg (persisted), the exploded-offset
+      // epoch equi-join + baseline re-agg, the left join back, the sort
+      // — measured 4, every exchange over the hours-bounded frame
+      "x138_rate_anomalies" -> 4)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
