@@ -238,7 +238,12 @@ object Bench {
     // x137 = one key-count agg + count-table-sized report sections
     "x137_skew_profile" -> 810,
     // x138 = one hourly agg + the hours-sized offset self-join
-    "x138_rate_anomalies" -> 800)
+    "x138_rate_anomalies" -> 800,
+    // x139 = two corpus passes collapsing to labels x dims partials
+    "x139_embedding_geometry" -> 710,
+    // x140 = one min/max agg + one (column, value) NDV agg over a
+    // 6-column stack of lineitem
+    "x140_column_profile" -> 1140)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ANALYZE-style column profiler — the first query anyone runs against
+  * an unfamiliar 100 TB table: per column, row/null/distinct counts,
+  * native-order min/max, average rendered length, and the modal value
+  * with its count. One row per profiled column.
+  *
+  * Columns are profiled as (name, expression) pairs so the caller
+  * controls the string rendering: min/max are computed in the
+  * expression's NATIVE type (numeric order, not lexicographic) and cast
+  * to string only for the report; distinct/mode/length work on the cast
+  * string. Float columns should be pre-quantized by the caller (e.g.
+  * `round(x*100) AS BIGINT` cents) — double-to-string formatting is not
+  * portable across engines, everything else here is.
+  *
+  * Scale shape: one corpus agg for min/max (a single row), one corpus
+  * stack -> (column, value) count aggregation (map-side combined; the
+  * shuffle is sized by the sum of per-column distinct counts, the same
+  * cost ANALYZE pays for exact NDV), then column-sized rollups. The
+  * mode is the two-stage max-count + equi-join form — a window
+  * partitioned by only k column names would funnel each column's whole
+  * distinct set through one task at scale. The count table feeds three
+  * consumers and persists via the CacheScope knob. avg_len_micro is a
+  * truncating BIGINT product — exact while total rendered chars per
+  * column stay under ~9*10^12 (terabytes of text in ONE column;
+  * document-scale tables hit the distinct-shuffle wall long before).
+  *
+  * Output: (column_name, n_rows, n_null, n_distinct, min_value,
+  * max_value, avg_len_micro, mode_value, mode_count) — mode ties break
+  * to the smallest string; all-null columns report null min/max/mode,
+  * mode_count 0, avg_len_micro 0. */
+object Profiler {
+
+  def profile(df: DataFrame, cols: Seq[(String, Column)],
+      scope: Option[CacheScope] = None): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    require(cols.map(_._1).distinct.size == cols.size,
+      s"duplicate profile names in ${cols.map(_._1)}")
+    // pass A: native-type min/max, one row, then unpivot to per-column
+    val mmAggs = cols.flatMap { case (n, c) => Seq(
+      min(c).cast("string").as(s"min__$n"),
+      max(c).cast("string").as(s"max__$n")) }
+    val mm = df.agg(mmAggs.head, mmAggs.tail: _*)
+      .select(stack((lit(cols.size) +: cols.flatMap { case (n, _) => Seq(
+        lit(n), col(s"min__$n"), col(s"max__$n")) }): _*)
+        .as(Seq("column_name", "min_value", "max_value")))
+    // pass B: (column, rendered value) counts — the NDV/mode/length base
+    val g = CacheScope.route(scope, df
+      .select(stack((lit(cols.size) +: cols.flatMap { case (n, c) => Seq(
+        lit(n), c.cast("string")) }): _*).as(Seq("column_name", "value")))
+      .groupBy("column_name", "value")
+      .agg(count(lit(1)).as("c")))
+    val rollup = g.groupBy("column_name")
+      .agg(sum(col("c")).as("n_rows"),
+        sum(when(col("value").isNull, col("c")).otherwise(0L)).as("n_null"),
+        count(when(col("value").isNotNull, lit(1))).as("n_distinct"),
+        sum(when(col("value").isNotNull, col("c") * length(col("value")))
+          .otherwise(0L)).as("total_len"))
+      .withColumn("avg_len_micro",
+        when(col("n_rows") > col("n_null"),
+          expr("total_len * 1000000 div (n_rows - n_null)"))
+          .otherwise(lit(0L)))
+      .drop("total_len")
+    val nonNull = g.filter(col("value").isNotNull)
+    val maxc = nonNull.groupBy("column_name").agg(max(col("c")).as("maxc"))
+    val mode = nonNull
+      .join(maxc, Seq("column_name"))
+      .filter(col("c") === col("maxc"))
+      .groupBy("column_name")
+      .agg(min(col("value")).as("mode_value"), max(col("c")).as("mode_count"))
+    rollup
+      .join(mm, Seq("column_name"))
+      .join(mode, Seq("column_name"), "left")
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_value"), col("max_value"),
+        col("avg_len_micro"), col("mode_value"),
+        coalesce(col("mode_count"), lit(0L)).as("mode_count"))
+  }
+}

@@ -5339,7 +5339,115 @@ object PipelineQueries extends QueryPack {
                (b.baseline_hours * h2.share_micro - b.s1) >
                9 * (b.baseline_hours * b.s2 - b.s1 * b.s1)) AS flag
         FROM h2 LEFT JOIN b ON h2.ep = b.ep
-        ORDER BY hour"""))
+        ORDER BY hour""")),
+
+    // ---- embedding-space geometry: per-label per-dim mean/variance +
+    //      the anisotropy ratio ||mu||^2 / E||x||^2 — every element
+    //      quantized to the 1e-4 grid FIRST, then pure BIGINT two-pass
+    //      variance (S2 reconstructed exactly from the centered SS) --
+    Q("x139_embedding_geometry",
+      (s, dir) => graft.operators.EmbeddingGeometry.report(
+        t(s, dir, "embeddings"), "embedding", "label")
+        .orderBy(col("label"), col("dim")),
+      Some("""WITH x AS (SELECT label, CAST(i AS BIGINT) AS dim,
+          CAST(round(CAST(embedding[i+1] AS DOUBLE) * 10000) AS BIGINT)
+            AS e
+          FROM embeddings, unnest(range(len(embedding))) AS u(i)),
+        p1 AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vecs,
+            CAST(sum(e) AS BIGINT) AS s1 FROM x GROUP BY 1, 2),
+        p1m AS (SELECT *, s1 // n_vecs AS m FROM p1),
+        st AS (SELECT x.label, x.dim, p.n_vecs, p.s1, p.m,
+            CAST(sum((x.e - p.m) * (x.e - p.m)) AS BIGINT) AS ss
+          FROM x JOIN p1m p ON x.label = p.label AND x.dim = p.dim
+          GROUP BY 1, 2, 3, 4, 5),
+        st2 AS (SELECT *, ss + 2 * m * s1 - n_vecs * m * m AS s2
+          FROM st),
+        d AS (SELECT label, dim, n_vecs, m AS mean_e4,
+            ss // n_vecs AS var_e8, CAST(NULL AS BIGINT) AS aniso_micro
+          FROM st2),
+        g AS (SELECT label, CAST(-1 AS BIGINT) AS dim,
+            max(n_vecs) AS n_vecs, CAST(NULL AS BIGINT) AS mean_e4,
+            CAST(NULL AS BIGINT) AS var_e8,
+            CASE WHEN sum(s2) // max(n_vecs) > 0
+              THEN sum(m * m) * 1000000 // (sum(s2) // max(n_vecs))
+              ELSE 0 END AS aniso_micro
+          FROM st2 GROUP BY 1)
+        SELECT label, dim, n_vecs, CAST(mean_e4 AS BIGINT) AS mean_e4,
+          CAST(var_e8 AS BIGINT) AS var_e8,
+          CAST(aniso_micro AS BIGINT) AS aniso_micro
+        FROM (SELECT * FROM d UNION ALL SELECT * FROM g)
+        ORDER BY label, dim""")),
+
+    // ---- ANALYZE-style column profile of lineitem: counts, exact NDV,
+    //      native-order min/max, avg rendered length, modal value —
+    //      floats pre-quantized to cents (double-to-string is the one
+    //      non-portable rendering; everything else is) ---------------
+    Q("x140_column_profile",
+      (s, dir) => graft.operators.Profiler.profile(
+        t(s, dir, "lineitem"), Seq(
+          "l_orderkey" -> col("l_orderkey"),
+          "l_linenumber" -> col("l_linenumber"),
+          "l_extendedprice_cents" ->
+            round(col("l_extendedprice") * 100).cast("long"),
+          "l_returnflag" -> col("l_returnflag"),
+          "l_linestatus" -> col("l_linestatus"),
+          "l_shipdate" -> col("l_shipdate")))
+        .orderBy(col("column_name")),
+      Some("""WITH s AS (
+          SELECT 'l_orderkey' AS column_name,
+            CAST(l_orderkey AS VARCHAR) AS value FROM lineitem
+          UNION ALL SELECT 'l_linenumber',
+            CAST(l_linenumber AS VARCHAR) FROM lineitem
+          UNION ALL SELECT 'l_extendedprice_cents',
+            CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+            FROM lineitem
+          UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+          UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+          UNION ALL SELECT 'l_shipdate',
+            CAST(l_shipdate AS VARCHAR) FROM lineitem),
+        mm AS (
+          SELECT 'l_orderkey' AS column_name,
+            CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+            CAST(max(l_orderkey) AS VARCHAR) AS max_value FROM lineitem
+          UNION ALL SELECT 'l_linenumber',
+            CAST(min(l_linenumber) AS VARCHAR),
+            CAST(max(l_linenumber) AS VARCHAR) FROM lineitem
+          UNION ALL SELECT 'l_extendedprice_cents',
+            CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS VARCHAR),
+            CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS VARCHAR) FROM lineitem
+          UNION ALL SELECT 'l_returnflag', min(l_returnflag),
+            max(l_returnflag) FROM lineitem
+          UNION ALL SELECT 'l_linestatus', min(l_linestatus),
+            max(l_linestatus) FROM lineitem
+          UNION ALL SELECT 'l_shipdate', CAST(min(l_shipdate) AS VARCHAR),
+            CAST(max(l_shipdate) AS VARCHAR) FROM lineitem),
+        g AS (SELECT column_name, value, CAST(count(*) AS BIGINT) AS c
+          FROM s GROUP BY 1, 2),
+        r AS (SELECT column_name, CAST(sum(c) AS BIGINT) AS n_rows,
+            CAST(coalesce(sum(c) FILTER (WHERE value IS NULL), 0)
+              AS BIGINT) AS n_null,
+            CAST(count(*) FILTER (WHERE value IS NOT NULL) AS BIGINT)
+              AS n_distinct,
+            CAST(CASE WHEN count(*) FILTER (WHERE value IS NOT NULL) > 0
+              THEN sum(c * length(value)) * 1000000 //
+                (sum(c) - coalesce(sum(c) FILTER (WHERE value IS NULL), 0))
+              ELSE 0 END AS BIGINT) AS avg_len_micro
+          FROM g GROUP BY 1),
+        mx AS (SELECT column_name, max(c) AS maxc FROM g
+          WHERE value IS NOT NULL GROUP BY 1),
+        md AS (SELECT g.column_name, min(g.value) AS mode_value,
+            CAST(max(g.c) AS BIGINT) AS mode_count
+          FROM g JOIN mx ON g.column_name = mx.column_name
+            AND g.c = mx.maxc
+          WHERE g.value IS NOT NULL GROUP BY 1)
+        SELECT r.column_name, r.n_rows, r.n_null, r.n_distinct,
+          mm.min_value, mm.max_value, r.avg_len_micro, md.mode_value,
+          coalesce(md.mode_count, 0) AS mode_count
+        FROM r JOIN mm USING (column_name)
+        LEFT JOIN md USING (column_name)
+        ORDER BY column_name"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

@@ -526,7 +526,15 @@ class ScaleSpec extends SparkSpec {
       // x138: the corpus hourly agg (persisted), the exploded-offset
       // epoch equi-join + baseline re-agg, the left join back, the sort
       // — measured 4, every exchange over the hours-bounded frame
-      "x138_rate_anomalies" -> 4)
+      "x138_rate_anomalies" -> 4,
+      // x139: two corpus-pass aggs (each collapsing map-side to
+      // labels x dims partials; means join back by broadcast), the
+      // tiny group rollup, the final sort — measured 4
+      "x139_embedding_geometry" -> 4,
+      // x140: the min/max single-row agg, the (column, value) count agg
+      // (persisted — three consumers), rollup + maxc + mode-join aggs,
+      // the final sort — measured 6, only the count agg is corpus-sized
+      "x140_column_profile" -> 6)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
