@@ -243,7 +243,10 @@ object Bench {
     "x139_embedding_geometry" -> 710,
     // x140 = one min/max agg + one (column, value) NDV agg over a
     // 6-column stack of lineitem
-    "x140_column_profile" -> 1140)
+    "x140_column_profile" -> 1140,
+    // x141 = basket distinct + guard/total counts + the bounded
+    // within-basket pair self-join
+    "x141_frequent_pairs" -> 1530)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

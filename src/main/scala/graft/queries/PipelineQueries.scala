@@ -5447,7 +5447,39 @@ object PipelineQueries extends QueryPack {
           coalesce(md.mode_count, 0) AS mode_count
         FROM r JOIN mm USING (column_name)
         LEFT JOIN md USING (column_name)
-        ORDER BY column_name"""))
+        ORDER BY column_name""")),
+
+    // ---- market-basket brand pairs: Apriori 2-itemsets over orders
+    //      (baskets = orders, items = part brands via the broadcast dim
+    //      join) — support/confidence/lift in truncating micro --------
+    Q("x141_frequent_pairs",
+      (s, dir) => graft.operators.Baskets.frequentPairs(
+        t(s, dir, "lineitem").join(
+          broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand")),
+        "l_orderkey", "p_brand")
+        .orderBy(col("item1"), col("item2")),
+      Some("""WITH b AS (SELECT DISTINCT l.l_orderkey AS bk,
+            p.p_brand AS it
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        n AS (SELECT count(DISTINCT bk) AS nb FROM b),
+        ic AS (SELECT it, CAST(count(*) AS BIGINT) AS c
+          FROM b GROUP BY 1),
+        f AS (SELECT * FROM ic WHERE c >= 2),
+        bf AS (SELECT b.bk, b.it, f.c FROM b JOIN f ON b.it = f.it),
+        p2 AS (SELECT l.it AS item1, r.it AS item2, l.c AS c1,
+            r.c AS c2, CAST(count(*) AS BIGINT) AS pair_count
+          FROM bf l JOIN bf r ON l.bk = r.bk AND l.it < r.it
+          GROUP BY 1, 2, 3, 4)
+        SELECT item1, item2, c1, c2, pair_count,
+          pair_count * 1000000 // nb AS support_micro,
+          pair_count * 1000000 // c1 AS conf12_micro,
+          pair_count * 1000000 // c2 AS conf21_micro,
+          (pair_count * 1000000 // c1) * nb // c2 AS lift_micro
+        FROM p2 CROSS JOIN n
+        WHERE pair_count * 1000000 // nb >= 10000
+        ORDER BY item1, item2"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

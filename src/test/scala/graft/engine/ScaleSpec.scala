@@ -534,7 +534,12 @@ class ScaleSpec extends SparkSpec {
       // x140: the min/max single-row agg, the (column, value) count agg
       // (persisted — three consumers), rollup + maxc + mode-join aggs,
       // the final sort — measured 6, only the count agg is corpus-sized
-      "x140_column_profile" -> 6)
+      "x140_column_profile" -> 6,
+      // x141: the (basket, item) distinct (persisted — five consumers),
+      // item counts + the freq attach, the basket-keyed pair self-join
+      // + pair agg, the final sort — measured 5; the size-guard and
+      // basket-total counts run as separate bounded actions
+      "x141_frequent_pairs" -> 5)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
