@@ -246,7 +246,9 @@ object Bench {
     "x140_column_profile" -> 1140,
     // x141 = basket distinct + guard/total counts + the bounded
     // within-basket pair self-join
-    "x141_frequent_pairs" -> 1530)
+    "x141_frequent_pairs" -> 1530,
+    // x142 = one user-partitioned lead window + the states^2 count agg
+    "x142_event_transitions" -> 600)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

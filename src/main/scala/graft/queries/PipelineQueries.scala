@@ -5479,7 +5479,30 @@ object PipelineQueries extends QueryPack {
           (pair_count * 1000000 // c1) * nb // c2 AS lift_micro
         FROM p2 CROSS JOIN n
         WHERE pair_count * 1000000 // nb >= 10000
-        ORDER BY item1, item2"""))
+        ORDER BY item1, item2""")),
+
+    // ---- first-order Markov transition matrix over the clickstream:
+    //      session-gap-bounded consecutive pairs per user, row-
+    //      normalized probabilities in truncating micro ---------------
+    Q("x142_event_transitions",
+      (s, dir) => graft.operators.Transitions.matrix(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
+        .orderBy(col("from_type"), col("to_type")),
+      Some("""WITH x AS (SELECT user_id, event_type AS from_type,
+            lead(event_type) OVER w AS to_type,
+            epoch_us(ts) AS us, lead(epoch_us(ts)) OVER w AS to_us
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        tr AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+          FROM x
+          WHERE to_type IS NOT NULL AND to_us - us <= 1800000000
+          GROUP BY 1, 2),
+        tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS from_total
+          FROM tr GROUP BY 1)
+        SELECT tr.from_type, tr.to_type, tr.n, tot.from_total,
+          tr.n * 1000000 // tot.from_total AS prob_micro
+        FROM tr JOIN tot USING (from_type)
+        ORDER BY from_type, to_type"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

@@ -539,7 +539,11 @@ class ScaleSpec extends SparkSpec {
       // item counts + the freq attach, the basket-keyed pair self-join
       // + pair agg, the final sort — measured 5; the size-guard and
       // basket-total counts run as separate bounded actions
-      "x141_frequent_pairs" -> 5)
+      "x141_frequent_pairs" -> 5,
+      // x142: the user-partitioned lead window, the (from, to) count
+      // agg (persisted), the states-sized totals join, the final sort
+      // — measured 4
+      "x142_event_transitions" -> 4)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
