@@ -248,7 +248,12 @@ object Bench {
     // within-basket pair self-join
     "x141_frequent_pairs" -> 1530,
     // x142 = one user-partitioned lead window + the states^2 count agg
-    "x142_event_transitions" -> 600)
+    "x142_event_transitions" -> 600,
+    // x143 = the capped exact edge baseline + degree-oriented wedge join
+    "x143_dup_graph_triangles" -> 920,
+    // x144 = one (group, value) count agg + count-table medians + the
+    // broadcast flag join
+    "x144_robust_outliers" -> 1130)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5502,7 +5502,86 @@ object PipelineQueries extends QueryPack {
         SELECT tr.from_type, tr.to_type, tr.n, tot.from_total,
           tr.n * 1000000 // tot.from_total AS prob_micro
         FROM tr JOIN tot USING (from_type)
-        ORDER BY from_type, to_type"""))
+        ORDER BY from_type, to_type""")),
+
+    // ---- triangle census of the cosine near-dup graph: degree-ordered
+    //      orientation (wedges at each triangle's smallest corner,
+    //      O(sqrt m) out-degrees), per-node clustering coefficient —
+    //      low cc on a high-degree node = hub false positive ----------
+    Q("x143_dup_graph_triangles",
+      (s, dir) => graft.operators.Triangles.perNode(
+        Dedup.embeddingNearDups(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.35),
+        "id_a", "id_b")
+        .orderBy(col("id")),
+      Some {
+        val d = dotSql.format("a.embedding", "a.embedding", "b.embedding")
+        val n = dotSql.format("embedding", "embedding", "embedding")
+        s"""WITH e0 AS (SELECT vec_id, embedding, sqrt($n) AS nrm
+              FROM embeddings),
+          ed AS (SELECT a.vec_id AS a, b.vec_id AS b
+            FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+            WHERE round($d / (a.nrm * b.nrm), 4) >= 0.35),
+          deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
+            FROM (SELECT a AS id FROM ed UNION ALL SELECT b FROM ed)
+            GROUP BY 1),
+          o AS (SELECT
+              CASE WHEN (da.degree, ed.a) < (db.degree, ed.b)
+                THEN ed.a ELSE ed.b END AS src,
+              CASE WHEN (da.degree, ed.a) < (db.degree, ed.b)
+                THEN db.degree ELSE da.degree END AS dd,
+              CASE WHEN (da.degree, ed.a) < (db.degree, ed.b)
+                THEN ed.b ELSE ed.a END AS did
+            FROM ed JOIN deg da ON ed.a = da.id
+              JOIN deg db ON ed.b = db.id),
+          wd AS (SELECT w1.src AS u, w1.did AS v, w2.did AS w
+            FROM o w1 JOIN o w2 ON w1.src = w2.src
+              AND (w1.dd, w1.did) < (w2.dd, w2.did)),
+          tr AS (SELECT u, v, w FROM wd
+            JOIN o ON wd.v = o.src AND wd.w = o.did),
+          c AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles
+            FROM (SELECT u AS id FROM tr UNION ALL SELECT v FROM tr
+                  UNION ALL SELECT w FROM tr) GROUP BY 1)
+          SELECT deg.id, deg.degree,
+            coalesce(c.triangles, 0) AS triangles,
+            CASE WHEN deg.degree >= 2
+              THEN 2 * coalesce(c.triangles, 0) * 1000000 //
+                (deg.degree * (deg.degree - 1))
+              ELSE 0 END AS cc_micro
+          FROM deg LEFT JOIN c USING (id) ORDER BY id"""
+      }),
+
+    // ---- robust per-source length outliers: exact integer lower
+    //      median + MAD from count tables — the heavy-tail-safe flag a
+    //      mean/sigma score drowns on (one boilerplate page moves the
+    //      mean by itself; it cannot move the median) -----------------
+    Q("x144_robust_outliers",
+      (s, dir) => graft.operators.RobustStats.madOutliers(
+        t(s, dir, "documents"), "doc_id", "source",
+        "n_chars").orderBy(col("id")),
+      Some("""WITH b AS (SELECT doc_id AS id, source AS grp,
+            CAST(n_chars AS BIGINT) AS v FROM documents),
+        ct AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+          FROM b GROUP BY 1, 2),
+        tot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n
+          FROM ct GROUP BY 1),
+        cum AS (SELECT grp, v, c, sum(c) OVER (PARTITION BY grp
+            ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM ct),
+        med AS (SELECT cum.grp, min(v) AS median
+          FROM cum JOIN tot USING (grp)
+          WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        dct AS (SELECT ct.grp, abs(ct.v - med.median) AS v,
+            CAST(sum(ct.c) AS BIGINT) AS c
+          FROM ct JOIN med USING (grp) GROUP BY 1, 2),
+        dcum AS (SELECT grp, v, c, sum(c) OVER (PARTITION BY grp
+            ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM dct),
+        mad AS (SELECT dcum.grp, min(v) AS mad
+          FROM dcum JOIN tot USING (grp)
+          WHERE cum >= (n + 1) // 2 GROUP BY 1)
+        SELECT b.id, b.grp, b.v, med.median, mad.mad,
+          abs(b.v - med.median) > 3 * mad.mad AS flag
+        FROM b JOIN med USING (grp) JOIN mad USING (grp)
+        ORDER BY id"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

@@ -159,7 +159,11 @@ class ScaleSpec extends SparkSpec {
       "x134_funnel",
       // x137: the 1-row key-count total cross-joins the key-cardinality
       // count table via explicit single-row broadcasts — x25/x40's shape
-      "x137_skew_profile")
+      "x137_skew_profile",
+      // x143: composes x06's capped exact all-pairs edge baseline (the
+      // loud require(<=100k) cross join); the triangle machinery itself
+      // is equi-join-only — production edges come from the x31 LSH chain
+      "x143_dup_graph_triangles")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -543,7 +547,17 @@ class ScaleSpec extends SparkSpec {
       // x142: the user-partitioned lead window, the (from, to) count
       // agg (persisted), the states-sized totals join, the final sort
       // — measured 4
-      "x142_event_transitions" -> 4)
+      "x142_event_transitions" -> 4,
+      // x143: edge canonicalize + distinct, degree agg, degree-attach
+      // joins, the src-keyed wedge self-join + (v, w) closing join,
+      // corner count agg, final sort — measured 14 static (the
+      // persisted edge/degree chains recount per consumer pre-
+      // execution), every frame edge-list-bounded
+      "x143_dup_graph_triangles" -> 14,
+      // x144: the (group, value) count agg (persisted), count-table
+      // cumulative windows + median/MAD selections twice, the broadcast
+      // flag join, final sort — measured 12 static, corpus shuffled once
+      "x144_robust_outliers" -> 12)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
@@ -660,7 +674,11 @@ class ScaleSpec extends SparkSpec {
       ("x89_editdist_join", 64L << 10),
       ("x92_semantic_decontaminate", 256L << 10),
       ("x100_hard_negatives", 4L << 20),
-      ("x111_span_decontaminate", 2L << 20))
+      ("x111_span_decontaminate", 2L << 20),
+      // x143 measured 19KB at sf0.01: wedge + closing-join traffic stays
+      // edge-list-sized — a broken orientation (wedges at every corner)
+      // or a lost degree broadcast inflates it quadratically
+      ("x143_dup_graph_triangles", 256L << 10))
     val readings = caps.map { case (name, cap) =>
       spark.catalog.clearCache()
       val b = graft.PlanAudit.executedShuffleBytes(
