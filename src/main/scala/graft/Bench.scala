@@ -253,7 +253,12 @@ object Bench {
     "x143_dup_graph_triangles" -> 920,
     // x144 = one (group, value) count agg + count-table medians + the
     // broadcast flag join
-    "x144_robust_outliers" -> 1130)
+    "x144_robust_outliers" -> 1130,
+    // x145 = two AvailableNow ledger runs (landing write + microbatch
+    // hourly agg each) + the merged z-test report
+    "x145_streaming_anomaly" -> 3210,
+    // x146 = one (user, day) distinct + three bin-join distinct counts
+    "x146_rolling_active" -> 800)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

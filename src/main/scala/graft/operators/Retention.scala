@@ -23,6 +23,47 @@ import org.apache.spark.sql.functions._
   */
 object Retention {
 
+  /** Rolling active-user counts — DAU and its trailing windows (the
+    * WAU/MAU denominators of stickiness ratios): for every observed
+    * day, the EXACT count of distinct users active in the trailing
+    * 1/7/28 days. Rolling COUNT DISTINCT is the op sliding windows
+    * can't do incrementally (distinct doesn't subtract), so this uses
+    * the bin-join idiom instead: each (user, day) activity row
+    * contributes itself to the `w` report days it can appear in
+    * (explode of w offsets — fan-out = window length, never a range
+    * scan), then one distinct + count per window. Exact, no sketches,
+    * no windows-over-corpus; the (user, day) distinct frame persists
+    * via the CacheScope knob (one consumer per window + the observed-
+    * day frame). Report days are epoch-day integers rendered as date
+    * strings; only OBSERVED days report (no phantom trailing days).
+    *
+    * Output: (day, active_1, active_7, active_28) — a window with no
+    * active users on an observed day reports 0. */
+  def rollingActive(events: DataFrame, userCol: String, tsCol: String,
+      windows: Seq[Int] = Seq(1, 7, 28),
+      scope: Option[CacheScope] = None): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ >= 1) &&
+      windows.distinct.size == windows.size, s"bad windows $windows")
+    val epoch = lit("1970-01-01").cast("date")
+    val ud = CacheScope.route(scope, events
+      .select(col(userCol).as("u"),
+        datediff(to_date(col(tsCol)), epoch).as("d"))
+      .distinct())
+    val days = ud.select(col("d")).distinct()
+    val perWindow = windows.map { w =>
+      ud.select(col("u"), col("d"),
+          explode(sequence(lit(0), lit(w - 1))).as("k"))
+        .select(col("u"), (col("d") + col("k")).as("d"))
+        .distinct()
+        .groupBy("d").agg(count(lit(1)).as(s"active_$w"))
+    }
+    perWindow.foldLeft(days)((acc, pw) => acc.join(pw, Seq("d"), "left"))
+      .select((date_format(date_add(epoch, col("d")), "yyyy-MM-dd")
+        .as("day") +:
+        windows.map(w => coalesce(col(s"active_$w"), lit(0L))
+          .as(s"active_$w"))): _*)
+  }
+
   /** (cohort_week, week_offset, n_active, retention_micro) — one row
     * per non-empty matrix cell; offset-0 rows carry the cohort size and
     * retention 1000000 by construction. */

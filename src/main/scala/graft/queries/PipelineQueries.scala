@@ -5581,7 +5581,105 @@ object PipelineQueries extends QueryPack {
         SELECT b.id, b.grp, b.v, med.median, mad.mad,
           abs(b.v - med.median) > 3 * mad.mad AS flag
         FROM b JOIN med USING (grp) JOIN mad USING (grp)
-        ORDER BY id"""))
+        ORDER BY id""")),
+
+    // ---- streaming twin of the x138 anomaly report: two AvailableNow
+    //      runs append per-batch hourly partial counts to a ledger;
+    //      counts are additive, so the merged ledger IS the batch
+    //      hourly frame and the z-test reports identically ------------
+    Q("x145_streaming_anomaly",
+      (s, dir) => {
+        import graft.engine._
+        // event_id split (x72's shape) on purpose: the two runs then
+        // contribute PARTIAL counts to the SAME hours, exercising the
+        // cross-batch additive merge rather than disjoint hour ranges
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("event_type"))
+        val split = ev.agg(expr("(min(event_id) + max(event_id)) div 2"))
+          .first().getLong(0)
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val landing = wh.resolve("stranom_landing")
+        val ckpt = wh.resolve("_graft_checkpoints/stranom")
+        s.sql("CREATE DATABASE IF NOT EXISTS stranom")
+        s.sql("DROP TABLE IF EXISTS stranom.hourly")
+        for (p <- Seq(landing, ckpt, wh.resolve("stranom.db/hourly")))
+          Materializer.deleteRecursively(p)
+        ev.filter(col("event_id") <= split)
+          .write.mode("overwrite").parquet(landing.toString)
+        EventStreams.streamingHourlyLedger(s, landing.toString, ev.schema,
+          "stranom.hourly", ckpt.toString, "ts", "event_type", "error")
+        ev.filter(col("event_id") > split)
+          .write.mode("append").parquet(landing.toString)
+        EventStreams.streamingHourlyLedger(s, landing.toString, ev.schema,
+          "stranom.hourly", ckpt.toString, "ts", "event_type", "error")
+        // mergeHourlyLedger, not a bare groupBy-sum: collapses
+        // at-least-once replays on batch_id before summing
+        graft.operators.Anomaly.spikesFromHourly(
+          EventStreams.mergeHourlyLedger(s.table("stranom.hourly")))
+          .orderBy(col("hour"))
+      },
+      Some("""WITH h AS (SELECT date_trunc('hour', ts) AS hour,
+               count(*) AS n_events,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 AS n_matched
+               FROM events GROUP BY 1),
+        h2 AS (SELECT hour, CAST(n_events AS BIGINT) AS n_events,
+               CAST(n_matched AS BIGINT) AS n_matched,
+               CAST(n_matched * 1000000 // n_events AS BIGINT)
+                 AS share_micro,
+               epoch(hour) AS ep FROM h),
+        o AS (SELECT ep, ep - k * 3600 AS b_ep
+              FROM h2 CROSS JOIN unnest(range(1, 25)) AS t(k)),
+        b AS (SELECT o.ep, CAST(count(*) AS BIGINT) AS baseline_hours,
+              CAST(sum(x.share_micro) AS BIGINT) AS s1,
+              CAST(sum(x.share_micro * x.share_micro) AS BIGINT) AS s2
+              FROM o JOIN h2 x ON o.b_ep = x.ep GROUP BY o.ep)
+        SELECT CAST(h2.hour AS VARCHAR) AS hour, h2.n_events,
+          h2.n_matched, h2.share_micro,
+          coalesce(b.baseline_hours, 0) AS baseline_hours,
+          CAST(CASE WHEN coalesce(b.baseline_hours, 0) > 0
+               THEN b.s1 // b.baseline_hours ELSE 0 END AS BIGINT)
+            AS baseline_mean_micro,
+          (coalesce(b.baseline_hours, 0) >= 12
+           AND b.baseline_hours * h2.share_micro > b.s1
+           AND (b.baseline_hours * h2.share_micro - b.s1) *
+               (b.baseline_hours * h2.share_micro - b.s1) >
+               9 * (b.baseline_hours * b.s2 - b.s1 * b.s1)) AS flag
+        FROM h2 LEFT JOIN b ON h2.ep = b.ep
+        ORDER BY hour""")),
+
+    // ---- rolling active users (DAU / trailing-7 / trailing-28): EXACT
+    //      rolling count-distinct via the bin-join idiom — each (user,
+    //      day) contributes itself to the w report days it can appear
+    //      in; distinct doesn't subtract, so sliding windows can't do
+    //      this incrementally ----------------------------------------
+    Q("x146_rolling_active",
+      (s, dir) => graft.operators.Retention.rollingActive(
+        t(s, dir, "events"), "user_id", "ts")
+        .orderBy(col("day")),
+      Some("""WITH ud AS (SELECT DISTINCT user_id AS u,
+            CAST(ts AS DATE) AS d FROM events),
+        days AS (SELECT DISTINCT d FROM ud),
+        e1 AS (SELECT DISTINCT u, d + CAST(k AS INTEGER) AS d
+          FROM ud CROSS JOIN unnest(range(0, 1)) AS t(k)),
+        a1 AS (SELECT d, CAST(count(*) AS BIGINT) AS active_1
+          FROM e1 GROUP BY 1),
+        e7 AS (SELECT DISTINCT u, d + CAST(k AS INTEGER) AS d
+          FROM ud CROSS JOIN unnest(range(0, 7)) AS t(k)),
+        a7 AS (SELECT d, CAST(count(*) AS BIGINT) AS active_7
+          FROM e7 GROUP BY 1),
+        e28 AS (SELECT DISTINCT u, d + CAST(k AS INTEGER) AS d
+          FROM ud CROSS JOIN unnest(range(0, 28)) AS t(k)),
+        a28 AS (SELECT d, CAST(count(*) AS BIGINT) AS active_28
+          FROM e28 GROUP BY 1)
+        SELECT strftime(days.d, '%Y-%m-%d') AS day,
+          coalesce(a1.active_1, 0) AS active_1,
+          coalesce(a7.active_7, 0) AS active_7,
+          coalesce(a28.active_28, 0) AS active_28
+        FROM days LEFT JOIN a1 USING (d) LEFT JOIN a7 USING (d)
+        LEFT JOIN a28 USING (d)
+        ORDER BY day"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

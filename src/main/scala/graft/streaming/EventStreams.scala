@@ -498,4 +498,47 @@ object EventStreams {
   def suppressionSet(ledger: DataFrame, idCol: String): DataFrame =
     ledger.groupBy(col(idCol))
       .agg(min(col("batch_id")).as("first_batch"))
+
+  /** Streaming hourly rate LEDGER — continuous observability that never
+    * reprocesses history (the x138 anomaly z-test's incremental feed):
+    * each microbatch contributes its own (hour, n_events, n_matched)
+    * partial counts stamped with `batch_id`; counts are ADDITIVE, so
+    * the merged ledger telescopes to exactly the batch hourly frame and
+    * [[graft.operators.Anomaly.spikesFromHourly]] reports identically
+    * on both. Appended rows are bounded by the batch's distinct hours —
+    * time-sized, never corpus-sized. Delivery is at-least-once
+    * (foreachBatch): read through [[mergeHourlyLedger]], whose
+    * `dropDuplicates(batch_id, hour)` collapses replays before the sum
+    * (the x72 idempotency convention). */
+  def streamingHourlyLedger(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType, ledgerTable: String,
+      checkpointDir: String, tsCol: String, typeCol: String,
+      matchType: String): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(landingDir)
+    val fb: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        batch.toDF()
+          .select(date_trunc("hour", col(tsCol)).as("hour"),
+            (col(typeCol) === matchType).cast("long").as("hit"))
+          .groupBy("hour")
+          .agg(count(lit(1)).as("n_events"), sum(col("hit")).as("n_matched"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").format("parquet").saveAsTable(ledgerTable)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(fb)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    if (spark.catalog.tableExists(ledgerTable))
+      spark.catalog.refreshTable(ledgerTable)
+  }
+
+  /** Replay-idempotent merge of a [[streamingHourlyLedger]] table back
+    * to the exact batch hourly frame. */
+  def mergeHourlyLedger(ledger: DataFrame): DataFrame =
+    ledger.dropDuplicates("batch_id", "hour")
+      .groupBy("hour")
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("n_matched")).as("n_matched"))
 }

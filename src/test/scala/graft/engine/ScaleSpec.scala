@@ -557,7 +557,16 @@ class ScaleSpec extends SparkSpec {
       // x144: the (group, value) count agg (persisted), count-table
       // cumulative windows + median/MAD selections twice, the broadcast
       // flag join, final sort — measured 12 static, corpus shuffled once
-      "x144_robust_outliers" -> 12)
+      "x144_robust_outliers" -> 12,
+      // x145: the REGISTERED plan is the merged-ledger z-test (ledger
+      // groupBy + the x138 offset join/re-agg/left-join + sort) — the
+      // streaming appends run before it as foreachBatch side effects;
+      // measured 5, every exchange over the hours-bounded ledger
+      "x145_streaming_anomaly" -> 5,
+      // x146: the (user, day) distinct (persisted), three bin-join
+      // explode + distinct + count chains (fan-out 1/7/28, never a
+      // range scan), the observed-days joins, final sort — measured 9
+      "x146_rolling_active" -> 9)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet

@@ -317,6 +317,46 @@ class StreamingSpec extends SparkSpec {
       v >= 0 && v <= math.log(2) + 1e-9), js.toString)
   }
 
+  test("streaming hourly ledger: merged counts equal batch, replay-safe") {
+    import spark.implicits._
+    val landing = java.nio.file.Files.createTempDirectory("stran_t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stran_ck").toString
+    spark.sql("CREATE DATABASE IF NOT EXISTS strant")
+    spark.sql("DROP TABLE IF EXISTS strant.hourly")
+    def at(h: Int, m: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 $h%02d:$m%02d:00")
+    // both batches contribute to hour 0 — the cross-batch partial merge
+    val evs = Seq((at(0, 5), "error"), (at(0, 10), "ok"),
+      (at(0, 20), "ok"), (at(1, 5), "error"), (at(1, 6), "error"),
+      (at(0, 40), "ok"), (at(1, 30), "ok"))
+    val (b1, b2) = evs.splitAt(5)
+    b1.toDF("ts", "event_type").write.mode("overwrite").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    def run(): Unit = EventStreams.streamingHourlyLedger(spark, landing,
+      schema, "strant.hourly", ckpt, "ts", "event_type", "error")
+    run()
+    b2.toDF("ts", "event_type").write.mode("append").parquet(landing)
+    run()
+    def merged() = EventStreams
+      .mergeHourlyLedger(spark.table("strant.hourly"))
+      .collect().map(r => r.getTimestamp(0).toString ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val expect = Map("2024-01-01 00:00:00.0" -> ((4L, 1L)),
+      "2024-01-01 01:00:00.0" -> ((3L, 2L)))
+    assert(merged() == expect, merged())
+    // at-least-once replay: re-append batch 0's rows with the SAME
+    // batch_id — the merge must not change
+    spark.table("strant.hourly").filter(col("batch_id") === 0)
+      .write.mode("append").format("parquet").saveAsTable("strant.hourly")
+    spark.catalog.refreshTable("strant.hourly")
+    assert(merged() == expect, "replayed batch changed the merged counts")
+    // and the z-test report runs off the merged frame
+    val rep = graft.operators.Anomaly.spikesFromHourly(
+      EventStreams.mergeHourlyLedger(spark.table("strant.hourly")))
+      .collect()
+    assert(rep.length == 2 && rep.forall(!_.getBoolean(6)), rep.toSeq)
+  }
+
   test("streaming hourly aggregation equals batch group-by") {
     val got = EventStreams.hourlyCounts(spark, sf0001)
     val events = graft.functions.EventTime.normalizeTs(
