@@ -258,7 +258,12 @@ object Bench {
     // hourly agg each) + the merged z-test report
     "x145_streaming_anomaly" -> 3210,
     // x146 = one (user, day) distinct + three bin-join distinct counts
-    "x146_rolling_active" -> 800)
+    "x146_rolling_active" -> 800,
+    // x147 = one stack pass + (cluster, attr, value) count agg + the
+    // two-stage mode join
+    "x147_golden_record" -> 1070,
+    // x148 = one sorted window pass per brand, no dominance self-join
+    "x148_pareto_frontier" -> 760)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5679,7 +5679,91 @@ object PipelineQueries extends QueryPack {
           coalesce(a28.active_28, 0) AS active_28
         FROM days LEFT JOIN a1 USING (d) LEFT JOIN a7 USING (d)
         LEFT JOIN a28 USING (d)
-        ORDER BY day"""))
+        ORDER BY day""")),
+
+    // ---- golden-record survivorship: three perturbed member copies
+    //      per customer cluster fuse by majority vote (vote strategy,
+    //      Bleiholder-Naumann data-fusion taxonomy); n_values > 1 is
+    //      the per-attribute conflict count ---------------------------
+    Q("x147_golden_record",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(
+          col("c_custkey").as("cluster"), col("c_name").as("name"),
+          col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+        val pertB = c.select(col("cluster"),
+          when(col("cluster") % 3 === 0, upper(col("name")))
+            .otherwise(col("name")).as("name"),
+          when(col("cluster") % 6 === 0, lit(null).cast("string"))
+            .otherwise(col("seg")).as("seg"),
+          col("cents"))
+        val pertC = c.select(col("cluster"), col("name"), col("seg"),
+          (col("cents") + when(col("cluster") % 7 === 0, lit(50L))
+            .otherwise(lit(0L))).as("cents"))
+        graft.operators.GoldenRecord.survivorship(
+          c.unionByName(pertB).unionByName(pertC),
+          "cluster", Seq("name", "seg", "cents"))
+          .orderBy(col("cluster"), col("attr"))
+      },
+      Some("""WITH c AS (SELECT c_custkey AS cluster, c_name AS name,
+            c_mktsegment AS seg,
+            CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+          FROM customer),
+        m AS (
+          SELECT cluster, name, seg, CAST(cents AS VARCHAR) AS cents
+          FROM c
+          UNION ALL SELECT cluster,
+            CASE WHEN cluster % 3 = 0 THEN upper(name) ELSE name END,
+            CASE WHEN cluster % 6 = 0 THEN NULL ELSE seg END,
+            CAST(cents AS VARCHAR) FROM c
+          UNION ALL SELECT cluster, name, seg,
+            CAST(cents + CASE WHEN cluster % 7 = 0 THEN 50 ELSE 0 END
+              AS VARCHAR) FROM c),
+        s AS (SELECT cluster, 'name' AS attr, name AS value FROM m
+          UNION ALL SELECT cluster, 'seg', seg FROM m
+          UNION ALL SELECT cluster, 'cents', cents FROM m),
+        g AS (SELECT cluster, attr, value, CAST(count(*) AS BIGINT) AS c
+          FROM s WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+        st AS (SELECT cluster, attr, max(c) AS maxc,
+            CAST(count(*) AS BIGINT) AS n_values FROM g GROUP BY 1, 2),
+        gd AS (SELECT g.cluster, g.attr, st.maxc, st.n_values,
+            min(g.value) AS golden_value
+          FROM g JOIN st ON g.cluster = st.cluster AND g.attr = st.attr
+            AND g.c = st.maxc
+          GROUP BY 1, 2, 3, 4),
+        mem AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+          FROM m GROUP BY 1),
+        cells AS (SELECT cluster, n_members, attr FROM mem
+          CROSS JOIN (SELECT unnest(['cents', 'name', 'seg']) AS attr))
+        SELECT cells.cluster, cells.n_members, cells.attr,
+          gd.golden_value, coalesce(gd.maxc, 0) AS support,
+          coalesce(gd.n_values, 0) AS n_values
+        FROM cells LEFT JOIN gd ON cells.cluster = gd.cluster
+          AND cells.attr = gd.attr
+        ORDER BY cells.cluster, cells.attr""")),
+
+    // ---- per-brand 2-D skyline: the Pareto frontier of (price, size)
+    //      — one sorted window pass, no dominance self-join ------------
+    Q("x148_pareto_frontier",
+      (s, dir) => graft.operators.Skyline.frontier2d(
+        t(s, dir, "part").select(col("p_brand"), col("p_partkey"),
+          round(col("p_retailprice") * 100).cast("long").as("cents"),
+          col("p_size")),
+        "p_brand", "p_partkey", "cents", "p_size")
+        .orderBy(col("p_brand"), col("cost"), col("p_partkey")),
+      Some("""WITH b AS (SELECT p_brand, p_partkey,
+            CAST(round(p_retailprice * 100) AS BIGINT) AS cost,
+            CAST(p_size AS BIGINT) AS benefit FROM part),
+        w AS (SELECT *,
+            max(benefit) OVER (PARTITION BY p_brand ORDER BY cost
+              RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS best_cheaper,
+            max(benefit) OVER (PARTITION BY p_brand, cost) AS best_tie
+          FROM b)
+        SELECT p_brand, p_partkey, cost, benefit FROM w
+        WHERE (best_cheaper IS NULL OR best_cheaper < benefit)
+          AND best_tie = benefit
+        ORDER BY p_brand, cost, p_partkey"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

@@ -566,7 +566,14 @@ class ScaleSpec extends SparkSpec {
       // x146: the (user, day) distinct (persisted), three bin-join
       // explode + distinct + count chains (fan-out 1/7/28, never a
       // range scan), the observed-days joins, final sort — measured 9
-      "x146_rolling_active" -> 9)
+      "x146_rolling_active" -> 9,
+      // x147: the member-count agg, the (cluster, attr, value) count
+      // agg (persisted — three consumers), the two-stage mode stats +
+      // join aggs, final sort — measured 5
+      "x147_golden_record" -> 5,
+      // x148: ONE brand-partitioned sort serves both skyline windows,
+      // the final order — measured 2, no dominance self-join anywhere
+      "x148_pareto_frontier" -> 2)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
