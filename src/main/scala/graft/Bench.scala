@@ -263,7 +263,9 @@ object Bench {
     // two-stage mode join
     "x147_golden_record" -> 1070,
     // x148 = one sorted window pass per brand, no dominance self-join
-    "x148_pareto_frontier" -> 760)
+    "x148_pareto_frontier" -> 760,
+    // x149 = one (type, day) count agg + two tiny OLS re-aggs
+    "x149_volume_trend" -> 620)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

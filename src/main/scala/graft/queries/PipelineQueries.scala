@@ -5763,7 +5763,35 @@ object PipelineQueries extends QueryPack {
         SELECT p_brand, p_partkey, cost, benefit FROM w
         WHERE (best_cheaper IS NULL OR best_cheaper < benefit)
           AND best_tie = benefit
-        ORDER BY p_brand, cost, p_partkey"""))
+        ORDER BY p_brand, cost, p_partkey""")),
+
+    // ---- per-type daily volume trend: exact-integer OLS slope (the
+    //      x123 contract) — "is this source ramping or dying?", the
+    //      growth complement of the x78/x84 content-drift detectors ---
+    Q("x149_volume_trend",
+      (s, dir) => graft.operators.Trend.dailyVolumeSlope(
+        t(s, dir, "events"), "ts", "event_type")
+        .orderBy(col("grp")),
+      Some("""WITH daily AS (SELECT event_type AS grp,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+            CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        m AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_days,
+            CAST(sum(d) AS BIGINT) AS sd,
+            CAST(sum(c) AS BIGINT) AS total_events
+          FROM daily GROUP BY 1),
+        m2 AS (SELECT *, sd // n_days AS mx,
+            total_events // n_days AS my FROM m),
+        f AS (SELECT daily.grp, m2.n_days, m2.total_events, m2.my,
+            CAST(sum((d - mx) * (c - my)) AS BIGINT) AS sxy,
+            CAST(sum((d - mx) * (d - mx)) AS BIGINT) AS sxx
+          FROM daily JOIN m2 USING (grp)
+          GROUP BY 1, 2, 3, 4)
+        SELECT grp, n_days, total_events, my AS mean_per_day,
+          CASE WHEN sxx > 0 THEN sxy * 1000000 // sxx END AS slope_micro,
+          CASE WHEN sxx > 0 AND my > 0
+            THEN (sxy * 1000000 // sxx) // my END AS rel_slope_micro
+        FROM f ORDER BY grp"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

@@ -573,7 +573,10 @@ class ScaleSpec extends SparkSpec {
       "x147_golden_record" -> 5,
       // x148: ONE brand-partitioned sort serves both skyline windows,
       // the final order — measured 2, no dominance self-join anywhere
-      "x148_pareto_frontier" -> 2)
+      "x148_pareto_frontier" -> 2,
+      // x149: the corpus (type, day) count agg (persisted), the means
+      // re-agg + centered-sums agg, final sort — measured 3
+      "x149_volume_trend" -> 3)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
