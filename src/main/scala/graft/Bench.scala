@@ -265,7 +265,9 @@ object Bench {
     // x148 = one sorted window pass per brand, no dominance self-join
     "x148_pareto_frontier" -> 760,
     // x149 = one (type, day) count agg + two tiny OLS re-aggs
-    "x149_volume_trend" -> 620)
+    "x149_volume_trend" -> 620,
+    // x150 = one part-partitioned window sort + the summary agg
+    "x150_clamped_balance" -> 1280)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5791,7 +5791,48 @@ object PipelineQueries extends QueryPack {
           CASE WHEN sxx > 0 THEN sxy * 1000000 // sxx END AS slope_micro,
           CASE WHEN sxx > 0 AND my > 0
             THEN (sxy * 1000000 // sxx) // my END AS rel_slope_micro
-        FROM f ORDER BY grp"""))
+        FROM f ORDER BY grp""")),
+
+    // ---- floor-clamped inventory ledger per part: the "impossible in
+    //      SQL" recurrence b_t = max(0, b_{t-1} + delta) via the
+    //      prefix-min identity b_t = P_t - min(0, min P) — returns
+    //      restock (+qty), shipments draw (-qty) ----------------------
+    Q("x150_clamped_balance",
+      (s, dir) => graft.operators.Ledger.clampedBalanceSummary(
+        t(s, dir, "lineitem").select(col("l_partkey"),
+          when(col("l_returnflag") === "R", col("l_quantity"))
+            .otherwise(-col("l_quantity")).cast("long").as("delta"),
+          col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+        "l_partkey", "delta",
+        Seq("l_shipdate", "l_orderkey", "l_linenumber"))
+        .orderBy(col("l_partkey")),
+      Some("""WITH mv AS (SELECT l_partkey AS acct,
+            CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity
+                 ELSE -l_quantity END AS BIGINT) AS delta,
+            l_shipdate, l_orderkey, l_linenumber FROM lineitem),
+        w1 AS (SELECT *, CAST(sum(delta) OVER ord AS BIGINT) AS p
+          FROM mv WINDOW ord AS (PARTITION BY acct
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS UNBOUNDED PRECEDING)),
+        w2 AS (SELECT *,
+            least(0, CAST(min(p) OVER ord AS BIGINT)) AS flr
+          FROM w1 WINDOW ord AS (PARTITION BY acct
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS UNBOUNDED PRECEDING)),
+        w3 AS (SELECT *, p - flr AS bal,
+            least(0, coalesce(lag(flr) OVER (PARTITION BY acct
+              ORDER BY l_shipdate, l_orderkey, l_linenumber), 0))
+              AS prev_flr
+          FROM w2),
+        w4 AS (SELECT *, greatest(0, prev_flr - p) AS short FROM w3)
+        SELECT acct AS l_partkey, CAST(count(*) AS BIGINT) AS n_moves,
+          CAST(sum(delta) - least(0, min(p)) AS BIGINT)
+            AS final_balance,
+          CAST(max(bal) AS BIGINT) AS peak_balance,
+          CAST(sum(CASE WHEN short > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_clamps,
+          CAST(sum(short) AS BIGINT) AS unmet_draw
+        FROM w4 GROUP BY 1 ORDER BY l_partkey"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

@@ -576,7 +576,10 @@ class ScaleSpec extends SparkSpec {
       "x148_pareto_frontier" -> 2,
       // x149: the corpus (type, day) count agg (persisted), the means
       // re-agg + centered-sums agg, final sort — measured 3
-      "x149_volume_trend" -> 3)
+      "x149_volume_trend" -> 3,
+      // x150: ONE part-partitioned sort serves prefix-sum, prefix-min
+      // and the lag window, then the per-part summary agg — measured 2
+      "x150_clamped_balance" -> 2)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
