@@ -267,7 +267,9 @@ object Bench {
     // x149 = one (type, day) count agg + two tiny OLS re-aggs
     "x149_volume_trend" -> 620,
     // x150 = one part-partitioned window sort + the summary agg
-    "x150_clamped_balance" -> 1280)
+    "x150_clamped_balance" -> 1280,
+    // x151 = two user-level distincts + the per-metric arm agg
+    "x151_ab_test" -> 860)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

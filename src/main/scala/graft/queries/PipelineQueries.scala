@@ -5832,7 +5832,41 @@ object PipelineQueries extends QueryPack {
           CAST(sum(CASE WHEN short > 0 THEN 1 ELSE 0 END) AS BIGINT)
             AS n_clamps,
           CAST(sum(short) AS BIGINT) AS unmet_draw
-        FROM w4 GROUP BY 1 ORDER BY l_partkey"""))
+        FROM w4 GROUP BY 1 ORDER BY l_partkey""")),
+
+    // ---- A/B experiment readout: per-event-type user-conversion
+    //      rates between the user_id-parity arms, pooled two-proportion
+    //      z-test multiplied through into pure integers --------------
+    Q("x151_ab_test",
+      (s, dir) => graft.operators.AbTest.conversionReport(
+        t(s, dir, "events")
+          .select(col("user_id"), (col("user_id") % 2 === 1).as("treat"),
+            col("event_type")),
+        "user_id", "treat", "event_type")
+        .orderBy(col("metric")),
+      Some("""WITH u AS (SELECT DISTINCT user_id AS u,
+            user_id % 2 = 1 AS t FROM events),
+        sz AS (SELECT
+            CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+              AS n1,
+            CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n2
+          FROM u),
+        c AS (SELECT DISTINCT event_type AS metric, user_id AS u,
+            user_id % 2 = 1 AS t FROM events),
+        agg AS (SELECT metric,
+            CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+              AS x1,
+            CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS x2
+          FROM c GROUP BY 1)
+        SELECT metric, n1 AS n_control, x1 AS x_control, n2 AS n_treat,
+          x2 AS x_treat,
+          x1 * 1000000 // n1 AS share_control_micro,
+          x2 * 1000000 // n2 AS share_treat_micro,
+          x2 * 1000000 // n2 - x1 * 1000000 // n1 AS diff_micro,
+          (x1 * n2 - x2 * n1) * (x1 * n2 - x2 * n1) * (n1 + n2) >
+            4 * (x1 + x2) * ((n1 + n2) - x1 - x2) * n1 * n2
+            AS significant
+        FROM agg CROSS JOIN sz ORDER BY metric"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

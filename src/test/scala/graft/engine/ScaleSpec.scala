@@ -579,7 +579,10 @@ class ScaleSpec extends SparkSpec {
       "x149_volume_trend" -> 3,
       // x150: ONE part-partitioned sort serves prefix-sum, prefix-min
       // and the lag window, then the per-part summary agg — measured 2
-      "x150_clamped_balance" -> 2)
+      "x150_clamped_balance" -> 2,
+      // x151: the (metric, user, arm) distinct + per-metric agg and the
+      // final sort — measured 3; arm sizes are a bounded 2-row collect
+      "x151_ab_test" -> 3)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
