@@ -269,7 +269,9 @@ object Bench {
     // x150 = one part-partitioned window sort + the summary agg
     "x150_clamped_balance" -> 1280,
     // x151 = two user-level distincts + the per-metric arm agg
-    "x151_ab_test" -> 860)
+    "x151_ab_test" -> 860,
+    // x152 = one tuple-count agg per candidate (4) over lineitem
+    "x152_key_candidates" -> 1160)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5866,7 +5866,53 @@ object PipelineQueries extends QueryPack {
           (x1 * n2 - x2 * n1) * (x1 * n2 - x2 * n1) * (n1 + n2) >
             4 * (x1 + x2) * ((n1 + n2) - x1 - x2) * n1 * n2
             AS significant
-        FROM agg CROSS JOIN sz ORDER BY metric"""))
+        FROM agg CROSS JOIN sz ORDER BY metric""")),
+
+    // ---- candidate-key audit over lineitem: which column sets are
+    //      actually unique + non-null (merge-key / dedup-key safety),
+    //      with the max-dup and null-count evidence --------------------
+    Q("x152_key_candidates",
+      (s, dir) => graft.operators.KeyCandidates.audit(
+        t(s, dir, "lineitem"), Seq(
+          Seq("l_orderkey"),
+          Seq("l_orderkey", "l_linenumber"),
+          Seq("l_partkey", "l_suppkey"),
+          Seq("l_orderkey", "l_partkey", "l_suppkey")))
+        .orderBy(col("candidate")),
+      Some("""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows
+          FROM lineitem),
+        c1 AS (SELECT 'l_orderkey' AS candidate,
+            CAST(count(*) AS BIGINT) AS n_distinct,
+            CAST(sum(c) AS BIGINT) AS n_nonnull,
+            CAST(max(c) AS BIGINT) AS max_dup
+          FROM (SELECT count(*) AS c FROM lineitem
+                WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey)),
+        c2 AS (SELECT 'l_orderkey+l_linenumber',
+            CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT),
+            CAST(max(c) AS BIGINT)
+          FROM (SELECT count(*) AS c FROM lineitem
+                WHERE l_orderkey IS NOT NULL
+                  AND l_linenumber IS NOT NULL
+                GROUP BY l_orderkey, l_linenumber)),
+        c3 AS (SELECT 'l_partkey+l_suppkey',
+            CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT),
+            CAST(max(c) AS BIGINT)
+          FROM (SELECT count(*) AS c FROM lineitem
+                WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+                GROUP BY l_partkey, l_suppkey)),
+        c4 AS (SELECT 'l_orderkey+l_partkey+l_suppkey',
+            CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT),
+            CAST(max(c) AS BIGINT)
+          FROM (SELECT count(*) AS c FROM lineitem
+                WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+                  AND l_suppkey IS NOT NULL
+                GROUP BY l_orderkey, l_partkey, l_suppkey)),
+        u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+              UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4)
+        SELECT candidate, n.n_rows, u.n_nonnull, u.n_distinct,
+          u.max_dup,
+          (u.n_nonnull = n.n_rows AND u.max_dup = 1) AS is_key
+        FROM u CROSS JOIN n ORDER BY candidate"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

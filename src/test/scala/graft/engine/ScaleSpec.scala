@@ -582,7 +582,11 @@ class ScaleSpec extends SparkSpec {
       "x150_clamped_balance" -> 2,
       // x151: the (metric, user, arm) distinct + per-metric agg and the
       // final sort — measured 3; arm sizes are a bounded 2-row collect
-      "x151_ab_test" -> 3)
+      "x151_ab_test" -> 3,
+      // x152: one tuple-keyed count agg + single-row collapse per
+      // candidate (4), the union sort — measured 8; the row count is
+      // a bounded count action shared by all candidates
+      "x152_key_candidates" -> 8)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet
