@@ -681,23 +681,27 @@ case class CharGramOverlaps(left: Expression, right: Expression, maxN: Int)
         s"$prettyName requires (string, string), got $other")
     }
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val sa = a.asInstanceOf[UTF8String].toString
-    val sb = b.asInstanceOf[UTF8String].toString
+    // Gram units are Unicode code points, not UTF-16 code units: the HOF
+    // twin and the precision/recall denominators use Spark length()/
+    // substr(), which count code points, so indexing by code units would
+    // disagree on any non-BMP character (emoji, astral CJK).
+    val ca = a.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val cb = b.asInstanceOf[UTF8String].toString.codePoints().toArray
     val out = new Array[Any](maxN)
     var n = 1
     while (n <= maxN) {
       val counts = new java.util.HashMap[String, Int]()
       var i = 0
-      val endB = sb.length - n
+      val endB = cb.length - n
       while (i <= endB) {
-        counts.merge(sb.substring(i, i + n), 1, Integer.sum _)
+        counts.merge(new String(cb, i, n), 1, Integer.sum _)
         i += 1
       }
       var ov = 0L
       i = 0
-      val endA = sa.length - n
+      val endA = ca.length - n
       while (i <= endA) {
-        val g = sa.substring(i, i + n)
+        val g = new String(ca, i, n)
         val c = counts.getOrDefault(g, 0)
         if (c > 0) { ov += 1; counts.put(g, c - 1) }
         i += 1

@@ -864,13 +864,14 @@ object Dedup {
     * Returns the surviving corpus rows (all columns). */
   def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
       idCol: String, vecCol: String, threshold: Double, dim: Int,
-      numPlanes: Int = 128, numBands: Int = 16): DataFrame = {
+      numPlanes: Int = 128, numBands: Int = 16,
+      scope: Option[CacheScope] = None): DataFrame = {
     require(numPlanes % numBands == 0, "numPlanes must divide into bands")
     val signs = srpSigns(numPlanes, dim)
     def baseOf(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("id"), col(vecCol).as("v"))
-        .withColumn("nrm", norm(col("v")))
-        .persist()                 // bands + the verify join read it twice
+      CacheScope.route(scope,       // bands + the verify join read it twice
+        df.select(col(idCol).as("id"), col(vecCol).as("v"))
+          .withColumn("nrm", norm(col("v"))))
     val cBase = baseOf(corpus)
     val bBase = baseOf(bench)
     val cand = srpBandFrame(cBase, numPlanes, numBands, signs)

@@ -57,4 +57,23 @@ class AbTestSpec extends SparkSpec {
       AbTest.conversionReport(df, "user_id", "treat", "event_type")
     }
   }
+
+  test("a null arm assignment is loud, not an NPE or a silent drop") {
+    import spark.implicits._
+    val df = Seq((1L, Some(false), "m"), (2L, Some(true), "m"),
+      (3L, None, "m"))
+      .toDF("user_id", "treat", "event_type")
+    val e = intercept[IllegalArgumentException] {
+      AbTest.conversionReport(df, "user_id", "treat", "event_type")
+    }
+    assert(e.getMessage.contains("nulls"), e.getMessage)
+  }
+
+  test("exactness precheck: 3e7/arm fits DECIMAL(38,0), 1e8 does not") {
+    AbTest.requireExact(30000000L, 30000000L, 2)        // worst ~ 4.9e37
+    val e = intercept[IllegalArgumentException] {
+      AbTest.requireExact(100000000L, 100000000L, 2)    // worst ~ 2e40
+    }
+    assert(e.getMessage.contains("overflow"), e.getMessage)
+  }
 }

@@ -52,9 +52,13 @@ class ChrfSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val rnd = new scala.util.Random(131)
+    // alphabet includes astral (surrogate-pair) code points: Spark
+    // length()/substr() count code points, so the native expression must
+    // gram by code points too — a code-unit indexer diverges here.
+    val alphabet = Seq("a", "b", "c", "d", "😀", "𝕏")
     val rows = (1 to 200).map { i =>
       def mk(len: Int) =
-        (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+        (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
       (i.toLong, mk(rnd.nextInt(40)), mk(rnd.nextInt(40)))
     }
     val df = rows.toDF("id", "sa", "sb")

@@ -392,4 +392,23 @@ class DedupSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(all == Set(1L, 3L, 4L))   // at 0.999 only the identical copy drops
   }
+
+  test("semanticDecontaminate releases its persists under a CacheScope") {
+    import spark.implicits._
+    def vec(xs: Double*) = xs.map(_.toFloat).toArray
+    val bench = Seq((100L, vec(1, 0, 0, 0))).toDF("vec_id", "embedding")
+    val corpus = Seq(1L -> vec(0.99, 0.141, 0, 0), 2L -> vec(0, 0, 1, 0))
+      .toDF("vec_id", "embedding")
+    spark.catalog.clearCache()
+    val baseline = CacheScope.cachedBlockCount(spark)
+    val kept = CacheScope.withScope { s =>
+      Dedup.semanticDecontaminate(corpus, bench, "vec_id", "embedding",
+        threshold = 0.9, dim = 4, numPlanes = 16, numBands = 8,
+        scope = Some(s))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(kept == Set(2L), kept)
+    assert(CacheScope.cachedBlockCount(spark) <= baseline,
+      "corpus/bench base persists leaked past the scope")
+  }
 }
