@@ -271,7 +271,10 @@ object Bench {
     // x151 = two user-level distincts + the per-metric arm agg
     "x151_ab_test" -> 860,
     // x152 = one tuple-count agg per candidate (4) over lineitem
-    "x152_key_candidates" -> 1160)
+    "x152_key_candidates" -> 1160,
+    // x153 = three AvailableNow runs + the compaction rewrite + the
+    // x145 report plan (the streaming side effects dominate the wall)
+    "x153_ledger_compaction" -> 4850)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -56,6 +56,63 @@ object PlanAudit {
     }
   }
 
+  /** Sites where `round()`/`bround()` is applied to a DOUBLE that was
+    * produced by casting a DECIMAL: `round(CAST(x AS DOUBLE), k)` flips
+    * engine-dependently when the exact value lands on the .5·10^-k grid
+    * (decimal/dyadic sums do — the x100/x51 live hits), while
+    * `CAST(round(x, k) AS DOUBLE)` cannot. The walk resolves attributes
+    * through the analyzed plan's aliases, so a cast hidden behind a
+    * projection or aggregate alias is still found, and stops descending
+    * at non-exactness-preserving functions (ln/exp/sqrt/...): their
+    * results don't land on the rounding grid, so rounding them is not
+    * in the hazard class. Returns one printable line per site. */
+  def roundAfterDecimalCastSites(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+    val plan = df.queryExecution.analyzed
+    val aliases = scala.collection.mutable.Map.empty[ExprId, Expression]
+    plan.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case a: Alias => aliases(a.exprId) = a.child
+        case _ => ()
+      })
+    }
+    // descent allowlist: ops under which an exact decimal/dyadic value
+    // stays grid-exact after the double cast (±, ×, ÷, branches, folds)
+    def preserving(e: Expression): Boolean = e match {
+      case _: Add | _: Subtract | _: Multiply | _: Divide | _: UnaryMinus
+           | _: Abs | _: Cast | _: Alias | _: Coalesce | _: If
+           | _: CaseWhen | _: Least | _: Greatest | _: NaNvl => true
+      case _: aggregate.AggregateExpression | _: aggregate.Sum
+           | _: aggregate.Average | _: aggregate.Min | _: aggregate.Max
+           | _: aggregate.First | _: aggregate.Last => true
+      case _ => false
+    }
+    def hazardous(e: Expression,
+        seen: Set[ExprId]): Option[Expression] = e match {
+      case c @ Cast(child, DoubleType | FloatType, _, _)
+          if child.dataType.isInstanceOf[DecimalType] => Some(c)
+      case a: AttributeReference if !seen(a.exprId) =>
+        aliases.get(a.exprId).flatMap(hazardous(_, seen + a.exprId))
+      case e if preserving(e) =>
+        e.children.iterator.map(hazardous(_, seen))
+          .collectFirst { case Some(c) => c }
+      case _ => None
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    plan.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case r: RoundBase =>
+          hazardous(r.left, Set.empty).foreach { c =>
+            out += s"${r.prettyName}(${r.left.sql}, ${r.right.sql}) " +
+              s"rounds a decimal-cast double (via ${c.sql})"
+          }
+        case _ => ()
+      })
+    }
+    out.distinct.toSeq
+  }
+
   private def countNodes(df: DataFrame)(
       score: PartialFunction[SparkPlan, Long]): Long = {
     val seenCaches = scala.collection.mutable.Set.empty[Int]

@@ -55,16 +55,18 @@ object ClassifierCalibration {
       .agg(count(lit(1)).as("n"),
         sum(col("conf").cast(D6)).as("sconf"),
         sum(when(col("ok"), 1L).otherwise(0L)).as("n_correct"))
-      .withColumn("mean_conf",
-        round(col("sconf").cast(DoubleType) / col("n"), 6))
+      .withColumn("mean_conf", graft.functions.PortableMath
+        .roundPortable(col("sconf").cast(DoubleType) / col("n"), 6))
       .withColumn("acc",
         expr("CAST((n_correct*2000000 + n) DIV (2*n) AS DOUBLE)" +
           "/1000000.0"))
-      .withColumn("gap", round(abs(col("acc") - col("mean_conf")), 6)))
+      .withColumn("gap", graft.functions.PortableMath
+        .roundPortable(abs(col("acc") - col("mean_conf")), 6)))
     val tot = cells.agg(sum(col("n")).as("nt"),
       sum(col("n") * col("gap").cast(D6)).as("sg"))
     cells.crossJoin(broadcast(tot))
-      .withColumn("ece", round(col("sg").cast(DoubleType) / col("nt"), 6))
+      .withColumn("ece", graft.functions.PortableMath
+        .roundPortable(col("sg").cast(DoubleType) / col("nt"), 6))
       .select(col("bin"), col("n"), col("n_correct"), col("mean_conf"),
         col("acc"), col("gap"), col("ece"))
   }

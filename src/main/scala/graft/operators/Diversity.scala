@@ -68,7 +68,8 @@ object Diversity {
         expr("CASE WHEN n_bigrams > 0 THEN " +
           "CAST((distinct_bigrams*2000000 + n_bigrams) " +
           "DIV (2*n_bigrams) AS DOUBLE)/1000000.0 END").as("distinct2"),
-        round(round(log(col("n_tokens").cast(DoubleType)), 6)
+        graft.functions.PortableMath.roundPortable(
+          round(log(col("n_tokens").cast(DoubleType)), 6)
           - col("slc").cast(DoubleType) / col("n_tokens"), 6)
           .as("entropy"))
   }

@@ -57,11 +57,12 @@ object DomainReweight {
     val ref = dom.agg(sum(col("snll")).as("rs"),
       sum(col("n_docs")).as("rn"))
     val bm = dom.crossJoin(broadcast(ref))
-      .withColumn("mean_nll",
-        round(col("snll").cast(DoubleType) / col("n_docs"), 6))
+      .withColumn("mean_nll", graft.functions.PortableMath
+        .roundPortable(col("snll").cast(DoubleType) / col("n_docs"), 6))
       .withColumn("excess", greatest(lit(0.0),
-        round(col("mean_nll")
-          - round(col("rs").cast(DoubleType) / col("rn"), 6), 6)))
+        graft.functions.PortableMath.roundPortable(col("mean_nll")
+          - graft.functions.PortableMath.roundPortable(
+            col("rs").cast(DoubleType) / col("rn"), 6), 6)))
       .withColumn("boost",
         round(exp(lit(eta) * col("excess")), 6).cast(DecimalType(18, 6)))
       // exact: boost is a 6dp decimal, so *1e6 is an integer value

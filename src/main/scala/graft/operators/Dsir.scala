@@ -92,7 +92,7 @@ object Dsir {
     feat.join(broadcast(lr), "bucket")
       .groupBy("doc_id", "is_target")
       .agg(count(lit(1)).as("n_feats"),
-        round(sum(col("lr")).cast(DoubleType), 6).as("logw"))
+        round(sum(col("lr")), 6).cast(DoubleType).as("logw"))
   }
 
   /** Top-k raw (non-target) documents by log importance weight — the

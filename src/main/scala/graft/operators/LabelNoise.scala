@@ -39,8 +39,8 @@ object LabelNoise {
       .groupBy("label", "pos")
       .agg(sum(round(col("x").cast(DoubleType), 4).cast(D4)).as("s"),
         count(lit(1)).as("n"))
-      .select(col("label"), col("pos"),
-        round(col("s").cast(DoubleType) / col("n"), 6).as("c"))
+      .select(col("label"), col("pos"), graft.functions.PortableMath
+        .roundPortable(col("s").cast(DoubleType) / col("n"), 6).as("c"))
 
   /** Bottom-`k` cosine-to-own-centroid vectors per label:
     * (label, rank, vec_id, cos) — rank 1 = farthest from its class. */

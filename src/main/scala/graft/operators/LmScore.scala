@@ -68,7 +68,8 @@ object LmScore {
         (col("c1") + col("vsz"))), 6).cast(D6))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(-(sum(col("lp")).cast(DoubleType) / count(lit(1))), scoreScale)
+        graft.functions.PortableMath.roundPortable(
+          -(sum(col("lp")).cast(DoubleType) / count(lit(1))), scoreScale)
           .as("avg_nll"))
   }
 
@@ -129,7 +130,8 @@ object LmScore {
           (lit(4) * col("c1") * col("tt")).cast(DoubleType)), 6).cast(D6))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(-(sum(col("lp")).cast(DoubleType) / count(lit(1))), scoreScale)
+        graft.functions.PortableMath.roundPortable(
+          -(sum(col("lp")).cast(DoubleType) / count(lit(1))), scoreScale)
           .as("avg_nll"))
   }
 }

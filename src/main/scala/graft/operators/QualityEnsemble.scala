@@ -62,13 +62,14 @@ object QualityEnsemble {
       val v = col(s"__sxx_$n").cast(DoubleType) / col("__n") - m * m
       val sd = sqrt(v)
       d.withColumn(s"z_$n",
-        when(sd > 0.0,
-          round((col(s"__s_$n").cast(DoubleType) - m) / sd, 6))
+        when(sd > 0.0, graft.functions.PortableMath.roundPortable(
+          (col(s"__s_$n").cast(DoubleType) - m) / sd, 6))
           .otherwise(lit(0.0)))
     }
     val comp = names.map(n => col(s"z_$n")).reduce(_ + _) / names.size
     withZ
-      .withColumn("composite", round(comp, 6))
+      .withColumn("composite",
+        graft.functions.PortableMath.roundPortable(comp, 6))
       .select(col(idCol) +: col("__grp").as(groupCol) +:
         names.map(n => col(s"z_$n")) :+ col("composite"): _*)
   }

@@ -57,7 +57,7 @@ object Rrf {
       .reduce(_ unionByName _)
     union.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_lists"),
-        round(sum(col("__c")).cast("double"), 8).as("rrf_score"))
+        round(sum(col("__c")), 8).cast("double").as("rrf_score"))
       .orderBy(col("rrf_score").desc, col(idCol))
       .limit(topN)
   }

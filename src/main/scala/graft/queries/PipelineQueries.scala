@@ -418,6 +418,40 @@ object PipelineQueries extends QueryPack {
   private val dotSql =
     "list_sum(list_transform(range(len(%s)), i -> CAST(%s[i+1] AS DOUBLE)*CAST(%s[i+1] AS DOUBLE)))"
 
+  /** The x138 hourly-rate anomaly z-test SQL — also x145's oracle and
+    * x153's compacted-ledger oracle: batch, streaming-ledger, and
+    * compacted-streaming-ledger must all equal it. */
+  private val hourlyAnomalySql =
+    """WITH h AS (SELECT date_trunc('hour', ts) AS hour,
+               count(*) AS n_events,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 AS n_matched
+               FROM events GROUP BY 1),
+        h2 AS (SELECT hour, CAST(n_events AS BIGINT) AS n_events,
+               CAST(n_matched AS BIGINT) AS n_matched,
+               CAST(n_matched * 1000000 // n_events AS BIGINT)
+                 AS share_micro,
+               epoch(hour) AS ep FROM h),
+        o AS (SELECT ep, ep - k * 3600 AS b_ep
+              FROM h2 CROSS JOIN unnest(range(1, 25)) AS t(k)),
+        b AS (SELECT o.ep, CAST(count(*) AS BIGINT) AS baseline_hours,
+              CAST(sum(x.share_micro) AS BIGINT) AS s1,
+              CAST(sum(x.share_micro * x.share_micro) AS BIGINT) AS s2
+              FROM o JOIN h2 x ON o.b_ep = x.ep GROUP BY o.ep)
+        SELECT CAST(h2.hour AS VARCHAR) AS hour, h2.n_events,
+          h2.n_matched, h2.share_micro,
+          coalesce(b.baseline_hours, 0) AS baseline_hours,
+          CAST(CASE WHEN coalesce(b.baseline_hours, 0) > 0
+               THEN b.s1 // b.baseline_hours ELSE 0 END AS BIGINT)
+            AS baseline_mean_micro,
+          (coalesce(b.baseline_hours, 0) >= 12
+           AND b.baseline_hours * h2.share_micro > b.s1
+           AND (b.baseline_hours * h2.share_micro - b.s1) *
+               (b.baseline_hours * h2.share_micro - b.s1) >
+               9 * (b.baseline_hours * b.s2 - b.s1 * b.s1)) AS flag
+        FROM h2 LEFT JOIN b ON h2.ep = b.ep
+        ORDER BY hour"""
+
   /** Per-document bigram-LM score (x40's oracle, sans ORDER BY) — also
     * the `scored` input of the x45 bucket oracle. */
   private val lmNllSql =
@@ -432,7 +466,8 @@ object PipelineQueries extends QueryPack {
              CAST(round(ln((bi.c2 + 1.0) / (uni.c1 + v.vsz)), 6) AS DECIMAL(18,6)) AS lp
              FROM bg JOIN bi USING (w1, w2) JOIN uni ON bg.w1 = uni.w CROSS JOIN v)
       SELECT doc_id, count(*) AS n_bigrams,
-        round(-(CAST(sum(lp) AS DOUBLE) / count(*)), 4) AS avg_nll
+        floor((-(CAST(sum(lp) AS DOUBLE) / count(*))) * 10000 + 0.5)
+          / 10000 AS avg_nll
       FROM sc GROUP BY doc_id"""
 
   /** The x51 scorer chain (x28-rule weak labels → [[graft.operators.NbQuality]]),
@@ -1728,8 +1763,9 @@ object PipelineQueries extends QueryPack {
             .when(col("nt") === 2, "middle").otherwise("tail"))
           .groupBy(col("source"), col("bucket"))
           .agg(count(lit(1)).as("n_docs"),
-            round(sum(col("avg_nll").cast(DecimalType(18, 4)))
-              .cast("double") / count(lit(1)), 4).as("mean_nll"))
+            graft.functions.PortableMath.roundPortable(
+              sum(col("avg_nll").cast(DecimalType(18, 4)))
+                .cast("double") / count(lit(1)), 4).as("mean_nll"))
           .orderBy(col("source"), col("bucket"))
       },
       Some(s"""WITH scored AS ($lmNllSql),
@@ -1742,7 +1778,8 @@ object PipelineQueries extends QueryPack {
         SELECT source,
           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
           count(*) AS n_docs,
-          round(CAST(sum(CAST(avg_nll AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS mean_nll
+          floor((CAST(sum(CAST(avg_nll AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*)) * 10000 + 0.5) / 10000 AS mean_nll
         FROM b GROUP BY source, nt ORDER BY source, bucket""")),
 
     // ---- INCREMENTAL corpus dedup end-to-end: the corpus arrives in two
@@ -1882,16 +1919,19 @@ object PipelineQueries extends QueryPack {
               AS n_correct
           FROM bn GROUP BY bin),
         st AS (SELECT bin, n, n_correct,
-            round(CAST(sconf AS DOUBLE)/n, 6) AS mean_conf,
+            floor((CAST(sconf AS DOUBLE)/n) * 1000000 + 0.5) / 1000000
+              AS mean_conf,
             CAST((n_correct*2000000 + n) // (2*n) AS DOUBLE)/1000000.0
               AS acc
           FROM cells),
         g AS (SELECT bin, n, n_correct, mean_conf, acc,
-            round(abs(acc - mean_conf), 6) AS gap FROM st),
+            floor(abs(acc - mean_conf) * 1000000 + 0.5) / 1000000
+              AS gap FROM st),
         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
             sum(n * CAST(gap AS DECIMAL(18,6))) AS sg FROM g)
         SELECT bin, n, n_correct, mean_conf, acc, gap,
-          round(CAST(sg AS DOUBLE)/nt, 6) AS ece
+          floor((CAST(sg AS DOUBLE)/nt) * 1000000 + 0.5) / 1000000
+            AS ece
         FROM g CROSS JOIN tot ORDER BY bin""")),
 
     // ---- corpus-trained BPE (Sennrich ACL 2016): the merge table the
@@ -3086,7 +3126,8 @@ object PipelineQueries extends QueryPack {
             AS DECIMAL(18,4)) AS comp
           FROM embeddings, range(64) r WHERE len(embedding) = 64),
         ct AS (SELECT label, pos,
-          round(CAST(sum(comp) AS DOUBLE)/count(*), 6) AS c
+          floor((CAST(sum(comp) AS DOUBLE)/count(*)) * 1000000 + 0.5)
+            / 1000000 AS c
           FROM pe GROUP BY label, pos),
         ca AS (SELECT label, list(c ORDER BY pos) AS centroid
           FROM ct GROUP BY label),
@@ -3967,9 +4008,13 @@ object PipelineQueries extends QueryPack {
         ref AS (SELECT sum(CAST(avg_nll AS DECIMAL(18,4))) AS rs,
             count(*) AS rn FROM j),
         st AS (SELECT source, n_docs,
-            round(CAST(snll AS DOUBLE)/n_docs, 6) AS mean_nll,
-            greatest(0.0, round(round(CAST(snll AS DOUBLE)/n_docs, 6)
-              - round(CAST(rs AS DOUBLE)/rn, 6), 6)) AS excess
+            floor((CAST(snll AS DOUBLE)/n_docs) * 1000000 + 0.5)
+              / 1000000 AS mean_nll,
+            greatest(0.0, floor(
+              (floor((CAST(snll AS DOUBLE)/n_docs) * 1000000 + 0.5)
+                 / 1000000
+               - floor((CAST(rs AS DOUBLE)/rn) * 1000000 + 0.5)
+                 / 1000000) * 1000000 + 0.5) / 1000000) AS excess
           FROM dom CROSS JOIN ref),
         bm AS (SELECT source, n_docs, mean_nll, excess,
             CAST(round(exp(1.0*excess), 6) AS DECIMAL(18,6)) AS boost,
@@ -4035,17 +4080,21 @@ object PipelineQueries extends QueryPack {
           FROM st),
         z AS (SELECT g.doc_id, g.source,
             CASE WHEN sd1 > 0.0
-              THEN round((CAST(s1 AS DOUBLE) - m1)/sd1, 6)
+              THEN floor(((CAST(s1 AS DOUBLE) - m1)/sd1)
+                          * 1000000 + 0.5) / 1000000
               ELSE 0.0 END AS z_nll,
             CASE WHEN sd2 > 0.0
-              THEN round((CAST(s2 AS DOUBLE) - m2)/sd2, 6)
+              THEN floor(((CAST(s2 AS DOUBLE) - m2)/sd2)
+                          * 1000000 + 0.5) / 1000000
               ELSE 0.0 END AS z_logtok,
             CASE WHEN sd3 > 0.0
-              THEN round((CAST(s3 AS DOUBLE) - m3)/sd3, 6)
+              THEN floor(((CAST(s3 AS DOUBLE) - m3)/sd3)
+                          * 1000000 + 0.5) / 1000000
               ELSE 0.0 END AS z_stop
           FROM sig g JOIN ms USING (source))
         SELECT doc_id, source, z_nll, z_logtok, z_stop,
-          round((z_nll + z_logtok + z_stop)/3, 6) AS composite
+          floor(((z_nll + z_logtok + z_stop)/3) * 1000000 + 0.5)
+            / 1000000 AS composite
         FROM z ORDER BY doc_id""")),
 
     // ---- per-source lexical diversity: TTR, distinct-bigram ratio,
@@ -4081,8 +4130,9 @@ object PipelineQueries extends QueryPack {
           CASE WHEN bs.n_bigrams > 0 THEN
             CAST((bs.distinct_bigrams*2000000 + bs.n_bigrams)
               // (2*bs.n_bigrams) AS DOUBLE)/1000000.0 END AS distinct2,
-          round(round(ln(us.n_tokens), 6)
-            - CAST(us.slc AS DOUBLE)/us.n_tokens, 6) AS entropy
+          floor((round(ln(us.n_tokens), 6)
+            - CAST(us.slc AS DOUBLE)/us.n_tokens) * 1000000 + 0.5)
+            / 1000000 AS entropy
         FROM dc JOIN us USING (source) LEFT JOIN bs USING (source)
         ORDER BY dc.source""")),
 
@@ -4737,7 +4787,8 @@ object PipelineQueries extends QueryPack {
             AS DECIMAL(18,4)) AS comp
           FROM j, range(64) r),
         ct AS (SELECT label, pos,
-          round(CAST(sum(comp) AS DOUBLE)/count(*), 6) AS c
+          floor((CAST(sum(comp) AS DOUBLE)/count(*)) * 1000000 + 0.5)
+            / 1000000 AS c
           FROM pe GROUP BY label, pos),
         ca AS (SELECT label, list(c ORDER BY pos) AS centroid
           FROM ct GROUP BY label),
@@ -5092,7 +5143,8 @@ object PipelineQueries extends QueryPack {
                FROM bg JOIN bi USING (w1, w2) JOIN ctx USING (w1)
                  JOIN ends USING (w2) CROSS JOIN ty)
         SELECT doc_id, count(*) AS n_bigrams,
-          round(-(CAST(sum(lp) AS DOUBLE) / count(*)), 4) AS avg_nll
+          floor((-(CAST(sum(lp) AS DOUBLE) / count(*))) * 10000 + 0.5)
+            / 10000 AS avg_nll
         FROM sc GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- Fellegi-Sunter probabilistic record linkage (JASA 1969):
@@ -5311,35 +5363,7 @@ object PipelineQueries extends QueryPack {
       (s, dir) => graft.operators.Anomaly.hourlyRateSpikes(
         t(s, dir, "events"), "ts", "event_type", "error")
         .orderBy(col("hour")),
-      Some("""WITH h AS (SELECT date_trunc('hour', ts) AS hour,
-               count(*) AS n_events,
-               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-                 AS n_matched
-               FROM events GROUP BY 1),
-        h2 AS (SELECT hour, CAST(n_events AS BIGINT) AS n_events,
-               CAST(n_matched AS BIGINT) AS n_matched,
-               CAST(n_matched * 1000000 // n_events AS BIGINT)
-                 AS share_micro,
-               epoch(hour) AS ep FROM h),
-        o AS (SELECT ep, ep - k * 3600 AS b_ep
-              FROM h2 CROSS JOIN unnest(range(1, 25)) AS t(k)),
-        b AS (SELECT o.ep, CAST(count(*) AS BIGINT) AS baseline_hours,
-              CAST(sum(x.share_micro) AS BIGINT) AS s1,
-              CAST(sum(x.share_micro * x.share_micro) AS BIGINT) AS s2
-              FROM o JOIN h2 x ON o.b_ep = x.ep GROUP BY o.ep)
-        SELECT CAST(h2.hour AS VARCHAR) AS hour, h2.n_events,
-          h2.n_matched, h2.share_micro,
-          coalesce(b.baseline_hours, 0) AS baseline_hours,
-          CAST(CASE WHEN coalesce(b.baseline_hours, 0) > 0
-               THEN b.s1 // b.baseline_hours ELSE 0 END AS BIGINT)
-            AS baseline_mean_micro,
-          (coalesce(b.baseline_hours, 0) >= 12
-           AND b.baseline_hours * h2.share_micro > b.s1
-           AND (b.baseline_hours * h2.share_micro - b.s1) *
-               (b.baseline_hours * h2.share_micro - b.s1) >
-               9 * (b.baseline_hours * b.s2 - b.s1 * b.s1)) AS flag
-        FROM h2 LEFT JOIN b ON h2.ep = b.ep
-        ORDER BY hour""")),
+      Some(hourlyAnomalySql)),
 
     // ---- embedding-space geometry: per-label per-dim mean/variance +
     //      the anisotropy ratio ||mu||^2 / E||x||^2 — every element
@@ -5619,35 +5643,58 @@ object PipelineQueries extends QueryPack {
           EventStreams.mergeHourlyLedger(s.table("stranom.hourly")))
           .orderBy(col("hour"))
       },
-      Some("""WITH h AS (SELECT date_trunc('hour', ts) AS hour,
-               count(*) AS n_events,
-               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-                 AS n_matched
-               FROM events GROUP BY 1),
-        h2 AS (SELECT hour, CAST(n_events AS BIGINT) AS n_events,
-               CAST(n_matched AS BIGINT) AS n_matched,
-               CAST(n_matched * 1000000 // n_events AS BIGINT)
-                 AS share_micro,
-               epoch(hour) AS ep FROM h),
-        o AS (SELECT ep, ep - k * 3600 AS b_ep
-              FROM h2 CROSS JOIN unnest(range(1, 25)) AS t(k)),
-        b AS (SELECT o.ep, CAST(count(*) AS BIGINT) AS baseline_hours,
-              CAST(sum(x.share_micro) AS BIGINT) AS s1,
-              CAST(sum(x.share_micro * x.share_micro) AS BIGINT) AS s2
-              FROM o JOIN h2 x ON o.b_ep = x.ep GROUP BY o.ep)
-        SELECT CAST(h2.hour AS VARCHAR) AS hour, h2.n_events,
-          h2.n_matched, h2.share_micro,
-          coalesce(b.baseline_hours, 0) AS baseline_hours,
-          CAST(CASE WHEN coalesce(b.baseline_hours, 0) > 0
-               THEN b.s1 // b.baseline_hours ELSE 0 END AS BIGINT)
-            AS baseline_mean_micro,
-          (coalesce(b.baseline_hours, 0) >= 12
-           AND b.baseline_hours * h2.share_micro > b.s1
-           AND (b.baseline_hours * h2.share_micro - b.s1) *
-               (b.baseline_hours * h2.share_micro - b.s1) >
-               9 * (b.baseline_hours * b.s2 - b.s1 * b.s1)) AS flag
-        FROM h2 LEFT JOIN b ON h2.ep = b.ep
-        ORDER BY hour""")),
+      Some(hourlyAnomalySql)),
+
+    // ---- streaming-ledger COMPACTION end-to-end: the x145 feed run in
+    //      THREE increments with a compaction between runs 2 and 3 — the
+    //      batches-x-hours ledger collapses to one batch_id = -1 row set
+    //      per hour plus the replay-eligible last batch kept verbatim
+    //      (EventStreams.compactBatchLedger); the report off the
+    //      compacted-then-extended ledger must STILL equal the one-shot
+    //      batch SQL. At 100 TB this is what keeps the ledger scan cost
+    //      bounded by distinct hours, not by microbatch count ----------
+    Q("x153_ledger_compaction",
+      (s, dir) => {
+        import graft.engine._
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("event_type"))
+        val bounds = ev.agg(expr("min(event_id)"), expr("max(event_id)"))
+          .first()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val landing = wh.resolve("strcomp_landing")
+        val ckpt = wh.resolve("_graft_checkpoints/strcomp")
+        s.sql("CREATE DATABASE IF NOT EXISTS strcomp")
+        s.sql("DROP TABLE IF EXISTS strcomp.hourly")
+        for (p <- Seq(landing, ckpt, wh.resolve("strcomp.db/hourly")))
+          Materializer.deleteRecursively(p)
+        def run(): Unit = EventStreams.streamingHourlyLedger(s,
+          landing.toString, ev.schema, "strcomp.hourly", ckpt.toString,
+          "ts", "event_type", "error")
+        ev.filter(col("event_id") <= c1)
+          .write.mode("overwrite").parquet(landing.toString)
+        run()
+        ev.filter(col("event_id") > c1 && col("event_id") <= c2)
+          .write.mode("append").parquet(landing.toString)
+        run()
+        // compact between increments: batch 0 collapses into the
+        // batch_id = -1 pre-merged rows, batch 1 stays verbatim; the
+        // localCheckpoint pins the read before the same-table overwrite
+        EventStreams.compactBatchLedger(s.table("strcomp.hourly"),
+            Seq("hour"), Seq("n_events", "n_matched"))
+          .localCheckpoint()
+          .write.mode("overwrite").format("parquet")
+          .saveAsTable("strcomp.hourly")
+        ev.filter(col("event_id") > c2)
+          .write.mode("append").parquet(landing.toString)
+        run()
+        graft.operators.Anomaly.spikesFromHourly(
+          EventStreams.mergeHourlyLedger(s.table("strcomp.hourly")))
+          .orderBy(col("hour"))
+      },
+      Some(hourlyAnomalySql)),
 
     // ---- rolling active users (DAU / trailing-7 / trailing-28): EXACT
     //      rolling count-distinct via the bin-join idiom — each (user,

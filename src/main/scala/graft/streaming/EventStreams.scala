@@ -541,4 +541,58 @@ object EventStreams {
       .groupBy("hour")
       .agg(sum(col("n_events")).as("n_events"),
         sum(col("n_matched")).as("n_matched"))
+
+  /** Compact a batch-stamped ADDITIVE ledger (heavy hitters x72, drift
+    * x84, count-min x94, hourly x145) — the sketch-ledger twin of
+    * [[graft.operators.Dedup.compactLedger]]: the ledgers grow one
+    * batch's rows per microbatch forever, so at 100 TB the postings
+    * table itself becomes the scan cost even though each batch is
+    * sketch-sized. Compaction collapses every batch STRICTLY BELOW the
+    * max batch id into one pre-merged row set stamped `batch_id = -1`
+    * (a real streaming batch id is never negative), after the same
+    * `dropDuplicates(batch_id, keys)` replay collapse the merge views
+    * apply — so the result is semantically LOSSLESS under every
+    * `merge*Ledger` reader: same keys, same sums, rows bounded by
+    * distinct keys + the last batch instead of batches × keys.
+    *
+    * The max-id batch is kept VERBATIM: under AvailableNow crash
+    * semantics it is the only batch a restart can re-deliver (earlier
+    * batches' offsets are committed), and a replay must land on rows
+    * with its original batch_id for the dropDuplicates collapse to
+    * see them. Run compaction between runs (no stream active on the
+    * table), any number of times — compacting a compacted ledger is a
+    * no-op modulo row order.
+    *
+    * Scale shape: one bounded max-id agg (1-row collect), one filter
+    * scan, one keys-sized groupBy — no joins. */
+  def compactBatchLedger(ledger: DataFrame, keyCols: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    val maxB = ledger.agg(max(col("batch_id"))).first()
+    if (maxB.isNullAt(0)) return ledger // empty ledger: nothing to do
+    val last = ledger.filter(col("batch_id") === maxB.getLong(0))
+    val older = ledger.filter(col("batch_id") < maxB.getLong(0))
+      .dropDuplicates("batch_id" +: keyCols)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col(sumCols.head)).as(sumCols.head),
+        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+      .withColumn("batch_id", lit(-1L))
+      .select(ledger.columns.map(col): _*) // original column order
+    last.unionByName(older)
+  }
+
+  /** Compact a [[streamingSuppressionLedger]] table: one row per id,
+    * keeping the FIRST asserting batch (the audit trail [[suppressionSet]]
+    * reads through min) — except the max-id batch's rows, kept verbatim
+    * for the same replay-collapse reason as [[compactBatchLedger]].
+    * Lossless under [[suppressionSet]]: same ids, same first_batch. */
+  def compactSuppressionLedger(ledger: DataFrame, idCol: String): DataFrame = {
+    val maxB = ledger.agg(max(col("batch_id"))).first()
+    if (maxB.isNullAt(0)) return ledger
+    val last = ledger.filter(col("batch_id") === maxB.getLong(0))
+    val older = ledger.filter(col("batch_id") < maxB.getLong(0))
+      .groupBy(col(idCol))
+      .agg(min(col("batch_id")).as("batch_id"))
+      .select(ledger.columns.map(col): _*)
+    last.unionByName(older)
+  }
 }

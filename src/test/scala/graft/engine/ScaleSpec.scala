@@ -563,6 +563,9 @@ class ScaleSpec extends SparkSpec {
       // streaming appends run before it as foreachBatch side effects;
       // measured 5, every exchange over the hours-bounded ledger
       "x145_streaming_anomaly" -> 5,
+      // x153: x145's registered report plan over the compacted ledger —
+      // same merged-ledger z-test shape, every exchange hours-bounded
+      "x153_ledger_compaction" -> 5,
       // x146: the (user, day) distinct (persisted), three bin-join
       // explode + distinct + count chains (fan-out 1/7/28, never a
       // range scan), the observed-days joins, final sort — measured 9
@@ -652,6 +655,46 @@ class ScaleSpec extends SparkSpec {
       }
     assert(bad.isEmpty,
       s"single-partition window funnels:\n${bad.mkString("\n")}")
+  }
+
+  test("registry-wide lint: round() never applied to a decimal-cast " +
+      "double") {
+    // Standing tripwire for the x100/x51 class (BASELINE.md round-8/11
+    // live hits): `round(CAST(x AS DOUBLE), k)` on a decimal aggregate
+    // flips engine-dependently when the exact sum lands on the
+    // .5·10^-k grid; the safe form rounds the decimal FIRST. The walk
+    // resolves aliases, so the hazard is caught even when the cast
+    // hides behind a projection, and ignores rounds over transcendental
+    // results (never grid-exact). Allowlist is EMPTY — no registered
+    // query has a legitimate need to round a decimal-cast double.
+    import spark.implicits._
+    val rows = Seq((1, BigDecimal("1.00005")), (2, BigDecimal("2.00015")))
+      .toDF("k", "d")
+    val haz = rows.groupBy("k")
+      .agg(round(sum(col("d")).cast("double"), 4).as("r"))
+    assert(graft.PlanAudit.roundAfterDecimalCastSites(haz).nonEmpty,
+      "lint fixture: direct hazard not visible to the walker")
+    val hidden = rows.groupBy("k").agg(sum(col("d")).as("s"))
+      .select(col("k"), col("s").cast("double").as("sd"))
+      .select(col("k"), round(col("sd"), 4).as("r"))
+    assert(graft.PlanAudit.roundAfterDecimalCastSites(hidden).nonEmpty,
+      "lint fixture: alias-hidden hazard not visible to the walker")
+    val safe = rows.groupBy("k")
+      .agg(round(sum(col("d")), 4).cast("double").as("r"))
+    assert(graft.PlanAudit.roundAfterDecimalCastSites(safe).isEmpty,
+      "lint fixture: round-before-cast wrongly flagged")
+    val logOk = rows.groupBy("k")
+      .agg(round(log(sum(col("d")).cast("double")), 4).as("r"))
+    assert(graft.PlanAudit.roundAfterDecimalCastSites(logOk).isEmpty,
+      "lint fixture: transcendental round wrongly flagged")
+    val bad = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        spark.catalog.clearCache()
+        graft.PlanAudit.roundAfterDecimalCastSites(fn(spark, sf0001))
+          .map(s => s"$name: $s")
+      }
+    assert(bad.isEmpty,
+      s"round-after-decimal-cast hazards:\n${bad.mkString("\n")}")
   }
 
   test("shuffle BYTE budgets: heavy queries hold their traffic ceilings") {

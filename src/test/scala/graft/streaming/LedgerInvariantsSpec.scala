@@ -1,0 +1,153 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One parameterized sweep over ALL the append-only ledger shapes
+  * (text/embedding dedup postings x50/x56/x58/x64, Misra–Gries x72,
+  * drift x84, count-min x94, suppression x115, hourly x145), asserting
+  * the two properties every ledger writer+reader pair must hold:
+  *
+  *   1. REPLAY idempotence — re-appending a batch's rows verbatim (what
+  *      an at-least-once foreachBatch crash-retry does) must not change
+  *      the merged view;
+  *   2. COMPACTION losslessness — compacting must preserve the merged
+  *      view exactly while strictly shrinking a multi-batch ledger, and
+  *      compacting twice must equal compacting once (idempotent).
+  *
+  * The sweep runs on synthetic LEDGER TABLES, not live streams: the
+  * properties belong to the merge views and compactors, which are pure
+  * DataFrame functions of the ledger — StreamingSpec separately proves
+  * each writer produces ledgers of exactly these shapes. */
+class LedgerInvariantsSpec extends SparkSpec {
+
+  /** name, two-batch ledger, replayed batch rows, merged-view reader
+    * (canonical collected value), compactor. */
+  private case class Shape(name: String, ledger: () => DataFrame,
+      replayBatch: DataFrame => DataFrame,
+      view: DataFrame => Any, compact: DataFrame => DataFrame)
+
+  private def shapes: Seq[Shape] = {
+    import spark.implicits._
+    // batch-stamped additive ledgers: three batches, 0 and 1 sharing
+    // keys, so compaction genuinely merges history and strictly shrinks
+    val mg = () => Seq(("a", 5L, 0L), ("b", 3L, 0L), (null, 10L, 0L),
+      ("a", 2L, 1L), ("c", 4L, 1L), (null, 8L, 1L),
+      ("a", 1L, 2L), (null, 4L, 2L))
+      .toDF("term", "est", "batch_id")
+    val cm = () => Seq((0, 5L, 0L), (3, 2L, 0L), (-1, 7L, 0L),
+      (0, 1L, 1L), (5, 9L, 1L), (-1, 10L, 1L),
+      (0, 2L, 2L), (-1, 3L, 2L))
+      .toDF("pos", "cnt", "batch_id")
+    val drift = () => Seq(("s1", "x", 4L, 0L), ("s1", "y", 2L, 0L),
+      ("s2", "x", 1L, 0L), ("s1", "x", 3L, 1L), ("s2", "z", 6L, 1L),
+      ("s1", "y", 1L, 2L))
+      .toDF("source", "bterm", "cs", "batch_id")
+    val hourly = () => Seq(("h0", 10L, 2L, 0L), ("h1", 5L, 0L, 0L),
+      ("h1", 7L, 3L, 1L), ("h2", 4L, 1L, 1L), ("h2", 2L, 0L, 2L))
+      .toDF("hour", "n_events", "n_matched", "batch_id")
+    val suppress = () => Seq((11L, 0L), (12L, 0L), (12L, 1L), (13L, 1L),
+      (14L, 2L))
+      .toDF("doc_id", "batch_id")
+    // posting ledgers (no batch_id; batches are append ranges): kept
+    // docs own their buckets, dropped docs carry dead postings — the
+    // compactLedger target. "Replay" re-appends the last batch's rows.
+    val postings = () => Seq(
+      (1L, 0, "k1", true), (1L, 1, "k2", true),      // batch 1 kept
+      (2L, 0, "k1", false), (2L, 1, "k9", false),    // batch 1 dropped
+      (3L, 0, "k3", true), (3L, 1, "k4", true),      // batch 2 kept
+      (4L, 0, "k3", false), (4L, 1, "k8", false))    // batch 2 dropped
+      .toDF("doc", "band", "key", "kept")
+    def postingViews(l: DataFrame): Any = (
+      // the three consumer views: probe set, keep-list, cursor
+      l.filter(col("kept") && col("band") >= 0).select("band", "key")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSet,
+      l.groupBy("doc").agg(max(col("kept")).as("kept")).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap,
+      l.agg(max(col("doc"))).first().getLong(0))
+    Seq(
+      Shape("heavy-hitters (x72)", mg,
+        _.filter(col("batch_id") === 0),
+        l => {
+          val (s, t) = EventStreams.mergeSketchLedger(l)
+          (s.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+            t.first().getLong(0))
+        },
+        EventStreams.compactBatchLedger(_, Seq("term"), Seq("est"))),
+      Shape("count-min (x94)", cm,
+        _.filter(col("batch_id") === 0),
+        l => {
+          val (c, t) = EventStreams.mergeCountMinLedger(l)
+          (c.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap,
+            t.first().getLong(0))
+        },
+        EventStreams.compactBatchLedger(_, Seq("pos"), Seq("cnt"))),
+      Shape("drift (x84)", drift,
+        _.filter(col("batch_id") === 0),
+        l => EventStreams.mergeDriftLedger(l).collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+        EventStreams.compactBatchLedger(_, Seq("source", "bterm"),
+          Seq("cs"))),
+      Shape("hourly (x145)", hourly,
+        _.filter(col("batch_id") === 0),
+        l => EventStreams.mergeHourlyLedger(l).collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap,
+        EventStreams.compactBatchLedger(_, Seq("hour"),
+          Seq("n_events", "n_matched"))),
+      Shape("suppression (x115)", suppress,
+        _.filter(col("batch_id") === 0),
+        l => EventStreams.suppressionSet(l, "doc_id").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+        EventStreams.compactSuppressionLedger(_, "doc_id")),
+      Shape("dedup postings (x50/x58)", postings,
+        _.filter(col("doc") >= 3L), // last appended batch
+        postingViews, Dedup.compactLedger(_)),
+      // embedding ledgers (x56/x64) share the posting SCHEMA and all
+      // three views with the text ledger; their keys are SRP band keys
+      Shape("embedding postings (x56/x64)", () =>
+        postings().withColumn("key", concat(lit("srp:"), col("key"))),
+        _.filter(col("doc") >= 3L),
+        postingViews, Dedup.compactLedger(_)))
+  }
+
+  test("every ledger shape: replay leaves the merged view unchanged") {
+    shapes.foreach { s =>
+      val base = s.ledger()
+      val want = s.view(base)
+      val replayed = base.unionByName(s.replayBatch(base))
+      assert(s.view(replayed) == want,
+        s"${s.name}: replayed batch changed the merged view")
+    }
+  }
+
+  test("every ledger shape: compaction is lossless, shrinking, " +
+      "idempotent, and composes with replay") {
+    shapes.foreach { s =>
+      val base = s.ledger()
+      val want = s.view(base)
+      val compacted = s.compact(base).localCheckpoint()
+      assert(s.view(compacted) == want,
+        s"${s.name}: compaction changed the merged view")
+      assert(compacted.count() < base.count(),
+        s"${s.name}: compaction did not shrink a multi-batch ledger")
+      val twice = s.compact(compacted).localCheckpoint()
+      assert(s.view(twice) == want &&
+        twice.count() == compacted.count(),
+        s"${s.name}: compaction is not idempotent")
+      if (!s.name.contains("postings")) {
+        // a replay arriving AFTER compaction: the only replay-eligible
+        // batch under AvailableNow is the max-id one, kept verbatim
+        // exactly so its re-delivery still collapses on batch_id.
+        // (Posting ledgers have no batch ids; their replay collapse is
+        // the max()/set views themselves, asserted in the replay test.)
+        val lateReplay = compacted.unionByName(
+          compacted.filter(col("batch_id") >= 0))
+        assert(s.view(lateReplay) == want,
+          s"${s.name}: post-compaction replay of the last batch " +
+            "changed the merged view")
+      }
+    }
+  }
+}
