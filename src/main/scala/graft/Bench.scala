@@ -274,7 +274,10 @@ object Bench {
     "x152_key_candidates" -> 1160,
     // x153 = three AvailableNow runs + the compaction rewrite + the
     // x145 report plan (the streaming side effects dominate the wall)
-    "x153_ledger_compaction" -> 4850)
+    "x153_ledger_compaction" -> 3980,
+    // x154 = two candidate-generation joins + distinct + verify over
+    // ~1.5k 60-char keys (segment postings linear in key count)
+    "x154_editdist_long_keys" -> 990)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

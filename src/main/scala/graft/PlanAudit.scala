@@ -161,7 +161,10 @@ object PlanAudit {
       spark.stop()
       return
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       // defined cache state per query: a prior query's persisted relation
       // would otherwise swap this query's subtrees for InMemoryRelation
       spark.catalog.clearCache()

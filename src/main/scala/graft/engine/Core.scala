@@ -237,6 +237,26 @@ final class Ctx(
     * declared as `model_vN`. */
   def ref(model: String, version: Int): DataFrame =
     resolveRef(model, Some(version))
+  /** Point-in-time read of an SCD-2 snapshot node ([[ref]] + the
+    * standard validity-interval predicate): the rows that were CURRENT
+    * at `ts` — `valid_from <= ts < valid_to`, open rows (null
+    * `valid_to`) current forever. Downstream models consume historical
+    * state without hand-writing the interval logic; reading with a
+    * `ts` older than the first snapshot run yields no rows. The filter
+    * is a plain pushdown-eligible predicate — on a `partitions = n`
+    * bucketed snapshot the key buckets still prune. */
+  def refAsOf(snapshot: String, ts: java.sql.Timestamp): DataFrame = {
+    val df = resolveRef(snapshot, None)
+    require(df.columns.contains("valid_from") &&
+      df.columns.contains("valid_to"),
+      s"refAsOf('$snapshot'): not an SCD-2 snapshot relation " +
+        "(missing valid_from/valid_to)")
+    df.filter(org.apache.spark.sql.functions.col("valid_from") <=
+        org.apache.spark.sql.functions.lit(ts) &&
+      (org.apache.spark.sql.functions.col("valid_to").isNull ||
+        org.apache.spark.sql.functions.col("valid_to") >
+          org.apache.spark.sql.functions.lit(ts)))
+  }
   /** Read a declared source table; records a DAG edge. */
   def source(sourceName: String, table: String): DataFrame =
     resolveSource(sourceName, table)

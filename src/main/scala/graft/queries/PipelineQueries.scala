@@ -5696,6 +5696,48 @@ object PipelineQueries extends QueryPack {
       },
       Some(hourlyAnomalySql)),
 
+    // ---- long-key edit-distance self-join: the x89 fuzzy join over
+    //      60-char document prefixes — deletion neighborhoods would blow
+    //      up O(len²) variants per key here, so selfJoinHybrid routes
+    //      long keys through PassJoin segment blocking (Li-Deng-Feng
+    //      ICDE'11: d+1 segments, multi-match-aware probe windows,
+    //      postings linear in key count). Planted 1-sub and 1-del twins
+    //      guarantee true pairs; the oracle brute-forces levenshtein
+    //      over the length-filtered pair set --------------------------
+    Q("x154_editdist_long_keys",
+      (s, dir) => {
+        val base = t(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id"), expr("substring(text, 1, 60)").as("key"))
+        val subTwin = base
+          .filter(col("doc_id") % 20 === 0 && length(col("key")) >= 35)
+          .select(expr(
+            "concat(substring(key, 1, 30), 'q', substring(key, 32))")
+            .as("key"))
+        val delTwin = base
+          .filter(col("doc_id") % 40 === 0 && length(col("key")) >= 20)
+          .select(expr("concat(substring(key, 1, 10), substring(key, 12))")
+            .as("key"))
+        graft.operators.EditDistJoin.selfJoinHybrid(
+          base.select("key").unionByName(subTwin).unionByName(delTwin),
+          "key", maxDist = 2, maxKeyLen = 32)
+          .orderBy(col("key_a"), col("key_b"))
+      },
+      Some("""WITH b AS (SELECT doc_id, substring(text, 1, 60) AS key
+            FROM documents WHERE doc_id % 4 = 0 AND text IS NOT NULL),
+        s1 AS (SELECT concat(substring(key,1,30),'q',substring(key,32))
+              AS key FROM b WHERE doc_id % 20 = 0 AND length(key) >= 35),
+        s2 AS (SELECT concat(substring(key,1,10), substring(key,12))
+              AS key FROM b WHERE doc_id % 40 = 0 AND length(key) >= 20),
+        k AS (SELECT DISTINCT key FROM (SELECT key FROM b UNION ALL
+            SELECT key FROM s1 UNION ALL SELECT key FROM s2)),
+        p AS (SELECT a.key AS key_a, b2.key AS key_b FROM k a JOIN k b2
+            ON a.key < b2.key
+            WHERE abs(length(a.key) - length(b2.key)) <= 2)
+        SELECT key_a, key_b,
+          CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist
+        FROM p WHERE levenshtein(key_a, key_b) <= 2
+        ORDER BY key_a, key_b""")),
+
     // ---- rolling active users (DAU / trailing-7 / trailing-28): EXACT
     //      rolling count-distinct via the bin-join idiom — each (user,
     //      day) contributes itself to the w report days it can appear

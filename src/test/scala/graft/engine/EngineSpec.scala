@@ -543,6 +543,58 @@ class EngineSpec extends SparkSpec {
     assert(open2.head.getAs[java.sql.Timestamp]("valid_from") == t1)
   }
 
+  test("snapshot: ctx.refAsOf reads point-in-time state across two runs") {
+    import spark.implicits._
+    val p = newProject("snapasof")
+    var tick = java.sql.Timestamp.valueOf("2026-03-01 00:00:00")
+    var tier1 = "gold"
+    p.snapshot("cust_snap", uniqueKey = "id", checkCols = Seq("tier"),
+      asOf = () => tick) { ctx =>
+      import ctx.spark.implicits._
+      Seq((1L, tier1), (2L, "silver")).toDF("id", "tier")
+    }
+    // downstream model consumes the snapshot at a PINNED instant between
+    // the two runs: it must keep reading run-1 state after run 2
+    val mid = java.sql.Timestamp.valueOf("2026-03-01 12:00:00")
+    p.model("tiers_at_mid",
+        ModelConfig(materialized = Materialization.Table)) { ctx =>
+      ctx.refAsOf("cust_snap", mid).select(col("id"), col("tier"))
+    }
+    assert(p.run().ok)
+    tick = java.sql.Timestamp.valueOf("2026-03-02 00:00:00")
+    tier1 = "platinum"
+    assert(p.run().ok)
+    def tiersAt(ts: java.sql.Timestamp): Map[Long, String] = {
+      // a Ctx resolving refs straight from the catalog, as a model would
+      val snap = spark.table("snapasof.cust_snap")
+      new Ctx(spark, (_, _) => snap, (_, _) => fail("no sources"))
+        .refAsOf("cust_snap", ts)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    // before the first run: nothing was current yet
+    assert(tiersAt(java.sql.Timestamp.valueOf("2026-02-28 00:00:00"))
+      .isEmpty)
+    // between the runs: run-1 state
+    assert(tiersAt(mid) == Map(1L -> "gold", 2L -> "silver"))
+    // after run 2: id 1's new version is current
+    assert(tiersAt(java.sql.Timestamp.valueOf("2026-03-03 00:00:00")) ==
+      Map(1L -> "platinum", 2L -> "silver"))
+    // exactly AT a close-out instant the new version is current
+    // (valid_from <= ts < valid_to: half-open interval)
+    assert(tiersAt(java.sql.Timestamp.valueOf("2026-03-02 00:00:00")) ==
+      Map(1L -> "platinum", 2L -> "silver"))
+    // the materialized downstream table froze run-1 state
+    assert(spark.table("snapasof.tiers_at_mid").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "gold", 2L -> "silver"))
+    // non-snapshot relations are refused loudly
+    val e = intercept[IllegalArgumentException] {
+      new Ctx(spark, (_, _) => Seq((1L, "x")).toDF("id", "v"),
+        (_, _) => fail("no sources")).refAsOf("not_a_snap", mid)
+    }
+    assert(e.getMessage.contains("valid_from"), e.getMessage)
+  }
+
   test("snapshot: partition-scoped rewrite leaves unchanged buckets byte-identical") {
     import spark.implicits._
     val p = newProject("snappart")

@@ -566,6 +566,9 @@ class ScaleSpec extends SparkSpec {
       // x153: x145's registered report plan over the compacted ledger —
       // same merged-ledger z-test shape, every exchange hours-bounded
       "x153_ledger_compaction" -> 5,
+      // x154: neighborhood-candidate join (2) + segment-candidate join
+      // (2) + shared candidate distinct + final sort — measured 6
+      "x154_editdist_long_keys" -> 6,
       // x146: the (user, day) distinct (persisted), three bin-join
       // explode + distinct + count chains (fan-out 1/7/28, never a
       // range scan), the observed-days joins, final sort — measured 9
