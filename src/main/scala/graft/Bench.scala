@@ -112,7 +112,9 @@ object Bench {
     // x62 composes coarse k-means + residual-PQ training + IVF scan +
     // the EXACT all-pairs baseline it adjudicates recall against — the
     // x43-class "the composition is the workload" shape
-    "x62_ivf_pq_ann" -> 10260,
+    // re-baselined r12: nProbe 5->7, refine pool 25->50 (recall@5
+    // 0.73 -> 0.89 at sf0.1; the BASELINE.md r12 sweep table)
+    "x62_ivf_pq_ann" -> 12340,
     // x63 fuses two pair generators + star CC — composition-is-the-workload
     "x63_fused_dedup_keeplist" -> 8200,
     // x64 = x58's two-AvailableNow-run shape over SRP postings
@@ -277,7 +279,11 @@ object Bench {
     "x153_ledger_compaction" -> 3980,
     // x154 = two candidate-generation joins + distinct + verify over
     // ~1.5k 60-char keys (segment postings linear in key count)
-    "x154_editdist_long_keys" -> 990)
+    "x154_editdist_long_keys" -> 990,
+    // x155 = (source, prio) histogram + bounded windows + join-backs
+    "x155_token_budget_cap" -> 950,
+    // x156 = zero-shuffle O(len*w) chunking + hash-freq agg + join
+    "x156_cdc_chunk_dedup" -> 550)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -101,6 +101,64 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Token-BUDGETED per-group selection — [[capPerGroup]]'s budget twin:
+    * pretraining mixes are specified in TOKENS, not documents, so the
+    * cap that matters is "this source contributes at most B tokens".
+    * Within each group, order docs by (priority DESC, id ASC) and keep
+    * every doc whose INCLUSIVE running token total fits the budget (the
+    * running total is monotone, so the kept set is an order prefix).
+    * Exact BIGINT arithmetic; `prioCol`/`tokenCol` must be integral.
+    *
+    * Scale shape: NO corpus-sized per-group window — groups are sources
+    * (low cardinality), so `sum() OVER (PARTITION BY group)` would
+    * funnel each source's corpus through one task (the x83 lesson).
+    * Threshold decomposition instead:
+    *   1. one map-side-combined (group, priority) HISTOGRAM —
+    *      groups × distinct-priorities rows;
+    *   2. running totals over the HISTOGRAM (window over the bounded
+    *      histogram, never the corpus) classify each priority class:
+    *      fully kept / the single cutoff class (gets the remaining
+    *      budget) / dropped;
+    *   3. fully-kept classes join back with no window at all; only the
+    *      CUTOFF class resolves its ties by an id-ordered window over
+    *      that one (group, priority) slice. Keep priorities
+    *      fine-grained: a corpus-sized tie class at the cutoff would
+    *      reintroduce the funnel (that is a modeling smell, not an
+    *      operator limit).
+    * Returns the kept rows: (groupCol, idCol, prioCol, tokenCol). */
+  def tokenBudgetCap(df: DataFrame, groupCol: String, idCol: String,
+      prioCol: String, tokenCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val base = df.select(col(groupCol).as("__grp"), col(idCol).as("__id"),
+      col(prioCol).cast("long").as("__prio"),
+      col(tokenCol).cast("long").as("__tok"))
+    val hist = base.groupBy(col("__grp"), col("__prio"))
+      .agg(sum(col("__tok")).as("__ptok"))
+    val wH = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__grp")).orderBy(col("__prio").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val classes = hist
+      .withColumn("__before", coalesce(sum(col("__ptok")).over(wH), lit(0L)))
+      .filter(col("__before") <= budget)
+      .withColumn("__full", col("__before") + col("__ptok") <= budget)
+      .withColumn("__rem", lit(budget) - col("__before"))
+    val fullKeep = base
+      .join(classes.filter(col("__full")).select("__grp", "__prio"),
+        Seq("__grp", "__prio"))
+    val wC = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__grp"), col("__prio")).orderBy(col("__id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cutoffKeep = base
+      .join(classes.filter(!col("__full")).select("__grp", "__prio", "__rem"),
+        Seq("__grp", "__prio"))
+      .withColumn("__cum", sum(col("__tok")).over(wC))
+      .filter(col("__cum") <= col("__rem"))
+      .drop("__cum", "__rem")
+    fullKeep.unionByName(cutoffKeep)
+      .select(col("__grp").as(groupCol), col("__id").as(idCol),
+        col("__prio").as(prioCol), col("__tok").as(tokenCol))
+  }
+
   /** SEMANTIC diversity cap — [[capPerGroup]]'s embedding-space twin:
     * downsample over-dense regions of embedding space instead of
     * over-represented source domains. Each vector is assigned a cell by

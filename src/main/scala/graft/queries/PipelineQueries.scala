@@ -2359,7 +2359,7 @@ object PipelineQueries extends QueryPack {
         val recon = Pq.ivfPqReconstruct(e, "vec_id", "embedding",
           centSeq, cbs).select(col("vec_id"), col("recon").as("embedding"))
         val candidates = Similarity.ivfTopK(recon, e, cents, "vec_id",
-          "embedding", k = 25, nProbe = 5)
+          "embedding", k = 50, nProbe = 7)
           .select(col("query_id"), col("neighbor_id"))
         val approx = Similarity.refineTopK(candidates, e, e, "vec_id",
           "embedding", k = 5)
@@ -2370,7 +2370,7 @@ object PipelineQueries extends QueryPack {
             Seq("query_id", "neighbor_id"), "left")
           .agg(countDistinct(col("query_id")).as("n_queries"),
             (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
-              >= 0.6).as("recall_ok"))
+              >= 0.7).as("recall_ok"))
           .withColumn("code_bits", lit(112L))
       },
       Some("""SELECT count(*) AS n_queries, true AS recall_ok,
@@ -5737,6 +5737,74 @@ object PipelineQueries extends QueryPack {
           CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist
         FROM p WHERE levenshtein(key_a, key_b) <= 2
         ORDER BY key_a, key_b""")),
+
+    // ---- token-BUDGETED per-source cap: pretraining mixes are
+    //      specified in tokens, not documents — keep each source's
+    //      longest docs while the source's running token total fits a
+    //      600-token budget. NOT a per-source corpus window: the
+    //      operator decomposes into a (source, priority) histogram,
+    //      histogram-window cutoff classes, and a tie window over the
+    //      single cutoff class (the x83 no-funnel rule) --------------
+    Q("x155_token_budget_cap",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("tok", nTokens(tokens(col("text"))))
+        graft.operators.Sampling.tokenBudgetCap(
+          docs.withColumn("prio", col("tok")),
+          "source", "doc_id", "prio", "tok", budget = 600)
+          .select(col("source"), col("doc_id"), col("tok"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT source, doc_id,
+            CAST(len(string_split(text,' ')) AS BIGINT) AS tok
+            FROM documents),
+        r AS (SELECT source, doc_id, tok,
+            sum(tok) OVER (PARTITION BY source ORDER BY tok DESC, doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum FROM w)
+        SELECT source, doc_id, tok FROM r WHERE cum <= 600
+        ORDER BY source, doc_id""")),
+
+    // ---- content-defined chunk dedup (LBFS boundary rule, SOSP'01):
+    //      chunk every doc where a 16-char polynomial window hash hits
+    //      residue 0 mod 64, md5 each chunk, and report per doc how
+    //      many of its chunks occur >= 2 times corpus-wide — the
+    //      shift-robust near-copy signal doc-level hashing (x01) is
+    //      blind to (insert one char and every fixed window moves;
+    //      content-defined boundaries re-synchronize). The corpus's
+    //      planted near-dup twins light this up without any fixture
+    //      fabrication. Zero-shuffle chunking; chunk-sized rows only
+    //      cross the wire --------------------------------------------
+    Q("x156_cdc_chunk_dedup",
+      (s, dir) => graft.operators.Cdc.dupChunkReport(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, text,
+            CAST(length(text) AS BIGINT) AS len FROM documents
+            WHERE text IS NOT NULL AND length(text) >= 1),
+        b AS (SELECT doc_id, text, len,
+            CASE WHEN len >= 16 THEN
+              list_filter(range(16, len + 1), i ->
+                list_sum(list_transform(range(16), j ->
+                  ascii(substring(text, CAST(i - 15 + j AS INTEGER), 1))
+                    * ([122335, 748097, 903583, 198273, 107871, 307905, 618783, 290561, 77023, 408385, 317599, 923521, 29791, 961, 31, 1])[j + 1])) % 64 = 0)
+            ELSE [] END AS bnds FROM t),
+        sp AS (SELECT doc_id, text, len, bnds,
+            unnest(range(1, CAST(len(bnds) + 2 AS BIGINT))) AS k FROM b),
+        ch AS (SELECT doc_id,
+            CASE WHEN k = 1 THEN 1 ELSE bnds[CAST(k - 1 AS INTEGER)] + 1
+              END AS s,
+            CASE WHEN k <= len(bnds) THEN bnds[CAST(k AS INTEGER)]
+              ELSE len END AS e,
+            text FROM sp),
+        chk AS (SELECT doc_id, md5(substring(text, CAST(s AS INTEGER),
+            CAST(e - s + 1 AS INTEGER))) AS h FROM ch WHERE e >= s),
+        fr AS (SELECT h, count(*) AS c FROM chk GROUP BY h)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+          CAST(sum(CASE WHEN fr.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dup_chunks,
+          CAST(sum(CASE WHEN fr.c >= 2 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS dup_ratio_micro
+        FROM chk JOIN fr USING (h) GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- rolling active users (DAU / trailing-7 / trailing-28): EXACT
     //      rolling count-distinct via the bin-join idiom — each (user,

@@ -569,6 +569,13 @@ class ScaleSpec extends SparkSpec {
       // x154: neighborhood-candidate join (2) + segment-candidate join
       // (2) + shared candidate distinct + final sort — measured 6
       "x154_editdist_long_keys" -> 6,
+      // x155: the (source, prio) histogram agg + histogram window + the
+      // two class join-backs (full + cutoff tie window) + final sort —
+      // measured 6, windows over the bounded histogram / cutoff slice
+      "x155_token_budget_cap" -> 6,
+      // x156: zero-shuffle chunking; chunk-hash frequency agg + the
+      // hash-keyed join back + per-doc agg/sort — measured 3
+      "x156_cdc_chunk_dedup" -> 3,
       // x146: the (user, day) distinct (persisted), three bin-join
       // explode + distinct + count chains (fan-out 1/7/28, never a
       // range scan), the observed-days joins, final sort — measured 9

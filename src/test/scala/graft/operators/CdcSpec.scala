@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Cdc: lossless partition, boundary determinism, shift robustness
+  * (the property that motivates content-defined over fixed-size
+  * chunking), and the dup report. */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkText(seed: Int, len: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+  }
+
+  private def chunksOf(docs: Seq[(Long, String)], w: Int = 16,
+      mask: Int = 63): Map[Long, Seq[(Long, Long, String)]] =
+    Cdc.chunkHashes(docs.toDF("doc_id", "text"), "doc_id", "text", w, mask)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+
+  test("chunks partition each text losslessly and cover every char") {
+    val docs = Seq(1L -> mkText(7, 400), 2L -> mkText(8, 3),
+      3L -> mkText(9, 16))
+    val got = chunksOf(docs)
+    docs.foreach { case (id, text) =>
+      val lens = got(id).map(_._2)
+      assert(lens.sum == text.length, s"doc $id: ${lens.sum} != ${text.length}")
+      assert(lens.forall(_ >= 1), s"doc $id has an empty chunk")
+      // reassembly: hashing the same spans of the original reproduces
+      // the chunk hashes in order
+      var off = 0
+      got(id).foreach { case (_, l, h) =>
+        val piece = text.substring(off, off + l.toInt)
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(piece.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(md == h, s"doc $id chunk at $off mismatches")
+        off += l.toInt
+      }
+    }
+    // short doc (< window): exactly one chunk
+    assert(got(2L).size == 1 && got(2L).head._2 == 3)
+  }
+
+  test("a 400-char doc at mask 63 actually splits into several chunks") {
+    val got = chunksOf(Seq(1L -> mkText(21, 400)))
+    assert(got(1L).size >= 3, s"only ${got(1L).size} chunks — boundary " +
+      "rule may be broken")
+  }
+
+  test("shift robustness: a prefix insertion re-synchronizes chunks") {
+    val a = mkText(42, 600)
+    val b = "X" + a                       // every byte offset shifts by 1
+    val got = chunksOf(Seq(1L -> a, 2L -> b))
+    val ha = got(1L).map(_._3).toSet
+    val hb = got(2L).map(_._3).toSet
+    val shared = ha.intersect(hb).size
+    // all chunks after the first boundary match again; only the head
+    // chunk differs
+    assert(shared >= ha.size - 1 && shared >= 1,
+      s"shared $shared of ${ha.size} — chunking did not re-synchronize")
+  }
+
+  test("dup report: identical docs all-dup, unique doc none, " +
+      "shifted copy mostly-dup") {
+    val a = mkText(5, 600)
+    val docs = Seq(1L -> a, 2L -> a, 3L -> ("X" + a), 4L -> mkText(6, 600))
+    val rep = Cdc.dupChunkReport(docs.toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rep(1L)._1 == rep(1L)._2 && rep(1L)._3 == 1000000L,
+      s"identical copy not fully dup: ${rep(1L)}")
+    assert(rep(2L)._3 == 1000000L)
+    assert(rep(3L)._2 >= rep(3L)._1 - 1 && rep(3L)._2 >= 1,
+      s"shifted copy should share all but its head chunk: ${rep(3L)}")
+    assert(rep(4L)._2 == 0L && rep(4L)._3 == 0L,
+      s"unique doc flagged dup: ${rep(4L)}")
+  }
+}

@@ -315,4 +315,37 @@ class SamplingSpec extends SparkSpec {
         "vec_id", "embedding", dim, cellBits = 3, n = 5)
     }
   }
+
+  test("tokenBudgetCap == the (prio desc, id) inclusive-prefix rule") {
+    import spark.implicits._
+    // rows: (group, id, prio, tokens)
+    val rows = Seq(
+      ("a", 1L, 9L, 40L), ("a", 2L, 9L, 30L),   // class 9: 70 total
+      ("a", 3L, 5L, 20L), ("a", 4L, 5L, 25L),   // class 5: cutoff ties
+      ("a", 5L, 1L, 10L),                        // beyond budget
+      ("b", 6L, 7L, 100L),                       // alone over budget? no: =100
+      ("b", 7L, 3L, 1L),
+      ("c", 8L, 2L, 500L))                       // single too-big doc
+    val df = rows.toDF("src", "id", "prio", "tok")
+    def got(budget: Long): Map[String, Set[Long]] =
+      Sampling.tokenBudgetCap(df, "src", "id", "prio", "tok", budget)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def want(budget: Long): Map[String, Set[Long]] =
+      rows.groupBy(_._1).view.mapValues { g =>
+        val ordered = g.sortBy(r => (-r._3, r._2))
+        val cums = ordered.scanLeft(0L)(_ + _._4).tail
+        ordered.zip(cums).filter(_._2 <= budget).map(_._1._2).toSet
+      }.toMap.map { case (k, v) => k -> v }
+    for (b <- Seq(0L, 90L, 95L, 100L, 115L, 125L, 1000L)) {
+      val g = got(b).filter(_._2.nonEmpty)
+      val w = want(b).filter(_._2.nonEmpty)
+      assert(g == w, s"budget $b: got $g want $w")
+    }
+    // budget 90: class-9 fully kept (70), cutoff class 5 has rem 20 —
+    // only id 3 (20 tokens, lower id) fits; id 4 (25) and class 1 drop
+    assert(got(90L)("a") == Set(1L, 2L, 3L))
+    // a doc bigger than the whole budget yields an empty group
+    assert(!got(100L).contains("c") || got(100L)("c").isEmpty)
+  }
 }
