@@ -760,7 +760,15 @@ class ScaleSpec extends SparkSpec {
       // x143 measured 19KB at sf0.01: wedge + closing-join traffic stays
       // edge-list-sized — a broken orientation (wedges at every corner)
       // or a lost degree broadcast inflates it quadratically
-      ("x143_dup_graph_triangles", 256L << 10))
+      ("x143_dup_graph_triangles", 256L << 10),
+      // x154 measured 15KB at sf0.01: segment+neighborhood candidate
+      // postings stay match-volume-sized — a broken probe window
+      // (all positions) would inflate the posting join ~len-fold
+      ("x154_editdist_long_keys", 256L << 10),
+      // x156 measured 98KB at sf0.01: only (doc, hash, len) chunk rows
+      // cross the wire — a chunking bug that ships texts, or a lost
+      // partial agg, inflates this past the ceiling
+      ("x156_cdc_chunk_dedup", 1L << 20))
     val readings = caps.map { case (name, cap) =>
       spark.catalog.clearCache()
       val b = graft.PlanAudit.executedShuffleBytes(
