@@ -283,7 +283,9 @@ object Bench {
     // x155 = (source, prio) histogram + bounded windows + join-backs
     "x155_token_budget_cap" -> 950,
     // x156 = zero-shuffle O(len*w) chunking + hash-freq agg + join
-    "x156_cdc_chunk_dedup" -> 550)
+    "x156_cdc_chunk_dedup" -> 550,
+    // x157 = (source, score) histogram + bounded windows + join-backs
+    "x157_quantile_normalize" -> 940)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5806,6 +5806,33 @@ object PipelineQueries extends QueryPack {
             // count(*) AS BIGINT) AS dup_ratio_micro
         FROM chk JOIN fr USING (h) GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- per-source exact quantile normalization: quality signals
+    //      from different sources live on incomparable scales, so mix
+    //      policies compare QUANTILES (the rank-transform step of
+    //      Bolstad'03 quantile normalization, per group). rank is NOT a
+    //      per-source corpus window (the x83 funnel): a (source, score)
+    //      histogram cumulative + an id window over the single tie
+    //      class — the x155 decomposition, proved equal to the plain
+    //      window rank by the oracle -----------------------------------
+    Q("x157_quantile_normalize",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("score", nTokens(tokens(col("text"))))
+        graft.operators.QuantileNorm.perGroup(docs,
+          "source", "doc_id", "score")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT source, doc_id,
+            CAST(len(string_split(text,' ')) AS BIGINT) AS score
+            FROM documents),
+        r AS (SELECT source, doc_id, score,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY score, doc_id) AS BIGINT) AS rank,
+            count(*) OVER (PARTITION BY source) AS n FROM w)
+        SELECT source, doc_id, score, rank,
+          CAST(rank * 1000000 // (n + 1) AS BIGINT) AS qnorm_micro
+        FROM r ORDER BY doc_id""")),
+
     // ---- rolling active users (DAU / trailing-7 / trailing-28): EXACT
     //      rolling count-distinct via the bin-join idiom — each (user,
     //      day) contributes itself to the w report days it can appear

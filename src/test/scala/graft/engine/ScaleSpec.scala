@@ -576,6 +576,10 @@ class ScaleSpec extends SparkSpec {
       // x156: zero-shuffle chunking; chunk-hash frequency agg + the
       // hash-keyed join back + per-doc agg/sort — measured 3
       "x156_cdc_chunk_dedup" -> 3,
+      // x157: the (source, score) histogram agg + histogram window +
+      // sizes agg + two join-backs + the tie window + sort — measured
+      // 6, windows over the bounded histogram / tie class only
+      "x157_quantile_normalize" -> 6,
       // x146: the (user, day) distinct (persisted), three bin-join
       // explode + distinct + count chains (fan-out 1/7/28, never a
       // range scan), the observed-days joins, final sort — measured 9
