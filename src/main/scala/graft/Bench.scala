@@ -285,7 +285,10 @@ object Bench {
     // x156 = zero-shuffle O(len*w) chunking + hash-freq agg + join
     "x156_cdc_chunk_dedup" -> 550,
     // x157 = (source, score) histogram + bounded windows + join-backs
-    "x157_quantile_normalize" -> 940)
+    "x157_quantile_normalize" -> 940,
+    // x158 = two x140 profile chains over event halves + the
+    // columns-sized drift diff
+    "x158_profile_drift" -> 1060)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -34,6 +34,66 @@ import org.apache.spark.sql.functions._
   * mode_count 0, avg_len_micro 0. */
 object Profiler {
 
+  /** Profile DRIFT between two [[profile]] runs over the same column
+    * set — the data-contract monitor: did the new snapshot's null
+    * rates, cardinalities, rendered lengths, or modal values move
+    * beyond tolerance? (Schema-on-read pipelines find out about an
+    * upstream change from exactly this diff, not from a DDL event.)
+    * All metrics are exact BIGINT micro arithmetic over the two
+    * profile frames (column-count-sized — this is pure report math,
+    * the corpus work already happened inside [[profile]]):
+    *   - null_drift_micro    = |null_rate_a − null_rate_b| (micro)
+    *   - distinct_drift_micro = |nd_a − nd_b|·10⁶ div max(nd_a,nd_b,1)
+    *   - len_drift_micro     = |avg_len_a − avg_len_b|
+    *   - mode_changed        = mode_a ≠ mode_b (null-safe)
+    * A column present in only one profile is a contract break: it
+    * reports with the missing side's metrics null and drifted = true.
+    * `drifted` ORs the three threshold breaches with mode_changed —
+    * the mode term GATED on dominance (mode share >= 50% of non-null
+    * rows on BOTH sides): on near-uniform columns the modal value is
+    * tie-break noise between any two slices, and a monitor that flags
+    * every uniform column is a broken monitor. The raw mode_changed
+    * bit is still reported. */
+  def drift(a: DataFrame, b: DataFrame, nullTolMicro: Long = 10000,
+      distinctTolMicro: Long = 200000,
+      lenTolMicro: Long = 100000): DataFrame = {
+    def side(df: DataFrame, s: String) = df.select(
+      col("column_name"), col("n_rows").as(s"n_rows_$s"),
+      col("n_null").as(s"__nn_$s"), col("n_distinct").as(s"distinct_$s"),
+      col("avg_len_micro").as(s"__len_$s"),
+      col("mode_value").as(s"mode_$s"),
+      col("mode_count").as(s"__mc_$s"))
+    val j = side(a, "a").join(side(b, "b"), Seq("column_name"),
+      "full_outer")
+    val missing = col("n_rows_a").isNull || col("n_rows_b").isNull
+    def rate(s: String) =
+      when(col(s"n_rows_$s") > 0,
+        expr(s"__nn_$s * 1000000 div n_rows_$s")).otherwise(lit(0L))
+    val nullDrift = abs(rate("a") - rate("b"))
+    val distinctDrift = expr("abs(distinct_a - distinct_b) * 1000000 " +
+      "div greatest(distinct_a, distinct_b, 1L)")
+    val lenDrift = abs(col("__len_a") - col("__len_b"))
+    val modeChanged = !(col("mode_a") <=> col("mode_b"))
+    def dominant(s: String) =
+      col(s"__mc_$s") * 2 >= col(s"n_rows_$s") - col(s"__nn_$s") &&
+        col(s"n_rows_$s") - col(s"__nn_$s") > 0
+    val modeDrift = modeChanged && dominant("a") && dominant("b")
+    j.select(col("column_name"),
+        col("n_rows_a"), col("n_rows_b"),
+        when(!missing, rate("a")).as("null_rate_a_micro"),
+        when(!missing, rate("b")).as("null_rate_b_micro"),
+        when(!missing, nullDrift).as("null_drift_micro"),
+        col("distinct_a"), col("distinct_b"),
+        when(!missing, distinctDrift).as("distinct_drift_micro"),
+        when(!missing, lenDrift).as("len_drift_micro"),
+        col("mode_a"), col("mode_b"),
+        when(!missing, modeChanged).as("mode_changed"),
+        (missing ||
+          (nullDrift > nullTolMicro) ||
+          (distinctDrift > distinctTolMicro) ||
+          (lenDrift > lenTolMicro) || modeDrift).as("drifted"))
+  }
+
   def profile(df: DataFrame, cols: Seq[(String, Column)],
       scope: Option[CacheScope] = None): DataFrame = {
     require(cols.nonEmpty, "no columns to profile")

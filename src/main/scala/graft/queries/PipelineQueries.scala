@@ -5833,6 +5833,97 @@ object PipelineQueries extends QueryPack {
           CAST(rank * 1000000 // (n + 1) AS BIGINT) AS qnorm_micro
         FROM r ORDER BY doc_id""")),
 
+    // ---- column-profile DRIFT between two time slices: the
+    //      data-contract monitor — x140's profile run on the first and
+    //      second halves of the event stream (split at the exact
+    //      microsecond-epoch midpoint), diffed per column with integer
+    //      micro tolerances. The uniform generator should read STABLE
+    //      on the rate/length/cardinality axes; whatever it reads, the
+    //      oracle replays the full profile+diff chain verbatim --------
+    Q("x158_profile_drift",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val b = ev.agg(min(unix_micros(col("ts"))),
+          max(unix_micros(col("ts")))).first()
+        val split = (b.getLong(0) + b.getLong(1)) / 2
+        def prof(d: org.apache.spark.sql.DataFrame) =
+          graft.operators.Profiler.profile(d, Seq(
+            "event_type" -> col("event_type"),
+            "user_id" -> col("user_id"),
+            "value_cents" -> round(col("value") * 100).cast("long")))
+        graft.operators.Profiler.drift(
+          prof(ev.filter(unix_micros(col("ts")) <= split)),
+          prof(ev.filter(unix_micros(col("ts")) > split)))
+          .orderBy(col("column_name"))
+      },
+      Some("""WITH spl AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts)))
+              // 2 AS sp FROM events),
+        e AS (SELECT event_type, user_id,
+            CAST(round(value * 100) AS BIGINT) AS value_cents,
+            CASE WHEN epoch_us(ts) <= spl.sp THEN 'a' ELSE 'b' END AS sl
+          FROM events CROSS JOIN spl),
+        s AS (SELECT sl, 'event_type' AS column_name,
+            event_type AS value FROM e
+          UNION ALL SELECT sl, 'user_id', CAST(user_id AS VARCHAR) FROM e
+          UNION ALL SELECT sl, 'value_cents',
+            CAST(value_cents AS VARCHAR) FROM e),
+        g AS (SELECT sl, column_name, value, CAST(count(*) AS BIGINT) AS c
+          FROM s GROUP BY 1, 2, 3),
+        r AS (SELECT sl, column_name, CAST(sum(c) AS BIGINT) AS n_rows,
+            CAST(coalesce(sum(c) FILTER (WHERE value IS NULL), 0)
+              AS BIGINT) AS n_null,
+            CAST(count(*) FILTER (WHERE value IS NOT NULL) AS BIGINT)
+              AS n_distinct,
+            CAST(CASE WHEN count(*) FILTER (WHERE value IS NOT NULL) > 0
+              THEN sum(c * length(value)) * 1000000 //
+                (sum(c) - coalesce(sum(c) FILTER (WHERE value IS NULL), 0))
+              ELSE 0 END AS BIGINT) AS avg_len_micro
+          FROM g GROUP BY 1, 2),
+        mx AS (SELECT sl, column_name, max(c) AS maxc FROM g
+          WHERE value IS NOT NULL GROUP BY 1, 2),
+        md AS (SELECT g.sl, g.column_name, min(g.value) AS mode_value,
+            CAST(max(g.c) AS BIGINT) AS mode_count
+          FROM g JOIN mx ON g.sl = mx.sl AND g.column_name = mx.column_name
+            AND g.c = mx.maxc
+          WHERE g.value IS NOT NULL GROUP BY 1, 2),
+        p AS (SELECT r.sl, r.column_name, r.n_rows, r.n_null,
+            r.n_distinct, r.avg_len_micro, md.mode_value,
+            coalesce(md.mode_count, 0) AS mode_count
+          FROM r LEFT JOIN md ON r.sl = md.sl
+            AND r.column_name = md.column_name),
+        pa AS (SELECT * FROM p WHERE sl = 'a'),
+        pb AS (SELECT * FROM p WHERE sl = 'b'),
+        d AS (SELECT pa.column_name,
+            pa.n_rows AS n_rows_a, pb.n_rows AS n_rows_b,
+            CAST(pa.n_null * 1000000 // pa.n_rows AS BIGINT)
+              AS null_rate_a_micro,
+            CAST(pb.n_null * 1000000 // pb.n_rows AS BIGINT)
+              AS null_rate_b_micro,
+            pa.n_distinct AS distinct_a, pb.n_distinct AS distinct_b,
+            CAST(abs(pa.n_distinct - pb.n_distinct) * 1000000 //
+              greatest(pa.n_distinct, pb.n_distinct, 1) AS BIGINT)
+              AS distinct_drift_micro,
+            CAST(abs(pa.avg_len_micro - pb.avg_len_micro) AS BIGINT)
+              AS len_drift_micro,
+            pa.mode_value AS mode_a, pb.mode_value AS mode_b,
+            (pa.mode_value IS DISTINCT FROM pb.mode_value) AS mode_changed,
+            ((pa.mode_value IS DISTINCT FROM pb.mode_value)
+             AND pa.mode_count * 2 >= pa.n_rows - pa.n_null
+             AND pa.n_rows - pa.n_null > 0
+             AND pb.mode_count * 2 >= pb.n_rows - pb.n_null
+             AND pb.n_rows - pb.n_null > 0) AS mode_drift
+          FROM pa JOIN pb USING (column_name))
+        SELECT column_name, n_rows_a, n_rows_b, null_rate_a_micro,
+          null_rate_b_micro,
+          CAST(abs(null_rate_a_micro - null_rate_b_micro) AS BIGINT)
+            AS null_drift_micro,
+          distinct_a, distinct_b, distinct_drift_micro, len_drift_micro,
+          mode_a, mode_b, mode_changed,
+          (abs(null_rate_a_micro - null_rate_b_micro) > 10000
+           OR distinct_drift_micro > 200000
+           OR len_drift_micro > 100000 OR mode_drift) AS drifted
+        FROM d ORDER BY column_name""")),
+
     // ---- rolling active users (DAU / trailing-7 / trailing-28): EXACT
     //      rolling count-distinct via the bin-join idiom — each (user,
     //      day) contributes itself to the w report days it can appear

@@ -580,6 +580,10 @@ class ScaleSpec extends SparkSpec {
       // sizes agg + two join-backs + the tie window + sort — measured
       // 6, windows over the bounded histogram / tie class only
       "x157_quantile_normalize" -> 6,
+      // x158: two x140 profile chains (per-slice stack/count aggs,
+      // min-max rows, mode two-stage) + the columns-sized drift join —
+      // measured 11, every exchange distinct-counts-sized
+      "x158_profile_drift" -> 11,
       // x146: the (user, day) distinct (persisted), three bin-join
       // explode + distinct + count chains (fan-out 1/7/28, never a
       // range scan), the observed-days joins, final sort — measured 9

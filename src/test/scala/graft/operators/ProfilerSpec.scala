@@ -53,4 +53,47 @@ class ProfilerSpec extends SparkSpec {
       Profiler.profile(df, Seq("k" -> col("k"), "k" -> col("k")))
     }
   }
+
+  test("drift: stable columns pass, each drift axis trips its flag") {
+    import spark.implicits._
+    def prof(rows: Seq[(Option[String], String, String)]) =
+      Profiler.profile(rows.toDF("nullable", "lowcard", "grows"), Seq(
+        "nullable" -> col("nullable"), "lowcard" -> col("lowcard"),
+        "grows" -> col("grows")))
+    // side A: no nulls, mode "x", 4 distinct values in `grows`
+    val a = prof(Seq(
+      (Some("v"), "x", "a1"), (Some("v"), "x", "a2"),
+      (Some("v"), "x", "a3"), (Some("v"), "y", "a4")))
+    // side B: 50% nulls (null drift), mode flips to "y" (mode drift),
+    // `grows` collapses to 1 distinct (cardinality drift)
+    val b = prof(Seq(
+      (None, "y", "b1"), (Some("v"), "y", "b1"),
+      (None, "x", "b1"), (Some("v"), "y", "b1")))
+    val out = Profiler.drift(a, b).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val nullable = out("nullable")
+    assert(nullable.getAs[Long]("null_rate_b_micro") == 500000L &&
+      nullable.getAs[Long]("null_drift_micro") == 500000L &&
+      nullable.getAs[Boolean]("drifted"), nullable)
+    val lowcard = out("lowcard")
+    assert(lowcard.getAs[Boolean]("mode_changed") &&
+      lowcard.getAs[Boolean]("drifted"), lowcard)
+    val grows = out("grows")
+    assert(grows.getAs[Long]("distinct_drift_micro") == 750000L &&
+      grows.getAs[Boolean]("drifted"), grows)
+    // identical profiles: nothing drifts
+    val same = Profiler.drift(a, a).collect()
+    assert(same.forall(!_.getAs[Boolean]("drifted")), same.toSeq)
+  }
+
+  test("drift: a column missing from one side is a loud contract break") {
+    import spark.implicits._
+    val a = Profiler.profile(Seq(("v", 1L)).toDF("s", "k"),
+      Seq("s" -> col("s"), "k" -> col("k")))
+    val b = Profiler.profile(Seq(("v", 1L)).toDF("s", "k"),
+      Seq("s" -> col("s")))
+    val out = Profiler.drift(a, b).collect()
+      .map(r => r.getString(0) -> r.getAs[Boolean]("drifted")).toMap
+    assert(out == Map("s" -> false, "k" -> true), out)
+  }
 }
