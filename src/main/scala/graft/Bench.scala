@@ -18,6 +18,15 @@ import java.util.Locale
   * exactly this. Host-descheduling windows (BASELINE.md) are ~20 min, so
   * interleaving passes ~80 s apart never actually escaped a window;
   * alignment with the baseline protocol matters more.
+  *
+  * Round-13 addition — contention robustness: block order is a seeded
+  * shuffle, a control query's ratio timeline is recorded every 8 blocks,
+  * and a >2x flag only reaches `regressed` after a post-sweep re-run
+  * bracketed by two clean (<=1.5x) control readings; unconfirmable flags
+  * land in `contended` instead. Four consecutive rounds of driver sweeps
+  * had produced contiguous-id false >2x blocks under co-tenant load that
+  * solo min-of-4 then cleared (BASELINE.md r10-r13) — the artifact now
+  * adjudicates itself.
   */
 object Bench {
 
@@ -282,13 +291,23 @@ object Bench {
     "x154_editdist_long_keys" -> 990,
     // x155 = (source, prio) histogram + bounded windows + join-backs
     "x155_token_budget_cap" -> 950,
-    // x156 = zero-shuffle O(len*w) chunking + hash-freq agg + join
-    "x156_cdc_chunk_dedup" -> 550,
+    // x156 = O(len*w) chunking + hash-freq agg + join; re-baselined r13:
+    // the chunk scan gained the astral-input guard (one rlike pass) and
+    // the small-split spread (conditional repartition when scan splits
+    // < cores — the single-file sf0.1 layout had serialized the chunk
+    // pass on ONE core: cold pass 31 s -> 2.7 s); warm min 550 -> 710
+    "x156_cdc_chunk_dedup" -> 710,
     // x157 = (source, score) histogram + bounded windows + join-backs
     "x157_quantile_normalize" -> 940,
     // x158 = two x140 profile chains over event halves + the
     // columns-sized drift diff
-    "x158_profile_drift" -> 1060)
+    "x158_profile_drift" -> 1060,
+    // x159 = two AvailableNow profile-ledger runs + the merged two-slice
+    // drift report (the x58/x64 streaming-shape cost class)
+    "x159_streaming_profile_drift" -> 3710,
+    // x160 = two incremental model runs (chunk postings + ledger step
+    // each) + the verdict rollup — x50's cost class plus the chunk scan
+    "x160_incremental_cdc_dedup" -> 6220)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -336,11 +355,43 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    // Contention-robust protocol (round 13): four consecutive rounds of
+    // driver sweeps flagged contiguous-id blocks that solo min-of-4 then
+    // cleared — alphabetical block order turns a ~20-min co-tenant load
+    // window into a block of adjacent-name false >2x flags, and min-of-2
+    // back-to-back passes never escape the window. Three mechanisms:
+    //   1. the block ORDER is a seeded shuffle (seed recorded in the
+    //      artifact; SPARK_GRAFT_SEED pins it for reproduction), so a
+    //      load window no longer maps to an id-contiguous flag block;
+    //   2. a cheap CONTROL query (q26, lineitem group-by-all) runs every
+    //      8 blocks; its ratio timeline is recorded, so the artifact
+    //      carries its own host-load evidence;
+    //   3. every >2x flag is RE-RUN after the sweep inside a control
+    //      bracket: only a flag confirmed while both bracket controls
+    //      read <= 1.5x lands in `regressed` — an unconfirmable flag is
+    //      reported as `contended` (host-load, adjudicate solo later),
+    //      never as a regression.
+    val seed = sys.env.get("SPARK_GRAFT_SEED").map(_.toLong)
+      .getOrElse(System.nanoTime())
+    val order = new scala.util.Random(seed).shuffle(selected.indices.toVector)
+    val controlName = "q26_group_by_all"
+    val controlFn = SparkEntry.queries.get(controlName)
+      .filter(_ => !only.exists(_.contains(controlName)))
+    val controlBase = baselineMs(controlName).toDouble
+    def controlRatio(): Double = controlFn.map { fn =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e6 / controlBase
+      } catch { case _: Throwable => -1.0 }
+    }.getOrElse(-1.0)
     // per-query block: defined cache state, then `runs` passes, min kept;
     // a failed pass measures nothing (+inf) so a fast crash can't become
     // the reported best time.
     val best = Array.fill(selected.size)(Double.PositiveInfinity)
-    for (((name, fn), i) <- selected.zipWithIndex) {
+    def runBlock(i: Int, tag: String): Unit = {
+      val (name, fn) = selected(i)
       spark.catalog.clearCache()
       for (pass <- 1 to runs) {
         val t0 = System.nanoTime()
@@ -349,12 +400,44 @@ object Bench {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
           } catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}")
+            System.err.println(s"[bench] $name failed ($tag pass $pass): ${e.getMessage}")
             Double.PositiveInfinity
           }
         best(i) = math.min(best(i), sec)
-        System.err.println(f"[bench] pass $pass $name $sec%.2f s")
+        System.err.println(f"[bench] $tag pass $pass $name $sec%.2f s")
       }
+    }
+    val controls = scala.collection.mutable.ListBuffer.empty[(Int, Double)]
+    for ((qi, pos) <- order.zipWithIndex) {
+      if (controlFn.isDefined && pos % 8 == 0) {
+        val c = controlRatio()
+        controls += pos -> c
+        System.err.println(f"[bench] control @$pos ratio $c%.2f")
+      }
+      runBlock(qi, "sweep")
+    }
+    def ratioOf(i: Int): Option[Double] = {
+      val (name, _) = selected(i)
+      baselineMs.get(name).filter(_ => best(i).isFinite)
+        .map(b => best(i) * 1000.0 / b)
+    }
+    // retry phase: confirm or discharge every >2x flag under a control
+    // bracket (min can only improve, so retries never worsen a reading)
+    val contendedNames = scala.collection.mutable.ListBuffer.empty[String]
+    for (qi <- selected.indices if ratioOf(qi).exists(_ > 2.0)) {
+      val name = selected(qi)._1
+      var cleanBracket = false
+      var attempts = 0
+      while (!cleanBracket && attempts < 2 && ratioOf(qi).exists(_ > 2.0)) {
+        attempts += 1
+        val c1 = controlRatio()
+        runBlock(qi, s"retry$attempts")
+        val c2 = controlRatio()
+        cleanBracket = c1 >= 0 && c2 >= 0 && math.max(c1, c2) <= 1.5
+        System.err.println(
+          f"[bench] retry$attempts $name controls $c1%.2f/$c2%.2f clean=$cleanBracket")
+      }
+      if (ratioOf(qi).exists(_ > 2.0) && !cleanBracket) contendedNames += name
     }
     def fmt(v: Double): String =
       if (v.isFinite) String.format(Locale.ROOT, "%.3f", Double.box(v)) else "-1"
@@ -371,9 +454,22 @@ object Bench {
     }
     val ratioJson = ratios.map { case (k, r) => "\"" + k + "\":" + fmt(r) }
       .mkString("{", ",", "}")
-    val regressed = ratios.filter(_._2 > 2.0).sortBy(-_._2)
+    // `regressed` = >2x CONFIRMED inside a clean control bracket;
+    // `contended` = >2x that could not be confirmed (bracket controls
+    // read hot) — host-load evidence, not a plan verdict
+    val contended = contendedNames.toSet
+    val flagged = ratios.filter(_._2 > 2.0).sortBy(-_._2)
+    val regressed = flagged.filterNot(t => contended(t._1))
     val regJson = regressed.map { case (k, r) => "\"" + k + ":" + fmt(r) + "\"" }
       .mkString("[", ",", "]")
+    val contJson = flagged.filter(t => contended(t._1))
+      .map { case (k, r) => "\"" + k + ":" + fmt(r) + "\"" }
+      .mkString("[", ",", "]")
+    val ctrlJson = controls.map { case (p, c) => "[" + p + "," + fmt(c) + "]" }
+      .mkString("[", ",", "]")
+    val ctrlFinite = controls.map(_._2).filter(_ >= 0).sorted
+    val ctrlMedian =
+      if (ctrlFinite.isEmpty) -1.0 else ctrlFinite(ctrlFinite.size / 2)
     val comparable = results.filter { case (k, v) =>
       v.isFinite && baselineMs.contains(k) }
     val cmpTotal = comparable.map(_._2).sum
@@ -382,10 +478,13 @@ object Bench {
     regressed.foreach { case (k, r) =>
       System.err.println(f"[bench] REGRESSED: $k ${r}%.2fx of baseline")
     }
+    flagged.filter(t => contended(t._1)).foreach { case (k, r) =>
+      System.err.println(f"[bench] CONTENDED (not confirmed): $k ${r}%.2fx")
+    }
     System.err.println(
       f"[bench] vs baseline: ${vsBaseline}%.2fx over ${comparable.size} comparable queries")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"ratios":$ratioJson,"regressed":$regJson,"vs_baseline":${fmt(vsBaseline)},"sf":"$sfDir","runs":$runs}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"ratios":$ratioJson,"regressed":$regJson,"contended":$contJson,"vs_baseline":${fmt(vsBaseline)},"seed":$seed,"ctrl":{"name":"$controlName","median":${fmt(ctrlMedian)},"ratios":$ctrlJson},"sf":"$sfDir","runs":$runs}"""
     // durable copy first: stdout has historically been truncated by the
     // driver's tail buffer (BENCH_r01/r02 "parsed": null)
     try {
