@@ -78,14 +78,27 @@ object PlanAudit {
       })
     }
     // descent allowlist: ops under which an exact decimal/dyadic value
-    // stays grid-exact after the double cast (±, ×, ÷, branches, folds)
+    // stays grid-exact after the double cast (±, ×, branches, folds).
+    // Divide is NOT generally preserving — sum/3 leaves the .5·10^-k
+    // grid, so round-after-divide is usually OUTSIDE the hazard class
+    // (flagging it was a lint false positive); the one grid-exact
+    // divide, by a literal power of ten, is handled explicitly below.
     def preserving(e: Expression): Boolean = e match {
-      case _: Add | _: Subtract | _: Multiply | _: Divide | _: UnaryMinus
+      case _: Add | _: Subtract | _: Multiply | _: UnaryMinus
            | _: Abs | _: Cast | _: Alias | _: Coalesce | _: If
            | _: CaseWhen | _: Least | _: Greatest | _: NaNvl => true
       case _: aggregate.AggregateExpression | _: aggregate.Sum
            | _: aggregate.Average | _: aggregate.Min | _: aggregate.Max
            | _: aggregate.First | _: aggregate.Last => true
+      case _ => false
+    }
+    def isPowerOfTen(e: Expression): Boolean = e match {
+      case Literal(v, _) if v != null =>
+        try {
+          val bd = new java.math.BigDecimal(v.toString)
+          bd.stripTrailingZeros.unscaledValue.abs
+            .equals(java.math.BigInteger.ONE)
+        } catch { case _: NumberFormatException => false }
       case _ => false
     }
     def hazardous(e: Expression,
@@ -94,6 +107,10 @@ object PlanAudit {
           if child.dataType.isInstanceOf[DecimalType] => Some(c)
       case a: AttributeReference if !seen(a.exprId) =>
         aliases.get(a.exprId).flatMap(hazardous(_, seen + a.exprId))
+      case d: Divide =>
+        // x / 10^k keeps a grid-exact dividend grid-exact; any other
+        // divisor leaves the grid, so the subtree is out of the class
+        if (isPowerOfTen(d.right)) hazardous(d.left, seen) else None
       case e if preserving(e) =>
         e.children.iterator.map(hazardous(_, seen))
           .collectFirst { case Some(c) => c }

@@ -123,17 +123,38 @@ object Sampling {
     *      CUTOFF class resolves its ties by an id-ordered window over
     *      that one (group, priority) slice. Keep priorities
     *      fine-grained: a corpus-sized tie class at the cutoff would
-    *      reintroduce the funnel (that is a modeling smell, not an
-    *      operator limit).
+    *      reintroduce the funnel — so the cutoff class's row count is
+    *      guarded loudly (`maxTieClass`, default 2^22: sorts in one
+    *      task) instead of silently serializing.
+    * Contracts (all loud): `prioCol`/`tokenCol` must already be
+    * integral — a fractional input fails at declare time instead of
+    * being silently truncated. Rows with a null priority or token count
+    * are EXCLUDED (they have no place in a token-budget order; the
+    * oracle twin filters them the same way).
     * Returns the kept rows: (groupCol, idCol, prioCol, tokenCol). */
   def tokenBudgetCap(df: DataFrame, groupCol: String, idCol: String,
-      prioCol: String, tokenCol: String, budget: Long): DataFrame = {
+      prioCol: String, tokenCol: String, budget: Long,
+      maxTieClass: Long = 1L << 22): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(maxTieClass >= 1, s"maxTieClass must be >= 1, got $maxTieClass")
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    for (c <- Seq(prioCol, tokenCol)) {
+      val dt = df.schema(c).dataType
+      require(integral.contains(dt),
+        s"Sampling.tokenBudgetCap: column '$c' must be integral " +
+          s"(BYTE/SHORT/INT/LONG), got ${dt.simpleString} — quantize " +
+          "fractional values to BIGINT micro units first")
+    }
     val base = df.select(col(groupCol).as("__grp"), col(idCol).as("__id"),
-      col(prioCol).cast("long").as("__prio"),
-      col(tokenCol).cast("long").as("__tok"))
+        col(prioCol).cast("long").as("__prio"),
+        col(tokenCol).cast("long").as("__tok"))
+      .filter(col("__prio").isNotNull && col("__tok").isNotNull)
     val hist = base.groupBy(col("__grp"), col("__prio"))
-      .agg(sum(col("__tok")).as("__ptok"))
+      .agg(sum(col("__tok")).as("__ptok"), count(lit(1)).as("__pcnt"))
     val wH = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__grp")).orderBy(col("__prio").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -148,9 +169,22 @@ object Sampling {
     val wC = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__grp"), col("__prio")).orderBy(col("__id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // only the cutoff class gets a row-level window, so only its size
+    // can funnel: guard rides __rem (a kept column — pruning can't drop
+    // it), one check per cutoff class (one row per group)
+    val cutoffClasses = classes.filter(!col("__full"))
+      .select(col("__grp"), col("__prio"),
+        when(col("__pcnt") > maxTieClass, raise_error(concat(
+          lit("Sampling.tokenBudgetCap: cutoff tie class of "),
+          col("__pcnt"), lit(s" rows (> maxTieClass $maxTieClass) at "),
+          lit("priority "), col("__prio"), lit(" in group '"),
+          col("__grp").cast("string"),
+          lit("' — a degenerate priority distribution would funnel the " +
+            "group through one task; use finer-grained priorities or " +
+            "raise maxTieClass deliberately"))).cast("long"))
+          .otherwise(col("__rem")).as("__rem"))
     val cutoffKeep = base
-      .join(classes.filter(!col("__full")).select("__grp", "__prio", "__rem"),
-        Seq("__grp", "__prio"))
+      .join(cutoffClasses, Seq("__grp", "__prio"))
       .withColumn("__cum", sum(col("__tok")).over(wC))
       .filter(col("__cum") <= col("__rem"))
       .drop("__cum", "__rem")

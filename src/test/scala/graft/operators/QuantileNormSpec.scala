@@ -36,6 +36,46 @@ class QuantileNormSpec extends SparkSpec {
     assert(got(9L) == ((1L, 500000L)))
   }
 
+  test("fractional score column fails loudly at declare time") {
+    // the r12 contract was doc-only: cast("long") silently truncated a
+    // double score, manufacturing ties the caller never asked for
+    val df = Seq(("a", 1L, 1.5), ("a", 2L, 1.4)).toDF("src", "id", "score")
+    val e = intercept[IllegalArgumentException] {
+      QuantileNorm.perGroup(df, "src", "id", "score")
+    }
+    assert(e.getMessage.contains("must be integral"), e.getMessage)
+    assert(e.getMessage.contains("quantize"), e.getMessage)
+  }
+
+  test("null scores are excluded, not null-ranked") {
+    val df = Seq(("a", 1L, Some(2L)), ("a", 2L, None), ("a", 3L, Some(1L)))
+      .toDF("src", "id", "score")
+    val got = QuantileNorm.perGroup(df, "src", "id", "score")
+      .select("id", "rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 1L, 1L -> 2L)) // id 2 (null score) dropped
+  }
+
+  test("degenerate tie class fails loudly past maxTieClass") {
+    // one modal score per group (clipped/saturated scorer) makes the
+    // tie window's partition the WHOLE group — the funnel the histogram
+    // decomposition exists to avoid; the guard must name the class
+    val df = (1 to 64).map(i => ("sat", i.toLong, 7L))
+      .toDF("src", "id", "score")
+    val e = intercept[Exception] {
+      QuantileNorm.perGroup(df, "src", "id", "score", maxTieClass = 32L)
+        .collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("tie class"), msg)
+    assert(msg.contains("maxTieClass 32"), msg)
+    // at the bound itself (64 rows, bound 64) the guard stays silent
+    val ok = QuantileNorm.perGroup(df, "src", "id", "score",
+      maxTieClass = 64L).collect()
+    assert(ok.length == 64)
+  }
+
   test("fuzz: decomposition == window rank on random data") {
     val rnd = new scala.util.Random(93)
     val rows = (1 to 500).map(i =>

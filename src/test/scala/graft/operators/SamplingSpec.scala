@@ -348,4 +348,58 @@ class SamplingSpec extends SparkSpec {
     // a doc bigger than the whole budget yields an empty group
     assert(!got(100L).contains("c") || got(100L)("c").isEmpty)
   }
+
+  test("tokenBudgetCap: fractional prio/token columns fail loudly") {
+    import spark.implicits._
+    val frac = Seq(("a", 1L, 1.5, 10L)).toDF("src", "id", "prio", "tok")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetCap(frac, "src", "id", "prio", "tok", 100L)
+    }
+    assert(e.getMessage.contains("'prio' must be integral"), e.getMessage)
+    val frac2 = Seq(("a", 1L, 1L, 10.0)).toDF("src", "id", "prio", "tok")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetCap(frac2, "src", "id", "prio", "tok", 100L)
+    }
+    assert(e2.getMessage.contains("'tok' must be integral"), e2.getMessage)
+  }
+
+  test("tokenBudgetCap: null prio/token rows are excluded, not kept") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, Some(9L), Some(40L)),
+      ("a", 2L, None, Some(30L)),      // null prio
+      ("a", 3L, Some(5L), None),       // null tokens
+      ("a", 4L, Some(5L), Some(20L)))
+      .toDF("src", "id", "prio", "tok")
+    val kept = Sampling.tokenBudgetCap(df, "src", "id", "prio", "tok", 100L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+  }
+
+  test("tokenBudgetCap: degenerate cutoff tie class fails loudly") {
+    import spark.implicits._
+    // every row of the group shares one priority, and the budget lands
+    // inside that class — the cutoff tie window's partition would be
+    // the whole group (the funnel the decomposition avoids); guard it
+    val df = (1 to 64).map(i => ("sat", i.toLong, 7L, 10L))
+      .toDF("src", "id", "prio", "tok")
+    val e = intercept[Exception] {
+      Sampling.tokenBudgetCap(df, "src", "id", "prio", "tok",
+        budget = 300L, maxTieClass = 32L).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("cutoff tie class"), msg)
+    assert(msg.contains("maxTieClass 32"), msg)
+    // fully-kept classes never hit the guard: same degenerate group
+    // under a budget that keeps ALL of it takes the no-window join path
+    val all = Sampling.tokenBudgetCap(df, "src", "id", "prio", "tok",
+      budget = 10L * 64, maxTieClass = 32L).collect()
+    assert(all.length == 64)
+    // and at the bound itself the cutoff guard stays silent
+    val ok = Sampling.tokenBudgetCap(df, "src", "id", "prio", "tok",
+      budget = 300L, maxTieClass = 64L)
+      .select("id").as[Long].collect().toSet
+    assert(ok == (1L to 30L).toSet) // 30 docs of 10 tokens fit 300
+  }
 }
