@@ -227,7 +227,7 @@ object Dedup {
     * row (band = -1, key NULL) found by anti-joining the posting relation
     * — so every batch doc lands in the ledger and the incremental cursor
     * (max processed doc) stays correct. */
-  private def ledgerStep(docIds: DataFrame, postings: DataFrame,
+  private[operators] def ledgerStep(docIds: DataFrame, postings: DataFrame,
       keptPostings: DataFrame): DataFrame = {
     val posts = postings.persist()
     val histBad = posts

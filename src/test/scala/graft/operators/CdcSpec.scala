@@ -80,4 +80,53 @@ class CdcSpec extends SparkSpec {
     assert(rep(4L)._2 == 0L && rep(4L)._3 == 0L,
       s"unique doc flagged dup: ${rep(4L)}")
   }
+
+  test("cdc ledger step: shifted copy dropped, unique kept, " +
+      "evidence-free doc gets the sentinel, history prunes") {
+    val a = mkText(7, 600)
+    val batch1 = Seq(1L -> a, 2L -> mkText(8, 600), 3L -> "tiny")
+      .toDF("doc_id", "text")
+    val empty = Cdc.chunkPostings(batch1.limit(0), "doc_id", "text")
+    val l1 = Cdc.cdcDedupBatchLedger(batch1, empty, "doc_id", "text")
+      .persist()
+    val kept1 = l1.groupBy("doc").agg(max(col("kept")).as("kept"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // distinct contents all kept; the 4-char doc has no >= 32-char
+    // chunk, so it carries the band = -1 sentinel and is kept
+    assert(kept1 == Map(1L -> true, 2L -> true, 3L -> true))
+    assert(l1.filter(col("doc") === 3L && col("band") === -1).count() == 1)
+    // batch 2: an exact copy and a SHIFTED copy of doc 1, plus fresh
+    // content — both copies share re-synchronized chunks with kept
+    // history and are dropped; the doc-hash ledger would miss the
+    // shifted one
+    val batch2 = Seq(10L -> a, 11L -> ("XY" + a), 12L -> mkText(9, 600))
+      .toDF("doc_id", "text")
+    val l2 = Cdc.cdcDedupBatchLedger(batch2,
+      l1.filter(col("kept") && col("band") >= 0), "doc_id", "text")
+    val kept2 = l2.groupBy("doc").agg(max(col("kept")).as("kept"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(kept2 == Map(10L -> false, 11L -> false, 12L -> true),
+      s"got $kept2")
+    l1.unpersist()
+  }
+
+  test("astral (non-BMP) input fails loudly instead of desyncing the " +
+      "oracle hash") {
+    // Spark's ascii() returns the first UTF-16 code unit (high
+    // surrogate, 0xD83D for this char); a SQL oracle's ascii() returns
+    // the code point 0x1F600 — the boundary hash would silently diverge
+    val astral = mkText(5, 100) + new String(Character.toChars(0x1F600))
+    val docs = Seq(1L -> mkText(5, 100), 2L -> astral).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Cdc.chunkHashes(docs, "doc_id", "text").collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("non-BMP"), msg)
+    assert(msg.contains("doc 2"), msg)
+    // BMP-only non-ASCII stays in contract: é (U+00E9) and 一 (U+4E00)
+    // are code-unit == code-point characters, no error
+    val bmp = Seq(3L -> (mkText(5, 80) + "é一")).toDF("doc_id", "text")
+    assert(Cdc.chunkHashes(bmp, "doc_id", "text").collect().nonEmpty)
+  }
 }
