@@ -94,8 +94,21 @@ object Profiler {
           (lenDrift > lenTolMicro) || modeDrift).as("drifted"))
   }
 
+  /** The (column_name, rendered value) stack shared by [[profile]]'s
+    * pass B and the streaming profile ledger's per-batch partials. */
+  private[graft] def stackedValues(cols: Seq[(String, Column)]): Column = {
+    require(cols.nonEmpty, "no columns to profile")
+    require(cols.map(_._1).distinct.size == cols.size,
+      s"duplicate profile names in ${cols.map(_._1)}")
+    stack((lit(cols.size) +: cols.flatMap { case (n, c) => Seq(
+      lit(n), c.cast("string")) }): _*)
+  }
+
   def profile(df: DataFrame, cols: Seq[(String, Column)],
       scope: Option[CacheScope] = None): DataFrame = {
+    // validate HERE too (not only in stackedValues): pass A's aggs run
+    // first and a duplicate name would otherwise surface as an opaque
+    // AnalysisException instead of the loud contract error
     require(cols.nonEmpty, "no columns to profile")
     require(cols.map(_._1).distinct.size == cols.size,
       s"duplicate profile names in ${cols.map(_._1)}")
@@ -108,11 +121,26 @@ object Profiler {
         lit(n), col(s"min__$n"), col(s"max__$n")) }): _*)
         .as(Seq("column_name", "min_value", "max_value")))
     // pass B: (column, rendered value) counts — the NDV/mode/length base
-    val g = CacheScope.route(scope, df
-      .select(stack((lit(cols.size) +: cols.flatMap { case (n, c) => Seq(
-        lit(n), c.cast("string")) }): _*).as(Seq("column_name", "value")))
+    val rep = reportFromCounts(df
+      .select(stackedValues(cols).as(Seq("column_name", "value")))
       .groupBy("column_name", "value")
-      .agg(count(lit(1)).as("c")))
+      .agg(count(lit(1)).as("c")), scope)
+    rep.join(mm, Seq("column_name"))
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_value"), col("max_value"),
+        col("avg_len_micro"), col("mode_value"), col("mode_count"))
+  }
+
+  /** Profile report from a (column_name, value, c) count table — the
+    * pass-B consumer machinery factored out so the STREAMING profile
+    * ledger ([[graft.streaming.EventStreams.streamingProfileLedger]]),
+    * whose merged view IS such a count table, produces drift-comparable
+    * profiles without re-scanning history. No min_value/max_value
+    * (native-order min/max needs pass A over the corpus; [[drift]] does
+    * not read them). */
+  def reportFromCounts(g0: DataFrame,
+      scope: Option[CacheScope] = None): DataFrame = {
+    val g = CacheScope.route(scope, g0)
     val rollup = g.groupBy("column_name")
       .agg(sum(col("c")).as("n_rows"),
         sum(when(col("value").isNull, col("c")).otherwise(0L)).as("n_null"),
@@ -132,11 +160,9 @@ object Profiler {
       .groupBy("column_name")
       .agg(min(col("value")).as("mode_value"), max(col("c")).as("mode_count"))
     rollup
-      .join(mm, Seq("column_name"))
       .join(mode, Seq("column_name"), "left")
       .select(col("column_name"), col("n_rows"), col("n_null"),
-        col("n_distinct"), col("min_value"), col("max_value"),
-        col("avg_len_micro"), col("mode_value"),
+        col("n_distinct"), col("avg_len_micro"), col("mode_value"),
         coalesce(col("mode_count"), lit(0L)).as("mode_count"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -381,6 +381,66 @@ object EventStreams {
       : org.apache.spark.sql.DataFrame =
     ledger.dropDuplicates("batch_id", "source", "bterm")
       .groupBy("source", "bterm").agg(sum(col("cs")).as("cs"))
+
+  /** Streaming column-profile LEDGER — the x158 data-contract monitor
+    * fed incrementally (completes the monitoring family's
+    * batch/streaming pairing: drift x84/x78, anomaly x145/x138, profile
+    * x159/x158): each microbatch appends its own per-slice
+    * (column_name, value) count partials, stamped with batch_id. Counts
+    * are ADDITIVE, so the merged ledger telescopes to exactly the count
+    * table [[graft.operators.Profiler.reportFromCounts]] consumes — the
+    * streamed profile equals the batch profile row-for-row, which is
+    * what the x159 oracle asserts. `slice` labels each row's profile
+    * side (e.g. before/after a µs-epoch midpoint) so ONE ledger feeds
+    * both sides of [[graft.operators.Profiler.drift]].
+    *
+    * Per batch the appended rows are bounded by the batch's per-column
+    * distinct-value counts (the same cost the batch profiler's pass B
+    * pays, paid once per increment instead of per report) — value-level
+    * partials, never raw rows; a per-batch NDV cannot merge, count
+    * tables can.
+    *
+    * DELIVERY: foreachBatch is at-least-once — every row carries
+    * `batch_id`, and [[mergeProfileLedger]] collapses replays
+    * (`dropDuplicates(batch_id, slice, column_name, value)`) before
+    * summing (the x72/x84 idempotency convention). Read the ledger
+    * through it, never a bare groupBy-sum. */
+  def streamingProfileLedger(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType, ledgerTable: String,
+      checkpointDir: String, cols: Seq[(String, Column)],
+      slice: Column): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(landingDir)
+    val fb: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        batch.toDF()
+          .select(slice.as("slice"),
+            graft.operators.Profiler.stackedValues(cols)
+              .as(Seq("column_name", "value")))
+          .groupBy("slice", "column_name", "value")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").format("parquet").saveAsTable(ledgerTable)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(fb)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    if (spark.catalog.tableExists(ledgerTable))
+      spark.catalog.refreshTable(ledgerTable)
+  }
+
+  /** Idempotent merge of a [[streamingProfileLedger]]: collapse
+    * at-least-once replays on (batch_id, slice, column_name, value) — a
+    * replayed batch re-appends identical count rows, so keeping any one
+    * copy is exact — then sum to the per-slice (column_name, value, c)
+    * count table. Feed each slice to
+    * [[graft.operators.Profiler.reportFromCounts]]. */
+  def mergeProfileLedger(ledger: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ledger.dropDuplicates("batch_id", "slice", "column_name", "value")
+      .groupBy("slice", "column_name", "value")
+      .agg(sum(col("c")).as("c"))
 
   /** Streaming Count-Min sketch LEDGER — point-frequency monitoring
     * that never reprocesses history (completes the streaming sketch

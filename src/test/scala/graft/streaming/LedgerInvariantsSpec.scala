@@ -51,6 +51,14 @@ class LedgerInvariantsSpec extends SparkSpec {
     val suppress = () => Seq((11L, 0L), (12L, 0L), (12L, 1L), (13L, 1L),
       (14L, 2L))
       .toDF("doc_id", "batch_id")
+    val profile = () => Seq(
+      ("a", "event_type", "click", 4L, 0L),
+      ("a", "event_type", null, 1L, 0L),       // null-value count row
+      ("b", "event_type", "click", 2L, 0L),
+      ("a", "event_type", "click", 3L, 1L),    // same key, later batch
+      ("b", "user_id", "7", 5L, 1L),
+      ("a", "event_type", "view", 2L, 2L))
+      .toDF("slice", "column_name", "value", "c", "batch_id")
     // posting ledgers (no batch_id; batches are append ranges): kept
     // docs own their buckets, dropped docs carry dead postings — the
     // compactLedger target. "Replay" re-appends the last batch's rows.
@@ -96,6 +104,13 @@ class LedgerInvariantsSpec extends SparkSpec {
           .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap,
         EventStreams.compactBatchLedger(_, Seq("hour"),
           Seq("n_events", "n_matched"))),
+      Shape("profile (x159)", profile,
+        _.filter(col("batch_id") === 0),
+        l => EventStreams.mergeProfileLedger(l).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+            r.getLong(3)).toMap,
+        EventStreams.compactBatchLedger(_,
+          Seq("slice", "column_name", "value"), Seq("c"))),
       Shape("suppression (x115)", suppress,
         _.filter(col("batch_id") === 0),
         l => EventStreams.suppressionSet(l, "doc_id").collect()
@@ -108,6 +123,15 @@ class LedgerInvariantsSpec extends SparkSpec {
       // three views with the text ledger; their keys are SRP band keys
       Shape("embedding postings (x56/x64)", () =>
         postings().withColumn("key", concat(lit("srp:"), col("key"))),
+        _.filter(col("doc") >= 3L),
+        postingViews, Dedup.compactLedger(_)),
+      // CDC chunk ledgers (x160) also share the posting SCHEMA and
+      // views; their keys are content-chunk hashes on the constant
+      // band 0 (chunk evidence is position-independent)
+      Shape("cdc chunk postings (x160)", () =>
+        postings().withColumn("key", concat(lit("cdc:"), col("key")))
+          .withColumn("band", when(col("band") >= 0, 0)
+            .otherwise(col("band"))),
         _.filter(col("doc") >= 3L),
         postingViews, Dedup.compactLedger(_)))
   }
