@@ -81,6 +81,11 @@ object Cli {
         val findings = Macros.evaluateProject(project.compile())
         if (findings.isEmpty) Seq("project_evaluator: no findings")
         else findings // advisory only — never fails the build
+      case "run-operation" :: "compact_ledger" :: rest =>
+        // unlike the print-only DDL ops this one EXECUTES (it is the
+        // point): compaction is lossless through every merge view
+        // (LedgerInvariantsSpec), so in-place rewrite is safe
+        Macros.compactLedger(project.spark, kwargsArg(rest))
       case "show" :: rest =>
         // dbt `show`: preview a node's rows (compiled query under a
         // LIMIT — reads the materialized relation when one exists, the

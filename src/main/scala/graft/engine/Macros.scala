@@ -101,6 +101,62 @@ object Macros {
     out.toSeq
   }
 
+  /** `run-operation compact_ledger` — the operational wrapper over the
+    * ledger compactors ([[graft.streaming.EventStreams.compactBatchLedger]]
+    * / [[graft.streaming.EventStreams.compactSuppressionLedger]] /
+    * [[graft.operators.Dedup.compactLedger]]), so a long-lived pipeline
+    * can bound its ledger scans without writing code (the dbt
+    * `run-operation` maintenance-macro idiom). Kwargs:
+    *   - `table` (required): catalog name of the ledger table;
+    *   - `shape` (required): `batch` (batch_id-stamped additive rows —
+    *     also pass `keys` and `vals` as comma-lists), `suppression`
+    *     (also pass `id`, default doc_id), or `postings` (the x50/x56
+    *     dedup posting ledgers — no extra kwargs).
+    * The rewrite is the x153 discipline: compact, localCheckpoint to
+    * pin the read before the same-table overwrite, overwrite in place.
+    * Compaction is LOSSLESS for every reader that goes through the
+    * merge views (LedgerInvariantsSpec proves each shape), so the
+    * operation is safe to run between any two increments. */
+  def compactLedger(spark: SparkSession,
+      kwargs: Map[String, String]): Seq[String] = {
+    import graft.streaming.EventStreams
+    val table = kwargs.get("table") match {
+      case Some(t) => t
+      case None => return Seq("compact_ledger: pass table (e.g. " +
+        "--args '{table: mydb.ledger, shape: batch, keys: hour, " +
+        "vals: n_events}')")
+    }
+    if (!spark.catalog.tableExists(table))
+      return Seq(s"compact_ledger: table $table does not exist")
+    val ledger = spark.table(table)
+    val compacted = kwargs.get("shape") match {
+      case Some("batch") =>
+        (kwargs.get("keys"), kwargs.get("vals")) match {
+          case (Some(k), Some(v)) =>
+            EventStreams.compactBatchLedger(ledger,
+              k.split(",").map(_.trim).toSeq,
+              v.split(",").map(_.trim).toSeq)
+          case _ =>
+            return Seq("compact_ledger: shape batch needs keys and vals " +
+              "kwargs (comma-lists)")
+        }
+      case Some("suppression") =>
+        EventStreams.compactSuppressionLedger(ledger,
+          kwargs.getOrElse("id", "doc_id"))
+      case Some("postings") =>
+        graft.operators.Dedup.compactLedger(ledger)
+      case other =>
+        return Seq("compact_ledger: shape must be batch|suppression|" +
+          s"postings, got ${other.getOrElse("(none)")}")
+    }
+    val before = ledger.count()
+    val pinned = compacted.localCheckpoint()
+    val after = pinned.count()
+    pinned.write.mode("overwrite").format("parquet").saveAsTable(table)
+    spark.catalog.refreshTable(table)
+    Seq(s"compacted $table: $before rows -> $after rows")
+  }
+
   /** dbt_project_evaluator analogue (`packages.yml:8-9`,
     * `README.md:281`): advisory lint findings over the project graph —
     * never fails the build (the reference runs it `|| true`). */

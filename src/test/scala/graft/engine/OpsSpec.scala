@@ -120,6 +120,49 @@ class OpsSpec extends SparkSpec {
     assert(spark.catalog.tableExists("cliops.stray"), "operation must not execute DDL")
   }
 
+  test("cli: run-operation compact_ledger compacts in place, merge view " +
+      "unchanged") {
+    import spark.implicits._
+    val p = new Project(spark, Target("dev", "compactop", threads = 2))
+    spark.sql("CREATE DATABASE IF NOT EXISTS compactop")
+    spark.sql("DROP TABLE IF EXISTS compactop.hourly")
+    // a real three-increment hourly ledger shape (x145/x153)
+    Seq(("h0", 10L, 2L, 0L), ("h1", 5L, 0L, 0L),
+        ("h1", 7L, 3L, 1L), ("h2", 4L, 1L, 1L), ("h2", 2L, 0L, 2L))
+      .toDF("hour", "n_events", "n_matched", "batch_id")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("compactop.hourly")
+    def view() = graft.streaming.EventStreams
+      .mergeHourlyLedger(spark.table("compactop.hourly"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val want = view()
+    val before = spark.table("compactop.hourly").count()
+    val out = Cli.run(p, Seq("run-operation", "compact_ledger",
+      "--args", "{table: compactop.hourly, shape: batch, keys: hour, " +
+        "vals: 'n_events,n_matched'}"))
+    assert(out.exists(_.startsWith("compacted compactop.hourly")), out)
+    assert(view() == want, "compaction changed the merge view")
+    assert(spark.table("compactop.hourly").count() < before,
+      "compaction did not shrink a multi-batch ledger")
+    // the max-id batch survives verbatim (the only replay-eligible one)
+    assert(spark.table("compactop.hourly")
+      .filter(col("batch_id") === 2L).count() == 1L)
+    // bad invocations are actionable errors, not silent no-ops
+    assert(Cli.run(p, Seq("run-operation", "compact_ledger"))
+      .exists(_.contains("pass table")))
+    assert(Cli.run(p, Seq("run-operation", "compact_ledger",
+      "--args", "{table: compactop.hourly}"))
+      .exists(_.contains("shape must be")))
+    assert(Cli.run(p, Seq("run-operation", "compact_ledger",
+      "--args", "{table: compactop.hourly, shape: batch}"))
+      .exists(_.contains("needs keys and vals")))
+    assert(Cli.run(p, Seq("run-operation", "compact_ledger",
+      "--args", "{table: compactop.nope, shape: batch, keys: hour, " +
+        "vals: n_events}"))
+      .exists(_.contains("does not exist")))
+  }
+
   test("profiles file: target selection, env_var templating, threads") {
     val yaml =
       """# reference-shaped profiles file
