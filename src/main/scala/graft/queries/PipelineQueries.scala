@@ -421,6 +421,75 @@ object PipelineQueries extends QueryPack {
   /** The x138 hourly-rate anomaly z-test SQL — also x145's oracle and
     * x153's compacted-ledger oracle: batch, streaming-ledger, and
     * compacted-streaming-ledger must all equal it. */
+  private val profileDriftSql =
+    """WITH spl AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts)))
+              // 2 AS sp FROM events),
+        e AS (SELECT event_type, user_id,
+            CAST(round(value * 100) AS BIGINT) AS value_cents,
+            CASE WHEN epoch_us(ts) <= spl.sp THEN 'a' ELSE 'b' END AS sl
+          FROM events CROSS JOIN spl),
+        s AS (SELECT sl, 'event_type' AS column_name,
+            event_type AS value FROM e
+          UNION ALL SELECT sl, 'user_id', CAST(user_id AS VARCHAR) FROM e
+          UNION ALL SELECT sl, 'value_cents',
+            CAST(value_cents AS VARCHAR) FROM e),
+        g AS (SELECT sl, column_name, value, CAST(count(*) AS BIGINT) AS c
+          FROM s GROUP BY 1, 2, 3),
+        r AS (SELECT sl, column_name, CAST(sum(c) AS BIGINT) AS n_rows,
+            CAST(coalesce(sum(c) FILTER (WHERE value IS NULL), 0)
+              AS BIGINT) AS n_null,
+            CAST(count(*) FILTER (WHERE value IS NOT NULL) AS BIGINT)
+              AS n_distinct,
+            CAST(CASE WHEN count(*) FILTER (WHERE value IS NOT NULL) > 0
+              THEN sum(c * length(value)) * 1000000 //
+                (sum(c) - coalesce(sum(c) FILTER (WHERE value IS NULL), 0))
+              ELSE 0 END AS BIGINT) AS avg_len_micro
+          FROM g GROUP BY 1, 2),
+        mx AS (SELECT sl, column_name, max(c) AS maxc FROM g
+          WHERE value IS NOT NULL GROUP BY 1, 2),
+        md AS (SELECT g.sl, g.column_name, min(g.value) AS mode_value,
+            CAST(max(g.c) AS BIGINT) AS mode_count
+          FROM g JOIN mx ON g.sl = mx.sl AND g.column_name = mx.column_name
+            AND g.c = mx.maxc
+          WHERE g.value IS NOT NULL GROUP BY 1, 2),
+        p AS (SELECT r.sl, r.column_name, r.n_rows, r.n_null,
+            r.n_distinct, r.avg_len_micro, md.mode_value,
+            coalesce(md.mode_count, 0) AS mode_count
+          FROM r LEFT JOIN md ON r.sl = md.sl
+            AND r.column_name = md.column_name),
+        pa AS (SELECT * FROM p WHERE sl = 'a'),
+        pb AS (SELECT * FROM p WHERE sl = 'b'),
+        d AS (SELECT pa.column_name,
+            pa.n_rows AS n_rows_a, pb.n_rows AS n_rows_b,
+            CAST(pa.n_null * 1000000 // pa.n_rows AS BIGINT)
+              AS null_rate_a_micro,
+            CAST(pb.n_null * 1000000 // pb.n_rows AS BIGINT)
+              AS null_rate_b_micro,
+            pa.n_distinct AS distinct_a, pb.n_distinct AS distinct_b,
+            CAST(abs(pa.n_distinct - pb.n_distinct) * 1000000 //
+              greatest(pa.n_distinct, pb.n_distinct, 1) AS BIGINT)
+              AS distinct_drift_micro,
+            CAST(abs(pa.avg_len_micro - pb.avg_len_micro) AS BIGINT)
+              AS len_drift_micro,
+            pa.mode_value AS mode_a, pb.mode_value AS mode_b,
+            (pa.mode_value IS DISTINCT FROM pb.mode_value) AS mode_changed,
+            ((pa.mode_value IS DISTINCT FROM pb.mode_value)
+             AND pa.mode_count * 2 >= pa.n_rows - pa.n_null
+             AND pa.n_rows - pa.n_null > 0
+             AND pb.mode_count * 2 >= pb.n_rows - pb.n_null
+             AND pb.n_rows - pb.n_null > 0) AS mode_drift
+          FROM pa JOIN pb USING (column_name))
+        SELECT column_name, n_rows_a, n_rows_b, null_rate_a_micro,
+          null_rate_b_micro,
+          CAST(abs(null_rate_a_micro - null_rate_b_micro) AS BIGINT)
+            AS null_drift_micro,
+          distinct_a, distinct_b, distinct_drift_micro, len_drift_micro,
+          mode_a, mode_b, mode_changed,
+          (abs(null_rate_a_micro - null_rate_b_micro) > 10000
+           OR distinct_drift_micro > 200000
+           OR len_drift_micro > 100000 OR mode_drift) AS drifted
+        FROM d ORDER BY column_name"""
+
   private val hourlyAnomalySql =
     """WITH h AS (SELECT date_trunc('hour', ts) AS hour,
                count(*) AS n_events,
@@ -5758,9 +5827,12 @@ object PipelineQueries extends QueryPack {
       Some("""WITH w AS (SELECT source, doc_id,
             CAST(len(string_split(text,' ')) AS BIGINT) AS tok
             FROM documents),
+        -- null-token rows are excluded (the operator's documented
+        -- contract; none exist in this corpus)
+        nn AS (SELECT * FROM w WHERE tok IS NOT NULL),
         r AS (SELECT source, doc_id, tok,
             sum(tok) OVER (PARTITION BY source ORDER BY tok DESC, doc_id
-              ROWS UNBOUNDED PRECEDING) AS cum FROM w)
+              ROWS UNBOUNDED PRECEDING) AS cum FROM nn)
         SELECT source, doc_id, tok FROM r WHERE cum <= 600
         ORDER BY source, doc_id""")),
 
@@ -5825,10 +5897,13 @@ object PipelineQueries extends QueryPack {
       Some("""WITH w AS (SELECT source, doc_id,
             CAST(len(string_split(text,' ')) AS BIGINT) AS score
             FROM documents),
+        -- null-score rows are excluded (the operator's documented
+        -- contract; none exist in this corpus)
+        nn AS (SELECT * FROM w WHERE score IS NOT NULL),
         r AS (SELECT source, doc_id, score,
             CAST(row_number() OVER (PARTITION BY source
               ORDER BY score, doc_id) AS BIGINT) AS rank,
-            count(*) OVER (PARTITION BY source) AS n FROM w)
+            count(*) OVER (PARTITION BY source) AS n FROM nn)
         SELECT source, doc_id, score, rank,
           CAST(rank * 1000000 // (n + 1) AS BIGINT) AS qnorm_micro
         FROM r ORDER BY doc_id""")),
@@ -5856,73 +5931,160 @@ object PipelineQueries extends QueryPack {
           prof(ev.filter(unix_micros(col("ts")) > split)))
           .orderBy(col("column_name"))
       },
-      Some("""WITH spl AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts)))
-              // 2 AS sp FROM events),
-        e AS (SELECT event_type, user_id,
-            CAST(round(value * 100) AS BIGINT) AS value_cents,
-            CASE WHEN epoch_us(ts) <= spl.sp THEN 'a' ELSE 'b' END AS sl
-          FROM events CROSS JOIN spl),
-        s AS (SELECT sl, 'event_type' AS column_name,
-            event_type AS value FROM e
-          UNION ALL SELECT sl, 'user_id', CAST(user_id AS VARCHAR) FROM e
-          UNION ALL SELECT sl, 'value_cents',
-            CAST(value_cents AS VARCHAR) FROM e),
-        g AS (SELECT sl, column_name, value, CAST(count(*) AS BIGINT) AS c
-          FROM s GROUP BY 1, 2, 3),
-        r AS (SELECT sl, column_name, CAST(sum(c) AS BIGINT) AS n_rows,
-            CAST(coalesce(sum(c) FILTER (WHERE value IS NULL), 0)
-              AS BIGINT) AS n_null,
-            CAST(count(*) FILTER (WHERE value IS NOT NULL) AS BIGINT)
-              AS n_distinct,
-            CAST(CASE WHEN count(*) FILTER (WHERE value IS NOT NULL) > 0
-              THEN sum(c * length(value)) * 1000000 //
-                (sum(c) - coalesce(sum(c) FILTER (WHERE value IS NULL), 0))
-              ELSE 0 END AS BIGINT) AS avg_len_micro
-          FROM g GROUP BY 1, 2),
-        mx AS (SELECT sl, column_name, max(c) AS maxc FROM g
-          WHERE value IS NOT NULL GROUP BY 1, 2),
-        md AS (SELECT g.sl, g.column_name, min(g.value) AS mode_value,
-            CAST(max(g.c) AS BIGINT) AS mode_count
-          FROM g JOIN mx ON g.sl = mx.sl AND g.column_name = mx.column_name
-            AND g.c = mx.maxc
-          WHERE g.value IS NOT NULL GROUP BY 1, 2),
-        p AS (SELECT r.sl, r.column_name, r.n_rows, r.n_null,
-            r.n_distinct, r.avg_len_micro, md.mode_value,
-            coalesce(md.mode_count, 0) AS mode_count
-          FROM r LEFT JOIN md ON r.sl = md.sl
-            AND r.column_name = md.column_name),
-        pa AS (SELECT * FROM p WHERE sl = 'a'),
-        pb AS (SELECT * FROM p WHERE sl = 'b'),
-        d AS (SELECT pa.column_name,
-            pa.n_rows AS n_rows_a, pb.n_rows AS n_rows_b,
-            CAST(pa.n_null * 1000000 // pa.n_rows AS BIGINT)
-              AS null_rate_a_micro,
-            CAST(pb.n_null * 1000000 // pb.n_rows AS BIGINT)
-              AS null_rate_b_micro,
-            pa.n_distinct AS distinct_a, pb.n_distinct AS distinct_b,
-            CAST(abs(pa.n_distinct - pb.n_distinct) * 1000000 //
-              greatest(pa.n_distinct, pb.n_distinct, 1) AS BIGINT)
-              AS distinct_drift_micro,
-            CAST(abs(pa.avg_len_micro - pb.avg_len_micro) AS BIGINT)
-              AS len_drift_micro,
-            pa.mode_value AS mode_a, pb.mode_value AS mode_b,
-            (pa.mode_value IS DISTINCT FROM pb.mode_value) AS mode_changed,
-            ((pa.mode_value IS DISTINCT FROM pb.mode_value)
-             AND pa.mode_count * 2 >= pa.n_rows - pa.n_null
-             AND pa.n_rows - pa.n_null > 0
-             AND pb.mode_count * 2 >= pb.n_rows - pb.n_null
-             AND pb.n_rows - pb.n_null > 0) AS mode_drift
-          FROM pa JOIN pb USING (column_name))
-        SELECT column_name, n_rows_a, n_rows_b, null_rate_a_micro,
-          null_rate_b_micro,
-          CAST(abs(null_rate_a_micro - null_rate_b_micro) AS BIGINT)
-            AS null_drift_micro,
-          distinct_a, distinct_b, distinct_drift_micro, len_drift_micro,
-          mode_a, mode_b, mode_changed,
-          (abs(null_rate_a_micro - null_rate_b_micro) > 10000
-           OR distinct_drift_micro > 200000
-           OR len_drift_micro > 100000 OR mode_drift) AS drifted
-        FROM d ORDER BY column_name""")),
+      Some(profileDriftSql)),
+
+    // ---- STREAMING column-profile drift: x158's data-contract monitor
+    //      fed incrementally (the monitoring family's batch/streaming
+    //      pairing — drift x78/x84, anomaly x138/x145, profile
+    //      x158/x159). Two AvailableNow runs over event_id-parity
+    //      increments (each increment carries BOTH time slices) append
+    //      per-slice (column, value) count partials stamped with
+    //      batch_id; counts are additive, so the merged ledger
+    //      telescopes to the batch count table and the streamed drift
+    //      equals x158's two-slice batch drift row-for-row — the oracle
+    //      is x158's SQL verbatim --------------------------------------
+    Q("x159_streaming_profile_drift",
+      (s, dir) => {
+        import graft.engine._
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("event_type"),
+            col("user_id"), col("value"))
+        val b = ev.agg(min(unix_micros(col("ts"))),
+          max(unix_micros(col("ts")))).first()
+        val split = (b.getLong(0) + b.getLong(1)) / 2
+        val profCols = Seq(
+          "event_type" -> col("event_type"),
+          "user_id" -> col("user_id"),
+          "value_cents" -> round(col("value") * 100).cast("long"))
+        val slice = when(unix_micros(col("ts")) <= split, "a")
+          .otherwise("b")
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val landing = wh.resolve("strprof_landing")
+        val ckpt = wh.resolve("_graft_checkpoints/strprof")
+        s.sql("CREATE DATABASE IF NOT EXISTS strprof")
+        s.sql("DROP TABLE IF EXISTS strprof.ledger")
+        for (p <- Seq(landing, ckpt, wh.resolve("strprof.db/ledger")))
+          Materializer.deleteRecursively(p)
+        def run(): Unit = EventStreams.streamingProfileLedger(s,
+          landing.toString, ev.schema, "strprof.ledger", ckpt.toString,
+          profCols, slice)
+        ev.filter(col("event_id") % 2 === 0)
+          .write.mode("overwrite").parquet(landing.toString)
+        run()
+        ev.filter(col("event_id") % 2 === 1)
+          .write.mode("append").parquet(landing.toString)
+        run()
+        val merged = EventStreams.mergeProfileLedger(
+          s.table("strprof.ledger"))
+        graft.operators.Profiler.drift(
+          graft.operators.Profiler.reportFromCounts(
+            merged.filter(col("slice") === "a").drop("slice")),
+          graft.operators.Profiler.reportFromCounts(
+            merged.filter(col("slice") === "b").drop("slice")))
+          .orderBy(col("column_name"))
+      },
+      Some(profileDriftSql)),
+
+    // ---- INCREMENTAL CDC dedup: x50's ledger core over CONTENT-CHUNK
+    //      signatures (x156's LBFS chunk hashes as postings), completing
+    //      the incremental-signature matrix doc-hash/MinHash (x50) ×
+    //      embedding (x56) × chunk (x160). A new doc is dropped iff it
+    //      shares any qualifying (>= 32-char) content chunk with a kept
+    //      historical doc or a smaller-id batch peer — shift-robust
+    //      where the doc-hash ledger is blind; same cursor-prune proof
+    //      as x50 (run 2 processes only docs past run 1's max id), same
+    //      ledger schema/views/compactor (LedgerInvariantsSpec) --------
+    Q("x160_incremental_cdc_dedup",
+      (s, dir) => {
+        import graft.engine._
+        val docs = t(s, dir, "documents")
+        val split = docs.agg(expr("(min(doc_id) + max(doc_id)) div 2"))
+          .first().getLong(0)
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val staging = wh.resolve("incrcdc_staging")
+        Materializer.deleteRecursively(staging)
+        s.sql("DROP TABLE IF EXISTS incrcdc.cdc_ledger")
+        Materializer.deleteRecursively(wh.resolve("incrcdc.db/cdc_ledger"))
+        def freshProject(): Project = {
+          val p = new Project(s, Target("dev", "incrcdc", threads = 2))
+          p.source("raw", "docs", ParquetPath(staging.toString))
+          p.model("cdc_ledger", ModelConfig(materialized =
+            Materialization.Incremental(None,
+              Materialization.IncrementalStrategy.Append))) { ctx =>
+            val arrived = ctx.source("raw", "docs")
+            val (batch, keptPosts) =
+              if (ctx.isIncremental) {
+                val cursor = ctx.thisDf.agg(max(col("doc"))).first().getLong(0)
+                (arrived.filter(col("doc_id") > cursor),
+                  ctx.thisDf.filter(col("kept") && col("band") >= 0))
+              } else
+                (arrived, graft.operators.Cdc.chunkPostings(
+                  arrived.limit(0), "doc_id", "text"))
+            graft.operators.Cdc.cdcDedupBatchLedger(batch, keptPosts,
+              "doc_id", "text")
+          }
+          p
+        }
+        docs.filter(col("doc_id") <= split)
+          .write.mode("overwrite").parquet(staging.toString)
+        val r1 = freshProject().run(fullRefresh = true)
+        require(r1.ok, s"incremental cdc dedup run 1 failed: ${r1.results}")
+        docs.filter(col("doc_id") > split)
+          .write.mode("append").parquet(staging.toString)
+        val r2 = freshProject().run()
+        require(r2.ok, s"incremental cdc dedup run 2 failed: ${r2.results}")
+        s.table("incrcdc.cdc_ledger")
+          .groupBy(col("doc"))
+          .agg(max(col("kept")).as("kept"))
+          .withColumn("batch",
+            when(col("doc") <= split, 1L).otherwise(2L))
+          .select(col("doc").as("doc_id"), col("kept"), col("batch"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, text,
+            CAST(length(text) AS BIGINT) AS len FROM documents
+            WHERE text IS NOT NULL AND length(text) >= 1),
+        b AS (SELECT doc_id, text, len,
+            CASE WHEN len >= 16 THEN
+              list_filter(range(16, len + 1), i ->
+                list_sum(list_transform(range(16), j ->
+                  ascii(substring(text, CAST(i - 15 + j AS INTEGER), 1))
+                    * ([122335, 748097, 903583, 198273, 107871, 307905, 618783, 290561, 77023, 408385, 317599, 923521, 29791, 961, 31, 1])[j + 1])) % 64 = 0)
+            ELSE [] END AS bnds FROM t),
+        sp AS (SELECT doc_id, text, len, bnds,
+            unnest(range(1, CAST(len(bnds) + 2 AS BIGINT))) AS k FROM b),
+        ch AS (SELECT doc_id,
+            CASE WHEN k = 1 THEN 1 ELSE bnds[CAST(k - 1 AS INTEGER)] + 1
+              END AS s,
+            CASE WHEN k <= len(bnds) THEN bnds[CAST(k AS INTEGER)]
+              ELSE len END AS e,
+            text FROM sp),
+        chk AS (SELECT doc_id, md5(substring(text, CAST(s AS INTEGER),
+            CAST(e - s + 1 AS INTEGER))) AS h, e - s + 1 AS clen
+          FROM ch WHERE e >= s),
+        q AS (SELECT DISTINCT doc_id, h FROM chk WHERE clen >= 32),
+        spl AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS sp
+          FROM documents),
+        b1 AS (SELECT doc_id, h FROM q CROSS JOIN spl
+          WHERE doc_id <= spl.sp),
+        m1 AS (SELECT h, min(doc_id) AS mind FROM b1 GROUP BY h),
+        bad1 AS (SELECT DISTINCT b1.doc_id FROM b1 JOIN m1 USING (h)
+          WHERE b1.doc_id > m1.mind),
+        keptch AS (SELECT DISTINCT h FROM b1
+          WHERE doc_id NOT IN (SELECT doc_id FROM bad1)),
+        b2 AS (SELECT doc_id, h FROM q CROSS JOIN spl
+          WHERE doc_id > spl.sp),
+        m2 AS (SELECT h, min(doc_id) AS mind FROM b2 GROUP BY h),
+        bad2 AS (SELECT DISTINCT b2.doc_id FROM b2 JOIN m2 USING (h)
+          WHERE b2.h IN (SELECT h FROM keptch) OR b2.doc_id > m2.mind)
+        SELECT d.doc_id,
+          (d.doc_id NOT IN (SELECT doc_id FROM bad1)
+           AND d.doc_id NOT IN (SELECT doc_id FROM bad2)) AS kept,
+          CAST(CASE WHEN d.doc_id <= spl.sp THEN 1 ELSE 2 END AS BIGINT)
+            AS batch
+        FROM documents d CROSS JOIN spl ORDER BY d.doc_id""")),
 
     // ---- rolling active users (DAU / trailing-7 / trailing-28): EXACT
     //      rolling count-distinct via the bin-join idiom — each (user,

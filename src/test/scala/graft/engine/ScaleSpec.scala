@@ -573,9 +573,11 @@ class ScaleSpec extends SparkSpec {
       // two class join-backs (full + cutoff tie window) + final sort —
       // measured 6, windows over the bounded histogram / cutoff slice
       "x155_token_budget_cap" -> 6,
-      // x156: zero-shuffle chunking; chunk-hash frequency agg + the
-      // hash-keyed join back + per-doc agg/sort — measured 3
-      "x156_cdc_chunk_dedup" -> 3,
+      // x156: chunk-hash frequency agg + the hash-keyed join back +
+      // per-doc agg/sort, plus the small-split spread's conditional
+      // repartition (fires only when scan splits < cores — the local
+      // single-file layout; never at warehouse scale) — measured 4
+      "x156_cdc_chunk_dedup" -> 4,
       // x157: the (source, score) histogram agg + histogram window +
       // sizes agg + two join-backs + the tie window + sort — measured
       // 6, windows over the bounded histogram / tie class only
@@ -584,6 +586,16 @@ class ScaleSpec extends SparkSpec {
       // min-max rows, mode two-stage) + the columns-sized drift join —
       // measured 11, every exchange distinct-counts-sized
       "x158_profile_drift" -> 11,
+      // x159: the REGISTERED plan is the merged-ledger two-slice drift
+      // (per-slice dedup/groupBy through reportFromCounts rollup + mode
+      // two-stage, then the columns-sized drift join) — the streaming
+      // appends run before it as foreachBatch side effects; measured
+      // 11, every exchange ledger-count-table-sized
+      "x159_streaming_profile_drift" -> 11,
+      // x160: the REGISTERED plan is the ledger verdict rollup
+      // (groupBy doc + sort) — the two incremental ledger steps run
+      // before it as model-run side effects; measured 2
+      "x160_incremental_cdc_dedup" -> 2,
       // x146: the (user, day) distinct (persisted), three bin-join
       // explode + distinct + count chains (fan-out 1/7/28, never a
       // range scan), the observed-days joins, final sort — measured 9
@@ -705,6 +717,18 @@ class ScaleSpec extends SparkSpec {
       .agg(round(log(sum(col("d")).cast("double")), 4).as("r"))
     assert(graft.PlanAudit.roundAfterDecimalCastSites(logOk).isEmpty,
       "lint fixture: transcendental round wrongly flagged")
+    // divide discrimination (r13, ADVICE item): sum/3 leaves the
+    // .5·10^-k grid — flagging round-after-divide-by-3 was a false
+    // positive; divide by a literal power of ten keeps the grid and
+    // stays in the hazard class
+    val divOk = rows.groupBy("k")
+      .agg(round(sum(col("d")).cast("double") / 3.0, 4).as("r"))
+    assert(graft.PlanAudit.roundAfterDecimalCastSites(divOk).isEmpty,
+      "lint fixture: round-after-divide-by-3 wrongly flagged")
+    val divHaz = rows.groupBy("k")
+      .agg(round(sum(col("d")).cast("double") / 10.0, 4).as("r"))
+    assert(graft.PlanAudit.roundAfterDecimalCastSites(divHaz).nonEmpty,
+      "lint fixture: grid-exact divide-by-ten hazard not visible")
     val bad = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         spark.catalog.clearCache()
