@@ -8,8 +8,34 @@ import org.apache.spark.sql.functions._
   * query. Env knobs: NPROBE (default 5), CAND (refine pool per query,
   * default 25), M / KSUB (PQ shape, default 16/128), NLIST (coarse
   * cells, default 10). Prints one line per configuration:
-  * `recall@5 = hits/total (frac)`. */
+  * `recall@5 = hits/total (frac)`.
+  *
+  * FIXTURE selects the corpus: `corpus` (default) reads the sf dir's
+  * embeddings; `clustered` synthesizes a planted-Gaussian-clusters set
+  * (CLUSTERS centers, N points, NOISE relative sigma, seeded — the
+  * regime real embedding corpora live in at scale, where coarse cells
+  * concentrate true neighbors and recall must hold at SMALL scan
+  * fractions; the near-isotropic synthetic corpus can't exercise nlist
+  * scaling — BASELINE.md round-12 sweep). */
 object RecallProbe {
+
+  /** Planted clusters: centers ~ N(0,1)^dim, points = normalized
+    * (center + noise·N(0,1)^dim). Deterministic (fixed-seed Random,
+    * driver-generated — 10k×64 floats is a few MB of fixture). */
+  private def clusteredFixture(spark: SparkSession, n: Int,
+      clusters: Int, dim: Int, noise: Double): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(62)
+    val centers = Array.fill(clusters)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until n).map { i =>
+      val c = centers(i % clusters)
+      val v = Array.tabulate(dim)(d => c(d) + noise * rnd.nextGaussian())
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(x => (x / norm).toFloat).toSeq)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -18,6 +44,7 @@ object RecallProbe {
     val m = sys.env.getOrElse("M", "16").toInt
     val ksub = sys.env.getOrElse("KSUB", "128").toInt
     val nlist = sys.env.getOrElse("NLIST", "10").toInt
+    val fixture = sys.env.getOrElse("FIXTURE", "corpus")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,7 +53,13 @@ object RecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.operators.{Pq, Similarity}
-    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val e = (if (fixture == "clustered")
+      clusteredFixture(spark,
+        n = sys.env.getOrElse("N", "10000").toInt,
+        clusters = sys.env.getOrElse("CLUSTERS", "32").toInt,
+        dim = 64,
+        noise = sys.env.getOrElse("NOISE", "0.25").toDouble)
+    else spark.read.parquet(s"$sfDir/embeddings.parquet"))
       .select(col("vec_id"), col("embedding"))
     val cents = Similarity.trainKMeans(e, "vec_id", "embedding",
       k = nlist, iters = 5)
@@ -50,8 +83,9 @@ object RecallProbe {
       .agg(sum(coalesce(col("hit"), lit(0))).as("hits"),
         count(lit(1)).as("total")).first()
     val (hits, total) = (row.getLong(0), row.getLong(1))
-    println(f"[recall] nProbe=$nProbe cand=$cand m=$m ksub=$ksub " +
-      f"nlist=$nlist recall@5 = $hits/$total (${hits.toDouble / total}%.3f)")
+    println(f"[recall] fixture=$fixture nProbe=$nProbe cand=$cand m=$m " +
+      f"ksub=$ksub nlist=$nlist recall@5 = $hits/$total " +
+      f"(${hits.toDouble / total}%.3f)")
     spark.stop()
   }
 }
