@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native one-pass text expressions for the dedup hot path.
@@ -715,7 +715,70 @@ case class CharGramOverlaps(left: Expression, right: Expression, maxN: Int)
       r: Expression): CharGramOverlaps = copy(left = l, right = r)
 }
 
+/** Content-defined-chunking boundary positions
+  * ([[graft.operators.Cdc]], the LBFS rule): 1-based positions i
+  * (w <= i <= len) where the w-char polynomial window hash
+  * Σ_j code(i−w+1+j)·31^{w−1−j} ≡ 0 (mod 2^20, then mod mask+1).
+  * Bit-compatible with the HOF formulation and the DuckDB oracle:
+  * "code" is the FIRST UTF-16 unit of the code point at that position
+  * (Spark ascii() semantics; positions count CODE POINTS like
+  * length()/substr() — astral input is rejected upstream, where the
+  * two diverge). A rolling O(len) evaluation replaces the HOF's
+  * O(len·w) interpreted tree walk (the chunking pass was the whole
+  * cost of x156's cold pass). */
+case class CdcBoundaries(child: Expression, w: Int, mask: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(w >= 2 && w <= 64, s"window $w outside 2..64")
+  require(mask >= 1 && (mask & (mask + 1)) == 0,
+    s"mask $mask must be 2^k - 1")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_boundaries"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+  private val M = 1L << 20
+  private val topPow: Long = {
+    var p = 1L; var i = 0
+    while (i < w - 1) { p = p * 31 % M; i += 1 }
+    p
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.codePointCount(0, s.length)
+    if (n < w) return new GenericArrayData(Array.empty[Int])
+    // code-point walk, Spark-ascii codes (first UTF-16 unit each)
+    val codes = new Array[Long](n)
+    var ci = 0
+    var off = 0
+    while (off < s.length) {
+      codes(ci) = s.charAt(off).toLong
+      ci += 1
+      off += Character.charCount(s.codePointAt(off))
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    val residue = mask + 1
+    var h = 0L
+    var idx = 0
+    while (idx < w) { h = (h * 31 + codes(idx)) % M; idx += 1 }
+    if (h % residue == 0) out += w
+    var i = w // 1-based position of the current window end
+    while (i < n) {
+      h = ((h - codes(i - w) * topPow) % M + M) % M
+      h = (h * 31 + codes(i)) % M
+      i += 1
+      if (h % residue == 0) out += i
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): CdcBoundaries =
+    copy(child = c)
+}
+
 object TextExpressions {
+  def cdcBoundaries(text: Column, w: Int, mask: Int): Column =
+    GraftSql.column(CdcBoundaries(GraftSql.expression(text), w, mask))
   def wordShingles(text: Column, n: Int, distinct: Boolean = true): Column =
     GraftSql.column(WordShingles(GraftSql.expression(text), n, distinct))
   def profileScores(text: Column, profiles: Seq[Seq[String]]): Column =

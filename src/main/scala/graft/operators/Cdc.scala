@@ -167,7 +167,19 @@ object Cdc {
 
   /** Exposed for spec/oracle parity checks. */
   private[operators] def powersFor(w: Int): Seq[Long] = powers(w)
+
+  /** The boundary scan — the native rolling-hash expression
+    * ([[graft.expressions.CdcBoundaries]], O(len) per row); the HOF
+    * twin below states the same rule declaratively and pins the
+    * native expression's semantics in CdcSpec. */
   private[graft] def boundaryColumn(txt: Column, w: Int, mask: Int)
+      : Column =
+    graft.expressions.TextExpressions.cdcBoundaries(txt, w, mask)
+
+  /** Declarative HOF twin of [[boundaryColumn]] — O(len·w) interpreted,
+    * kept as the executable specification the native expression is
+    * proved equal to (and the form the DuckDB oracle replays). */
+  private[graft] def boundaryColumnHof(txt: Column, w: Int, mask: Int)
       : Column = {
     val p = typedlit(powers(w))
     when(length(txt) >= w,

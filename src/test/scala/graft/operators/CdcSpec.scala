@@ -81,6 +81,33 @@ class CdcSpec extends SparkSpec {
       s"unique doc flagged dup: ${rep(4L)}")
   }
 
+  test("native rolling-hash boundaries == the declarative HOF rule") {
+    // the native CdcBoundaries expression is an O(len) rewrite of the
+    // O(len·w) HOF; they must agree position-for-position — fuzz over
+    // lengths (incl. < w and == w), masks, windows, and BMP non-ASCII
+    val rnd = new scala.util.Random(160)
+    val texts = (1 to 60).map { i =>
+      val len = Seq(0, 5, 15, 16, 17, 40, 200, 900)(i % 8) + rnd.nextInt(9)
+      i.toLong -> (0 until len).map(_ =>
+        if (rnd.nextInt(20) == 0) 'é' else ('a' + rnd.nextInt(26)).toChar)
+        .mkString
+    }
+    val df = texts.toDF("doc_id", "text").filter(length(col("text")) >= 1)
+    for ((w, mask) <- Seq((16, 63), (16, 15), (8, 31), (2, 1))) {
+      val got = df.select(col("doc_id"),
+        Cdc.boundaryColumn(col("text"), w, mask).as("b")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val want = df.select(col("doc_id"),
+        Cdc.boundaryColumnHof(col("text"), w, mask).as("b")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(got == want, s"native != HOF at w=$w mask=$mask")
+    }
+    // the small-mask fuzz must actually exercise boundaries
+    val any = df.select(Cdc.boundaryColumn(col("text"), 2, 1).as("b"))
+      .collect().map(_.getSeq[Int](0).size).sum
+    assert(any > 0, "fuzz produced zero boundaries — vacuous parity")
+  }
+
   test("cdc ledger step: shifted copy dropped, unique kept, " +
       "evidence-free doc gets the sentinel, history prunes") {
     val a = mkText(7, 600)
