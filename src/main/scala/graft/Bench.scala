@@ -307,7 +307,13 @@ object Bench {
     "x159_streaming_profile_drift" -> 3710,
     // x160 = two incremental model runs (chunk postings + ledger step
     // each) + the verdict rollup — x50's cost class plus the chunk scan
-    "x160_incremental_cdc_dedup" -> 6220)
+    "x160_incremental_cdc_dedup" -> 6220,
+    // x161 = x160's two-run shape with the offset-log cursor (the
+    // x58-class streaming machinery premium)
+    "x161_streaming_cdc_ledger" -> 6070,
+    // x162 = two AvailableNow sample-ledger runs (per-batch bounded
+    // top-n each) + the candidates-sized merged re-rank
+    "x162_streaming_sample_ledger" -> 1960)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -421,6 +421,50 @@ object PipelineQueries extends QueryPack {
   /** The x138 hourly-rate anomaly z-test SQL — also x145's oracle and
     * x153's compacted-ledger oracle: batch, streaming-ledger, and
     * compacted-streaming-ledger must all equal it. */
+  private val cdcLedgerOracleSql =
+    """WITH t AS (SELECT doc_id, text,
+            CAST(length(text) AS BIGINT) AS len FROM documents
+            WHERE text IS NOT NULL AND length(text) >= 1),
+        b AS (SELECT doc_id, text, len,
+            CASE WHEN len >= 16 THEN
+              list_filter(range(16, len + 1), i ->
+                list_sum(list_transform(range(16), j ->
+                  ascii(substring(text, CAST(i - 15 + j AS INTEGER), 1))
+                    * ([122335, 748097, 903583, 198273, 107871, 307905, 618783, 290561, 77023, 408385, 317599, 923521, 29791, 961, 31, 1])[j + 1])) % 64 = 0)
+            ELSE [] END AS bnds FROM t),
+        sp AS (SELECT doc_id, text, len, bnds,
+            unnest(range(1, CAST(len(bnds) + 2 AS BIGINT))) AS k FROM b),
+        ch AS (SELECT doc_id,
+            CASE WHEN k = 1 THEN 1 ELSE bnds[CAST(k - 1 AS INTEGER)] + 1
+              END AS s,
+            CASE WHEN k <= len(bnds) THEN bnds[CAST(k AS INTEGER)]
+              ELSE len END AS e,
+            text FROM sp),
+        chk AS (SELECT doc_id, md5(substring(text, CAST(s AS INTEGER),
+            CAST(e - s + 1 AS INTEGER))) AS h, e - s + 1 AS clen
+          FROM ch WHERE e >= s),
+        q AS (SELECT DISTINCT doc_id, h FROM chk WHERE clen >= 32),
+        spl AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS sp
+          FROM documents),
+        b1 AS (SELECT doc_id, h FROM q CROSS JOIN spl
+          WHERE doc_id <= spl.sp),
+        m1 AS (SELECT h, min(doc_id) AS mind FROM b1 GROUP BY h),
+        bad1 AS (SELECT DISTINCT b1.doc_id FROM b1 JOIN m1 USING (h)
+          WHERE b1.doc_id > m1.mind),
+        keptch AS (SELECT DISTINCT h FROM b1
+          WHERE doc_id NOT IN (SELECT doc_id FROM bad1)),
+        b2 AS (SELECT doc_id, h FROM q CROSS JOIN spl
+          WHERE doc_id > spl.sp),
+        m2 AS (SELECT h, min(doc_id) AS mind FROM b2 GROUP BY h),
+        bad2 AS (SELECT DISTINCT b2.doc_id FROM b2 JOIN m2 USING (h)
+          WHERE b2.h IN (SELECT h FROM keptch) OR b2.doc_id > m2.mind)
+        SELECT d.doc_id,
+          (d.doc_id NOT IN (SELECT doc_id FROM bad1)
+           AND d.doc_id NOT IN (SELECT doc_id FROM bad2)) AS kept,
+          CAST(CASE WHEN d.doc_id <= spl.sp THEN 1 ELSE 2 END AS BIGINT)
+            AS batch
+        FROM documents d CROSS JOIN spl ORDER BY d.doc_id"""
+
   private val profileDriftSql =
     """WITH spl AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts)))
               // 2 AS sp FROM events),
@@ -6043,48 +6087,86 @@ object PipelineQueries extends QueryPack {
           .select(col("doc").as("doc_id"), col("kept"), col("batch"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH t AS (SELECT doc_id, text,
-            CAST(length(text) AS BIGINT) AS len FROM documents
-            WHERE text IS NOT NULL AND length(text) >= 1),
-        b AS (SELECT doc_id, text, len,
-            CASE WHEN len >= 16 THEN
-              list_filter(range(16, len + 1), i ->
-                list_sum(list_transform(range(16), j ->
-                  ascii(substring(text, CAST(i - 15 + j AS INTEGER), 1))
-                    * ([122335, 748097, 903583, 198273, 107871, 307905, 618783, 290561, 77023, 408385, 317599, 923521, 29791, 961, 31, 1])[j + 1])) % 64 = 0)
-            ELSE [] END AS bnds FROM t),
-        sp AS (SELECT doc_id, text, len, bnds,
-            unnest(range(1, CAST(len(bnds) + 2 AS BIGINT))) AS k FROM b),
-        ch AS (SELECT doc_id,
-            CASE WHEN k = 1 THEN 1 ELSE bnds[CAST(k - 1 AS INTEGER)] + 1
-              END AS s,
-            CASE WHEN k <= len(bnds) THEN bnds[CAST(k AS INTEGER)]
-              ELSE len END AS e,
-            text FROM sp),
-        chk AS (SELECT doc_id, md5(substring(text, CAST(s AS INTEGER),
-            CAST(e - s + 1 AS INTEGER))) AS h, e - s + 1 AS clen
-          FROM ch WHERE e >= s),
-        q AS (SELECT DISTINCT doc_id, h FROM chk WHERE clen >= 32),
-        spl AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS sp
-          FROM documents),
-        b1 AS (SELECT doc_id, h FROM q CROSS JOIN spl
-          WHERE doc_id <= spl.sp),
-        m1 AS (SELECT h, min(doc_id) AS mind FROM b1 GROUP BY h),
-        bad1 AS (SELECT DISTINCT b1.doc_id FROM b1 JOIN m1 USING (h)
-          WHERE b1.doc_id > m1.mind),
-        keptch AS (SELECT DISTINCT h FROM b1
-          WHERE doc_id NOT IN (SELECT doc_id FROM bad1)),
-        b2 AS (SELECT doc_id, h FROM q CROSS JOIN spl
-          WHERE doc_id > spl.sp),
-        m2 AS (SELECT h, min(doc_id) AS mind FROM b2 GROUP BY h),
-        bad2 AS (SELECT DISTINCT b2.doc_id FROM b2 JOIN m2 USING (h)
-          WHERE b2.h IN (SELECT h FROM keptch) OR b2.doc_id > m2.mind)
-        SELECT d.doc_id,
-          (d.doc_id NOT IN (SELECT doc_id FROM bad1)
-           AND d.doc_id NOT IN (SELECT doc_id FROM bad2)) AS kept,
-          CAST(CASE WHEN d.doc_id <= spl.sp THEN 1 ELSE 2 END AS BIGINT)
-            AS batch
-        FROM documents d CROSS JOIN spl ORDER BY d.doc_id""")),
+      Some(cdcLedgerOracleSql)),
+
+    // ---- STREAMING CDC dedup: x160's chunk-signature ledger with the
+    //      file-source OFFSET LOG as the incremental cursor (two
+    //      Trigger.AvailableNow runs over a landing dir; run 2's
+    //      checkpoint skips run 1's files) — arrival order and id space
+    //      are arbitrary, unlike x160's max-doc-id predicate. Identical
+    //      oracle: the mechanisms must agree (the x50/x58 pairing,
+    //      completing the batch/streaming x chunk cell) ----------------
+    Q("x161_streaming_cdc_ledger",
+      (s, dir) => {
+        import graft.engine._
+        val docs = t(s, dir, "documents")
+        val split = docs.agg(expr("(min(doc_id) + max(doc_id)) div 2"))
+          .first().getLong(0)
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val landing = wh.resolve("strcdc_landing")
+        val ckpt = wh.resolve("_graft_checkpoints/strcdc")
+        s.sql("CREATE DATABASE IF NOT EXISTS strcdc")
+        s.sql("DROP TABLE IF EXISTS strcdc.ledger")
+        for (p <- Seq(landing, ckpt, wh.resolve("strcdc.db/ledger")))
+          Materializer.deleteRecursively(p)
+        docs.filter(col("doc_id") <= split)
+          .write.mode("overwrite").parquet(landing.toString)
+        EventStreams.streamingCdcDedupLedger(s, landing.toString,
+          docs.schema, "strcdc.ledger", ckpt.toString, "doc_id", "text")
+        docs.filter(col("doc_id") > split)
+          .write.mode("append").parquet(landing.toString)
+        EventStreams.streamingCdcDedupLedger(s, landing.toString,
+          docs.schema, "strcdc.ledger", ckpt.toString, "doc_id", "text")
+        s.table("strcdc.ledger")
+          .groupBy(col("doc"))
+          .agg(max(col("kept")).as("kept"))
+          .withColumn("batch",
+            when(col("doc") <= split, 1L).otherwise(2L))
+          .select(col("doc").as("doc_id"), col("kept"), col("batch"))
+          .orderBy(col("doc_id"))
+      },
+      Some(cdcLedgerOracleSql)),
+
+    // ---- STREAMING uniform-sample ledger: the x29 hash-rank sample
+    //      maintained incrementally — each AvailableNow microbatch
+    //      appends its own per-source md5-rank top-12 (windows over the
+    //      bounded batch, never history); the rank key is a pure
+    //      function of the id, so the merged top-12 equals the batch
+    //      rule over everything ingested — the oracle is the plain x29
+    //      window SQL. Rerun-stable eval slices that never reprocess
+    //      the corpus ------------------------------------------------
+    Q("x162_streaming_sample_ledger",
+      (s, dir) => {
+        import graft.engine._
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val landing = wh.resolve("strsamp_landing")
+        val ckpt = wh.resolve("_graft_checkpoints/strsamp")
+        s.sql("CREATE DATABASE IF NOT EXISTS strsamp")
+        s.sql("DROP TABLE IF EXISTS strsamp.ledger")
+        for (p <- Seq(landing, ckpt, wh.resolve("strsamp.db/ledger")))
+          Materializer.deleteRecursively(p)
+        def run(): Unit = EventStreams.streamingSampleLedger(s,
+          landing.toString, docs.schema, "strsamp.ledger", ckpt.toString,
+          "source", "doc_id", n = 12)
+        docs.filter(col("doc_id") % 2 === 0)
+          .write.mode("overwrite").parquet(landing.toString)
+        run()
+        docs.filter(col("doc_id") % 2 === 1)
+          .write.mode("append").parquet(landing.toString)
+        run()
+        EventStreams.mergeSampleLedger(s.table("strsamp.ledger"),
+            "source", "doc_id", n = 12)
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some("""SELECT source, doc_id FROM (
+          SELECT source, doc_id, row_number() OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 12 ORDER BY source, doc_id""")),
 
     // ---- rolling active users (DAU / trailing-7 / trailing-28): EXACT
     //      rolling count-distinct via the bin-join idiom — each (user,

@@ -247,6 +247,23 @@ object EventStreams {
         numBands))
   }
 
+  /** The CONTENT-CHUNK twin of [[streamingDedupLedger]] — the same
+    * offset-log-cursored ledger over CDC chunk postings
+    * ([[graft.operators.Cdc.cdcDedupBatchLedger]]), completing the
+    * batch/streaming × doc-hash/embedding/chunk incremental-dedup
+    * matrix: shift-robust dedup whose cursor is the file-source offset
+    * log, so arrival order and id space stay arbitrary. */
+  def streamingCdcDedupLedger(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType, ledgerTable: String,
+      checkpointDir: String, idCol: String, textCol: String,
+      w: Int = 16, mask: Int = 63, minChunkLen: Int = 32): Unit = {
+    import graft.operators.Cdc
+    streamingLedger(spark, landingDir, schema, ledgerTable, checkpointDir,
+      (batch, kept) => Cdc.cdcDedupBatchLedger(batch, kept, idCol, textCol,
+        w, mask, minChunkLen),
+      b0 => Cdc.chunkPostings(b0, idCol, textCol, w, mask, minChunkLen))
+  }
+
   /** Signature-agnostic streaming-ledger core: one AvailableNow run over
     * the landing dir, each microbatch passed through `step(batch, kept)`
     * and appended to the ledger table; `emptyPostings(batch.limit(0))`
@@ -441,6 +458,72 @@ object EventStreams {
     ledger.dropDuplicates("batch_id", "slice", "column_name", "value")
       .groupBy("slice", "column_name", "value")
       .agg(sum(col("c")).as("c"))
+
+  /** Streaming uniform-sample LEDGER — a rerun-stable n-per-group
+    * hash-rank sample (eval slices, spot-check panels, the x29 rule)
+    * maintained incrementally: each microbatch appends its OWN
+    * per-group md5-rank top-n (windows over the bounded batch, never
+    * history), stamped with batch_id. The rank key is a pure function
+    * of the id, so the global top-n is the top-n of the union of
+    * per-batch top-n's (a member's rank within its batch is <= its
+    * global rank) — [[mergeSampleLedger]] re-ranks only batches × n
+    * candidate rows per group and telescopes to exactly the batch rule,
+    * which is what the x162 oracle asserts.
+    *
+    * DELIVERY: foreachBatch is at-least-once — a replayed batch
+    * re-appends identical (group, id) rows; the merge's candidate
+    * distinct collapses them (hash-rank sampling is idempotent BY KEY,
+    * the suppression-ledger argument). */
+  def streamingSampleLedger(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType, ledgerTable: String,
+      checkpointDir: String, groupCol: String, idCol: String,
+      n: Int): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(landingDir)
+    val fb: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        graft.operators.Sampling.capPerGroup(
+          batch.toDF().select(col(groupCol), col(idCol)),
+          groupCol, idCol, n)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").format("parquet").saveAsTable(ledgerTable)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(fb)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    if (spark.catalog.tableExists(ledgerTable))
+      spark.catalog.refreshTable(ledgerTable)
+  }
+
+  /** Merged view of a [[streamingSampleLedger]]: distinct candidates
+    * (collapses replays AND cross-batch duplicate ids), then the x29
+    * md5-rank cap over the bounded candidate set (<= batches × n rows
+    * per group). Equals the batch rule over everything ingested. */
+  def mergeSampleLedger(ledger: org.apache.spark.sql.DataFrame,
+      groupCol: String, idCol: String, n: Int)
+      : org.apache.spark.sql.DataFrame =
+    graft.operators.Sampling.capPerGroup(
+      ledger.select(col(groupCol), col(idCol)).distinct(),
+      groupCol, idCol, n)
+
+  /** Compact a [[streamingSampleLedger]]: batches below the max id
+    * collapse to their CURRENT merged top-n as batch_id = -1 rows
+    * (candidates those rows outrank are dropped for good — they can
+    * never re-enter a pure-hash-rank top-n); the max-id batch stays
+    * verbatim (the only replay-eligible batch under AvailableNow, the
+    * compactBatchLedger contract). Lossless through
+    * [[mergeSampleLedger]], strictly shrinking once a group has more
+    * than n candidates in old batches. */
+  def compactSampleLedger(ledger: org.apache.spark.sql.DataFrame,
+      groupCol: String, idCol: String, n: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val maxId = ledger.agg(max(col("batch_id"))).first().getLong(0)
+    val pre = mergeSampleLedger(ledger.filter(col("batch_id") < maxId),
+        groupCol, idCol, n)
+      .withColumn("batch_id", lit(-1L))
+    pre.unionByName(ledger.filter(col("batch_id") === maxId))
+  }
 
   /** Streaming Count-Min sketch LEDGER — point-frequency monitoring
     * that never reprocesses history (completes the streaming sketch

@@ -596,6 +596,13 @@ class ScaleSpec extends SparkSpec {
       // (groupBy doc + sort) — the two incremental ledger steps run
       // before it as model-run side effects; measured 2
       "x160_incremental_cdc_dedup" -> 2,
+      // x161: x160's verdict rollup over the offset-log-cursored
+      // streaming ledger — same 2-exchange report plan
+      "x161_streaming_cdc_ledger" -> 2,
+      // x162: candidate distinct + the (batches x n)-bounded re-rank
+      // window + final sort — measured 3; the per-batch top-n windows
+      // run as streaming side effects over bounded batches
+      "x162_streaming_sample_ledger" -> 3,
       // x146: the (user, day) distinct (persisted), three bin-join
       // explode + distinct + count chains (fan-out 1/7/28, never a
       // range scan), the observed-days joins, final sort — measured 9

@@ -51,6 +51,14 @@ class LedgerInvariantsSpec extends SparkSpec {
     val suppress = () => Seq((11L, 0L), (12L, 0L), (12L, 1L), (13L, 1L),
       (14L, 2L))
       .toDF("doc_id", "batch_id")
+    // sample ledger: per-batch hash-rank top-n candidates; ids chosen
+    // so old batches hold MORE than n=2 candidates per group (so
+    // compaction genuinely drops outranked rows and strictly shrinks)
+    val sample = () => Seq(
+      ("a", 11L, 0L), ("a", 12L, 0L), ("b", 21L, 0L),
+      ("a", 13L, 1L), ("a", 14L, 1L), ("b", 22L, 1L),
+      ("a", 15L, 2L), ("b", 23L, 2L))
+      .toDF("src", "id", "batch_id")
     val profile = () => Seq(
       ("a", "event_type", "click", 4L, 0L),
       ("a", "event_type", null, 1L, 0L),       // null-value count row
@@ -111,6 +119,11 @@ class LedgerInvariantsSpec extends SparkSpec {
             r.getLong(3)).toMap,
         EventStreams.compactBatchLedger(_,
           Seq("slice", "column_name", "value"), Seq("c"))),
+      Shape("sample (x162)", sample,
+        _.filter(col("batch_id") === 0),
+        l => EventStreams.mergeSampleLedger(l, "src", "id", 2).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toSet,
+        EventStreams.compactSampleLedger(_, "src", "id", 2)),
       Shape("suppression (x115)", suppress,
         _.filter(col("batch_id") === 0),
         l => EventStreams.suppressionSet(l, "doc_id").collect()
