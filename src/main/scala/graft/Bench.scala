@@ -313,7 +313,10 @@ object Bench {
     "x161_streaming_cdc_ledger" -> 6070,
     // x162 = two AvailableNow sample-ledger runs (per-batch bounded
     // top-n each) + the candidates-sized merged re-rank
-    "x162_streaming_sample_ledger" -> 1960)
+    "x162_streaming_sample_ledger" -> 1960,
+    // x163 = (group, md5-bucket) histogram + bounded windows + three
+    // class join-backs + union sort
+    "x163_stratified_split" -> 1040)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

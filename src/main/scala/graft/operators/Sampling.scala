@@ -193,6 +193,80 @@ object Sampling {
         col("__prio").as(prioCol), col("__tok").as(tokenCol))
   }
 
+  /** EXACT stratified split — [[hashSplit]]'s exact-proportions twin:
+    * per group, EXACTLY floor(fracMicro·n_g / 10⁶) rows land in
+    * 'train', the rest in 'holdout'. The x22 rule is per-row
+    * independent (probabilistic), so a 5% holdout of a small stratum
+    * can be empty or 3× the target; contractual eval holdouts need
+    * exact counts. Deterministic and rerun-stable: membership follows
+    * the (md5(id), id) order — a pure function of the corpus, like
+    * every hash rule here.
+    *
+    * Scale shape: NO per-group corpus window (the x83 funnel; the
+    * x155/x157 threshold-decomposition discipline). The md5 BUCKET
+    * (first `bucketChars` hex chars — a PREFIX of the sort key, so
+    * bucket order IS coarse rank order) gives a (group, bucket)
+    * histogram; cumulative windows over the HISTOGRAM classify buckets
+    * fully-train / fully-holdout; only the single straddling bucket
+    * resolves by a (hash, id) window over that one slice (expected
+    * group/16^bucketChars rows — size `bucketChars` so that fits one
+    * task; the straddling class is guarded by `maxTieClass` like the
+    * sibling decompositions). Returns (groupCol, idCol, split). */
+  def stratifiedSplit(df: DataFrame, groupCol: String, idCol: String,
+      fracMicro: Long, bucketChars: Int = 2,
+      maxTieClass: Long = 1L << 22): DataFrame = {
+    require(fracMicro >= 0L && fracMicro <= 1000000L,
+      s"fracMicro must be in [0, 1000000], got $fracMicro")
+    require(bucketChars >= 1 && bucketChars <= 8,
+      s"bucketChars must be in 1..8, got $bucketChars")
+    require(maxTieClass >= 1, s"maxTieClass must be >= 1, got $maxTieClass")
+    val base = df.select(col(groupCol).as("__grp"), col(idCol).as("__id"),
+        md5(col(idCol).cast("string")).as("__h"))
+      .withColumn("__b", substring(col("__h"), 1, bucketChars))
+    val hist = base.groupBy(col("__grp"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val wH = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__grp")).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val sizes = hist.groupBy(col("__grp")).agg(sum(col("__c")).as("__n"))
+    val classes = hist.join(sizes, Seq("__grp"))
+      .withColumn("__before", coalesce(sum(col("__c")).over(wH), lit(0L)))
+      .withColumn("__ntrain", expr(s"__n * ${fracMicro}L div 1000000"))
+    val fullTrain = base
+      .join(classes.filter(col("__before") + col("__c") <= col("__ntrain"))
+        .select("__grp", "__b"), Seq("__grp", "__b"))
+      .withColumn("split", lit("train"))
+    val fullHold = base
+      .join(classes.filter(col("__before") >= col("__ntrain"))
+        .select("__grp", "__b"), Seq("__grp", "__b"))
+      .withColumn("split", lit("holdout"))
+    // the one straddling bucket per group: 0 < rem < __c by
+    // construction; the guard rides __rem (kept) so pruning can't
+    // silently drop it
+    val straddle = classes
+      .filter(col("__before") < col("__ntrain") &&
+        col("__before") + col("__c") > col("__ntrain"))
+      .select(col("__grp"), col("__b"),
+        when(col("__c") > maxTieClass, raise_error(concat(
+          lit("Sampling.stratifiedSplit: straddling bucket of "),
+          col("__c"), lit(s" rows (> maxTieClass $maxTieClass) in group '"),
+          col("__grp").cast("string"),
+          lit("' — raise bucketChars (finer buckets) or maxTieClass " +
+            "deliberately"))).cast("long"))
+          .otherwise(col("__ntrain") - col("__before")).as("__rem"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__grp"), col("__b"))
+      .orderBy(col("__h"), col("__id"))
+    val stradRows = base.join(straddle, Seq("__grp", "__b"))
+      .withColumn("split",
+        when(row_number().over(wS).cast("long") <= col("__rem"),
+          lit("train")).otherwise(lit("holdout")))
+    fullTrain.unionByName(fullHold)
+      .unionByName(stradRows.drop("__rem"))
+      .select(col("__grp").as(groupCol), col("__id").as(idCol),
+        col("split"))
+  }
+
   /** SEMANTIC diversity cap — [[capPerGroup]]'s embedding-space twin:
     * downsample over-dense regions of embedding space instead of
     * over-represented source domains. Each vector is assigned a cell by

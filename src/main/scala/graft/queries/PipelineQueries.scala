@@ -6168,6 +6168,29 @@ object PipelineQueries extends QueryPack {
           FROM documents)
         WHERE rk <= 12 ORDER BY source, doc_id""")),
 
+    // ---- EXACT stratified split: hashSplit's (x22) exact-proportions
+    //      twin — per source, EXACTLY floor(95% of n) rows to train
+    //      (per-row probabilistic hashing can miss a small stratum's
+    //      target badly; contractual eval holdouts need exact counts).
+    //      NOT a per-source corpus window: md5-PREFIX buckets (a prefix
+    //      of the sort key, so bucket order is coarse rank order) give
+    //      a histogram, cumulative windows classify whole buckets, and
+    //      only the single straddling bucket resolves by a window over
+    //      that one slice — the x155/x157 threshold decomposition
+    //      applied to the hash order itself ---------------------------
+    Q("x163_stratified_split",
+      (s, dir) => graft.operators.Sampling.stratifiedSplit(
+        t(s, dir, "documents"), "source", "doc_id", fracMicro = 950000L)
+        .orderBy(col("source"), col("doc_id")),
+      Some("""WITH w AS (SELECT source, doc_id,
+            row_number() OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+            count(*) OVER (PARTITION BY source) AS n FROM documents)
+        SELECT source, doc_id,
+          CASE WHEN rk <= n * 950000 // 1000000 THEN 'train'
+            ELSE 'holdout' END AS split
+        FROM w ORDER BY source, doc_id""")),
+
     // ---- rolling active users (DAU / trailing-7 / trailing-28): EXACT
     //      rolling count-distinct via the bin-join idiom — each (user,
     //      day) contributes itself to the w report days it can appear

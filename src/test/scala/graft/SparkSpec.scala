@@ -28,3 +28,10 @@ trait SparkSpec extends AnyFunSuite {
   }
   val sf0001 = "/root/testdata/sf0.001"
 }
+
+/** Hex md5 for spec-side reference computations (matches Spark md5()). */
+object TestMd5 {
+  def hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+}

@@ -603,6 +603,13 @@ class ScaleSpec extends SparkSpec {
       // window + final sort — measured 3; the per-batch top-n windows
       // run as streaming side effects over bounded batches
       "x162_streaming_sample_ledger" -> 3,
+      // x163: (group, md5-prefix bucket) histogram agg + histogram
+      // windows + three class join-backs (train/holdout/straddle tie
+      // window over one bucket slice) + union sort — measured 14
+      // static (the unpersisted base scan re-shuffles per class
+      // consumer at stats-less sf0.001; the class frames are
+      // histogram-sized and broadcast at scale)
+      "x163_stratified_split" -> 14,
       // x146: the (user, day) distinct (persisted), three bin-join
       // explode + distinct + count chains (fan-out 1/7/28, never a
       // range scan), the observed-days joins, final sort — measured 9

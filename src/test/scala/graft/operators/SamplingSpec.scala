@@ -349,6 +349,58 @@ class SamplingSpec extends SparkSpec {
     assert(!got(100L).contains("c") || got(100L)("c").isEmpty)
   }
 
+  test("stratifiedSplit: exact per-group counts, equals the rank rule, " +
+      "deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(163)
+    val rows = (1 to 700).map(i => (s"g${rnd.nextInt(5)}", i.toLong))
+    val df = rows.toDF("src", "id")
+    for (frac <- Seq(0L, 137000L, 500000L, 950000L, 1000000L)) {
+      val got = Sampling.stratifiedSplit(df, "src", "id", frac)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(2))
+        .toMap
+      // brute reference: the plain per-group (md5, id) rank rule
+      val want = rows.groupBy(_._1).flatMap { case (g, members) =>
+        val n = members.size
+        val nTrain = n * frac / 1000000L
+        members.sortBy(m => (graft.TestMd5.hex(m._2.toString), m._2))
+          .zipWithIndex.map { case (m, i) =>
+            (g, m._2) -> (if (i < nTrain) "train" else "holdout") }
+      }
+      assert(got == want, s"frac $frac mismatch")
+      // exact counts, not approximate ones
+      val counts = got.groupBy(_._1._1).map { case (g, m) =>
+        g -> m.values.count(_ == "train") }
+      val wantCounts = rows.groupBy(_._1).map { case (g, ms) =>
+        g -> (ms.size * frac / 1000000L).toInt }
+      assert(counts == wantCounts)
+    }
+  }
+
+  test("stratifiedSplit: tiny strata get exact floors; straddle guard " +
+      "fires loudly") {
+    import spark.implicits._
+    // a 3-row stratum at 50%: floor(1.5) = exactly 1 train row — the
+    // probabilistic x22 rule cannot promise this
+    val tiny = Seq(("t", 1L), ("t", 2L), ("t", 3L)).toDF("src", "id")
+    val got = Sampling.stratifiedSplit(tiny, "src", "id", 500000L)
+      .collect().map(_.getString(2))
+    assert(got.count(_ == "train") == 1 && got.count(_ == "holdout") == 2)
+    // single-hex buckets over 300 rows put ~19 rows in the straddling
+    // bucket — past a maxTieClass of 2 the guard must name the class
+    val big = (1 to 300).map(i => ("s", i.toLong)).toDF("src", "id")
+    val e = intercept[Exception] {
+      Sampling.stratifiedSplit(big, "src", "id", 500000L,
+        bucketChars = 1, maxTieClass = 2L).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("straddling bucket"), msg)
+    // and with the default bound the same call is fine
+    assert(Sampling.stratifiedSplit(big, "src", "id", 500000L,
+      bucketChars = 1).collect().length == 300)
+  }
+
   test("tokenBudgetCap: fractional prio/token columns fail loudly") {
     import spark.implicits._
     val frac = Seq(("a", 1L, 1.5, 10L)).toDF("src", "id", "prio", "tok")
