@@ -316,7 +316,34 @@ object Bench {
     "x162_streaming_sample_ledger" -> 1960,
     // x163 = (group, md5-bucket) histogram + bounded windows + three
     // class join-backs + union sort
-    "x163_stratified_split" -> 1040)
+    "x163_stratified_split" -> 1040,
+    // round-13 second-wave first measures (BASELINE.md §round 13)
+    // x164 = one key-keyed full-outer join over the twin customer
+    // projections + the disagreement sort
+    "x164_relation_diff" -> 460,
+    // x165 = up-front forest validation (two bounded actions) + the
+    // O(log depth) pointer-jumping self-join rounds + final sort
+    "x165_hierarchy_flatten" -> 1160,
+    // x166 = one map-side-combined (group, ctx) agg, fan-out 3
+    "x166_context_fit" -> 260,
+    // x167 = x19's pair/component chain + the two-stage argmax (x19's
+    // cost class: the component rounds dominate)
+    "x167_best_in_cluster" -> 2580,
+    // x168 = two AvailableNow token-ledger runs (groups-sized partials
+    // each) + the merged totals/share report — the lightest member of
+    // the two-streaming-run cost class
+    "x168_streaming_token_ledger" -> 1830,
+    // x169 = the x10 session-window chain + the per-session assembly
+    // groupBy + the hot-session guard action
+    "x169_session_transcripts" -> 1630,
+    // x170 = (group, value) weighted histogram + bounded cumulative
+    // window + totals join + per-pct selection
+    "x170_weighted_quantiles" -> 570,
+    // x171 = two key-count aggs + the count-table join + top slice
+    "x171_join_explosion_audit" -> 610,
+    // x172 = two AvailableNow activity-ledger runs + the merged
+    // triangle (the two-streaming-run cost class)
+    "x172_streaming_retention_ledger" -> 1850)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

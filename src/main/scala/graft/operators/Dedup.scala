@@ -892,4 +892,46 @@ object Dedup {
       .distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** Quality-aware survivorship: per duplicate cluster, keep the row
+    * with the HIGHEST score (ties broken by smallest id) instead of the
+    * smallest id — "keep the best copy, not the first" (the
+    * survivorship axis of Bleiholder–Naumann's data-fusion taxonomy,
+    * ACM CSUR 2008; near-dup clusters routinely contain a full page and
+    * its truncated syndication copy, and min-id keeps whichever
+    * crawled first).
+    *
+    * Shape at 100 TB: the two-stage argmax (the Profiler modal-value
+    * pattern) — one (group → max score) aggregation, an equi-join back
+    * on (group, score), then one (group → min id, count) aggregation.
+    * No window partitioned by the cluster id: clusters are
+    * high-cardinality so a window would also distribute, but the
+    * two-stage agg is map-side combinable on both passes and never
+    * sorts within groups. Nulls are contract violations, not data: a
+    * null score/id would silently lose to every comparison and make
+    * the survivor engine-dependent — validated loudly per row.
+    *
+    * Input: one row per (group member) with its cluster label, id, and
+    * score. Returns (group, keep_id, kept_score, n_members). */
+  def bestInGroup(labeled: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String): DataFrame = {
+    val checked = labeled.select(
+      when(col(groupCol).isNull,
+          raise_error(lit(s"bestInGroup: null $groupCol")))
+        .otherwise(col(groupCol)).as("__g"),
+      when(col(idCol).isNull, raise_error(lit(s"bestInGroup: null $idCol")))
+        .otherwise(col(idCol)).as("__id"),
+      when(col(scoreCol).isNull,
+          raise_error(lit(s"bestInGroup: null $scoreCol")))
+        .otherwise(col(scoreCol)).as("__s"))
+    val sizes = checked.groupBy(col("__g"))
+      .agg(max(col("__s")).as("__best"), count(lit(1)).as("n_members"))
+      .withColumnRenamed("__g", "__sg")
+    checked.join(sizes,
+        col("__g") === col("__sg") && col("__s") === col("__best"))
+      .groupBy(col("__g"), col("__best"), col("n_members"))
+      .agg(min(col("__id")).as("keep_id"))
+      .select(col("__g").as(groupCol), col("keep_id"),
+        col("__best").as("kept_score"), col("n_members"))
+  }
 }

@@ -68,15 +68,22 @@ object Retention {
     * per non-empty matrix cell; offset-0 rows carry the cohort size and
     * retention 1000000 by construction. */
   def weeklyCohorts(events: DataFrame, userCol: String,
-      tsCol: String): DataFrame = {
-    val firsts = events.groupBy(col(userCol).as("u"))
-      .agg(min(col(tsCol)).as("first_ts"))
-      .select(col("u"),
-        to_date(date_trunc("week", col("first_ts"))).as("cohort_week"))
-    val active = events
+      tsCol: String): DataFrame =
+    cohortsFromActivity(events
       .select(col(userCol).as("u"),
         to_date(date_trunc("week", col(tsCol))).as("week"))
-      .distinct()
+      .distinct())
+
+  /** The triangle from a DISTINCT (u, week) activity frame — the part
+    * of [[weeklyCohorts]] that needs no raw events. A user's cohort is
+    * their MIN week (date_trunc is monotone, so min-of-active-weeks ==
+    * week-of-first-event), which makes the activity set the COMPLETE
+    * retention state — exactly what the streaming activity ledger
+    * (x172) maintains incrementally; late/out-of-order history merging
+    * in can only move a cohort earlier, and the min re-derives it. */
+  def cohortsFromActivity(active: DataFrame): DataFrame = {
+    val firsts = active.groupBy(col("u"))
+      .agg(min(col("week")).as("cohort_week"))
     val sizes = firsts.groupBy("cohort_week")
       .agg(count(lit(1)).as("cohort_size"))
     active.join(firsts, "u")

@@ -102,4 +102,44 @@ object Skew {
         col("n_rows"), col("metric_micro"))
     topKeys.unionAll(buckets).unionAll(summary)
   }
+
+  /** Join-explosion pre-flight: the EXACT output cardinality of an
+    * equi-join, per key, BEFORE running it — |A ⋈ B| = Σ_k cₐ(k)·c_b(k),
+    * the quantity that decides whether a 100 TB join is a plan or an
+    * incident (one hot key at 10⁶ × 10⁶ rows is a 10¹² explosion AQE
+    * can split but not shrink). [[keyProfile]] diagnoses ONE side's
+    * skew; this crosses both sides.
+    *
+    * Shape: one key-count aggregation per side (map-side combined,
+    * key-cardinality-sized), ONE equi-join between the two COUNT TABLES
+    * (never the corpora), per-key product, then a key-cardinality-sized
+    * rollup. Integer-exact: per-key products and their sum are BIGINT
+    * (a key pair at 3·10⁹ × 3·10⁹ overflows — but that join output is
+    * 9·10¹⁸ rows, already far past any runnable plan; the report is the
+    * thing that tells you so before you try).
+    *
+    * Returns the topK (key, left_rows, right_rows, out_rows) explosion
+    * contributors plus a `__total__` row summing, over matched keys,
+    * the participating rows per side and the exact join output size.
+    * Null keys never match in an equi-join and are EXCLUDED from both
+    * sides (the report predicts the join, not the data). */
+  def joinCardinality(left: DataFrame, leftKey: String, right: DataFrame,
+      rightKey: String, topK: Int = 20): DataFrame = {
+    require(topK > 0, "joinCardinality: topK must be > 0")
+    def sideCounts(df: DataFrame, key: String, out: String): DataFrame =
+      df.filter(col(key).isNotNull)
+        .select(col(key).cast("string").as("key"))
+        .groupBy("key").agg(count(lit(1)).as(out))
+    val matched = sideCounts(left, leftKey, "left_rows")
+      .join(sideCounts(right, rightKey, "right_rows"), Seq("key"))
+      .withColumn("out_rows", col("left_rows") * col("right_rows"))
+    val top = matched.orderBy(desc("out_rows"), col("key")).limit(topK)
+    val total = matched.agg(
+        coalesce(sum(col("left_rows")), lit(0L)).as("left_rows"),
+        coalesce(sum(col("right_rows")), lit(0L)).as("right_rows"),
+        coalesce(sum(col("out_rows")), lit(0L)).as("out_rows"))
+      .select(lit("__total__").as("key"), col("left_rows"),
+        col("right_rows"), col("out_rows"))
+    top.unionAll(total)
+  }
 }

@@ -6454,7 +6454,362 @@ object PipelineQueries extends QueryPack {
         SELECT candidate, n.n_rows, u.n_nonnull, u.n_distinct,
           u.max_dup,
           (u.n_nonnull = n.n_rows AND u.max_dup = 1) AS is_key
-        FROM u CROSS JOIN n ORDER BY candidate"""))
+        FROM u CROSS JOIN n ORDER BY candidate""")),
+
+    // ---- streaming retention ledger: x135's cohort triangle fed
+    //      incrementally — per-batch distinct (u, week) activity rows;
+    //      the activity SET is the complete state (cohort = min week),
+    //      so the merged triangle must equal the batch op's exactly:
+    //      the oracle is x135's SQL verbatim --------------------------
+    Q("x172_streaming_retention_ledger",
+      (s, dir) => {
+        import graft.engine._
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val landing = wh.resolve("retlg_landing")
+        val ckpt = wh.resolve("_graft_checkpoints/retlg")
+        s.sql("CREATE DATABASE IF NOT EXISTS retlg")
+        s.sql("DROP TABLE IF EXISTS retlg.ledger")
+        for (p <- Seq(landing, ckpt, wh.resolve("retlg.db/ledger")))
+          Materializer.deleteRecursively(p)
+        def run(): Unit = EventStreams.streamingRetentionLedger(s,
+          landing.toString, ev.schema, "retlg.ledger", ckpt.toString,
+          "user_id", "ts")
+        ev.filter(col("event_id") % 2 === 0)
+          .write.mode("overwrite").parquet(landing.toString)
+        run()
+        ev.filter(col("event_id") % 2 === 1)
+          .write.mode("append").parquet(landing.toString)
+        run()
+        graft.operators.Retention.cohortsFromActivity(
+            EventStreams.mergeActivityLedger(s.table("retlg.ledger")))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""WITH f AS (SELECT user_id AS u,
+               CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+               FROM events GROUP BY user_id),
+        a AS (SELECT DISTINCT user_id AS u,
+               CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        sz AS (SELECT cohort_week, count(*) AS cohort_size
+               FROM f GROUP BY cohort_week),
+        m AS (SELECT f.cohort_week,
+               CAST(datediff('day', f.cohort_week, a.week) // 7 AS INT)
+                 AS week_offset,
+               count(*) AS n_active
+               FROM a JOIN f ON a.u = f.u
+               GROUP BY f.cohort_week, 2)
+        SELECT CAST(m.cohort_week AS VARCHAR) AS cohort_week,
+          m.week_offset, CAST(m.n_active AS BIGINT) AS n_active,
+          CAST(m.n_active * 1000000 // sz.cohort_size AS BIGINT)
+            AS retention_micro
+        FROM m JOIN sz ON m.cohort_week = sz.cohort_week
+        ORDER BY cohort_week, week_offset""")),
+
+    // ---- join-explosion pre-flight: exact |A JOIN B| per key BEFORE
+    //      running it (Σ ca·cb over the two key-count tables, never the
+    //      corpora) — demonstrated on the self-join every pair-generator
+    //      must avoid; the __total__ row is the exact pair count -------
+    Q("x171_join_explosion_audit",
+      (s, dir) => graft.operators.Skew.joinCardinality(
+        t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "orders"), "o_custkey", topK = 20)
+        .orderBy(desc("out_rows"), col("key")),
+      Some("""WITH lc AS (SELECT CAST(o_custkey AS VARCHAR) AS key,
+            CAST(count(*) AS BIGINT) AS left_rows
+          FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        rc AS (SELECT CAST(o_custkey AS VARCHAR) AS key,
+            CAST(count(*) AS BIGINT) AS right_rows
+          FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        m AS (SELECT lc.key, lc.left_rows, rc.right_rows,
+            lc.left_rows * rc.right_rows AS out_rows
+          FROM lc JOIN rc USING (key)),
+        top AS (SELECT * FROM m ORDER BY out_rows DESC, key LIMIT 20),
+        tot AS (SELECT '__total__' AS key,
+            CAST(coalesce(sum(left_rows), 0) AS BIGINT) AS left_rows,
+            CAST(coalesce(sum(right_rows), 0) AS BIGINT) AS right_rows,
+            CAST(coalesce(sum(out_rows), 0) AS BIGINT) AS out_rows
+          FROM m)
+        SELECT * FROM top UNION ALL SELECT * FROM tot
+        ORDER BY out_rows DESC, key""")),
+
+    // ---- exact weighted quantiles: "what length cutoff keeps 50/90/99%
+    //      of each source's TOKENS" — x144's count-table decomposition
+    //      with SUM(weight) in place of COUNT; windows only over the
+    //      (group, value) histogram, the reach test cross-multiplied so
+    //      it is division-free and engine-exact ------------------------
+    Q("x170_weighted_quantiles",
+      (s, dir) => graft.operators.WeightedQuantiles.perGroup(
+        t(s, dir, "documents").select(col("source"), col("n_chars"),
+          nTokens(tokens(col("text"))).cast("long").as("tok")),
+        "source", "n_chars", "tok", Seq(500000L, 900000L, 990000L))
+        .orderBy(col("source"), col("pct_micro")),
+      Some("""WITH d AS (SELECT source, n_chars,
+            CAST(len(string_split(text,' ')) AS BIGINT) AS tok
+          FROM documents),
+        h AS (SELECT source, n_chars AS v, CAST(sum(tok) AS BIGINT) AS cw
+          FROM d GROUP BY 1, 2),
+        c AS (SELECT source, v, cw,
+            CAST(sum(cw) OVER (PARTITION BY source ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM h),
+        t AS (SELECT source, CAST(sum(cw) AS BIGINT) AS tot
+          FROM h GROUP BY 1),
+        e AS (SELECT c.source, c.v, t.tot, CAST(q.p AS BIGINT) AS pct_micro
+          FROM c JOIN t ON c.source = t.source
+          CROSS JOIN unnest([500000, 900000, 990000]) AS q(p)
+          WHERE c.cum * 1000000 >= CAST(q.p AS BIGINT) * t.tot)
+        SELECT source, pct_micro, CAST(min(v) AS BIGINT) AS value_at,
+          tot AS total_weight
+        FROM e GROUP BY source, pct_micro, tot
+        ORDER BY source, pct_micro""")),
+
+    // ---- session transcript assembly: the chat-log-to-training-
+    //      example step — x10's gap sessions rendered as ordered,
+    //      budget-truncated transcript strings with a loud hot-session
+    //      guard before any collect ------------------------------------
+    Q("x169_session_transcripts",
+      (s, dir) => graft.operators.SessionAssembly.transcripts(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        gapMinutes = 30, maxEvents = 2)
+        .orderBy(col("user_id"), col("session_idx")),
+      Some("""WITH x AS (SELECT user_id, event_id, ts, event_type,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS is_new
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS session_idx FROM x)
+        SELECT user_id, session_idx,
+          CAST(count(*) AS BIGINT) AS n_events,
+          count(*) > 2 AS truncated,
+          strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+          strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+          array_to_string((list(event_type ORDER BY ts, event_id))[1:2],
+            ';') AS transcript
+        FROM s GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx""")),
+
+    // ---- streaming token-accounting ledger: per-source doc/token
+    //      totals maintained incrementally (groups-sized partials per
+    //      microbatch, batch_id replay collapse) — the mix-design
+    //      inputs (x98/x48/x106) kept current without corpus re-scans;
+    //      merged totals must equal the plain batch aggregation -------
+    Q("x168_streaming_token_ledger",
+      (s, dir) => {
+        import graft.engine._
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val landing = wh.resolve("toklg_landing")
+        val ckpt = wh.resolve("_graft_checkpoints/toklg")
+        s.sql("CREATE DATABASE IF NOT EXISTS toklg")
+        s.sql("DROP TABLE IF EXISTS toklg.ledger")
+        for (p <- Seq(landing, ckpt, wh.resolve("toklg.db/ledger")))
+          Materializer.deleteRecursively(p)
+        def run(): Unit = EventStreams.streamingTokenLedger(s,
+          landing.toString, docs.schema, "toklg.ledger", ckpt.toString,
+          "source", nTokens(tokens(col("text"))))
+        docs.filter(col("doc_id") % 2 === 0)
+          .write.mode("overwrite").parquet(landing.toString)
+        run()
+        docs.filter(col("doc_id") % 2 === 1)
+          .write.mode("append").parquet(landing.toString)
+        run()
+        val merged = EventStreams.mergeTokenLedger(
+          s.table("toklg.ledger"), "source")
+        val tot = merged.agg(sum(col("tokens")).as("tt"))
+        merged.crossJoin(broadcast(tot))
+          .select(col("source"), col("docs"), col("tokens"),
+            expr("tokens * 1000000 DIV tt").as("share_micro"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (SELECT source, CAST(count(*) AS BIGINT) AS docs,
+            CAST(sum(len(string_split(text,' '))) AS BIGINT) AS tokens
+          FROM documents GROUP BY source),
+        t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt FROM d)
+        SELECT source, docs, tokens, tokens * 1000000 // tt AS share_micro
+        FROM d CROSS JOIN t ORDER BY source""")),
+
+    // ---- quality-aware survivorship: per near-dup cluster (the x19
+    //      components), keep the HIGHEST-n_chars member (tie → min id)
+    //      instead of min id — "keep the best copy, not the first";
+    //      two-stage argmax, no per-cluster window --------------------
+    Q("x167_best_in_cluster",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          n = 4, threshold = 0.2, maxDf = 100L)
+        val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+          maxRounds = 60)
+        val labeled = docs.select(col("doc_id"), col("n_chars"))
+          .join(comp, docs("doc_id") === comp("v"), "left")
+          .select(coalesce(col("comp"), col("doc_id")).as("component"),
+            col("doc_id"), col("n_chars"))
+        Dedup.bestInGroup(labeled, "component", "doc_id", "n_chars")
+          .orderBy(col("component"))
+      },
+      Some(s"""WITH RECURSIVE tk AS (SELECT doc_id, $shingleSql AS s FROM documents),
+        ex0 AS (SELECT doc_id AS doc, unnest(s) AS sh FROM tk),
+        keep AS (SELECT sh FROM ex0 GROUP BY sh HAVING count(*) <= 100),
+        ex AS (SELECT doc, ex0.sh FROM ex0 JOIN keep ON ex0.sh = keep.sh),
+        sz AS (SELECT doc, count(*) AS n_sh FROM ex GROUP BY doc),
+        co AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+               FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc < b.doc
+               GROUP BY a.doc, b.doc),
+        pr AS (SELECT doc_a, doc_b
+               FROM co JOIN sz sa ON doc_a = sa.doc JOIN sz sb ON doc_b = sb.doc
+               WHERE CAST(common AS DOUBLE)/(sa.n_sh + sb.n_sh - common) >= 0.2),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+                  UNION SELECT doc_b, doc_a FROM pr),
+        reach AS (SELECT s AS v, s AS l FROM edges
+                  UNION
+                  SELECT e.s, r.l FROM reach r JOIN edges e ON e.d = r.v),
+        comp AS (SELECT v, min(l) AS component FROM reach GROUP BY v),
+        lab AS (SELECT coalesce(c.component, d.doc_id) AS component,
+            d.doc_id, d.n_chars
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
+        mx AS (SELECT component, max(n_chars) AS kept_score,
+            CAST(count(*) AS BIGINT) AS n_members
+          FROM lab GROUP BY component)
+        SELECT m.component, CAST(min(l.doc_id) AS BIGINT) AS keep_id,
+          m.kept_score, m.n_members
+        FROM mx m JOIN lab l
+          ON l.component = m.component AND l.n_chars = m.kept_score
+        GROUP BY m.component, m.kept_score, m.n_members
+        ORDER BY m.component""")),
+
+    // ---- hierarchy flattening by pointer jumping: every node of a
+    //      parent-pointer forest (deterministic block-of-64 trees
+    //      derived from doc ids) gets its root + depth in O(log depth)
+    //      self-join rounds — the oracle is the O(depth) recursive CTE
+    //      the operator exists to beat ---------------------------------
+    Q("x165_hierarchy_flatten",
+      (s, dir) => {
+        val nodes = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 64 === 0, lit(null).cast("long"))
+            .otherwise((col("doc_id") - col("doc_id") % 64) +
+              (col("doc_id") * 37 + 11) % (col("doc_id") % 64))
+            .as("parent"))
+        graft.operators.Hierarchy.flattenToRoots(
+            nodes, "doc_id", "parent", maxDepth = 64L)
+          .select(col("id").as("doc_id"), col("root_id"), col("depth"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE nodes AS (SELECT doc_id,
+            CASE WHEN doc_id % 64 = 0 THEN NULL
+              ELSE (doc_id - doc_id % 64)
+                + (doc_id * 37 + 11) % (doc_id % 64)
+            END AS parent FROM documents),
+        walk AS (
+          SELECT doc_id, doc_id AS cur, CAST(0 AS BIGINT) AS depth
+          FROM nodes
+          UNION ALL
+          SELECT w.doc_id, n.parent, w.depth + 1
+          FROM walk w JOIN nodes n ON w.cur = n.doc_id
+          WHERE n.parent IS NOT NULL)
+        SELECT w.doc_id, w.cur AS root_id, w.depth
+        FROM walk w JOIN nodes n ON n.doc_id = w.cur
+        WHERE n.parent IS NULL
+        ORDER BY w.doc_id""")),
+
+    // ---- relation reconciliation (dbt audit_helper compare_relations
+    //      analogue): row-level diff of a snapshot against its
+    //      deterministically perturbed twin — one co-partitioned
+    //      full-outer join, per-column null-safe comparisons, output
+    //      bounded by the disagreement ---------------------------------
+    Q("x164_relation_diff",
+      (s, dir) => {
+        val base = t(s, dir, "customer").select(
+          col("c_custkey").as("k"), col("c_name").as("name"),
+          col("c_nationkey").cast("long").as("nation"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"),
+          col("c_mktsegment").as("seg"))
+        val changed = base.filter(col("k") % 97 =!= 0).select(col("k"),
+          when(col("k") % 11 === 0, concat(col("name"), lit("_v2")))
+            .otherwise(col("name")).as("name"),
+          col("nation"),
+          when(col("k") % 7 === 0, col("cents") + 1)
+            .otherwise(col("cents")).as("cents"),
+          when(col("k") % 5 === 0, lower(col("seg")))
+            .otherwise(col("seg")).as("seg"))
+        val added = base.filter(col("k") % 89 === 0)
+          .withColumn("k", col("k") + 1000000L)
+        graft.operators.RelationDiff.diff(
+            base, changed.unionByName(added), Seq("k"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH base AS (SELECT c_custkey AS k, c_name AS name,
+            CAST(c_nationkey AS BIGINT) AS nation,
+            CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+            c_mktsegment AS seg FROM customer),
+        changed AS (SELECT k,
+            CASE WHEN k % 11 = 0 THEN name || '_v2' ELSE name END AS name,
+            nation,
+            CASE WHEN k % 7 = 0 THEN cents + 1 ELSE cents END AS cents,
+            CASE WHEN k % 5 = 0 THEN lower(seg) ELSE seg END AS seg
+          FROM base WHERE k % 97 <> 0),
+        added AS (SELECT k + 1000000 AS k, name, nation, cents, seg
+          FROM base WHERE k % 89 = 0),
+        rhs AS (SELECT * FROM changed UNION ALL SELECT * FROM added),
+        j AS (SELECT coalesce(l.k, r.k) AS k,
+            l.k IS NOT NULL AS in_l, r.k IS NOT NULL AS in_r,
+            l.name AS ln, r.name AS rn, l.nation AS lnat,
+            r.nation AS rnat, l.cents AS lc, r.cents AS rc,
+            l.seg AS ls, r.seg AS rs
+          FROM base l FULL OUTER JOIN rhs r ON l.k = r.k),
+        d AS (SELECT k, in_l, in_r, ln, rn, lnat, rnat, lc, rc, ls, rs,
+            CASE WHEN NOT in_r THEN 'removed'
+              WHEN NOT in_l THEN 'added'
+              WHEN (ln IS DISTINCT FROM rn)
+                OR (lnat IS DISTINCT FROM rnat)
+                OR (lc IS DISTINCT FROM rc)
+                OR (ls IS DISTINCT FROM rs) THEN 'changed'
+              ELSE 'identical' END AS status
+          FROM j)
+        SELECT k, status,
+          CASE WHEN status = 'changed' THEN concat_ws(',',
+            CASE WHEN ln IS DISTINCT FROM rn THEN 'name' END,
+            CASE WHEN lnat IS DISTINCT FROM rnat THEN 'nation' END,
+            CASE WHEN lc IS DISTINCT FROM rc THEN 'cents' END,
+            CASE WHEN ls IS DISTINCT FROM rs THEN 'seg' END)
+          ELSE '' END AS changed_cols
+        FROM d WHERE status <> 'identical' ORDER BY k""")),
+
+    // ---- context-length fit report: tokenize ONCE (the x08 counter),
+    //      then one map-side-combined agg answers "what does 16 vs 32
+    //      vs 64 tokens of context cost" — truncation loss, docs over,
+    //      and the split-to-fit sequence count; fan-out = |contexts| ---
+    Q("x166_context_fit",
+      (s, dir) => graft.operators.ContextFit.report(
+        t(s, dir, "documents").select(col("source"),
+          nTokens(tokens(col("text"))).cast("long").as("tok")),
+        "source", "tok", Seq(16L, 32L, 64L))
+        .orderBy(col("source"), col("ctx")),
+      Some("""WITH d AS (SELECT source,
+          CAST(len(string_split(text,' ')) AS BIGINT) AS tok
+          FROM documents),
+        e AS (SELECT source, tok, CAST(c AS BIGINT) AS ctx
+          FROM d CROSS JOIN unnest([16, 32, 64]) AS t(c)),
+        a AS (SELECT source, ctx,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN tok > ctx THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_docs_over,
+            CAST(sum(tok) AS BIGINT) AS tokens_total,
+            CAST(sum(greatest(tok - ctx, 0)) AS BIGINT)
+              AS tokens_truncated,
+            CAST(sum((tok + ctx - 1) // ctx) AS BIGINT) AS n_chunks
+          FROM e GROUP BY 1, 2)
+        SELECT source, ctx, n_docs, n_docs_over, tokens_total,
+          tokens_truncated,
+          CAST(CASE WHEN tokens_total = 0 THEN 1000000
+            ELSE (tokens_total - tokens_truncated) * 1000000
+              // tokens_total END AS BIGINT) AS retained_micro,
+          n_chunks
+        FROM a ORDER BY source, ctx"""))
   )
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):

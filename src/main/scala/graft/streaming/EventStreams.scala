@@ -525,6 +525,59 @@ object EventStreams {
     pre.unionByName(ledger.filter(col("batch_id") === maxId))
   }
 
+  /** Streaming token-accounting LEDGER — per-group corpus token/doc
+    * totals maintained incrementally: the numbers every mix-design step
+    * consumes (UniMax caps x98, temperature resampling x48, DoReMi-lite
+    * x106 all start from "how many tokens does each source have") kept
+    * current without ever re-scanning the corpus. Each microbatch
+    * appends ONE row per group it touches — (group, docs, tokens,
+    * batch_id), a groups-sized partial from a map-side-combined agg —
+    * and totals are ADDITIVE, so the merged ledger telescopes to
+    * exactly the whole-corpus aggregation (what the x168 oracle
+    * asserts). The lightest member of the ledger family: per-batch
+    * state is groups-sized, not value- or posting-sized.
+    *
+    * `tokens` is any non-null integer Column over the batch rows
+    * (the x08 counters, or a real tokenizer's count column upstream).
+    *
+    * DELIVERY: foreachBatch is at-least-once — every row carries
+    * `batch_id`, and [[mergeTokenLedger]] collapses replays
+    * (`dropDuplicates(batch_id, group)`) before summing (the x72/x84
+    * idempotency convention). Read the ledger through it, never a bare
+    * groupBy-sum. Compaction is the generic [[compactBatchLedger]] on
+    * (group → docs, tokens). */
+  def streamingTokenLedger(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType, ledgerTable: String,
+      checkpointDir: String, groupCol: String, tokens: Column): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(landingDir)
+    val fb: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        batch.toDF()
+          .groupBy(col(groupCol))
+          .agg(count(lit(1)).as("docs"),
+            sum(tokens.cast("long")).as("tokens"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").format("parquet").saveAsTable(ledgerTable)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(fb)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    if (spark.catalog.tableExists(ledgerTable))
+      spark.catalog.refreshTable(ledgerTable)
+  }
+
+  /** Idempotent merge of a [[streamingTokenLedger]]: collapse
+    * at-least-once replays on (batch_id, group) — a replayed batch
+    * re-appends identical partial rows, so keeping any one copy is
+    * exact — then sum to the per-group (docs, tokens) totals. */
+  def mergeTokenLedger(ledger: org.apache.spark.sql.DataFrame,
+      groupCol: String): org.apache.spark.sql.DataFrame =
+    ledger.dropDuplicates("batch_id", groupCol)
+      .groupBy(col(groupCol))
+      .agg(sum(col("docs")).as("docs"), sum(col("tokens")).as("tokens"))
+
   /** Streaming Count-Min sketch LEDGER — point-frequency monitoring
     * that never reprocesses history (completes the streaming sketch
     * matrix: dedup x58/x64, heavy hitters x72, drift x84): each
@@ -720,6 +773,63 @@ object EventStreams {
         sumCols.tail.map(c => sum(col(c)).as(c)): _*)
       .withColumn("batch_id", lit(-1L))
       .select(ledger.columns.map(col): _*) // original column order
+    last.unionByName(older)
+  }
+
+  /** Streaming retention-activity LEDGER — the x135 cohort triangle fed
+    * incrementally (the analytics family's batch/streaming pairing,
+    * like x138/x145 and x158/x159): each microbatch appends its OWN
+    * distinct (u, week) activity rows stamped with batch_id. The
+    * activity SET is the complete retention state — a user's cohort is
+    * their min active week ([[graft.operators.Retention
+    * .cohortsFromActivity]]), so late history merging in simply moves
+    * the min — and set union is idempotent, so at-least-once replays
+    * and cross-batch repeat activity both collapse in the merge's
+    * distinct. Appended rows are bounded by the batch's distinct
+    * (user, week) pairs, the same intermediate the batch op builds —
+    * paid once per increment instead of per corpus re-scan. */
+  def streamingRetentionLedger(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType, ledgerTable: String,
+      checkpointDir: String, userCol: String, tsCol: String): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(landingDir)
+    val fb: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        batch.toDF()
+          .select(col(userCol).as("u"),
+            to_date(date_trunc("week", col(tsCol))).as("week"))
+          .distinct()
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").format("parquet").saveAsTable(ledgerTable)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(fb)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    if (spark.catalog.tableExists(ledgerTable))
+      spark.catalog.refreshTable(ledgerTable)
+  }
+
+  /** Merged view of a [[streamingRetentionLedger]]: the distinct
+    * (u, week) activity set (collapses replays and repeat activity).
+    * Feed to [[graft.operators.Retention.cohortsFromActivity]]. */
+  def mergeActivityLedger(ledger: DataFrame): DataFrame =
+    ledger.select(col("u"), col("week")).distinct()
+
+  /** Compact a SET-semantics ledger (retention activity x172, or any
+    * ledger whose merged view is a distinct over key columns): one row
+    * per key tuple across the older batches, keeping the FIRST
+    * asserting batch as the audit trail (the [[suppressionSet]]
+    * convention) — except the max-id batch's rows, kept verbatim for
+    * the same replay-collapse reason as [[compactBatchLedger]]. */
+  def compactSetLedger(ledger: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val maxB = ledger.agg(max(col("batch_id"))).first()
+    if (maxB.isNullAt(0)) return ledger
+    val last = ledger.filter(col("batch_id") === maxB.getLong(0))
+    val older = ledger.filter(col("batch_id") < maxB.getLong(0))
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col("batch_id")).as("batch_id"))
+      .select(ledger.columns.map(col): _*)
     last.unionByName(older)
   }
 

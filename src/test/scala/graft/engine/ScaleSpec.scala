@@ -160,6 +160,10 @@ class ScaleSpec extends SparkSpec {
       // x137: the 1-row key-count total cross-joins the key-cardinality
       // count table via explicit single-row broadcasts — x25/x40's shape
       "x137_skew_profile",
+      // x168: the 1-row corpus-token total cross-joins the groups-sized
+      // merged ledger via an explicit single-row broadcast — x25/x40's
+      // shape
+      "x168_streaming_token_ledger",
       // x143: composes x06's capped exact all-pairs edge baseline (the
       // loud require(<=100k) cross join); the triangle machinery itself
       // is equi-join-only — production edges come from the x31 LSH chain
@@ -633,7 +637,48 @@ class ScaleSpec extends SparkSpec {
       // x152: one tuple-keyed count agg + single-row collapse per
       // candidate (4), the union sort — measured 8; the row count is
       // a bounded count action shared by all candidates
-      "x152_key_candidates" -> 8)
+      "x152_key_candidates" -> 8,
+      // x164: ONE key-keyed full-outer join (both twin sides derive
+      // map-side from the same scan) + the final sort — measured 3,
+      // no windows, output bounded by the disagreement
+      "x164_relation_diff" -> 3,
+      // x165: the registered plan is the converged pointer-jumping
+      // state (localCheckpoint-truncated per round, so only the final
+      // sort is static); each of the O(log depth) rounds is one
+      // id-keyed self-join — measured 1
+      "x165_hierarchy_flatten" -> 1,
+      // x166: one map-side-combined (group, ctx) agg (fan-out =
+      // |contexts| literal lengths, no joins) + the final sort —
+      // measured 2
+      "x166_context_fit" -> 2,
+      // x170: the (group, value) weighted-histogram agg + histogram
+      // cumulative window + groups-sized totals join + the per-pct
+      // selection agg + sort — measured 5, windows over the histogram
+      "x170_weighted_quantiles" -> 5,
+      // x171: one key-count agg per side + the count-table equi-join +
+      // the TakeOrdered top slice + the 1-row total union + sort —
+      // measured 5, the corpora never join
+      "x171_join_explosion_audit" -> 5,
+      // x172: the REGISTERED plan is the merged activity distinct +
+      // cohort min-agg + cohort join + cell agg + weeks-sized size join
+      // + sort over the ledger (the streaming appends ran before it) —
+      // measured 6, every exchange (user x week)-bounded
+      "x172_streaming_retention_ledger" -> 6,
+      // x169: ONE user-partitioned session window chain (the x10 class)
+      // + the per-session assembly groupBy + sort — measured 2; the
+      // hot-session guard runs as a separate bounded action
+      "x169_session_transcripts" -> 2,
+      // x168: the REGISTERED plan is the merged-ledger totals + the
+      // 1-row broadcast share join + sort — the two streaming appends
+      // run before it as side effects; measured 6 static (dedup +
+      // group-sum over the groups-sized ledger re-shuffle per consumer
+      // at stats-less sf0.001), every exchange groups-sized
+      "x168_streaming_token_ledger" -> 6,
+      // x167: x19's inverted-index pair chain + component labeling
+      // (checkpoint-truncated rounds) feeding the two-stage argmax
+      // (group-max agg, join back, group-min agg) + sort — measured 9,
+      // same corpus-side shape as x19/x27
+      "x167_best_in_cluster" -> 9)
     // completeness both ways: a new query without a declared budget (or a
     // stale entry for a removed query) is itself a failure
     val names = graft.SparkEntry.queries.keySet

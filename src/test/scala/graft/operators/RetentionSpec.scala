@@ -49,4 +49,23 @@ class RetentionSpec extends SparkSpec {
     val out = run(Seq((1L, ts(7))))
     assert(out == Map(("2024-01-01", 0) -> ((1L, 1000000L))), out)
   }
+
+  test("cohortsFromActivity: late-merged earlier activity MOVES the " +
+      "cohort (min-week re-derivation, the x172 ledger semantics)") {
+    import spark.implicits._
+    def act(rows: Seq[(Long, String)]) = rows
+      .map { case (u, d) => (u, java.sql.Date.valueOf(d)) }
+      .toDF("u", "week")
+    val recent = act(Seq((1L, "2024-01-08"), (1L, "2024-01-15")))
+    val withHistory = recent.unionByName(act(Seq((1L, "2024-01-01"))))
+    def tri(df: org.apache.spark.sql.DataFrame) =
+      Retention.cohortsFromActivity(df).collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(tri(recent) == Map(("2024-01-08", 0) -> 1L,
+      ("2024-01-08", 1) -> 1L), tri(recent))
+    // the older week arriving later re-anchors the whole cohort
+    assert(tri(withHistory) == Map(("2024-01-01", 0) -> 1L,
+      ("2024-01-01", 1) -> 1L, ("2024-01-01", 2) -> 1L),
+      tri(withHistory))
+  }
 }

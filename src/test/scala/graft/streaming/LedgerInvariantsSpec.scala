@@ -59,6 +59,20 @@ class LedgerInvariantsSpec extends SparkSpec {
       ("a", 13L, 1L), ("a", 14L, 1L), ("b", 22L, 1L),
       ("a", 15L, 2L), ("b", 23L, 2L))
       .toDF("src", "id", "batch_id")
+    // retention activity ledger: per-batch distinct (u, week) rows with
+    // SET semantics; batches 0 and 1 share a pair so compaction
+    // genuinely collapses history and strictly shrinks
+    val d1 = java.sql.Date.valueOf("2026-01-05")
+    val d2 = java.sql.Date.valueOf("2026-01-12")
+    val d3 = java.sql.Date.valueOf("2026-01-19")
+    val retlg = () => Seq((1L, d1, 0L), (1L, d2, 0L), (2L, d1, 0L),
+      (1L, d1, 1L), (3L, d2, 1L), (1L, d3, 2L))
+      .toDF("u", "week", "batch_id")
+    // token ledger: groups-sized per-batch (docs, tokens) partials;
+    // batches 0 and 1 share sources so compaction genuinely merges
+    val toklg = () => Seq(("s1", 3L, 120L, 0L), ("s2", 1L, 40L, 0L),
+      ("s1", 2L, 75L, 1L), ("s3", 4L, 200L, 1L), ("s1", 1L, 9L, 2L))
+      .toDF("source", "docs", "tokens", "batch_id")
     val profile = () => Seq(
       ("a", "event_type", "click", 4L, 0L),
       ("a", "event_type", null, 1L, 0L),       // null-value count row
@@ -119,6 +133,18 @@ class LedgerInvariantsSpec extends SparkSpec {
             r.getLong(3)).toMap,
         EventStreams.compactBatchLedger(_,
           Seq("slice", "column_name", "value"), Seq("c"))),
+      Shape("retention activity (x172)", retlg,
+        _.filter(col("batch_id") === 0),
+        l => EventStreams.mergeActivityLedger(l).collect()
+          .map(r => (r.getLong(0), r.getDate(1).toString)).toSet,
+        EventStreams.compactSetLedger(_, Seq("u", "week"))),
+      Shape("tokens (x168)", toklg,
+        _.filter(col("batch_id") === 0),
+        l => EventStreams.mergeTokenLedger(l, "source").collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+          .toMap,
+        EventStreams.compactBatchLedger(_, Seq("source"),
+          Seq("docs", "tokens"))),
       Shape("sample (x162)", sample,
         _.filter(col("batch_id") === 0),
         l => EventStreams.mergeSampleLedger(l, "src", "id", 2).collect()
