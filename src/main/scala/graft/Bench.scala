@@ -343,7 +343,11 @@ object Bench {
     "x171_join_explosion_audit" -> 610,
     // x172 = two AvailableNow activity-ledger runs + the merged
     // triangle (the two-streaming-run cost class)
-    "x172_streaming_retention_ledger" -> 1850)
+    "x172_streaming_retention_ledger" -> 1850,
+    // x173 = one (class, sensitive) count agg + classes-sized rollup
+    "x173_l_diversity" -> 280,
+    // x174 = one stacked 3-column pass + (column, digit) count agg
+    "x174_benford_audit" -> 800)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

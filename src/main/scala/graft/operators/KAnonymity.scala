@@ -41,4 +41,43 @@ object KAnonymity {
       .select(names.map(col) ++ Seq(col("n"), col("k_anonymous"),
         col("share_of_corpus")): _*)
   }
+
+  /** Distinct l-diversity audit (Machanavajjhala et al., "l-Diversity:
+    * Privacy Beyond k-Anonymity", ICDE 2006) — the homogeneity-attack
+    * axis [[classReport]] cannot see: a class can be comfortably
+    * k-anonymous while every member shares the SAME sensitive value, in
+    * which case linking to the CLASS discloses the value exactly. Per
+    * equivalence class: n, the exact count of distinct sensitive
+    * values, the `l_diverse` verdict (>= l), and `top_share_micro` —
+    * the largest single sensitive value's share of the class
+    * (truncating micro), the quantified homogeneity risk (10⁶ = total
+    * disclosure even when l is technically met by a 1-row minority).
+    *
+    * Scale shape: ONE map-side-combined (quasi…, sensitive) count
+    * aggregation; every per-class figure (n = sum, distinct values =
+    * count, top count = max) re-aggregates that COUNT TABLE — one
+    * corpus pass total, no distinct-count expansion, no mode join
+    * (the risk number needs the top COUNT, not which value it was). */
+  def lDiversityReport(df: DataFrame, quasi: Seq[(String, Column)],
+      sensitive: (String, Column), l: Long): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier")
+    require(l >= 1, s"l must be >= 1, got $l")
+    val names = quasi.map(_._1)
+    require(names.distinct.size == names.size,
+      s"duplicate quasi-identifier names: $names")
+    require(!names.contains(sensitive._1),
+      s"sensitive column '${sensitive._1}' cannot also be a " +
+        "quasi-identifier")
+    df.groupBy((quasi :+ sensitive).map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(names.map(col): _*)
+      .agg(sum(col("__c")).as("n"),
+        count(lit(1)).as("n_sensitive_values"),
+        max(col("__c")).as("__top"))
+      .withColumn("l_diverse", col("n_sensitive_values") >= l)
+      .withColumn("top_share_micro", expr("__top * 1000000 DIV n"))
+      .select(names.map(col) ++ Seq(col("n"),
+        col("n_sensitive_values"), col("l_diverse"),
+        col("top_share_micro")): _*)
+  }
 }

@@ -6456,6 +6456,69 @@ object PipelineQueries extends QueryPack {
           (u.n_nonnull = n.n_rows AND u.max_dup = 1) AS is_key
         FROM u CROSS JOIN n ORDER BY candidate""")),
 
+    // ---- Benford first-digit audit (Newcomb/Benford; Nigrini's
+    //      forensic test): natural amounts track log10(1+1/d), uniform
+    //      ids and capped quantities deviate hard — one stacked pass +
+    //      one (column, digit) count agg, all-integer shares ----------
+    Q("x174_benford_audit",
+      (s, dir) => graft.operators.Benford.firstDigitReport(
+        t(s, dir, "lineitem"), Seq(
+          "price_cents" ->
+            round(col("l_extendedprice") * 100).cast("long"),
+          "quantity" -> round(col("l_quantity")).cast("long"),
+          "partkey" -> col("l_partkey")))
+        .orderBy(col("column_name"), col("digit")),
+      Some("""WITH s AS (
+          SELECT 'price_cents' AS column_name,
+            CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+          FROM lineitem
+          UNION ALL SELECT 'quantity', CAST(round(l_quantity) AS BIGINT)
+          FROM lineitem
+          UNION ALL SELECT 'partkey', l_partkey FROM lineitem),
+        c AS (SELECT column_name,
+            CAST(substr(CAST(abs(v) AS VARCHAR), 1, 1) AS INT) AS digit,
+            CAST(count(*) AS BIGINT) AS n
+          FROM s WHERE v IS NOT NULL AND v <> 0 GROUP BY 1, 2),
+        t AS (SELECT column_name, CAST(sum(n) AS BIGINT) AS nt
+          FROM c GROUP BY 1)
+        SELECT c.column_name, c.digit, c.n,
+          c.n * 1000000 // t.nt AS share_micro,
+          CAST(CASE c.digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+            WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+            WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+            ELSE 45757 END AS BIGINT) AS benford_micro,
+          abs(c.n * 1000000 // t.nt
+            - CASE c.digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+              WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+              WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+              ELSE 45757 END) AS dev_micro
+        FROM c JOIN t USING (column_name)
+        ORDER BY column_name, digit""")),
+
+    // ---- l-diversity audit (Machanavajjhala ICDE'06): the homogeneity
+    //      attack x112's k-anonymity can't see — per (source, size
+    //      bucket) class, distinct-lang count + the top value's share;
+    //      everything re-aggregates ONE (class, sensitive) count table -
+    Q("x173_l_diversity",
+      (s, dir) => graft.operators.KAnonymity.lDiversityReport(
+        t(s, dir, "documents"), Seq(
+          "source" -> col("source"),
+          "size_bucket" -> expr("n_chars DIV 256")),
+        "lang" -> col("lang"), l = 3L)
+        .orderBy(col("source"), col("size_bucket")),
+      Some("""WITH vc AS (SELECT source, n_chars // 256 AS size_bucket,
+            lang, CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1, 2, 3),
+        cls AS (SELECT source, size_bucket,
+            CAST(sum(c) AS BIGINT) AS n,
+            CAST(count(*) AS BIGINT) AS n_sensitive_values,
+            CAST(max(c) AS BIGINT) AS top
+          FROM vc GROUP BY 1, 2)
+        SELECT source, size_bucket, n, n_sensitive_values,
+          n_sensitive_values >= 3 AS l_diverse,
+          top * 1000000 // n AS top_share_micro
+        FROM cls ORDER BY source, size_bucket""")),
+
     // ---- streaming retention ledger: x135's cohort triangle fed
     //      incrementally — per-batch distinct (u, week) activity rows;
     //      the activity SET is the complete state (cohort = min week),

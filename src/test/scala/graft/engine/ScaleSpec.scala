@@ -651,6 +651,12 @@ class ScaleSpec extends SparkSpec {
       // |contexts| literal lengths, no joins) + the final sort —
       // measured 2
       "x166_context_fit" -> 2,
+      // x173: ONE (class, sensitive) count agg + the classes-sized
+      // rollup re-agg + sort — measured 3
+      "x173_l_diversity" -> 3,
+      // x174: one stacked pass + the (column, digit) count agg + the
+      // 9-rows-per-column totals re-agg/join + sort — measured 4
+      "x174_benford_audit" -> 4,
       // x170: the (group, value) weighted-histogram agg + histogram
       // cumulative window + groups-sized totals join + the per-pct
       // selection agg + sort — measured 5, windows over the histogram

@@ -42,4 +42,33 @@ class KAnonymitySpec extends SparkSpec {
       KAnonymity.classReport(df, Seq("s" -> col("src")), k = 0L)
     }
   }
+
+  test("l-diversity: the homogeneity attack k-anonymity misses") {
+    import spark.implicits._
+    // class A is 4-anonymous AND 2-diverse (x,x,x,y — top share 75%);
+    // class B is 3-anonymous but HOMOGENEOUS (top share 100%)
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "x"), ("A", "y"),
+      ("B", "z"), ("B", "z"), ("B", "z")).toDF("cls", "diag")
+    val out = KAnonymity.lDiversityReport(df,
+        Seq("cls" -> col("cls")), "diag" -> col("diag"), l = 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4))))
+      .toMap
+    assert(out == Map(
+      "A" -> ((4L, 2L, true, 750000L)),
+      "B" -> ((3L, 1L, false, 1000000L))), out)
+  }
+
+  test("l-diversity validation: sensitive-as-quasi, bad l") {
+    import spark.implicits._
+    val df = Seq(("a", "s")).toDF("q", "v")
+    intercept[IllegalArgumentException] {
+      KAnonymity.lDiversityReport(df, Seq("q" -> col("q")),
+        "q" -> col("v"), l = 2L)
+    }
+    intercept[IllegalArgumentException] {
+      KAnonymity.lDiversityReport(df, Seq("q" -> col("q")),
+        "v" -> col("v"), l = 0L)
+    }
+  }
 }
