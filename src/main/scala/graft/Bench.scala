@@ -347,7 +347,11 @@ object Bench {
     // x173 = one (class, sensitive) count agg + classes-sized rollup
     "x173_l_diversity" -> 280,
     // x174 = one stacked 3-column pass + (column, digit) count agg
-    "x174_benford_audit" -> 800)
+    "x174_benford_audit" -> 800,
+    // x175 = two AvailableNow shingle-ledger runs (batch-distinct
+    // shingle md5s each — the shingling dominates) + the first-batch
+    // novelty report
+    "x175_streaming_novelty_ledger" -> 2930)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

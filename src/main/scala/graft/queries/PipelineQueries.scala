@@ -6456,6 +6456,45 @@ object PipelineQueries extends QueryPack {
           (u.n_nonnull = n.n_rows AND u.max_dup = 1) AS is_key
         FROM u CROSS JOIN n ORDER BY candidate""")),
 
+    // ---- streaming vocabulary-novelty ledger: x129's Heaps growth
+    //      curve fed incrementally — per-batch distinct shingle md5s,
+    //      first-seen = min asserting batch (replay-stable); "how much
+    //      of this batch is new text" without re-shingling history ----
+    Q("x175_streaming_novelty_ledger",
+      (s, dir) => {
+        import graft.engine._
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val landing = wh.resolve("novlg_landing")
+        val ckpt = wh.resolve("_graft_checkpoints/novlg")
+        s.sql("CREATE DATABASE IF NOT EXISTS novlg")
+        s.sql("DROP TABLE IF EXISTS novlg.ledger")
+        for (p <- Seq(landing, ckpt, wh.resolve("novlg.db/ledger")))
+          Materializer.deleteRecursively(p)
+        def run(): Unit = EventStreams.streamingNoveltyLedger(s,
+          landing.toString, docs.schema, "novlg.ledger", ckpt.toString,
+          "text", n = 4)
+        docs.filter(col("doc_id") % 2 === 0)
+          .write.mode("overwrite").parquet(landing.toString)
+        run()
+        docs.filter(col("doc_id") % 2 === 1)
+          .write.mode("append").parquet(landing.toString)
+        run()
+        EventStreams.noveltyReport(s.table("novlg.ledger"))
+          .orderBy(col("batch_id"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $shingleSql AS s FROM documents),
+        ex0 AS (SELECT doc_id % 2 AS b, unnest(s) AS t FROM tk),
+        f AS (SELECT md5(t) AS sh, CAST(min(b) AS BIGINT) AS batch_id
+          FROM ex0 GROUP BY md5(t)),
+        p AS (SELECT batch_id, CAST(count(*) AS BIGINT) AS n_new_shingles
+          FROM f GROUP BY 1),
+        v AS (SELECT CAST(sum(n_new_shingles) AS BIGINT) AS vocab FROM p)
+        SELECT batch_id, n_new_shingles,
+          n_new_shingles * 1000000 // vocab AS share_of_vocab_micro
+        FROM p CROSS JOIN v ORDER BY batch_id""")),
+
     // ---- Benford first-digit audit (Newcomb/Benford; Nigrini's
     //      forensic test): natural amounts track log10(1+1/d), uniform
     //      ids and capped quantities deviate hard — one stacked pass +

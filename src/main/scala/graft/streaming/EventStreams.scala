@@ -833,6 +833,62 @@ object EventStreams {
     last.unionByName(older)
   }
 
+  /** Streaming vocabulary-novelty LEDGER — x129's Heaps-law growth
+    * curve fed incrementally: "how much of this batch is text we have
+    * never seen" is the crawl-monitoring number that catches a stalled
+    * frontier (novelty → 0) or a junk flood (novelty spike) the day it
+    * happens, without re-shingling history. Each microbatch appends its
+    * OWN distinct shingle md5s stamped with batch_id; a shingle's FIRST
+    * asserting batch is its novelty evidence, and first-batch =
+    * min(batch_id) is replay-stable (a replayed batch re-appends rows
+    * with the same id — the suppression-ledger x115 argument), so the
+    * merged view survives at-least-once delivery and
+    * [[compactSetLedger]] compaction unchanged.
+    *
+    * Ledger rows are bounded by the batch's DISTINCT shingles (32-hex
+    * keys, the x02 shuffle convention), the same intermediate a batch
+    * Heaps fit builds — paid once per increment. */
+  def streamingNoveltyLedger(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType, ledgerTable: String,
+      checkpointDir: String, textCol: String, n: Int): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(landingDir)
+    val fb: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        batch.toDF()
+          .select(explode(graft.functions.TextFunctions.shingles(
+            graft.functions.TextFunctions.tokens(col(textCol)), n))
+            .as("t"))
+          .select(md5(col("t")).as("sh"))
+          .distinct()
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").format("parquet").saveAsTable(ledgerTable)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(fb)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    if (spark.catalog.tableExists(ledgerTable))
+      spark.catalog.refreshTable(ledgerTable)
+  }
+
+  /** Per-batch novelty from a [[streamingNoveltyLedger]]: each batch's
+    * count of FIRST-SEEN shingles plus its share of the total vocabulary
+    * (truncating micro; total via an explicit 1-row broadcast — the
+    * x25/x40 shape). First-seen = min asserting batch per shingle, so
+    * replays and re-occurrences collapse before any count. */
+  def noveltyReport(ledger: DataFrame): DataFrame = {
+    val firsts = ledger.groupBy(col("sh"))
+      .agg(min(col("batch_id")).as("batch_id"))
+    val perBatch = firsts.groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_new_shingles"))
+    val vocab = perBatch.agg(sum(col("n_new_shingles")).as("__vocab"))
+    perBatch.crossJoin(broadcast(vocab))
+      .select(col("batch_id"), col("n_new_shingles"),
+        expr("n_new_shingles * 1000000 DIV __vocab")
+          .as("share_of_vocab_micro"))
+  }
+
   /** Compact a [[streamingSuppressionLedger]] table: one row per id,
     * keeping the FIRST asserting batch (the audit trail [[suppressionSet]]
     * reads through min) — except the max-id batch's rows, kept verbatim

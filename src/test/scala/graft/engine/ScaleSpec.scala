@@ -164,6 +164,9 @@ class ScaleSpec extends SparkSpec {
       // merged ledger via an explicit single-row broadcast — x25/x40's
       // shape
       "x168_streaming_token_ledger",
+      // x175: the 1-row vocabulary total cross-joins the batches-sized
+      // novelty frame via an explicit single-row broadcast — same shape
+      "x175_streaming_novelty_ledger",
       // x143: composes x06's capped exact all-pairs edge baseline (the
       // loud require(<=100k) cross join); the triangle machinery itself
       // is equi-join-only — production edges come from the x31 LSH chain
@@ -651,6 +654,12 @@ class ScaleSpec extends SparkSpec {
       // |contexts| literal lengths, no joins) + the final sort —
       // measured 2
       "x166_context_fit" -> 2,
+      // x175: the REGISTERED plan is the first-batch min-agg + the
+      // per-batch count + the 1-row broadcast share join + sort over
+      // the shingle ledger (streaming appends ran before it) —
+      // measured 6 static (the unpersisted ledger scan re-shuffles per
+      // consumer at stats-less sf0.001), batches-sized report frames
+      "x175_streaming_novelty_ledger" -> 6,
       // x173: ONE (class, sensitive) count agg + the classes-sized
       // rollup re-agg + sort — measured 3
       "x173_l_diversity" -> 3,

@@ -133,6 +133,15 @@ class LedgerInvariantsSpec extends SparkSpec {
             r.getLong(3)).toMap,
         EventStreams.compactBatchLedger(_,
           Seq("slice", "column_name", "value"), Seq("c"))),
+      Shape("novelty shingles (x175)", () =>
+        // batches 0/1 share sh "a" (re-seen, first batch 0); replays
+        // and re-occurrences must collapse through the first-batch min
+        Seq(("a", 0L), ("b", 0L), ("a", 1L), ("c", 1L), ("d", 2L))
+          .toDF("sh", "batch_id"),
+        _.filter(col("batch_id") === 0),
+        l => EventStreams.noveltyReport(l).collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap,
+        EventStreams.compactSetLedger(_, Seq("sh"))),
       Shape("retention activity (x172)", retlg,
         _.filter(col("batch_id") === 0),
         l => EventStreams.mergeActivityLedger(l).collect()
