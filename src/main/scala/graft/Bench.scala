@@ -348,6 +348,12 @@ object Bench {
     "x173_l_diversity" -> 280,
     // x174 = one stacked 3-column pass + (column, digit) count agg
     "x174_benford_audit" -> 800,
+    // x177 = one stacked 3-pair pass + the persisted cell agg +
+    // classes-sized margins/dims joins + sort
+    "x177_chi2_independence" -> 960,
+    // x176 = prefix-bucket positioning (histogram offsets + rank
+    // window, persisted) + two shifted-tiling lead windows + sort
+    "x176_sorted_neighborhood" -> 790,
     // x175 = two AvailableNow shingle-ledger runs (batch-distinct
     // shingle md5s each — the shingling dominates) + the first-batch
     // novelty report

@@ -722,6 +722,93 @@ object PipelineQueries extends QueryPack {
 
   val all: Seq[Q] = Seq(
 
+    // ---- sorted-neighborhood blocking (merge/purge): candidate pairs
+    //      within a sliding window of the GLOBAL balance-sort order —
+    //      the linkage blocking that survives a corrupted block key;
+    //      global positions come from the order-preserving prefix-
+    //      bucket decomposition (no global window), so the plan is
+    //      lint-clean while the oracle is the single global sort the
+    //      operator must equal -----------------------------------------
+    Q("x176_sorted_neighborhood",
+      (s, dir) => {
+        val cents = round(col("c_acctbal") * 100).cast("long")
+        val cust = t(s, dir, "customer").select(
+          col("c_custkey").cast("long").as("id"),
+          lpad((cents + 100000L).cast("string"), 8, "0").as("k"))
+        graft.operators.SortedNeighborhood.candidatePairs(
+            cust, "id", "k", window = 4,
+            bucketChars = 4, superChars = 2, segSize = 4096L)
+          .select(col("id_a"), col("id_b"), col("dist"),
+            (col("key_b").cast("long") - col("key_a").cast("long"))
+              .as("cents_gap"))
+          .withColumn("near_tie", col("cents_gap") <= 10L)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH b AS (SELECT c_custkey AS id,
+            lpad(CAST(CAST(round(c_acctbal * 100) AS BIGINT) + 100000
+              AS VARCHAR), 8, '0') AS k
+          FROM customer),
+        p AS (SELECT id, k,
+            row_number() OVER (ORDER BY k, id) AS pos FROM b)
+        SELECT a.id AS id_a, b.id AS id_b,
+          CAST(b.pos - a.pos AS BIGINT) AS dist,
+          CAST(b.k AS BIGINT) - CAST(a.k AS BIGINT) AS cents_gap,
+          CAST(b.k AS BIGINT) - CAST(a.k AS BIGINT) <= 10 AS near_tie
+        FROM p a JOIN p b ON b.pos - a.pos BETWEEN 1 AND 3
+        ORDER BY id_a, id_b""")),
+
+    // ---- chi-square independence audit: is priority confounded with
+    //      status? is either drifting by year? — Σ O²N/(ra·cb) − N over
+    //      OBSERVED cells only (the zero-cell-free identity), margins
+    //      re-aggregated from the classes-sized cell table, per-cell
+    //      contributions decimal-rounded before the order-free sum ------
+    Q("x177_chi2_independence",
+      (s, dir) => {
+        val d = t(s, dir, "orders").select(
+          col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"),
+          year(col("o_orderdate")).cast("string").as("yr"))
+        graft.operators.ChiSquare.audit(d,
+            Seq(("st", "pr"), ("st", "yr"), ("pr", "yr")), vFlag = 0.1)
+          .orderBy(col("pair"))
+      },
+      Some("""WITH d AS (SELECT o_orderstatus AS st, o_orderpriority AS pr,
+            CAST(year(o_orderdate) AS VARCHAR) AS yr FROM orders),
+        s AS (SELECT 'st~pr' AS pair, st AS va, pr AS vb FROM d
+          UNION ALL SELECT 'st~yr', st, yr FROM d
+          UNION ALL SELECT 'pr~yr', pr, yr FROM d),
+        cells AS (SELECT pair, va, vb, CAST(count(*) AS BIGINT) AS o
+          FROM s GROUP BY 1, 2, 3),
+        rm AS (SELECT pair, va, CAST(sum(o) AS BIGINT) AS ra
+          FROM cells GROUP BY 1, 2),
+        cm AS (SELECT pair, vb, CAST(sum(o) AS BIGINT) AS cb
+          FROM cells GROUP BY 1, 2),
+        tt AS (SELECT pair, CAST(sum(o) AS BIGINT) AS n
+          FROM cells GROUP BY 1),
+        dims AS (SELECT rr.pair, rr.r, cc.c FROM
+          (SELECT pair, CAST(count(*) AS BIGINT) AS r FROM rm GROUP BY 1) rr
+          JOIN (SELECT pair, CAST(count(*) AS BIGINT) AS c FROM cm
+            GROUP BY 1) cc USING (pair)),
+        ctr AS (SELECT cells.pair,
+            CAST(round(CAST(o AS DOUBLE) * o * n /
+              (CAST(ra AS DOUBLE) * cb), 8) AS DECIMAL(18,8)) AS t, n
+          FROM cells JOIN rm USING (pair, va) JOIN cm USING (pair, vb)
+            JOIN tt USING (pair)),
+        byp AS (SELECT pair, sum(t) AS sdec, CAST(min(n) AS BIGINT) AS n
+          FROM ctr GROUP BY 1),
+        fin AS (SELECT b.pair, b.n, d.r, d.c,
+            (d.r - 1) * (d.c - 1) AS dof,
+            greatest(CAST(b.sdec - b.n AS DOUBLE), 0.0) AS chi2raw,
+            least(d.r, d.c) - 1 AS minrc
+          FROM byp b JOIN dims d USING (pair))
+        SELECT pair, n, r, c, dof, round(chi2raw, 6) AS chi2,
+          CASE WHEN minrc > 0
+            THEN round(sqrt(chi2raw / (n * minrc)), 6)
+            ELSE 0.0 END AS cramers_v,
+          (CASE WHEN minrc > 0
+            THEN round(sqrt(chi2raw / (n * minrc)), 6)
+            ELSE 0.0 END) >= 0.1 AS dependent
+        FROM fin ORDER BY pair""")),
+
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")

@@ -689,6 +689,15 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x177: one stacked pass → the persisted (pair, a, b) cell agg;
+      // margins/totals/dims re-aggregate the classes-sized cell table
+      // and broadcast back into the contribution join; + the sort
+      "x177_chi2_independence" -> 10,
+      // x176: prefix-bucket positioning (bucket histogram + super
+      // totals + triangular offsets + the persisted rank window) + the
+      // two shifted-tiling lead windows + the total-order sort; every
+      // window partitioned, candidates O(n·window)
+      "x176_sorted_neighborhood" -> 9,
       // x167: x19's inverted-index pair chain + component labeling
       // (checkpoint-truncated rounds) feeding the two-stage argmax
       // (group-max agg, join back, group-min agg) + sort — measured 9,
