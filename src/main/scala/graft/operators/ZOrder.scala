@@ -49,7 +49,8 @@ object ZOrder {
     val checked = dimCols.map { n =>
       val c = col(n).cast("long")
       when(c.isNull || c < 0L || c >= lim,
-        raise_error(concat(lit(s"ZOrder: dim '$n' value "), col(n),
+        raise_error(concat(lit(s"ZOrder: dim '$n' value "),
+          coalesce(col(n).cast("string"), lit("NULL")),
           lit(s" outside [0, $lim) — normalize dims before keying")))
           .cast("long"))
         .otherwise(c)

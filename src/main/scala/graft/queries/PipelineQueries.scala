@@ -809,6 +809,49 @@ object PipelineQueries extends QueryPack {
             ELSE 0.0 END) >= 0.1 AS dependent
         FROM fin ORDER BY pair""")),
 
+    // ---- z-order layout audit: Morton-key lineitem on (quantity,
+    //      price), bucket by the key's top 8 bits (= the files a
+    //      z-sorted writer would cut) and report each bucket's
+    //      per-dim bounding box — every bucket must be a tight aligned
+    //      box on BOTH dims at once, the property that makes range
+    //      predicates on either dim prune most files ------------------
+    Q("x178_zorder_layout",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        val mm = li.agg(min(col("qty")).as("qmin"), max(col("qty")).as("qmax"),
+          min(col("cents")).as("cmin"), max(col("cents")).as("cmax"))
+        val normed = li.crossJoin(broadcast(mm)).select(
+          expr("CASE WHEN qmax = qmin THEN 0L ELSE " +
+            "(qty - qmin) * 255L DIV (qmax - qmin) END").as("qn"),
+          expr("CASE WHEN cmax = cmin THEN 0L ELSE " +
+            "(cents - cmin) * 255L DIV (cmax - cmin) END").as("pn"))
+        graft.operators.ZOrder.localityReport(
+            normed, Seq("qn", "pn"), bits = 8, shift = 8)
+          .withColumn("q_tight", col("qn_max") - col("qn_min") <= 15L)
+          .withColumn("p_tight", col("pn_max") - col("pn_min") <= 15L)
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+            CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem),
+        mm AS (SELECT min(qty) AS qmin, max(qty) AS qmax,
+            min(cents) AS cmin, max(cents) AS cmax FROM li),
+        nm AS (SELECT
+            CASE WHEN qmax = qmin THEN 0
+              ELSE (qty - qmin) * 255 // (qmax - qmin) END AS qn,
+            CASE WHEN cmax = cmin THEN 0
+              ELSE (cents - cmin) * 255 // (cmax - cmin) END AS pn
+          FROM li CROSS JOIN mm),
+        z AS (SELECT qn, pn, ${mortonSql("qn", "pn", 8)} AS zkey FROM nm)
+        SELECT zkey // 256 AS bucket, CAST(count(*) AS BIGINT) AS n,
+          min(qn) AS qn_min, max(qn) AS qn_max,
+          min(pn) AS pn_min, max(pn) AS pn_max,
+          max(qn) - min(qn) <= 15 AS q_tight,
+          max(pn) - min(pn) <= 15 AS p_tight
+        FROM z GROUP BY 1 ORDER BY bucket""")),
+
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
@@ -7000,6 +7043,14 @@ object PipelineQueries extends QueryPack {
           n_chunks
         FROM a ORDER BY source, ctx"""))
   )
+
+  /** Morton bit-interleave of two already-normalized dims as DuckDB SQL
+    * (x178's oracle twin of ZOrder.interleave): bit k of dim i lands at
+    * position k·2 + i, loop-unrolled like the Spark expression. */
+  private def mortonSql(a: String, b: String, bits: Int): String =
+    (0 until bits).flatMap(k => Seq(
+      s"((($a >> $k) & 1) << ${2 * k})",
+      s"((($b >> $k) & 1) << ${2 * k + 1})")).mkString(" + ")
 
   /** One SRP sign bit as DuckDB SQL (srpCtes' bitSql, shared shape):
     * plane `p` against the md5-seeded ±1 hyperplane over `embedding`. */

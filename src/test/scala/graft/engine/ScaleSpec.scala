@@ -167,6 +167,10 @@ class ScaleSpec extends SparkSpec {
       // x175: the 1-row vocabulary total cross-joins the batches-sized
       // novelty frame via an explicit single-row broadcast — same shape
       "x175_streaming_novelty_ledger",
+      // x178: the 1-row min/max normalization bounds cross-join the
+      // corpus scan via an explicit single-row broadcast — x25/x40's
+      // 1-row shape
+      "x178_zorder_layout",
       // x143: composes x06's capped exact all-pairs edge baseline (the
       // loud require(<=100k) cross join); the triangle machinery itself
       // is equi-join-only — production edges come from the x31 LSH chain
@@ -689,6 +693,9 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x178: the 1-row min/max agg (broadcast back), the zero-shuffle
+      // Morton expression pass + the buckets-sized agg + the sort
+      "x178_zorder_layout" -> 3,
       // x177: one stacked pass → the persisted (pair, a, b) cell agg;
       // margins/totals/dims re-aggregate the classes-sized cell table
       // and broadcast back into the contribution join; + the sort
