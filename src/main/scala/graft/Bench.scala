@@ -348,6 +348,9 @@ object Bench {
     "x173_l_diversity" -> 280,
     // x174 = one stacked 3-column pass + (column, digit) count agg
     "x174_benford_audit" -> 800,
+    // x179 = one (user, day) distinct + user-partitioned island
+    // window + two groups-sized aggs + sort
+    "x179_activity_streaks" -> 580,
     // x178 = one 1-row min/max agg (broadcast) + the zero-shuffle
     // Morton-key expression pass + the 256-bucket agg + sort
     "x178_zorder_layout" -> 650,

@@ -852,6 +852,33 @@ object PipelineQueries extends QueryPack {
           max(pn) - min(pn) <= 15 AS p_tight
         FROM z GROUP BY 1 ORDER BY bucket""")),
 
+    // ---- activity streaks (gaps-and-islands): day − row_number is
+    //      constant across consecutive runs, so streaks reduce to one
+    //      GROUP BY — per-user longest run / streak counts without a
+    //      self-join; all windows user-partitioned over calendar-
+    //      bounded day frames ------------------------------------------
+    Q("x179_activity_streaks",
+      (s, dir) => graft.operators.Streaks.daily(
+        t(s, dir, "events"), "user_id", "ts")
+        .orderBy(col("user_id")),
+      Some("""WITH days AS (SELECT DISTINCT user_id AS u,
+            CAST(ts AS DATE) AS d
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        isl AS (SELECT u, d,
+            (d - DATE '1970-01-01')
+              - row_number() OVER (PARTITION BY u ORDER BY d) AS island
+          FROM days),
+        st AS (SELECT u, island, CAST(count(*) AS BIGINT) AS len,
+            min(d) AS start FROM isl GROUP BY 1, 2),
+        wm AS (SELECT u, len, start,
+            max(len) OVER (PARTITION BY u) AS maxlen FROM st)
+        SELECT u AS user_id, CAST(sum(len) AS BIGINT) AS active_days,
+          CAST(count(*) AS BIGINT) AS n_streaks,
+          CAST(min(maxlen) AS BIGINT) AS max_streak,
+          strftime(min(CASE WHEN len = maxlen THEN start END),
+            '%Y-%m-%d') AS max_streak_start
+        FROM wm GROUP BY u ORDER BY user_id""")),
+
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")

@@ -693,6 +693,9 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x179: one (user, day) distinct, the user-partitioned island
+      // window + streak/report aggs ride the same key, + the sort
+      "x179_activity_streaks" -> 3,
       // x178: the 1-row min/max agg (broadcast back), the zero-shuffle
       // Morton expression pass + the buckets-sized agg + the sort
       "x178_zorder_layout" -> 3,
