@@ -348,6 +348,8 @@ object Bench {
     "x173_l_diversity" -> 280,
     // x174 = one stacked 3-column pass + (column, digit) count agg
     "x174_benford_audit" -> 800,
+    // x180 = one user-partitioned running-last window + the final sort
+    "x180_last_touch_attribution" -> 630,
     // x179 = one (user, day) distinct + user-partitioned island
     // window + two groups-sized aggs + sort
     "x179_activity_streaks" -> 580,

@@ -879,6 +879,46 @@ object PipelineQueries extends QueryPack {
             '%Y-%m-%d') AS max_streak_start
         FROM wm GROUP BY u ORDER BY user_id""")),
 
+    // ---- last-touch attribution: each purchase credits the most
+    //      recent prior click/view by the same user within a 1-day
+    //      lookback — ONE user-partitioned running-last window (no
+    //      touch×conversion range join), same-ts touches sort before
+    //      conversions, -1 sentinels keep the report null-free --------
+    Q("x180_last_touch_attribution",
+      (s, dir) => graft.operators.Attribution.lastTouch(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        conversionType = "purchase", touchTypes = Seq("click", "view"),
+        lookbackSeconds = 86400L)
+        .orderBy(col("conv_id")),
+      Some("""WITH base AS (SELECT user_id AS u, ts, event_id AS id,
+            event_type AS ty,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isconv
+          FROM events
+          WHERE event_type IN ('purchase', 'click', 'view')),
+        sc AS (SELECT *,
+            last_value(CASE WHEN isconv = 0 THEN epoch_us(ts) END
+              IGNORE NULLS) OVER w AS lt_us,
+            last_value(CASE WHEN isconv = 0 THEN ty END IGNORE NULLS)
+              OVER w AS lt_ty,
+            last_value(CASE WHEN isconv = 0 THEN id END IGNORE NULLS)
+              OVER w AS lt_id
+          FROM base
+          WINDOW w AS (PARTITION BY u ORDER BY ts, isconv, id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        SELECT id AS conv_id, u AS user_id,
+          strftime(ts, '%Y-%m-%d %H:%M:%S') AS conv_ts,
+          CASE WHEN lt_us IS NOT NULL
+              AND epoch_us(ts) - lt_us <= 86400000000
+            THEN lt_ty ELSE 'none' END AS attributed,
+          CAST(CASE WHEN lt_us IS NOT NULL
+              AND epoch_us(ts) - lt_us <= 86400000000
+            THEN lt_id ELSE -1 END AS BIGINT) AS touch_id,
+          CAST(CASE WHEN lt_us IS NOT NULL
+              AND epoch_us(ts) - lt_us <= 86400000000
+            THEN (epoch_us(ts) - lt_us) // 1000000
+            ELSE -1 END AS BIGINT) AS age_sec
+        FROM sc WHERE isconv = 1 ORDER BY conv_id""")),
+
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")

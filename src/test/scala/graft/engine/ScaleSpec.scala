@@ -693,6 +693,9 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x180: ONE user-partitioned running-last window (the x10 class)
+      // + the total-order sort — no touch×conversion join exists
+      "x180_last_touch_attribution" -> 2,
       // x179: one (user, day) distinct, the user-partitioned island
       // window + streak/report aggs ride the same key, + the sort
       "x179_activity_streaks" -> 3,
