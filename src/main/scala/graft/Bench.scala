@@ -348,6 +348,9 @@ object Bench {
     "x173_l_diversity" -> 280,
     // x174 = one stacked 3-column pass + (column, digit) count agg
     "x174_benford_audit" -> 800,
+    // x181 = one stacked 4-candidate pass + persisted cell agg +
+    // per-LHS and per-candidate re-aggregations + sort
+    "x181_fd_audit" -> 520,
     // x180 = one user-partitioned running-last window + the final sort
     "x180_last_touch_attribution" -> 630,
     // x179 = one (user, day) distinct + user-partitioned island

@@ -919,6 +919,52 @@ object PipelineQueries extends QueryPack {
             ELSE -1 END AS BIGINT) AS age_sec
         FROM sc WHERE isconv = 1 ORDER BY conv_id""")),
 
+    // ---- approximate-FD audit (g3 error, Kivinen–Mannila): which
+    //      "should-be-derivable" column pairs actually are? — one
+    //      stacked pass, persisted classes-sized cell table, integer
+    //      violation arithmetic; x152's uniqueness twin -----------------
+    Q("x181_fd_audit",
+      (s, dir) => {
+        val o = t(s, dir, "orders").withColumn("yr",
+          year(col("o_orderdate")).cast("string"))
+        graft.operators.FdAudit.audit(o, Seq(
+            (Seq("o_orderkey"), "o_orderstatus"),
+            (Seq("o_custkey"), "o_orderstatus"),
+            (Seq("o_custkey", "yr"), "o_orderpriority"),
+            (Seq("o_orderpriority"), "o_orderstatus")))
+          .orderBy(col("candidate"))
+      },
+      Some("""WITH o AS (SELECT *, CAST(year(o_orderdate) AS VARCHAR) AS yr
+          FROM orders),
+        s AS (
+          SELECT 'o_orderkey->o_orderstatus' AS cand,
+            coalesce(CAST(o_orderkey AS VARCHAR), '__null__') AS a,
+            coalesce(o_orderstatus, '__null__') AS b FROM o
+          UNION ALL
+          SELECT 'o_custkey->o_orderstatus',
+            coalesce(CAST(o_custkey AS VARCHAR), '__null__'),
+            coalesce(o_orderstatus, '__null__') FROM o
+          UNION ALL
+          SELECT 'o_custkey,yr->o_orderpriority',
+            concat_ws(chr(1),
+              coalesce(CAST(o_custkey AS VARCHAR), '__null__'),
+              coalesce(yr, '__null__')),
+            coalesce(o_orderpriority, '__null__') FROM o
+          UNION ALL
+          SELECT 'o_orderpriority->o_orderstatus',
+            coalesce(o_orderpriority, '__null__'),
+            coalesce(o_orderstatus, '__null__') FROM o),
+        cells AS (SELECT cand, a, b, CAST(count(*) AS BIGINT) AS o
+          FROM s GROUP BY 1, 2, 3),
+        pl AS (SELECT cand, a, CAST(sum(o) AS BIGINT) AS ca,
+            CAST(max(o) AS BIGINT) AS mab FROM cells GROUP BY 1, 2)
+        SELECT cand AS candidate, CAST(sum(ca) AS BIGINT) AS n_rows,
+          CAST(count(*) AS BIGINT) AS n_lhs_classes,
+          CAST(sum(ca - mab) AS BIGINT) AS violations,
+          CAST(sum(ca - mab) * 1000000 // sum(ca) AS BIGINT) AS g3_micro,
+          sum(ca - mab) = 0 AS holds
+        FROM pl GROUP BY cand ORDER BY candidate""")),
+
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")

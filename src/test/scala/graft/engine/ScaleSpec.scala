@@ -693,6 +693,10 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x181: one stacked pass → the persisted (cand, lhs, rhs) cell
+      // agg; per-LHS and per-candidate margins re-aggregate the
+      // classes-sized cells; + the sort
+      "x181_fd_audit" -> 4,
       // x180: ONE user-partitioned running-last window (the x10 class)
       // + the total-order sort — no touch×conversion join exists
       "x180_last_touch_attribution" -> 2,
