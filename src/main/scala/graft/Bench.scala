@@ -348,6 +348,10 @@ object Bench {
     "x173_l_diversity" -> 280,
     // x174 = one stacked 3-column pass + (column, digit) count agg
     "x174_benford_audit" -> 800,
+    // x182 = two AvailableNow runs appending signed groups-sized
+    // partials + the merged net-position rollup (two-streaming-run
+    // cost class, cf. x175/x172)
+    "x182_streaming_retraction_ledger" -> 3060,
     // x181 = one stacked 4-candidate pass + persisted cell agg +
     // per-LHS and per-candidate re-aggregations + sort
     "x181_fd_audit" -> 520,

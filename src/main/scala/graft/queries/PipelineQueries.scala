@@ -965,6 +965,46 @@ object PipelineQueries extends QueryPack {
           sum(ca - mab) = 0 AS holds
         FROM pl GROUP BY cand ORDER BY candidate""")),
 
+    // ---- streaming retraction ledger: CDC deletes as first-class
+    //      input — signed per-batch partials (rows_delta, value_delta)
+    //      telescope to the net position per group; negative net rows
+    //      fail loudly (a retraction with no insert); oracle = the
+    //      plain signed aggregation over the full table ----------------
+    Q("x182_streaming_retraction_ledger",
+      (s, dir) => {
+        import graft.engine._
+        val cdc = t(s, dir, "events").select(
+          col("event_id"),
+          (col("user_id") % 100).as("bucket"),
+          when(col("event_type") === "error", -1L).otherwise(1L).as("op"),
+          round(col("value") * 100).cast("long").as("cents"))
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val landing = wh.resolve("rtlg_landing")
+        val ckpt = wh.resolve("_graft_checkpoints/rtlg")
+        s.sql("CREATE DATABASE IF NOT EXISTS rtlg")
+        s.sql("DROP TABLE IF EXISTS rtlg.ledger")
+        for (p <- Seq(landing, ckpt, wh.resolve("rtlg.db/ledger")))
+          Materializer.deleteRecursively(p)
+        def run(): Unit = EventStreams.streamingRetractionLedger(s,
+          landing.toString, cdc.schema, "rtlg.ledger", ckpt.toString,
+          "bucket", "op", "cents")
+        cdc.filter(col("event_id") % 2 === 0)
+          .write.mode("overwrite").parquet(landing.toString)
+        run()
+        cdc.filter(col("event_id") % 2 === 1)
+          .write.mode("append").parquet(landing.toString)
+        run()
+        EventStreams.mergeRetractionLedger(s.table("rtlg.ledger"), "bucket")
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT user_id % 100 AS bucket,
+          CAST(sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END)
+            AS BIGINT) AS live_rows,
+          CAST(sum((CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) *
+            CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS net_value
+        FROM events GROUP BY 1 ORDER BY bucket""")),
+
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")

@@ -546,6 +546,67 @@ object EventStreams {
     * idempotency convention). Read the ledger through it, never a bare
     * groupBy-sum. Compaction is the generic [[compactBatchLedger]] on
     * (group → docs, tokens). */
+  /** Streaming RETRACTION-aware aggregate ledger — the CDC completion
+    * of the additive-ledger family (x168 tokens, x145 hourly): input
+    * rows carry a signed `opCol` (+1 insert / −1 delete), each
+    * microbatch appends GROUPS-sized partials
+    * (`rows_delta = Σ op`, `value_delta = Σ op·value`), and the merged
+    * view telescopes to the NET position per group — retract-stream
+    * aggregation in the sense of Flink's retraction model (Carbone et
+    * al., "Apache Flink: Stream and Batch Processing in a Single
+    * Engine", IEEE Data Eng. Bull. 2015) expressed as an append-only
+    * ledger instead of operator state, so deletes never force a
+    * corpus re-scan and the ledger stays bounded by groups × batches
+    * (then [[compactBatchLedger]] on (group → rows_delta,
+    * value_delta) collapses history).
+    *
+    * DELIVERY: at-least-once foreachBatch; every partial carries
+    * `batch_id` and [[mergeRetractionLedger]] collapses replays before
+    * summing (the x72/x84 convention). */
+  def streamingRetractionLedger(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType, ledgerTable: String,
+      checkpointDir: String, groupCol: String, opCol: String,
+      valueCol: String): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(landingDir)
+    val fb: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        batch.toDF()
+          .groupBy(col(groupCol))
+          .agg(sum(col(opCol).cast("long")).as("rows_delta"),
+            sum(col(opCol).cast("long") * col(valueCol).cast("long"))
+              .as("value_delta"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").format("parquet").saveAsTable(ledgerTable)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(fb)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    if (spark.catalog.tableExists(ledgerTable))
+      spark.catalog.refreshTable(ledgerTable)
+  }
+
+  /** Net position per group from a retraction ledger: `(group,
+    * live_rows, net_value)` over all groups ever seen (a fully-deleted
+    * group reports 0 — that IS its current state). A NEGATIVE net row
+    * count is a retraction with no matching insert — upstream CDC
+    * corruption, never valid — and fails loudly rather than reporting
+    * a nonsense position. */
+  def mergeRetractionLedger(ledger: org.apache.spark.sql.DataFrame,
+      groupCol: String): org.apache.spark.sql.DataFrame =
+    ledger.dropDuplicates("batch_id", groupCol)
+      .groupBy(col(groupCol))
+      .agg(sum(col("rows_delta")).as("lr"),
+        sum(col("value_delta")).as("net_value"))
+      .select(col(groupCol),
+        when(col("lr") < 0L, raise_error(concat(
+          lit("retraction ledger: group '"), col(groupCol).cast("string"),
+          lit("' nets "), col("lr").cast("string"),
+          lit(" live rows (< 0) — retraction without matching insert"))))
+          .otherwise(col("lr")).cast("long").as("live_rows"),
+        col("net_value"))
+
   def streamingTokenLedger(spark: SparkSession, landingDir: String,
       schema: org.apache.spark.sql.types.StructType, ledgerTable: String,
       checkpointDir: String, groupCol: String, tokens: Column): Unit = {

@@ -693,6 +693,11 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x182: the REGISTERED plan is the merged net-position rollup
+      // over the groups×batches ledger (replay collapse + signed sum +
+      // sort); the streaming writer's per-batch aggs run in their own
+      // query executions
+      "x182_streaming_retraction_ledger" -> 3,
       // x181: one stacked pass → the persisted (cand, lhs, rhs) cell
       // agg; per-LHS and per-candidate margins re-aggregate the
       // classes-sized cells; + the sort

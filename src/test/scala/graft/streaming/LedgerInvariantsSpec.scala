@@ -41,6 +41,13 @@ class LedgerInvariantsSpec extends SparkSpec {
       (0, 1L, 1L), (5, 9L, 1L), (-1, 10L, 1L),
       (0, 2L, 2L), (-1, 3L, 2L))
       .toDF("pos", "cnt", "batch_id")
+    // retraction ledger: signed partials whose batch-1 deltas retract
+    // part of batch 0 (bucket 2 nets to zero — still reported; bucket 1
+    // nets positive through a negative batch partial)
+    val rtl = () => Seq((1L, 5L, 900L, 0L), (2L, 2L, 100L, 0L),
+      (1L, -2L, -300L, 1L), (2L, -2L, -100L, 1L),
+      (1L, 1L, 50L, 2L))
+      .toDF("bucket", "rows_delta", "value_delta", "batch_id")
     val drift = () => Seq(("s1", "x", 4L, 0L), ("s1", "y", 2L, 0L),
       ("s2", "x", 1L, 0L), ("s1", "x", 3L, 1L), ("s2", "z", 6L, 1L),
       ("s1", "y", 1L, 2L))
@@ -114,6 +121,12 @@ class LedgerInvariantsSpec extends SparkSpec {
             t.first().getLong(0))
         },
         EventStreams.compactBatchLedger(_, Seq("pos"), Seq("cnt"))),
+      Shape("retraction (x182)", rtl,
+        _.filter(col("batch_id") === 0),
+        l => EventStreams.mergeRetractionLedger(l, "bucket").collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap,
+        EventStreams.compactBatchLedger(_, Seq("bucket"),
+          Seq("rows_delta", "value_delta"))),
       Shape("drift (x84)", drift,
         _.filter(col("batch_id") === 0),
         l => EventStreams.mergeDriftLedger(l).collect()
