@@ -348,6 +348,9 @@ object Bench {
     "x173_l_diversity" -> 280,
     // x174 = one stacked 3-column pass + (column, digit) count agg
     "x174_benford_audit" -> 800,
+    // x183 = two AvailableNow runs appending one audit row each (the
+    // 1-row ledger cursor) + the batches-sized report
+    "x183_late_arrival_audit" -> 1840,
     // x182 = two AvailableNow runs appending signed groups-sized
     // partials + the merged net-position rollup (two-streaming-run
     // cost class, cf. x175/x172)

@@ -1005,6 +1005,60 @@ object PipelineQueries extends QueryPack {
             CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS net_value
         FROM events GROUP BY 1 ORDER BY bucket""")),
 
+    // ---- streaming late-arrival audit: what would a 1-hour watermark
+    //      have dropped? — batch 0 is the first half minus held-back
+    //      stragglers (id % 37 = 0), batch 1 delivers the rest; the
+    //      ledger's running high-water mark (the x50 1-row cursor)
+    //      classifies batch-1 rows older than wm − delay as late -------
+    Q("x183_late_arrival_audit",
+      (s, dir) => {
+        import graft.engine._
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("ts"))
+        val firstHalf = col("ts") < lit("2024-01-16").cast("timestamp") &&
+          col("event_id") % 37 =!= 0
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val landing = wh.resolve("latelg_landing")
+        val ckpt = wh.resolve("_graft_checkpoints/latelg")
+        s.sql("CREATE DATABASE IF NOT EXISTS latelg")
+        s.sql("DROP TABLE IF EXISTS latelg.ledger")
+        for (p <- Seq(landing, ckpt, wh.resolve("latelg.db/ledger")))
+          Materializer.deleteRecursively(p)
+        def run(): Unit = EventStreams.streamingLatenessLedger(s,
+          landing.toString, ev.schema, "latelg.ledger", ckpt.toString,
+          "ts", delaySeconds = 3600L)
+        ev.filter(firstHalf).write.mode("overwrite").parquet(landing.toString)
+        run()
+        ev.filter(!firstHalf).write.mode("append").parquet(landing.toString)
+        run()
+        EventStreams.latenessReport(s.table("latelg.ledger"))
+          .orderBy(col("batch_id"))
+      },
+      Some("""WITH b0 AS (SELECT * FROM events
+          WHERE ts < TIMESTAMP '2024-01-16' AND event_id % 37 <> 0),
+        b1 AS (SELECT * FROM events
+          WHERE NOT (ts < TIMESTAMP '2024-01-16' AND event_id % 37 <> 0)),
+        w0 AS (SELECT max(epoch_us(ts)) AS wm FROM b0),
+        r0 AS (SELECT CAST(0 AS BIGINT) AS batch_id,
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(0 AS BIGINT) AS late_rows,
+            CAST(-1 AS BIGINT) AS wm_before_us FROM b0),
+        r1 AS (SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+            CAST(sum(CASE WHEN epoch_us(ts) < w0.wm - 3600000000
+              THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(w0.wm AS BIGINT)
+          FROM b1 CROSS JOIN w0 GROUP BY w0.wm),
+        per AS (SELECT * FROM r0 UNION ALL SELECT * FROM r1),
+        tot AS (SELECT CAST(-1 AS BIGINT) AS batch_id,
+            CAST(sum(n_rows) AS BIGINT) AS n_rows,
+            CAST(sum(late_rows) AS BIGINT) AS late_rows,
+            CAST(-1 AS BIGINT) AS wm_before_us FROM per)
+        SELECT batch_id, n_rows, late_rows, wm_before_us,
+          late_rows * 1000000 // n_rows AS late_micro
+        FROM (SELECT * FROM per UNION ALL SELECT * FROM tot)
+        ORDER BY batch_id""")),
+
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")

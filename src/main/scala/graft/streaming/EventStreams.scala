@@ -546,6 +546,73 @@ object EventStreams {
     * idempotency convention). Read the ledger through it, never a bare
     * groupBy-sum. Compaction is the generic [[compactBatchLedger]] on
     * (group → docs, tokens). */
+  /** Streaming LATE-ARRIVAL audit ledger — the watermark-design input
+    * every event-time pipeline needs before picking
+    * `withWatermark(delay)`: each microbatch appends ONE row
+    * `(batch_id, n_rows, batch_max_us, wm_before_us, late_rows)` where
+    * `wm_before_us` is the running high-water mark (max event time over
+    * all PRIOR batches — the x50 bounded-cursor pattern: a 1-row agg
+    * over the ledger, never the corpus) and `late_rows` counts this
+    * batch's rows older than `wm_before − delay` — exactly the rows a
+    * `delay`-second watermark would have dropped (the lateness model of
+    * the Dataflow paper: Akidau et al., VLDB 2015). Sentinel −1 for
+    * batch 0's undefined watermark keeps the ledger null-free.
+    *
+    * DELIVERY: at-least-once; one row per batch stamped `batch_id`,
+    * [[latenessReport]] collapses replays by batch id. */
+  def streamingLatenessLedger(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType, ledgerTable: String,
+      checkpointDir: String, tsCol: String, delaySeconds: Long): Unit = {
+    require(delaySeconds >= 0, "delaySeconds must be >= 0")
+    val stream = spark.readStream.schema(schema).parquet(landingDir)
+    val fb: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) => {
+        val wmBefore: Long =
+          if (spark.catalog.tableExists(ledgerTable)) {
+            val r = spark.table(ledgerTable)
+              .agg(max(col("batch_max_us"))).first()
+            if (r.isNullAt(0)) -1L else r.getLong(0)
+          } else -1L
+        val us = unix_micros(col(tsCol))
+        val lateIf =
+          if (wmBefore >= 0L) us < lit(wmBefore - delaySeconds * 1000000L)
+          else lit(false)
+        batch.toDF()
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(max(us), lit(-1L)).as("batch_max_us"),
+            sum(when(lateIf, 1L).otherwise(0L)).as("late_rows"))
+          .select(lit(batchId).as("batch_id"), col("n_rows"),
+            col("batch_max_us"), lit(wmBefore).as("wm_before_us"),
+            col("late_rows"))
+          .write.mode("append").format("parquet").saveAsTable(ledgerTable)
+      }
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(fb)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    if (spark.catalog.tableExists(ledgerTable))
+      spark.catalog.refreshTable(ledgerTable)
+  }
+
+  /** Per-batch lateness shares + a `batch_id = -1` corpus-total row:
+    * `(batch_id, n_rows, late_rows, wm_before_us, late_micro)`. */
+  def latenessReport(ledger: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val batches = ledger.dropDuplicates("batch_id")
+    val per = batches.select(col("batch_id"), col("n_rows"),
+      col("late_rows"), col("wm_before_us"),
+      expr("late_rows * 1000000 DIV n_rows").as("late_micro"))
+    val tot = batches
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("late_rows")).as("late_rows"))
+      .select(lit(-1L).as("batch_id"), col("n_rows"), col("late_rows"),
+        lit(-1L).as("wm_before_us"),
+        expr("late_rows * 1000000 DIV n_rows").as("late_micro"))
+    per.unionByName(tot)
+  }
+
   /** Streaming RETRACTION-aware aggregate ledger — the CDC completion
     * of the additive-ledger family (x168 tokens, x145 hourly): input
     * rows carry a signed `opCol` (+1 insert / −1 delete), each

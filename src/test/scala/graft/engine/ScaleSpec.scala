@@ -693,6 +693,10 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x183: the REGISTERED plan is the batches-sized lateness report
+      // (dedup + totals union + sort); each writer batch was one 1-row
+      // agg in its own query execution
+      "x183_late_arrival_audit" -> 4,
       // x182: the REGISTERED plan is the merged net-position rollup
       // over the groups×batches ledger (replay collapse + signed sum +
       // sort); the streaming writer's per-batch aggs run in their own
