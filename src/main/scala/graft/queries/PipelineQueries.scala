@@ -1059,6 +1059,53 @@ object PipelineQueries extends QueryPack {
         FROM (SELECT * FROM per UNION ALL SELECT * FROM tot)
         ORDER BY batch_id""")),
 
+    // ---- post-stratification calibration: weight a deterministic 1/8
+    //      md5-sample back to the corpus's (source, lang) margins, thin
+    //      cells collapsing to source pools then one global pool (each
+    //      level labeled) — the mix-repair step after any non-uniform
+    //      selection; everything after the two count aggs is
+    //      classes-sized --------------------------------------------------
+    Q("x184_post_stratification",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val smp = docs.filter(
+          substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
+        graft.operators.PostStratify.weights(
+            docs, smp, Seq("source", "lang"), minCell = 4L)
+          .orderBy(col("source"), col("lang"))
+      },
+      Some("""WITH pop AS (SELECT source, lang,
+            CAST(count(*) AS BIGINT) AS n_pop FROM documents GROUP BY 1, 2),
+        smp AS (SELECT source, lang,
+            CAST(count(*) AS BIGINT) AS n_sample FROM documents
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+          GROUP BY 1, 2),
+        cells AS (SELECT p.source, p.lang, p.n_pop,
+            coalesce(s.n_sample, 0) AS n_sample
+          FROM pop p LEFT JOIN smp s USING (source, lang)),
+        fat AS (SELECT source, lang, n_pop, n_sample, 'cell' AS level,
+            CAST(n_pop * 1000000 // n_sample AS BIGINT) AS weight_micro
+          FROM cells WHERE n_sample >= 4),
+        thin AS (SELECT * FROM cells WHERE n_sample < 4),
+        pools AS (SELECT source, CAST(sum(n_pop) AS BIGINT) AS pnp,
+            CAST(sum(n_sample) AS BIGINT) AS pns
+          FROM thin GROUP BY 1),
+        ps AS (SELECT t.source, t.lang, t.n_pop, t.n_sample,
+            'pooled:source' AS level,
+            CAST(p.pnp * 1000000 // p.pns AS BIGINT) AS weight_micro
+          FROM thin t JOIN pools p USING (source) WHERE p.pns >= 4),
+        gl AS (SELECT CAST(sum(pnp) AS BIGINT) AS gnp,
+            CAST(sum(pns) AS BIGINT) AS gns
+          FROM pools WHERE pns < 4),
+        pg AS (SELECT t.source, t.lang, t.n_pop, t.n_sample,
+            'pooled:global' AS level,
+            CAST(g.gnp * 1000000 // g.gns AS BIGINT) AS weight_micro
+          FROM thin t JOIN pools p USING (source) CROSS JOIN gl g
+          WHERE p.pns < 4 AND g.gnp IS NOT NULL)
+        SELECT * FROM fat UNION ALL SELECT * FROM ps
+        UNION ALL SELECT * FROM pg
+        ORDER BY source, lang""")),
+
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")

@@ -167,6 +167,10 @@ class ScaleSpec extends SparkSpec {
       // x175: the 1-row vocabulary total cross-joins the batches-sized
       // novelty frame via an explicit single-row broadcast — same shape
       "x175_streaming_novelty_ledger",
+      // x184: the 1-row global-pool aggregate cross-joins the
+      // classes-sized thin-cell frame via an explicit single-row
+      // broadcast — x25/x40's 1-row shape
+      "x184_post_stratification",
       // x178: the 1-row min/max normalization bounds cross-join the
       // corpus scan via an explicit single-row broadcast — x25/x40's
       // 1-row shape
@@ -693,6 +697,10 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x184: two stratum-count aggs (population + sample), then the
+      // persisted classes-sized cell table feeds fat/thin splits,
+      // source pools, and the 1-row global pool; + the sort
+      "x184_post_stratification" -> 5,
       // x183: the REGISTERED plan is the batches-sized lateness report
       // (dedup + totals union + sort); each writer batch was one 1-row
       // agg in its own query execution
