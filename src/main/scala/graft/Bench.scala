@@ -348,6 +348,9 @@ object Bench {
     "x173_l_diversity" -> 280,
     // x174 = one stacked 3-column pass + (column, digit) count agg
     "x174_benford_audit" -> 800,
+    // x185 = one user-partitioned lag window + one integer-sums agg +
+    // the per-group-row σ/μ expressions + sort
+    "x185_interarrival_burstiness" -> 680,
     // x184 = two stratum-count aggs + classes-sized cell/pool joins
     // (persisted cells/pools) + the 1-row global pool + sort
     "x184_post_stratification" -> 470,

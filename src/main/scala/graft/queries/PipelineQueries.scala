@@ -1106,6 +1106,39 @@ object PipelineQueries extends QueryPack {
         UNION ALL SELECT * FROM pg
         ORDER BY source, lang""")),
 
+    // ---- inter-arrival burstiness: Goh–Barabási B = (σ−μ)/(σ+μ) per
+    //      user — metronome bots at −1, Poisson organics near 0,
+    //      burst-silence scrapers > 0; one lag window + one integer-sum
+    //      agg, σ/μ derived per GROUP ROW from exact sums (no double
+    //      is ever summed) ---------------------------------------------
+    Q("x185_interarrival_burstiness",
+      (s, dir) => graft.operators.Burstiness.interArrival(
+        t(s, dir, "events"), "user_id", "ts", "event_id", minGaps = 2L)
+        .orderBy(col("user_id")),
+      Some("""WITH e AS (SELECT user_id AS u, epoch_us(ts) AS ts_us,
+            event_id AS id FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        g0 AS (SELECT u, (ts_us - lag(ts_us) OVER
+            (PARTITION BY u ORDER BY ts_us, id)) // 1000000 AS g FROM e),
+        gg AS (SELECT u, g FROM g0 WHERE g IS NOT NULL),
+        a AS (SELECT u, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(g) AS BIGINT) AS s1,
+            CAST(sum(CAST(g * g AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+          FROM gg GROUP BY u HAVING count(*) >= 2),
+        b AS (SELECT u, n, s1,
+            CAST(s1 AS DOUBLE) / n AS mu,
+            sqrt(greatest(CAST(n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1
+              AS DOUBLE)
+              / (CAST(n AS DOUBLE) * n), 0.0)) AS sig
+          FROM a)
+        SELECT u AS user_id, n AS n_gaps,
+          CAST(s1 * 1000000 // n AS BIGINT) AS mean_gap_sec_micro,
+          CASE WHEN sig + mu > 0
+            THEN round((sig - mu) / (sig + mu), 6) ELSE 0.0 END
+            AS burstiness,
+          CASE WHEN mu > 0 THEN round(sig / mu, 6) ELSE 0.0 END AS cv
+        FROM b ORDER BY user_id""")),
+
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")

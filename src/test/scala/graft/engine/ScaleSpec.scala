@@ -697,6 +697,9 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x185: one user-partitioned lag window (the x10 class) + one
+      // integer-sums agg; σ/μ are per-group-row expressions; + sort
+      "x185_interarrival_burstiness" -> 2,
       // x184: two stratum-count aggs (population + sample), then the
       // persisted classes-sized cell table feeds fat/thin splits,
       // source pools, and the 1-row global pool; + the sort
