@@ -934,4 +934,49 @@ object Dedup {
       .select(col("__g").as(groupCol), col("keep_id"),
         col("__best").as("kept_score"), col("n_members"))
   }
+
+  /** Dedup ROI report — "what did dedup buy us", the number that
+    * justifies (or kills) the pipeline stage: from cluster-labeled
+    * rows, the cluster-SIZE distribution with, per size, how many
+    * duplicate rows a keep-first policy removes and how many content
+    * bytes that saves (cluster total minus the min-id keeper's size —
+    * the min-id policy of x27/x63), plus a `cluster_size = -1` totals
+    * row. Deduplicating Training Data Makes Language Models Better
+    * (Lee et al., ACL 2022) reports exactly this histogram as the
+    * evidence artifact.
+    *
+    * Shape at 100 TB: one (cluster → size, Σbytes, keeper-bytes via
+    * min_by) aggregation — high-cardinality keys, map-side combinable,
+    * no window — then everything is histogram-sized. Null ids/sizes
+    * are contract violations (the bestInGroup argument) and fail
+    * loudly. */
+  def savingsReport(labeled: DataFrame, componentCol: String,
+      idCol: String, sizeCol: String): DataFrame = {
+    val checked = labeled.select(
+      when(col(componentCol).isNull,
+          raise_error(lit(s"savingsReport: null $componentCol")))
+        .otherwise(col(componentCol)).as("__g"),
+      when(col(idCol).isNull,
+          raise_error(lit(s"savingsReport: null $idCol")))
+        .otherwise(col(idCol)).as("__id"),
+      when(col(sizeCol).isNull,
+          raise_error(lit(s"savingsReport: null $sizeCol")))
+        .otherwise(col(sizeCol).cast("long")).as("__b"))
+    val per = checked.groupBy(col("__g"))
+      .agg(count(lit(1)).as("sz"), sum(col("__b")).as("bytes"),
+        min_by(col("__b"), col("__id")).as("keep_bytes"))
+    val hist = per.groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz") - 1L).cast("long").as("dup_docs_removed"),
+        sum(col("bytes") - col("keep_bytes")).cast("long")
+          .as("bytes_saved"))
+      .select(col("sz").cast("long").as("cluster_size"),
+        col("n_clusters"), col("dup_docs_removed"), col("bytes_saved"))
+    val tot = hist.agg(sum(col("n_clusters")).cast("long").as("n_clusters"),
+        sum(col("dup_docs_removed")).cast("long").as("dup_docs_removed"),
+        sum(col("bytes_saved")).cast("long").as("bytes_saved"))
+      .select(lit(-1L).as("cluster_size"), col("n_clusters"),
+        col("dup_docs_removed"), col("bytes_saved"))
+    hist.unionByName(tot)
+  }
 }

@@ -1139,6 +1139,61 @@ object PipelineQueries extends QueryPack {
           CASE WHEN mu > 0 THEN round(sig / mu, 6) ELSE 0.0 END AS cv
         FROM b ORDER BY user_id""")),
 
+    // ---- dedup ROI report: the cluster-size histogram + bytes a
+    //      keep-first policy saves (Lee et al. ACL'22's evidence
+    //      artifact) over the x19 component chain — everything after
+    //      the per-cluster agg is histogram-sized -----------------------
+    Q("x186_dedup_savings",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          n = 4, threshold = 0.2, maxDf = 100L)
+        val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+          maxRounds = 60)
+        val labeled = docs.select(col("doc_id"), col("n_chars"))
+          .join(comp, docs("doc_id") === comp("v"), "left")
+          .select(coalesce(col("comp"), col("doc_id")).as("component"),
+            col("doc_id"), col("n_chars"))
+        Dedup.savingsReport(labeled, "component", "doc_id", "n_chars")
+          .orderBy(col("cluster_size"))
+      },
+      Some(s"""WITH RECURSIVE tk AS (SELECT doc_id, $shingleSql AS s FROM documents),
+        ex0 AS (SELECT doc_id AS doc, unnest(s) AS sh FROM tk),
+        keep AS (SELECT sh FROM ex0 GROUP BY sh HAVING count(*) <= 100),
+        ex AS (SELECT doc, ex0.sh FROM ex0 JOIN keep ON ex0.sh = keep.sh),
+        sz AS (SELECT doc, count(*) AS n_sh FROM ex GROUP BY doc),
+        co AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+               FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc < b.doc
+               GROUP BY a.doc, b.doc),
+        pr AS (SELECT doc_a, doc_b
+               FROM co JOIN sz sa ON doc_a = sa.doc JOIN sz sb ON doc_b = sb.doc
+               WHERE CAST(common AS DOUBLE)/(sa.n_sh + sb.n_sh - common) >= 0.2),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+                  UNION SELECT doc_b, doc_a FROM pr),
+        reach AS (SELECT s AS v, s AS l FROM edges
+                  UNION
+                  SELECT e.s, r.l FROM reach r JOIN edges e ON e.d = r.v),
+        comp AS (SELECT v, min(l) AS component FROM reach GROUP BY v),
+        lab AS (SELECT coalesce(c.component, d.doc_id) AS component,
+            d.doc_id, d.n_chars
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
+        per AS (SELECT component, CAST(count(*) AS BIGINT) AS csz,
+            CAST(sum(n_chars) AS BIGINT) AS bytes,
+            CAST(arg_min(n_chars, doc_id) AS BIGINT) AS keep_bytes
+          FROM lab GROUP BY component),
+        hist AS (SELECT csz AS cluster_size,
+            CAST(count(*) AS BIGINT) AS n_clusters,
+            CAST(sum(csz - 1) AS BIGINT) AS dup_docs_removed,
+            CAST(sum(bytes - keep_bytes) AS BIGINT) AS bytes_saved
+          FROM per GROUP BY csz),
+        tot AS (SELECT CAST(-1 AS BIGINT) AS cluster_size,
+            CAST(sum(n_clusters) AS BIGINT) AS n_clusters,
+            CAST(sum(dup_docs_removed) AS BIGINT) AS dup_docs_removed,
+            CAST(sum(bytes_saved) AS BIGINT) AS bytes_saved
+          FROM hist)
+        SELECT * FROM hist UNION ALL SELECT * FROM tot
+        ORDER BY cluster_size""")),
+
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")

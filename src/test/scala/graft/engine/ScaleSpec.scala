@@ -697,6 +697,10 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x186: x19's inverted-index pair chain + component labeling
+      // (the x167 compound class) + the per-cluster agg + the
+      // histogram-sized rollups and totals union + sort
+      "x186_dedup_savings" -> 10,
       // x185: one user-partitioned lag window (the x10 class) + one
       // integer-sums agg; σ/μ are per-group-row expressions; + sort
       "x185_interarrival_burstiness" -> 2,
