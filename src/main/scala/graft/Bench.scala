@@ -348,6 +348,9 @@ object Bench {
     "x173_l_diversity" -> 280,
     // x174 = one stacked 3-column pass + (column, digit) count agg
     "x174_benford_audit" -> 800,
+    // x187 = one daily-count agg + the groups-sized mean broadcast +
+    // two group-partitioned windows (cumsum + running min) + sort
+    "x187_cusum_changepoint" -> 550,
     // x186 = x19's pair/component chain (the dominant cost, cf. x167)
     // + the per-cluster min_by agg + histogram rollups
     "x186_dedup_savings" -> 3270,

@@ -1194,6 +1194,34 @@ object PipelineQueries extends QueryPack {
         SELECT * FROM hist UNION ALL SELECT * FROM tot
         ORDER BY cluster_size""")),
 
+    // ---- CUSUM change-point monitoring: Page's sequential statistic
+    //      over daily per-type volumes via the prefix-min identity
+    //      (x150's trick applied to SPC) — catches sustained small
+    //      shifts no single-day z-score sees; two group-partitioned
+    //      windows over calendar-bounded daily frames ------------------
+    Q("x187_cusum_changepoint",
+      (s, dir) => graft.operators.Cusum.dailyUpward(
+        t(s, dir, "events"), "event_type", "ts", hMult = 3L)
+        .orderBy(col("event_type"), col("day")),
+      Some("""WITH daily AS (SELECT event_type AS grp, CAST(ts AS DATE) AS d,
+            CAST(count(*) AS BIGINT) AS x
+          FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2),
+        m AS (SELECT grp, CAST(sum(x) // count(*) AS BIGINT) AS k
+          FROM daily GROUP BY grp),
+        c AS (SELECT daily.grp, d, x, k,
+            CAST(sum(x - k) OVER w AS BIGINT) AS c
+          FROM daily JOIN m USING (grp)
+          WINDOW w AS (PARTITION BY daily.grp ORDER BY d
+            ROWS UNBOUNDED PRECEDING)),
+        s AS (SELECT grp, d, x, k,
+            CAST(c - least(0, min(c) OVER (PARTITION BY grp ORDER BY d
+              ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS cusum
+          FROM c)
+        SELECT grp AS event_type, strftime(d, '%Y-%m-%d') AS day, x, k,
+          cusum, cusum >= 3 * greatest(k, 1) AS flagged
+        FROM s ORDER BY event_type, day""")),
+
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")

@@ -697,6 +697,10 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x187: one daily-count agg, the groups-sized mean broadcast
+      // back, both CUSUM windows ride one group-partitioned sort; +
+      // the total-order sort
+      "x187_cusum_changepoint" -> 5,
       // x186: x19's inverted-index pair chain + component labeling
       // (the x167 compound class) + the per-cluster agg + the
       // histogram-sized rollups and totals union + sort
