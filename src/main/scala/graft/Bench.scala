@@ -348,6 +348,12 @@ object Bench {
     "x173_l_diversity" -> 280,
     // x174 = one stacked 3-column pass + (column, digit) count agg
     "x174_benford_audit" -> 800,
+    // x188 = the prefix-bucket positioning chain (histogram offsets +
+    // rank window) + the pos sort
+    "x188_global_rank" -> 780,
+    // x189 = the weighted-histogram offset chain (persisted cum) +
+    // 1-row total broadcast + the interval-test filter + sort
+    "x189_range_splitters" -> 420,
     // x187 = one daily-count agg + the groups-sized mean broadcast +
     // two group-partitioned windows (cumsum + running min) + sort
     "x187_cusum_changepoint" -> 550,

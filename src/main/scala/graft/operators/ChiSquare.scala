@@ -71,10 +71,14 @@ object ChiSquare {
         greatest((col("s") - col("n")).cast(DoubleType), lit(0.0)))
       .withColumn("minrc",
         least(col("r"), col("c")) - lit(1L))
+    // chi2 rounds the exact DECIMAL before any double cast (the
+    // round-before-cast rule PlanAudit lints); chi2raw stays a double
+    // only where it feeds sqrt (transcendental — never grid-exact)
     byPair.select(col("pair"), col("n").cast("long").as("n"),
       col("r").cast("long").as("r"), col("c").cast("long").as("c"),
       ((col("r") - 1L) * (col("c") - 1L)).as("dof"),
-      round(col("chi2raw"), 6).as("chi2"),
+      greatest(round(col("s") - col("n"), 6), lit(0))
+        .cast(DoubleType).as("chi2"),
       when(col("minrc") > 0,
         round(sqrt(col("chi2raw") / (col("n") * col("minrc"))), 6))
         .otherwise(lit(0.0)).as("cramers_v"))

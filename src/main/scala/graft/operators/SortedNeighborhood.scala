@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   * single-task scale-killer this repo's plan lint bans. The
   * decomposition here keeps every window partitioned (the distributed
   * SNM shape of Kolb, Thor & Rahm, "Multi-pass Sorted Neighborhood
-  * Blocking with MapReduce", CSRD 2012, re-expressed declaratively):
+  * Blocking with MapReduce", CSRD 2012, re-expressed declaratively);
+  * steps 1–3 are [[GlobalOrder.positions]], the shared positioning
+  * primitive:
   *
   *   1. bucket rows by an order-preserving PREFIX of the sort key
   *      (keys sharing a prefix are lexicographically contiguous, so
@@ -78,43 +80,13 @@ object SortedNeighborhood {
         s"window=$window")
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
 
-    val base = df
-      .select(col(idCol).cast("long").as("__id"),
-        col(keyCol).cast("string").as("__k"))
-      .filter(col("__k").isNotNull) // null keys have no sort position
-      .withColumn("__b", substring(col("__k"), 1, bucketChars))
-      .withColumn("__s", substring(col("__k"), 1, superChars))
-
-    // (bucket, count) histogram + super totals — both bounded frames
-    val hist = base.groupBy(col("__s"), col("__b"))
-      .agg(count(lit(1)).as("__c"))
-    val supTot = hist.groupBy(col("__s")).agg(sum(col("__c")).as("__sc"))
-    // triangular join over the supers-sized frame replaces the global
-    // cumulative window: offset(s) = Σ totals of strictly-earlier supers
-    val supOff = supTot.as("a")
-      .join(supTot.as("b"), col("b.__s") < col("a.__s"), "left")
-      .groupBy(col("a.__s").as("__s"))
-      .agg(coalesce(sum(col("b.__sc")), lit(0L)).as("__soff"))
-    val wB = Window.partitionBy(col("__s")).orderBy(col("__b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = hist
-      .withColumn("__before", coalesce(sum(col("__c")).over(wB), lit(0L)))
-      .join(supOff, Seq("__s"))
-      .select(col("__b"),
-        when(col("__c") > maxBucket, raise_error(concat(
-          lit("SortedNeighborhood: bucket '"), col("__b"),
-          lit(s"' holds "), col("__c"),
-          lit(s" rows (> maxBucket $maxBucket) — raise bucketChars " +
-            "(finer prefix buckets) or maxBucket deliberately")))
-          .cast("long"))
-          .otherwise(col("__soff") + col("__before")).as("__off"))
-
-    val wR = Window.partitionBy(col("__b")).orderBy(col("__k"), col("__id"))
-    // persisted: the positioning chain (histograms + rank window) feeds
-    // both tilings — without the cache it would re-execute per tiling
-    val positioned = base
-      .join(broadcast(offsets), Seq("__b"))
-      .withColumn("__pos", col("__off") + row_number().over(wR).cast("long"))
+    // persisted: the positioning chain ([[GlobalOrder.positions]] —
+    // histograms + rank window) feeds both tilings; without the cache
+    // it would re-execute per tiling
+    val positioned = GlobalOrder
+      .positions(df, idCol, keyCol, bucketChars, superChars, maxBucket)
+      .select(col(idCol).as("__id"), col(keyCol).as("__k"),
+        col("pos").as("__pos"))
       .select(col("__id"), col("__k"), col("__pos"),
         expr(s"(__pos - 1L) DIV ${segSize}L").as("__seg1"),
         expr(s"(__pos - 1L + ${segSize / 2}L) DIV ${segSize}L").as("__seg2"))

@@ -795,12 +795,13 @@ object PipelineQueries extends QueryPack {
             JOIN tt USING (pair)),
         byp AS (SELECT pair, sum(t) AS sdec, CAST(min(n) AS BIGINT) AS n
           FROM ctr GROUP BY 1),
-        fin AS (SELECT b.pair, b.n, d.r, d.c,
+        fin AS (SELECT b.pair, b.n, b.sdec, d.r, d.c,
             (d.r - 1) * (d.c - 1) AS dof,
             greatest(CAST(b.sdec - b.n AS DOUBLE), 0.0) AS chi2raw,
             least(d.r, d.c) - 1 AS minrc
           FROM byp b JOIN dims d USING (pair))
-        SELECT pair, n, r, c, dof, round(chi2raw, 6) AS chi2,
+        SELECT pair, n, r, c, dof,
+          CAST(greatest(round(sdec - n, 6), 0) AS DOUBLE) AS chi2,
           CASE WHEN minrc > 0
             THEN round(sqrt(chi2raw / (n * minrc)), 6)
             ELSE 0.0 END AS cramers_v,
@@ -1221,6 +1222,59 @@ object PipelineQueries extends QueryPack {
         SELECT grp AS event_type, strftime(d, '%Y-%m-%d') AS day, x, k,
           cusum, cusum >= 3 * greatest(k, 1) AS flagged
         FROM s ORDER BY event_type, day""")),
+
+    // ---- exact global ranks without a global window: the TeraSort
+    //      range-partition-then-offset decomposition (x176's
+    //      positioning core as its own primitive — stable dense ids,
+    //      deterministic pagination); oracle is the single-partition
+    //      row_number() the lint forbids the plan to contain ------------
+    Q("x188_global_rank",
+      (s, dir) => {
+        val cents = round(col("c_acctbal") * 100).cast("long")
+        val cust = t(s, dir, "customer").select(
+          col("c_custkey").cast("long").as("id"),
+          lpad((cents + 100000L).cast("string"), 8, "0").as("k"))
+        graft.operators.GlobalOrder.positions(cust, "id", "k",
+            bucketChars = 4, superChars = 2)
+          .orderBy(col("pos"))
+      },
+      Some("""WITH b AS (SELECT c_custkey AS id,
+            lpad(CAST(CAST(round(c_acctbal * 100) AS BIGINT) + 100000
+              AS VARCHAR), 8, '0') AS k
+          FROM customer)
+        SELECT id, k,
+          CAST(row_number() OVER (ORDER BY k, id) AS BIGINT) AS pos
+        FROM b ORDER BY pos""")),
+
+    // ---- exact range-partitioner splitters: the 7 price keys cutting
+    //      lineitem into 8 equal ranges — what repartitionByRange
+    //      SAMPLES for, computed exactly from the weighted key
+    //      histogram (reproducible across runs); interval test, no
+    //      per-target min-agg, no global window -----------------------
+    Q("x189_range_splitters",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          lpad(round(col("l_extendedprice") * 100).cast("long")
+            .cast("string"), 10, "0").as("k"))
+        graft.operators.GlobalOrder.rangeSplitters(li, "k", parts = 8,
+            bucketChars = 4, superChars = 2)
+          .orderBy(col("split_idx"))
+      },
+      Some("""WITH k AS (SELECT lpad(CAST(CAST(round(l_extendedprice * 100)
+              AS BIGINT) AS VARCHAR), 10, '0') AS key FROM lineitem),
+        h AS (SELECT key, CAST(count(*) AS BIGINT) AS c
+          FROM k GROUP BY 1),
+        cumt AS (SELECT key, c, CAST(sum(c) OVER (ORDER BY key
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h),
+        n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+        tg AS (SELECT CAST(u.i AS BIGINT) AS split_idx,
+            CAST(n.n * u.i // 8 AS BIGINT) AS t
+          FROM n CROSS JOIN unnest([1, 2, 3, 4, 5, 6, 7]) AS u(i))
+        SELECT tg.split_idx, tg.t AS target_rank, c.key AS splitter_key,
+          c.cum AS cum_at
+        FROM cumt c JOIN tg ON c.cum >= tg.t AND c.cum - c.c < tg.t
+          AND tg.t > 0
+        ORDER BY split_idx""")),
 
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",

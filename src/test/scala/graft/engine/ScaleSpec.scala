@@ -167,6 +167,17 @@ class ScaleSpec extends SparkSpec {
       // x175: the 1-row vocabulary total cross-joins the batches-sized
       // novelty frame via an explicit single-row broadcast — same shape
       "x175_streaming_novelty_ledger",
+      // x176/x188: GlobalOrder's triangular super-offset join is a
+      // deliberate non-equi self-join over the SUPER-PREFIX TOTALS
+      // frame — bounded by |alphabet|^superChars (≤ 16² here), never
+      // corpus rows — x125's bounded-group-table join class; it
+      // replaces the banned global cumulative window
+      "x176_sorted_neighborhood", "x188_global_rank",
+      // x189: same triangular super-offset join (weighted), PLUS the
+      // 1-row corpus-total aggregate cross-joining the
+      // NDV-sized cumulative histogram via an explicit single-row
+      // broadcast — x25/x40's 1-row shape
+      "x189_range_splitters",
       // x184: the 1-row global-pool aggregate cross-joins the
       // classes-sized thin-cell frame via an explicit single-row
       // broadcast — x25/x40's 1-row shape
@@ -697,6 +708,13 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x188: GlobalOrder's positioning chain — bucket histogram +
+      // super totals + triangular offsets + the rank window + pos sort
+      "x188_global_rank" -> 7,
+      // x189: the weighted-histogram offset chain over the persisted
+      // NDV-sized cum table + the 1-row total broadcast + the interval
+      // filter + sort
+      "x189_range_splitters" -> 11,
       // x187: one daily-count agg, the groups-sized mean broadcast
       // back, both CUSUM windows ride one group-partitioned sort; +
       // the total-order sort
