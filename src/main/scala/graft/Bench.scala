@@ -348,6 +348,9 @@ object Bench {
     "x173_l_diversity" -> 280,
     // x174 = one stacked 3-column pass + (column, digit) count agg
     "x174_benford_audit" -> 800,
+    // x190 = one user-partitioned sort carrying the RANGE-frame count
+    // + per-user max + the report agg + sort
+    "x190_rate_ceiling" -> 630,
     // x188 = the prefix-bucket positioning chain (histogram offsets +
     // rank window) + the pos sort
     "x188_global_rank" -> 780,

@@ -1276,6 +1276,31 @@ object PipelineQueries extends QueryPack {
           AND tg.t > 0
         ORDER BY split_idx""")),
 
+    // ---- sliding rate ceiling: each user's exact peak events-per-hour
+    //      (the max over ANY trailing window, attained at event
+    //      anchors) — one RANGE-frame window + per-user max on the
+    //      same sort; x185's companion (B says how arrivals clump,
+    //      this says how high the clump peaks) ------------------------
+    Q("x190_rate_ceiling",
+      (s, dir) => graft.operators.RateCeiling.slidingPeak(
+        t(s, dir, "events"), "user_id", "ts", windowSeconds = 3600L)
+        .orderBy(col("user_id")),
+      Some("""WITH b AS (SELECT user_id AS u, ts,
+            epoch_us(ts) // 1000000 AS sec FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        c AS (SELECT u, ts,
+            CAST(count(*) OVER (PARTITION BY u ORDER BY sec
+              RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cnt
+          FROM b),
+        m AS (SELECT u, ts, cnt,
+            max(cnt) OVER (PARTITION BY u) AS mx FROM c)
+        SELECT u AS user_id, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(min(mx) AS BIGINT) AS peak,
+          strftime(min(CASE WHEN cnt = mx THEN ts END),
+            '%Y-%m-%d %H:%M:%S') AS peak_at
+        FROM m GROUP BY u ORDER BY user_id""")),
+
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")

@@ -708,6 +708,9 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x190: ONE user-partitioned sort carries the RANGE-frame count,
+      // the per-user max, and the report agg; + the total-order sort
+      "x190_rate_ceiling" -> 2,
       // x188: GlobalOrder's positioning chain — bucket histogram +
       // super totals + triangular offsets + the rank window + pos sort
       "x188_global_rank" -> 7,
