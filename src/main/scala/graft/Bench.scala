@@ -348,6 +348,9 @@ object Bench {
     "x173_l_diversity" -> 280,
     // x174 = one stacked 3-column pass + (column, digit) count agg
     "x174_benford_audit" -> 800,
+    // x191 = x180's running-last window + x170's count-table quantile
+    // chain (histogram + bounded cum + totals join + selection)
+    "x191_convert_time_quantiles" -> 920,
     // x190 = one user-partitioned sort carrying the RANGE-frame count
     // + per-user max + the report agg + sort
     "x190_rate_ceiling" -> 630,

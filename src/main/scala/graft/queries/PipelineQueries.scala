@@ -1301,6 +1301,57 @@ object PipelineQueries extends QueryPack {
             '%Y-%m-%d %H:%M:%S') AS peak_at
         FROM m GROUP BY u ORDER BY user_id""")),
 
+    // ---- time-to-convert distribution: exact p50/p90/p99 of the
+    //      touch→purchase delay per attributed channel — x180's
+    //      attribution feeding x170's count-table quantile machinery
+    //      (weight = 1); the funnel-latency readout that prices the
+    //      lookback window itself ---------------------------------------
+    Q("x191_convert_time_quantiles",
+      (s, dir) => {
+        val att = graft.operators.Attribution.lastTouch(
+          t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+          conversionType = "purchase", touchTypes = Seq("click", "view"),
+          lookbackSeconds = 86400L)
+          .filter(col("attributed") =!= "none")
+          .withColumn("one", lit(1L))
+        graft.operators.WeightedQuantiles.perGroup(att,
+            "attributed", "age_sec", "one",
+            Seq(500000L, 900000L, 990000L))
+          .orderBy(col("attributed"), col("pct_micro"))
+      },
+      Some("""WITH base AS (SELECT user_id AS u, ts, event_id AS id,
+            event_type AS ty,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isconv
+          FROM events
+          WHERE event_type IN ('purchase', 'click', 'view')),
+        sc AS (SELECT *,
+            last_value(CASE WHEN isconv = 0 THEN epoch_us(ts) END
+              IGNORE NULLS) OVER w AS lt_us,
+            last_value(CASE WHEN isconv = 0 THEN ty END IGNORE NULLS)
+              OVER w AS lt_ty
+          FROM base
+          WINDOW w AS (PARTITION BY u ORDER BY ts, isconv, id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        att AS (SELECT lt_ty AS g,
+            CAST((epoch_us(ts) - lt_us) // 1000000 AS BIGINT) AS age
+          FROM sc WHERE isconv = 1 AND lt_us IS NOT NULL
+            AND epoch_us(ts) - lt_us <= 86400000000),
+        h AS (SELECT g, age, CAST(count(*) AS BIGINT) AS cw
+          FROM att GROUP BY 1, 2),
+        c AS (SELECT g, age, cw,
+            CAST(sum(cw) OVER (PARTITION BY g ORDER BY age
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h),
+        t AS (SELECT g, CAST(sum(cw) AS BIGINT) AS tot
+          FROM h GROUP BY 1),
+        e AS (SELECT c.g, c.age, t.tot, CAST(q.p AS BIGINT) AS pct_micro
+          FROM c JOIN t ON c.g = t.g
+          CROSS JOIN unnest([500000, 900000, 990000]) AS q(p)
+          WHERE c.cum * 1000000 >= CAST(q.p AS BIGINT) * t.tot)
+        SELECT g AS attributed, pct_micro,
+          CAST(min(age) AS BIGINT) AS value_at, tot AS total_weight
+        FROM e GROUP BY g, pct_micro, tot
+        ORDER BY attributed, pct_micro""")),
+
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")

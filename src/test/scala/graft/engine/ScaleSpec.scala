@@ -708,6 +708,10 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x191: x180's user-partitioned window + x170's quantile chain
+      // (histogram agg, histogram-bounded cum window, totals join,
+      // selection agg) + the sort
+      "x191_convert_time_quantiles" -> 7,
       // x190: ONE user-partitioned sort carries the RANGE-frame count,
       // the per-user max, and the report agg; + the total-order sort
       "x190_rate_ceiling" -> 2,
