@@ -348,6 +348,9 @@ object Bench {
     "x173_l_diversity" -> 280,
     // x174 = one stacked 3-column pass + (column, digit) count agg
     "x174_benford_audit" -> 800,
+    // x192 = one (source, tokens) histogram agg + the histogram-
+    // bounded cum window + the per-group rollup + sort
+    "x192_gini_concentration" -> 560,
     // x191 = x180's running-last window + x170's count-table quantile
     // chain (histogram + bounded cum + totals join + selection)
     "x191_convert_time_quantiles" -> 920,

@@ -1352,6 +1352,42 @@ object PipelineQueries extends QueryPack {
         FROM e GROUP BY g, pct_micro, tot
         ORDER BY attributed, pct_micro""")),
 
+    // ---- token-mass concentration: per-source Gini over document
+    //      token counts via the closed-form rank sum on the value
+    //      HISTOGRAM (no per-row ranks) — a source whose mass
+    //      concentrates into a few documents is a crawl artifact long
+    //      before its totals drift ---------------------------------------
+    Q("x192_gini_concentration",
+      (s, dir) => graft.operators.Gini.perGroup(
+        t(s, dir, "documents").select(col("source"),
+          nTokens(tokens(col("text"))).cast("long").as("tok")),
+        "source", "tok")
+        .orderBy(col("source")),
+      Some("""WITH d AS (SELECT source,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+          FROM documents),
+        h AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c
+          FROM d GROUP BY 1, 2),
+        b AS (SELECT source, v, c,
+            CAST(coalesce(sum(c) OVER (PARTITION BY source ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS bb
+          FROM h),
+        w AS (SELECT source, v, c, bb,
+            v * (c * bb + c * (c + 1) // 2) AS ix FROM b),
+        a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+            CAST(sum(v * c) AS BIGINT) AS total,
+            sum(ix) AS six, CAST(max(v) AS BIGINT) AS mx
+          FROM w GROUP BY source)
+        SELECT source, n, total,
+          CAST(CASE WHEN total > 0 THEN mx * 1000000 // total
+            ELSE 0 END AS BIGINT) AS top_share_micro,
+          CASE WHEN total > 0
+            THEN round(CAST(2 * six - (n + 1) * total AS DOUBLE)
+              / (CAST(n AS DOUBLE) * total), 6)
+            ELSE 0.0 END AS gini
+        FROM a ORDER BY source""")),
+
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")

@@ -708,6 +708,9 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x192: one (group, value) histogram agg, the histogram-bounded
+      // cumulative window, the per-group rollup; + the sort
+      "x192_gini_concentration" -> 3,
       // x191: x180's user-partitioned window + x170's quantile chain
       // (histogram agg, histogram-bounded cum window, totals join,
       // selection agg) + the sort
