@@ -1388,6 +1388,48 @@ object PipelineQueries extends QueryPack {
             ELSE 0.0 END AS gini
         FROM a ORDER BY source""")),
 
+    // ---- sample-ratio-mismatch check: chi-square goodness-of-fit of
+    //      the md5 16-bucket assignment (the split x22/x184 stand on)
+    //      against uniform weights — declared buckets join from the
+    //      weight list so empty buckets still contribute; an observed
+    //      bucket outside the declaration fails loudly ------------------
+    Q("x193_srm_check",
+      (s, dir) => graft.operators.SrmCheck.goodnessOfFit(
+        t(s, dir, "documents").select(
+          substring(md5(col("doc_id").cast("string")), 1, 1).as("bucket")),
+        "bucket", "0123456789abcdef".map(c => (c.toString, 1L)))
+        .orderBy(col("bucket")),
+      Some("""WITH obs AS (SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+            AS bucket, CAST(count(*) AS BIGINT) AS o
+          FROM documents GROUP BY 1),
+        dec16 AS (SELECT unnest(['0','1','2','3','4','5','6','7','8','9',
+            'a','b','c','d','e','f']) AS bucket, CAST(1 AS BIGINT) AS w),
+        j AS (SELECT d.bucket, d.w, coalesce(o.o, 0) AS o
+          FROM dec16 d LEFT JOIN obs o USING (bucket)),
+        tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM j),
+        cells AS (SELECT j.bucket, j.w, j.o, t.nn,
+            16 * j.o - t.nn * j.w AS num
+          FROM j CROSS JOIN tot t),
+        per AS (SELECT bucket, CAST(o AS BIGINT) AS n,
+            CAST(w * 1000000 // 16 AS BIGINT) AS expected_micro,
+            CAST(CASE WHEN nn = 0 THEN 0 ELSE o * 1000000 // nn END
+              AS BIGINT) AS observed_micro,
+            CAST(CASE WHEN nn = 0 THEN 0
+              ELSE o * 1000000 // nn - w * 1000000 // 16 END
+              AS BIGINT) AS dev_micro,
+            -1.0 AS chi2 FROM cells),
+        summ AS (SELECT '__chi2__' AS bucket,
+            CAST(sum(o) AS BIGINT) AS n,
+            CAST(1000000 AS BIGINT) AS expected_micro,
+            CAST(1000000 AS BIGINT) AS observed_micro,
+            CAST(0 AS BIGINT) AS dev_micro,
+            CAST(round(sum(CAST(round(CAST(num * num AS DOUBLE)
+              / (CAST(nn AS DOUBLE) * 16 * w), 8) AS DECIMAL(18,8))), 6)
+              AS DOUBLE) AS chi2
+          FROM cells)
+        SELECT * FROM per UNION ALL SELECT * FROM summ
+        ORDER BY bucket""")),
+
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")

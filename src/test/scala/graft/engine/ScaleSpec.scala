@@ -167,6 +167,10 @@ class ScaleSpec extends SparkSpec {
       // x175: the 1-row vocabulary total cross-joins the batches-sized
       // novelty frame via an explicit single-row broadcast — same shape
       "x175_streaming_novelty_ledger",
+      // x193: the 1-row observed-total aggregate cross-joins the
+      // buckets-sized joined frame via an explicit single-row
+      // broadcast — x25/x40's 1-row shape
+      "x193_srm_check",
       // x176/x188: GlobalOrder's triangular super-offset join is a
       // deliberate non-equi self-join over the SUPER-PREFIX TOTALS
       // frame — bounded by |alphabet|^superChars (≤ 16² here), never
@@ -708,6 +712,10 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x193: one bucket-count agg; the declared-weights full join,
+      // 1-row total broadcast, and summary all ride the persisted
+      // buckets-sized frame; + the sort
+      "x193_srm_check" -> 6,
       // x192: one (group, value) histogram agg, the histogram-bounded
       // cumulative window, the per-group rollup; + the sort
       "x192_gini_concentration" -> 3,
