@@ -1430,6 +1430,42 @@ object PipelineQueries extends QueryPack {
         SELECT * FROM per UNION ALL SELECT * FROM summ
         ORDER BY bucket""")),
 
+    // ---- capture-recapture distinct estimate: two salted half-
+    //      captures of the text-hash population + the Chapman
+    //      estimator — the sketch-free third way to count distincts
+    //      (exact pays a full shuffle, HLL x70 pays fixed accuracy,
+    //      two captures pay ~2f of the work with a stated SE); the
+    //      exact column is the demo's adjudicator ---------------------
+    Q("x194_capture_recapture",
+      (s, dir) => graft.operators.CaptureRecapture.estimateDistinct(
+        t(s, dir, "documents").select(md5(col("text")).as("k")),
+        "k", hexLt = "8"),
+      Some("""WITH keys AS (SELECT md5(text) AS k FROM documents
+          WHERE text IS NOT NULL),
+        a AS (SELECT DISTINCT k FROM keys
+          WHERE substr(md5('a·' || k), 1, 1) < '8'),
+        b AS (SELECT DISTINCT k FROM keys
+          WHERE substr(md5('b·' || k), 1, 1) < '8'),
+        na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM a),
+        nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM b),
+        nab AS (SELECT CAST(count(*) AS BIGINT) AS n_ab
+          FROM a JOIN b USING (k)),
+        ex AS (SELECT CAST(count(DISTINCT k) AS BIGINT)
+          AS exact_distinct FROM keys)
+        SELECT n_a, n_b, n_ab,
+          CAST((n_a + 1) * (n_b + 1) // (n_ab + 1) - 1 AS BIGINT)
+            AS n_hat,
+          round(sqrt(CAST((n_a + 1) * (n_b + 1) * (n_a - n_ab)
+              * (n_b - n_ab) AS DOUBLE)
+            / CAST((n_ab + 1) * (n_ab + 1) * (n_ab + 2) AS DOUBLE)), 4)
+            AS se,
+          exact_distinct,
+          CAST(CASE WHEN exact_distinct = 0 THEN 0
+            ELSE ((n_a + 1) * (n_b + 1) // (n_ab + 1) - 1
+              - exact_distinct) * 1000000 // exact_distinct END
+            AS BIGINT) AS err_micro
+        FROM na, nb, nab, ex""")),
+
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")

@@ -167,6 +167,10 @@ class ScaleSpec extends SparkSpec {
       // x175: the 1-row vocabulary total cross-joins the batches-sized
       // novelty frame via an explicit single-row broadcast — same shape
       "x175_streaming_novelty_ledger",
+      // x194: the four capture/overlap/exact counts are all 1-row
+      // aggregates combined via explicit single-row broadcasts —
+      // x25/x40's 1-row shape
+      "x194_capture_recapture",
       // x193: the 1-row observed-total aggregate cross-joins the
       // buckets-sized joined frame via an explicit single-row
       // broadcast — x25/x40's 1-row shape
@@ -712,6 +716,9 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x194: two filtered capture distincts, the capture equi-join,
+      // the exact-distinct adjudicator agg, three 1-row broadcasts
+      "x194_capture_recapture" -> 9,
       // x193: one bucket-count agg; the declared-weights full join,
       // 1-row total broadcast, and summary all ride the persisted
       // buckets-sized frame; + the sort
