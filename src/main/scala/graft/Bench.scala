@@ -348,6 +348,9 @@ object Bench {
     "x173_l_diversity" -> 280,
     // x174 = one stacked 3-column pass + (column, digit) count agg
     "x174_benford_audit" -> 800,
+    // x195 = one (key, slice) histogram agg + the persisted two-CDF
+    // cumulative chain + division-free max/argmax
+    "x195_ks_drift" -> 820,
     // x194 = two filtered quarter/half distincts + the capture join +
     // the exact-distinct adjudicator + 1-row combination
     "x194_capture_recapture" -> 650,

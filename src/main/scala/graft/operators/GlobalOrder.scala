@@ -81,6 +81,56 @@ object GlobalOrder {
       .select(col("__id").as(idCol), col("__k").as(keyCol), col("pos"))
   }
 
+  /** Cumulative sums of one or more weight columns in global KEY order,
+    * without a global window — the multi-weight generalization of the
+    * offset decomposition: input one row per key (pre-aggregated by the
+    * caller), output the same rows plus `cum_<w>` = Σ of `w` over keys
+    * ≤ this key. Every frame is NDV- or alphabet-bounded; the
+    * triangular super join is the [[positions]] shape. The CDF
+    * primitive under [[KsDrift]] and any exact-distribution statistic. */
+  def cumulativeSums(hist: DataFrame, keyCol: String,
+      weightCols: Seq[String], bucketChars: Int = 4,
+      superChars: Int = 1): DataFrame = {
+    require(weightCols.nonEmpty, "no weight columns")
+    require(bucketChars >= 1 && superChars >= 1 &&
+      superChars < bucketChars,
+      s"need 1 <= superChars < bucketChars, got $superChars/$bucketChars")
+    val base = hist
+      .withColumn("__k", col(keyCol).cast("string"))
+      .filter(col("__k").isNotNull)
+      .withColumn("__b", substring(col("__k"), 1, bucketChars))
+      .withColumn("__s", substring(col("__k"), 1, superChars))
+    val bTot = base.groupBy(col("__s"), col("__b"))
+      .agg(sum(col(weightCols.head)).as(s"__bt_${weightCols.head}"),
+        weightCols.tail.map(w => sum(col(w)).as(s"__bt_$w")): _*)
+    val sTot = bTot.groupBy(col("__s"))
+      .agg(sum(col(s"__bt_${weightCols.head}"))
+          .as(s"__st_${weightCols.head}"),
+        weightCols.tail.map(w => sum(col(s"__bt_$w")).as(s"__st_$w")): _*)
+    val sOff = sTot.as("a")
+      .join(sTot.as("b"), col("b.__s") < col("a.__s"), "left")
+      .groupBy(col("a.__s").as("__s"))
+      .agg(coalesce(sum(col(s"b.__st_${weightCols.head}")), lit(0L))
+          .as(s"__so_${weightCols.head}"),
+        weightCols.tail.map(w =>
+          coalesce(sum(col(s"b.__st_$w")), lit(0L)).as(s"__so_$w")): _*)
+    val wB = Window.partitionBy(col("__s")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bOff = weightCols.foldLeft(bTot) { (d, w) =>
+      d.withColumn(s"__bb_$w",
+        coalesce(sum(col(s"__bt_$w")).over(wB), lit(0L)))
+    }.join(sOff, Seq("__s"))
+      .select(col("__b") +: weightCols.map(w =>
+        (col(s"__so_$w") + col(s"__bb_$w")).as(s"__off_$w")): _*)
+    val wK = Window.partitionBy(col("__b")).orderBy(col("__k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weightCols.foldLeft(base.join(broadcast(bOff), Seq("__b"))) {
+      (d, w) => d.withColumn(s"cum_$w",
+        col(s"__off_$w") + sum(col(w)).over(wK))
+    }.drop("__b", "__s", "__k")
+      .drop(weightCols.map(w => s"__off_$w"): _*)
+  }
+
   /** Exact range-partitioner boundaries: the `parts − 1` splitter keys
     * cutting key order into near-equal parts — what Spark's
     * RangePartitioner estimates by reservoir SAMPLING (nondeterministic

@@ -1466,6 +1466,49 @@ object PipelineQueries extends QueryPack {
             AS BIGINT) AS err_micro
         FROM na, nb, nab, ex""")),
 
+    // ---- exact two-sample KS drift: D = max |F_en − F_other| over
+    //      the full doc-length CDFs, division-free via cross-
+    //      multiplied integer cums (GlobalOrder.cumulativeSums — no
+    //      global window); sees tail shifts the top-K JS buckets
+    //      (x78/x84) never look at --------------------------------------
+    Q("x195_ks_drift",
+      (s, dir) => graft.operators.KsDrift.twoSample(
+        t(s, dir, "documents").select(
+          (col("lang") === "en").as("a"),
+          lpad(col("n_chars").cast("string"), 6, "0").as("k")),
+        col("a"), "k"),
+      Some("""WITH h AS (SELECT lpad(CAST(n_chars AS VARCHAR), 6, '0') AS k,
+            CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+              AS ca,
+            CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+              AS cb
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        c AS (SELECT k, ca, cb,
+            CAST(sum(ca) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cua,
+            CAST(sum(cb) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cub
+          FROM h),
+        t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+            CAST(sum(cb) AS BIGINT) AS n_b FROM h),
+        s AS (SELECT c.k, abs(cua * t.n_b - cub * t.n_a) AS dev,
+            t.n_a, t.n_b FROM c CROSS JOIN t),
+        m AS (SELECT max(dev) AS mxd FROM s),
+        sel AS (SELECT s.n_a, s.n_b, m.mxd, min(s.k) AS at_key
+          FROM s CROSS JOIN m WHERE s.dev = m.mxd
+          GROUP BY s.n_a, s.n_b, m.mxd)
+        SELECT n_a, n_b,
+          CAST(mxd * 1000000 // (n_a * n_b) AS BIGINT) AS d_micro,
+          at_key,
+          CAST(round(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)
+            / (CAST(n_a AS DOUBLE) * n_b)) * 1000000, 0) AS BIGINT)
+            AS crit_micro,
+          CAST(mxd * 1000000 // (n_a * n_b) AS BIGINT) >
+            CAST(round(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) * n_b)) * 1000000, 0) AS BIGINT)
+            AS drifted
+        FROM sel""")),
+
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")

@@ -167,6 +167,10 @@ class ScaleSpec extends SparkSpec {
       // x175: the 1-row vocabulary total cross-joins the batches-sized
       // novelty frame via an explicit single-row broadcast — same shape
       "x175_streaming_novelty_ledger",
+      // x195: GlobalOrder's bounded triangular super-offset join (the
+      // x176/x188 class) + 1-row totals/max broadcasts — both
+      // adjudicated shapes
+      "x195_ks_drift",
       // x194: the four capture/overlap/exact counts are all 1-row
       // aggregates combined via explicit single-row broadcasts —
       // x25/x40's 1-row shape
@@ -716,6 +720,10 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x195: one (key, slice) histogram agg + the cumulativeSums
+      // offset chain over the persisted NDV-sized CDF table + 1-row
+      // totals/max broadcasts + the argmax
+      "x195_ks_drift" -> 13,
       // x194: two filtered capture distincts, the capture equi-join,
       // the exact-distinct adjudicator agg, three 1-row broadcasts
       "x194_capture_recapture" -> 9,
