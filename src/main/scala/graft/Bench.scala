@@ -348,6 +348,10 @@ object Bench {
     "x173_l_diversity" -> 280,
     // x174 = one stacked 3-column pass + (column, digit) count agg
     "x174_benford_audit" -> 800,
+    // x196 = two AvailableNow runs (per-batch sessionize + summary
+    // append) + the interval-merge view + per-user rollup (the
+    // two-streaming-run cost class, cf. x182/x175)
+    "x196_streaming_session_ledger" -> 2960,
     // x195 = one (key, slice) histogram agg + the persisted two-CDF
     // cumulative chain + division-free max/argmax
     "x195_ks_drift" -> 820,

@@ -1509,6 +1509,60 @@ object PipelineQueries extends QueryPack {
             AS drifted
         FROM sel""")),
 
+    // ---- streaming session ledger: x10's sessionization fed
+    //      batch-by-batch — each batch appends only its session
+    //      SUMMARIES; gap-tolerant interval merging stitches across
+    //      batches (provably equal to whole-corpus sessionize for ANY
+    //      split, incl. the parity interleave used here); oracle =
+    //      x10's full sessionize rolled up per user -------------------
+    Q("x196_streaming_session_ledger",
+      (s, dir) => {
+        import graft.engine._
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val landing = wh.resolve("sslg_landing")
+        val ckpt = wh.resolve("_graft_checkpoints/sslg")
+        s.sql("CREATE DATABASE IF NOT EXISTS sslg")
+        s.sql("DROP TABLE IF EXISTS sslg.ledger")
+        for (p <- Seq(landing, ckpt, wh.resolve("sslg.db/ledger")))
+          Materializer.deleteRecursively(p)
+        def run(): Unit = EventStreams.streamingSessionLedger(s,
+          landing.toString, ev.schema, "sslg.ledger", ckpt.toString,
+          "user_id", "ts", "event_id", gapMinutes = 30)
+        ev.filter(col("event_id") % 2 === 0)
+          .write.mode("overwrite").parquet(landing.toString)
+        run()
+        ev.filter(col("event_id") % 2 === 1)
+          .write.mode("append").parquet(landing.toString)
+        run()
+        EventStreams.mergeSessionLedger(s.table("sslg.ledger"), 30)
+          .groupBy(col("u"))
+          .agg(count(lit(1)).cast("long").as("n_sessions"),
+            sum(col("n")).cast("long").as("n_events"),
+            max(col("n")).cast("long").as("max_session_events"))
+          .select(col("u").as("user_id"), col("n_sessions"),
+            col("n_events"), col("max_session_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS session_idx FROM x),
+        g AS (SELECT user_id, session_idx,
+            CAST(count(*) AS BIGINT) AS n
+          FROM s GROUP BY 1, 2)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+          CAST(sum(n) AS BIGINT) AS n_events,
+          CAST(max(n) AS BIGINT) AS max_session_events
+        FROM g GROUP BY user_id ORDER BY user_id""")),
+
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")

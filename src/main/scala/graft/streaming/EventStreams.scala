@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -546,6 +547,100 @@ object EventStreams {
     * idempotency convention). Read the ledger through it, never a bare
     * groupBy-sum. Compaction is the generic [[compactBatchLedger]] on
     * (group → docs, tokens). */
+  /** Streaming SESSION ledger — incremental sessionization (the x10
+    * batch op fed batch-by-batch): each microbatch sessionizes ITS OWN
+    * events (the x10 gap rule) and appends only the session SUMMARIES
+    * `(u, start_us, end_us, n, batch_id)` — bounded by the batch's
+    * session count, never its event count. Cross-batch stitching is
+    * the merge view's job: gap-tolerant interval merging over the
+    * summaries (a running max-end window per user + the gaps-and-
+    * islands rule) provably reconstructs the full-corpus sessions for
+    * ANY batch split, including out-of-order backfills — a summary
+    * can only join events whose full-ordering gaps are ≤ the summary's
+    * own span, and no summary ever spans a true session break (the
+    * closest event pair across a break is the adjacent pair, whose gap
+    * exceeds `gapMinutes` by definition). Replays collapse on
+    * (batch_id, u, start_us).
+    */
+  def streamingSessionLedger(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType, ledgerTable: String,
+      checkpointDir: String, userCol: String, tsCol: String,
+      idCol: String, gapMinutes: Int): Unit = {
+    require(gapMinutes >= 1, s"gapMinutes must be >= 1, got $gapMinutes")
+    val gapUs = gapMinutes * 60000000L
+    val stream = spark.readStream.schema(schema).parquet(landingDir)
+    val fb: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) => {
+        val w = Window.partitionBy(col("u")).orderBy(col("us"), col("id"))
+        batch.toDF()
+          .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("us"),
+            col(idCol).cast("long").as("id"))
+          .filter(col("u").isNotNull && col("us").isNotNull)
+          .withColumn("prev", lag(col("us"), 1).over(w))
+          .withColumn("is_new",
+            (col("prev").isNull || col("us") - col("prev") > gapUs)
+              .cast("long"))
+          .withColumn("sid", sum(col("is_new")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("u"), col("sid"))
+          .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+            count(lit(1)).as("n"))
+          .drop("sid")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").format("parquet").saveAsTable(ledgerTable)
+      }
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(fb)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    if (spark.catalog.tableExists(ledgerTable))
+      spark.catalog.refreshTable(ledgerTable)
+  }
+
+  /** Stitched full-corpus session summaries from a session ledger:
+    * `(u, start_us, end_us, n)` — gap-tolerant interval merging per
+    * user (see [[streamingSessionLedger]] for why this equals the
+    * batch sessionization for any split). */
+  def mergeSessionLedger(ledger: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes * 60000000L
+    val base = ledger.dropDuplicates("batch_id", "u", "start_us")
+    val wP = Window.partitionBy(col("u"))
+      .orderBy(col("start_us"), col("end_us"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wC = Window.partitionBy(col("u"))
+      .orderBy(col("start_us"), col("end_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("pmax", max(col("end_us")).over(wP))
+      .withColumn("is_new",
+        (col("pmax").isNull || col("start_us") > col("pmax") + gapUs)
+          .cast("long"))
+      .withColumn("island", sum(col("is_new")).over(wC))
+      .groupBy(col("u"), col("island"))
+      .agg(min(col("start_us")).as("start_us"),
+        max(col("end_us")).as("end_us"), sum(col("n")).as("n"))
+      .drop("island")
+  }
+
+  /** Compact a session ledger: batches strictly below the max collapse
+    * to their MERGED session summaries stamped `batch_id = -1` (interval
+    * merging is associative, so merging a prefix then the rest equals
+    * merging everything — semantically lossless under
+    * [[mergeSessionLedger]]); the max-id batch stays verbatim (the only
+    * AvailableNow-replayable batch). */
+  def compactSessionLedger(ledger: DataFrame, gapMinutes: Int): DataFrame = {
+    val maxB = ledger.agg(max(col("batch_id"))).first()
+    if (maxB.isNullAt(0)) return ledger
+    val last = ledger.filter(col("batch_id") === maxB.getLong(0))
+    val older = mergeSessionLedger(
+      ledger.filter(col("batch_id") < maxB.getLong(0)), gapMinutes)
+      .withColumn("batch_id", lit(-1L))
+      .select(ledger.columns.map(col): _*)
+    last.unionByName(older)
+  }
+
   /** Streaming LATE-ARRIVAL audit ledger — the watermark-design input
     * every event-time pipeline needs before picking
     * `withWatermark(delay)`: each microbatch appends ONE row

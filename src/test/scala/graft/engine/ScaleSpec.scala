@@ -720,6 +720,11 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x196: the REGISTERED plan is the interval-merge view (replay
+      // collapse + two user-partitioned windows on one sort + the
+      // rollup); the streaming writer's per-batch sessionizations ran
+      // in their own query executions
+      "x196_streaming_session_ledger" -> 3,
       // x195: one (key, slice) histogram agg + the cumulativeSums
       // offset chain over the persisted NDV-sized CDF table + 1-row
       // totals/max broadcasts + the argmax

@@ -41,6 +41,16 @@ class LedgerInvariantsSpec extends SparkSpec {
       (0, 1L, 1L), (5, 9L, 1L), (-1, 10L, 1L),
       (0, 2L, 2L), (-1, 3L, 2L))
       .toDF("pos", "cnt", "batch_id")
+    // session ledger: per-batch session summaries (us scale, 1-min
+    // gap); batches 0/1 share mergeable intervals so compaction
+    // genuinely merges history and strictly shrinks
+    val sslg = () => {
+      val M = 60000000L
+      Seq((1L, 0L, 10 * M, 2L, 0L), (1L, 100 * M, 110 * M, 3L, 0L),
+        (1L, 11 * M, 20 * M, 2L, 1L), (2L, 0L, M, 1L, 1L),
+        (1L, 200 * M, 210 * M, 1L, 2L))
+        .toDF("u", "start_us", "end_us", "n", "batch_id")
+    }
     // retraction ledger: signed partials whose batch-1 deltas retract
     // part of batch 0 (bucket 2 nets to zero — still reported; bucket 1
     // nets positive through a negative batch partial)
@@ -121,6 +131,12 @@ class LedgerInvariantsSpec extends SparkSpec {
             t.first().getLong(0))
         },
         EventStreams.compactBatchLedger(_, Seq("pos"), Seq("cnt"))),
+      Shape("sessions (x196)", sslg,
+        _.filter(col("batch_id") === 0),
+        l => EventStreams.mergeSessionLedger(l, 1).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) ->
+            ((r.getLong(2), r.getLong(3)))).toMap,
+        EventStreams.compactSessionLedger(_, 1)),
       Shape("retraction (x182)", rtl,
         _.filter(col("batch_id") === 0),
         l => EventStreams.mergeRetractionLedger(l, "bucket").collect()
