@@ -348,6 +348,9 @@ object Bench {
     "x173_l_diversity" -> 280,
     // x174 = one stacked 3-column pass + (column, digit) count agg
     "x174_benford_audit" -> 800,
+    // x197 = two AvailableNow runs (per-batch gap partials) + the
+    // boundary-stitch merge (two-streaming-run cost class)
+    "x197_streaming_burstiness_ledger" -> 2280,
     // x196 = two AvailableNow runs (per-batch sessionize + summary
     // append) + the interval-merge view + per-user rollup (the
     // two-streaming-run cost class, cf. x182/x175)

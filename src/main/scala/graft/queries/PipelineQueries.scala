@@ -1563,6 +1563,62 @@ object PipelineQueries extends QueryPack {
           CAST(max(n) AS BIGINT) AS max_session_events
         FROM g GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- streaming burstiness ledger: x185 fed incrementally —
+    //      per-batch (n, first, last, Σg, Σg²) partials; the merge
+    //      stitches boundary gaps between batch intervals (loud guard
+    //      against interleaving backfills) and must equal the batch
+    //      x185 verbatim — oracle IS x185's SQL ----------------------
+    Q("x197_streaming_burstiness_ledger",
+      (s, dir) => {
+        import graft.engine._
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val landing = wh.resolve("bulg_landing")
+        val ckpt = wh.resolve("_graft_checkpoints/bulg")
+        s.sql("CREATE DATABASE IF NOT EXISTS bulg")
+        s.sql("DROP TABLE IF EXISTS bulg.ledger")
+        for (p <- Seq(landing, ckpt, wh.resolve("bulg.db/ledger")))
+          Materializer.deleteRecursively(p)
+        def run(): Unit = EventStreams.streamingBurstinessLedger(s,
+          landing.toString, ev.schema, "bulg.ledger", ckpt.toString,
+          "user_id", "ts", "event_id")
+        val firstHalf = col("ts") < lit("2024-01-16").cast("timestamp")
+        ev.filter(firstHalf)
+          .write.mode("overwrite").parquet(landing.toString)
+        run()
+        ev.filter(!firstHalf)
+          .write.mode("append").parquet(landing.toString)
+        run()
+        EventStreams.mergeBurstinessLedger(
+            s.table("bulg.ledger"), "user_id", minGaps = 2L)
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id AS u, epoch_us(ts) AS ts_us,
+            event_id AS id FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        g0 AS (SELECT u, (ts_us - lag(ts_us) OVER
+            (PARTITION BY u ORDER BY ts_us, id)) // 1000000 AS g FROM e),
+        gg AS (SELECT u, g FROM g0 WHERE g IS NOT NULL),
+        a AS (SELECT u, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(g) AS BIGINT) AS s1,
+            CAST(sum(CAST(g * g AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+          FROM gg GROUP BY u HAVING count(*) >= 2),
+        b AS (SELECT u, n, s1,
+            CAST(s1 AS DOUBLE) / n AS mu,
+            sqrt(greatest(CAST(n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1
+              AS DOUBLE)
+              / (CAST(n AS DOUBLE) * n), 0.0)) AS sig
+          FROM a)
+        SELECT u AS user_id, n AS n_gaps,
+          CAST(s1 * 1000000 // n AS BIGINT) AS mean_gap_sec_micro,
+          CASE WHEN sig + mu > 0
+            THEN round((sig - mu) / (sig + mu), 6) ELSE 0.0 END
+            AS burstiness,
+          CASE WHEN mu > 0 THEN round(sig / mu, 6) ELSE 0.0 END AS cv
+        FROM b ORDER BY user_id""")),
+
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")

@@ -641,6 +641,136 @@ object EventStreams {
     last.unionByName(older)
   }
 
+  /** Streaming BURSTINESS ledger — [[graft.operators.Burstiness]] (x185)
+    * fed incrementally: each microbatch appends per-user partials
+    * `(u, n, first_us, last_us, s1 = Σ gap-sec, s2 = Σ gap-sec²,
+    * batch_id)` — the within-batch gap sums plus the interval ends the
+    * merge needs to stitch the BOUNDARY gaps between batches. Unlike
+    * the additive ledgers, gap statistics are order-dependent, so this
+    * ledger carries a TIME-ORDERED-INGESTION contract: each user's
+    * batch intervals must not interleave (normal streaming; a backfill
+    * violates it), and the merge view enforces it loudly rather than
+    * silently mis-stitching. */
+  def streamingBurstinessLedger(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType, ledgerTable: String,
+      checkpointDir: String, userCol: String, tsCol: String,
+      idCol: String): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(landingDir)
+    val fb: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) => {
+        val w = Window.partitionBy(col("u")).orderBy(col("us"), col("id"))
+        batch.toDF()
+          .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("us"),
+            col(idCol).cast("long").as("id"))
+          .filter(col("u").isNotNull && col("us").isNotNull)
+          .withColumn("prev", lag(col("us"), 1).over(w))
+          .withColumn("g", expr("(us - prev) DIV 1000000"))
+          .groupBy(col("u"))
+          .agg(count(lit(1)).as("n"), min(col("us")).as("first_us"),
+            max(col("us")).as("last_us"),
+            coalesce(sum(col("g")), lit(0L)).as("s1"),
+            coalesce(sum((col("g") * col("g"))
+              .cast(DecimalType(38, 0))), lit(0L).cast(DecimalType(38, 0)))
+              .cast(DecimalType(38, 0)).as("s2"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").format("parquet").saveAsTable(ledgerTable)
+      }
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(fb)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    if (spark.catalog.tableExists(ledgerTable))
+      spark.catalog.refreshTable(ledgerTable)
+  }
+
+  /** x185's report from a burstiness ledger: stitches boundary gaps
+    * between consecutive batch intervals per user, then applies the
+    * identical B/cv arithmetic — the merged report must equal the
+    * whole-corpus [[graft.operators.Burstiness.interArrival]].
+    * Interleaving batch intervals (an out-of-order backfill) fail
+    * loudly: gap statistics cannot be stitched out of order. */
+  def mergeBurstinessLedger(ledger: DataFrame, userCol: String,
+      minGaps: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val d38 = DecimalType(38, 0)
+    val base = ledger.dropDuplicates("batch_id", "u", "first_us")
+    val wO = Window.partitionBy(col("u"))
+      .orderBy(col("first_us"), col("last_us"))
+    val stitched = base
+      .withColumn("prev_last", lag(col("last_us"), 1).over(wO))
+      .withColumn("b_gap",
+        when(col("prev_last").isNull, lit(null).cast("long"))
+          .otherwise(when(col("prev_last") > col("first_us"),
+            raise_error(concat(
+              lit("burstiness ledger: batch intervals interleave for "),
+              lit("user "), col("u").cast("string"),
+              lit(" — out-of-order ingestion cannot be stitched")))
+              .cast("long"))
+            .otherwise(expr("(first_us - prev_last) DIV 1000000"))))
+    val agg = stitched.groupBy(col("u"))
+      .agg(sum(col("n")).cast("long").as("nn"),
+        (coalesce(sum(col("s1")), lit(0L)) +
+          coalesce(sum(col("b_gap")), lit(0L))).cast("long").as("s1"),
+        (coalesce(sum(col("s2")), lit(0L).cast(d38)) +
+          coalesce(sum((col("b_gap") * col("b_gap")).cast(d38)),
+            lit(0L).cast(d38))).cast(d38).as("s2"))
+      .withColumn("n", col("nn") - 1L) // total gaps = events − 1
+      .filter(col("n") >= minGaps)
+    val mu = col("s1").cast(DoubleType) / col("n")
+    val vard = (col("n") * col("s2") -
+      col("s1").cast(d38) * col("s1").cast(d38))
+      .cast(DoubleType) / (col("n").cast(DoubleType) * col("n"))
+    val sigma = sqrt(greatest(vard, lit(0.0)))
+    agg.select(col("u").as(userCol), col("n").cast("long").as("n_gaps"),
+      expr("CAST(s1 * 1000000 DIV n AS BIGINT)").as("mean_gap_sec_micro"),
+      when(sigma + mu > 0.0, round((sigma - mu) / (sigma + mu), 6))
+        .otherwise(lit(0.0)).as("burstiness"),
+      when(mu > 0.0, round(sigma / mu, 6))
+        .otherwise(lit(0.0)).as("cv"))
+  }
+
+  /** Compact a burstiness ledger: batches strictly below the max
+    * collapse to ONE stitched partial per user stamped `batch_id = -1`
+    * (boundary-gap stitching over time-ordered intervals is
+    * associative, so pre-stitching a prefix is lossless under
+    * [[mergeBurstinessLedger]]); the max-id batch stays verbatim. */
+  def compactBurstinessLedger(ledger: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val maxB = ledger.agg(max(col("batch_id"))).first()
+    if (maxB.isNullAt(0)) return ledger
+    val last = ledger.filter(col("batch_id") === maxB.getLong(0))
+    val olderRows = ledger.filter(col("batch_id") < maxB.getLong(0))
+      .dropDuplicates("batch_id", "u", "first_us")
+    val wO = Window.partitionBy(col("u"))
+      .orderBy(col("first_us"), col("last_us"))
+    val older = olderRows
+      .withColumn("prev_last", lag(col("last_us"), 1).over(wO))
+      .withColumn("b_gap",
+        when(col("prev_last").isNull, lit(null).cast("long"))
+          .otherwise(when(col("prev_last") > col("first_us"),
+            raise_error(concat(
+              lit("burstiness ledger: batch intervals interleave for "),
+              lit("user "), col("u").cast("string"),
+              lit(" — out-of-order ingestion cannot be compacted")))
+              .cast("long"))
+            .otherwise(expr("(first_us - prev_last) DIV 1000000"))))
+      .groupBy(col("u"))
+      .agg(sum(col("n")).cast("long").as("n"),
+        min(col("first_us")).as("first_us"),
+        max(col("last_us")).as("last_us"),
+        (coalesce(sum(col("s1")), lit(0L)) +
+          coalesce(sum(col("b_gap")), lit(0L))).cast("long").as("s1"),
+        (coalesce(sum(col("s2")), lit(0L).cast(d38)) +
+          coalesce(sum((col("b_gap") * col("b_gap")).cast(d38)),
+            lit(0L).cast(d38))).cast(d38).as("s2"))
+      .withColumn("batch_id", lit(-1L))
+      .select(ledger.columns.map(col): _*)
+    last.unionByName(older)
+  }
+
   /** Streaming LATE-ARRIVAL audit ledger — the watermark-design input
     * every event-time pipeline needs before picking
     * `withWatermark(delay)`: each microbatch appends ONE row

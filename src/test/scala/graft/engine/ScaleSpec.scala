@@ -720,6 +720,10 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x197: the REGISTERED plan is the boundary-stitch merge (replay
+      // collapse + one user-partitioned lag window + rollup + sort)
+      // over the users×batches ledger
+      "x197_streaming_burstiness_ledger" -> 3,
       // x196: the REGISTERED plan is the interval-merge view (replay
       // collapse + two user-partitioned windows on one sort + the
       // rollup); the streaming writer's per-batch sessionizations ran

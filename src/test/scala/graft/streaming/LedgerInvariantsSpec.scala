@@ -51,6 +51,15 @@ class LedgerInvariantsSpec extends SparkSpec {
         (1L, 200 * M, 210 * M, 1L, 2L))
         .toDF("u", "start_us", "end_us", "n", "batch_id")
     }
+    // burstiness ledger: per-batch gap partials (time-ordered
+    // intervals); three batches for user 1 so compaction stitches
+    // history and strictly shrinks
+    val bulg = () => Seq(
+      (1L, 2L, 0L, 10000000L, 10L, BigDecimal(100), 0L),
+      (1L, 2L, 20000000L, 40000000L, 20L, BigDecimal(400), 1L),
+      (2L, 2L, 0L, 5000000L, 5L, BigDecimal(25), 1L),
+      (1L, 1L, 100000000L, 100000000L, 0L, BigDecimal(0), 2L))
+      .toDF("u", "n", "first_us", "last_us", "s1", "s2", "batch_id")
     // retraction ledger: signed partials whose batch-1 deltas retract
     // part of batch 0 (bucket 2 nets to zero — still reported; bucket 1
     // nets positive through a negative batch partial)
@@ -131,6 +140,11 @@ class LedgerInvariantsSpec extends SparkSpec {
             t.first().getLong(0))
         },
         EventStreams.compactBatchLedger(_, Seq("pos"), Seq("cnt"))),
+      Shape("burstiness (x197)", bulg,
+        _.filter(col("batch_id") === 0),
+        l => EventStreams.mergeBurstinessLedger(l, "u", 1L).collect()
+          .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap,
+        EventStreams.compactBurstinessLedger(_)),
       Shape("sessions (x196)", sslg,
         _.filter(col("batch_id") === 0),
         l => EventStreams.mergeSessionLedger(l, 1).collect()
