@@ -348,6 +348,9 @@ object Bench {
     "x173_l_diversity" -> 280,
     // x174 = one stacked 3-column pass + (column, digit) count agg
     "x174_benford_audit" -> 800,
+    // x198 = the x10 session window + x141's Apriori pair chain
+    // (distinct, prune, within-basket self-join, staged lift)
+    "x198_session_baskets" -> 1710,
     // x197 = two AvailableNow runs (per-batch gap partials) + the
     // boundary-stitch merge (two-streaming-run cost class)
     "x197_streaming_burstiness_ledger" -> 2280,

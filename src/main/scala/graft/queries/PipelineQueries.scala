@@ -1619,6 +1619,60 @@ object PipelineQueries extends QueryPack {
           CASE WHEN mu > 0 THEN round(sig / mu, 6) ELSE 0.0 END AS cv
         FROM b ORDER BY user_id""")),
 
+    // ---- session-basket co-occurrence: which event types co-occur
+    //      within a session more than chance — x10's gap sessions AS
+    //      the baskets for x141's Apriori pair mining (support /
+    //      confidence both ways / lift per type pair) ------------------
+    Q("x198_session_baskets",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("is_new", (col("prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev")) >
+              1800000000L).cast("long"))
+          .withColumn("sid", sum(col("is_new")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(concat_ws("#", col("user_id"), col("sid")).as("bk"),
+            col("event_type").as("it"))
+        graft.operators.Baskets.frequentPairs(ev, "bk", "it",
+            minSupportMicro = 2000L, minItemCount = 2L,
+            maxBasketSize = 64)
+          .orderBy(col("item1"), col("item2"))
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, ts, event_type,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sx AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS sid FROM x),
+        b AS (SELECT DISTINCT user_id || '#' || CAST(sid AS VARCHAR)
+            AS bk, event_type AS it FROM sx),
+        n AS (SELECT count(DISTINCT bk) AS nb FROM b),
+        ic AS (SELECT it, CAST(count(*) AS BIGINT) AS c
+          FROM b GROUP BY 1),
+        f AS (SELECT * FROM ic WHERE c >= 2),
+        bf AS (SELECT b.bk, b.it, f.c FROM b JOIN f ON b.it = f.it),
+        p2 AS (SELECT l.it AS item1, r.it AS item2, l.c AS c1,
+            r.c AS c2, CAST(count(*) AS BIGINT) AS pair_count
+          FROM bf l JOIN bf r ON l.bk = r.bk AND l.it < r.it
+          GROUP BY 1, 2, 3, 4)
+        SELECT item1, item2, c1, c2, pair_count,
+          pair_count * 1000000 // nb AS support_micro,
+          pair_count * 1000000 // c1 AS conf12_micro,
+          pair_count * 1000000 // c2 AS conf21_micro,
+          (pair_count * 1000000 // c1) * nb // c2 AS lift_micro
+        FROM p2 CROSS JOIN n
+        WHERE pair_count * 1000000 // nb >= 2000
+        ORDER BY item1, item2""")),
+
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
