@@ -348,6 +348,9 @@ object Bench {
     "x173_l_diversity" -> 280,
     // x174 = one stacked 3-column pass + (column, digit) count agg
     "x174_benford_audit" -> 800,
+    // x199 = x19's pair/component chain (dominant, cf. x167/x186) +
+    // the per-cluster lang rollup
+    "x199_cross_lingual_dups" -> 3050,
     // x198 = the x10 session window + x141's Apriori pair chain
     // (distinct, prune, within-basket self-join, staged lift)
     "x198_session_baskets" -> 1710,

@@ -1673,6 +1673,52 @@ object PipelineQueries extends QueryPack {
         WHERE pair_count * 1000000 // nb >= 2000
         ORDER BY item1, item2""")),
 
+    // ---- cross-lingual duplicate audit: do near-dup clusters span
+    //      languages? — translated boilerplate / MT-copied content
+    //      shows up as multi-language components; per multi-member
+    //      cluster: members, distinct langs, the sorted lang list,
+    //      and the cross_lingual flag ----------------------------------
+    Q("x199_cross_lingual_dups",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          n = 4, threshold = 0.2, maxDf = 100L)
+        val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+          maxRounds = 60)
+        docs.select(col("doc_id"), col("lang"))
+          .join(comp, docs("doc_id") === comp("v"))
+          .groupBy(col("comp").as("component"))
+          .agg(count(lit(1)).cast("long").as("n_members"),
+            countDistinct(col("lang")).cast("long").as("n_langs"),
+            array_join(array_sort(collect_set(col("lang"))), ",")
+              .as("langs"))
+          .withColumn("cross_lingual", col("n_langs") > 1L)
+          .orderBy(col("component"))
+      },
+      Some(s"""WITH RECURSIVE tk AS (SELECT doc_id, $shingleSql AS s FROM documents),
+        ex0 AS (SELECT doc_id AS doc, unnest(s) AS sh FROM tk),
+        keep AS (SELECT sh FROM ex0 GROUP BY sh HAVING count(*) <= 100),
+        ex AS (SELECT doc, ex0.sh FROM ex0 JOIN keep ON ex0.sh = keep.sh),
+        sz AS (SELECT doc, count(*) AS n_sh FROM ex GROUP BY doc),
+        co AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+               FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc < b.doc
+               GROUP BY a.doc, b.doc),
+        pr AS (SELECT doc_a, doc_b
+               FROM co JOIN sz sa ON doc_a = sa.doc JOIN sz sb ON doc_b = sb.doc
+               WHERE CAST(common AS DOUBLE)/(sa.n_sh + sb.n_sh - common) >= 0.2),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+                  UNION SELECT doc_b, doc_a FROM pr),
+        reach AS (SELECT s AS v, s AS l FROM edges
+                  UNION
+                  SELECT e.s, r.l FROM reach r JOIN edges e ON e.d = r.v),
+        comp AS (SELECT v, min(l) AS component FROM reach GROUP BY v)
+        SELECT c.component, CAST(count(*) AS BIGINT) AS n_members,
+          CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+          array_to_string(list_sort(list(DISTINCT d.lang)), ',') AS langs,
+          count(DISTINCT d.lang) > 1 AS cross_lingual
+        FROM comp c JOIN documents d ON d.doc_id = c.v
+        GROUP BY c.component ORDER BY c.component""")),
+
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")

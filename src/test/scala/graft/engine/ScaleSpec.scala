@@ -720,6 +720,9 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x199: x19's inverted-index pair chain + component labeling
+      // (the x167/x186 compound class) + the per-cluster lang rollup
+      "x199_cross_lingual_dups" -> 3,
       // x198: the x10 user-partitioned session window feeding x141's
       // Apriori chain (its budget class + the session window)
       "x198_session_baskets" -> 8,
