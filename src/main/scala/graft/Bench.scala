@@ -348,6 +348,9 @@ object Bench {
     "x173_l_diversity" -> 280,
     // x174 = one stacked 3-column pass + (column, digit) count agg
     "x174_benford_audit" -> 800,
+    // x200 = one persisted tokenized scan driving four stage stats
+    // (filters + one hash-dedup join) + the 1-row raw broadcast
+    "x200_curation_funnel" -> 570,
     // x199 = x19's pair/component chain (dominant, cf. x167/x186) +
     // the per-cluster lang rollup
     "x199_cross_lingual_dups" -> 3050,

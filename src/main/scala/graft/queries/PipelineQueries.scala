@@ -56,6 +56,15 @@ object PipelineQueries extends QueryPack {
   private val blocklistPhrases = Seq(
     "slow", "table scan", "slow query", "big table scan", "leak")
 
+  /** One phrase's positional hit count over the `ts` token array as
+    * DuckDB SQL (shared by x99's oracle and x200's funnel stage). */
+  private def phraseCntSql(p: String): String = {
+    val ws = p.split(" ")
+    val conj = ws.zipWithIndex
+      .map { case (w, j) => s"ts[i+${j + 1}] = '$w'" }.mkString(" AND ")
+    s"len(list_filter(range(len(ts)-${ws.length - 1}), i -> $conj))"
+  }
+
   /** x99 oracle: per-phrase positional counts + the first-max tie rule,
     * generated from [[blocklistPhrases]] so query and oracle can never
     * drift. */
@@ -1718,6 +1727,96 @@ object PipelineQueries extends QueryPack {
           count(DISTINCT d.lang) > 1 AS cross_lingual
         FROM comp c JOIN documents d ON d.doc_id = c.v
         GROUP BY c.component ORDER BY c.component""")),
+
+    // ---- the curation funnel, end to end: raw → quality (x28's four
+    //      rules) → exact dedup (keep-first) → blocklist screen (x99's
+    //      phrase hits) → with docs / tokens / 512-token sequences and
+    //      retention micro at EVERY stage — the executive summary of
+    //      the whole library in one oracle-checked query ---------------
+    Q("x200_curation_funnel",
+      (s, dir) => {
+        val phrases = blocklistPhrases.map(_.split(" ", -1).toSeq)
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .withColumn("ts", tokens(col("text")))
+          .withColumn("tok", nTokens(col("ts")).cast("long"))
+          .persist()
+        val q = d.filter(nTokens(col("ts")) >= 30 &&
+          dupTokenRatio(col("ts")) <= 0.55 &&
+          avgTokenLen(col("ts")) >= 4.0 && avgTokenLen(col("ts")) <= 5.0 &&
+          stopwordRatio(col("ts")) > 0.0)
+          .withColumn("h", md5(col("text")))
+          .persist()
+        val keepIds = q.groupBy(col("h")).agg(min(col("doc_id")).as("kid"))
+        val dd = q.join(keepIds,
+          q("h") === keepIds("h") && q("doc_id") === keepIds("kid"))
+          .select(q("doc_id"), q("text"), q("tok"))
+          .persist()
+        val hitsTotal = aggregate(
+          graft.expressions.TextExpressions.phraseHits(col("text"), phrases),
+          lit(0L), (acc, x) => acc + x)
+        val sc = dd.filter(hitsTotal === 0L)
+        def stats(df: org.apache.spark.sql.DataFrame, idx: Int,
+            name: String) = df.agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          coalesce(sum(col("tok")), lit(0L)).cast("long").as("n_tokens"),
+          coalesce(sum(expr("(tok + 511) DIV 512")), lit(0L))
+            .cast("long").as("n_seqs_512"))
+          .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"), col("n_seqs_512"))
+        val raw = stats(d, 1, "raw")
+        val stages = raw
+          .unionByName(stats(q, 2, "quality"))
+          .unionByName(stats(dd, 3, "exact_dedup"))
+          .unionByName(stats(sc, 4, "blocklist"))
+        val rawRow = raw.select(col("n_docs").as("rn"),
+          col("n_tokens").as("rt"))
+        stages.crossJoin(broadcast(rawRow))
+          .select(col("stage_idx"), col("stage"), col("n_docs"),
+            col("n_tokens"), col("n_seqs_512"),
+            expr("n_docs * 1000000 DIV rn").as("docs_retained_micro"),
+            expr("n_tokens * 1000000 DIV rt").as("tokens_retained_micro"))
+          .orderBy(col("stage_idx"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ts,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+          FROM documents),
+        q AS (SELECT * FROM d WHERE len(ts) >= 30
+          AND 1.0 - CAST(len(list_distinct(ts)) AS DOUBLE)/len(ts) <= 0.55
+          AND CAST(list_sum(list_transform(ts, t -> length(t)))
+            AS DOUBLE)/len(ts) BETWEEN 4.0 AND 5.0
+          AND len(list_filter(ts,
+            t -> t IN ('the','a','of','and','to','in','is'))) > 0),
+        dd AS (SELECT q.* FROM q JOIN (SELECT md5(text) AS h,
+            min(doc_id) AS kid FROM q GROUP BY 1) k
+          ON md5(q.text) = k.h AND q.doc_id = k.kid),
+        sc AS (SELECT * FROM dd WHERE
+          ${blocklistPhrases.map(phraseCntSql).mkString(" + ")} = 0),
+        s1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(coalesce(sum(tok), 0) AS BIGINT) AS t,
+            CAST(coalesce(sum((tok + 511) // 512), 0) AS BIGINT) AS sq
+          FROM d),
+        s2 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(coalesce(sum(tok), 0) AS BIGINT) AS t,
+            CAST(coalesce(sum((tok + 511) // 512), 0) AS BIGINT) AS sq
+          FROM q),
+        s3 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(coalesce(sum(tok), 0) AS BIGINT) AS t,
+            CAST(coalesce(sum((tok + 511) // 512), 0) AS BIGINT) AS sq
+          FROM dd),
+        s4 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(coalesce(sum(tok), 0) AS BIGINT) AS t,
+            CAST(coalesce(sum((tok + 511) // 512), 0) AS BIGINT) AS sq
+          FROM sc),
+        st AS (SELECT CAST(1 AS BIGINT) AS stage_idx, 'raw' AS stage,
+            n, t, sq FROM s1
+          UNION ALL SELECT 2, 'quality', n, t, sq FROM s2
+          UNION ALL SELECT 3, 'exact_dedup', n, t, sq FROM s3
+          UNION ALL SELECT 4, 'blocklist', n, t, sq FROM s4)
+        SELECT st.stage_idx, st.stage, st.n AS n_docs, st.t AS n_tokens,
+          st.sq AS n_seqs_512,
+          CAST(st.n * 1000000 // s1.n AS BIGINT) AS docs_retained_micro,
+          CAST(st.t * 1000000 // s1.t AS BIGINT) AS tokens_retained_micro
+        FROM st CROSS JOIN s1 ORDER BY stage_idx""")),
 
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",

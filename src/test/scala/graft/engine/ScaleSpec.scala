@@ -171,6 +171,9 @@ class ScaleSpec extends SparkSpec {
       // x176/x188 class) + 1-row totals/max broadcasts — both
       // adjudicated shapes
       "x195_ks_drift",
+      // x200: the 1-row raw-stage stats cross-join the 4-row stage
+      // union via an explicit single-row broadcast — x25/x40's shape
+      "x200_curation_funnel",
       // x194: the four capture/overlap/exact counts are all 1-row
       // aggregates combined via explicit single-row broadcasts —
       // x25/x40's 1-row shape
@@ -720,6 +723,10 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x200: the persisted tokenized scan + per-stage one-row stats
+      // (a filter chain + one md5 keep-first join) + the union + the
+      // 1-row raw broadcast + sort
+      "x200_curation_funnel" -> 6,
       // x199: x19's inverted-index pair chain + component labeling
       // (the x167/x186 compound class) + the per-cluster lang rollup
       "x199_cross_lingual_dups" -> 3,
