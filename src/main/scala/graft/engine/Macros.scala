@@ -145,9 +145,36 @@ object Macros {
           kwargs.getOrElse("id", "doc_id"))
       case Some("postings") =>
         graft.operators.Dedup.compactLedger(ledger)
+      case Some("set") =>
+        kwargs.get("keys") match {
+          case Some(k) => EventStreams.compactSetLedger(ledger,
+            k.split(",").map(_.trim).toSeq)
+          case None =>
+            return Seq("compact_ledger: shape set needs keys kwarg " +
+              "(comma-list)")
+        }
+      case Some("sample") =>
+        (kwargs.get("group"), kwargs.get("id"),
+          kwargs.get("n").flatMap(_.toIntOption)) match {
+          case (Some(g), Some(i), Some(n)) =>
+            EventStreams.compactSampleLedger(ledger, g, i, n)
+          case _ =>
+            return Seq("compact_ledger: shape sample needs group, id " +
+              "and integer n kwargs")
+        }
+      case Some("sessions") =>
+        kwargs.get("gap").flatMap(_.toIntOption) match {
+          case Some(g) => EventStreams.compactSessionLedger(ledger, g)
+          case None =>
+            return Seq("compact_ledger: shape sessions needs an " +
+              "integer gap kwarg (minutes)")
+        }
+      case Some("burstiness") =>
+        EventStreams.compactBurstinessLedger(ledger)
       case other =>
         return Seq("compact_ledger: shape must be batch|suppression|" +
-          s"postings, got ${other.getOrElse("(none)")}")
+          "postings|set|sample|sessions|burstiness, " +
+          s"got ${other.getOrElse("(none)")}")
     }
     val before = ledger.count()
     val pinned = compacted.localCheckpoint()

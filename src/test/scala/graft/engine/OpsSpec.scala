@@ -163,6 +163,32 @@ class OpsSpec extends SparkSpec {
       .exists(_.contains("does not exist")))
   }
 
+  test("cli: compact_ledger handles the sessions shape end-to-end") {
+    import spark.implicits._
+    val p = new Project(spark, Target("dev", "compactop", threads = 2))
+    spark.sql("CREATE DATABASE IF NOT EXISTS compactop")
+    spark.sql("DROP TABLE IF EXISTS compactop.sessions")
+    val M = 60000000L
+    Seq((1L, 0L, 10 * M, 2L, 0L), (1L, 100 * M, 110 * M, 3L, 0L),
+        (1L, 11 * M, 20 * M, 2L, 1L), (1L, 200 * M, 210 * M, 1L, 2L))
+      .toDF("u", "start_us", "end_us", "n", "batch_id")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("compactop.sessions")
+    def view() = graft.streaming.EventStreams
+      .mergeSessionLedger(spark.table("compactop.sessions"), 1)
+      .collect().map(_.toSeq).toSet
+    val want = view()
+    val before = spark.table("compactop.sessions").count()
+    val out = Cli.run(p, Seq("run-operation", "compact_ledger",
+      "--args", "{table: compactop.sessions, shape: sessions, gap: 1}"))
+    assert(out.exists(_.startsWith("compacted compactop.sessions")), out)
+    assert(view() == want, "compaction changed the stitched sessions")
+    assert(spark.table("compactop.sessions").count() < before)
+    assert(Cli.run(p, Seq("run-operation", "compact_ledger",
+      "--args", "{table: compactop.sessions, shape: sessions}"))
+      .exists(_.contains("integer gap")))
+  }
+
   test("profiles file: target selection, env_var templating, threads") {
     val yaml =
       """# reference-shaped profiles file
