@@ -348,6 +348,10 @@ object Bench {
     "x173_l_diversity" -> 280,
     // x174 = one stacked 3-column pass + (column, digit) count agg
     "x174_benford_audit" -> 800,
+    // x201 = two AvailableNow runs (per-batch shingle bottom-k) + the
+    // merged bottom-k estimate + the exact-distinct adjudicator (the
+    // shingling passes dominate — the x175/x02 cost class)
+    "x201_streaming_kmv_ledger" -> 3790,
     // x200 = one persisted tokenized scan driving four stage stats
     // (filters + one hash-dedup join) + the 1-row raw broadcast
     "x200_curation_funnel" -> 570,

@@ -1818,6 +1818,74 @@ object PipelineQueries extends QueryPack {
           CAST(st.t * 1000000 // s1.t AS BIGINT) AS tokens_retained_micro
         FROM st CROSS JOIN s1 ORDER BY stage_idx""")),
 
+    // ---- streaming KMV cardinality ledger: bounded-state distinct
+    //      tracking — k rows per batch instead of x175's full
+    //      vocabulary set; bottom-k is mergeable, the estimate is
+    //      long-exact integer arithmetic, and the exact distinct rides
+    //      as the x70-style self-adjudicating verdict ------------------
+    Q("x201_streaming_kmv_ledger",
+      (s, dir) => {
+        import graft.engine._
+        import graft.functions.TextFunctions
+        val shStream = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextFunctions.shingles(tokens(col("text")), 4))
+              .as("sh"))
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val landing = wh.resolve("kmvlg_landing")
+        val ckpt = wh.resolve("_graft_checkpoints/kmvlg")
+        s.sql("CREATE DATABASE IF NOT EXISTS kmvlg")
+        s.sql("DROP TABLE IF EXISTS kmvlg.ledger")
+        for (p <- Seq(landing, ckpt, wh.resolve("kmvlg.db/ledger")))
+          Materializer.deleteRecursively(p)
+        def run(): Unit = EventStreams.streamingKmvLedger(s,
+          landing.toString, shStream.schema, "kmvlg.ledger",
+          ckpt.toString, col("sh"), k = 256)
+        shStream.filter(col("doc_id") % 2 === 0)
+          .write.mode("overwrite").parquet(landing.toString)
+        run()
+        shStream.filter(col("doc_id") % 2 === 1)
+          .write.mode("append").parquet(landing.toString)
+        run()
+        val kmv = EventStreams.mergeKmvLedger(s.table("kmvlg.ledger"), 256)
+        val exact = shStream.select(col("sh")).distinct()
+          .agg(count(lit(1)).cast("long").as("exact_distinct"))
+        kmv.crossJoin(broadcast(exact))
+          // sign·(absdiff DIV): negative integral division truncates in
+          // Spark but floors in DuckDB — keep the divide non-negative
+          .withColumn("err_micro", expr(
+            "CASE WHEN kmv_estimate >= exact_distinct THEN " +
+              "(kmv_estimate - exact_distinct) * 1000000 DIV exact_distinct " +
+              "ELSE -((exact_distinct - kmv_estimate) * 1000000 " +
+              "DIV exact_distinct) END"))
+          .withColumn("verdict_ok", abs(col("err_micro")) <= 190000L)
+      },
+      Some(s"""WITH sh AS (SELECT DISTINCT unnest(s) AS sh
+          FROM (SELECT $shingleSql AS s FROM documents)),
+        hs AS (SELECT md5(sh) AS h FROM sh),
+        bot AS (SELECT h FROM hs ORDER BY h LIMIT 256),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, max(h) AS hk
+          FROM bot),
+        ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM sh),
+        est AS (SELECT CAST(256 AS BIGINT) AS k_used, agg.n_rows,
+            CAST(CASE WHEN agg.n_rows < 256 THEN agg.n_rows
+              ELSE (255 * 4503599627370496)
+                // greatest(CAST(concat('0x', substr(agg.hk, 1, 13))
+                  AS BIGINT), 1) END AS BIGINT) AS kmv_estimate,
+            ex.exact_distinct
+          FROM agg CROSS JOIN ex)
+        SELECT k_used, n_rows, kmv_estimate, exact_distinct,
+          CAST(CASE WHEN kmv_estimate >= exact_distinct
+            THEN (kmv_estimate - exact_distinct) * 1000000 // exact_distinct
+            ELSE -((exact_distinct - kmv_estimate) * 1000000
+              // exact_distinct) END AS BIGINT) AS err_micro,
+          abs(CASE WHEN kmv_estimate >= exact_distinct
+            THEN (kmv_estimate - exact_distinct) * 1000000 // exact_distinct
+            ELSE -((exact_distinct - kmv_estimate) * 1000000
+              // exact_distinct) END) <= 190000 AS verdict_ok
+        FROM est""")),
+
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")

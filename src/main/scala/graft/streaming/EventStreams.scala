@@ -771,6 +771,63 @@ object EventStreams {
     last.unionByName(older)
   }
 
+  /** Streaming KMV CARDINALITY ledger — the bounded-state distinct
+    * tracker (K Minimum Values, Bar-Yossef et al., RANDOM 2002): where
+    * the novelty ledger (x175) stores EVERY distinct shingle hash —
+    * vocabulary-sized, the honest-but-heavy exact design — this stores
+    * at most `k` rows per batch: the batch's k smallest md5 values of
+    * the key stream. Bottom-k is MERGEABLE (bottom-k of a union =
+    * bottom-k of the per-batch bottom-ks), so the merged ledger
+    * estimates the all-time distinct count from k·batches rows —
+    * then compaction ([[compactSetLedger]] on the hash; set semantics
+    * apply verbatim) takes it to ~k. Per-batch state is TakeOrdered-k
+    * (k rows to the driver, never a global sort). */
+  def streamingKmvLedger(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType, ledgerTable: String,
+      checkpointDir: String, key: Column, k: Int): Unit = {
+    require(k >= 16, s"k must be >= 16 for a usable estimate, got $k")
+    val stream = spark.readStream.schema(schema).parquet(landingDir)
+    val fb: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        batch.toDF()
+          .select(md5(key.cast("string")).as("h"))
+          .filter(col("h").isNotNull)
+          .distinct()
+          .orderBy(col("h")).limit(k)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").format("parquet").saveAsTable(ledgerTable)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(fb)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    if (spark.catalog.tableExists(ledgerTable))
+      spark.catalog.refreshTable(ledgerTable)
+  }
+
+  /** Distinct-count estimate from a KMV ledger: `(k_used, n_rows,
+    * kmv_estimate)` — N̂ = (k−1)·16¹³ DIV h_k over the merged bottom-k
+    * (the first 13 hex chars of the k-th smallest hash as a uniform
+    * integer in [0, 16¹³) — 52 bits of precision, and (k−1)·16¹³ stays
+    * inside a long for k ≤ 2047, so the floor division is exact and
+    * identical on both engines; the x185 decimal-DIV lesson applied up
+    * front). When fewer than `k` distinct hashes exist the count is
+    * exact (= n_rows). Replays collapse by hash (set semantics). */
+  def mergeKmvLedger(ledger: DataFrame, k: Int): DataFrame = {
+    require(k <= 2047, s"k must be <= 2047 (long-exact arithmetic), got $k")
+    val bottom = ledger.select(col("h")).distinct()
+      .orderBy(col("h")).limit(k)
+    val agg = bottom.agg(count(lit(1)).cast("long").as("n_rows"),
+      max(col("h")).as("hk"))
+    agg.select(lit(k.toLong).as("k_used"), col("n_rows"),
+      when(col("n_rows") < k, col("n_rows"))
+        .otherwise(expr(
+          s"(${k - 1}L * 4503599627370496L) DIV " +
+            "greatest(CAST(conv(substring(hk, 1, 13), 16, 10) AS BIGINT), 1L)"))
+        .as("kmv_estimate"))
+  }
+
   /** Streaming LATE-ARRIVAL audit ledger — the watermark-design input
     * every event-time pipeline needs before picking
     * `withWatermark(delay)`: each microbatch appends ONE row

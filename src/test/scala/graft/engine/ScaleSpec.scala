@@ -171,6 +171,10 @@ class ScaleSpec extends SparkSpec {
       // x176/x188 class) + 1-row totals/max broadcasts — both
       // adjudicated shapes
       "x195_ks_drift",
+      // x201: the 1-row exact-distinct adjudicator cross-joins the
+      // 1-row KMV estimate via an explicit single-row broadcast —
+      // x25/x40's 1-row shape
+      "x201_streaming_kmv_ledger",
       // x200: the 1-row raw-stage stats cross-join the 4-row stage
       // union via an explicit single-row broadcast — x25/x40's shape
       "x200_curation_funnel",
@@ -723,6 +727,11 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x201: the REGISTERED plan is the merged bottom-k estimate +
+      // the exact-distinct adjudicator agg + the 1-row cross; the
+      // streaming writer's per-batch TakeOrdered ran in its own
+      // query executions
+      "x201_streaming_kmv_ledger" -> 3,
       // x200: the persisted tokenized scan + per-stage one-row stats
       // (a filter chain + one md5 keep-first join) + the union + the
       // 1-row raw broadcast + sort

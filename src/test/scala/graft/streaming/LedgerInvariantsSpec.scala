@@ -51,6 +51,13 @@ class LedgerInvariantsSpec extends SparkSpec {
         (1L, 200 * M, 210 * M, 1L, 2L))
         .toDF("u", "start_us", "end_us", "n", "batch_id")
     }
+    // KMV ledger: per-batch bottom-k hash rows (hex strings); batches
+    // 0 and 1 share a hash so compaction collapses history
+    val kmvlg = () => Seq(
+      ("00000000000010aa", 0L), ("000000000000f0aa", 0L),
+      ("00000000000010aa", 1L), ("0000000000002baa", 1L),
+      ("00000000000041aa", 2L))
+      .toDF("h", "batch_id")
     // burstiness ledger: per-batch gap partials (time-ordered
     // intervals); three batches for user 1 so compaction stitches
     // history and strictly shrinks
@@ -140,6 +147,11 @@ class LedgerInvariantsSpec extends SparkSpec {
             t.first().getLong(0))
         },
         EventStreams.compactBatchLedger(_, Seq("pos"), Seq("cnt"))),
+      Shape("kmv bottom-k (x201)", kmvlg,
+        _.filter(col("batch_id") === 0),
+        l => EventStreams.mergeKmvLedger(l, 4).collect()
+          .map(_.toSeq).toSet,
+        EventStreams.compactSetLedger(_, Seq("h"))),
       Shape("burstiness (x197)", bulg,
         _.filter(col("batch_id") === 0),
         l => EventStreams.mergeBurstinessLedger(l, "u", 1L).collect()
