@@ -1010,7 +1010,24 @@ class ScaleSpec extends SparkSpec {
       // x156 measured 98KB at sf0.01: only (doc, hash, len) chunk rows
       // cross the wire — a chunking bug that ships texts, or a lost
       // partial agg, inflates this past the ceiling
-      ("x156_cdc_chunk_dedup", 1L << 20))
+      ("x156_cdc_chunk_dedup", 1L << 20),
+      // x176 measured 205KB at sf0.01: candidate traffic must stay
+      // O(n·window) — a broken shifted tiling that emits quadratic
+      // pairs, or a positioning bug that funnels rows, inflates it
+      ("x176_sorted_neighborhood", 2L << 20),
+      // x188 measured 50KB at sf0.01: only (id, key, bucket) rows +
+      // histogram offsets cross the wire — positions never shuffle
+      // more than once
+      ("x188_global_rank", 512L << 10),
+      // x189 measured 2.2MB at sf0.01: the weighted histogram IS
+      // NDV-sized and the price key is near-unique here (continuous
+      // keys pay their NDV); the ceiling catches a lost broadcast or
+      // a corpus-sized re-shuffle on top of it
+      ("x189_range_splitters", 16L << 20),
+      // x195 measured 16KB at sf0.01: the doc-length histogram is
+      // value-range-bounded — a lost histogram agg would push doc
+      // rows through the CDF chain instead
+      ("x195_ks_drift", 256L << 10))
     val readings = caps.map { case (name, cap) =>
       spark.catalog.clearCache()
       val b = graft.PlanAudit.executedShuffleBytes(
