@@ -348,6 +348,9 @@ object Bench {
     "x173_l_diversity" -> 280,
     // x174 = one stacked 3-column pass + (column, digit) count agg
     "x174_benford_audit" -> 800,
+    // x202 = the GlobalOrder positioning chain + the outcome join +
+    // parts-sized bucket rollups (triangular cumulative) + sort
+    "x202_scorer_gains" -> 940,
     // x201 = two AvailableNow runs (per-batch shingle bottom-k) + the
     // merged bottom-k estimate + the exact-distinct adjudicator (the
     // shingling passes dominate — the x175/x02 cost class)

@@ -1886,6 +1886,68 @@ object PipelineQueries extends QueryPack {
               // exact_distinct) END) <= 190000 AS verdict_ok
         FROM est""")),
 
+    // ---- scorer gains table: does token-diversity rank predict the
+    //      x28 quality gate? — decile cumulative lift over exact
+    //      GlobalOrder ranks (no global window; the cumulative pass is
+    //      a triangular join over the 10-row bucket table); lift at
+    //      the top deciles is what earns a scorer its filter slot ------
+    Q("x202_scorer_gains",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .withColumn("ts", tokens(col("text")))
+          .withColumn("sc", expr(
+            "size(array_distinct(ts)) * 1000000L DIV size(ts)"))
+          .withColumn("y",
+            nTokens(col("ts")) >= 30 && dupTokenRatio(col("ts")) <= 0.55 &&
+            avgTokenLen(col("ts")) >= 4.0 && avgTokenLen(col("ts")) <= 5.0 &&
+            stopwordRatio(col("ts")) > 0.0)
+          .withColumn("k",
+            lpad((lit(1000000L) - col("sc")).cast("string"), 7, "0"))
+        graft.operators.GainsTable.byRank(base, "doc_id", "k", "y",
+            parts = 10, bucketChars = 4, superChars = 2)
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
+          FROM documents),
+        f AS (SELECT doc_id,
+            CAST(len(list_distinct(ts)) * 1000000 // len(ts) AS BIGINT)
+              AS sc,
+            (len(ts) >= 30
+              AND 1.0 - CAST(len(list_distinct(ts)) AS DOUBLE)/len(ts)
+                <= 0.55
+              AND CAST(list_sum(list_transform(ts, t -> length(t)))
+                AS DOUBLE)/len(ts) BETWEEN 4.0 AND 5.0
+              AND len(list_filter(ts,
+                t -> t IN ('the','a','of','and','to','in','is'))) > 0)
+              AS y
+          FROM d),
+        kk AS (SELECT doc_id,
+            lpad(CAST(1000000 - sc AS VARCHAR), 7, '0') AS key, y FROM f),
+        p AS (SELECT doc_id, y,
+            row_number() OVER (ORDER BY key, doc_id) AS pos FROM kk),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM p),
+        b AS (SELECT ((pos - 1) * 10 // nn) + 1 AS bucket, y
+          FROM p CROSS JOIN n),
+        per AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+              AS positives
+          FROM b GROUP BY 1),
+        g AS (SELECT CAST(sum(n) AS BIGINT) AS gn,
+            CAST(sum(positives) AS BIGINT) AS gp FROM per),
+        cum AS (SELECT a.bucket, a.n, a.positives,
+            CAST(sum(b2.n) AS BIGINT) AS cum_n,
+            CAST(sum(b2.positives) AS BIGINT) AS cum_positives
+          FROM per a JOIN per b2 ON b2.bucket <= a.bucket
+          GROUP BY 1, 2, 3)
+        SELECT c.bucket, c.n, c.positives,
+          CAST(c.positives * 1000000 // c.n AS BIGINT) AS rate_micro,
+          c.cum_n, c.cum_positives,
+          CAST(c.cum_positives * 1000000 // c.cum_n AS BIGINT)
+            AS cum_rate_micro,
+          CAST(c.cum_positives * g.gn * 1000000
+            // (c.cum_n * g.gp) AS BIGINT) AS cum_lift_micro
+        FROM cum c CROSS JOIN g ORDER BY bucket""")),
+
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")

@@ -171,6 +171,11 @@ class ScaleSpec extends SparkSpec {
       // x176/x188 class) + 1-row totals/max broadcasts — both
       // adjudicated shapes
       "x195_ks_drift",
+      // x202: GlobalOrder's bounded triangular super-offset join, the
+      // parts-sized (≤ 10-row) triangular cumulative self-join, and
+      // the 1-row total/grand broadcasts — all adjudicated bounded
+      // shapes (x176/x188 and x25/x40 classes)
+      "x202_scorer_gains",
       // x201: the 1-row exact-distinct adjudicator cross-joins the
       // 1-row KMV estimate via an explicit single-row broadcast —
       // x25/x40's 1-row shape
@@ -727,6 +732,10 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x202: GlobalOrder's positioning chain + the id-keyed outcome
+      // join + the persisted parts-sized bucket table (triangular
+      // cumulative) + 1-row total/grand broadcasts + sort
+      "x202_scorer_gains" -> 13,
       // x201: the REGISTERED plan is the merged bottom-k estimate +
       // the exact-distinct adjudicator agg + the 1-row cross; the
       // streaming writer's per-batch TakeOrdered ran in its own
