@@ -25,6 +25,15 @@ import org.apache.spark.sql.types.DoubleType
   * (the x62 guarded-baseline convention — a production run at scale
   * drops it; the estimator is the product). Integer arithmetic
   * throughout; the only floating value is the rounded standard error.
+  *
+  * Overflow contract: the Var numerator is a product of four counts
+  * (~N⁴/64 at half-captures) and N̂'s numerator is (n_A+1)(n_B+1)
+  * (~N²/4) — both silently wrap a LONG at corpus scale (N ≳ 150k per
+  * capture for the former, ≳ 3·10⁹ for the latter, well inside the
+  * operator's advertised regime). Each factor is therefore cast to
+  * DOUBLE before the Var multiply, and N̂/err are computed in
+  * DECIMAL(38,0) then narrowed to BIGINT (the quotient is ~N, which
+  * always fits).
   */
 object CaptureRecapture {
 
@@ -51,16 +60,20 @@ object CaptureRecapture {
     nA.crossJoin(broadcast(nB)).crossJoin(broadcast(nAB))
       .crossJoin(broadcast(exact))
       .withColumn("n_hat",
-        expr("(n_a + 1) * (n_b + 1) DIV (n_ab + 1) - 1"))
+        expr("CAST(CAST(n_a + 1 AS DECIMAL(38,0)) * CAST(n_b + 1 AS " +
+          "DECIMAL(38,0)) DIV (n_ab + 1) AS BIGINT) - 1"))
       .withColumn("se", round(sqrt(
-        ((col("n_a") + 1L) * (col("n_b") + 1L) *
-          (col("n_a") - col("n_ab")) * (col("n_b") - col("n_ab")))
-          .cast(DoubleType) /
-          (((col("n_ab") + 1L) * (col("n_ab") + 1L) *
-            (col("n_ab") + 2L)).cast(DoubleType))), 4))
+        ((col("n_a") + 1L).cast(DoubleType) *
+          (col("n_b") + 1L).cast(DoubleType) *
+          (col("n_a") - col("n_ab")).cast(DoubleType) *
+          (col("n_b") - col("n_ab")).cast(DoubleType)) /
+          ((col("n_ab") + 1L).cast(DoubleType) *
+            (col("n_ab") + 1L).cast(DoubleType) *
+            (col("n_ab") + 2L).cast(DoubleType))), 4))
       .withColumn("err_micro",
         expr("CASE WHEN exact_distinct = 0 THEN 0L ELSE " +
-          "(n_hat - exact_distinct) * 1000000L DIV exact_distinct END"))
+          "CAST(CAST(n_hat - exact_distinct AS DECIMAL(38,0)) " +
+          "* 1000000 DIV exact_distinct AS BIGINT) END"))
       .select(col("n_a"), col("n_b"), col("n_ab"), col("n_hat"),
         col("se"), col("exact_distinct"), col("err_micro"))
   }

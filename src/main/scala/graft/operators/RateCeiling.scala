@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * peaks). For each entity, the maximum event count in ANY trailing
   * `windowSeconds` window — exact because a sliding-window maximum is
   * always attained at an event time, so evaluating the trailing count
-  * ONLY at event anchors (a RANGE-frame window over integer epoch
-  * seconds) covers every window.
+  * ONLY at event anchors covers every window. The RANGE frame runs
+  * over integer epoch MICROSECONDS (frame [−(w·10⁶−1), 0]), so the
+  * exactness claim holds at full event-time precision — flooring to
+  * seconds first would let two sub-second events up to w+1 s apart
+  * share a window and overstate the peak.
   *
   * Scale shape: one user-partitioned sort carries both the RANGE-frame
   * count and the per-user max; the report aggregation rides the same
@@ -29,12 +32,14 @@ object RateCeiling {
       windowSeconds: Long): DataFrame = {
     require(windowSeconds >= 1,
       s"windowSeconds must be >= 1, got $windowSeconds")
+    require(windowSeconds <= Long.MaxValue / 1000000L - 1,
+      s"windowSeconds overflows the microsecond frame: $windowSeconds")
     val base = events
       .select(col(userCol).as("u"), col(tsCol).as("ts"),
-        expr(s"unix_micros(${tsCol}) DIV 1000000").as("sec"))
-      .filter(col("u").isNotNull && col("sec").isNotNull)
-    val wR = Window.partitionBy(col("u")).orderBy(col("sec"))
-      .rangeBetween(-(windowSeconds - 1), 0)
+        expr(s"unix_micros(${tsCol})").as("us"))
+      .filter(col("u").isNotNull && col("us").isNotNull)
+    val wR = Window.partitionBy(col("u")).orderBy(col("us"))
+      .rangeBetween(-(windowSeconds * 1000000L - 1), 0)
     val wM = Window.partitionBy(col("u"))
     base
       .withColumn("cnt", count(lit(1)).over(wR))

@@ -68,7 +68,8 @@ object SortedNeighborhood {
     */
   def candidatePairs(df: DataFrame, idCol: String, keyCol: String,
       window: Int, bucketChars: Int = 4, superChars: Int = 1,
-      segSize: Long = 4096L, maxBucket: Long = 1L << 22): DataFrame = {
+      segSize: Long = 4096L, maxBucket: Long = 1L << 22,
+      scope: Option[CacheScope] = None): DataFrame = {
     require(window >= 2 && window <= 64,
       s"window must be in 2..64, got $window")
     require(bucketChars >= 1 && superChars >= 1 &&
@@ -83,14 +84,13 @@ object SortedNeighborhood {
     // persisted: the positioning chain ([[GlobalOrder.positions]] —
     // histograms + rank window) feeds both tilings; without the cache
     // it would re-execute per tiling
-    val positioned = GlobalOrder
+    val positioned = CacheScope.route(scope, GlobalOrder
       .positions(df, idCol, keyCol, bucketChars, superChars, maxBucket)
       .select(col(idCol).as("__id"), col(keyCol).as("__k"),
         col("pos").as("__pos"))
       .select(col("__id"), col("__k"), col("__pos"),
         expr(s"(__pos - 1L) DIV ${segSize}L").as("__seg1"),
-        expr(s"(__pos - 1L + ${segSize / 2}L) DIV ${segSize}L").as("__seg2"))
-      .persist()
+        expr(s"(__pos - 1L + ${segSize / 2}L) DIV ${segSize}L").as("__seg2")))
 
     // window-1 leads over one tiling's segment-partitioned window; each
     // lead carries its row's tiling-1 segment so the emit rule can tell

@@ -34,7 +34,8 @@ object SrmCheck {
     * `(bucket, n, expected_micro, observed_micro, dev_micro, chi2)` —
     * chi2 is populated (6dp) only on the summary row, −1 elsewhere. */
   def goodnessOfFit(df: DataFrame, bucketCol: String,
-      weights: Seq[(String, Long)]): DataFrame = {
+      weights: Seq[(String, Long)],
+      scope: Option[CacheScope] = None): DataFrame = {
     require(weights.nonEmpty, "no declared buckets")
     require(weights.forall(_._2 > 0), "weights must be positive")
     require(weights.map(_._1).distinct.size == weights.size,
@@ -55,14 +56,14 @@ object SrmCheck {
       .groupBy("bucket").agg(count(lit(1)).as("o"))
     // declared LEFT join observed: zero-count buckets still contribute;
     // the anti side (observed but undeclared) is a loud corruption
-    val joined = declared.join(obs, Seq("bucket"), "full")
-      .select(
-        when(col("w").isNull, raise_error(concat(
-          lit("SrmCheck: observed bucket '"), col("bucket"),
-          lit("' is not in the declared assignment — corrupted split"))))
-          .otherwise(col("bucket")).as("bucket"),
-        col("w"), coalesce(col("o"), lit(0L)).as("o"))
-      .persist()
+    val joined = CacheScope.route(scope,
+      declared.join(obs, Seq("bucket"), "full")
+        .select(
+          when(col("w").isNull, raise_error(concat(
+            lit("SrmCheck: observed bucket '"), col("bucket"),
+            lit("' is not in the declared assignment — corrupted split"))))
+            .otherwise(col("bucket")).as("bucket"),
+          col("w"), coalesce(col("o"), lit(0L)).as("o")))
     val tot = joined.agg(sum(col("o")).cast("long").as("nn"))
     val cells = joined.crossJoin(broadcast(tot))
       .withColumn("num",

@@ -56,6 +56,69 @@ class CacheScopeSpec extends SparkSpec {
     assert(gotO == wantO && gotJ == wantJ)
   }
 
+  test("round-13 operators all route persists through the scope") {
+    import spark.implicits._
+    val tbl = (1 to 60).map(i =>
+      (i.toLong, f"k$i%04d", i % 3 == 0, s"s${i % 4}", s"l${i % 3}"))
+      .toDF("id", "k", "y", "src", "lang")
+    // (name, scoped-run → collected result, unscoped-run)
+    val cases: Seq[(String, CacheScope => Seq[String], () => Seq[String])] =
+      Seq(
+        ("ChiSquare", sc => ChiSquare.audit(tbl, Seq(("src", "lang")),
+          scope = Some(sc)).orderBy("pair").collect().map(_.toString).toSeq,
+          () => ChiSquare.audit(tbl, Seq(("src", "lang")))
+            .orderBy("pair").collect().map(_.toString).toSeq),
+        ("FdAudit", sc => FdAudit.audit(tbl, Seq((Seq("src"), "lang")),
+          scope = Some(sc)).orderBy("candidate").collect()
+          .map(_.toString).toSeq,
+          () => FdAudit.audit(tbl, Seq((Seq("src"), "lang")))
+            .orderBy("candidate").collect().map(_.toString).toSeq),
+        ("SrmCheck", sc => SrmCheck.goodnessOfFit(tbl, "src",
+          (0 until 4).map(i => (s"s$i", 1L)), scope = Some(sc))
+          .orderBy("bucket").collect().map(_.toString).toSeq,
+          () => SrmCheck.goodnessOfFit(tbl, "src",
+            (0 until 4).map(i => (s"s$i", 1L)))
+            .orderBy("bucket").collect().map(_.toString).toSeq),
+        ("KsDrift", sc => KsDrift.twoSample(tbl, col("y"), "k",
+          scope = Some(sc)).collect().map(_.toString).toSeq,
+          () => KsDrift.twoSample(tbl, col("y"), "k")
+            .collect().map(_.toString).toSeq),
+        ("GainsTable", sc => GainsTable.byRank(tbl, "id", "k", "y",
+          parts = 4, scope = Some(sc)).orderBy("bucket").collect()
+          .map(_.toString).toSeq,
+          () => GainsTable.byRank(tbl, "id", "k", "y", parts = 4)
+            .orderBy("bucket").collect().map(_.toString).toSeq),
+        ("PostStratify", sc => PostStratify.weights(tbl,
+          tbl.filter(col("id") <= 40), Seq("src"), minCell = 2L,
+          scope = Some(sc)).orderBy("src").collect().map(_.toString).toSeq,
+          () => PostStratify.weights(tbl, tbl.filter(col("id") <= 40),
+            Seq("src"), minCell = 2L)
+            .orderBy("src").collect().map(_.toString).toSeq),
+        ("SortedNeighborhood", sc => SortedNeighborhood.candidatePairs(
+          tbl, "id", "k", window = 3, segSize = 8L, scope = Some(sc))
+          .orderBy("id_a", "id_b").collect().map(_.toString).toSeq,
+          () => SortedNeighborhood.candidatePairs(tbl, "id", "k",
+            window = 3, segSize = 8L)
+            .orderBy("id_a", "id_b").collect().map(_.toString).toSeq),
+        ("GlobalOrder.rangeSplitters", sc => GlobalOrder.rangeSplitters(
+          tbl, "k", parts = 4, scope = Some(sc)).orderBy("split_idx")
+          .collect().map(_.toString).toSeq,
+          () => GlobalOrder.rangeSplitters(tbl, "k", parts = 4)
+            .orderBy("split_idx").collect().map(_.toString).toSeq))
+    for ((name, scoped, unscoped) <- cases) {
+      spark.catalog.clearCache()
+      val baseline = CacheScope.cachedBlockCount(spark)
+      var tracked = -1
+      val got = CacheScope.withScope { sc =>
+        val out = scoped(sc); tracked = sc.trackedCount; out
+      }
+      assert(tracked >= 1, s"$name never routed a persist via the scope")
+      assert(CacheScope.cachedBlockCount(spark) <= baseline,
+        s"$name left cached blocks after release()")
+      assert(got == unscoped(), s"$name: scoping changed results")
+    }
+  }
+
   test("release is idempotent and scope-local (other caches untouched)") {
     import spark.implicits._
     spark.catalog.clearCache()
