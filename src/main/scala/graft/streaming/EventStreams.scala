@@ -526,27 +526,6 @@ object EventStreams {
     pre.unionByName(ledger.filter(col("batch_id") === maxId))
   }
 
-  /** Streaming token-accounting LEDGER — per-group corpus token/doc
-    * totals maintained incrementally: the numbers every mix-design step
-    * consumes (UniMax caps x98, temperature resampling x48, DoReMi-lite
-    * x106 all start from "how many tokens does each source have") kept
-    * current without ever re-scanning the corpus. Each microbatch
-    * appends ONE row per group it touches — (group, docs, tokens,
-    * batch_id), a groups-sized partial from a map-side-combined agg —
-    * and totals are ADDITIVE, so the merged ledger telescopes to
-    * exactly the whole-corpus aggregation (what the x168 oracle
-    * asserts). The lightest member of the ledger family: per-batch
-    * state is groups-sized, not value- or posting-sized.
-    *
-    * `tokens` is any non-null integer Column over the batch rows
-    * (the x08 counters, or a real tokenizer's count column upstream).
-    *
-    * DELIVERY: foreachBatch is at-least-once — every row carries
-    * `batch_id`, and [[mergeTokenLedger]] collapses replays
-    * (`dropDuplicates(batch_id, group)`) before summing (the x72/x84
-    * idempotency convention). Read the ledger through it, never a bare
-    * groupBy-sum. Compaction is the generic [[compactBatchLedger]] on
-    * (group → docs, tokens). */
   /** Streaming SESSION ledger — incremental sessionization (the x10
     * batch op fed batch-by-batch): each microbatch sessionizes ITS OWN
     * events (the x10 gap rule) and appends only the session SUMMARIES
@@ -650,7 +629,18 @@ object EventStreams {
     * ledger carries a TIME-ORDERED-INGESTION contract: each user's
     * batch intervals must not interleave (normal streaming; a backfill
     * violates it), and the merge view enforces it loudly rather than
-    * silently mis-stitching. */
+    * silently mis-stitching.
+    *
+    * Backfill taxonomy: a batch whose interval lands strictly BETWEEN
+    * two existing intervals stitches fine — [[mergeBurstinessLedger]]
+    * orders by `first_us`, not batch id, so out-of-order but
+    * non-overlapping delivery needs no special path. Only OVERLAPPING
+    * intervals (the backfill's events interleave an existing batch's)
+    * are unstitchable from interval partials — within-batch gap sums
+    * counted gaps the interleaved events split — and those raise; the
+    * recovery is [[repairBurstinessLedger]] (replay ONLY the affected
+    * users from the raw events — a semi-join-pruned pass — into one
+    * `batch_id = -1` partial each). */
   def streamingBurstinessLedger(spark: SparkSession, landingDir: String,
       schema: org.apache.spark.sql.types.StructType, ledgerTable: String,
       checkpointDir: String, userCol: String, tsCol: String,
@@ -729,6 +719,55 @@ object EventStreams {
         .otherwise(lit(0.0)).as("burstiness"),
       when(mu > 0.0, round(sigma / mu, 6))
         .otherwise(lit(0.0)).as("cv"))
+  }
+
+  /** REPAIR an out-of-order backfill in a burstiness ledger: detect
+    * users whose batch intervals OVERLAP (the unstitchable class — see
+    * [[streamingBurstinessLedger]]'s taxonomy; non-overlapping
+    * backfills never need this), drop all their ledger rows, and
+    * replace them with ONE `batch_id = -1` partial each recomputed
+    * from the raw `events` relation (the landing data the ledger was
+    * fed from — the data, not the partials, is the only place the true
+    * interleaved gap sequence still exists). Untouched users' rows
+    * pass through byte-identical. After repair,
+    * [[mergeBurstinessLedger]] equals the whole-corpus batch rule
+    * (BurstinessLedgerSpec pins it against x185's aggregation).
+    *
+    * Scale shape: detection is LEDGER-sized (one per-user window over
+    * batch intervals); the replay reads only affected users' events —
+    * a broadcastable-keys semi-join that prunes at the scan — and its
+    * one sort rides the same per-user key. Cost is proportional to the
+    * backfill's blast radius, never the corpus. */
+  def repairBurstinessLedger(ledger: DataFrame, events: DataFrame,
+      userCol: String, tsCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val base = ledger.dropDuplicates("batch_id", "u", "first_us")
+    val wO = Window.partitionBy(col("u"))
+      .orderBy(col("first_us"), col("last_us"))
+    val badUsers = base
+      .withColumn("prev_last", lag(col("last_us"), 1).over(wO))
+      .filter(col("prev_last").isNotNull &&
+        col("prev_last") > col("first_us"))
+      .select(col("u")).distinct()
+    val keep = base.join(badUsers, Seq("u"), "left_anti")
+    val w = Window.partitionBy(col("u")).orderBy(col("us"), col("id"))
+    val replayed = events
+      .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("us"),
+        col(idCol).cast("long").as("id"))
+      .filter(col("u").isNotNull && col("us").isNotNull)
+      .join(badUsers, Seq("u"), "left_semi")
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("g", expr("(us - prev) DIV 1000000"))
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("n"), min(col("us")).as("first_us"),
+        max(col("us")).as("last_us"),
+        coalesce(sum(col("g")), lit(0L)).as("s1"),
+        coalesce(sum((col("g") * col("g"))
+          .cast(d38)), lit(0L).cast(d38))
+          .cast(d38).as("s2"))
+      .withColumn("batch_id", lit(-1L))
+    keep.unionByName(replayed)
   }
 
   /** Compact a burstiness ledger: batches strictly below the max
@@ -841,7 +880,15 @@ object EventStreams {
     * batch 0's undefined watermark keeps the ledger null-free.
     *
     * DELIVERY: at-least-once; one row per batch stamped `batch_id`,
-    * [[latenessReport]] collapses replays by batch id. */
+    * [[latenessReport]] collapses replays by batch id. Replay
+    * idempotence: `wm_before_us` is computed from ledger rows with
+    * `batch_id < this batch` only — on an at-least-once replay (crash
+    * after the parquet append but before the checkpoint commit) the
+    * re-run batch would otherwise see its OWN earlier row in the max
+    * and emit a different `(wm_before_us, late_rows)`, making the
+    * dropDuplicates in [[latenessReport]] keep an arbitrary verdict.
+    * Filtering by batch id makes every replayed row byte-identical,
+    * the stated convention for the whole ledger family. */
   def streamingLatenessLedger(spark: SparkSession, landingDir: String,
       schema: org.apache.spark.sql.types.StructType, ledgerTable: String,
       checkpointDir: String, tsCol: String, delaySeconds: Long): Unit = {
@@ -852,6 +899,7 @@ object EventStreams {
         val wmBefore: Long =
           if (spark.catalog.tableExists(ledgerTable)) {
             val r = spark.table(ledgerTable)
+              .filter(col("batch_id") < lit(batchId))
               .agg(max(col("batch_max_us"))).first()
             if (r.isNullAt(0)) -1L else r.getLong(0)
           } else -1L
@@ -956,6 +1004,27 @@ object EventStreams {
           .otherwise(col("lr")).cast("long").as("live_rows"),
         col("net_value"))
 
+  /** Streaming token-accounting LEDGER — per-group corpus token/doc
+    * totals maintained incrementally: the numbers every mix-design step
+    * consumes (UniMax caps x98, temperature resampling x48, DoReMi-lite
+    * x106 all start from "how many tokens does each source have") kept
+    * current without ever re-scanning the corpus. Each microbatch
+    * appends ONE row per group it touches — (group, docs, tokens,
+    * batch_id), a groups-sized partial from a map-side-combined agg —
+    * and totals are ADDITIVE, so the merged ledger telescopes to
+    * exactly the whole-corpus aggregation (what the x168 oracle
+    * asserts). The lightest member of the ledger family: per-batch
+    * state is groups-sized, not value- or posting-sized.
+    *
+    * `tokens` is any non-null integer Column over the batch rows
+    * (the x08 counters, or a real tokenizer's count column upstream).
+    *
+    * DELIVERY: foreachBatch is at-least-once — every row carries
+    * `batch_id`, and [[mergeTokenLedger]] collapses replays
+    * (`dropDuplicates(batch_id, group)`) before summing (the x72/x84
+    * idempotency convention). Read the ledger through it, never a bare
+    * groupBy-sum. Compaction is the generic [[compactBatchLedger]] on
+    * (group → docs, tokens). */
   def streamingTokenLedger(spark: SparkSession, landingDir: String,
       schema: org.apache.spark.sql.types.StructType, ledgerTable: String,
       checkpointDir: String, groupCol: String, tokens: Column): Unit = {

@@ -50,6 +50,58 @@ class BurstinessLedgerSpec extends SparkSpec {
     assert(e.getMessage.contains("interleave"), e.getMessage)
   }
 
+  test("non-overlapping backfill (between two intervals) merges correctly") {
+    import spark.implicits._
+    // batch 2 is a BACKFILL landing strictly between batch 0 and 1 —
+    // out of batch order, but intervals don't overlap: the merge
+    // orders by first_us, so no flag and the report equals batch x185
+    val led = Seq(partial(1L, Seq(0L, 10L), 0L),
+      partial(1L, Seq(100L, 160L), 1L),
+      partial(1L, Seq(30L, 50L), 2L))
+      .toDF("u", "n", "first_us", "last_us", "s1", "s2", "batch_id")
+    val got = EventStreams.mergeBurstinessLedger(led, "user_id", 2L)
+      .collect().head
+    val want = Burstiness.interArrival(
+      events(Seq((1L, 0L), (1L, 10L), (1L, 30L), (1L, 50L),
+        (1L, 100L), (1L, 160L))),
+      "user_id", "ts", "event_id", 2L).collect().head
+    assert(got.toSeq == want.toSeq, s"${got.toSeq} vs ${want.toSeq}")
+  }
+
+  test("repair: overlapping backfill replayed from events equals batch x185") {
+    import spark.implicits._
+    // user 1: batch 0 saw 0,100; the backfill batch 1 delivers 50,60 —
+    // INSIDE batch 0's interval: batch 0's 0→100 gap should have been
+    // split, so partials are unstitchable and the merge raises
+    val led = Seq(partial(1L, Seq(0L, 100L), 0L),
+      partial(1L, Seq(50L, 60L), 1L),
+      // user 2 is untouched and must pass through byte-identical
+      partial(2L, Seq(0L, 10L), 0L), partial(2L, Seq(30L, 70L), 1L))
+      .toDF("u", "n", "first_us", "last_us", "s1", "s2", "batch_id")
+    val ev = events(Seq((1L, 0L), (1L, 100L), (1L, 50L), (1L, 60L),
+      (2L, 0L), (2L, 10L), (2L, 30L), (2L, 70L)))
+    intercept[Exception] {
+      EventStreams.mergeBurstinessLedger(led, "user_id", 1L).collect()
+    }
+    val repaired = EventStreams.repairBurstinessLedger(
+      led, ev, "user_id", "ts", "event_id")
+    // only user 1 was replayed: one -1 partial; user 2 rows intact
+    assert(repaired.filter(col("u") === 1L).count() == 1)
+    assert(repaired.filter(col("u") === 1L).select("batch_id")
+      .head().getLong(0) == -1L)
+    assert(repaired.filter(col("u") === 2L).count() == 2)
+    val got = EventStreams.mergeBurstinessLedger(repaired, "user_id", 1L)
+      .collect().map(_.toSeq).toSet
+    val want = Burstiness.interArrival(ev, "user_id", "ts", "event_id", 1L)
+      .collect().map(_.toSeq).toSet
+    assert(got == want, s"$got vs $want")
+    // idempotent: repairing a repaired ledger changes nothing
+    val again = EventStreams.repairBurstinessLedger(
+      repaired, ev, "user_id", "ts", "event_id")
+    assert(again.collect().map(_.toSeq).toSet ==
+      repaired.collect().map(_.toSeq).toSet)
+  }
+
   test("compaction: lossless under the merge, strictly shrinks") {
     import spark.implicits._
     val led = Seq(partial(1L, Seq(0L, 10L), 0L),
