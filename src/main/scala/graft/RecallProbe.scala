@@ -19,22 +19,13 @@ import org.apache.spark.sql.functions._
   * scaling — BASELINE.md round-12 sweep). */
 object RecallProbe {
 
-  /** Planted clusters: centers ~ N(0,1)^dim, points = normalized
-    * (center + noise·N(0,1)^dim). Deterministic (fixed-seed Random,
-    * driver-generated — 10k×64 floats is a few MB of fixture). */
+  /** Planted clusters (see [[graft.operators.VectorFixtures]] — shared
+    * with the registered x203 entry so probe and query measure the
+    * same corpus). */
   private def clusteredFixture(spark: SparkSession, n: Int,
-      clusters: Int, dim: Int, noise: Double): org.apache.spark.sql.DataFrame = {
-    val rnd = new scala.util.Random(62)
-    val centers = Array.fill(clusters)(Array.fill(dim)(rnd.nextGaussian()))
-    val rows = (0 until n).map { i =>
-      val c = centers(i % clusters)
-      val v = Array.tabulate(dim)(d => c(d) + noise * rnd.nextGaussian())
-      val norm = math.sqrt(v.map(x => x * x).sum)
-      (i.toLong, v.map(x => (x / norm).toFloat).toSeq)
-    }
-    import spark.implicits._
-    rows.toDF("vec_id", "embedding")
-  }
+      clusters: Int, dim: Int, noise: Double): org.apache.spark.sql.DataFrame =
+    graft.operators.VectorFixtures.plantedClusters(
+      spark, n, clusters, dim, noise)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -43,8 +43,11 @@ object Bpe {
   final case class Merge(rank: Long, lft: String, rgt: String, pairCount: Long)
 
   /** merges = the learned table in rank order; wordSubtokens = the full
-    * distinct-word relation (w, n_subtokens) after applying all merges. */
-  final case class Model(merges: Seq[Merge], wordSubtokens: DataFrame)
+    * distinct-word relation (w, n_subtokens) after applying all merges;
+    * wordSyms = the same relation keeping the symbol arrays themselves
+    * (w, syms) — what [[encode]] joins against. */
+  final case class Model(merges: Seq[Merge], wordSubtokens: DataFrame,
+    wordSyms: DataFrame)
 
   /** Split a word into single-character symbols. (Spark's split with an
     * empty pattern emits a trailing "" under limit -1; filter it so the
@@ -107,13 +110,91 @@ object Bpe {
       }
     }
     Model(merges.toSeq,
-      words.select(col("w"), size(col("syms")).cast("long").as("n_subtokens")))
+      words.select(col("w"), size(col("syms")).cast("long").as("n_subtokens")),
+      words.select(col("w"), col("syms")))
   }
 
   /** The learned merge table as a relation (rank, lft, rgt, pair_count). */
   def mergesDf(spark: SparkSession, model: Model): DataFrame = {
     import spark.implicits._
     model.merges.toDF("rank", "lft", "rgt", "pair_count")
+  }
+
+  /** The trained model's token-id vocabulary: every DISTINCT symbol in
+    * the post-merge word table, ids 1..V in lexicographic symbol order
+    * (deterministic, engine-replayable). Id 0 is RESERVED for the word
+    * separator (the space the whitespace split consumed) — carrying it
+    * in the encoded stream is what makes decode exact even around
+    * consecutive spaces (each empty word contributes zero symbols but
+    * its flanking separators survive). Ids come from the
+    * [[GlobalOrder.cumulativeSums]] offset decomposition (rank = the
+    * cumulative unit-weight sum), NOT a `row_number() OVER (ORDER BY)`
+    * — the vocab is vocab-sized today, but the single-partition window
+    * funnel is the lint-banned class regardless of the frame's size. */
+  def vocab(model: Model): DataFrame = {
+    val syms = model.wordSyms.select(explode(col("syms")).as("sym"))
+      .distinct().withColumn("one", lit(1L))
+    GlobalOrder.cumulativeSums(syms, "sym", Seq("one"),
+        bucketChars = 2, superChars = 1)
+      .select(col("sym"), col("cum_one").cast("long").as("id"))
+  }
+
+  /** ENCODE: per-document token-id sequences under the trained model —
+    * what sequence packing (x35/x110) consumes once budgets move from
+    * counts to real ids. Scale shape: merge application happened ONCE
+    * on the distinct-word table at train time; this is one corpus
+    * explode (word order kept by posexplode), a broadcast join against
+    * the vocab-sized word→ids map, and one doc-keyed reassembly agg —
+    * the x42 sequence-assembly shuffle class, nothing bigger. Output:
+    * `(doc_id, token_ids array<long>, n_tokens)` with id 0 separating
+    * words; decode(token_ids) == original text exactly (BpeSpec). */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      model: Model): DataFrame = {
+    val v = vocab(model)
+    // vocab-sized: each distinct word's id sequence, symbol order kept
+    val wordIds = model.wordSyms
+      .select(col("w"), posexplode(col("syms")).as(Seq("spos", "sym")))
+      .join(v, "sym")
+      .groupBy("w")
+      .agg(transform(array_sort(collect_list(struct(col("spos"), col("id")))),
+        x => x.getField("id")).as("ids"))
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("wpos", "w")))
+      // LEFT join + empty-array fill: the empty word (consecutive
+      // spaces) has zero symbols, so it has no wordIds row — but its
+      // flanking separators must survive for decode to be exact
+      .join(broadcast(wordIds), Seq("w"), "left")
+      .withColumn("ids", when(col("ids").isNull && col("w") =!= "",
+          raise_error(concat(lit("Bpe.encode: word '"), col("w"),
+            lit("' is not in the model vocabulary — the model must be " +
+              "trained on this corpus (or a superset)")))
+            .cast("array<bigint>"))
+        .otherwise(coalesce(col("ids"), array().cast("array<bigint>"))))
+      .groupBy("doc_id")
+      .agg(flatten(transform(
+          array_sort(collect_list(struct(col("wpos"), col("ids")))),
+          x => when(x.getField("wpos") === 0, x.getField("ids"))
+            .otherwise(concat(array(lit(0L)), x.getField("ids")))))
+        .as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
+
+  /** DECODE: invert [[encode]] — ids back to symbols (0 → the word
+    * separator), concatenated per document. Exactness on the trained
+    * corpus is the round-trip contract BpeSpec pins. */
+  def decode(encoded: DataFrame, model: Model): DataFrame = {
+    val v = vocab(model)
+    // posexplode_OUTER + left join: an empty document ([] ids) keeps
+    // its one null row and decodes to "" instead of vanishing
+    encoded.select(col("doc_id"), posexplode_outer(col("token_ids"))
+        .as(Seq("tpos", "id")))
+      .join(broadcast(v.select(col("id"), col("sym"))
+        .unionByName(encoded.sparkSession.range(1)
+          .select(lit(0L).as("id"), lit(" ").as("sym")))), Seq("id"), "left")
+      .groupBy("doc_id")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("tpos"), col("sym")))),
+        x => x.getField("sym"))).as("text"))
   }
 
   /** Per-document whitespace vs subword token counts under the trained

@@ -156,6 +156,46 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Scan-fraction accounting for [[ivfTopK]]: replays the SAME cell
+    * assignment (corpus max_by) and probe selection (query top-nProbe)
+    * and reports the candidate-join volume the probe actually moves —
+    * one row `(n_corpus, n_queries, scanned_pairs, scan_micro)` with
+    * `scan_micro = scanned_pairs·10⁶ DIV (n_corpus·n_queries)`, the
+    * measured scan fraction a bounded-scan deployment budgets against
+    * (brute force ≡ 10⁶). Two broadcast-join hash aggs, cell-sized
+    * everything after — index-metadata work, no corpus² anywhere. */
+  def ivfScanStats(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      nProbe: Int): DataFrame = {
+    val cent = broadcast(
+      centroids.select(col("cell"), col("cvec"), norm(col("cvec")).as("cn")))
+    val cellSizes = corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("vc"))
+      .withColumn("nc", norm(col("vc")))
+      .join(cent)
+      .withColumn("csim",
+        cosinePrenormed(col("vc"), col("cvec"), col("nc"), col("cn")))
+      .groupBy("cid")
+      .agg(max_by(col("cell"), struct(col("csim"), col("cell"))).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("sz"))
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("vq"))
+      .withColumn("nq", norm(col("vq")))
+      .join(cent)
+      .withColumn("csim",
+        cosinePrenormed(col("vq"), col("cvec"), col("nq"), col("cn")))
+      .groupBy("qid")
+      .agg(slice(reverse(array_sort(collect_list(struct(col("csim"), col("cell"))))),
+        1, nProbe).as("probes"))
+      .select(col("qid"), explode(col("probes.cell")).as("cell"))
+    probes.join(broadcast(cellSizes), Seq("cell"))
+      .agg(countDistinct(col("qid")).as("n_queries"),
+        sum(col("sz")).as("scanned_pairs"))
+      .crossJoin(broadcast(corpus.agg(count(lit(1)).as("n_corpus"))))
+      .select(col("n_corpus"), col("n_queries"), col("scanned_pairs"),
+        expr("scanned_pairs * 1000000L DIV (n_corpus * n_queries)")
+          .as("scan_micro"))
+  }
+
   /** FAISS-style refine step (the IndexRefineFlat pattern): re-score an
     * approximate candidate list with EXACT cosine over the true vectors
     * and keep the top-k per query. `candidates` is (query_id,

@@ -213,7 +213,17 @@ class ScaleSpec extends SparkSpec {
       // x143: composes x06's capped exact all-pairs edge baseline (the
       // loud require(<=100k) cross join); the triangle machinery itself
       // is equi-join-only — production edges come from the x31 LSH chain
-      "x143_dup_graph_triangles")
+      "x143_dup_graph_triangles",
+      // x203: the recall verdict (1-row agg) cross-joins the scan
+      // verdict (1-row agg) and ivfScanStats' 1-row corpus total
+      // cross-joins the probe counts — all x25/x40's 1-row broadcast
+      // shape; the ANN data path itself is equi-join-only
+      "x203_ivf_bounded_scan",
+      // x204: vocab ids ride GlobalOrder.cumulativeSums, whose
+      // triangular super-offset join is the same
+      // |alphabet|^superChars-bounded non-equi shape as x176/x188/x202;
+      // the corpus encode path is equi-join-only
+      "x204_bpe_encode")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -732,6 +742,20 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x203: kmeans assignment/probe aggs + the ADC candidate join +
+      // refine/exact rank windows + the scan-stats aggs — all over the
+      // persisted 4k fixture; the adjudication legs, not the data path,
+      // carry most of the exchanges
+      "x203_ivf_bounded_scan" -> 12,
+      // x204: x52's training chain (word-freq agg + per-round argmax
+      // reads are driver-side; the registered plan re-aggregates the
+      // word table) + vocab cumulative decomposition + the doc-keyed
+      // reassembly + the total-order sort
+      "x204_bpe_encode" -> 12,
+      // x205: before/after per-shard aggs + the delete semi/anti joins;
+      // the rewrite itself happened at build time (localCheckpoint +
+      // insertInto), outside the returned plan
+      "x205_takedown_rewrite" -> 4,
       // x202: GlobalOrder's positioning chain + the id-keyed outcome
       // join + the persisted parts-sized bucket table (triangular
       // cumulative) + 1-row total/grand broadcasts + sort

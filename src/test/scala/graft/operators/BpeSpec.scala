@@ -87,6 +87,50 @@ class BpeSpec extends SparkSpec {
     assert(perBin.forall(_ == 1L), perBin.toSeq)
   }
 
+  test("decode(encode(doc)) == doc on the trained vocab, ids well-formed") {
+    import spark.implicits._
+    // consecutive spaces included: the empty word has zero symbols but
+    // its flanking separators must survive the round trip
+    val docs = Seq((1L, "low low lower"), (2L, "low newest  newest"),
+      (3L, "aaa"), (4L, "")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", topK = 50, numMerges = 3)
+    val enc = Bpe.encode(docs, "doc_id", "text", m)
+    // round trip: decode inverts encode exactly, doc for doc
+    val back = Bpe.decode(enc, m).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == want, back)
+    // well-formed ids: 0 only as separator, counts = subtokens + seps
+    val v = Bpe.vocab(m).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(v.map(_._2).sorted.toSeq == (1L to v.length).toSeq, v.toSeq)
+    val rows = enc.collect().map(r =>
+      (r.getLong(r.fieldIndex("doc_id")),
+        r.getSeq[Long](r.fieldIndex("token_ids")),
+        r.getLong(r.fieldIndex("n_tokens")))).sortBy(_._1)
+    assert(rows.forall { case (_, ids, n) => ids.length == n })
+    val subs = m.wordSubtokens.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((id, ids, _) <- rows) {
+      val text = want(id)
+      val words = text.split(" ", -1)
+      val expected = words.map(subs).sum + (words.length - 1)
+      assert(ids.length == expected, s"doc $id: $ids")
+      assert(ids.count(_ == 0L) == words.length - 1, s"doc $id seps")
+    }
+  }
+
+  test("encode fails loudly on out-of-vocabulary words") {
+    import spark.implicits._
+    val train = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val m = Bpe.train(train, "text", topK = 50, numMerges = 2)
+    val other = Seq((9L, "unseen low")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Bpe.encode(other, "doc_id", "text", m).collect()
+    }
+    assert(e.getMessage.contains("not in the model vocabulary"),
+      e.getMessage)
+  }
+
   test("topK restricts training statistics but merges apply to all words") {
     import spark.implicits._
     // 'zz' is below the top-1 cut: its pair stats must not train merges,
