@@ -54,6 +54,18 @@ object ScaleFixture {
         d = d.withColumn("text", concat_ws(" ",
           transform(split(col("text"), " "),
             t => concat(t, lit(s"_$copy")))))
+      // embeddings: per-copy ORTHOGONAL sign flips (a deterministic
+      // diagonal ±1 transform) — within-copy geometry is preserved
+      // EXACTLY (norms, dot products), across copies vectors
+      // decorrelate (expected cosine ~0), so near-dup/banding ops see
+      // sf0.1's dup RATE instead of a planted 10-way exact-dup of
+      // every vector (which would quadratically distort SRP buckets
+      // — the first probe run measured exactly that artifact)
+      if (table == "embeddings" && copy > 0)
+        d = d.withColumn("embedding", transform(col("embedding"),
+          (x, i) => when(
+            pmod(i.cast("long") * 2654435761L + lit(copy.toLong) * 40503L,
+              lit(2L)) === 0L, x).otherwise(-x)))
       d
     }
 
