@@ -8087,6 +8087,119 @@ object PipelineQueries extends QueryPack {
     //      microbatch, batch_id replay collapse) — the mix-design
     //      inputs (x98/x48/x106) kept current without corpus re-scans;
     //      merged totals must equal the plain batch aggregation -------
+    // ---- streaming quantile ledger: x170 fed incrementally — each
+    //      batch appends its weighted (source, n_chars) histogram
+    //      partial (value-NDV-bounded, additive), the merge re-runs
+    //      the x170 selection over the telescoped histogram; oracle IS
+    //      x170's SQL verbatim, proving incremental == batch ----------
+    Q("x206_streaming_quantile_ledger",
+      (s, dir) => {
+        import graft.engine._
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("text"))
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val landing = wh.resolve("qtlg_landing")
+        val ckpt = wh.resolve("_graft_checkpoints/qtlg")
+        s.sql("CREATE DATABASE IF NOT EXISTS qtlg")
+        s.sql("DROP TABLE IF EXISTS qtlg.ledger")
+        for (p <- Seq(landing, ckpt, wh.resolve("qtlg.db/ledger")))
+          Materializer.deleteRecursively(p)
+        def run(): Unit = EventStreams.streamingQuantileLedger(s,
+          landing.toString, docs.schema, "qtlg.ledger", ckpt.toString,
+          "source", "n_chars", nTokens(tokens(col("text"))).cast("long"))
+        docs.filter(col("doc_id") % 2 === 0)
+          .write.mode("overwrite").parquet(landing.toString)
+        run()
+        docs.filter(col("doc_id") % 2 === 1)
+          .write.mode("append").parquet(landing.toString)
+        run()
+        EventStreams.mergeQuantileLedger(s.table("qtlg.ledger"),
+            "source", "n_chars", Seq(500000L, 900000L, 990000L))
+          .orderBy(col("source"), col("pct_micro"))
+      },
+      Some("""WITH d AS (SELECT source, n_chars,
+            CAST(len(string_split(text,' ')) AS BIGINT) AS tok
+          FROM documents),
+        h AS (SELECT source, n_chars AS v, CAST(sum(tok) AS BIGINT) AS cw
+          FROM d GROUP BY 1, 2),
+        c AS (SELECT source, v, cw,
+            CAST(sum(cw) OVER (PARTITION BY source ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM h),
+        t AS (SELECT source, CAST(sum(cw) AS BIGINT) AS tot
+          FROM h GROUP BY 1),
+        e AS (SELECT c.source, c.v, t.tot, CAST(q.p AS BIGINT) AS pct_micro
+          FROM c JOIN t ON c.source = t.source
+          CROSS JOIN unnest([500000, 900000, 990000]) AS q(p)
+          WHERE c.cum * 1000000 >= CAST(q.p AS BIGINT) * t.tot)
+        SELECT source, pct_micro, CAST(min(v) AS BIGINT) AS value_at,
+          tot AS total_weight
+        FROM e GROUP BY source, pct_micro, tot
+        ORDER BY source, pct_micro""")),
+
+    // ---- rank-biased overlap (Webber TOIS 2010): how much of the
+    //      diversity scorer's top-weighted ordering survives
+    //      QUANTIZING the score to 10^4-wide buckets? — the no-labels
+    //      ranking-agreement leg of the eval family (x126 scores vs
+    //      labeled truth, x202 vs an outcome), asked here as the "can
+    //      we ship the bucketed scorer" calibration question; ranks
+    //      from GlobalOrder (no global window), everything after the
+    //      depth truncation is a 50-row frame; geometric weights are
+    //      driver literals on BOTH engines (no pow() parity risk) -----
+    Q("x207_rbo_ranking_agreement",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .withColumn("ts", tokens(col("text")))
+          .withColumn("ka", lpad((lit(1000000L) -
+            expr("size(array_distinct(ts)) * 1000000L DIV size(ts)"))
+            .cast("string"), 7, "0"))
+          .withColumn("kb", lpad((lit(1000000L) -
+            expr("size(array_distinct(ts)) * 1000000L DIV size(ts) " +
+              "DIV 10000 * 10000")).cast("string"), 7, "0"))
+        graft.operators.Rbo.truncated(base, "doc_id", "ka", "kb",
+            pMicro = 900000L, depth = 50)
+          .orderBy(col("d"))
+      },
+      Some {
+        val p = 0.9
+        val w = (1 to 50).map(d => s"($d, ${BigDecimal((1 - p) *
+          math.pow(p, d - 1) / d)
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)})")
+          .mkString(", ")
+        s"""WITH base AS (SELECT doc_id,
+            lpad(CAST(1000000 - len(list_distinct(string_split(text,' ')))
+                * 1000000 // len(string_split(text,' ')) AS VARCHAR),
+              7, '0') AS ka,
+            lpad(CAST(1000000 - len(list_distinct(string_split(text,' ')))
+                * 1000000 // len(string_split(text,' '))
+                // 10000 * 10000 AS VARCHAR), 7, '0') AS kb
+          FROM documents),
+        ra AS (SELECT doc_id,
+            row_number() OVER (ORDER BY ka, doc_id) AS r FROM base),
+        rb AS (SELECT doc_id,
+            row_number() OVER (ORDER BY kb, doc_id) AS r FROM base),
+        m AS (SELECT greatest(ra.r, rb.r) AS m
+          FROM ra JOIN rb USING (doc_id)
+          WHERE greatest(ra.r, rb.r) <= 50),
+        h AS (SELECT m, CAST(count(*) AS BIGINT) AS c FROM m GROUP BY 1),
+        w(d, wgt) AS (VALUES $w),
+        xd AS (SELECT CAST(w.d AS BIGINT) AS d, w.wgt,
+            CAST(coalesce(sum(h.c), 0) AS BIGINT) AS x_d
+          FROM w LEFT JOIN h ON h.m <= w.d GROUP BY 1, 2),
+        terms AS (SELECT d, x_d,
+            CAST(wgt * x_d AS DECIMAL(28,10)) AS t FROM xd),
+        summ AS (SELECT CAST(-1 AS BIGINT) AS d,
+            max(CASE WHEN d = 50 THEN x_d END) AS x_d,
+            CAST(floor(sum(t) * 1000000) AS BIGINT) AS term_micro
+          FROM terms)
+        SELECT d, x_d, CAST(floor(t * 1000000) AS BIGINT) AS term_micro
+        FROM terms
+        UNION ALL SELECT * FROM summ
+        ORDER BY d"""
+      }),
+
     Q("x168_streaming_token_ledger",
       (s, dir) => {
         import graft.engine._

@@ -1057,6 +1057,68 @@ object EventStreams {
       .groupBy(col(groupCol))
       .agg(sum(col("docs")).as("docs"), sum(col("tokens")).as("tokens"))
 
+  /** Streaming QUANTILE ledger — exact per-group weighted quantiles
+    * maintained incrementally (completes the batch/streaming pairing
+    * for the quantile family: x170 is the batch op, this feeds it
+    * batch-by-batch; the truncation-planning numbers — "what length
+    * cutoff keeps 90% of each source's tokens" — kept current without
+    * corpus re-scans). Each microbatch appends its OWN weighted
+    * `(g, v, w)` histogram partial — one map-side-combined agg, rows
+    * bounded by the batch's (group, value-NDV), never its row count —
+    * and histograms are ADDITIVE, so the merged ledger telescopes to
+    * exactly the whole-corpus histogram and the x170 selection runs
+    * over it unchanged ([[mergeQuantileLedger]] delegates to
+    * [[graft.operators.WeightedQuantiles.perGroup]] verbatim).
+    * Null values / null-or-negative weights fail loudly AT WRITE time
+    * (the x170 contract — a null silently vanishing from SUM would
+    * shift every downstream quantile).
+    *
+    * DELIVERY: at-least-once; rows carry `batch_id` and the merge
+    * collapses replays on (batch_id, g, v) before re-aggregating (the
+    * x72/x84 idempotency convention). Compaction is the generic
+    * [[compactBatchLedger]] on ((g, v) → w) — additive, lossless. */
+  def streamingQuantileLedger(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType, ledgerTable: String,
+      checkpointDir: String, groupCol: String, valueCol: String,
+      weight: Column): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(landingDir)
+    val fb: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        batch.toDF()
+          .select(col(groupCol).as("g"),
+            when(col(valueCol).isNull, raise_error(
+              lit(s"quantile ledger: null $valueCol")))
+              .otherwise(col(valueCol)).as("v"),
+            when(weight.isNull || weight < 0, raise_error(
+              lit("quantile ledger: null/negative weight")))
+              .otherwise(weight.cast("long")).as("w"))
+          .groupBy(col("g"), col("v"))
+          .agg(sum(col("w")).as("w"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").format("parquet").saveAsTable(ledgerTable)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(fb)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    if (spark.catalog.tableExists(ledgerTable))
+      spark.catalog.refreshTable(ledgerTable)
+  }
+
+  /** Exact per-group quantiles from a quantile ledger: collapse
+    * replays on (batch_id, g, v), then the x170 machinery over the
+    * merged histogram — provably equal to the batch op over everything
+    * ingested (histogram addition telescopes). Output matches
+    * [[graft.operators.WeightedQuantiles.perGroup]]:
+    * `(groupCol, pct_micro, value_at, total_weight)`. */
+  def mergeQuantileLedger(ledger: DataFrame, groupCol: String,
+      valueCol: String, pctsMicro: Seq[Long]): DataFrame =
+    graft.operators.WeightedQuantiles.perGroup(
+      ledger.dropDuplicates("batch_id", "g", "v")
+        .select(col("g").as(groupCol), col("v").as(valueCol), col("w")),
+      groupCol, valueCol, "w", pctsMicro)
+
   /** Streaming Count-Min sketch LEDGER — point-frequency monitoring
     * that never reprocesses history (completes the streaming sketch
     * matrix: dedup x58/x64, heavy hitters x72, drift x84): each

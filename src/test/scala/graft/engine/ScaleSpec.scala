@@ -223,7 +223,11 @@ class ScaleSpec extends SparkSpec {
       // triangular super-offset join is the same
       // |alphabet|^superChars-bounded non-equi shape as x176/x188/x202;
       // the corpus encode path is equi-join-only
-      "x204_bpe_encode")
+      "x204_bpe_encode",
+      // x207: GlobalOrder's bounded triangular join (twice) PLUS the
+      // depth-bounded X_d join (weights x m-histogram, both <= depth
+      // <= 10000 rows by construction) — the x202 cumulative class
+      "x207_rbo_ranking_agreement")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -742,6 +746,15 @@ class ScaleSpec extends SparkSpec {
       // group-sum over the groups-sized ledger re-shuffle per consumer
       // at stats-less sf0.001), every exchange groups-sized
       "x168_streaming_token_ledger" -> 6,
+      // x207: TWO GlobalOrder positioning chains over the unpersisted
+      // scored base (histogram + super-offset + rank window each, and
+      // the stats-less static plan re-shuffles the base per consumer —
+      // the x163 class) + the id equi-join + depth-bounded X_d frames
+      "x207_rbo_ranking_agreement" -> 34,
+      // x206: the merged-histogram re-agg + the x170 selection chain
+      // (cumulative window over the histogram, totals join, per-pct
+      // selection agg) + the total-order sort — all histogram-sized
+      "x206_streaming_quantile_ledger" -> 7,
       // x203: kmeans assignment/probe aggs + the ADC candidate join +
       // refine/exact rank windows + the scan-stats aggs — all over the
       // persisted 4k fixture; the adjudication legs, not the data path,

@@ -106,6 +106,13 @@ class LedgerInvariantsSpec extends SparkSpec {
     val toklg = () => Seq(("s1", 3L, 120L, 0L), ("s2", 1L, 40L, 0L),
       ("s1", 2L, 75L, 1L), ("s3", 4L, 200L, 1L), ("s1", 1L, 9L, 2L))
       .toDF("source", "docs", "tokens", "batch_id")
+    // quantile ledger: per-batch weighted (g, v) histogram partials;
+    // batches 0/1 share (g, v) cells so compaction genuinely merges
+    val qtlg = () => Seq(("s1", 10L, 5L, 0L), ("s1", 20L, 3L, 0L),
+      ("s2", 10L, 2L, 0L),
+      ("s1", 10L, 4L, 1L), ("s1", 30L, 6L, 1L),
+      ("s2", 20L, 1L, 2L))
+      .toDF("g", "v", "w", "batch_id")
     val profile = () => Seq(
       ("a", "event_type", "click", 4L, 0L),
       ("a", "event_type", null, 1L, 0L),       // null-value count row
@@ -209,6 +216,13 @@ class LedgerInvariantsSpec extends SparkSpec {
           .toMap,
         EventStreams.compactBatchLedger(_, Seq("source"),
           Seq("docs", "tokens"))),
+      Shape("quantiles (x206)", qtlg,
+        _.filter(col("batch_id") === 0),
+        l => EventStreams.mergeQuantileLedger(l, "src", "len",
+          Seq(500000L, 900000L)).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet,
+        EventStreams.compactBatchLedger(_, Seq("g", "v"), Seq("w"))),
       Shape("sample (x162)", sample,
         _.filter(col("batch_id") === 0),
         l => EventStreams.mergeSampleLedger(l, "src", "id", 2).collect()
