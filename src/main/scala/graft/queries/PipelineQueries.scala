@@ -3089,7 +3089,9 @@ object PipelineQueries extends QueryPack {
     //      carries an explicit pass/fail instead of a no_oracle row. ------
     Q("x14_ivf_ann",
       (s, dir) => {
-        val e = t(s, dir, "embeddings")
+        // cached: training, both ivf sides, and the exact baseline all
+        // scan the corpus (the x203/x62 shared-legs lesson)
+        val e = t(s, dir, "embeddings").persist()
         val cents = Similarity.trainKMeans(e, "vec_id", "embedding", k = 10, iters = 5)
         val ivf = Similarity.ivfTopK(e, e, cents, "vec_id", "embedding",
           k = 5, nProbe = 3).select(col("query_id"), col("neighbor_id"))
@@ -3849,7 +3851,10 @@ object PipelineQueries extends QueryPack {
     Q("x62_ivf_pq_ann",
       (s, dir) => {
         import graft.operators.{Pq, Similarity}
-        val e = t(s, dir, "embeddings")
+        // cached: the corpus feeds training, the ADC scan, the refine
+        // and the exact baseline; recon's codebook-literal expression
+        // is expensive to re-evaluate per leg (the x203 lesson)
+        val e = t(s, dir, "embeddings").persist()
         val cents = Similarity.trainKMeans(e, "vec_id", "embedding",
           k = 10, iters = 5)
         val centSeq = cents.orderBy(col("cell")).collect()
@@ -3859,6 +3864,7 @@ object PipelineQueries extends QueryPack {
           dim = 64, m = 16, ksub = 128, iters = 5)
         val recon = Pq.ivfPqReconstruct(e, "vec_id", "embedding",
           centSeq, cbs).select(col("vec_id"), col("recon").as("embedding"))
+          .persist()
         val candidates = Similarity.ivfTopK(recon, e, cents, "vec_id",
           "embedding", k = 50, nProbe = 7)
           .select(col("query_id"), col("neighbor_id"))
