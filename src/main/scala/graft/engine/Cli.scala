@@ -86,6 +86,11 @@ object Cli {
         // point): compaction is lossless through every merge view
         // (LedgerInvariantsSpec), so in-place rewrite is safe
         Macros.compactLedger(project.spark, kwargsArg(rest))
+      case "run-operation" :: "apply_takedown" :: rest =>
+        // EXECUTES: partition-scoped rewrite of only needs_rewrite
+        // shards; untouched shard files stay byte-identical
+        // (TakedownRewriteSpec) and the printed report proves it
+        Macros.applyTakedown(project.spark, kwargsArg(rest))
       case "show" :: rest =>
         // dbt `show`: preview a node's rows (compiled query under a
         // LIMIT — reads the materialized relation when one exists, the

@@ -184,6 +184,50 @@ object Macros {
     Seq(s"compacted $table: $before rows -> $after rows")
   }
 
+  /** `run-operation apply_takedown` — the governance capstone on the
+    * lifecycle surface (the compact_ledger precedent: an EXECUTING
+    * operation, because execution is the point): apply a takedown
+    * id-list to a shard-partitioned corpus table via
+    * [[graft.operators.TakedownRewrite.rewriteShards]] — only
+    * needs_rewrite partitions rebuild, untouched shard files stay
+    * byte-identical, and the per-shard verdict report is printed
+    * (ids_gone / files_intact per shard). `deletes` is a one-column
+    * relation (table or view) of ids to suppress — e.g. the
+    * [[graft.streaming.EventStreams.suppressionSet]] view over an
+    * x115 intake ledger. */
+  def applyTakedown(spark: SparkSession,
+      kwargs: Map[String, String]): Seq[String] = {
+    val required = Seq("table", "deletes", "id", "shard")
+    val missing = required.filterNot(kwargs.contains)
+    if (missing.nonEmpty)
+      return Seq("apply_takedown: pass " + missing.mkString(", ") +
+        " (e.g. --args '{table: corpus.shards, deletes: gov.takedowns, " +
+        "id: doc_id, shard: shard}')")
+    val table = kwargs("table")
+    if (!spark.catalog.tableExists(table))
+      return Seq(s"apply_takedown: table $table does not exist")
+    if (!spark.catalog.tableExists(kwargs("deletes")))
+      return Seq(s"apply_takedown: deletes relation ${kwargs("deletes")} " +
+        "does not exist")
+    val report = graft.operators.TakedownRewrite.rewriteShards(spark,
+        table, spark.table(kwargs("deletes")), kwargs("id"),
+        kwargs("shard"))
+      .orderBy(col("shard"))
+      .collect()
+    val header = "shard | before | deleted | after | rewritten | " +
+      "ids_gone | files_intact"
+    val rows = report.map(r => Seq(r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5),
+      r.getBoolean(6)).mkString(" | "))
+    val bad = report.filterNot(r => r.getBoolean(5) && r.getBoolean(6))
+    val verdict =
+      if (bad.isEmpty) s"apply_takedown: $table clean — all ids gone, " +
+        "untouched shards intact"
+      else s"apply_takedown: VERDICT FAILED on shards " +
+        bad.map(_.getString(0)).mkString(",")
+    (header +: rows.toSeq) :+ verdict
+  }
+
   /** dbt_project_evaluator analogue (`packages.yml:8-9`,
     * `README.md:281`): advisory lint findings over the project graph —
     * never fails the build (the reference runs it `|| true`). */

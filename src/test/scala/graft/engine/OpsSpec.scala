@@ -163,6 +163,36 @@ class OpsSpec extends SparkSpec {
       .exists(_.contains("does not exist")))
   }
 
+  test("cli: run-operation apply_takedown rewrites only touched shards") {
+    import spark.implicits._
+    val p = new Project(spark, Target("dev", "tkdnop", threads = 2))
+    spark.sql("CREATE DATABASE IF NOT EXISTS tkdnop")
+    spark.sql("DROP TABLE IF EXISTS tkdnop.corpus")
+    spark.sql("DROP TABLE IF EXISTS tkdnop.takedowns")
+    (1L to 12L).map(i => (i, s"d$i", i % 3))
+      .toDF("doc_id", "body", "shard")
+      .write.partitionBy("shard").format("parquet")
+      .saveAsTable("tkdnop.corpus")
+    Seq(4L, 7L).toDF("doc_id") // both in shard 1
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("tkdnop.takedowns")
+    val out = Cli.run(p, Seq("run-operation", "apply_takedown",
+      "--args", "{table: tkdnop.corpus, deletes: tkdnop.takedowns, " +
+        "id: doc_id, shard: shard}"))
+    assert(out.exists(_.contains("clean — all ids gone")), out)
+    assert(out.exists(l => l.contains("1 | 4 | 2 | 2 | true")), out)
+    assert(spark.table("tkdnop.corpus")
+      .filter(col("doc_id").isin(4L, 7L)).count() == 0)
+    assert(spark.table("tkdnop.corpus").count() == 10)
+    // bad invocations are actionable errors, not silent no-ops
+    assert(Cli.run(p, Seq("run-operation", "apply_takedown"))
+      .exists(_.contains("pass table")), "missing kwargs")
+    assert(Cli.run(p, Seq("run-operation", "apply_takedown",
+      "--args", "{table: tkdnop.nope, deletes: tkdnop.takedowns, " +
+        "id: doc_id, shard: shard}"))
+      .exists(_.contains("does not exist")))
+  }
+
   test("cli: compact_ledger handles the sessions shape end-to-end") {
     import spark.implicits._
     val p = new Project(spark, Target("dev", "compactop", threads = 2))
