@@ -8164,6 +8164,9 @@ object PipelineQueries extends QueryPack {
           .withColumn("kb", lpad((lit(1000000L) -
             expr("size(array_distinct(ts)) * 1000000L DIV size(ts) " +
               "DIV 10000 * 10000")).cast("string"), 7, "0"))
+          // persisted: both positioning chains scan the tokenized base
+          // several times each (the x203/x62 shared-legs lesson)
+          .select(col("doc_id"), col("ka"), col("kb")).persist()
         graft.operators.Rbo.truncated(base, "doc_id", "ka", "kb",
             pMicro = 900000L, depth = 50)
           .orderBy(col("d"))
