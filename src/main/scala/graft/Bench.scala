@@ -97,9 +97,13 @@ object Bench {
     "x38_remove_repeated_spans" -> 1382, "x39_srp_lsh_production" -> 4553,
     "x40_lm_bigram_nll" -> 1290, "x41_weighted_sample" -> 465,
     "x42_chunk_documents" -> 781,
-    // x43 composes recall-tuned LSH (16 2-bit-key bands — the documented
-    // low-similarity-corpus parameterization) with star components over
-    // the resulting dense dup graph; the cost IS the workload
+    // x43 composes recall-tuned LSH with star components over the
+    // resulting dup graph; the cost IS the workload. r15: band keys
+    // widened 6 -> 8 bits (96 planes / 12 bands, the operator's
+    // production guidance) after the min-of-3 10x probe measured the
+    // 6-bit Σ-bucket² candidate growth at 5.1x/decade; sf0.1 wall is
+    // UNCHANGED (solo min-of-4 10.6 s — the CC rounds dominate, not
+    // candidates), so the baseline stands; the win is the 10x slope
     "x43_embedding_dedup_keeplist" -> 10868,
     "x44_streaming_table_model" -> 1234,
     "x45_perplexity_buckets" -> 1668, "x46_curation_pipeline" -> 1141,
@@ -351,6 +355,15 @@ object Bench {
     // x202 = the GlobalOrder positioning chain + the outcome join +
     // parts-sized bucket rollups (triangular cumulative) + sort
     "x202_scorer_gains" -> 940,
+    // r15 first measures (solo min-of-4, q01 control 0.47x — BASELINE.md
+    // r15). x208 = one-batch ledger build + purge anti-join + the
+    // deletes-sized re-admission step; x209 = unigram train (driver-
+    // bounded EM rounds over the 50-word head) + the x204-class encode;
+    // x210 = BOTH tokenizers trained + one corpus word explode + two
+    // broadcast word joins (the composition is the workload)
+    "x208_ledger_takedown_purge" -> 896,
+    "x209_unigram_encode" -> 2208,
+    "x210_tokenizer_fertility_compare" -> 4649,
     // x201 = two AvailableNow runs (per-batch shingle bottom-k) + the
     // merged bottom-k estimate + the exact-distinct adjudicator (the
     // shingling passes dominate — the x175/x02 cost class)

@@ -60,12 +60,17 @@ object ScaleFixture {
       // decorrelate (expected cosine ~0), so near-dup/banding ops see
       // sf0.1's dup RATE instead of a planted 10-way exact-dup of
       // every vector (which would quadratically distort SRP buckets
-      // — the first probe run measured exactly that artifact)
+      // — the first probe run measured exactly that artifact).
+      // The flip bit must come from a real mixer: a linear form
+      // a*i + b*copy with odd a,b is parity-degenerate mod 2 (it
+      // reduces to (i+copy) mod 2, making all even copies share ONE
+      // diagonal and all odd copies its exact negation — replanting
+      // the cross-copy dup artifact). xxhash64 gives independent
+      // per-copy patterns.
       if (table == "embeddings" && copy > 0)
         d = d.withColumn("embedding", transform(col("embedding"),
           (x, i) => when(
-            pmod(i.cast("long") * 2654435761L + lit(copy.toLong) * 40503L,
-              lit(2L)) === 0L, x).otherwise(-x)))
+            pmod(xxhash64(lit(copy), i), lit(2L)) === 0L, x).otherwise(-x)))
       d
     }
 

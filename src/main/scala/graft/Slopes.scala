@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.util.Locale
+
+/** Standing 10×-scaling gate (round-15, VERDICT r14 item 3): the r14
+  * 10× probe turned "designed linear" claims into measured slopes, but
+  * it ran by hand and its findings lived only in BASELINE.md prose —
+  * nothing re-measured a slope when an operator's plan changed, which
+  * is exactly the failure mode the bench wall-time gate can't see (a
+  * plan can get 2× faster at sf0.1 while going quadratic). This main
+  * measures wall(10×)/wall(sf0.1) for the heavy-family watchlist,
+  * writes SLOPES.json, and SCREENS any operator whose documented
+  * scaling story is "linear" but whose measured slope exceeds
+  * 2.5×/decade. Run from the /verify closing sweep after the fixture
+  * exists (`graft.ScaleFixture` — skips tables already built).
+  *
+  * Protocol: per query per scale, `clearCache()` then RUNS back-to-back
+  * passes, min kept (the Bench block protocol — min-of-N discharges
+  * JIT/cold-IO noise; the r14 x43 reading carried a 60.9→92 s single-run
+  * noise band precisely because it ran once).
+  *
+  * Usage: Slopes [sf01Dir] [x10Dir] [outFile]; SPARK_GRAFT_RUNS
+  * (default 2), SPARK_GRAFT_ONLY (comma filter) respected.
+  */
+object Slopes {
+
+  /** The watchlist: every family whose 100 TB story the verdict reads,
+    * plus each round's new entries. `story` adjudicates the screen:
+    *  - "linear": bounded-state / linear claims whose sf0.1 wall is
+    *    overhead-dominated — SCREENED at >2.5× (the r14 probe's
+    *    empirical band for this class: q01 1.9×, x188 1.6×, …);
+    *  - "volume-faithful": linear work that is COMPUTE-dominated at
+    *    sf0.1, so wall tracks data volume up to the full 10×/decade —
+    *    screened only above 10× (linear wall cannot outgrow data; the
+    *    per-query ScaleSpec byte ceiling gates its traffic). x86: the
+    *    10× fixture's per-copy token suffixes make shingle postings
+    *    cross-copy disjoint, so candidate volume is EXACTLY 10× by
+    *    construction — its 2.8× wall is sub-volume;
+    *  - "key-bounded": fixed-length LSH keys — candidate volume is
+    *    Σ-bucket², sub-quadratic only while the key space out-scales
+    *    the corpus; recorded, never screened mechanically (the r15
+    *    probe measured the class on the adversarial decorrelated
+    *    fixture: 6-bit keys 5.1×, 8-bit 3.8× — production sizes keys
+    *    to the corpus or moves to the cell paths, x67/x203);
+    *  - "quadratic-by-design": the loudly-capped exact baselines —
+    *    recorded, never screened (the cap, not the slope, is the guard);
+    *  - "fixed-fixture": constant-size synthetic fixture — slope ≈ 1
+    *    expected, recorded as a sanity row;
+    *  - "blast-radius": cost ∝ touched shards, not corpus. */
+  val watched: Seq[(String, String)] = Seq(
+    "q01_pricing_summary" -> "linear",
+    "x188_global_rank" -> "linear",
+    "x176_sorted_neighborhood" -> "linear",
+    "x160_incremental_cdc_dedup" -> "linear",
+    "x153_ledger_compaction" -> "linear",
+    "x63_fused_dedup_keeplist" -> "linear",
+    "x86_setsim_exact_join" -> "volume-faithful",
+    "x43_embedding_dedup_keeplist" -> "key-bounded",
+    "x05_knn_cosine" -> "quadratic-by-design",
+    // r15 reshape: panel-bounded adjudication + nlist ∝ corpus — the
+    // registered configs now claim linear and are held to it
+    "x14_ivf_ann" -> "linear",
+    "x62_ivf_pq_ann" -> "linear",
+    "x203_ivf_bounded_scan" -> "fixed-fixture",
+    "x204_bpe_encode" -> "linear",
+    "x205_takedown_rewrite" -> "blast-radius",
+    "x206_streaming_quantile_ledger" -> "linear",
+    "x207_rbo_ranking_agreement" -> "linear",
+    // r15 entries: ledger purge (one corpus-ledger pass + anti-join),
+    // unigram encode (x204's encode class), fertility compare (one
+    // corpus explode + broadcast word joins)
+    "x208_ledger_takedown_purge" -> "linear",
+    "x209_unigram_encode" -> "linear",
+    "x210_tokenizer_fertility_compare" -> "linear")
+
+  def main(args: Array[String]): Unit = {
+    val sf01 = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val x10 = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val out = args.lift(2).getOrElse("SLOPES.json")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(x10)),
+      s"10x fixture $x10 missing — run graft.ScaleFixture first")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // the Bench warmup: JIT/codegen/parquet-footer init must not land on
+    // the first measured block
+    try {
+      import org.apache.spark.sql.functions._
+      val d = spark.read.parquet(s"$sf01/documents.parquet")
+      for (_ <- 1 to 2)
+        d.select(col("doc_id"),
+            graft.expressions.TextExpressions.wordShingles(col("text"), 4),
+            graft.expressions.TextExpressions
+              .bpeishTokenCountNative(col("text")))
+          .write.format("noop").mode("overwrite").save()
+      val e = spark.read.parquet(s"$sf01/embeddings.parquet").limit(200)
+      e.select(graft.expressions.VectorExpressions
+          .floatVecDot(col("embedding"), col("embedding")))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+    def block(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      spark.catalog.clearCache()
+      var best = Double.PositiveInfinity
+      for (pass <- 1 to runs) {
+        val t0 = System.nanoTime()
+        val sec =
+          try {
+            fn(spark, dir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[slopes] $name failed at $dir pass $pass: ${e.getMessage}")
+            Double.PositiveInfinity
+          }
+        best = math.min(best, sec)
+        System.err.println(f"[slopes] $name @$dir pass $pass $sec%.2f s")
+      }
+      best
+    }
+    def fmt(v: Double): String =
+      if (v.isFinite) String.format(Locale.ROOT, "%.2f", Double.box(v)) else "-1"
+    val rows = watched
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, story) =>
+        val a = block(name, sf01)
+        val b = block(name, x10)
+        val slope = if (a > 0 && a.isFinite && b.isFinite) b / a else -1.0
+        val screenAt = story match {
+          case "linear" => 2.5
+          case "volume-faithful" => 10.0 // wall can't outgrow the data
+          case _ => Double.PositiveInfinity
+        }
+        val screened = slope > screenAt
+        System.err.println(
+          f"[slopes] $name sf0.1 ${fmt(a)} s, 10x ${fmt(b)} s, slope ${fmt(slope)}x ($story${if (screened) " SCREENED" else ""})")
+        (name, story, a, b, slope, screened, screenAt)
+      }
+    val entries = rows.map { case (n, st, a, b, s, sc, at) =>
+      val atJson = if (at.isFinite) fmt(at) else "null"
+      s"""{"query":"$n","story":"$st","sf01_sec":${fmt(a)},"x10_sec":${fmt(b)},"slope":${fmt(s)},"screen_at":$atJson,"screened":$sc}"""
+    }.mkString("[", ",", "]")
+    val screenedNames = rows.filter(_._6).map(r => "\"" + r._1 + "\"")
+      .mkString("[", ",", "]")
+    val json =
+      s"""{"sf01":"$sf01","x10":"$x10","runs":$runs,"screened":$screenedNames,"slopes":$entries}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

@@ -70,9 +70,15 @@ object CaptureRecapture {
           ((col("n_ab") + 1L).cast(DoubleType) *
             (col("n_ab") + 1L).cast(DoubleType) *
             (col("n_ab") + 2L).cast(DoubleType))), 4))
+      // sign(diff) * (abs(diff) DIV d): Spark DIV truncates toward
+      // zero while DuckDB // floors — they differ on inexact NEGATIVE
+      // quotients (the x201 lesson), so divide magnitudes only and
+      // reapply the sign (identical on both engines, mirrored in the
+      // x194 oracle).
       .withColumn("err_micro",
         expr("CASE WHEN exact_distinct = 0 THEN 0L ELSE " +
-          "CAST(CAST(n_hat - exact_distinct AS DECIMAL(38,0)) " +
+          "CAST(SIGN(n_hat - exact_distinct) AS BIGINT) * " +
+          "CAST(CAST(ABS(n_hat - exact_distinct) AS DECIMAL(38,0)) " +
           "* 1000000 DIV exact_distinct AS BIGINT) END"))
       .select(col("n_a"), col("n_b"), col("n_ab"), col("n_hat"),
         col("se"), col("exact_distinct"), col("err_micro"))

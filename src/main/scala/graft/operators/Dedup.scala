@@ -296,6 +296,40 @@ object Dedup {
     canon.unionByName(sentinels)
   }
 
+  /** Right-to-be-forgotten for the dedup ledger — the derived-store
+    * half of the takedown capstone ([[graft.operators.TakedownRewrite]]
+    * rewrites the published corpus; this purges the doc-derived
+    * postings, which are takedown-covered data too). Removes EVERY
+    * ledger row of the deleted ids — kept canon postings, dropped-doc
+    * verdicts, sentinels — with one anti-join (delete lists are small:
+    * AQE broadcasts; at warehouse scale the rewrite composes with the
+    * x205 partition-scoped discipline when the ledger is sharded).
+    *
+    * RE-ADMISSION CONTRACT (spec-pinned): after the purge, a
+    * re-submitted copy of a purged doc is judged ONLY against surviving
+    * history — a copy of a purged KEPT doc re-enters (its buckets no
+    * longer hold the ghost canonical that would have dropped it, fixing
+    * the "re-licensed document can never re-enter" defect), while a
+    * copy whose ORIGINAL blocker survives is still dropped (it remains
+    * a duplicate of live content). Past verdicts on OTHER docs stand:
+    * purge never resurrects a doc that was dropped as the purged doc's
+    * duplicate — that content was processed while the canonical was
+    * licensed, and re-adjudicating history is a replay, not a purge.
+    *
+    * CURSOR NOTE: the incremental cursor is `max(doc)` over the ledger;
+    * purging the newest processed docs regresses it to the max
+    * SURVIVING id, so the next increment re-processes any id between —
+    * harmless (their re-emitted verdicts collapse through the keep-list
+    * view) but worth knowing when sizing a batch after a mass takedown.
+    *
+    * Idempotent (purging twice = purging once) and compaction-commutable
+    * (`compactLedger ∘ purge == purge ∘ compactLedger` — both operate
+    * per-doc), pinned by LedgerInvariantsSpec. */
+  def purgeLedger(ledger: DataFrame, deletes: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    ledger.join(deletes.select(col(idCol).as("doc")).distinct(),
+      Seq("doc"), "left_anti")
+
   /** SRP band postings — the embedding analogue of
     * [[minhashBandPostings]]: md5-seeded ±1 hyperplane sign bits
     * (identical construction to [[embeddingLshPairs]], so both engines

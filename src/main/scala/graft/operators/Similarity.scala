@@ -162,14 +162,22 @@ object Similarity {
     * one row `(n_corpus, n_queries, scanned_pairs, scan_micro)` with
     * `scan_micro = scanned_pairs·10⁶ DIV (n_corpus·n_queries)`, the
     * measured scan fraction a bounded-scan deployment budgets against
-    * (brute force ≡ 10⁶). Two broadcast-join hash aggs, cell-sized
-    * everything after — index-metadata work, no corpus² anywhere. */
+    * (brute force ≡ 10⁶). Matches ivfTopK's candidate volume EXACTLY:
+    * empty probed cells count 0 (left join, not inner — an inner join
+    * would silently drop that query from n_queries too, so n_queries
+    * is counted on the probes side before any join), and the self-pair
+    * a corpus-member query contributes to its own probed cell is
+    * subtracted (ivfTopK excludes `query_id =!= neighbor_id`). Empty
+    * inputs yield a 0 row, not nulls. Broadcast-join hash aggs,
+    * cell-sized everything after — index-metadata work, no corpus²
+    * anywhere; the self-pair leg is one id-equi join moving
+    * n_queries·nProbe rows. */
   def ivfScanStats(corpus: DataFrame, queries: DataFrame,
       centroids: DataFrame, idCol: String, vecCol: String,
       nProbe: Int): DataFrame = {
     val cent = broadcast(
       centroids.select(col("cell"), col("cvec"), norm(col("cvec")).as("cn")))
-    val cellSizes = corpus
+    val assign = corpus
       .select(col(idCol).as("cid"), col(vecCol).as("vc"))
       .withColumn("nc", norm(col("vc")))
       .join(cent)
@@ -177,7 +185,7 @@ object Similarity {
         cosinePrenormed(col("vc"), col("cvec"), col("nc"), col("cn")))
       .groupBy("cid")
       .agg(max_by(col("cell"), struct(col("csim"), col("cell"))).as("cell"))
-      .groupBy("cell").agg(count(lit(1)).as("sz"))
+    val cellSizes = assign.groupBy("cell").agg(count(lit(1)).as("sz"))
     val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("vq"))
       .withColumn("nq", norm(col("vq")))
       .join(cent)
@@ -187,13 +195,20 @@ object Similarity {
       .agg(slice(reverse(array_sort(collect_list(struct(col("csim"), col("cell"))))),
         1, nProbe).as("probes"))
       .select(col("qid"), explode(col("probes.cell")).as("cell"))
-    probes.join(broadcast(cellSizes), Seq("cell"))
-      .agg(countDistinct(col("qid")).as("n_queries"),
-        sum(col("sz")).as("scanned_pairs"))
+    val nQ = probes.agg(countDistinct(col("qid")).as("n_queries"))
+    val selfPairs = probes.join(assign,
+        probes("qid") === assign("cid") && probes("cell") === assign("cell"))
+      .agg(count(lit(1)).as("self_pairs"))
+    probes.join(broadcast(cellSizes), Seq("cell"), "left")
+      .agg(coalesce(sum(col("sz")), lit(0L)).as("raw_pairs"))
+      .crossJoin(broadcast(nQ))
+      .crossJoin(broadcast(selfPairs))
       .crossJoin(broadcast(corpus.agg(count(lit(1)).as("n_corpus"))))
-      .select(col("n_corpus"), col("n_queries"), col("scanned_pairs"),
-        expr("scanned_pairs * 1000000L DIV (n_corpus * n_queries)")
-          .as("scan_micro"))
+      .select(col("n_corpus"), col("n_queries"),
+        (col("raw_pairs") - col("self_pairs")).as("scanned_pairs"),
+        expr("CASE WHEN n_corpus * n_queries = 0 THEN 0L ELSE " +
+          "(raw_pairs - self_pairs) * 1000000L DIV (n_corpus * n_queries) " +
+          "END").as("scan_micro"))
   }
 
   /** FAISS-style refine step (the IndexRefineFlat pattern): re-score an

@@ -14,13 +14,20 @@ import org.apache.spark.sql.functions._
   * files-intact verdict per shard and EngineSpec pins true byte
   * identity).
   *
-  * Scale shape: the touched-shard set is one semi-join + distinct
-  * (shards-sized collect — bounded by the shard count, the same
-  * justified class as x65's manifest); the rewrite reads ONLY touched
-  * partitions (partition pruning on the shard filter), anti-joins the
-  * delete list (AQE broadcasts a small list), and lands via dynamic
-  * partition overwrite so untouched partitions are never opened. Cost
-  * is proportional to the takedown's blast radius, never the corpus.
+  * Scale shape: discovery is ONE column-pruned corpus scan — the
+  * (id, shard) projection left-joined with the delete list yields every
+  * shard's row count and delete-hit count together (finding which
+  * shards hold a deleted id requires looking at every id once unless an
+  * id→shard index exists; x114's DeletionImpact builds one when that
+  * scan must be avoided). Everything after is proportional to the
+  * takedown's blast radius: the rewrite reads ONLY touched partitions
+  * (partition pruning on the shard filter), anti-joins the delete list
+  * (AQE broadcasts a small list), lands via dynamic partition overwrite
+  * so untouched partitions are never opened, and the post-rewrite
+  * verification re-reads ONLY touched partitions — a delete id can only
+  * survive where one was found (untouched shards had zero hits), and an
+  * untouched shard's after-count is its before-count, proven unchanged
+  * by the files_intact byte-level check rather than recounted.
   */
 object TakedownRewrite {
 
@@ -53,14 +60,15 @@ object TakedownRewrite {
   def rewriteShards(spark: SparkSession, table: String,
       deletes: DataFrame, idCol: String, shardCol: String): DataFrame = {
     val del = deletes.select(col(idCol)).distinct()
+    val hit = del.withColumn("__hit", lit(1))
+    // ONE discovery scan, column-pruned to (id, shard): per-shard row
+    // count and delete-hit count in the same aggregation
     val before = spark.table(table)
+      .select(col(idCol), col(shardCol))
+      .join(hit, Seq(idCol), "left")
       .groupBy(col(shardCol).as("shard"))
-      .agg(count(lit(1)).as("n_docs_before"))
-      .join(spark.table(table).join(del, Seq(idCol), "left_semi")
-          .groupBy(col(shardCol).as("shard"))
-          .agg(count(lit(1)).as("n_deleted")),
-        Seq("shard"), "left")
-      .withColumn("n_deleted", coalesce(col("n_deleted"), lit(0L)))
+      .agg(count(lit(1)).as("n_docs_before"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_deleted"))
       .collect().map(r => (r.get(0), r.getLong(1), r.getLong(2)))
     // shards-sized driver state (the x65 manifest class): the report
     // and the rewrite filter both need the touched-shard set
@@ -98,27 +106,32 @@ object TakedownRewrite {
       val key = s"$shardCol=$sh"
       sh -> (badSet.contains(sh) || pre.get(key) == post.get(key))
     }.toMap
-    val after = spark.table(table)
-      .groupBy(col(shardCol).as("shard"))
-      .agg(count(lit(1)).as("n_docs_after"))
-      .join(spark.table(table).join(del, Seq(idCol), "left_semi")
-          .groupBy(col(shardCol).as("shard"))
-          .agg(count(lit(1)).as("n_left")),
-        Seq("shard"), "left")
-      .withColumn("n_left", coalesce(col("n_left"), lit(0L)))
+    // post-rewrite verification, blast-radius-scoped: only touched
+    // partitions are re-read (partition-pruned isin) — a delete id can
+    // only survive in a shard that held one, and untouched shards keep
+    // their before-count (files_intact proves it byte-for-byte). A
+    // fully-taken-down shard is absent here: 0 rows left, ids gone.
+    val afterTouched: Map[String, (Long, Long)] =
+      if (bad.isEmpty) Map.empty
+      else spark.table(table)
+        .filter(col(shardCol).isin(bad: _*))
+        .select(col(idCol), col(shardCol))
+        .join(hit, Seq(idCol), "left")
+        .groupBy(col(shardCol).as("shard"))
+        .agg(count(lit(1)).as("n_docs_after"),
+          sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_left"))
+        .collect()
+        .map(r => r.get(0).toString -> (r.getLong(1), r.getLong(2)))
+        .toMap
     import spark.implicits._
-    val beforeDf = before.map { case (sh, nb, nd) =>
-      (sh.toString, nb, nd, badSet.contains(sh),
-        intact(sh)) }.toSeq
-      .toDF("shard", "n_docs_before", "n_deleted", "rewritten",
-        "files_intact")
-    // LEFT join: a fully-taken-down shard no longer exists in the table
-    beforeDf.join(after.withColumn("shard", col("shard").cast("string")),
-        Seq("shard"), "left")
-      .select(col("shard"), col("n_docs_before"), col("n_deleted"),
-        coalesce(col("n_docs_after"), lit(0L)).as("n_docs_after"),
-        col("rewritten"),
-        (coalesce(col("n_left"), lit(0L)) === 0L).as("ids_gone"),
-        col("files_intact"))
+    before.map { case (sh, nb, nd) =>
+      val touched = badSet.contains(sh)
+      val (na, nLeft) =
+        if (touched) afterTouched.getOrElse(sh.toString, (0L, 0L))
+        else (nb, 0L)
+      (sh.toString, nb, nd, na, touched, nLeft == 0L, intact(sh))
+    }.toSeq
+      .toDF("shard", "n_docs_before", "n_deleted", "n_docs_after",
+        "rewritten", "ids_gone", "files_intact")
   }
 }

@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram language-model tokenizer (Kudo, "Subword Regularization:
+  * Improving Neural Network Translation Models with Multiple Subword
+  * Candidates", ACL 2018 — SentencePiece's default algorithm): the
+  * OTHER subword tokenizer modern pipelines ship. Where BPE ([[Bpe]])
+  * grows a vocabulary bottom-up by merging frequent pairs, unigram-LM
+  * starts from a large seed vocabulary of substrings and EM-fits piece
+  * probabilities, segmenting each word by the maximum-likelihood
+  * (Viterbi) decomposition; pieces the fitted model never uses are
+  * pruned. This implementation is the VITERBI-EM (hard-EM) variant —
+  * the E-step assigns each word its single best segmentation instead of
+  * the forward–backward posterior — which keeps every quantity an
+  * integer (piece-use counts weighted by word frequency) and therefore
+  * engine-replayable; soft-EM's fractional expected counts would make
+  * the DuckDB-oracle comparison a float-tolerance judgment instead of
+  * an equality.
+  *
+  * Determinism: piece costs are integer micro-nats
+  * `round(ln(total/count)·10⁶)` (positive, so HALF_UP rounding agrees
+  * between java.lang.Math.round and DuckDB's round-half-away-from-zero);
+  * Viterbi ties prefer the LONGER piece, then the DP's fixed candidate
+  * order; seed pruning ties break lexicographically. Single characters
+  * (drawn from EVERY distinct word, not just the trainable head) are
+  * never pruned and their counts floor at 1 — the standard coverage
+  * guarantee that makes every in-corpus word segmentable.
+  *
+  * Scale shape (the x52 bounded-driver-reduce discipline): ONE
+  * corpus-sized pass builds the distinct-word frequency table; seeding
+  * and every EM round run on the trainable head (topK words) with the
+  * piece table — vocab-sized, bounded by |alphabet| + multiPieces —
+  * collected to the driver once per round (the
+  * [[Similarity.trainKMeans]] centroid pattern). Viterbi is a per-row
+  * HOF fold against a broadcast cost-map literal: zero shuffle. Encode
+  * is one corpus explode + broadcast word→ids join + one doc-keyed
+  * reassembly — x204's exact shuffle class, sharing its id-0 word
+  * separator and round-trip-exact decode contract.
+  */
+object Unigram {
+
+  /** Infinity sentinel for unsegmentable prefixes (headroom for adds). */
+  private val INF = Long.MaxValue / 4
+
+  /** pieces: the fitted vocabulary as (piece → cost micro-nats), driver
+    * state (bounded: |alphabet| + multiPieces). */
+  final case class Model(pieces: Map[String, Long], maxPieceLen: Int)
+
+  /** Viterbi segmentation of one word column under a cost-map literal:
+    * array of pieces, or NULL when some prefix is uncoverable (an OOV
+    * character under a foreign model — callers raise loudly). DP over
+    * prefix lengths 0..L as one `aggregate` fold (element j+1 holds
+    * struct(cost, np) where np is the NEGATED best-piece length, so the
+    * struct sort prefers longer pieces on cost ties), then a second
+    * fold walks the backpointers from L collecting pieces. */
+  private[operators] def viterbiPieces(w: Column, costMap: Column,
+      maxLen: Int): Column = {
+    val L = length(w)
+    val dp = aggregate(sequence(lit(1), L),
+      array(struct(lit(0L).as("cost"), lit(0).as("np"))),
+      (acc, j) => {
+        val cands = (1 to maxLen).map { pl =>
+          val i = j - pl // prefix consumed before this piece
+          val pc = element_at(costMap, w.substr(i + 1, lit(pl)))
+          when(i >= 0 && pc.isNotNull &&
+              element_at(acc, i + 1).getField("cost") < INF,
+            struct((element_at(acc, i + 1).getField("cost") + pc)
+              .as("cost"), lit(-pl).as("np")))
+            .otherwise(struct(lit(INF).as("cost"), lit(0).as("np")))
+        }
+        concat(acc, array(element_at(array_sort(array(cands: _*)), 1)))
+      })
+    val back = aggregate(sequence(lit(1), L),
+      struct(L.as("pos"), array().cast("array<string>").as("ps")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val np = element_at(dp, pos + 1).getField("np")
+        when(pos > 0,
+          struct((pos + np).as("pos"),
+            concat(acc.getField("ps"),
+              array(w.substr(pos + np + 1, -np))).as("ps")))
+          .otherwise(acc)
+      })
+    when(L === 0, array().cast("array<string>"))
+      .when(element_at(dp, L + 1).getField("cost") >= INF,
+        lit(null).cast("array<string>"))
+      .otherwise(reverse(back.getField("ps")))
+  }
+
+  private def costsOf(counts: Map[String, Long]): Map[String, Long] = {
+    val total = counts.values.sum.toDouble
+    counts.map { case (p, c) => p -> math.round(math.log(total / c) * 1e6) }
+  }
+
+  /** Train: seed = every single character of every distinct word
+    * (coverage, counts from the head floored at 1) plus the
+    * `multiPieces` most frequent length-2..maxPieceLen substrings of the
+    * trainable head (occurrence-weighted by word frequency, ties
+    * lexicographic); then `rounds` Viterbi-EM rounds — segment the head
+    * under current costs, recount piece usage weighted by word
+    * frequency, drop multi-char pieces the model stopped using. */
+  def train(docs: DataFrame, textCol: String, topK: Int = 50,
+      maxPieceLen: Int = 3, multiPieces: Int = 40,
+      rounds: Int = 2): Model = {
+    val w0 = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cnt"), asc("w"))
+    val words = w0.withColumn("tr", row_number().over(win) <= topK)
+      .localCheckpoint()
+    // alphabet: every character of every word (bounded by the charset)
+    val alphabet: Set[String] = words
+      .select(explode(split(col("w"), "")).as("ch"))
+      .filter(col("ch") =!= "").distinct()
+      .collect().map(_.getString(0)).toSet
+    // head substrings (len 1..maxPieceLen), occurrence-weighted
+    val subCounts: Map[String, Long] = words.filter(col("tr"))
+      .select(col("cnt"), explode(flatten(transform(
+          sequence(lit(1), lit(maxPieceLen)),
+          l => transform(sequence(lit(1), greatest(
+              length(col("w")) - l + 1, lit(0))),
+            i => col("w").substr(i, l))))).as("p"))
+      .groupBy("p").agg(sum(col("cnt")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val multi = subCounts.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(multiPieces)
+    var counts: Map[String, Long] =
+      alphabet.map(ch => ch -> math.max(subCounts.getOrElse(ch, 0L), 1L))
+        .toMap ++ multi
+    for (_ <- 1 to rounds) {
+      val costMap = typedlit(costsOf(counts))
+      val used: Map[String, Long] = words.filter(col("tr"))
+        .select(col("cnt"),
+          explode(viterbiPieces(col("w"), costMap, maxPieceLen)).as("p"))
+        .groupBy("p").agg(sum(col("cnt")).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      counts = counts.flatMap { case (p, _) =>
+        used.get(p) match {
+          case Some(c) => Some(p -> c)
+          case None if p.length == 1 => Some(p -> 1L) // coverage floor
+          case None => None // pruned: the model stopped using it
+        }
+      }
+    }
+    Model(costsOf(counts), maxPieceLen)
+  }
+
+  /** The fitted vocabulary as a relation: ids 1..V in lexicographic
+    * piece order (x204's convention; id 0 is the word separator). The
+    * piece set is bounded driver state, so ids are assigned locally. */
+  def vocab(spark: SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    model.pieces.keys.toSeq.sorted.zipWithIndex
+      .map { case (p, i) => (p, (i + 1).toLong) }
+      .toDF("piece", "id")
+  }
+
+  /** ENCODE under the fitted model — [[Bpe.encode]]'s exact surface and
+    * shuffle class: Viterbi runs ONCE per distinct word (vocab-sized),
+    * the corpus pays one explode + broadcast word→ids join + one
+    * doc-keyed reassembly. Output `(doc_id, token_ids, n_tokens)`, id 0
+    * separating words; decode(encode(doc)) == doc (UnigramSpec). A word
+    * with an OOV character raises loudly, like Bpe.encode. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      model: Model): DataFrame = {
+    val spark = docs.sparkSession
+    val costMap = typedlit(model.pieces)
+    val v = vocab(spark, model)
+    val wordIds = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .distinct()
+      .withColumn("ps",
+        viterbiPieces(col("w"), costMap, model.maxPieceLen))
+      .withColumn("ps", when(col("ps").isNull && col("w") =!= "",
+          raise_error(concat(lit("Unigram.encode: word '"), col("w"),
+            lit("' contains a character outside the model vocabulary — " +
+              "the model must be trained on this corpus (or a superset)")))
+            .cast("array<string>"))
+        .otherwise(col("ps")))
+      .select(col("w"), posexplode_outer(col("ps")).as(Seq("spos", "piece")))
+      .join(broadcast(v), Seq("piece"), "left")
+      .groupBy("w")
+      .agg(filter(transform(
+          array_sort(collect_list(struct(col("spos"), col("id")))),
+          x => x.getField("id")), x => x.isNotNull).as("ids"))
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("wpos", "w")))
+      .join(broadcast(wordIds), Seq("w"))
+      .groupBy("doc_id")
+      .agg(flatten(transform(
+          array_sort(collect_list(struct(col("wpos"), col("ids")))),
+          x => when(x.getField("wpos") === 0, x.getField("ids"))
+            .otherwise(concat(array(lit(0L)), x.getField("ids")))))
+        .as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
+
+  /** Per-distinct-word subtoken counts under the fitted model — the
+    * unigram analogue of [[Bpe.Model.wordSubtokens]], what the fertility
+    * comparison (x210, x113's table) consumes. One distinct + per-row
+    * Viterbi fold, zero extra shuffle; OOV words raise loudly. */
+  def wordSubtokens(docs: DataFrame, textCol: String,
+      model: Model): DataFrame = {
+    val costMap = typedlit(model.pieces)
+    docs.select(explode(split(col(textCol), " ")).as("w")).distinct()
+      .withColumn("ps",
+        viterbiPieces(col("w"), costMap, model.maxPieceLen))
+      .withColumn("n_subtokens", when(col("ps").isNull,
+          raise_error(concat(lit("Unigram.wordSubtokens: word '"),
+            col("w"), lit("' contains a character outside the model " +
+              "vocabulary"))).cast("long"))
+        .otherwise(size(col("ps")).cast("long")))
+      .select(col("w"), col("n_subtokens"))
+  }
+
+  /** DECODE: ids back to pieces (0 → the word separator), concatenated
+    * per document — [[Bpe.decode]]'s contract over the unigram vocab. */
+  def decode(encoded: DataFrame, model: Model): DataFrame = {
+    val spark = encoded.sparkSession
+    val v = vocab(spark, model).select(col("id"), col("piece").as("sym"))
+      .unionByName(spark.range(1)
+        .select(lit(0L).as("id"), lit(" ").as("sym")))
+    encoded.select(col("doc_id"), posexplode_outer(col("token_ids"))
+        .as(Seq("tpos", "id")))
+      .join(broadcast(v), Seq("id"), "left")
+      .groupBy("doc_id")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("tpos"), col("sym")))),
+        x => x.getField("sym"))).as("text"))
+  }
+}

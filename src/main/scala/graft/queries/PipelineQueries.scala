@@ -306,6 +306,50 @@ object PipelineQueries extends QueryPack {
     FROM led, sp ORDER BY doc_id"""
   }
 
+  /** Ledger-purge + re-admission oracle (x208): one-batch ledger over
+    * the full corpus, the x115/x205 delete list, purge = drop the ids'
+    * rows, then the deleted docs' TEXTS re-submitted under new ids
+    * (+10⁷) and judged against the PURGED kept postings — copies of
+    * purged kept docs re-enter, copies whose original blocker survives
+    * stay dropped, within-batch peers collapse by the bucket-min rule. */
+  private lazy val ledgerPurgeOracleSql: String = {
+    val sigs = (0 until 8).map(i => s"${minhashSigSql(i)} AS h$i").mkString(", ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id AS doc, $b AS band, h${2 * b}||h${2 * b + 1} AS key FROM sg")
+      .mkString(" UNION ALL ")
+    s"""WITH tk AS (SELECT doc_id, $shingleSql AS s FROM documents
+          WHERE len(string_split(text,' ')) >= 4),
+      sg AS (SELECT doc_id, s, $sigs FROM tk),
+      posts AS ($bands),
+      bad AS (SELECT DISTINCT a.doc FROM posts a JOIN posts b
+              ON a.band = b.band AND a.key = b.key AND b.doc < a.doc),
+      v AS (SELECT doc, doc NOT IN (SELECT doc FROM bad) AS kept
+            FROM (SELECT DISTINCT doc FROM posts)
+            UNION ALL
+            SELECT doc_id, true FROM documents
+            WHERE len(string_split(text,' ')) < 4),
+      del AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 3),
+      hist AS (SELECT DISTINCT band, key FROM posts JOIN v USING (doc)
+               WHERE kept AND doc NOT IN (SELECT doc_id FROM del)),
+      rposts AS (SELECT doc + 10000000 AS doc, band, key FROM posts
+                 WHERE doc IN (SELECT doc_id FROM del)),
+      rbad AS (SELECT DISTINCT a.doc FROM rposts a JOIN rposts b
+               ON a.band = b.band AND a.key = b.key AND b.doc < a.doc
+               UNION
+               SELECT DISTINCT a.doc FROM rposts a JOIN hist h
+               ON a.band = h.band AND a.key = h.key),
+      rv AS (SELECT doc, doc NOT IN (SELECT doc FROM rbad) AS kept
+             FROM (SELECT DISTINCT doc FROM rposts)
+             UNION ALL
+             SELECT doc_id + 10000000, true FROM documents
+             WHERE doc_id % 97 = 3 AND len(string_split(text,' ')) < 4)
+    SELECT d.doc_id, v.kept AS kept_before, rv.kept AS readmitted,
+      true AS ledger_clean
+    FROM del d JOIN v ON v.doc = d.doc_id
+    JOIN rv ON rv.doc = d.doc_id + 10000000
+    ORDER BY d.doc_id"""
+  }
+
   /** x59's repetition thresholds — Gopher's filter family (Rae et al.
     * 2021 Table A1) with cutoffs tuned to the synthetic corpus's signal
     * distribution (p50 dup2 ≈ 0.028, p90 ≈ 0.065) so the keep verdict
@@ -423,6 +467,157 @@ object PipelineQueries extends QueryPack {
       ) WHERE best IS NOT NULL
     ),
     last AS (SELECT merges, words FROM rec ORDER BY r DESC LIMIT 1)"""
+
+  /** Unigram-LM training parameters shared by x209/x210 and the oracle
+    * (mirrors [[graft.operators.Unigram.train]] defaults). */
+  private val uniTopK = 50
+  private val uniMaxLen = 3
+  private val uniMulti = 40
+  private val uniRounds = 2
+  private val uniInf = Long.MaxValue / 4
+
+  /** One Viterbi pass as a recursive CTE: segments `srcRel` (w, cnt)
+    * under `costRel` (p, cost) into fin$tag (w, cnt, ps). The DP
+    * carries a 3-deep rolling window of (cost, piece-list) pairs — a
+    * recursive CTE sees only the previous iteration, and maxPieceLen
+    * is 3 — and the tie rule (min cost, then LONGEST piece: the n3
+    * branch wins its <= comparisons) matches the Spark fold's
+    * (cost, -len) struct sort exactly. `srcRel`/`costRel` MUST be
+    * MATERIALIZED CTEs: DuckDB re-evaluates a plain CTE referenced in
+    * the recursive step on EVERY iteration for EVERY join — with
+    * costRel's chain reaching the corpus scan that measured 25× slower
+    * (4.1 s → 0.16 s per round at sf0.001). */
+  private def uniViterbiCte(tag: String, srcRel: String,
+      costRel: String): String = s"""
+    vit$tag AS (
+      SELECT w, cnt, 0 AS j,
+        CAST(0 AS BIGINT) AS c0, CAST([] AS VARCHAR[]) AS l0,
+        CAST($uniInf AS BIGINT) AS c1, CAST([] AS VARCHAR[]) AS l1,
+        CAST($uniInf AS BIGINT) AS c2, CAST([] AS VARCHAR[]) AS l2
+      FROM $srcRel
+      UNION ALL
+      SELECT w, cnt, j + 1,
+        CASE pick WHEN 3 THEN n3 WHEN 2 THEN n2 ELSE n1 END,
+        CASE pick WHEN 3 THEN list_append(l2, p3)
+                  WHEN 2 THEN list_append(l1, p2)
+                  ELSE list_append(l0, p1) END,
+        c0, l0, c1, l1
+      FROM (
+        SELECT *, CASE WHEN n3 <= n2 AND n3 <= n1 THEN 3
+                       WHEN n2 <= n1 THEN 2 ELSE 1 END AS pick
+        FROM (
+          SELECT v.w, v.cnt, v.j, v.c0, v.l0, v.c1, v.l1, v.c2, v.l2,
+            substring(v.w, CAST(v.j + 1 AS INTEGER), 1) AS p1,
+            substring(v.w, CAST(greatest(v.j, 1) AS INTEGER), 2) AS p2,
+            substring(v.w, CAST(greatest(v.j - 1, 1) AS INTEGER), 3) AS p3,
+            CASE WHEN v.c0 >= $uniInf OR cr1.cost IS NULL THEN $uniInf
+                 ELSE v.c0 + cr1.cost END AS n1,
+            CASE WHEN v.c1 >= $uniInf OR cr2.cost IS NULL THEN $uniInf
+                 ELSE v.c1 + cr2.cost END AS n2,
+            CASE WHEN v.c2 >= $uniInf OR cr3.cost IS NULL THEN $uniInf
+                 ELSE v.c2 + cr3.cost END AS n3
+          FROM vit$tag v
+          LEFT JOIN $costRel cr1
+            ON cr1.p = substring(v.w, CAST(v.j + 1 AS INTEGER), 1)
+          LEFT JOIN $costRel cr2
+            ON cr2.p = substring(v.w, CAST(greatest(v.j, 1) AS INTEGER), 2)
+          LEFT JOIN $costRel cr3
+            ON cr3.p = substring(v.w,
+              CAST(greatest(v.j - 1, 1) AS INTEGER), 3)
+          WHERE v.j < len(v.w)
+        )
+      )
+    ),
+    fin$tag AS (SELECT w, cnt, l0 AS ps FROM vit$tag WHERE j = len(w))"""
+
+  /** DuckDB replica of [[graft.operators.Unigram.train]] + encode: the
+    * seed vocabulary (all chars of all words, coverage-floored at 1,
+    * plus the top-$uniMulti head substrings), $uniRounds Viterbi-EM
+    * rounds (costs = round(ln(T/c)·10⁶) micro-nats — POSITIVE so both
+    * engines' half-up rounding agrees; usage recount weighted by word
+    * frequency; unused multi-char pieces pruned, chars floored), the
+    * final Viterbi over ALL distinct words, ids 1..V lexicographic, and
+    * x204's exact corpus-assembly relations. Exposes `uda`
+    * (doc_id, enc) and `finf`/`uvocab` for composition. */
+  private def uniCtesBody(fromTable: String): String = {
+    val roundCtes = (1 to uniRounds).map { r =>
+      val prev = s"seed${r - 1}"
+      s"""
+    cost$r AS MATERIALIZED (SELECT p,
+        CAST(round(ln(CAST((SELECT sum(c) FROM $prev) AS DOUBLE) / c)
+          * 1000000) AS BIGINT) AS cost
+      FROM $prev),
+    ${uniViterbiCte(s"r$r", "hw", s"cost$r")},
+    used$r AS (SELECT p, CAST(sum(cnt) AS BIGINT) AS c
+      FROM (SELECT cnt, unnest(ps) AS p FROM finr$r) GROUP BY p),
+    seed$r AS (
+      SELECT s.p, coalesce(u.c,
+          CASE WHEN len(s.p) = 1 THEN CAST(1 AS BIGINT) END) AS c
+      FROM $prev s LEFT JOIN used$r u ON u.p = s.p
+      WHERE u.c IS NOT NULL OR len(s.p) = 1)"""
+    }.mkString(",")
+    s"""
+    uw0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text,' ')) AS w FROM $fromTable)
+      GROUP BY w),
+    uwr AS (SELECT w, cnt,
+        row_number() OVER (ORDER BY cnt DESC, w) <= $uniTopK AS tr
+      FROM uw0),
+    hw AS MATERIALIZED (SELECT w, cnt FROM uwr WHERE tr),
+    uchars AS (SELECT DISTINCT unnest(regexp_extract_all(w, '.')) AS p
+      FROM uwr),
+    usubs AS (SELECT p, CAST(sum(cnt) AS BIGINT) AS c FROM (
+        SELECT cnt, unnest(flatten(list_transform(
+            range(1, ${uniMaxLen + 1}),
+            l -> list_transform(range(greatest(len(w) - l + 1, 0)),
+              i -> substring(w, CAST(i + 1 AS INTEGER),
+                CAST(l AS INTEGER)))))) AS p
+        FROM hw) GROUP BY p),
+    seed0 AS (
+      SELECT ch.p, greatest(coalesce(s.c, 0), 1) AS c
+      FROM uchars ch LEFT JOIN usubs s ON s.p = ch.p
+      UNION ALL
+      SELECT p, c FROM (
+        SELECT p, c, row_number() OVER (ORDER BY c DESC, p) AS rk
+        FROM usubs WHERE len(p) > 1) WHERE rk <= $uniMulti),
+    $roundCtes,
+    ucost AS MATERIALIZED (SELECT p,
+        CAST(round(ln(CAST((SELECT sum(c) FROM seed$uniRounds) AS DOUBLE)
+          / c) * 1000000) AS BIGINT) AS cost
+      FROM seed$uniRounds),
+    uvocab AS MATERIALIZED (SELECT p AS piece,
+        CAST(row_number() OVER (ORDER BY p) AS BIGINT) AS id
+      FROM seed$uniRounds),
+    aw AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS cnt FROM uw0),
+    ${uniViterbiCte("f", "aw", "ucost")},
+    uwex AS (SELECT w,
+        unnest(list_transform(ps, (s, i) -> {'i': i, 's': s})) AS u
+      FROM finf),
+    uwj AS (SELECT w, u.i AS i, v.id AS id
+      FROM uwex JOIN uvocab v ON v.piece = u.s),
+    uwid0 AS (SELECT w,
+        list_transform(list_sort(list({'i': i, 'id': id})),
+          x -> x.id) AS ids
+      FROM uwj GROUP BY w),
+    uwid AS (SELECT w, ids FROM uwid0
+      UNION ALL SELECT w, CAST([] AS BIGINT[]) FROM finf
+      WHERE len(ps) = 0),
+    udt AS (SELECT doc_id,
+        unnest(list_transform(string_split(text, ' '),
+          (w, i) -> {'i': i, 'w': w})) AS u
+      FROM $fromTable),
+    udj AS (SELECT doc_id, u.i AS i, uwid.ids AS ids
+      FROM udt JOIN uwid ON uwid.w = u.w),
+    uda AS (SELECT doc_id,
+        flatten(list_transform(
+          list_sort(list({'i': i, 'ids': ids})),
+          (x, j) -> CASE WHEN j = 1 THEN x.ids
+            ELSE [CAST(0 AS BIGINT)] || x.ids END)) AS enc
+      FROM udj GROUP BY doc_id)"""
+  }
+
+  private lazy val uniCtes =
+    "WITH RECURSIVE\n" + uniCtesBody("documents")
 
   private val dotSql =
     "list_sum(list_transform(range(len(%s)), i -> CAST(%s[i+1] AS DOUBLE)*CAST(%s[i+1] AS DOUBLE)))"
@@ -1471,9 +1666,11 @@ object PipelineQueries extends QueryPack {
             AS se,
           exact_distinct,
           CAST(CASE WHEN exact_distinct = 0 THEN 0
-            ELSE CAST(CAST(n_a + 1 AS HUGEINT) * (n_b + 1)
-                // (n_ab + 1) - 1 - exact_distinct AS HUGEINT)
-              * 1000000 // exact_distinct END
+            ELSE sign(CAST(n_a + 1 AS HUGEINT) * (n_b + 1)
+                // (n_ab + 1) - 1 - exact_distinct)
+              * (abs(CAST(CAST(n_a + 1 AS HUGEINT) * (n_b + 1)
+                    // (n_ab + 1) - 1 - exact_distinct AS HUGEINT))
+                * 1000000 // exact_distinct) END
             AS BIGINT) AS err_micro
         FROM na, nb, nab, ex""")),
 
@@ -2062,6 +2259,87 @@ object PipelineQueries extends QueryPack {
           array_to_string(enc, ',') AS ids_csv
         FROM da ORDER BY doc_id""")),
 
+    // ---- UNIGRAM-LM TOKENIZER (Kudo ACL 2018 — SentencePiece's
+    //      default): the OTHER subword tokenizer modern pipelines ship,
+    //      completing the family x204's BPE opened. Viterbi-EM variant
+    //      (hard E-step → all-integer piece-use counts, engine-
+    //      replayable; costs are positive micro-nats so both engines'
+    //      half-up rounding agrees); seed = char coverage + top head
+    //      substrings, unused multi-char pieces pruned per round. Same
+    //      id-0-separator encode surface and shuffle class as x204; the
+    //      oracle replays seeding, both EM rounds (unrolled recursive-
+    //      CTE Viterbi with a 3-deep rolling DP window), the final
+    //      all-words Viterbi, and x204's assembly relations ------------
+    Q("x209_unigram_encode",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = graft.operators.Unigram.train(docs, "text",
+          topK = uniTopK, maxPieceLen = uniMaxLen,
+          multiPieces = uniMulti, rounds = uniRounds)
+        graft.operators.Unigram.encode(docs, "doc_id", "text", model)
+          .select(col("doc_id"), col("n_tokens"),
+            concat_ws(",", col("token_ids")).as("ids_csv"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$uniCtes
+        SELECT doc_id, CAST(len(enc) AS BIGINT) AS n_tokens,
+          array_to_string(enc, ',') AS ids_csv
+        FROM uda ORDER BY doc_id""")),
+
+    // ---- TOKENIZER FERTILITY COMPARISON (x113's table over BOTH
+    //      trained tokenizers): per-language whitespace vs BPE vs
+    //      unigram subword counts on the same corpus — the "which
+    //      tokenizer denominates budgets cheaper" readout. Subword
+    //      counts EXCLUDE the id-0 separators (fertility = subwords per
+    //      word); truncating-div micro ratios. Oracle composes the BPE
+    //      and unigram training CTE chains in one WITH RECURSIVE -------
+    Q("x210_tokenizer_fertility_compare",
+      (s, dir) => {
+        import graft.operators.{Bpe, Unigram}
+        val docs = t(s, dir, "documents")
+        val bpeModel = Bpe.train(docs, "text",
+          topK = bpeTopK, numMerges = bpeRounds)
+        val uniModel = Unigram.train(docs, "text",
+          topK = uniTopK, maxPieceLen = uniMaxLen,
+          multiPieces = uniMulti, rounds = uniRounds)
+        val un = Unigram.wordSubtokens(docs, "text", uniModel)
+          .withColumnRenamed("n_subtokens", "nu")
+        docs.select(col("lang"),
+            explode(split(col("text"), " ")).as("w"))
+          .join(broadcast(bpeModel.wordSubtokens), Seq("w"))
+          .join(broadcast(un), Seq("w"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_ws_tokens"),
+            sum(col("n_subtokens")).as("n_bpe_tokens"),
+            sum(col("nu")).as("n_uni_tokens"))
+          .select(col("lang"), col("n_ws_tokens"), col("n_bpe_tokens"),
+            col("n_uni_tokens"),
+            expr("n_bpe_tokens * 1000000L DIV n_ws_tokens")
+              .as("bpe_fertility_micro"),
+            expr("n_uni_tokens * 1000000L DIV n_ws_tokens")
+              .as("uni_fertility_micro"))
+          .orderBy(col("lang"))
+      },
+      Some("WITH RECURSIVE " + bpeCtesBody("documents", bpeRounds) +
+        "," + uniCtesBody("documents") + s""",
+        bw AS (SELECT u.w AS w, CAST(len(u.syms) AS BIGINT) AS nb
+          FROM (SELECT unnest(words) AS u FROM last)),
+        un AS (SELECT w, CAST(len(ps) AS BIGINT) AS nu FROM finf),
+        docw AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        jj AS (SELECT lang, bw.nb, un.nu
+          FROM docw JOIN bw USING (w) JOIN un USING (w)),
+        g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_ws_tokens,
+            CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+            CAST(sum(nu) AS BIGINT) AS n_uni_tokens
+          FROM jj GROUP BY lang)
+        SELECT lang, n_ws_tokens, n_bpe_tokens, n_uni_tokens,
+          CAST(n_bpe_tokens * 1000000 // n_ws_tokens AS BIGINT)
+            AS bpe_fertility_micro,
+          CAST(n_uni_tokens * 1000000 // n_ws_tokens AS BIGINT)
+            AS uni_fertility_micro
+        FROM g ORDER BY lang""")),
+
     // ---- TAKEDOWN APPLIED (governance capstone): x114 audits, x115
     //      streams the intake — this EXECUTES the rewrite: publish the
     //      corpus as a 16-shard partitioned table, apply the takedown
@@ -2104,6 +2382,57 @@ object PipelineQueries extends QueryPack {
           n_deleted > 0 AS rewritten, true AS ids_gone,
           true AS files_intact
         FROM ps ORDER BY CAST(shard AS BIGINT)""")),
+
+    // ---- LEDGER TAKEDOWN PURGE: the governance capstone reaching the
+    //      DERIVED stores (VERDICT r14 gap 1). x115's intake list fed
+    //      x205's published-table rewrite — but the doc-keyed signature
+    //      ledger still held the taken-down ids' postings: (a)
+    //      compliance — doc-derived data outliving the takedown — and
+    //      (b) semantics — a re-licensed copy could never re-enter,
+    //      dropped as a duplicate of kept=true ghosts. purgeLedger
+    //      drops the ids' rows; this entry adjudicates BOTH
+    //      consequences: the purged ledger holds none of the ids
+    //      (ledger_clean), and each deleted doc's text RE-SUBMITTED
+    //      under a new id re-enters iff no SURVIVING canonical blocks
+    //      it — copies of purged kept docs re-admit, copies whose
+    //      original blocker remains licensed stay dropped. Oracle
+    //      replays ledger + purge + re-submission relationally ---------
+    Q("x208_ledger_takedown_purge",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val emptyPosts = Dedup.minhashBandPostings(
+          docs.limit(0), "doc_id", "text")
+        // one-batch ledger (the incremental composition is x50's
+        // subject); persisted — read by kept_before, the purge, and
+        // the hygiene count
+        val ledger = Dedup.dedupBatchLedger(docs, emptyPosts,
+          "doc_id", "text", n = 4, numHashes = 8, numBands = 4).persist()
+        val deletes = docs.filter(col("doc_id") % 97 === 3)
+          .select(col("doc_id"))
+        val purged = Dedup.purgeLedger(ledger, deletes).persist()
+        // the re-licensed copies: same text, new ids above the cursor
+        val resub = docs.filter(col("doc_id") % 97 === 3)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        val step2 = Dedup.dedupBatchLedger(resub,
+          purged.filter(col("kept") && col("band") >= 0),
+          "doc_id", "text", n = 4, numHashes = 8, numBands = 4)
+        val readmit = step2.groupBy(col("doc"))
+          .agg(max(col("kept")).as("readmitted"))
+          .select((col("doc") - 10000000L).as("doc_id"),
+            col("readmitted"))
+        val keptBefore = ledger.groupBy(col("doc"))
+          .agg(max(col("kept")).as("kept_before"))
+          .select(col("doc").as("doc_id"), col("kept_before"))
+        val clean = purged
+          .join(deletes.select(col("doc_id").as("doc")), Seq("doc"),
+            "left_semi")
+          .agg((count(lit(1)) === 0L).as("ledger_clean"))
+        deletes.join(keptBefore, Seq("doc_id"))
+          .join(readmit, Seq("doc_id"))
+          .crossJoin(broadcast(clean))
+          .orderBy(col("doc_id"))
+      },
+      Some(ledgerPurgeOracleSql)),
 
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
@@ -3081,21 +3410,39 @@ object PipelineQueries extends QueryPack {
     //      broadcast-kNN baseline (the x05 operator) and emits one row
     //      (n_queries, recall_ok) where recall_ok = recall >= 0.5 — the
     //      SimilaritySpec bound ("as good as the data allows": the
-    //      synthetic embeddings are near-uniform in cosine space, recall
-    //      measures 0.61 at sf0.01 / 0.58 at sf0.1 with nProbe=3 of 10;
+    //      synthetic embeddings are near-uniform in cosine space;
     //      exactness of the IVF mechanism itself is asserted by the
     //      all-cells-probe spec). The oracle asserts recall_ok is true,
     //      so a hash mismatch IS a failed recall bound and the driver
-    //      carries an explicit pass/fail instead of a no_oracle row. ------
+    //      carries an explicit pass/fail instead of a no_oracle row.
+    //      SCALE SHAPE (the x203 pattern, round-15): the corpus and the
+    //      index stay full-size, but recall is adjudicated over a
+    //      deterministic size-bounded query panel (1-in-10 at the
+    //      driver SFs, capped ~200 as the corpus grows), nlist scales
+    //      with the corpus (cells stay ~1000 rows) and nProbe preserves
+    //      the probed fraction — every leg's cost is panel×cell-sized
+    //      or one linear corpus pass, so the r14 probe's 12×/decade
+    //      all-queries × fixed-nlist quadratic is gone by construction. --
     Q("x14_ivf_ann",
       (s, dir) => {
-        // cached: training, both ivf sides, and the exact baseline all
-        // scan the corpus (the x203/x62 shared-legs lesson)
+        // cached: training, the ivf corpus side, and the exact baseline
+        // all scan the corpus (the x203/x62 shared-legs lesson)
         val e = t(s, dir, "embeddings").persist()
-        val cents = Similarity.trainKMeans(e, "vec_id", "embedding", k = 10, iters = 5)
-        val ivf = Similarity.ivfTopK(e, e, cents, "vec_id", "embedding",
-          k = 5, nProbe = 3).select(col("query_id"), col("neighbor_id"))
-        val exact = Similarity.bruteForceTopKBroadcast(e, e, "vec_id",
+        val n = e.count()
+        val panelMod = math.max(10L, n / 200L)
+        val nlist = math.max(10L, n / 1000L).toInt
+        val nProbe = math.max(3, 3 * nlist / 10)
+        val eq = e.filter(col("vec_id") % panelMod === 0)
+        // k-means trains on a deterministic bounded sample (~2000 rows
+        // — trainKMeans' own at-scale guidance); mod = 1 at the driver
+        // SFs, so the registered behavior there is unchanged
+        val trainMod = math.max(1L, n / 2000L)
+        val cents = Similarity.trainKMeans(
+          e.filter(col("vec_id") % trainMod === 0), "vec_id", "embedding",
+          k = nlist, iters = 5)
+        val ivf = Similarity.ivfTopK(e, eq, cents, "vec_id", "embedding",
+          k = 5, nProbe = nProbe).select(col("query_id"), col("neighbor_id"))
+        val exact = Similarity.bruteForceTopKBroadcast(e, eq, "vec_id",
           "embedding", k = 5).select(col("query_id"), col("neighbor_id"))
         exact.join(ivf.withColumn("hit", lit(1)),
             Seq("query_id", "neighbor_id"), "left")
@@ -3103,7 +3450,10 @@ object PipelineQueries extends QueryPack {
             (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
               >= 0.5).as("recall_ok"))
       },
-      Some("SELECT count(*) AS n_queries, true AS recall_ok FROM embeddings")),
+      Some("""SELECT count(*) AS n_queries, true AS recall_ok
+        FROM embeddings
+        WHERE vec_id % greatest(10, (SELECT count(*) FROM embeddings)
+          // 200) = 0""")),
 
     // ---- repeated-span REMOVAL: the rewrite half of exact-substring
     //      dedup — x36 detects cross-doc spans, this emits the cleaned
@@ -3165,19 +3515,28 @@ object PipelineQueries extends QueryPack {
     //      components (large/small-star) → one canonical survivor per
     //      cluster. Both engines see the IDENTICAL candidate graph (the
     //      oracle regenerates the same hyperplanes), so the keep-list is
-    //      deterministic even though LSH recall < 1 ---------------------
+    //      deterministic even though LSH recall < 1. 8-BIT band keys
+    //      (96 planes / 12 bands — embeddingLshPairs' own production
+    //      guidance) since round 15: the previous 6-bit keys (96/16)
+    //      put ~n/64 rows in a bucket, and the r15 min-of-3 10× probe
+    //      measured the resulting Σ-bucket² candidate growth at
+    //      5.1×/decade; 256-bucket bands cut candidate volume ~5× and
+    //      re-measured 3.8×/decade on the same fixture — the residual
+    //      is the key-bounded class itself (decorrelated vectors refill
+    //      every bucket uniformly; production sizes keys to the corpus
+    //      or moves to the x67/x203 cell paths — SLOPES.json story) ----
     Q("x43_embedding_dedup_keeplist",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val pairs = Dedup.embeddingLshPairs(emb, "vec_id", "embedding",
-          threshold = 0.35, dim = 64, numPlanes = 96, numBands = 16)
+          threshold = 0.35, dim = 64, numPlanes = 96, numBands = 12)
         val comp = Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
         emb.join(comp, emb("vec_id") === comp("v"), "left")
           .filter(col("comp").isNull || col("comp") === col("vec_id"))
           .select(col("vec_id"))
           .orderBy(col("vec_id"))
       },
-      Some(s"""WITH RECURSIVE ${srpCtes(numPlanes = 96, numBands = 16,
+      Some(s"""WITH RECURSIVE ${srpCtes(numPlanes = 96, numBands = 12,
           threshold = 0.35, table = "embeddings")},
         edges AS (SELECT id_a AS s, id_b AS d FROM pr
                   UNION SELECT id_b, id_a FROM pr),
@@ -3840,14 +4199,19 @@ object PipelineQueries extends QueryPack {
     //      IndexRefineFlat) and the top-5 kept — the standard recall
     //      recovery, one candidate-volume id join, never corpus².
     //      Self-adjudicates recall@5 vs the exact baseline like x14;
-    //      pre-refine this measured 0.56/0.56/0.44 across SFs, the
-    //      refined floor is 0.6 (m=16, ksub=128: 112-bit codes, 18x
-    //      compression; nProbe=5). NOTE this corpus-fixture config
-    //      scans ~70% of cells — an artifact of the near-isotropic
-    //      synthetic embeddings, NOT the production shape: x203 runs
-    //      the same chain on a planted-clusters fixture at a ≤10%
-    //      oracle-enforced scan budget (nlist=32, nProbe=1) and is the
-    //      configuration law for real corpora (BASELINE.md r13) -------
+    //      the refined floor is 0.7 (m=16, ksub=128: 112-bit codes, 18x
+    //      compression). NOTE this corpus-fixture config scans ~70% of
+    //      cells — an artifact of the near-isotropic synthetic
+    //      embeddings, NOT the production shape: x203 runs the same
+    //      chain on a planted-clusters fixture at a ≤10% oracle-
+    //      enforced scan budget (nlist=32, nProbe=1) and is the
+    //      configuration law for real corpora (BASELINE.md r13).
+    //      SCALE SHAPE (round-15, the x203 pattern): recall adjudicated
+    //      over the deterministic size-bounded query panel (1-in-10 at
+    //      driver SFs, ~200 capped), nlist ∝ corpus with the probed
+    //      FRACTION held at 70% (nProbe = 0.7·nlist) — the ADC
+    //      candidate join and both adjudication legs are panel-sized,
+    //      PQ training is the one linear corpus pass -------------------
     Q("x62_ivf_pq_ann",
       (s, dir) => {
         import graft.operators.{Pq, Similarity}
@@ -3855,8 +4219,13 @@ object PipelineQueries extends QueryPack {
         // and the exact baseline; recon's codebook-literal expression
         // is expensive to re-evaluate per leg (the x203 lesson)
         val e = t(s, dir, "embeddings").persist()
+        val n = e.count()
+        val panelMod = math.max(10L, n / 200L)
+        val nlist = math.max(10L, n / 1000L).toInt
+        val nProbe = math.max(7, 7 * nlist / 10)
+        val eq = e.filter(col("vec_id") % panelMod === 0)
         val cents = Similarity.trainKMeans(e, "vec_id", "embedding",
-          k = 10, iters = 5)
+          k = nlist, iters = 5)
         val centSeq = cents.orderBy(col("cell")).collect()
           .map(_.getSeq[Float](1)).toIndexedSeq
         val resid = Pq.residuals(e, "embedding", centSeq)
@@ -3865,13 +4234,13 @@ object PipelineQueries extends QueryPack {
         val recon = Pq.ivfPqReconstruct(e, "vec_id", "embedding",
           centSeq, cbs).select(col("vec_id"), col("recon").as("embedding"))
           .persist()
-        val candidates = Similarity.ivfTopK(recon, e, cents, "vec_id",
-          "embedding", k = 50, nProbe = 7)
+        val candidates = Similarity.ivfTopK(recon, eq, cents, "vec_id",
+          "embedding", k = 50, nProbe = nProbe)
           .select(col("query_id"), col("neighbor_id"))
-        val approx = Similarity.refineTopK(candidates, e, e, "vec_id",
+        val approx = Similarity.refineTopK(candidates, e, eq, "vec_id",
           "embedding", k = 5)
           .select(col("query_id"), col("neighbor_id"))
-        val exact = Similarity.bruteForceTopKBroadcast(e, e, "vec_id",
+        val exact = Similarity.bruteForceTopKBroadcast(e, eq, "vec_id",
           "embedding", k = 5).select(col("query_id"), col("neighbor_id"))
         exact.join(approx.withColumn("hit", lit(1)),
             Seq("query_id", "neighbor_id"), "left")
@@ -3881,7 +4250,9 @@ object PipelineQueries extends QueryPack {
           .withColumn("code_bits", lit(112L))
       },
       Some("""SELECT count(*) AS n_queries, true AS recall_ok,
-        CAST(112 AS BIGINT) AS code_bits FROM embeddings""")),
+        CAST(112 AS BIGINT) AS code_bits FROM embeddings
+        WHERE vec_id % greatest(10, (SELECT count(*) FROM embeddings)
+          // 200) = 0""")),
 
     // ---- MULTI-SIGNAL fused dedup: MinHash-Jaccard pairs ∪ SimHash
     //      Hamming pairs → one dup graph → star components → keep-list.

@@ -1430,6 +1430,31 @@ object EventStreams {
           .as("share_of_vocab_micro"))
   }
 
+  /** Right-to-be-forgotten for any KEY-KEYED ledger (sample x162,
+    * session x196, retention x172, burstiness x197, suppression-fed
+    * derived stores — every shape whose rows are attributable to one
+    * id): remove the deleted keys' rows with one anti-join. The generic
+    * member of the takedown family — [[graft.operators.TakedownRewrite]]
+    * rewrites the published corpus, [[graft.operators.Dedup.purgeLedger]]
+    * purges doc-keyed postings with the re-admission contract, and this
+    * purges everything keyed by a user/doc id whose merge views are
+    * per-key (dropping a key's rows drops exactly that key's merged
+    * output and leaves every other key's view bit-identical — the
+    * per-key locality every merge view in this file has by
+    * construction). Idempotent; commutes with the per-key-LOSSLESS
+    * compactors (set/session/suppression/batch — all per-key groupBys).
+    * It does NOT commute with [[compactSampleLedger]], whose top-n rank
+    * cut is lossy across keys within a group: purge FIRST, then compact
+    * — the purge is authoritative and compaction then backfills the
+    * sample from surviving candidates. NOT for cross-key aggregates a
+    * key contributed to anonymously (count-min cells, drift counts):
+    * subtracting one key's contribution needs the retraction ledger
+    * (x182), not a row purge. */
+  def purgeLedger(ledger: DataFrame, deletes: DataFrame,
+      keyCol: String): DataFrame =
+    ledger.join(deletes.select(col(keyCol)).distinct(), Seq(keyCol),
+      "left_anti")
+
   /** Compact a [[streamingSuppressionLedger]] table: one row per id,
     * keeping the FIRST asserting batch (the audit trail [[suppressionSet]]
     * reads through min) — except the max-id batch's rows, kept verbatim

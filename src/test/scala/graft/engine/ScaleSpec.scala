@@ -227,7 +227,12 @@ class ScaleSpec extends SparkSpec {
       // x207: GlobalOrder's bounded triangular join (twice) PLUS the
       // depth-bounded X_d join (weights x m-histogram, both <= depth
       // <= 10000 rows by construction) — the x202 cumulative class
-      "x207_rbo_ranking_agreement")
+      "x207_rbo_ranking_agreement",
+      // x208: the 1-row ledger-hygiene verdict cross-joins the per-doc
+      // re-admission frame via an explicit single-row broadcast —
+      // x25/x40's 1-row shape; the purge/ledger data path is
+      // equi/anti-join-only
+      "x208_ledger_takedown_purge")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
     // InMemoryRelation and change plan text order-dependently
@@ -758,17 +763,35 @@ class ScaleSpec extends SparkSpec {
       // x203: kmeans assignment/probe aggs + the ADC candidate join +
       // refine/exact rank windows + the scan-stats aggs — all over the
       // persisted 4k fixture; the adjudication legs, not the data path,
-      // carry most of the exchanges
-      "x203_ivf_bounded_scan" -> 12,
+      // carry most of the exchanges. +5 when ivfScanStats grew its
+      // exactness legs (n_queries pre-join agg + the self-pair id-equi
+      // join, each probes-sized)
+      "x203_ivf_bounded_scan" -> 17,
       // x204: x52's training chain (word-freq agg + per-round argmax
       // reads are driver-side; the registered plan re-aggregates the
       // word table) + vocab cumulative decomposition + the doc-keyed
       // reassembly + the total-order sort
       "x204_bpe_encode" -> 12,
-      // x205: before/after per-shard aggs + the delete semi/anti joins;
-      // the rewrite itself happened at build time (localCheckpoint +
-      // insertInto), outside the returned plan
-      "x205_takedown_rewrite" -> 4,
+      // x208: the one-batch ledger build (postings persist + history/
+      // peer joins + sentinel anti-join), the purge anti-join, the
+      // re-submission ledger step over the deletes-sized batch, the
+      // kept_before/readmitted doc aggs + id joins, and the 1-row
+      // hygiene broadcast — ledger rows are the widest frame
+      "x208_ledger_takedown_purge" -> 11,
+      // x209: training actions (head Viterbi rounds) ran at build time
+      // with vocab-sized collects; the registered plan is the encode —
+      // distinct-words Viterbi + broadcast id join + doc reassembly +
+      // the total-order sort (x204's encode class minus its train re-agg)
+      "x209_unigram_encode" -> 3,
+      // x210: both tokenizers trained at build time; the plan is one
+      // corpus word explode + two broadcast word-table joins + the
+      // per-lang agg + sort
+      "x210_tokenizer_fertility_compare" -> 3,
+      // x205: the report is now driver-built (shards-sized) from the
+      // single discovery scan + the blast-radius-scoped recount, both
+      // of which ran at build time; the registered plan is just the
+      // total-order sort over the local report rows
+      "x205_takedown_rewrite" -> 1,
       // x202: GlobalOrder's positioning chain + the id-keyed outcome
       // join + the persisted parts-sized bucket table (triangular
       // cumulative) + 1-row total/grand broadcasts + sort

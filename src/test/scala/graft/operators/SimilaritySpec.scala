@@ -158,6 +158,37 @@ class SimilaritySpec extends SparkSpec {
     assert(u.getSeq[Double](4).length == 3)
   }
 
+  test("ivfScanStats matches ivfTopK's candidate volume exactly") {
+    import spark.implicits._
+    val corpus = Seq((1L, Array(1.0f, 0.1f)), (2L, Array(0.9f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f)), (99L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(1.0f, 0.0f)), (1, Array(0.0f, 1.0f)))
+      .toDF("cell", "cvec")
+    val stats = Similarity.ivfScanStats(corpus, queries, cents,
+      "vec_id", "embedding", nProbe = 1).collect().head
+    // query 99 probes the EMPTY cell 1: still counted (n_queries = 2),
+    // contributes 0 pairs; query 1 is a corpus member of its own probed
+    // cell 0, so the self-pair ivfTopK never scores is subtracted
+    // (cell 0 holds 2 corpus rows, minus 1 self = 1 scanned pair)
+    assert(stats.getAs[Long]("n_queries") == 2L)
+    assert(stats.getAs[Long]("scanned_pairs") == 1L)
+    assert(stats.getAs[Long]("n_corpus") == 2L)
+    assert(stats.getAs[Long]("scan_micro") == 250000L)
+    // and that IS the volume ivfTopK moves: exactly one candidate pair
+    val cand = Similarity.ivfTopK(corpus, queries, cents,
+      "vec_id", "embedding", k = 5, nProbe = 1)
+    assert(cand.count() == 1L)
+    // empty corpus: a zeros row, not nulls
+    val empty = Similarity.ivfScanStats(corpus.limit(0), queries, cents,
+      "vec_id", "embedding", nProbe = 1).collect().head
+    assert(!empty.isNullAt(empty.fieldIndex("scanned_pairs")) &&
+      empty.getAs[Long]("scanned_pairs") == 0L &&
+      empty.getAs[Long]("scan_micro") == 0L &&
+      empty.getAs[Long]("n_queries") == 2L)
+  }
+
   test("centroids are float vectors (FloatVecDot strictness)") {
     val cents = Similarity.centroidsOf(emb, "label", "embedding")
     val el = cents.schema("cvec").dataType

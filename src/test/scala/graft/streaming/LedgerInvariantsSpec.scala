@@ -263,6 +263,92 @@ class LedgerInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("purge: removes exactly the ids' rows, is idempotent, and " +
+      "commutes with per-key-lossless compaction") {
+    import spark.implicits._
+    def rowSet(df: DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    // doc-keyed dedup postings (Dedup.purgeLedger — the x208 operator):
+    // doc 1 kept (owns k1/k2), doc 2 dropped, doc 3 kept, doc 4 dropped
+    val postings = Seq(
+      (1L, 0, "k1", true), (1L, 1, "k2", true),
+      (2L, 0, "k1", false), (2L, 1, "k9", false),
+      (3L, 0, "k3", true), (3L, 1, "k4", true),
+      (4L, 0, "k3", false), (4L, 1, "k8", false))
+      .toDF("doc", "band", "key", "kept")
+    val del = Seq(1L).toDF("doc_id")
+    val purged = Dedup.purgeLedger(postings, del)
+    assert(purged.filter(col("doc") === 1L).count() == 0,
+      "purged id's rows survived")
+    // survivors byte-identical: purge touches nothing else
+    assert(rowSet(purged) == rowSet(postings.filter(col("doc") =!= 1L)))
+    // idempotent
+    assert(rowSet(Dedup.purgeLedger(purged, del)) == rowSet(purged))
+    // commutes with compactLedger (both per-doc)
+    assert(rowSet(Dedup.compactLedger(Dedup.purgeLedger(postings, del)))
+      == rowSet(Dedup.purgeLedger(Dedup.compactLedger(postings), del)),
+      "purge and compactLedger do not commute")
+    // key-keyed ledgers (EventStreams.purgeLedger): retention activity
+    // (set semantics, user-keyed) — purge commutes with the per-key-
+    // lossless set compactor
+    val d1 = java.sql.Date.valueOf("2026-01-05")
+    val d2 = java.sql.Date.valueOf("2026-01-12")
+    val retlg = Seq((1L, d1, 0L), (1L, d2, 0L), (2L, d1, 0L),
+      (1L, d1, 1L), (3L, d2, 1L), (1L, d2, 2L))
+      .toDF("u", "week", "batch_id")
+    val udel = Seq(1L).toDF("u")
+    val rp = EventStreams.purgeLedger(retlg, udel, "u")
+    assert(rp.filter(col("u") === 1L).count() == 0 && rp.count() == 2)
+    // untouched users' merged view bit-identical
+    assert(EventStreams.mergeActivityLedger(rp).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString)).toSet ==
+      EventStreams.mergeActivityLedger(retlg).collect()
+        .map(r => (r.getLong(0), r.getDate(1).toString)).toSet
+        .filterNot(_._1 == 1L))
+    assert(rowSet(EventStreams.compactSetLedger(
+        EventStreams.purgeLedger(retlg, udel, "u"), Seq("u", "week")))
+      == rowSet(EventStreams.purgeLedger(
+        EventStreams.compactSetLedger(retlg, Seq("u", "week")), udel, "u")),
+      "purge and compactSetLedger do not commute")
+    // idempotent on the key-keyed shape too
+    assert(rowSet(EventStreams.purgeLedger(rp, udel, "u")) == rowSet(rp))
+  }
+
+  test("purge re-admission: a re-submitted copy of a purged kept doc " +
+      "re-enters; a copy whose blocker survives stays dropped") {
+    import spark.implicits._
+    // two exact-dup pairs, long enough to shingle (>= 4 tokens):
+    // doc 1 (kept) / doc 2 (dropped, dup of 1); doc 3 (kept) / doc 4
+    // (dropped, dup of 3)
+    val tA = "alpha beta gamma delta epsilon"
+    val tB = "one two three four five six"
+    val docs = Seq((1L, tA), (2L, tA), (3L, tB), (4L, tB))
+      .toDF("doc_id", "text")
+    val empty = Dedup.minhashBandPostings(docs.limit(0), "doc_id", "text")
+    val ledger = Dedup.dedupBatchLedger(docs, empty, "doc_id", "text")
+      .localCheckpoint()
+    def keptOf(l: DataFrame): Map[Long, Boolean] =
+      l.groupBy(col("doc")).agg(max(col("kept")).as("k")).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(keptOf(ledger) == Map(1L -> true, 2L -> false,
+      3L -> true, 4L -> false))
+    // takedown of doc 1 (a kept canonical); doc 3 stays licensed
+    val purged = Dedup.purgeLedger(ledger, Seq(1L).toDF("doc_id"))
+      .localCheckpoint()
+    // re-submit copies of BOTH texts under new ids: the purged text's
+    // copy re-enters (no surviving canonical holds its buckets); the
+    // still-licensed text's copy is dropped (doc 3 survives)
+    val resub = Seq((10L, tA), (11L, tB)).toDF("doc_id", "text")
+    val step2 = Dedup.dedupBatchLedger(resub,
+      purged.filter(col("kept") && col("band") >= 0), "doc_id", "text")
+    assert(keptOf(step2) == Map(10L -> true, 11L -> false),
+      "re-admission contract violated")
+    // and WITHOUT the purge the re-licensed copy could never re-enter
+    val step2NoPurge = Dedup.dedupBatchLedger(resub,
+      ledger.filter(col("kept") && col("band") >= 0), "doc_id", "text")
+    assert(keptOf(step2NoPurge) == Map(10L -> false, 11L -> false))
+  }
+
   test("every ledger shape: compaction is lossless, shrinking, " +
       "idempotent, and composes with replay") {
     shapes.foreach { s =>
