@@ -355,13 +355,16 @@ object Bench {
     // x202 = the GlobalOrder positioning chain + the outcome join +
     // parts-sized bucket rollups (triangular cumulative) + sort
     "x202_scorer_gains" -> 940,
-    // r15 first measures (solo min-of-4, q01 control 0.47x — BASELINE.md
-    // r15). x208 = one-batch ledger build + purge anti-join + the
-    // deletes-sized re-admission step; x209 = unigram train (driver-
-    // bounded EM rounds over the 50-word head) + the x204-class encode;
-    // x210 = BOTH tokenizers trained + one corpus word explode + two
-    // broadcast word joins (the composition is the workload)
-    "x208_ledger_takedown_purge" -> 896,
+    // r15 first measures (solo min-of-4, q01 control 0.47-0.53x —
+    // BASELINE.md r15). x208 = one-batch ledger build + purge anti-join
+    // + the deletes-sized re-admission step, PLUS the composed x205
+    // shard-table publish + partition-scoped rewrite (re-measured at
+    // 2486 ms when the full intake->rewrite->purge composition landed
+    // in-entry); x209 = unigram train (driver-bounded EM rounds over
+    // the 50-word head) + the x204-class encode; x210 = BOTH tokenizers
+    // trained + one corpus word explode + two broadcast word joins
+    // (the composition is the workload)
+    "x208_ledger_takedown_purge" -> 2486,
     "x209_unigram_encode" -> 2208,
     "x210_tokenizer_fertility_compare" -> 4649,
     // x201 = two AvailableNow runs (per-batch shingle bottom-k) + the

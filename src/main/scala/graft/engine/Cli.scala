@@ -91,6 +91,11 @@ object Cli {
         // shards; untouched shard files stay byte-identical
         // (TakedownRewriteSpec) and the printed report proves it
         Macros.applyTakedown(project.spark, kwargsArg(rest))
+      case "run-operation" :: "purge_ledger" :: rest =>
+        // EXECUTES: the takedown's derived-store counterpart — drops
+        // the deleted ids' rows from a ledger table in place; the
+        // printed verdict proves zero rows of those ids remain
+        Macros.purgeLedger(project.spark, kwargsArg(rest))
       case "show" :: rest =>
         // dbt `show`: preview a node's rows (compiled query under a
         // LIMIT — reads the materialized relation when one exists, the

@@ -228,6 +228,55 @@ object Macros {
     (header +: rows.toSeq) :+ verdict
   }
 
+  /** `run-operation purge_ledger` — apply_takedown's derived-store
+    * counterpart (the round-15 governance closure): a takedown that
+    * rewrites the published corpus but leaves the doc-keyed ledgers
+    * holding the ids' postings has not finished. Purges every row of
+    * the `deletes` ids from a ledger table in place (one anti-join +
+    * the compactLedger in-place-rewrite discipline) and prints a
+    * verdict proving zero rows of those ids remain. `key` names the
+    * ledger's id column (`doc` for the dedup posting ledgers, `doc_id`
+    * for suppression intake, a user column for session/retention).
+    * Purge semantics — idempotence, compaction-commutation, and the
+    * re-admission contract — are LedgerInvariantsSpec's subject. */
+  def purgeLedger(spark: SparkSession,
+      kwargs: Map[String, String]): Seq[String] = {
+    val required = Seq("table", "deletes", "key")
+    val missing = required.filterNot(kwargs.contains)
+    if (missing.nonEmpty)
+      return Seq("purge_ledger: pass " + missing.mkString(", ") +
+        " (e.g. --args '{table: ldg.dedup_ledger, deletes: " +
+        "gov.takedowns, key: doc}')")
+    val table = kwargs("table")
+    if (!spark.catalog.tableExists(table))
+      return Seq(s"purge_ledger: table $table does not exist")
+    if (!spark.catalog.tableExists(kwargs("deletes")))
+      return Seq(s"purge_ledger: deletes relation ${kwargs("deletes")} " +
+        "does not exist")
+    val key = kwargs("key")
+    if (!spark.table(table).columns.contains(key))
+      return Seq(s"purge_ledger: $table has no column '$key' " +
+        s"(columns: ${spark.table(table).columns.mkString(", ")})")
+    val delCol = spark.table(kwargs("deletes")).columns.head
+    val deletes = spark.table(kwargs("deletes"))
+      .select(col(delCol).as(key)).distinct()
+    val before = spark.table(table).count()
+    val purged = graft.streaming.EventStreams
+      .purgeLedger(spark.table(table), deletes, key)
+      .localCheckpoint() // pin before overwriting a path the plan reads
+    val after = purged.count()
+    purged.write.mode("overwrite").format("parquet").saveAsTable(table)
+    spark.catalog.refreshTable(table)
+    val leftover = spark.table(table)
+      .join(deletes, Seq(key), "left_semi").count()
+    val verdict =
+      if (leftover == 0L) s"purge_ledger: $table clean — no rows of " +
+        "the purged ids remain"
+      else s"purge_ledger: VERDICT FAILED — $leftover rows of purged " +
+        s"ids still present in $table"
+    Seq(s"purged $table: $before rows -> $after rows", verdict)
+  }
+
   /** dbt_project_evaluator analogue (`packages.yml:8-9`,
     * `README.md:281`): advisory lint findings over the project graph —
     * never fails the build (the reference runs it `|| true`). */

@@ -344,7 +344,7 @@ object PipelineQueries extends QueryPack {
              SELECT doc_id + 10000000, true FROM documents
              WHERE doc_id % 97 = 3 AND len(string_split(text,' ')) < 4)
     SELECT d.doc_id, v.kept AS kept_before, rv.kept AS readmitted,
-      true AS ledger_clean
+      true AS ledger_clean, true AS corpus_clean
     FROM del d JOIN v ON v.doc = d.doc_id
     JOIN rv ON rv.doc = d.doc_id + 10000000
     ORDER BY d.doc_id"""
@@ -2395,10 +2395,16 @@ object PipelineQueries extends QueryPack {
     //      (ledger_clean), and each deleted doc's text RE-SUBMITTED
     //      under a new id re-enters iff no SURVIVING canonical blocks
     //      it — copies of purged kept docs re-admit, copies whose
-    //      original blocker remains licensed stay dropped. Oracle
-    //      replays ledger + purge + re-submission relationally ---------
+    //      original blocker remains licensed stay dropped. The FULL
+    //      governance composition runs in-entry: the x115 intake list
+    //      drives the x205 partition-scoped corpus rewrite (its
+    //      all-shards ids_gone verdict lands as corpus_clean) AND the
+    //      ledger purge — takedown is only done when BOTH stores are
+    //      clean. Oracle replays ledger + purge + re-submission
+    //      relationally; the rewrite verdict is a composed `true` ------
     Q("x208_ledger_takedown_purge",
       (s, dir) => {
+        import graft.engine._
         val docs = t(s, dir, "documents")
         val emptyPosts = Dedup.minhashBandPostings(
           docs.limit(0), "doc_id", "text")
@@ -2407,8 +2413,26 @@ object PipelineQueries extends QueryPack {
         // the hygiene count
         val ledger = Dedup.dedupBatchLedger(docs, emptyPosts,
           "doc_id", "text", n = 4, numHashes = 8, numBands = 4).persist()
+        // the x115 intake list (same suppression-request population the
+        // streaming-suppression entry accumulates)
         val deletes = docs.filter(col("doc_id") % 97 === 3)
           .select(col("doc_id"))
+        // x205 composition: publish a shard table, apply the takedown
+        // (partition-scoped rewrite), carry the all-shards verdict.
+        // Own namespace — x205's tkdn.shards is rebuilt by ITS entry,
+        // and registry sweeps run both in one session.
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        s.sql("CREATE DATABASE IF NOT EXISTS tkdnp")
+        s.sql("DROP TABLE IF EXISTS tkdnp.shards")
+        Materializer.deleteRecursively(wh.resolve("tkdnp.db/shards"))
+        docs.select(col("doc_id"), col("source"),
+            pmod(col("doc_id"), lit(16L)).as("shard"))
+          .write.partitionBy("shard").format("parquet")
+          .saveAsTable("tkdnp.shards")
+        val corpusClean = graft.operators.TakedownRewrite.rewriteShards(
+            s, "tkdnp.shards", deletes, "doc_id", "shard")
+          .agg(expr("bool_and(ids_gone)").as("corpus_clean"))
         val purged = Dedup.purgeLedger(ledger, deletes).persist()
         // the re-licensed copies: same text, new ids above the cursor
         val resub = docs.filter(col("doc_id") % 97 === 3)
@@ -2430,6 +2454,7 @@ object PipelineQueries extends QueryPack {
         deletes.join(keptBefore, Seq("doc_id"))
           .join(readmit, Seq("doc_id"))
           .crossJoin(broadcast(clean))
+          .crossJoin(broadcast(corpusClean))
           .orderBy(col("doc_id"))
       },
       Some(ledgerPurgeOracleSql)),

@@ -193,6 +193,51 @@ class OpsSpec extends SparkSpec {
       .exists(_.contains("does not exist")))
   }
 
+  test("cli: run-operation purge_ledger drops the ids' rows in place") {
+    import spark.implicits._
+    val p = new Project(spark, Target("dev", "purgeop", threads = 2))
+    spark.sql("CREATE DATABASE IF NOT EXISTS purgeop")
+    spark.sql("DROP TABLE IF EXISTS purgeop.ledger")
+    spark.sql("DROP TABLE IF EXISTS purgeop.takedowns")
+    // a dedup posting ledger shape: doc 1 kept (k1/k2), 2 dropped,
+    // 3 kept, 4 dropped — takedown purges doc 1
+    Seq((1L, 0, "k1", true), (1L, 1, "k2", true),
+        (2L, 0, "k1", false), (2L, 1, "k9", false),
+        (3L, 0, "k3", true), (3L, 1, "k4", true),
+        (4L, 0, "k3", false), (4L, 1, "k8", false))
+      .toDF("doc", "band", "key", "kept")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("purgeop.ledger")
+    Seq(1L).toDF("doc_id")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("purgeop.takedowns")
+    val out = Cli.run(p, Seq("run-operation", "purge_ledger",
+      "--args", "{table: purgeop.ledger, deletes: purgeop.takedowns, " +
+        "key: doc}"))
+    assert(out.exists(_.contains("8 rows -> 6 rows")), out)
+    assert(out.exists(_.contains("clean — no rows of the purged ids")), out)
+    assert(spark.table("purgeop.ledger")
+      .filter(col("doc") === 1L).count() == 0)
+    // survivors untouched
+    assert(spark.table("purgeop.ledger").count() == 6)
+    // idempotent through the CLI too
+    val again = Cli.run(p, Seq("run-operation", "purge_ledger",
+      "--args", "{table: purgeop.ledger, deletes: purgeop.takedowns, " +
+        "key: doc}"))
+    assert(again.exists(_.contains("6 rows -> 6 rows")), again)
+    // bad invocations are actionable errors, not silent no-ops
+    assert(Cli.run(p, Seq("run-operation", "purge_ledger"))
+      .exists(_.contains("pass table")))
+    assert(Cli.run(p, Seq("run-operation", "purge_ledger",
+      "--args", "{table: purgeop.nope, deletes: purgeop.takedowns, " +
+        "key: doc}"))
+      .exists(_.contains("does not exist")))
+    assert(Cli.run(p, Seq("run-operation", "purge_ledger",
+      "--args", "{table: purgeop.ledger, deletes: purgeop.takedowns, " +
+        "key: nope}"))
+      .exists(_.contains("has no column")))
+  }
+
   test("cli: compact_ledger handles the sessions shape end-to-end") {
     import spark.implicits._
     val p = new Project(spark, Target("dev", "compactop", threads = 2))

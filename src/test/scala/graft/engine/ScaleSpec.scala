@@ -228,10 +228,10 @@ class ScaleSpec extends SparkSpec {
       // depth-bounded X_d join (weights x m-histogram, both <= depth
       // <= 10000 rows by construction) — the x202 cumulative class
       "x207_rbo_ranking_agreement",
-      // x208: the 1-row ledger-hygiene verdict cross-joins the per-doc
-      // re-admission frame via an explicit single-row broadcast —
-      // x25/x40's 1-row shape; the purge/ledger data path is
-      // equi/anti-join-only
+      // x208: the 1-row ledger-hygiene verdict AND the 1-row composed
+      // rewrite verdict cross-join the per-doc re-admission frame via
+      // explicit single-row broadcasts — x25/x40's 1-row shape; the
+      // purge/ledger data path is equi/anti-join-only
       "x208_ledger_takedown_purge")
     // sweep from a defined cache state: cached relations left by earlier
     // tests (or by this sweep's own earlier queries) swap subplans for
@@ -775,9 +775,11 @@ class ScaleSpec extends SparkSpec {
       // x208: the one-batch ledger build (postings persist + history/
       // peer joins + sentinel anti-join), the purge anti-join, the
       // re-submission ledger step over the deletes-sized batch, the
-      // kept_before/readmitted doc aggs + id joins, and the 1-row
-      // hygiene broadcast — ledger rows are the widest frame
-      "x208_ledger_takedown_purge" -> 11,
+      // kept_before/readmitted doc aggs + id joins, and the TWO 1-row
+      // verdict broadcasts (ledger hygiene + the composed x205 rewrite
+      // verdict over the driver-built shards report) — ledger rows are
+      // the widest frame; the corpus rewrite itself ran at build time
+      "x208_ledger_takedown_purge" -> 12,
       // x209: training actions (head Viterbi rounds) ran at build time
       // with vocab-sized collects; the registered plan is the encode —
       // distinct-words Viterbi + broadcast id join + doc reassembly +
