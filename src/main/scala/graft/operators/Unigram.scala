@@ -149,7 +149,11 @@ object Unigram {
 
   /** The fitted vocabulary as a relation: ids 1..V in lexicographic
     * piece order (x204's convention; id 0 is the word separator). The
-    * piece set is bounded driver state, so ids are assigned locally. */
+    * piece set is bounded driver state, so ids are assigned locally —
+    * JVM String order, which equals the oracle's UTF-8 byte order for
+    * ASCII corpora (the synthetic corpus is ASCII; a non-BMP corpus
+    * would also need the char splitter revisited: JVM split("")
+    * yields UTF-16 code units where a regex `.` yields codepoints). */
   def vocab(spark: SparkSession, model: Model): DataFrame = {
     import spark.implicits._
     model.pieces.keys.toSeq.sorted.zipWithIndex

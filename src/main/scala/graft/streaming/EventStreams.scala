@@ -1442,14 +1442,23 @@ object EventStreams {
     * output and leaves every other key's view bit-identical — the
     * per-key locality every merge view in this file has by
     * construction). Idempotent; commutes with the per-key-LOSSLESS
-    * compactors (set/session/suppression/batch — all per-key groupBys).
+    * compactors (set/session/suppression/batch — all per-key groupBys)
+    * at the MERGE-VIEW level — raw rows can differ in batch-id
+    * bookkeeping when the purged key owned the max batch, since the
+    * compactors keep that batch verbatim as the replay cursor.
     * It does NOT commute with [[compactSampleLedger]], whose top-n rank
     * cut is lossy across keys within a group: purge FIRST, then compact
     * — the purge is authoritative and compaction then backfills the
     * sample from surviving candidates. NOT for cross-key aggregates a
     * key contributed to anonymously (count-min cells, drift counts):
     * subtracting one key's contribution needs the retraction ledger
-    * (x182), not a row purge. */
+    * (x182), not a row purge. REPLAY CAVEAT: purge removes rows, it
+    * cannot remove them from a batch an at-least-once writer may
+    * re-deliver — a crash-retry of a pre-purge batch re-appends the
+    * purged ids' rows. The durable suppression intake (x115) is the
+    * system of record for exactly this reason: re-running the purge
+    * (idempotent) after any replay window closes restores the
+    * invariant. */
   def purgeLedger(ledger: DataFrame, deletes: DataFrame,
       keyCol: String): DataFrame =
     ledger.join(deletes.select(col(keyCol)).distinct(), Seq(keyCol),

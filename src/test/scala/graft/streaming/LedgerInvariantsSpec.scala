@@ -312,6 +312,48 @@ class LedgerInvariantsSpec extends SparkSpec {
       "purge and compactSetLedger do not commute")
     // idempotent on the key-keyed shape too
     assert(rowSet(EventStreams.purgeLedger(rp, udel, "u")) == rowSet(rp))
+    // suppression intake (x115): purging an id's rows removes it from
+    // the suppression SET (e.g. a takedown request withdrawn) and
+    // commutes with the first-batch-preserving compactor
+    val suplg = Seq((11L, 0L), (12L, 0L), (12L, 1L), (13L, 1L),
+      (14L, 2L)).toDF("doc_id", "batch_id")
+    val sdel = Seq(12L).toDF("doc_id")
+    val sp = EventStreams.purgeLedger(suplg, sdel, "doc_id")
+    assert(EventStreams.suppressionSet(sp, "doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(11L, 13L, 14L))
+    assert(rowSet(EventStreams.compactSuppressionLedger(
+        EventStreams.purgeLedger(suplg, sdel, "doc_id"), "doc_id"))
+      == rowSet(EventStreams.purgeLedger(
+        EventStreams.compactSuppressionLedger(suplg, "doc_id"),
+        sdel, "doc_id")),
+      "purge and compactSuppressionLedger do not commute")
+    // session ledger (x196, user-keyed interval summaries): other
+    // users' merged sessions bit-identical after a user purge, and
+    // purge commutes with the per-user interval-merging compactor
+    val M = 60000000L
+    val sslg = Seq((1L, 0L, 10 * M, 2L, 0L), (1L, 100 * M, 110 * M, 3L, 0L),
+      (1L, 11 * M, 20 * M, 2L, 1L), (2L, 0L, M, 1L, 1L),
+      (1L, 200 * M, 210 * M, 1L, 2L))
+      .toDF("u", "start_us", "end_us", "n", "batch_id")
+    val ssp = EventStreams.purgeLedger(sslg, Seq(1L).toDF("u"), "u")
+    assert(EventStreams.mergeSessionLedger(ssp, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      EventStreams.mergeSessionLedger(sslg, 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .filterNot(_._1 == 1L))
+    // commutation holds at the MERGE-VIEW level (the semantic
+    // contract): raw rows can differ in batch-id bookkeeping when the
+    // purged user owned the max batch — compact-first keeps that
+    // batch's rows verbatim, purge-first re-stamps survivors against a
+    // lower cursor. Both orders must merge identically.
+    def sessView(df: org.apache.spark.sql.DataFrame) =
+      EventStreams.mergeSessionLedger(df, 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    assert(sessView(EventStreams.compactSessionLedger(ssp, 1))
+      == sessView(EventStreams.purgeLedger(
+        EventStreams.compactSessionLedger(sslg, 1), Seq(1L).toDF("u"), "u")),
+      "purge and compactSessionLedger do not view-commute")
   }
 
   test("purge re-admission: a re-submitted copy of a purged kept doc " +
