@@ -15,6 +15,17 @@ import java.util.Locale
   * 2.5×/decade. Run from the /verify closing sweep after the fixture
   * exists (`graft.ScaleFixture` — skips tables already built).
   *
+  * The gate FAILS CLOSED (round-16, ADVICE r15 item 1): a query that
+  * crashes or OOMs at either scale lands in the top-level `failed`
+  * list AND in `screened` — a non-finite 10× measurement is exactly
+  * the failure a super-linear plan produces at scale, so it must be
+  * adjudicated, never slide through as an unscreened −1. And the
+  * volume-faithful stories are PINNED (ADVICE r15 item 4): each runs
+  * its [[graft.queries.PipelineQueries.volumeCounters]] counter at
+  * both scales — the measured candidate-volume ratio must land in
+  * [5, 13] per decade or the entry screens, so "~10× by construction"
+  * is counted, not asserted.
+  *
   * Protocol: per query per scale, `clearCache()` then RUNS back-to-back
   * passes, min kept (the Bench block protocol — min-of-N discharges
   * JIT/cold-IO noise; the r14 x43 reading carried a 60.9→92 s single-run
@@ -56,7 +67,12 @@ object Slopes {
     "x153_ledger_compaction" -> "linear",
     "x63_fused_dedup_keeplist" -> "linear",
     "x86_setsim_exact_join" -> "volume-faithful",
-    "x43_embedding_dedup_keeplist" -> "key-bounded",
+    // r16: adaptive band width (embeddingLshPairsScaled — bits sized so
+    // the expected bucket stays ≤ 8 rows) replaced the fixed 8-bit keys
+    // whose Σ-bucket² growth the r15 probe measured at 3.55×/decade;
+    // candidates are now ≤ 96n by construction and the volume counter
+    // pins the per-decade candidate ratio to [5, 13]
+    "x43_embedding_dedup_keeplist" -> "volume-faithful",
     "x05_knn_cosine" -> "quadratic-by-design",
     // r15 reshape: panel-bounded adjudication + nlist ∝ corpus. Both
     // entries' variable legs are data-proportional BY CONSTRUCTION
@@ -84,7 +100,14 @@ object Slopes {
     // corpus explode + broadcast word joins)
     "x208_ledger_takedown_purge" -> "linear",
     "x209_unigram_encode" -> "linear",
-    "x210_tokenizer_fertility_compare" -> "linear")
+    "x210_tokenizer_fertility_compare" -> "linear",
+    // r16 entries: CM retraction (two-batch CM ledger + one semi-join-
+    // pruned sketch pass + netted merge), byte-fallback encode (x209's
+    // encode class + the fallback branch), token-ledger retraction
+    // (x168's ledger + one negated group partial)
+    "x211_countmin_retraction" -> "linear",
+    "x212_unigram_byte_fallback" -> "linear",
+    "x213_token_ledger_retraction" -> "linear")
 
   def main(args: Array[String]): Unit = {
     val sf01 = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -139,6 +162,19 @@ object Slopes {
     }
     def fmt(v: Double): String =
       if (v.isFinite) String.format(Locale.ROOT, "%.2f", Double.box(v)) else "-1"
+    // volume counters: the volume-faithful stories' mechanical pin
+    // (ADVICE r15 item 4) — candidate volume counted at both scales,
+    // ratio screened to [5, 13] (the claim is ~10×/decade by
+    // construction; 12.5 is the adaptive-key worst decade)
+    def volAt(name: String, dir: String): Double =
+      graft.queries.PipelineQueries.volumeCounters.get(name).map { f =>
+        try f(spark, dir).toDouble
+        catch { case e: Throwable =>
+          System.err.println(
+            s"[slopes] volume counter $name failed at $dir: ${e.getMessage}")
+          Double.NaN
+        }
+      }.getOrElse(Double.NaN)
     val rows = watched
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, story) =>
@@ -150,19 +186,35 @@ object Slopes {
           case "volume-faithful" => 10.0 // wall can't outgrow the data
           case _ => Double.PositiveInfinity
         }
-        val screened = slope > screenAt
+        val (v1, v2) =
+          if (story == "volume-faithful") (volAt(name, sf01), volAt(name, x10))
+          else (Double.NaN, Double.NaN)
+        val volRatio = if (v1 > 0 && v2 >= 0) v2 / v1 else Double.NaN
+        val volBad = story == "volume-faithful" &&
+          graft.queries.PipelineQueries.volumeCounters.contains(name) &&
+          (!volRatio.isFinite || volRatio < 5.0 || volRatio > 13.0)
+        // FAIL CLOSED (ADVICE r15 item 1): a query that crashes or OOMs
+        // at either scale is exactly the failure a super-linear plan
+        // produces at 10× — it screens, it never slides through as an
+        // unscreened -1
+        val failed = !(a.isFinite && b.isFinite)
+        val screened = failed || slope > screenAt || volBad
         System.err.println(
-          f"[slopes] $name sf0.1 ${fmt(a)} s, 10x ${fmt(b)} s, slope ${fmt(slope)}x ($story${if (screened) " SCREENED" else ""})")
-        (name, story, a, b, slope, screened, screenAt)
+          f"[slopes] $name sf0.1 ${fmt(a)} s, 10x ${fmt(b)} s, slope ${fmt(slope)}x, vol_ratio ${fmt(volRatio)} ($story${if (screened) " SCREENED" else ""}${if (failed) " FAILED" else ""})")
+        (name, story, a, b, slope, screened, screenAt, volRatio, failed)
       }
-    val entries = rows.map { case (n, st, a, b, s, sc, at) =>
-      val atJson = if (at.isFinite) fmt(at) else "null"
-      s"""{"query":"$n","story":"$st","sf01_sec":${fmt(a)},"x10_sec":${fmt(b)},"slope":${fmt(s)},"screen_at":$atJson,"screened":$sc}"""
+    val entries = rows.map {
+      case (n, st, a, b, s, sc, at, vr, fl) =>
+        val atJson = if (at.isFinite) fmt(at) else "null"
+        val vrJson = if (vr.isFinite) fmt(vr) else "null"
+        s"""{"query":"$n","story":"$st","sf01_sec":${fmt(a)},"x10_sec":${fmt(b)},"slope":${fmt(s)},"screen_at":$atJson,"vol_ratio":$vrJson,"screened":$sc,"failed":$fl}"""
     }.mkString("[", ",", "]")
     val screenedNames = rows.filter(_._6).map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")
+    val failedNames = rows.filter(_._9).map(r => "\"" + r._1 + "\"")
+      .mkString("[", ",", "]")
     val json =
-      s"""{"sf01":"$sf01","x10":"$x10","runs":$runs,"screened":$screenedNames,"slopes":$entries}"""
+      s"""{"sf01":"$sf01","x10":"$x10","runs":$runs,"screened":$screenedNames,"failed":$failedNames,"slopes":$entries}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
     println(json)

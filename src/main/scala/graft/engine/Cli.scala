@@ -96,6 +96,12 @@ object Cli {
         // the deleted ids' rows from a ledger table in place; the
         // printed verdict proves zero rows of those ids remain
         Macros.purgeLedger(project.spark, kwargsArg(rest))
+      case "run-operation" :: "retract_countmin" :: rest =>
+        // EXECUTES: the takedown's additive-sketch counterpart —
+        // appends the purged keys' NEGATED sketch (recomputed from the
+        // raw events) so the merged ledger reads as if they were never
+        // ingested; the verdict cross-checks the netted sentinel
+        Macros.retractCountMin(project.spark, kwargsArg(rest))
       case "show" :: rest =>
         // dbt `show`: preview a node's rows (compiled query under a
         // LIMIT — reads the materialized relation when one exists, the

@@ -257,7 +257,19 @@ object Macros {
     if (!spark.table(table).columns.contains(key))
       return Seq(s"purge_ledger: $table has no column '$key' " +
         s"(columns: ${spark.table(table).columns.mkString(", ")})")
-    val delCol = spark.table(kwargs("deletes")).columns.head
+    // purge column of the deletes relation: its only column, or the one
+    // matching `key` — NEVER a blind columns.head (a multi-column deletes
+    // relation whose id column isn't first would anti-join on the wrong
+    // values, and the leftover verdict below would re-use the same wrong
+    // values and still print "clean")
+    val delCols = spark.table(kwargs("deletes")).columns
+    val delCol =
+      if (delCols.length == 1) delCols.head
+      else if (delCols.contains(key)) key
+      else return Seq(s"purge_ledger: deletes relation " +
+        s"${kwargs("deletes")} has ${delCols.length} columns and none " +
+        s"named '$key' — pass a single-column relation or one whose " +
+        s"purge column matches key (columns: ${delCols.mkString(", ")})")
     val deletes = spark.table(kwargs("deletes"))
       .select(col(delCol).as(key)).distinct()
     val before = spark.table(table).count()
@@ -275,6 +287,80 @@ object Macros {
       else s"purge_ledger: VERDICT FAILED — $leftover rows of purged " +
         s"ids still present in $table"
     Seq(s"purged $table: $before rows -> $after rows", verdict)
+  }
+
+  /** `run-operation retract_countmin` — purge_ledger's ADDITIVE-SKETCH
+    * counterpart (round-16, the r15 verdict's last governance
+    * quadrant): a Count-Min ledger holds a purged key's contributions
+    * ANONYMOUSLY in shared cells, so purge_ledger's row anti-join
+    * cannot reach them. This composes the cure from the delete list and
+    * the RAW EVENTS source ([[graft.streaming.EventStreams
+    * .countMinRetraction]]): the purged keys' own sketch, appended
+    * NEGATED under a fresh batch id below every existing one, nets the
+    * ledger to exactly the clean-events sketch (CM linearity). The
+    * verdict cross-checks the netted row-count sentinel against the
+    * clean-events count — which also catches an `events` relation that
+    * is NOT the ledger's true ingest source (the one way this
+    * composition silently lies). `depth`/`width` must match the
+    * ledger's build parameters. */
+  def retractCountMin(spark: SparkSession,
+      kwargs: Map[String, String]): Seq[String] = {
+    val required = Seq("table", "events", "deletes", "key", "term",
+      "depth", "width")
+    val missing = required.filterNot(kwargs.contains)
+    if (missing.nonEmpty)
+      return Seq("retract_countmin: pass " + missing.mkString(", ") +
+        " (e.g. --args '{table: cm.sketch, events: raw.events, " +
+        "deletes: gov.takedowns, key: user_id, term: term, depth: 4, " +
+        "width: 1024}')")
+    val table = kwargs("table")
+    for (rel <- Seq(table, kwargs("events"), kwargs("deletes")))
+      if (!spark.catalog.tableExists(rel))
+        return Seq(s"retract_countmin: relation $rel does not exist")
+    val (depth, width) =
+      (kwargs("depth").toIntOption, kwargs("width").toIntOption) match {
+        case (Some(d), Some(w)) if d > 0 && w > 0 => (d, w)
+        case _ => return Seq("retract_countmin: depth/width must be " +
+          s"positive integers (got ${kwargs("depth")}, ${kwargs("width")})")
+      }
+    val key = kwargs("key")
+    val term = kwargs("term")
+    val events = spark.table(kwargs("events"))
+    for (c <- Seq(key, term))
+      if (!events.columns.contains(c))
+        return Seq(s"retract_countmin: events relation " +
+          s"${kwargs("events")} has no column '$c' " +
+          s"(columns: ${events.columns.mkString(", ")})")
+    // same deletes-column discipline as purge_ledger
+    val delCols = spark.table(kwargs("deletes")).columns
+    val delCol =
+      if (delCols.length == 1) delCols.head
+      else if (delCols.contains(key)) key
+      else return Seq(s"retract_countmin: deletes relation " +
+        s"${kwargs("deletes")} has ${delCols.length} columns and none " +
+        s"named '$key' — pass a single-column relation or one whose " +
+        s"purge column matches key (columns: ${delCols.mkString(", ")})")
+    val deletes = spark.table(kwargs("deletes"))
+      .select(col(delCol).as(key)).distinct()
+    val ledger = spark.table(table)
+    val minB = ledger.agg(min(col("batch_id"))).first()
+    val batchId =
+      math.min(if (minB.isNullAt(0)) -1L else minB.getLong(0), -1L) - 1L
+    graft.streaming.EventStreams
+      .countMinRetraction(events, deletes, key, term, depth, width, batchId)
+      .write.mode("append").format("parquet").saveAsTable(table)
+    spark.catalog.refreshTable(table)
+    val (_, totals) = graft.streaming.EventStreams
+      .mergeCountMinLedger(spark.table(table))
+    val netted = totals.first().getLong(0)
+    val clean = events.join(deletes, Seq(key), "left_anti").count()
+    val verdict =
+      if (netted == clean) s"retract_countmin: $table netted — merged " +
+        s"sentinel $netted == clean-events count (CM linearity holds)"
+      else s"retract_countmin: VERDICT FAILED — netted sentinel " +
+        s"$netted != clean-events count $clean (is ${kwargs("events")} " +
+        "the ledger's true ingest source, at matching depth/width?)"
+    Seq(s"appended retraction batch $batchId to $table", verdict)
   }
 
   /** dbt_project_evaluator analogue (`packages.yml:8-9`,

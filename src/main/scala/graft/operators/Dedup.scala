@@ -838,13 +838,103 @@ object Dedup {
       threshold: Double, dim: Int,
       numPlanes: Int = 32, numBands: Int = 16): DataFrame = {
     require(numPlanes % numBands == 0, "numPlanes must divide into bands")
-    val rows = numPlanes / numBands
     val signs = srpSigns(numPlanes, dim)
     // persisted: read by the signature branch and both verify joins
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
       .persist()
     val bands = srpBandFrame(base, numPlanes, numBands, signs)
+    srpVerifyPairs(base, bands, threshold)
+  }
+
+  /** Corpus-scaled key width for [[embeddingLshPairsScaled]]: the
+    * SMALLEST bits-per-band in [minBits, maxBits] holding the expected
+    * uniform bucket at or under `targetBucket` rows
+    * (n ≤ targetBucket·2^bits). Pure integer comparisons — the DuckDB
+    * oracle regenerates the same width from count(*) with the identical
+    * CASE chain, no float log2 edge cases at power-of-two boundaries. */
+  private[graft] def adaptiveBandBits(n: Long, targetBucket: Int,
+      minBits: Int, maxBits: Int): Int =
+    (minBits to maxBits).find(b => n <= (targetBucket.toLong << b))
+      .getOrElse(maxBits)
+
+  /** [[embeddingLshPairs]] with the band-key space SCALED TO THE CORPUS
+    * — the production cure for the fixed-key Σ-bucket² class (the r15
+    * x43 verdict: at FIXED b-bit keys, candidate volume is ~n²/2^b per
+    * band, so a 100× corpus means a 100× candidate join). Scaling bits
+    * with the corpus (the x14 nlist discipline) holds the expected
+    * bucket at `targetBucket` rows, so candidate volume is bounded by
+    * numBands·targetBucket·n — LINEAR by construction; the integer
+    * granularity of the width makes the per-decade candidate ratio
+    * oscillate in [100/2⁴, 100/2³] = [6.25, 12.5] around the data's own
+    * 10× (graft.Slopes pins this mechanically with a candidate-count
+    * ratio screen). The trade is the standard LSH recall curve — each
+    * added bit multiplies per-band collision probability by p_bit — the
+    * inherent key-bounded economics; recall-critical production pairs
+    * the width with a threshold-matched band count, or moves to the
+    * cell paths (SemDeDup x67 / bounded-scan IVF x203).
+    *
+    * Determinism under scaling: hyperplanes are laid out at `maxBits`
+    * STRIDE (band b, row r → plane b·maxBits + r), so every narrower
+    * key is a PREFIX of the maxBits key — the oracle regenerates the
+    * full-width key and truncates with substr(key, 1, bits), and both
+    * engines derive `bits` from the same count with the same integer
+    * comparisons. Costs one extra column-pruned count() job. */
+  def embeddingLshPairsScaled(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, numBands: Int = 12,
+      targetBucket: Int = 8, minBits: Int = 8,
+      maxBits: Int = 16): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .persist()
+    val bands = srpScaledBandFrame(base, numBands, targetBucket, minBits,
+      maxBits, dim)
+    srpVerifyPairs(base, bands, threshold)
+  }
+
+  /** Candidate count of [[embeddingLshPairsScaled]] at the same
+    * parameters — the slope gate's mechanical pin (counts the band
+    * collisions the verify join actually moves). */
+  def embeddingLshScaledCandidateCount(df: DataFrame, idCol: String,
+      vecCol: String, dim: Int, numBands: Int = 12, targetBucket: Int = 8,
+      minBits: Int = 8, maxBits: Int = 16): Long = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bands = srpScaledBandFrame(base, numBands, targetBucket, minBits,
+      maxBits, dim)
+    bands.select(col("id").as("id_a"), col("band"), col("key"))
+      .join(bands.select(col("id").as("id_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+      .count()
+  }
+
+  /** (id, band, key) postings at the corpus-derived width: sizes the
+    * key with one count, computes only the first `bits` planes of each
+    * band under the maxBits-stride layout. */
+  private def srpScaledBandFrame(base: DataFrame, numBands: Int,
+      targetBucket: Int, minBits: Int, maxBits: Int,
+      dim: Int): DataFrame = {
+    val n = base.select(col("id")).count()
+    val bits = adaptiveBandBits(n, targetBucket, minBits, maxBits)
+    val signs = srpSigns(numBands * maxBits, dim)
+    val bit = (p: Int) =>
+      when(round(dot(col("v"), typedLit(signs(p).toSeq)), 4) >= 0, lit("1"))
+        .otherwise(lit("0"))
+    val bandCols = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        concat((0 until bits).map(r => bit(b * maxBits + r)): _*).as("key"))
+    }
+    base.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Shared candidate + exact-cosine verify tail of the SRP pair
+    * generators: band-key collisions carrying ids ONLY, vectors joined
+    * back by id, 4dp-rounded cosine threshold. */
+  private def srpVerifyPairs(base: DataFrame, bands: DataFrame,
+      threshold: Double): DataFrame = {
     val cand = bands.select(col("id").as("id_a"), col("band"), col("key"))
       .join(bands.select(col("id").as("id_b"), col("band"), col("key")),
         Seq("band", "key"))

@@ -51,13 +51,47 @@ object SetSimJoin {
   def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
       n: Int = 4, threshold: Double = 0.3,
       scope: Option[CacheScope] = None): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"threshold must be in (0, 1], got $threshold")
-    val docs = CacheScope.route(scope, df
+    val docs = shingleSets(df, idCol, textCol, n, scope)
+    val cands = prefixCandidates(docs, threshold)
+    // exact verification on the full distinct-shingle arrays — the
+    // candidate set is collision-bounded, so carrying two arrays per
+    // candidate row is fine
+    val common = size(array_intersect(col("sha"), col("shb")))
+    cands
+      .join(docs.select(col("doc").as("doc_a"), col("shs").as("sha")),
+        "doc_a")
+      .join(docs.select(col("doc").as("doc_b"), col("shs").as("shb")),
+        "doc_b")
+      .withColumn("jaccard", common.cast("double")
+        / (size(col("sha")) + size(col("shb")) - common))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** The (doc, distinct-shingle-array) relation both stages read. */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int, scope: Option[CacheScope]): DataFrame =
+    CacheScope.route(scope, df
       .select(col(idCol).as("doc"),
         graft.expressions.TextExpressions
           .wordShingles(col(textCol), n).as("shs"))
       .filter(size(col("shs")) > 0))
+
+  /** The prefix-filter CANDIDATE stage of [[jaccardJoinExact]] —
+    * exposed separately so the slope gate can COUNT the candidate
+    * volume the verify join actually moves (graft.Slopes' mechanical
+    * pin of the volume-faithful story: the 10× fixture's per-copy
+    * token suffixes make postings cross-copy disjoint, so candidates
+    * must scale ~10×/decade — asserted by counting, not prose). */
+  def prefixCandidateCount(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, threshold: Double = 0.3): Long =
+    prefixCandidates(shingleSets(df, idCol, textCol, n, None), threshold)
+      .count()
+
+  private def prefixCandidates(docs: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
     val postings = docs.select(col("doc"), explode(col("shs")).as("sh"))
     val dfreq = postings.groupBy(col("sh"))
       .agg(count(lit(1)).as("dfc"))
@@ -93,18 +127,6 @@ object SetSimJoin {
         >= greatest(col("sa"), col("sb")) * lit(threshold) - lit(1e-9))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    // exact verification on the full distinct-shingle arrays — the
-    // candidate set is collision-bounded, so carrying two arrays per
-    // candidate row is fine
-    val common = size(array_intersect(col("sha"), col("shb")))
     cands
-      .join(docs.select(col("doc").as("doc_a"), col("shs").as("sha")),
-        "doc_a")
-      .join(docs.select(col("doc").as("doc_b"), col("shs").as("shb")),
-        "doc_b")
-      .withColumn("jaccard", common.cast("double")
-        / (size(col("sha")) + size(col("shb")) - common))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 }

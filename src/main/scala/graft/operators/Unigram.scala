@@ -38,11 +38,24 @@ import org.apache.spark.sql.functions._
   * is one corpus explode + broadcast word→ids join + one doc-keyed
   * reassembly — x204's exact shuffle class, sharing its id-0 word
   * separator and round-trip-exact decode contract.
+  *
+  * OOV (round-16): [[encode]] keeps the loud trained-on-this-corpus
+  * contract; [[encodeWithByteFallback]] is the production surface —
+  * SentencePiece byte_fallback, reserved byte-token ids V+1..V+256, so
+  * one trained model encodes unseen text (x212).
   */
 object Unigram {
 
   /** Infinity sentinel for unsegmentable prefixes (headroom for adds). */
   private val INF = Long.MaxValue / 4
+
+  /** Cost per FALLBACK BYTE (micro-nats) — above any real piece cost
+    * (ln(T/1)·10⁶ reaches ~27.6e6 only at T ≈ 10¹² piece occurrences),
+    * so the byte path is strictly a last resort and covered words
+    * segment EXACTLY as without fallback; far below INF/maxWordLen, so
+    * a fully-OOV word still totals finitely. The DuckDB oracle uses the
+    * same literal. */
+  private[operators] val BYTE_COST = 50000000L
 
   /** pieces: the fitted vocabulary as (piece → cost micro-nats), driver
     * state (bounded: |alphabet| + multiPieces). */
@@ -56,14 +69,22 @@ object Unigram {
     * struct sort prefers longer pieces on cost ties), then a second
     * fold walks the backpointers from L collecting pieces. */
   private[operators] def viterbiPieces(w: Column, costMap: Column,
-      maxLen: Int): Column = {
+      maxLen: Int, byteFallback: Boolean = false): Column = {
     val L = length(w)
     val dp = aggregate(sequence(lit(1), L),
       array(struct(lit(0L).as("cost"), lit(0).as("np"))),
       (acc, j) => {
         val cands = (1 to maxLen).map { pl =>
           val i = j - pl // prefix consumed before this piece
-          val pc = element_at(costMap, w.substr(i + 1, lit(pl)))
+          val looked = element_at(costMap, w.substr(i + 1, lit(pl)))
+          // byte fallback (SentencePiece byte_fallback): a single OOV
+          // CHARACTER is always consumable as its UTF-8 bytes at
+          // BYTE_COST per byte — multi-char candidates never fall back
+          val pc =
+            if (byteFallback && pl == 1)
+              coalesce(looked,
+                lit(BYTE_COST) * octet_length(w.substr(i + 1, lit(1))))
+            else looked
           when(i >= 0 && pc.isNotNull &&
               element_at(acc, i + 1).getField("cost") < INF,
             struct((element_at(acc, i + 1).getField("cost") + pc)
@@ -104,11 +125,17 @@ object Unigram {
   def train(docs: DataFrame, textCol: String, topK: Int = 50,
       maxPieceLen: Int = 3, multiPieces: Int = 40,
       rounds: Int = 2): Model = {
-    val w0 = docs.select(explode(split(col(textCol), " ")).as("w"))
+    val words = docs.select(explode(split(col(textCol), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-    val win = org.apache.spark.sql.expressions.Window
-      .orderBy(desc("cnt"), asc("w"))
-    val words = w0.withColumn("tr", row_number().over(win) <= topK)
+      .localCheckpoint()
+    // trainable head: TOP-K aggregation (orderBy+limit → TakeOrdered,
+    // a parallel bounded reduce), NOT row_number over an un-partitioned
+    // window — that was a single-task sort of the full distinct-word
+    // table, the one non-head-sized step in training (ADVICE r15
+    // item 5). Same total order (cnt desc, w asc — ties fully broken),
+    // so the selected set is identical; head is topK rows, checkpointed
+    // because three downstream scans (seeding + each EM round) read it.
+    val head = words.orderBy(desc("cnt"), asc("w")).limit(topK)
       .localCheckpoint()
     // alphabet: every character of every word (bounded by the charset)
     val alphabet: Set[String] = words
@@ -116,7 +143,7 @@ object Unigram {
       .filter(col("ch") =!= "").distinct()
       .collect().map(_.getString(0)).toSet
     // head substrings (len 1..maxPieceLen), occurrence-weighted
-    val subCounts: Map[String, Long] = words.filter(col("tr"))
+    val subCounts: Map[String, Long] = head
       .select(col("cnt"), explode(flatten(transform(
           sequence(lit(1), lit(maxPieceLen)),
           l => transform(sequence(lit(1), greatest(
@@ -131,7 +158,7 @@ object Unigram {
         .toMap ++ multi
     for (_ <- 1 to rounds) {
       val costMap = typedlit(costsOf(counts))
-      val used: Map[String, Long] = words.filter(col("tr"))
+      val used: Map[String, Long] = head
         .select(col("cnt"),
           explode(viterbiPieces(col("w"), costMap, maxPieceLen)).as("p"))
         .groupBy("p").agg(sum(col("cnt")).as("c"))
@@ -168,27 +195,67 @@ object Unigram {
     * separating words; decode(encode(doc)) == doc (UnigramSpec). A word
     * with an OOV character raises loudly, like Bpe.encode. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
-      model: Model): DataFrame = {
+      model: Model): DataFrame =
+    encodeImpl(docs, idCol, textCol, model, byteFallback = false)
+
+  /** [[encode]] with SentencePiece-style BYTE FALLBACK — the contract
+    * that lets a model trained on yesterday's corpus encode tomorrow's
+    * crawl (the r15 verdict's gap 2: the loud-OOV family could not
+    * encode unseen text at all): a character outside the piece
+    * vocabulary consumes its UTF-8 bytes as reserved BYTE TOKENS —
+    * ids V+1+b for byte value b (V = |vocab|, after the word-separator
+    * id 0 and piece ids 1..V) — at [[BYTE_COST]] per byte, a floor no
+    * real piece reaches, so fully-covered words segment EXACTLY as
+    * [[encode]] does and only OOV characters degrade to bytes.
+    * Round-trip-exact via [[decodeWithByteFallback]] (UnigramSpec,
+    * including multi-byte codepoints). Same shuffle class as encode:
+    * Viterbi per distinct word, one corpus explode + broadcast join +
+    * doc-keyed reassembly. */
+  def encodeWithByteFallback(docs: DataFrame, idCol: String,
+      textCol: String, model: Model): DataFrame =
+    encodeImpl(docs, idCol, textCol, model, byteFallback = true)
+
+  /** Reserved byte-token ids of one piece (an OOV character): its
+    * UTF-8 hex expansion read two nibbles at a time — V+1+byte. The
+    * oracle mirrors the identical hex arithmetic. */
+  private def byteTokenIds(piece: Column, vocabSize: Int): Column = {
+    val h = hex(org.apache.spark.sql.functions.encode(piece, "UTF-8"))
+    transform(sequence(lit(0), octet_length(piece) - 1),
+      b => lit(vocabSize.toLong + 1L) +
+        conv(h.substr(b * 2 + 1, lit(2)), 16, 10).cast("long"))
+  }
+
+  private def encodeImpl(docs: DataFrame, idCol: String, textCol: String,
+      model: Model, byteFallback: Boolean): DataFrame = {
     val spark = docs.sparkSession
     val costMap = typedlit(model.pieces)
     val v = vocab(spark, model)
+    val vocabSize = model.pieces.size
     val wordIds = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .distinct()
       .withColumn("ps",
-        viterbiPieces(col("w"), costMap, model.maxPieceLen))
+        viterbiPieces(col("w"), costMap, model.maxPieceLen, byteFallback))
       .withColumn("ps", when(col("ps").isNull && col("w") =!= "",
           raise_error(concat(lit("Unigram.encode: word '"), col("w"),
             lit("' contains a character outside the model vocabulary — " +
-              "the model must be trained on this corpus (or a superset)")))
+              "the model must be trained on this corpus (or a superset)" +
+              ", or use encodeWithByteFallback")))
             .cast("array<string>"))
         .otherwise(col("ps")))
       .select(col("w"), posexplode_outer(col("ps")).as(Seq("spos", "piece")))
       .join(broadcast(v), Seq("piece"), "left")
+      // per piece: its vocab id, or (fallback only) its byte-token ids
+      .withColumn("pids",
+        when(col("piece").isNull, array().cast("array<bigint>"))
+          .when(col("id").isNotNull, array(col("id")))
+          .otherwise(
+            if (byteFallback) byteTokenIds(col("piece"), vocabSize)
+            else array().cast("array<bigint>")))
       .groupBy("w")
-      .agg(filter(transform(
-          array_sort(collect_list(struct(col("spos"), col("id")))),
-          x => x.getField("id")), x => x.isNotNull).as("ids"))
+      .agg(flatten(transform(
+          array_sort(collect_list(struct(col("spos"), col("pids")))),
+          x => x.getField("pids"))).as("ids"))
     docs.select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), " ")).as(Seq("wpos", "w")))
       .join(broadcast(wordIds), Seq("w"))
@@ -233,5 +300,37 @@ object Unigram {
       .agg(concat_ws("", transform(
         array_sort(collect_list(struct(col("tpos"), col("sym")))),
         x => x.getField("sym"))).as("text"))
+  }
+
+  /** DECODE under the byte-fallback id space
+    * ([[encodeWithByteFallback]]'s inverse): every token becomes its
+    * UTF-8 BYTES — pieces and the separator via their string encoding,
+    * byte tokens (id > V) as the single byte id−V−1 — concatenated per
+    * document IN TOKEN ORDER and decoded once, so a multi-byte
+    * codepoint split across consecutive byte tokens reassembles
+    * exactly. decode-then-UTF-8, not per-token strings: a lone
+    * continuation byte is not a string. */
+  def decodeWithByteFallback(encoded: DataFrame,
+      model: Model): DataFrame = {
+    val spark = encoded.sparkSession
+    import org.apache.spark.sql.functions.{decode => strDecode, encode => strEncode}
+    val vocabSize = model.pieces.size
+    val v = vocab(spark, model).select(col("id"), col("piece").as("sym"))
+      .unionByName(spark.range(1)
+        .select(lit(0L).as("id"), lit(" ").as("sym")))
+    encoded.select(col("doc_id"), posexplode_outer(col("token_ids"))
+        .as(Seq("tpos", "id")))
+      .join(broadcast(v), Seq("id"), "left")
+      .withColumn("bin",
+        when(col("id").isNull, lit(Array.emptyByteArray)) // empty doc
+          .when(col("id") > vocabSize.toLong,
+            unhex(lpad(hex(col("id") - vocabSize.toLong - 1L), 2, "0")))
+          .otherwise(strEncode(col("sym"), "UTF-8")))
+      .groupBy("doc_id")
+      .agg(strDecode(aggregate(
+          transform(array_sort(collect_list(struct(col("tpos"), col("bin")))),
+            x => x.getField("bin")),
+          lit(Array.emptyByteArray),
+          (acc, b) => concat(acc, b)), "UTF-8").as("text"))
   }
 }

@@ -191,10 +191,15 @@ object PipelineQueries extends QueryPack {
       FROM u ORDER BY bands DESC"""
   }
 
-  private val countMinOracleSql =
-    """WITH tm AS (SELECT CASE WHEN event_id % 2 = 0
+  /** The CM rebuild over `events` under an optional WHERE — "" is the
+    * x87/x94 whole-table oracle; x211 passes the retraction's clean-set
+    * predicate (CM linearity: the netted ledger must equal the sketch
+    * built from the clean events, so ONE oracle shape pins all three). */
+  private def countMinOracleSqlOver(eventsFilter: String): String =
+    s"""WITH tm AS (SELECT CASE WHEN event_id % 2 = 0
         THEN 'h' || CAST(length(bin((event_id // 2) % 1024 + 1)) - 1 AS VARCHAR)
-        ELSE 't' || CAST(event_id AS VARCHAR) END AS term FROM events),
+        ELSE 't' || CAST(event_id AS VARCHAR) END AS term
+        FROM events $eventsFilter),
       c AS (SELECT term, count(*) AS n_exact FROM tm GROUP BY term),
       top AS (SELECT term, n_exact FROM c
               ORDER BY n_exact DESC, term LIMIT 8),
@@ -210,6 +215,61 @@ object PipelineQueries extends QueryPack {
       SELECT term, n_exact, est,
         true AS never_under, true AS overcount_ok
       FROM e ORDER BY n_exact DESC, term"""
+
+  private val countMinOracleSql = countMinOracleSqlOver("")
+
+  /** Shared IVF scale parameters (x14/x62/the x14 volume counter — ONE
+    * derivation so the slope-gate pin cannot drift from the entries):
+    * query panel 1-in-panelMod capped ~200; nlist ∝ corpus with cells
+    * held ~1000 rows, CAPPED at 4096 so the k-means problem stays
+    * bounded (nProbe preserves the probed FRACTION, so candidate volume
+    * is panel × fraction × n regardless of nlist — the cap only sizes
+    * training and granularity); the k-means training sample scales WITH
+    * nlist (20 rows/centroid — the k ≪ sample invariant a fixed ~2000
+    * cap would break at ~2M vectors, degenerating kppSeeds to duplicate
+    * seeds: ADVICE r15 item 3). Returns (panelMod, nlist, trainMod). */
+  private def ivfScaleParams(n: Long): (Long, Int, Long) = {
+    val nlist = math.max(10L, math.min(n / 1000L, 4096L)).toInt
+    (math.max(10L, n / 200L), nlist,
+      math.max(1L, n / math.max(2000L, 20L * nlist)))
+  }
+
+  /** Measured VARIABLE-LEG candidate volumes for the volume-faithful
+    * slope stories (ADVICE r15 item 4): "candidate volume is
+    * ~10×/decade by construction" was prose — these COUNT it.
+    * graft.Slopes runs each counter at sf0.1 and the 10× fixture and
+    * screens the entry when the measured ratio leaves [5, 13] (the
+    * construction claim is ~10×; 12.5 = 100/2³ is the worst
+    * integer-granularity decade for the adaptive-key entry). Each
+    * counter reuses the entry's OWN parameter derivation/operator
+    * stage, so entry and pin cannot drift apart. */
+  val volumeCounters: Map[String,
+      (org.apache.spark.sql.SparkSession, String) => Long] = Map(
+    // x14: exact leg = panel × corpus; ADC leg = the probed cell rows
+    // ivfScanStats measures (ivfTopK's candidate volume exactly)
+    "x14_ivf_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").persist()
+      val n = e.count()
+      val (panelMod, nlist, trainMod) = ivfScaleParams(n)
+      val nProbe = math.max(3, 3 * nlist / 10)
+      val eq = e.filter(col("vec_id") % panelMod === 0)
+      val cents = Similarity.trainKMeans(
+        e.filter(col("vec_id") % trainMod === 0), "vec_id", "embedding",
+        k = nlist, iters = 5)
+      val scanned = Similarity.ivfScanStats(e, eq, cents, "vec_id",
+        "embedding", nProbe).select(col("scanned_pairs")).first().getLong(0)
+      val panel = eq.count()
+      e.unpersist(blocking = false)
+      panel * n + scanned
+    }),
+    // x86: the prefix-filter collision pairs the verify join moves
+    "x86_setsim_exact_join" -> ((s, dir) =>
+      graft.operators.SetSimJoin.prefixCandidateCount(
+        t(s, dir, "documents"), "doc_id", "text", n = 4, threshold = 0.5)),
+    // x43: the scaled-key band collisions (the adaptive-width bound)
+    "x43_embedding_dedup_keeplist" -> ((s, dir) =>
+      Dedup.embeddingLshScaledCandidateCount(t(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, numBands = 12)))
 
   /** The synthesized Zipf-ish term key (see x71's comment). */
   private def zipfTerm = when(col("event_id") % 2 === 0,
@@ -488,7 +548,19 @@ object PipelineQueries extends QueryPack {
     * costRel's chain reaching the corpus scan that measured 25× slower
     * (4.1 s → 0.16 s per round at sf0.001). */
   private def uniViterbiCte(tag: String, srcRel: String,
-      costRel: String): String = s"""
+      costRel: String, byteFallback: Boolean = false): String = {
+    // byte fallback mirrors Unigram.BYTE_COST: a single OOV character
+    // is consumable as its UTF-8 bytes at 50e6 micro-nats per byte —
+    // only the length-1 candidate falls back, multi-char stays INF
+    val n1Sql =
+      if (byteFallback)
+        s"""CASE WHEN v.c0 >= $uniInf THEN $uniInf
+             ELSE v.c0 + coalesce(cr1.cost, 50000000 * octet_length(
+               encode(substring(v.w, CAST(v.j + 1 AS INTEGER), 1)))) END"""
+      else
+        s"""CASE WHEN v.c0 >= $uniInf OR cr1.cost IS NULL THEN $uniInf
+             ELSE v.c0 + cr1.cost END"""
+    s"""
     vit$tag AS (
       SELECT w, cnt, 0 AS j,
         CAST(0 AS BIGINT) AS c0, CAST([] AS VARCHAR[]) AS l0,
@@ -510,8 +582,7 @@ object PipelineQueries extends QueryPack {
             substring(v.w, CAST(v.j + 1 AS INTEGER), 1) AS p1,
             substring(v.w, CAST(greatest(v.j, 1) AS INTEGER), 2) AS p2,
             substring(v.w, CAST(greatest(v.j - 1, 1) AS INTEGER), 3) AS p3,
-            CASE WHEN v.c0 >= $uniInf OR cr1.cost IS NULL THEN $uniInf
-                 ELSE v.c0 + cr1.cost END AS n1,
+            $n1Sql AS n1,
             CASE WHEN v.c1 >= $uniInf OR cr2.cost IS NULL THEN $uniInf
                  ELSE v.c1 + cr2.cost END AS n2,
             CASE WHEN v.c2 >= $uniInf OR cr3.cost IS NULL THEN $uniInf
@@ -529,6 +600,7 @@ object PipelineQueries extends QueryPack {
       )
     ),
     fin$tag AS (SELECT w, cnt, l0 AS ps FROM vit$tag WHERE j = len(w))"""
+  }
 
   /** DuckDB replica of [[graft.operators.Unigram.train]] + encode: the
     * seed vocabulary (all chars of all words, coverage-floored at 1,
@@ -538,8 +610,17 @@ object PipelineQueries extends QueryPack {
     * frequency; unused multi-char pieces pruned, chars floored), the
     * final Viterbi over ALL distinct words, ids 1..V lexicographic, and
     * x204's exact corpus-assembly relations. Exposes `uda`
-    * (doc_id, enc) and `finf`/`uvocab` for composition. */
-  private def uniCtesBody(fromTable: String): String = {
+    * (doc_id, enc) and `finf`/`uvocab` for composition.
+    *
+    * `encTable` (default = fromTable) separates the TRAINING corpus
+    * from the ENCODED one; `byteFallback` mirrors
+    * [[graft.operators.Unigram.encodeWithByteFallback]] — the final
+    * Viterbi coalesces a missing length-1 cost to 50e6·bytes and OOV
+    * pieces expand to reserved byte-token ids V+1+byte via the same
+    * hex arithmetic (x212). */
+  private def uniCtesBody(fromTable: String, encTable: String = null,
+      byteFallback: Boolean = false): String = {
+    val encSrc = Option(encTable).getOrElse(fromTable)
     val roundCtes = (1 to uniRounds).map { r =>
       val prev = s"seed${r - 1}"
       s"""
@@ -588,24 +669,44 @@ object PipelineQueries extends QueryPack {
     uvocab AS MATERIALIZED (SELECT p AS piece,
         CAST(row_number() OVER (ORDER BY p) AS BIGINT) AS id
       FROM seed$uniRounds),
-    aw AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS cnt FROM uw0),
-    ${uniViterbiCte("f", "aw", "ucost")},
+    aw AS MATERIALIZED (${
+      if (encTable == null) "SELECT w, CAST(0 AS BIGINT) AS cnt FROM uw0"
+      else s"""SELECT w, CAST(0 AS BIGINT) AS cnt FROM (
+        SELECT DISTINCT unnest(string_split(text,' ')) AS w
+        FROM $encSrc)"""}),
+    ${uniViterbiCte("f", "aw", "ucost", byteFallback)},
     uwex AS (SELECT w,
         unnest(list_transform(ps, (s, i) -> {'i': i, 's': s})) AS u
       FROM finf),
+    ${
+      if (byteFallback) s"""
+    uvn AS (SELECT CAST(count(*) AS BIGINT) AS vn FROM uvocab),
+    uwj AS (SELECT w, u.i AS i,
+        CASE WHEN v.id IS NOT NULL THEN [v.id]
+             ELSE list_transform(range(octet_length(encode(u.s))),
+               b -> vn + 1 +
+                 ('0x'||substr(hex(encode(u.s)),
+                   CAST(b*2+1 AS INTEGER), 2))::BIGINT)
+        END AS ids
+      FROM uwex LEFT JOIN uvocab v ON v.piece = u.s CROSS JOIN uvn),
+    uwid0 AS (SELECT w,
+        flatten(list_transform(list_sort(list({'i': i, 'ids': ids})),
+          x -> x.ids)) AS ids
+      FROM uwj GROUP BY w)"""
+      else """
     uwj AS (SELECT w, u.i AS i, v.id AS id
       FROM uwex JOIN uvocab v ON v.piece = u.s),
     uwid0 AS (SELECT w,
         list_transform(list_sort(list({'i': i, 'id': id})),
           x -> x.id) AS ids
-      FROM uwj GROUP BY w),
+      FROM uwj GROUP BY w)"""},
     uwid AS (SELECT w, ids FROM uwid0
       UNION ALL SELECT w, CAST([] AS BIGINT[]) FROM finf
       WHERE len(ps) = 0),
     udt AS (SELECT doc_id,
         unnest(list_transform(string_split(text, ' '),
           (w, i) -> {'i': i, 'w': w})) AS u
-      FROM $fromTable),
+      FROM $encSrc),
     udj AS (SELECT doc_id, u.i AS i, uwid.ids AS ids
       FROM udt JOIN uwid ON uwid.w = u.w),
     uda AS (SELECT doc_id,
@@ -859,6 +960,45 @@ object PipelineQueries extends QueryPack {
     val d = dotSql.format("ea.embedding", "ea.embedding", "eb.embedding")
     val n = dotSql.format("embedding", "embedding", "embedding")
     s"""e AS (SELECT vec_id, embedding, sqrt($n) AS nrm, $bits FROM $table),
+      bands AS ($bands),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+      pr AS (SELECT id_a, id_b, round($d / (ea.nrm * eb.nrm), 4) AS cos
+             FROM cand JOIN e ea ON id_a = ea.vec_id JOIN e eb ON id_b = eb.vec_id
+             WHERE round($d / (ea.nrm * eb.nrm), 4) >= $threshold)"""
+  }
+
+  /** [[srpCtes]] at the CORPUS-SCALED key width
+    * ([[Dedup.embeddingLshPairsScaled]]): regenerates the
+    * maxBits-stride hyperplanes, derives `bits` from count(*) with the
+    * SAME integer comparisons as [[Dedup.adaptiveBandBits]] (a CASE
+    * chain over n ≤ targetBucket·2^b — no float log2), and truncates
+    * each band's full-width key with substr(key, 1, bits) — the prefix
+    * property the stride layout guarantees. */
+  private def srpScaledCtes(numBands: Int, threshold: Double,
+      table: String, targetBucket: Int = 8, minBits: Int = 8,
+      maxBits: Int = 16): String = {
+    def bitSql(p: Int) =
+      s"""CASE WHEN round(list_sum(list_transform(range(len(embedding)),
+         i -> CAST(embedding[i+1] AS DOUBLE) *
+           (CASE WHEN substr(md5('${p}_'||CAST(i AS VARCHAR)),1,1) >= '8'
+            THEN 1.0 ELSE -1.0 END))), 4) >= 0 THEN '1' ELSE '0' END"""
+    val bits = (0 until numBands * maxBits)
+      .map(p => s"${bitSql(p)} AS b$p").mkString(", ")
+    val caseChain = (minBits until maxBits).map(b =>
+      s"WHEN (SELECT n FROM srpn) <= ${targetBucket.toLong << b} " +
+        s"THEN $b").mkString(" ")
+    val bands = (0 until numBands).map(b =>
+      s"SELECT vec_id, $b AS band, substr(" +
+        (0 until maxBits).map(r => s"b${b * maxBits + r}").mkString("||") +
+        ", 1, (SELECT bits FROM srpb)) AS key FROM e")
+      .mkString(" UNION ALL ")
+    val d = dotSql.format("ea.embedding", "ea.embedding", "eb.embedding")
+    val n = dotSql.format("embedding", "embedding", "embedding")
+    s"""srpn AS (SELECT count(*) AS n FROM $table),
+      srpb AS (SELECT CASE $caseChain ELSE $maxBits END AS bits FROM srpn),
+      e AS (SELECT vec_id, embedding, sqrt($n) AS nrm, $bits FROM $table),
       bands AS ($bands),
       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                FROM bands a JOIN bands b
@@ -2459,6 +2599,141 @@ object PipelineQueries extends QueryPack {
       },
       Some(ledgerPurgeOracleSql)),
 
+    // ---- COUNT-MIN RETRACTION (r15 verdict gap 1 — governance reaching
+    //      the ADDITIVE-SKETCH quadrant): a purged key's contributions
+    //      sit ANONYMOUSLY in CM cells where x208's row purge cannot
+    //      reach; CM linearity composes the cure — recompute the purged
+    //      keys' sketch from the raw events (one semi-join-pruned pass,
+    //      cost ∝ purged rows) and append it NEGATED (batch −2). The
+    //      netted ledger IS the clean-events sketch, cell for cell, so
+    //      the x87 estimate/verdict machinery holds EXACTLY — netting,
+    //      not approximate deletion. Full composition in-entry: x94's
+    //      two-batch streaming CM ledger → user-keyed delete list (the
+    //      x115 intake population) → countMinRetraction appended to the
+    //      ledger table → merged report over netted counters vs exact
+    //      clean counts. Oracle rebuilds the whole sketch from the
+    //      CLEAN events — one oracle shape pinning x87/x94/x211 --------
+    Q("x211_countmin_retraction",
+      (s, dir) => {
+        import graft.engine._
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), zipfTerm.as("term"))
+        val split = ev.agg(expr("(min(event_id) + max(event_id)) div 2"))
+          .first().getLong(0)
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val landing = wh.resolve("strcmr_landing")
+        val ckpt = wh.resolve("_graft_checkpoints/strcmr")
+        s.sql("CREATE DATABASE IF NOT EXISTS strcmr")
+        s.sql("DROP TABLE IF EXISTS strcmr.sketch")
+        for (p <- Seq(landing, ckpt, wh.resolve("strcmr.db/sketch")))
+          Materializer.deleteRecursively(p)
+        ev.filter(col("event_id") <= split)
+          .write.mode("overwrite").parquet(landing.toString)
+        EventStreams.streamingCountMin(s, landing.toString, ev.schema,
+          "strcmr.sketch", ckpt.toString, "term", depth = 4, width = 1024)
+        ev.filter(col("event_id") > split)
+          .write.mode("append").parquet(landing.toString)
+        EventStreams.streamingCountMin(s, landing.toString, ev.schema,
+          "strcmr.sketch", ckpt.toString, "term", depth = 4, width = 1024)
+        val deletes = ev.filter(col("user_id") % 13 === 5)
+          .select(col("user_id"))
+        EventStreams.countMinRetraction(ev, deletes, "user_id", "term",
+            depth = 4, width = 1024, batchId = -2L)
+          .write.mode("append").format("parquet")
+          .saveAsTable("strcmr.sketch")
+        val clean = ev.join(deletes.distinct(), Seq("user_id"), "left_anti")
+        val (counters, totals) =
+          EventStreams.mergeCountMinLedger(s.table("strcmr.sketch"))
+        graft.operators.HeavyHitters.countMinReportFromCounters(
+          clean.select(col("term")), "term", counters, totals,
+          depth = 4, width = 1024, topK = 8)
+      },
+      Some(countMinOracleSqlOver("WHERE user_id % 13 <> 5"))),
+
+    // ---- BYTE-FALLBACK ENCODE (r15 verdict gap 2): the tokenizer
+    //      family's loud-OOV contract meant one trained model could not
+    //      encode unseen text at all — right for x204/x209's
+    //      trained-on-this-corpus guarantee, but production encodes
+    //      tomorrow's crawl. SentencePiece byte_fallback: an OOV
+    //      character consumes its UTF-8 bytes as reserved byte tokens
+    //      (ids V+1..V+256) at a per-byte cost floor no real piece
+    //      reaches, so covered text encodes EXACTLY as x209 and OOV
+    //      degrades to bytes instead of raising; decode reassembles the
+    //      byte stream before UTF-8 (round-trip pinned by UnigramSpec,
+    //      incl. multi-byte codepoints). Fixture: every doc gains the
+    //      word "xz~é" — x/z/~ are ASCII absent from the corpus
+    //      alphabet, é a 2-byte codepoint proving multi-byte fallback;
+    //      the oracle replays the coalesced-cost Viterbi and the same
+    //      hex byte-id arithmetic --------------------------------------
+    Q("x212_unigram_byte_fallback",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = graft.operators.Unigram.train(docs, "text",
+          topK = uniTopK, maxPieceLen = uniMaxLen,
+          multiPieces = uniMulti, rounds = uniRounds)
+        val oov = docs.select(col("doc_id"),
+          concat(col("text"), lit(" xz~é")).as("text"))
+        graft.operators.Unigram
+          .encodeWithByteFallback(oov, "doc_id", "text", model)
+          .select(col("doc_id"), col("n_tokens"),
+            concat_ws(",", col("token_ids")).as("ids_csv"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH RECURSIVE " + uniCtesBody("documents",
+        encTable = "(SELECT doc_id, text || ' xz~é' AS text " +
+          "FROM documents)", byteFallback = true) + s"""
+        SELECT doc_id, CAST(len(enc) AS BIGINT) AS n_tokens,
+          array_to_string(enc, ',') AS ids_csv
+        FROM uda ORDER BY doc_id""")),
+
+    // ---- TOKEN-LEDGER RETRACTION (the GROUP-TOTALS member of the
+    //      additive family): x168's per-source docs/tokens ledger nets
+    //      a doc-keyed delete list out via ONE negated partial
+    //      recomputed from the raw corpus — merged totals must equal
+    //      the clean-corpus aggregation, with a fully-purged group
+    //      reporting (0, 0), its true current state (the x182
+    //      fully-deleted-group convention). Same composition shape as
+    //      x211; the same construction covers any (group → additive
+    //      counts) ledger — drift count tables, hourly rates ----------
+    Q("x213_token_ledger_retraction",
+      (s, dir) => {
+        import graft.engine._
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val landing = wh.resolve("toklgr_landing")
+        val ckpt = wh.resolve("_graft_checkpoints/toklgr")
+        s.sql("CREATE DATABASE IF NOT EXISTS toklgr")
+        s.sql("DROP TABLE IF EXISTS toklgr.ledger")
+        for (p <- Seq(landing, ckpt, wh.resolve("toklgr.db/ledger")))
+          Materializer.deleteRecursively(p)
+        def run(): Unit = EventStreams.streamingTokenLedger(s,
+          landing.toString, docs.schema, "toklgr.ledger", ckpt.toString,
+          "source", nTokens(tokens(col("text"))))
+        docs.filter(col("doc_id") % 2 === 0)
+          .write.mode("overwrite").parquet(landing.toString)
+        run()
+        docs.filter(col("doc_id") % 2 === 1)
+          .write.mode("append").parquet(landing.toString)
+        run()
+        val deletes = docs.filter(col("doc_id") % 97 === 3)
+          .select(col("doc_id"))
+        EventStreams.tokenLedgerRetraction(docs, deletes, "doc_id",
+            "source", nTokens(tokens(col("text"))), batchId = -2L)
+          .write.mode("append").format("parquet")
+          .saveAsTable("toklgr.ledger")
+        EventStreams.mergeTokenLedger(s.table("toklgr.ledger"), "source")
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source,
+          CAST(sum(CASE WHEN doc_id % 97 = 3 THEN 0 ELSE 1 END)
+            AS BIGINT) AS docs,
+          CAST(sum(CASE WHEN doc_id % 97 = 3 THEN 0
+            ELSE len(string_split(text,' ')) END) AS BIGINT) AS tokens
+        FROM documents GROUP BY source ORDER BY source""")),
+
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
@@ -3454,14 +3729,12 @@ object PipelineQueries extends QueryPack {
         // all scan the corpus (the x203/x62 shared-legs lesson)
         val e = t(s, dir, "embeddings").persist()
         val n = e.count()
-        val panelMod = math.max(10L, n / 200L)
-        val nlist = math.max(10L, n / 1000L).toInt
+        // ivfScaleParams: panel/nlist/training-sample derivation shared
+        // with x62 and the x14 slope-gate volume counter — identical to
+        // the r15 parameters at every driver SF and on the 10x fixture
+        val (panelMod, nlist, trainMod) = ivfScaleParams(n)
         val nProbe = math.max(3, 3 * nlist / 10)
         val eq = e.filter(col("vec_id") % panelMod === 0)
-        // k-means trains on a deterministic bounded sample (~2000 rows
-        // — trainKMeans' own at-scale guidance); mod = 1 at the driver
-        // SFs, so the registered behavior there is unchanged
-        val trainMod = math.max(1L, n / 2000L)
         val cents = Similarity.trainKMeans(
           e.filter(col("vec_id") % trainMod === 0), "vec_id", "embedding",
           k = nlist, iters = 5)
@@ -3540,28 +3813,31 @@ object PipelineQueries extends QueryPack {
     //      components (large/small-star) → one canonical survivor per
     //      cluster. Both engines see the IDENTICAL candidate graph (the
     //      oracle regenerates the same hyperplanes), so the keep-list is
-    //      deterministic even though LSH recall < 1. 8-BIT band keys
-    //      (96 planes / 12 bands — embeddingLshPairs' own production
-    //      guidance) since round 15: the previous 6-bit keys (96/16)
-    //      put ~n/64 rows in a bucket, and the r15 min-of-3 10× probe
-    //      measured the resulting Σ-bucket² candidate growth at
-    //      5.1×/decade; 256-bucket bands cut candidate volume ~5× and
-    //      re-measured 3.8×/decade on the same fixture — the residual
-    //      is the key-bounded class itself (decorrelated vectors refill
-    //      every bucket uniformly; production sizes keys to the corpus
-    //      or moves to the x67/x203 cell paths — SLOPES.json story) ----
+    //      deterministic even though LSH recall < 1. CORPUS-SCALED band
+    //      keys since round 16 (the r15 verdict's one remaining
+    //      superlinear registry member): fixed 8-bit keys measured
+    //      3.55×/decade — Σ-bucket² ≈ n²/256 per band grows ~100× per
+    //      100× corpus. embeddingLshPairsScaled sizes bits so the
+    //      expected bucket stays ≤ 8 rows (12 bands, 8–16 bits,
+    //      maxBits-stride hyperplanes so the oracle truncates the same
+    //      full-width key), bounding candidates at ≤ 96n — linear by
+    //      construction, pinned by the slope gate's candidate-count
+    //      ratio. At the driver SFs (n ≤ 2048) the derived width is the
+    //      r15 8 bits; the layout stride changes which planes the 8
+    //      bits read, so the keep-list differs from r15's — both
+    //      engines regenerate it identically ---------------------------
     Q("x43_embedding_dedup_keeplist",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val pairs = Dedup.embeddingLshPairs(emb, "vec_id", "embedding",
-          threshold = 0.35, dim = 64, numPlanes = 96, numBands = 12)
+        val pairs = Dedup.embeddingLshPairsScaled(emb, "vec_id",
+          "embedding", threshold = 0.35, dim = 64, numBands = 12)
         val comp = Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
         emb.join(comp, emb("vec_id") === comp("v"), "left")
           .filter(col("comp").isNull || col("comp") === col("vec_id"))
           .select(col("vec_id"))
           .orderBy(col("vec_id"))
       },
-      Some(s"""WITH RECURSIVE ${srpCtes(numPlanes = 96, numBands = 12,
+      Some(s"""WITH RECURSIVE ${srpScaledCtes(numBands = 12,
           threshold = 0.35, table = "embeddings")},
         edges AS (SELECT id_a AS s, id_b AS d FROM pr
                   UNION SELECT id_b, id_a FROM pr),
@@ -4245,11 +4521,18 @@ object PipelineQueries extends QueryPack {
         // is expensive to re-evaluate per leg (the x203 lesson)
         val e = t(s, dir, "embeddings").persist()
         val n = e.count()
-        val panelMod = math.max(10L, n / 200L)
-        val nlist = math.max(10L, n / 1000L).toInt
+        // ivfScaleParams (shared with x14, ADVICE r15 item 3): the r15
+        // code trained k-means on the FULL corpus at k = n/1000 —
+        // trainKMeans scans its input per iteration and kppSeeds once
+        // per seed, so that is n·nlist work; the bounded nlist-scaled
+        // sample keeps it (20·nlist)·nlist. trainMod = 1 at every
+        // driver SF (n ≤ 2000 < trainTarget), so the registered
+        // behavior there is unchanged.
+        val (panelMod, nlist, trainMod) = ivfScaleParams(n)
         val nProbe = math.max(7, 7 * nlist / 10)
         val eq = e.filter(col("vec_id") % panelMod === 0)
-        val cents = Similarity.trainKMeans(e, "vec_id", "embedding",
+        val cents = Similarity.trainKMeans(
+          e.filter(col("vec_id") % trainMod === 0), "vec_id", "embedding",
           k = nlist, iters = 5)
         val centSeq = cents.orderBy(col("cell")).collect()
           .map(_.getSeq[Float](1)).toIndexedSeq

@@ -1031,11 +1031,7 @@ object EventStreams {
     val stream = spark.readStream.schema(schema).parquet(landingDir)
     val fb: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, batchId) =>
-        batch.toDF()
-          .groupBy(col(groupCol))
-          .agg(count(lit(1)).as("docs"),
-            sum(tokens.cast("long")).as("tokens"))
-          .withColumn("batch_id", lit(batchId))
+        tokenLedgerPartial(batch.toDF(), groupCol, tokens, batchId)
           .write.mode("append").format("parquet").saveAsTable(ledgerTable)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -1046,6 +1042,17 @@ object EventStreams {
     if (spark.catalog.tableExists(ledgerTable))
       spark.catalog.refreshTable(ledgerTable)
   }
+
+  /** One batch's (group, docs, tokens) partial stamped `batchId`,
+    * counts multiplied by `sign` (streamingTokenLedger's microbatch
+    * rows at +1; [[tokenLedgerRetraction]] emits the −1 form). */
+  def tokenLedgerPartial(batch: org.apache.spark.sql.DataFrame,
+      groupCol: String, tokens: Column, batchId: Long,
+      sign: Long = 1L): org.apache.spark.sql.DataFrame =
+    batch.groupBy(col(groupCol))
+      .agg((lit(sign) * count(lit(1))).as("docs"),
+        (lit(sign) * sum(tokens.cast("long"))).as("tokens"))
+      .withColumn("batch_id", lit(batchId))
 
   /** Idempotent merge of a [[streamingTokenLedger]]: collapse
     * at-least-once replays on (batch_id, group) — a replayed batch
@@ -1141,21 +1148,9 @@ object EventStreams {
       width: Int): Unit = {
     val stream = spark.readStream.schema(schema).parquet(landingDir)
     val fb: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, batchId) => {
-        val s = batch.sparkSession
-        // ONE pass over the microbatch: (n, sketch) in a single row
-        val row = batch.toDF().agg(
-          count(lit(1)).as("__n"),
-          graft.expressions.SketchExpressions
-            .countMinSketch(col(termCol), depth, width).as("__sk")).first()
-        val n = row.getLong(0)
-        val sparse = row.getSeq[Long](1).zipWithIndex
-          .collect { case (c, i) if c != 0L => (i, c) }
-        import s.implicits._
-        val out = ((-1, n) +: sparse).toDF("pos", "cnt")
-          .withColumn("batch_id", lit(batchId))
-        out.write.mode("append").format("parquet").saveAsTable(sketchTable)
-      }
+      (batch, batchId) =>
+        countMinPartial(batch.toDF(), termCol, depth, width, batchId)
+          .write.mode("append").format("parquet").saveAsTable(sketchTable)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1164,6 +1159,27 @@ object EventStreams {
     try q.awaitTermination() finally q.stop()
     if (spark.catalog.tableExists(sketchTable))
       spark.catalog.refreshTable(sketchTable)
+  }
+
+  /** One batch's sparse CM partial — (pos, cnt) counters plus the
+    * pos = −1 row-count sentinel, stamped `batchId`, cnt multiplied by
+    * `sign` (streamingCountMin's per-microbatch rows at +1;
+    * [[countMinRetraction]] emits the −1 form). ONE pass over the
+    * batch: (n, sketch) in a single driver row, bounded depth×width. */
+  def countMinPartial(batch: org.apache.spark.sql.DataFrame,
+      termCol: String, depth: Int, width: Int, batchId: Long,
+      sign: Long = 1L): org.apache.spark.sql.DataFrame = {
+    val s = batch.sparkSession
+    val row = batch.agg(
+      count(lit(1)).as("__n"),
+      graft.expressions.SketchExpressions
+        .countMinSketch(col(termCol), depth, width).as("__sk")).first()
+    val n = row.getLong(0)
+    val sparse = row.getSeq[Long](1).zipWithIndex
+      .collect { case (c, i) if c != 0L => (i, sign * c) }
+    import s.implicits._
+    ((-1, sign * n) +: sparse).toDF("pos", "cnt")
+      .withColumn("batch_id", lit(batchId))
   }
 
   /** Idempotent merge of a [[streamingCountMin]] ledger: collapse
@@ -1450,9 +1466,12 @@ object EventStreams {
     * cut is lossy across keys within a group: purge FIRST, then compact
     * — the purge is authoritative and compaction then backfills the
     * sample from surviving candidates. NOT for cross-key aggregates a
-    * key contributed to anonymously (count-min cells, drift counts):
-    * subtracting one key's contribution needs the retraction ledger
-    * (x182), not a row purge. REPLAY CAVEAT: purge removes rows, it
+    * key contributed to anonymously (count-min cells, drift counts,
+    * token totals): subtracting one key's contribution needs a SIGNED
+    * retraction batch — [[countMinRetraction]] /
+    * [[tokenLedgerRetraction]] compose one from the delete list and the
+    * raw-events source (x211/x213), the x182 ledger carries it — not a
+    * row purge. REPLAY CAVEAT: purge removes rows, it
     * cannot remove them from a batch an at-least-once writer may
     * re-deliver — a crash-retry of a pre-purge batch re-appends the
     * purged ids' rows. The durable suppression intake (x115) is the
@@ -1463,6 +1482,70 @@ object EventStreams {
       keyCol: String): DataFrame =
     ledger.join(deletes.select(col(keyCol)).distinct(), Seq(keyCol),
       "left_anti")
+
+  /** Signed RETRACTION batch for a Count-Min ledger — the takedown path
+    * [[purgeLedger]] cannot take (the r15 verdict's last governance
+    * quadrant): a CM cell holds every key's contributions ANONYMOUSLY,
+    * so no row purge can remove one key's share — but the sketch is
+    * LINEAR, so that share can be recomputed from the raw-events source
+    * and appended NEGATED. The netted ledger is then EXACTLY the sketch
+    * of the clean events (cell-wise: CM(all) − CM(purged) = CM(all −
+    * purged) — same hash functions, pointwise sums), so every estimate
+    * guarantee (never-under, ε-overcount) holds as if the purged keys
+    * had never been ingested; this is exact netting, not approximate
+    * deletion. Cost ∝ the purged keys' rows: one semi-join-pruned pass
+    * over the raw source (at scale, partition-pruned by the key
+    * layout), one driver-held depth×width sketch.
+    *
+    * Output matches [[streamingCountMin]]'s row shape — sparse
+    * (pos, cnt<0) counters plus the pos = −1 row-count sentinel —
+    * stamped with the caller's `batchId`, which MUST be ≤ −2 and fresh
+    * per retraction (−1 is the compaction stamp; real stream batches
+    * are ≥ 0): append it to the ledger table and every
+    * [[mergeCountMinLedger]] read nets the keys out. Replay: a
+    * re-appended copy of the SAME batch collapses in the merge's
+    * `dropDuplicates(batch_id, pos)` — until [[compactBatchLedger]]
+    * folds it into the −1 row, after which re-appending double-
+    * subtracts; record applied retraction ids durably (the x115 intake
+    * discipline) and never re-emit one after compaction.
+    *
+    * NOT for the non-linear sketches: Misra–Gries summaries (x71/x72),
+    * HLL registers (x70) and GK quantiles (x73) are max/threshold
+    * shapes with no additive inverse — deletion there means rebuilding
+    * from clean events. */
+  def countMinRetraction(rawEvents: DataFrame, deletes: DataFrame,
+      keyCol: String, termCol: String, depth: Int, width: Int,
+      batchId: Long): DataFrame = {
+    require(batchId <= -2L,
+      s"retraction batchId must be <= -2 (got $batchId): -1 is the " +
+        "compaction stamp and >= 0 are live stream batches")
+    countMinPartial(
+      rawEvents.join(deletes.select(col(keyCol)).distinct(), Seq(keyCol),
+        "left_semi"),
+      termCol, depth, width, batchId, sign = -1L)
+  }
+
+  /** Signed retraction batch for a [[streamingTokenLedger]] — the
+    * GROUP-TOTALS member of the additive family (docs/token counts per
+    * source, x168's shape; the same negated-partial construction covers
+    * any (group → additive counts) ledger, e.g. the drift count tables).
+    * Recomputes the purged keys' per-group (docs, tokens) from the raw
+    * source (one semi-join-pruned pass) and emits them NEGATED under
+    * `batchId` (≤ −2, fresh — see [[countMinRetraction]]'s replay
+    * contract). [[mergeTokenLedger]] over ledger + batch telescopes to
+    * exactly the clean-corpus totals; a group whose every row was
+    * purged reports (0, 0) — that IS its current state (the x182
+    * fully-deleted-group convention). */
+  def tokenLedgerRetraction(raw: DataFrame, deletes: DataFrame,
+      keyCol: String, groupCol: String, tokens: Column,
+      batchId: Long): DataFrame = {
+    require(batchId <= -2L,
+      s"retraction batchId must be <= -2 (got $batchId)")
+    tokenLedgerPartial(
+      raw.join(deletes.select(col(keyCol)).distinct(), Seq(keyCol),
+        "left_semi"),
+      groupCol, tokens, batchId, sign = -1L)
+  }
 
   /** Compact a [[streamingSuppressionLedger]] table: one row per id,
     * keeping the FIRST asserting batch (the audit trail [[suppressionSet]]

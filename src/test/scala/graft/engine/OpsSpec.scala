@@ -236,6 +236,88 @@ class OpsSpec extends SparkSpec {
       "--args", "{table: purgeop.ledger, deletes: purgeop.takedowns, " +
         "key: nope}"))
       .exists(_.contains("has no column")))
+    // multi-column deletes: the purge column is the one matching `key`,
+    // never a blind columns.head (ADVICE r15 item 2) — and a relation
+    // with neither a single column nor a key match is an actionable
+    // error, not a wrong-column anti-join that still prints "clean"
+    spark.sql("DROP TABLE IF EXISTS purgeop.takedowns2")
+    Seq(("req-1", 3L), ("req-2", 999L)).toDF("request_id", "doc")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("purgeop.takedowns2")
+    val multi = Cli.run(p, Seq("run-operation", "purge_ledger",
+      "--args", "{table: purgeop.ledger, deletes: purgeop.takedowns2, " +
+        "key: doc}"))
+    assert(multi.exists(_.contains("6 rows -> 4 rows")), multi)
+    assert(spark.table("purgeop.ledger")
+      .filter(col("doc") === 3L).count() == 0)
+    spark.sql("DROP TABLE IF EXISTS purgeop.takedowns3")
+    Seq(("req-1", 4L)).toDF("request_id", "some_id")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("purgeop.takedowns3")
+    assert(Cli.run(p, Seq("run-operation", "purge_ledger",
+      "--args", "{table: purgeop.ledger, deletes: purgeop.takedowns3, " +
+        "key: doc}"))
+      .exists(_.contains("none named 'doc'")))
+  }
+
+  test("cli: run-operation retract_countmin nets purged keys out of " +
+      "an additive sketch ledger") {
+    import spark.implicits._
+    val p = new Project(spark, Target("dev", "retrop", threads = 2))
+    spark.sql("CREATE DATABASE IF NOT EXISTS retrop")
+    for (t <- Seq("events", "sketch", "takedowns"))
+      spark.sql(s"DROP TABLE IF EXISTS retrop.$t")
+    val ev = (1L to 120L).map(i => (i, i % 5, "t" + (i % 11)))
+      .toDF("event_id", "user_id", "term")
+    ev.write.mode("overwrite").format("parquet")
+      .saveAsTable("retrop.events")
+    // the ledger as streamingCountMin would have built it (two batches)
+    graft.streaming.EventStreams.countMinPartial(
+        spark.table("retrop.events").filter(col("event_id") <= 60),
+        "term", 4, 64, 0L)
+      .unionByName(graft.streaming.EventStreams.countMinPartial(
+        spark.table("retrop.events").filter(col("event_id") > 60),
+        "term", 4, 64, 1L))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("retrop.sketch")
+    Seq(2L).toDF("user_id")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("retrop.takedowns")
+    val args = "{table: retrop.sketch, events: retrop.events, " +
+      "deletes: retrop.takedowns, key: user_id, term: term, " +
+      "depth: 4, width: 64}"
+    val out = Cli.run(p, Seq("run-operation", "retract_countmin",
+      "--args", args))
+    assert(out.exists(_.contains("netted — merged sentinel")), out)
+    // the merged view IS the clean-events sketch, cell for cell
+    val (counters, totals) = graft.streaming.EventStreams
+      .mergeCountMinLedger(spark.table("retrop.sketch"))
+    val clean = spark.table("retrop.events")
+      .filter(col("user_id") =!= 2L)
+    val (dc, dt) = graft.streaming.EventStreams.mergeCountMinLedger(
+      graft.streaming.EventStreams.countMinPartial(clean, "term", 4, 64, 0L))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("cnt") =!= 0L).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cells(counters) == cells(dc))
+    assert(totals.first().getLong(0) == dt.first().getLong(0))
+    // wrong raw source → the sentinel cross-check FAILS loudly
+    spark.sql("DROP TABLE IF EXISTS retrop.partial_events")
+    spark.table("retrop.events").filter(col("event_id") <= 50)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("retrop.partial_events")
+    val bad = Cli.run(p, Seq("run-operation", "retract_countmin",
+      "--args", "{table: retrop.sketch, events: retrop.partial_events, " +
+        "deletes: retrop.takedowns, key: user_id, term: term, " +
+        "depth: 4, width: 64}"))
+    assert(bad.exists(_.contains("VERDICT FAILED")), bad)
+    assert(Cli.run(p, Seq("run-operation", "retract_countmin"))
+      .exists(_.contains("pass table")))
+    assert(Cli.run(p, Seq("run-operation", "retract_countmin",
+      "--args", "{table: retrop.sketch, events: retrop.events, " +
+        "deletes: retrop.takedowns, key: user_id, term: term, " +
+        "depth: x, width: 64}"))
+      .exists(_.contains("positive integers")))
   }
 
   test("cli: compact_ledger handles the sessions shape end-to-end") {

@@ -789,6 +789,19 @@ class ScaleSpec extends SparkSpec {
       // corpus word explode + two broadcast word-table joins + the
       // per-lang agg + sort
       "x210_tokenizer_fertility_compare" -> 3,
+      // x211: the two streaming batches AND the retraction's semi-join
+      // sketch pass ran at build time (driver-held depth×width rows);
+      // the registered plan is the x94 report class — merged-counter
+      // reads + the clean-events exact top-k + the ranked report
+      "x211_countmin_retraction" -> 4,
+      // x212: x209's encode class — distinct-words fallback Viterbi +
+      // broadcast id join + doc reassembly + total-order sort (the
+      // byte branch is per-row expression work, no new shuffle)
+      "x212_unigram_byte_fallback" -> 3,
+      // x213: ledger batches + the retraction partial ran at build
+      // time (groups-sized); the plan is the replay-collapse merge
+      // (dropDuplicates + group sum) + the total-order sort
+      "x213_token_ledger_retraction" -> 3,
       // x205: the report is now driver-built (shards-sized) from the
       // single discovery scan + the blast-radius-scoped recount, both
       // of which ran at build time; the registered plan is just the

@@ -49,6 +49,43 @@ class UnigramSpec extends SparkSpec {
     assert(counts("zq") == 2 && counts("xvj") == 3, counts.toString)
   }
 
+  test("byte fallback: OOV text round-trips, incl. multi-byte codepoints") {
+    import spark.implicits._
+    val train = Seq.fill(20)("the cat sat on the mat").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val model = Unigram.train(train, "text")
+    // x, z, ~ outside the trained alphabet; é (2-byte) and ✓ (3-byte)
+    // prove the UTF-8 split/reassembly across consecutive byte tokens
+    val oov = Seq((1L, "the cat xz~"), (2L, "café ✓ sat"), (3L, ""),
+      (4L, "the")).toDF("doc_id", "text")
+    val enc = Unigram.encodeWithByteFallback(oov, "doc_id", "text", model)
+    val dec = Unigram.decodeWithByteFallback(enc, model)
+    val bad = oov.join(dec.withColumnRenamed("text", "rt"), "doc_id")
+      .filter(col("text") =!= col("rt"))
+    assert(bad.isEmpty, s"byte-fallback round trip broke: ${bad.take(3).mkString(";")}")
+    // OOV bytes land in the reserved id range V+1..V+256
+    val v = model.pieces.size.toLong
+    val ids = enc.filter(col("doc_id") === 1L)
+      .select(explode(col("token_ids"))).collect().map(_.getLong(0))
+    assert(ids.count(_ > v) == 3, s"expected 3 byte tokens, got ${ids.mkString(",")}")
+    assert(ids.filter(_ > v).forall(i => i <= v + 256), ids.mkString(","))
+  }
+
+  test("byte fallback never changes covered text's encoding") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val model = Unigram.train(docs, "text", topK = 50, maxPieceLen = 3,
+      multiPieces = 40, rounds = 2)
+    val plain = Unigram.encode(docs, "doc_id", "text", model)
+      .select(col("doc_id"), concat_ws(",", col("token_ids")).as("ids"))
+    val fb = Unigram.encodeWithByteFallback(docs, "doc_id", "text", model)
+      .select(col("doc_id"), concat_ws(",", col("token_ids")).as("ids2"))
+    val diff = plain.join(fb, "doc_id")
+      .filter(col("ids") =!= col("ids2"))
+    assert(diff.isEmpty,
+      s"fallback changed a covered encoding: ${diff.take(3).mkString(";")}")
+  }
+
   test("a top-frequency word segments as one learned piece") {
     import spark.implicits._
     val docs = Seq.fill(30)("the cat sat").zipWithIndex

@@ -419,4 +419,66 @@ class LedgerInvariantsSpec extends SparkSpec {
       }
     }
   }
+
+  // --- additive-ledger RETRACTION (x211/x213): the takedown path for
+  //     cross-key aggregates a purge cannot reach ------------------------
+
+  test("countMinRetraction: netted ledger == clean-events sketch, " +
+      "exactly, and survives merge-replay and compaction") {
+    import spark.implicits._
+    val ev = (1L to 200L).map(i => (i, i % 7, "t" + (i % 23)))
+      .toDF("event_id", "user_id", "term")
+    val deletes = ev.filter(col("user_id") === 3L).select(col("user_id"))
+    val ledger = EventStreams
+      .countMinPartial(ev.filter(col("event_id") <= 100), "term", 4, 64, 0L)
+      .unionByName(EventStreams
+        .countMinPartial(ev.filter(col("event_id") > 100), "term", 4, 64, 1L))
+    val retr = EventStreams.countMinRetraction(ev, deletes, "user_id",
+      "term", depth = 4, width = 64, batchId = -2L)
+    def viewOf(l: org.apache.spark.sql.DataFrame) = {
+      val (counters, totals) = EventStreams.mergeCountMinLedger(l)
+      (counters.filter(col("cnt") =!= 0L).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap,
+        totals.first().getLong(0))
+    }
+    val netted = ledger.unionByName(retr).localCheckpoint()
+    val clean = ev.join(deletes.distinct(), Seq("user_id"), "left_anti")
+    val direct = EventStreams.countMinPartial(clean, "term", 4, 64, 0L)
+    assert(viewOf(netted) == viewOf(direct),
+      "netting != rebuilding from clean events (CM linearity broken)")
+    // pre-compaction replay of the retraction collapses in the merge
+    assert(viewOf(netted.unionByName(retr)) == viewOf(direct),
+      "replayed retraction batch double-subtracted")
+    // compaction folds the retraction losslessly (additive sums)
+    val compacted = EventStreams.compactBatchLedger(netted,
+      Seq("pos"), Seq("cnt"))
+    assert(viewOf(compacted) == viewOf(direct),
+      "compaction broke the netted view")
+    intercept[IllegalArgumentException] {
+      EventStreams.countMinRetraction(ev, deletes, "user_id", "term",
+        4, 64, batchId = 0L)
+    }
+  }
+
+  test("tokenLedgerRetraction: merged totals == clean corpus, " +
+      "fully-purged group reports (0, 0)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a", "x y z"), (2L, "a", "p q"),
+      (3L, "b", "only doc of b"), (4L, "c", "keep me"))
+      .toDF("doc_id", "source", "text")
+    val toks = size(split(col("text"), " ")).cast("long")
+    val ledger = EventStreams
+      .tokenLedgerPartial(docs.filter(col("doc_id") <= 2), "source", toks, 0L)
+      .unionByName(EventStreams
+        .tokenLedgerPartial(docs.filter(col("doc_id") > 2), "source", toks, 1L))
+    val deletes = Seq(2L, 3L).toDF("doc_id")
+    val retr = EventStreams.tokenLedgerRetraction(docs, deletes,
+      "doc_id", "source", toks, batchId = -2L)
+    val merged = EventStreams
+      .mergeTokenLedger(ledger.unionByName(retr), "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(merged == Set(("a", 1L, 3L), ("b", 0L, 0L), ("c", 1L, 2L)),
+      s"netted totals wrong: $merged")
+  }
 }
