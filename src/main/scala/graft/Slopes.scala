@@ -107,7 +107,12 @@ object Slopes {
     // (x168's ledger + one negated group partial)
     "x211_countmin_retraction" -> "linear",
     "x212_unigram_byte_fallback" -> "linear",
-    "x213_token_ledger_retraction" -> "linear")
+    "x213_token_ledger_retraction" -> "linear",
+    // x214: x204's encode class + one anti-join + a per-row merge fold
+    // on the (fixture-constant) unseen-word table; x215: x206's ledger
+    // + one negated histogram partial + the netted merge
+    "x214_bpe_byte_fallback" -> "linear",
+    "x215_quantile_ledger_retraction" -> "linear")
 
   def main(args: Array[String]): Unit = {
     val sf01 = args.lift(0).getOrElse("/root/testdata/sf0.1")

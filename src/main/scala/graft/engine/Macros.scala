@@ -298,11 +298,13 @@ object Macros {
     * .countMinRetraction]]): the purged keys' own sketch, appended
     * NEGATED under a fresh batch id below every existing one, nets the
     * ledger to exactly the clean-events sketch (CM linearity). The
-    * verdict cross-checks the netted row-count sentinel against the
-    * clean-events count — which also catches an `events` relation that
-    * is NOT the ledger's true ingest source (the one way this
-    * composition silently lies). `depth`/`width` must match the
-    * ledger's build parameters. */
+    * verdict is CELL-WISE: it rebuilds the clean-events sketch and
+    * compares every counter plus the row-count sentinel — catching
+    * both an `events` relation that is NOT the ledger's true ingest
+    * source AND a `depth`/`width` that doesn't match the ledger's
+    * build parameters (wrong-position subtractions keep the sentinel
+    * right while corrupting every cell — the sentinel alone would
+    * print success). */
   def retractCountMin(spark: SparkSession,
       kwargs: Map[String, String]): Seq[String] = {
     val required = Seq("table", "events", "deletes", "key", "term",
@@ -350,16 +352,36 @@ object Macros {
       .countMinRetraction(events, deletes, key, term, depth, width, batchId)
       .write.mode("append").format("parquet").saveAsTable(table)
     spark.catalog.refreshTable(table)
-    val (_, totals) = graft.streaming.EventStreams
+    // CELL-WISE verdict, not sentinel-only: rebuild the clean-events
+    // sketch in one pass and compare every counter — a depth/width
+    // mismatch with the ledger's build parameters subtracts from the
+    // WRONG positions while leaving the row-count sentinel right, the
+    // one silent-lie mode a count cross-check can't see. Both sides
+    // are bounded depth×width driver arrays; the rebuild is one more
+    // corpus-pass aggregation, the price of a provable verdict.
+    val (mergedCells, mergedTotals) = graft.streaming.EventStreams
       .mergeCountMinLedger(spark.table(table))
-    val netted = totals.first().getLong(0)
-    val clean = events.join(deletes, Seq(key), "left_anti").count()
+    val clean = events.join(deletes, Seq(key), "left_anti")
+    val (cleanCells, cleanTotals) = graft.streaming.EventStreams
+      .mergeCountMinLedger(graft.streaming.EventStreams
+        .countMinPartial(clean, term, depth, width, 0L))
+    def cellMap(df: DataFrame): Map[Int, Long] =
+      df.collect().map(r => r.getAs[Number]("pos").intValue() ->
+        r.getAs[Number]("cnt").longValue()).toMap.filter(_._2 != 0L)
+    val (netted, want) =
+      (mergedTotals.first().getLong(0), cleanTotals.first().getLong(0))
+    val cellsMatch = cellMap(mergedCells) == cellMap(cleanCells)
     val verdict =
-      if (netted == clean) s"retract_countmin: $table netted — merged " +
-        s"sentinel $netted == clean-events count (CM linearity holds)"
-      else s"retract_countmin: VERDICT FAILED — netted sentinel " +
-        s"$netted != clean-events count $clean (is ${kwargs("events")} " +
-        "the ledger's true ingest source, at matching depth/width?)"
+      if (netted == want && cellsMatch)
+        s"retract_countmin: $table netted — merged sentinel $netted == " +
+          "clean-events count AND every counter cell equals the " +
+          "clean-events sketch (CM linearity holds)"
+      else s"retract_countmin: VERDICT FAILED — " +
+        (if (netted != want) s"netted sentinel $netted != clean count " +
+          s"$want" else "counter cells differ from the clean-events " +
+          "sketch") +
+        s" (is ${kwargs("events")} the ledger's true ingest source, " +
+        "at matching depth/width?)"
     Seq(s"appended retraction batch $batchId to $table", verdict)
   }
 

@@ -49,13 +49,8 @@ object Unigram {
   /** Infinity sentinel for unsegmentable prefixes (headroom for adds). */
   private val INF = Long.MaxValue / 4
 
-  /** Cost per FALLBACK BYTE (micro-nats) — above any real piece cost
-    * (ln(T/1)·10⁶ reaches ~27.6e6 only at T ≈ 10¹² piece occurrences),
-    * so the byte path is strictly a last resort and covered words
-    * segment EXACTLY as without fallback; far below INF/maxWordLen, so
-    * a fully-OOV word still totals finitely. The DuckDB oracle uses the
-    * same literal. */
-  private[operators] val BYTE_COST = 50000000L
+  /** Cost per fallback byte — see [[ByteFallback.BYTE_COST]]. */
+  private[operators] val BYTE_COST = ByteFallback.BYTE_COST
 
   /** pieces: the fitted vocabulary as (piece → cost micro-nats), driver
     * state (bounded: |alphabet| + multiPieces). */
@@ -215,16 +210,6 @@ object Unigram {
       textCol: String, model: Model): DataFrame =
     encodeImpl(docs, idCol, textCol, model, byteFallback = true)
 
-  /** Reserved byte-token ids of one piece (an OOV character): its
-    * UTF-8 hex expansion read two nibbles at a time — V+1+byte. The
-    * oracle mirrors the identical hex arithmetic. */
-  private def byteTokenIds(piece: Column, vocabSize: Int): Column = {
-    val h = hex(org.apache.spark.sql.functions.encode(piece, "UTF-8"))
-    transform(sequence(lit(0), octet_length(piece) - 1),
-      b => lit(vocabSize.toLong + 1L) +
-        conv(h.substr(b * 2 + 1, lit(2)), 16, 10).cast("long"))
-  }
-
   private def encodeImpl(docs: DataFrame, idCol: String, textCol: String,
       model: Model, byteFallback: Boolean): DataFrame = {
     val spark = docs.sparkSession
@@ -250,7 +235,8 @@ object Unigram {
         when(col("piece").isNull, array().cast("array<bigint>"))
           .when(col("id").isNotNull, array(col("id")))
           .otherwise(
-            if (byteFallback) byteTokenIds(col("piece"), vocabSize)
+            if (byteFallback)
+              ByteFallback.byteTokenIds(col("piece"), vocabSize.toLong)
             else array().cast("array<bigint>")))
       .groupBy("w")
       .agg(flatten(transform(
@@ -313,24 +299,9 @@ object Unigram {
   def decodeWithByteFallback(encoded: DataFrame,
       model: Model): DataFrame = {
     val spark = encoded.sparkSession
-    import org.apache.spark.sql.functions.{decode => strDecode, encode => strEncode}
-    val vocabSize = model.pieces.size
     val v = vocab(spark, model).select(col("id"), col("piece").as("sym"))
       .unionByName(spark.range(1)
         .select(lit(0L).as("id"), lit(" ").as("sym")))
-    encoded.select(col("doc_id"), posexplode_outer(col("token_ids"))
-        .as(Seq("tpos", "id")))
-      .join(broadcast(v), Seq("id"), "left")
-      .withColumn("bin",
-        when(col("id").isNull, lit(Array.emptyByteArray)) // empty doc
-          .when(col("id") > vocabSize.toLong,
-            unhex(lpad(hex(col("id") - vocabSize.toLong - 1L), 2, "0")))
-          .otherwise(strEncode(col("sym"), "UTF-8")))
-      .groupBy("doc_id")
-      .agg(strDecode(aggregate(
-          transform(array_sort(collect_list(struct(col("tpos"), col("bin")))),
-            x => x.getField("bin")),
-          lit(Array.emptyByteArray),
-          (acc, b) => concat(acc, b)), "UTF-8").as("text"))
+    ByteFallback.decodeBytes(encoded, v, model.pieces.size.toLong)
   }
 }

@@ -2734,6 +2734,165 @@ object PipelineQueries extends QueryPack {
             ELSE len(string_split(text,' ')) END) AS BIGINT) AS tokens
         FROM documents GROUP BY source ORDER BY source""")),
 
+    // ---- BPE BYTE FALLBACK (x212's sibling — the family's OTHER
+    //      trained tokenizer generalized to unseen text): an UNSEEN
+    //      WORD segments by applying the learned merge list in rank
+    //      order to its characters (the standard BPE application rule —
+    //      a per-row fold on the distinct-unseen-word table only;
+    //      train-corpus words keep their verbatim train-time
+    //      segmentations, so covered text encodes EXACTLY as x204); a
+    //      symbol outside x204's observed-symbol vocabulary (unseen
+    //      char, or a mid-ladder merge product no training word
+    //      retained) degrades to byte tokens V+1..V+256. Fixture: every
+    //      doc gains " xz~é thecatx" — the first word all-OOV chars
+    //      (é 2-byte), the second an UNSEEN word of in-corpus chars, so
+    //      the merge-application path runs against real learned rules;
+    //      the oracle replays merge application to unseen words with a
+    //      recursive CTE over the learned merge list + the same hex
+    //      byte-id arithmetic ------------------------------------------
+    Q("x214_bpe_byte_fallback",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = graft.operators.Bpe.train(docs, "text",
+          topK = bpeTopK, numMerges = bpeRounds)
+        val oov = docs.select(col("doc_id"),
+          concat(col("text"), lit(" xz~é thecatx")).as("text"))
+        graft.operators.Bpe
+          .encodeWithByteFallback(oov, "doc_id", "text", model)
+          .select(col("doc_id"), col("n_tokens"),
+            concat_ws(",", col("token_ids")).as("ids_csv"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH RECURSIVE " + bpeCtesBody("documents", bpeRounds) + s""",
+        encdocs AS (SELECT doc_id, text || ' xz~é thecatx' AS text
+          FROM documents),
+        ws AS (SELECT u.w AS w, u.syms AS syms
+          FROM (SELECT unnest(words) AS u FROM last)),
+        vocab AS (SELECT sym,
+            CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS id
+          FROM (SELECT DISTINCT unnest(syms) AS sym FROM ws)),
+        vn AS (SELECT CAST(count(*) AS BIGINT) AS vn FROM vocab),
+        mlist AS MATERIALIZED (SELECT merges FROM last),
+        unseenw AS MATERIALIZED (SELECT w FROM (
+            SELECT DISTINCT unnest(string_split(text,' ')) AS w
+            FROM encdocs)
+          WHERE w <> '' AND w NOT IN (SELECT w FROM ws)),
+        uapp AS (
+          SELECT w, 0 AS r, regexp_extract_all(w, '.') AS syms
+          FROM unseenw
+          UNION ALL
+          SELECT w, r + 1,
+            list_reduce(list_transform(syms, s -> [s]),
+              (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.lft
+                               AND x[1] = m.rgt
+                THEN list_append(list_slice(acc, 1, len(acc) - 1),
+                                 m.lft || m.rgt)
+                ELSE list_append(acc, x[1]) END)
+          FROM (SELECT u.w, u.r, u.syms,
+                  (SELECT merges[u.r + 1] FROM mlist) AS m
+                FROM uapp u
+                WHERE u.r < (SELECT len(merges) FROM mlist))
+        ),
+        ufin AS (SELECT w, syms FROM uapp
+          WHERE r = (SELECT len(merges) FROM mlist)),
+        wsall AS (SELECT w, syms FROM ws
+          UNION ALL SELECT w, syms FROM ufin),
+        wex AS (SELECT w,
+            unnest(list_transform(syms, (s, i) -> {'i': i, 's': s})) AS u
+          FROM wsall),
+        wj AS (SELECT w, u.i AS i,
+            CASE WHEN v.id IS NOT NULL THEN [v.id]
+                 ELSE list_transform(range(octet_length(encode(u.s))),
+                   b -> vn + 1 + ('0x'||substr(hex(encode(u.s)),
+                     CAST(b*2+1 AS INTEGER), 2))::BIGINT)
+            END AS ids
+          FROM wex LEFT JOIN vocab v ON v.sym = u.s CROSS JOIN vn),
+        wid0 AS (SELECT w,
+            flatten(list_transform(list_sort(list({'i': i, 'ids': ids})),
+              x -> x.ids)) AS ids
+          FROM wj GROUP BY w),
+        wid AS (SELECT w, ids FROM wid0
+          UNION ALL SELECT w, CAST([] AS BIGINT[]) FROM wsall
+          WHERE len(syms) = 0),
+        dt AS (SELECT doc_id,
+            unnest(list_transform(string_split(text, ' '),
+              (w, i) -> {'i': i, 'w': w})) AS u
+          FROM encdocs),
+        dj AS (SELECT doc_id, u.i AS i, wid.ids AS ids
+          FROM dt JOIN wid ON wid.w = u.w),
+        da AS (SELECT doc_id,
+            flatten(list_transform(
+              list_sort(list({'i': i, 'ids': ids})),
+              (x, j) -> CASE WHEN j = 1 THEN x.ids
+                ELSE [CAST(0 AS BIGINT)] || x.ids END)) AS enc
+          FROM dj GROUP BY doc_id)
+        SELECT doc_id, CAST(len(enc) AS BIGINT) AS n_tokens,
+          array_to_string(enc, ',') AS ids_csv
+        FROM da ORDER BY doc_id""")),
+
+    // ---- QUANTILE-LEDGER RETRACTION (the HISTOGRAM member — with x211
+    //      count-min cells and x213 group totals, the additive family's
+    //      takedown surface is complete: cells, totals, histograms):
+    //      x206's per-source weighted (value, weight) histogram nets a
+    //      doc-keyed delete list out via one negated partial; the
+    //      netted merge FAILS LOUDLY on any negative net (wrong raw
+    //      source) and drops zeroed values so a fully-purged value
+    //      cannot win a cumulative-weight boundary, then the x170
+    //      quantile machinery over the clean histogram ------------------
+    Q("x215_quantile_ledger_retraction",
+      (s, dir) => {
+        import graft.engine._
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("text"))
+        val wh = java.nio.file.Paths.get(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val landing = wh.resolve("qtlgr_landing")
+        val ckpt = wh.resolve("_graft_checkpoints/qtlgr")
+        s.sql("CREATE DATABASE IF NOT EXISTS qtlgr")
+        s.sql("DROP TABLE IF EXISTS qtlgr.ledger")
+        for (p <- Seq(landing, ckpt, wh.resolve("qtlgr.db/ledger")))
+          Materializer.deleteRecursively(p)
+        def run(): Unit = EventStreams.streamingQuantileLedger(s,
+          landing.toString, docs.schema, "qtlgr.ledger", ckpt.toString,
+          "source", "n_chars", nTokens(tokens(col("text"))).cast("long"))
+        docs.filter(col("doc_id") % 2 === 0)
+          .write.mode("overwrite").parquet(landing.toString)
+        run()
+        docs.filter(col("doc_id") % 2 === 1)
+          .write.mode("append").parquet(landing.toString)
+        run()
+        val deletes = docs.filter(col("doc_id") % 97 === 3)
+          .select(col("doc_id"))
+        EventStreams.quantileLedgerRetraction(docs, deletes, "doc_id",
+            "source", "n_chars", nTokens(tokens(col("text"))).cast("long"),
+            batchId = -2L)
+          .write.mode("append").format("parquet")
+          .saveAsTable("qtlgr.ledger")
+        EventStreams.mergeQuantileLedgerNetted(s.table("qtlgr.ledger"),
+            "source", "n_chars", Seq(500000L, 900000L, 990000L))
+          .orderBy(col("source"), col("pct_micro"))
+      },
+      Some("""WITH d AS (SELECT source, n_chars,
+            CAST(len(string_split(text,' ')) AS BIGINT) AS tok
+          FROM documents WHERE doc_id % 97 <> 3),
+        h AS (SELECT source, n_chars AS v, CAST(sum(tok) AS BIGINT) AS cw
+          FROM d GROUP BY 1, 2),
+        c AS (SELECT source, v, cw,
+            CAST(sum(cw) OVER (PARTITION BY source ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM h),
+        t AS (SELECT source, CAST(sum(cw) AS BIGINT) AS tot
+          FROM h GROUP BY 1),
+        e AS (SELECT c.source, c.v, t.tot, CAST(q.p AS BIGINT) AS pct_micro
+          FROM c JOIN t ON c.source = t.source
+          CROSS JOIN unnest([500000, 900000, 990000]) AS q(p)
+          WHERE c.cum * 1000000 >= CAST(q.p AS BIGINT) * t.tot)
+        SELECT source, pct_micro, CAST(min(v) AS BIGINT) AS value_at,
+          tot AS total_weight
+        FROM e GROUP BY source, pct_micro, tot
+        ORDER BY source, pct_micro""")),
+
     // ---- exact dedup: one hash aggregation -----------------------------
     Q("x01_dedup_exact",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")

@@ -1113,6 +1113,66 @@ object EventStreams {
       spark.catalog.refreshTable(ledgerTable)
   }
 
+  /** Signed retraction batch for a [[streamingQuantileLedger]] — the
+    * HISTOGRAM member of the additive family (x215; siblings
+    * [[countMinRetraction]] x211 and [[tokenLedgerRetraction]] x213):
+    * weighted (g, v) histograms are additive, so the purged keys'
+    * contribution recomputed from the raw source and appended NEGATED
+    * nets the ledger to exactly the clean-corpus histogram — and the
+    * quantiles over it. Same write-time loud guards as the ledger
+    * writer (a null value / null-or-negative weight silently vanishing
+    * from the retraction would shift every downstream quantile the
+    * other way); `batchId` ≤ −2 and fresh per retraction (the
+    * [[countMinRetraction]] replay contract). Read the netted ledger
+    * through [[mergeQuantileLedgerNetted]], which nets, guards, and
+    * drops zeroed values — [[mergeQuantileLedger]] would let a
+    * fully-purged value's w = 0 row win a cum-weight boundary tie. */
+  def quantileLedgerRetraction(raw: DataFrame, deletes: DataFrame,
+      keyCol: String, groupCol: String, valueCol: String, weight: Column,
+      batchId: Long): DataFrame = {
+    require(batchId <= -2L,
+      s"retraction batchId must be <= -2 (got $batchId)")
+    raw.join(deletes.select(col(keyCol)).distinct(), Seq(keyCol),
+        "left_semi")
+      .select(col(groupCol).as("g"),
+        when(col(valueCol).isNull, raise_error(
+          lit(s"quantile retraction: null $valueCol")))
+          .otherwise(col(valueCol)).as("v"),
+        when(weight.isNull || weight < 0, raise_error(
+          lit("quantile retraction: null/negative weight")))
+          .otherwise(weight.cast("long")).as("w"))
+      .groupBy(col("g"), col("v"))
+      .agg((-sum(col("w"))).as("w"))
+      .withColumn("batch_id", lit(batchId))
+  }
+
+  /** [[mergeQuantileLedger]] for a ledger carrying retraction batches:
+    * collapse replays on (batch_id, g, v), NET the weights per (g, v),
+    * FAIL LOUDLY on any negative net (over-retraction — the raw
+    * relation handed to [[quantileLedgerRetraction]] was not the
+    * ledger's true ingest source), drop fully-purged (w = 0) values so
+    * they cannot be selected at a cumulative-weight boundary, then the
+    * x170 machinery. With no retraction batches present this reduces
+    * to [[mergeQuantileLedger]] exactly (all nets positive, none
+    * zero). */
+  def mergeQuantileLedgerNetted(ledger: DataFrame, groupCol: String,
+      valueCol: String, pctsMicro: Seq[Long]): DataFrame = {
+    val netted = ledger.dropDuplicates("batch_id", "g", "v")
+      .groupBy(col("g"), col("v"))
+      .agg(sum(col("w")).as("w"))
+      .select(col("g"), col("v"),
+        when(col("w") < 0L, raise_error(concat(
+          lit("quantile ledger: value '"), col("v").cast("string"),
+          lit("' nets negative weight after retraction — the " +
+            "retraction's raw source was not this ledger's ingest"))))
+          .otherwise(col("w")).as("w"))
+      .filter(col("w") =!= 0L)
+    graft.operators.WeightedQuantiles.perGroup(
+      netted.select(col("g").as(groupCol), col("v").as(valueCol),
+        col("w")),
+      groupCol, valueCol, "w", pctsMicro)
+  }
+
   /** Exact per-group quantiles from a quantile ledger: collapse
     * replays on (batch_id, g, v), then the x170 machinery over the
     * merged histogram — provably equal to the batch op over everything

@@ -318,6 +318,20 @@ class OpsSpec extends SparkSpec {
         "deletes: retrop.takedowns, key: user_id, term: term, " +
         "depth: x, width: 64}"))
       .exists(_.contains("positive integers")))
+    // width mismatch with the ledger's build: the retraction subtracts
+    // from the WRONG positions — the row-count sentinel stays right,
+    // so only the cell-wise verdict can catch it
+    spark.sql("DROP TABLE IF EXISTS retrop.sketch2")
+    graft.streaming.EventStreams.countMinPartial(
+        spark.table("retrop.events"), "term", 4, 64, 0L)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("retrop.sketch2")
+    val mism = Cli.run(p, Seq("run-operation", "retract_countmin",
+      "--args", "{table: retrop.sketch2, events: retrop.events, " +
+        "deletes: retrop.takedowns, key: user_id, term: term, " +
+        "depth: 4, width: 32}"))
+    assert(mism.exists(m => m.contains("VERDICT FAILED") &&
+      m.contains("cells differ")), mism)
   }
 
   test("cli: compact_ledger handles the sessions shape end-to-end") {

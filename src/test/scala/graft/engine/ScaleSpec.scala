@@ -224,6 +224,10 @@ class ScaleSpec extends SparkSpec {
       // |alphabet|^superChars-bounded non-equi shape as x176/x188/x202;
       // the corpus encode path is equi-join-only
       "x204_bpe_encode",
+      // x214: x204's encode class — the one non-equi join is
+      // GlobalOrder's bounded triangular vocab-id assignment
+      // (vocab-sized both sides), the x207/x202 allowlisted shape
+      "x214_bpe_byte_fallback",
       // x207: GlobalOrder's bounded triangular join (twice) PLUS the
       // depth-bounded X_d join (weights x m-histogram, both <= depth
       // <= 10000 rows by construction) — the x202 cumulative class
@@ -802,6 +806,14 @@ class ScaleSpec extends SparkSpec {
       // time (groups-sized); the plan is the replay-collapse merge
       // (dropDuplicates + group sum) + the total-order sort
       "x213_token_ledger_retraction" -> 3,
+      // x214: x204's encode class (12) + the unseen-word anti-join;
+      // the merge fold itself is per-row expression work on the
+      // distinct-unseen table, no extra shuffle
+      "x214_bpe_byte_fallback" -> 13,
+      // x215: the netted merge (replay collapse + (g,v) net) + the
+      // x170 quantile machinery + total-order sort; ledger build and
+      // the retraction partial ran at build time
+      "x215_quantile_ledger_retraction" -> 9,
       // x205: the report is now driver-built (shards-sized) from the
       // single discovery scan + the blast-radius-scoped recount, both
       // of which ran at build time; the registered plan is just the

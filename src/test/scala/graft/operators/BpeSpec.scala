@@ -119,6 +119,45 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("byte fallback: unseen words get the merge ladder, OOV chars " +
+      "become byte tokens, round-trip exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val train = Seq((1L, "low low lower"), (2L, "low newest newest"))
+      .toDF("doc_id", "text")
+    val m = Bpe.train(train, "text", topK = 50, numMerges = 3)
+    // merges learned: (l,o), (lo,w), (e,s) — "lowest" is UNSEEN but its
+    // chars are in-corpus: the ladder yields [low, es, t] exactly
+    val oov = Seq((1L, "lowest"), (2L, "café ✓"), (3L, "low low"),
+      (4L, "")).toDF("doc_id", "text")
+    val enc = Bpe.encodeWithByteFallback(oov, "doc_id", "text", m)
+    val dec = Bpe.decodeWithByteFallback(enc, m)
+    val bad = oov.join(dec.withColumnRenamed("text", "rt"), "doc_id")
+      .filter(col("text") =!= col("rt"))
+    assert(bad.isEmpty, s"round trip broke: ${bad.take(3).mkString(";")}")
+    // "lowest" = the merge-ladder segmentation [low, es, t]; all three
+    // symbols survive in training words, so all three carry vocab ids
+    val v = Bpe.vocab(m).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lowestIds = enc.filter(col("doc_id") === 1L)
+      .select(explode(col("token_ids"))).collect().map(_.getLong(0)).toSeq
+    assert(lowestIds == Seq(v("low"), v("es"), v("t")),
+      s"expected merge-ladder ids, got $lowestIds (vocab $v)")
+    // "café ✓": OOV chars land in the reserved byte range (é 2 bytes,
+    // ✓ 3 bytes; c/a/f were merged away or unseen — any non-vocab sym
+    // degrades to bytes)
+    val V = v.size.toLong
+    val cafeIds = enc.filter(col("doc_id") === 2L)
+      .select(explode(col("token_ids"))).collect().map(_.getLong(0))
+    assert(cafeIds.filter(_ > V).forall(i => i <= V + 256), cafeIds.toSeq)
+    assert(cafeIds.count(_ > V) >= 5, s"expected byte tokens: ${cafeIds.toSeq}")
+    // covered text: identical ids to plain encode
+    val plain = Bpe.encode(oov.filter(col("doc_id") === 3L), "doc_id",
+      "text", m).select(concat_ws(",", col("token_ids"))).first().getString(0)
+    val fb = enc.filter(col("doc_id") === 3L)
+      .select(concat_ws(",", col("token_ids"))).first().getString(0)
+    assert(plain == fb, s"covered encoding changed: $plain vs $fb")
+  }
+
   test("encode fails loudly on out-of-vocabulary words") {
     import spark.implicits._
     val train = Seq((1L, "low low lower")).toDF("doc_id", "text")
