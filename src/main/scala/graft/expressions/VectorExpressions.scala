@@ -143,11 +143,88 @@ case class FloatVecSumAgg(
     copy(child = newChild)
 }
 
+/** ALL of a vector's SRP band keys in one pass — the signature stage of
+  * the LSH pair generators ([[graft.operators.Dedup.embeddingLshPairs]]
+  * family) as a single native expression. The expression-chain form
+  * (numPlanes separate `round(float_vec_dot(v, ±1-literal), 4) >= 0`
+  * bits concat'd into band keys) overflows whole-stage codegen's
+  * method budget once planes × dim grows — at 144 planes the generated
+  * method blows past the JIT threshold and evaluation degrades to
+  * per-expression interpreted calls (measured 27 s for a 20k×144
+  * signature at the 10× fixture; this expression does the identical
+  * arithmetic in one tight primitive loop per row — sub-second).
+  *
+  * Bit r of band b is `sign(round₄(Σᵢ v[i]·signs[b·stride+r][i]))`:
+  * double accumulation in ascending index order then BigDecimal
+  * HALF_UP at 4 dp — EXACTLY `round(float_vec_dot(...), 4) >= 0`, so
+  * keys are bit-identical to the chain it replaces and to the DuckDB
+  * oracles (spec-pinned in DedupSpec). `stride` is the plane-index
+  * stride between consecutive bands (= bits for the dense layout;
+  * maxBits for [[graft.operators.Dedup.embeddingLshPairsScaled]]'s
+  * prefix-truncatable layout). CodegenFallback is fine here: one call
+  * does bands×bits×dim work, so interpretation overhead is amortized. */
+case class SrpBandKeys(child: Expression, signs: Array[Array[Float]],
+    numBands: Int, bits: Int, stride: Int)
+    extends Expression with UnaryLike[Expression]
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "srp_band_keys"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> input, got ${other.simpleString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v0 = child.eval(input)
+    if (v0 == null) return null
+    val v = v0.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val keys = new Array[AnyRef](numBands)
+    var b = 0
+    while (b < numBands) {
+      val sb = new java.lang.StringBuilder(bits)
+      var r = 0
+      while (r < bits) {
+        val sv = signs(b * stride + r)
+        val n = math.min(dim, sv.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          s += v.getFloat(i).toDouble * sv(i).toDouble
+          i += 1
+        }
+        val nonNeg = java.math.BigDecimal.valueOf(s)
+          .setScale(4, java.math.RoundingMode.HALF_UP).signum() >= 0
+        sb.append(if (nonNeg) '1' else '0')
+        r += 1
+      }
+      keys(b) = org.apache.spark.unsafe.types.UTF8String
+        .fromString(sb.toString)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-level handle for [[FloatVecDot]]. */
   def floatVecDot(a: Column, b: Column): Column =
     GraftSql.column(FloatVecDot(
       GraftSql.expression(a), GraftSql.expression(b)))
+
+  /** Column-level handle for [[SrpBandKeys]]. */
+  def srpBandKeys(v: Column, signs: Array[Array[Float]], numBands: Int,
+      bits: Int, stride: Int): Column =
+    GraftSql.column(SrpBandKeys(GraftSql.expression(v), signs,
+      numBands, bits, stride))
 
   /** Column-level handle for [[FloatVecSumAgg]] (an aggregate function). */
   def floatVecSum(v: Column): Column =

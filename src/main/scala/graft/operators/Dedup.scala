@@ -341,18 +341,12 @@ object Dedup {
     require(numPlanes % numBands == 0, "numPlanes must divide into bands")
     val rows = numPlanes / numBands
     val signs = srpSigns(numPlanes, dim)
-    val bits = (0 until numPlanes).map { p =>
-      when(round(dot(col("v"), typedLit(signs(p).toSeq)), 4) >= 0, lit("1"))
-        .otherwise(lit("0"))
-    }
-    val bandCols = (0 until numBands).map { b =>
-      struct(lit(b).as("band"),
-        concat((0 until rows).map(r => bits(b * rows + r)): _*).as("key"))
-    }
     df.select(col(idCol).as("doc"), col(vecCol).as("v"))
       .filter(col("v").isNotNull && size(col("v")) === dim)
-      .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("doc"),
+        posexplode(graft.expressions.VectorExpressions.srpBandKeys(
+          col("v"), signs, numBands, bits = rows, stride = rows))
+          .as(Seq("band", "key")))
   }
 
   /** One step of INCREMENTAL embedding dedup — [[dedupBatchLedger]]'s
@@ -883,7 +877,7 @@ object Dedup {
   def embeddingLshPairsScaled(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, numBands: Int = 12,
       targetBucket: Int = 8, minBits: Int = 8,
-      maxBits: Int = 16): DataFrame = {
+      maxBits: Int = 24): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
       .persist()
@@ -897,7 +891,7 @@ object Dedup {
     * collisions the verify join actually moves). */
   def embeddingLshScaledCandidateCount(df: DataFrame, idCol: String,
       vecCol: String, dim: Int, numBands: Int = 12, targetBucket: Int = 8,
-      minBits: Int = 8, maxBits: Int = 16): Long = {
+      minBits: Int = 8, maxBits: Int = 24): Long = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val bands = srpScaledBandFrame(base, numBands, targetBucket, minBits,
       maxBits, dim)
@@ -912,22 +906,19 @@ object Dedup {
 
   /** (id, band, key) postings at the corpus-derived width: sizes the
     * key with one count, computes only the first `bits` planes of each
-    * band under the maxBits-stride layout. */
+    * band under the maxBits-stride layout. One [[graft.expressions
+    * .SrpBandKeys]] pass per row (the expression-chain form degrades to
+    * interpreted eval past codegen's method budget — see its doc). */
   private def srpScaledBandFrame(base: DataFrame, numBands: Int,
       targetBucket: Int, minBits: Int, maxBits: Int,
       dim: Int): DataFrame = {
     val n = base.select(col("id")).count()
     val bits = adaptiveBandBits(n, targetBucket, minBits, maxBits)
     val signs = srpSigns(numBands * maxBits, dim)
-    val bit = (p: Int) =>
-      when(round(dot(col("v"), typedLit(signs(p).toSeq)), 4) >= 0, lit("1"))
-        .otherwise(lit("0"))
-    val bandCols = (0 until numBands).map { b =>
-      struct(lit(b).as("band"),
-        concat((0 until bits).map(r => bit(b * maxBits + r)): _*).as("key"))
-    }
-    base.select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    base.select(col("id"),
+        posexplode(graft.expressions.VectorExpressions.srpBandKeys(
+          col("v"), signs, numBands, bits, stride = maxBits))
+          .as(Seq("band", "key")))
   }
 
   /** Shared candidate + exact-cosine verify tail of the SRP pair
@@ -957,16 +948,14 @@ object Dedup {
   private def srpBandFrame(base: DataFrame, numPlanes: Int, numBands: Int,
       signs: Array[Array[Float]]): DataFrame = {
     val rows = numPlanes / numBands
-    val bits = (0 until numPlanes).map { p =>
-      when(round(dot(col("v"), typedLit(signs(p).toSeq)), 4) >= 0, lit("1"))
-        .otherwise(lit("0"))
-    }
-    val bandCols = (0 until numBands).map { b =>
-      struct(lit(b).as("band"),
-        concat((0 until rows).map(r => bits(b * rows + r)): _*).as("key"))
-    }
-    base.select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // one SrpBandKeys pass per row — identical bit arithmetic to the
+    // former round(dot(v, ±1-literal), 4) >= 0 expression chain
+    // (DedupSpec pins the parity), which degraded to interpreted eval
+    // past codegen's method budget at high plane counts
+    base.select(col("id"),
+      posexplode(graft.expressions.VectorExpressions.srpBandKeys(
+        col("v"), signs, numBands, bits = rows, stride = rows))
+        .as(Seq("band", "key")))
   }
 
   /** SEMANTIC decontamination — [[decontaminate]]'s embedding-space

@@ -290,11 +290,12 @@ object Sampling {
     require(!df.columns.contains(cellCol),
       s"input already has a '$cellCol' column — rename or drop first")
     val signs = Dedup.srpSigns(cellBits, dim)
-    val bits = (0 until cellBits).map { p =>
-      when(round(graft.functions.VectorFunctions.dot(col(vecCol),
-        typedlit(signs(p).toSeq)), 4) >= 0, lit("1")).otherwise(lit("0"))
-    }
-    capPerGroup(df.withColumn(cellCol, concat(bits: _*)), cellCol, idCol, n)
+    // one SrpBandKeys pass (a single cellBits-bit "band"), identical
+    // bit arithmetic to the former round(dot)>=0 chain
+    capPerGroup(df.withColumn(cellCol,
+      element_at(graft.expressions.VectorExpressions.srpBandKeys(
+        col(vecCol), signs, numBands = 1, bits = cellBits,
+        stride = cellBits), 1)), cellCol, idCol, n)
   }
 
   /** Deterministic context-window packing: assign documents to training

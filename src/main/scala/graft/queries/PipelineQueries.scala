@@ -978,7 +978,7 @@ object PipelineQueries extends QueryPack {
     * property the stride layout guarantees. */
   private def srpScaledCtes(numBands: Int, threshold: Double,
       table: String, targetBucket: Int = 8, minBits: Int = 8,
-      maxBits: Int = 16): String = {
+      maxBits: Int = 24): String = {
     def bitSql(p: Int) =
       s"""CASE WHEN round(list_sum(list_transform(range(len(embedding)),
          i -> CAST(embedding[i+1] AS DOUBLE) *
@@ -3977,7 +3977,7 @@ object PipelineQueries extends QueryPack {
     //      superlinear registry member): fixed 8-bit keys measured
     //      3.55×/decade — Σ-bucket² ≈ n²/256 per band grows ~100× per
     //      100× corpus. embeddingLshPairsScaled sizes bits so the
-    //      expected bucket stays ≤ 8 rows (12 bands, 8–16 bits,
+    //      expected bucket stays ≤ 8 rows (12 bands, 8–24 bits,
     //      maxBits-stride hyperplanes so the oracle truncates the same
     //      full-width key), bounding candidates at ≤ 96n — linear by
     //      construction, pinned by the slope gate's candidate-count

@@ -411,4 +411,41 @@ class DedupSpec extends SparkSpec {
     assert(CacheScope.cachedBlockCount(spark) <= baseline,
       "corpus/bench base persists leaked past the scope")
   }
+
+  test("SrpBandKeys == the round(dot)>=0 expression chain, bit for bit") {
+    // the native batched signature (round-16: the chain form degrades
+    // to interpreted eval past codegen's method budget) must preserve
+    // the EXACT bit decisions the DuckDB oracles regenerate — double
+    // accumulation in index order, BigDecimal HALF_UP at 4 dp
+    import graft.functions.VectorFunctions.dot
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (numPlanes, numBands, dim) = (96, 12, 64)
+    val rows = numPlanes / numBands
+    val signs = Dedup.srpSigns(numPlanes, dim)
+    val chainBits = (0 until numPlanes).map { p =>
+      when(round(dot(col("embedding"), typedLit(signs(p).toSeq)), 4) >= 0,
+        lit("1")).otherwise(lit("0"))
+    }
+    val chainKeys = (0 until numBands).map { b =>
+      concat((0 until rows).map(r => chainBits(b * rows + r)): _*)
+    }
+    val both = emb.select(col("vec_id"),
+      array(chainKeys: _*).as("chain"),
+      graft.expressions.VectorExpressions.srpBandKeys(
+        col("embedding"), signs, numBands, rows, rows).as("native"))
+    val diff = both.filter(col("chain") =!= col("native"))
+    assert(diff.isEmpty,
+      s"key mismatch: ${diff.take(3).mkString(";")}")
+    // and the prefix property the scaled layout relies on: at stride
+    // 8 with 4-bit keys, every key is the 4-char prefix of the 8-bit key
+    val pre = emb.select(
+      graft.expressions.VectorExpressions.srpBandKeys(
+        col("embedding"), signs, numBands, 8, 8).as("full"),
+      graft.expressions.VectorExpressions.srpBandKeys(
+        col("embedding"), signs, numBands, 4, 8).as("narrow"))
+      .filter(exists(zip_with(col("full"), col("narrow"),
+        (f, n) => f.substr(1, 4) === n), x => !x))
+    assert(pre.isEmpty, "narrow keys are not prefixes of full keys")
+  }
 }
