@@ -98,13 +98,15 @@ object Bench {
     "x40_lm_bigram_nll" -> 1290, "x41_weighted_sample" -> 465,
     "x42_chunk_documents" -> 781,
     // x43 composes recall-tuned LSH with star components over the
-    // resulting dup graph; the cost IS the workload. r15: band keys
-    // widened 6 -> 8 bits (96 planes / 12 bands, the operator's
-    // production guidance) after the min-of-3 10x probe measured the
-    // 6-bit Σ-bucket² candidate growth at 5.1x/decade; sf0.1 wall is
-    // UNCHANGED (solo min-of-4 10.6 s — the CC rounds dominate, not
-    // candidates), so the baseline stands; the win is the 10x slope
-    "x43_embedding_dedup_keeplist" -> 10868,
+    // resulting dup graph; the cost IS the workload. RE-BASELINED r16
+    // (plan changed twice, both ways down): embeddingLshPairsScaled
+    // (corpus-adaptive band width, maxBits-stride layout) replaced the
+    // fixed 8-bit keys, and SrpBandKeys collapsed the per-plane
+    // expression chain — which had degraded to interpreted eval past
+    // codegen's method budget — into one native pass (BASELINE.md r16:
+    // 10.9 s -> solo min-of-4 4.4 s; 10x slope 3.55x -> 1.28x/decade
+    // with the candidate ratio pinned at 8.2x)
+    "x43_embedding_dedup_keeplist" -> 4400,
     "x44_streaming_table_model" -> 1234,
     "x45_perplexity_buckets" -> 1668, "x46_curation_pipeline" -> 1141,
     "x47_corpus_stats" -> 608, "x48_temperature_resample" -> 636,
@@ -367,6 +369,18 @@ object Bench {
     "x208_ledger_takedown_purge" -> 2486,
     "x209_unigram_encode" -> 2208,
     "x210_tokenizer_fertility_compare" -> 4649,
+    // round-16 first measures (solo min-of-4, BASELINE.md r16). x211 =
+    // two streaming CM batches + the semi-join retraction pass + the
+    // netted report (the composition is the workload); x212 = x209's
+    // encode class + the byte-fallback branch; x213 = x168's ledger
+    // build + one negated groups-sized partial + merge; x214 = x204's
+    // encode class + the unseen-word anti-join + chunked merge-ladder
+    // checkpoints; x215 = x206's ledger + the netted quantile merge
+    "x211_countmin_retraction" -> 2507,
+    "x212_unigram_byte_fallback" -> 1498,
+    "x213_token_ledger_retraction" -> 1599,
+    "x214_bpe_byte_fallback" -> 6789,
+    "x215_quantile_ledger_retraction" -> 1872,
     // x201 = two AvailableNow runs (per-batch shingle bottom-k) + the
     // merged bottom-k estimate + the exact-distinct adjudicator (the
     // shingling passes dominate — the x175/x02 cost class)

@@ -199,7 +199,12 @@ object Bpe {
     *
     * Round-trip-exact via [[decodeWithByteFallback]] (BpeSpec, incl.
     * multi-byte codepoints); same shuffle class as [[encode]] plus one
-    * anti-join finding the unseen words. */
+    * anti-join finding the unseen words. SCALE NOTE: the ladder is an
+    * expression fold per merge rule — right for this trainer's bounded
+    * merge counts (tens of rules); a production 30k-merge vocabulary
+    * applies merges per word with the pair-priority-queue algorithm
+    * (a mapPartitions over the distinct-unseen table), not 3k chunked
+    * expression stages — stated so the bound is visible. */
   def encodeWithByteFallback(docs: DataFrame, idCol: String,
       textCol: String, model: Model): DataFrame = {
     val v = vocab(model)

@@ -32,4 +32,19 @@ class SlopesSpec extends AnyFunSuite {
     val bad = Slopes.watched.filterNot(w => known(w._2))
     assert(bad.isEmpty, s"undocumented slope stories: $bad")
   }
+
+  test("every volume-faithful story carries a volume counter") {
+    // the looser 10x screen is EARNED by the measured candidate-count
+    // ratio (ADVICE r15 item 4) — a volume-faithful entry without a
+    // counter would silently revert to the unpinned prose claim
+    val counters = graft.queries.PipelineQueries.volumeCounters.keySet
+    val unpinned = Slopes.watched
+      .collect { case (n, "volume-faithful") => n }
+      .filterNot(counters)
+    assert(unpinned.isEmpty,
+      s"volume-faithful entries without a volume counter: $unpinned")
+    val stray = counters.diff(Slopes.watched.map(_._1).toSet)
+    assert(stray.isEmpty,
+      s"volume counters for unwatched queries: $stray")
+  }
 }
