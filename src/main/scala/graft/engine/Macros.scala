@@ -257,21 +257,11 @@ object Macros {
     if (!spark.table(table).columns.contains(key))
       return Seq(s"purge_ledger: $table has no column '$key' " +
         s"(columns: ${spark.table(table).columns.mkString(", ")})")
-    // purge column of the deletes relation: its only column, or the one
-    // matching `key` — NEVER a blind columns.head (a multi-column deletes
-    // relation whose id column isn't first would anti-join on the wrong
-    // values, and the leftover verdict below would re-use the same wrong
-    // values and still print "clean")
-    val delCols = spark.table(kwargs("deletes")).columns
-    val delCol =
-      if (delCols.length == 1) delCols.head
-      else if (delCols.contains(key)) key
-      else return Seq(s"purge_ledger: deletes relation " +
-        s"${kwargs("deletes")} has ${delCols.length} columns and none " +
-        s"named '$key' — pass a single-column relation or one whose " +
-        s"purge column matches key (columns: ${delCols.mkString(", ")})")
-    val deletes = spark.table(kwargs("deletes"))
-      .select(col(delCol).as(key)).distinct()
+    val deletes = resolveDeletes(spark, kwargs("deletes"), key,
+      "purge_ledger") match {
+      case Left(err) => return Seq(err)
+      case Right(df) => df
+    }
     val before = spark.table(table).count()
     val purged = graft.streaming.EventStreams
       .purgeLedger(spark.table(table), deletes, key)
@@ -297,14 +287,27 @@ object Macros {
     * the RAW EVENTS source ([[graft.streaming.EventStreams
     * .countMinRetraction]]): the purged keys' own sketch, appended
     * NEGATED under a fresh batch id below every existing one, nets the
-    * ledger to exactly the clean-events sketch (CM linearity). The
-    * verdict is CELL-WISE: it rebuilds the clean-events sketch and
-    * compares every counter plus the row-count sentinel — catching
-    * both an `events` relation that is NOT the ledger's true ingest
-    * source AND a `depth`/`width` that doesn't match the ledger's
-    * build parameters (wrong-position subtractions keep the sentinel
-    * right while corrupting every cell — the sentinel alone would
-    * print success). */
+    * ledger to exactly the clean-events sketch (CM linearity).
+    *
+    * Safety discipline (a destructive operation on a durable table):
+    *
+    *  - VERIFY BEFORE WRITE — the candidate retraction is composed
+    *    with the ledger in memory and CELL-WISE compared against the
+    *    clean-events rebuild (every counter plus the sentinel: a
+    *    depth/width mismatch subtracts from the wrong positions while
+    *    keeping the sentinel right, so a count check alone would print
+    *    success); a mismatch rejects WITHOUT mutating anything.
+    *  - RETRACTED-KEY REGISTRY — applied keys are recorded in
+    *    `<table>__retracted_keys` (the durable record the operator
+    *    family's replay contract requires): re-runs retract only
+    *    deletes MINUS the registry, so an incremental list verifies
+    *    correctly and a cumulative list (the x115 intake pattern)
+    *    cannot double-subtract; every verdict rebuilds clean = events
+    *    minus (registry ∪ new keys).
+    *  - CRASH HEALING — the ledger is appended before the registry;
+    *    if a run dies in between, the next run finds the ledger
+    *    already equal to the clean sketch and just registers the keys
+    *    (no second batch). */
   def retractCountMin(spark: SparkSession,
       kwargs: Map[String, String]): Seq[String] = {
     val required = Seq("table", "events", "deletes", "key", "term",
@@ -333,56 +336,116 @@ object Macros {
         return Seq(s"retract_countmin: events relation " +
           s"${kwargs("events")} has no column '$c' " +
           s"(columns: ${events.columns.mkString(", ")})")
-    // same deletes-column discipline as purge_ledger
-    val delCols = spark.table(kwargs("deletes")).columns
-    val delCol =
-      if (delCols.length == 1) delCols.head
-      else if (delCols.contains(key)) key
-      else return Seq(s"retract_countmin: deletes relation " +
-        s"${kwargs("deletes")} has ${delCols.length} columns and none " +
-        s"named '$key' — pass a single-column relation or one whose " +
-        s"purge column matches key (columns: ${delCols.mkString(", ")})")
-    val deletes = spark.table(kwargs("deletes"))
-      .select(col(delCol).as(key)).distinct()
+    val deletes = resolveDeletes(spark, kwargs("deletes"), key,
+      "retract_countmin") match {
+      case Left(err) => return Seq(err)
+      case Right(df) => df
+    }
+    // THE RETRACTED-KEY REGISTRY: cells are anonymous, so the ledger
+    // itself cannot say which keys were already netted out — without a
+    // registry, a second run with a cumulative delete list would
+    // double-subtract the first run's keys (durable corruption), and a
+    // run with only the new keys would fail its own verdict (the clean
+    // rebuild wouldn't know about the earlier purge). The companion
+    // table <table>__retracted_keys records every applied key; this run
+    // retracts only deletes MINUS the registry, and every verdict
+    // rebuilds clean = events minus (registry ∪ new keys).
+    val registry = table + "__retracted_keys"
+    val priorKeys =
+      if (spark.catalog.tableExists(registry))
+        spark.table(registry).select(col(key)).distinct()
+      else deletes.limit(0)
+    val newDeletes = deletes.join(priorKeys, Seq(key), "left_anti")
+      .localCheckpoint()
+    val nNew = newDeletes.count()
+    val allKeys = priorKeys.unionByName(newDeletes).distinct()
+    val clean = events.join(allKeys, Seq(key), "left_anti")
+    def cellMap(df: DataFrame): Map[Int, Long] =
+      df.collect().map(r => r.getAs[Number]("pos").intValue() ->
+        r.getAs[Number]("cnt").longValue()).toMap.filter(_._2 != 0L)
+    // CELL-WISE verdict target, not sentinel-only: a depth/width
+    // mismatch subtracts from the WRONG positions while leaving the
+    // row-count sentinel right — the one silent-lie mode a count
+    // cross-check can't see. Bounded depth×width driver arrays.
+    val (cleanCells, cleanTotals) = graft.streaming.EventStreams
+      .mergeCountMinLedger(graft.streaming.EventStreams
+        .countMinPartial(clean, term, depth, width, 0L))
+    val (wantCells, want) = (cellMap(cleanCells),
+      cleanTotals.first().getLong(0))
+    def mergedState() = {
+      val (c, t) = graft.streaming.EventStreams
+        .mergeCountMinLedger(spark.table(table))
+      (cellMap(c), t.first().getLong(0))
+    }
+    val (curCells, curTotal) = mergedState()
+    if (curCells == wantCells && curTotal == want) {
+      // ledger already netted (an earlier run crashed between the
+      // ledger append and the registry append, or the keys were never
+      // ingested): heal by registering the keys, append nothing
+      if (nNew > 0)
+        newDeletes.write.mode("append").format("parquet")
+          .saveAsTable(registry)
+      return Seq(s"retract_countmin: $table already equals the " +
+        s"clean-events sketch — no batch appended; registered $nNew " +
+        s"key(s) in $registry")
+    }
+    if (nNew == 0L)
+      return Seq("retract_countmin: VERDICT FAILED — every delete key " +
+        s"is already registered in $registry but $table does not " +
+        "equal the clean-events sketch (torn earlier run, drifted " +
+        s"events relation, or wrong depth/width $depth×$width)")
+    // VERIFY BEFORE WRITE: compose ledger + the candidate retraction
+    // IN MEMORY and only append once the netted state provably equals
+    // the clean-events sketch — a wrong events relation or depth/width
+    // must reject without mutating a durable governance table.
     val ledger = spark.table(table)
     val minB = ledger.agg(min(col("batch_id"))).first()
     val batchId =
       math.min(if (minB.isNullAt(0)) -1L else minB.getLong(0), -1L) - 1L
-    graft.streaming.EventStreams
-      .countMinRetraction(events, deletes, key, term, depth, width, batchId)
-      .write.mode("append").format("parquet").saveAsTable(table)
+    val retr = graft.streaming.EventStreams
+      .countMinRetraction(events, newDeletes, key, term, depth, width,
+        batchId)
+      .localCheckpoint()
+    val (nettedCells, nettedTotals) = graft.streaming.EventStreams
+      .mergeCountMinLedger(ledger.unionByName(retr))
+    val netted = nettedTotals.first().getLong(0)
+    if (cellMap(nettedCells) != wantCells || netted != want)
+      return Seq("retract_countmin: VERDICT FAILED — the candidate " +
+        s"retraction would NOT net $table to the clean-events sketch " +
+        (if (netted != want) s"(sentinel $netted != clean count $want)"
+         else "(counter cells differ)") +
+        s"; nothing was written. Is ${kwargs("events")} the ledger's " +
+        s"true ingest source, at matching depth/width $depth×$width?")
+    // ledger first, registry second: if we crash in between, the next
+    // run finds the ledger already netted and heals the registry above
+    retr.write.mode("append").format("parquet").saveAsTable(table)
     spark.catalog.refreshTable(table)
-    // CELL-WISE verdict, not sentinel-only: rebuild the clean-events
-    // sketch in one pass and compare every counter — a depth/width
-    // mismatch with the ledger's build parameters subtracts from the
-    // WRONG positions while leaving the row-count sentinel right, the
-    // one silent-lie mode a count cross-check can't see. Both sides
-    // are bounded depth×width driver arrays; the rebuild is one more
-    // corpus-pass aggregation, the price of a provable verdict.
-    val (mergedCells, mergedTotals) = graft.streaming.EventStreams
-      .mergeCountMinLedger(spark.table(table))
-    val clean = events.join(deletes, Seq(key), "left_anti")
-    val (cleanCells, cleanTotals) = graft.streaming.EventStreams
-      .mergeCountMinLedger(graft.streaming.EventStreams
-        .countMinPartial(clean, term, depth, width, 0L))
-    def cellMap(df: DataFrame): Map[Int, Long] =
-      df.collect().map(r => r.getAs[Number]("pos").intValue() ->
-        r.getAs[Number]("cnt").longValue()).toMap.filter(_._2 != 0L)
-    val (netted, want) =
-      (mergedTotals.first().getLong(0), cleanTotals.first().getLong(0))
-    val cellsMatch = cellMap(mergedCells) == cellMap(cleanCells)
-    val verdict =
-      if (netted == want && cellsMatch)
-        s"retract_countmin: $table netted — merged sentinel $netted == " +
-          "clean-events count AND every counter cell equals the " +
-          "clean-events sketch (CM linearity holds)"
-      else s"retract_countmin: VERDICT FAILED — " +
-        (if (netted != want) s"netted sentinel $netted != clean count " +
-          s"$want" else "counter cells differ from the clean-events " +
-          "sketch") +
-        s" (is ${kwargs("events")} the ledger's true ingest source, " +
-        "at matching depth/width?)"
-    Seq(s"appended retraction batch $batchId to $table", verdict)
+    newDeletes.write.mode("append").format("parquet")
+      .saveAsTable(registry)
+    Seq(s"appended retraction batch $batchId to $table " +
+      s"($nNew new key(s); registered in $registry)",
+      s"retract_countmin: $table netted — merged sentinel $want == " +
+        "clean-events count AND every counter cell equals the " +
+        "clean-events sketch (CM linearity holds)")
+  }
+
+  /** Purge column of a deletes relation: its only column, or the one
+    * matching `key` — NEVER a blind columns.head (a multi-column
+    * deletes relation whose id column isn't first would anti-join on
+    * the wrong values, and a leftover verdict re-using the same wrong
+    * values would still print "clean"). Shared by purge_ledger and
+    * retract_countmin so the discipline cannot diverge. */
+  private def resolveDeletes(spark: SparkSession, rel: String,
+      key: String, op: String): Either[String, DataFrame] = {
+    val delCols = spark.table(rel).columns
+    val delCol =
+      if (delCols.length == 1) delCols.head
+      else if (delCols.contains(key)) key
+      else return Left(s"$op: deletes relation $rel has " +
+        s"${delCols.length} columns and none named '$key' — pass a " +
+        "single-column relation or one whose purge column matches key " +
+        s"(columns: ${delCols.mkString(", ")})")
+    Right(spark.table(rel).select(col(delCol).as(key)).distinct())
   }
 
   /** dbt_project_evaluator analogue (`packages.yml:8-9`,

@@ -207,7 +207,9 @@ object Bpe {
     * expression stages — stated so the bound is visible. */
   def encodeWithByteFallback(docs: DataFrame, idCol: String,
       textCol: String, model: Model): DataFrame = {
-    val v = vocab(model)
+    // checkpointed: the vocab pipeline (GlobalOrder's triangular id
+    // join) would otherwise re-run for the count AND the broadcast join
+    val v = vocab(model).localCheckpoint()
     val vocabSize = v.count() // vocab-sized action
     // the merge ladder folds as expressions in CHUNKS of 10 with a
     // localCheckpoint between (eager, like train's own rounds): one
@@ -254,7 +256,7 @@ object Bpe {
     * ([[encodeWithByteFallback]]'s inverse): [[ByteFallback.decodeBytes]]
     * over the BPE vocab + separator. */
   def decodeWithByteFallback(encoded: DataFrame, model: Model): DataFrame = {
-    val v = vocab(model)
+    val v = vocab(model).localCheckpoint() // one vocab build, two reads
     val idSym = v.select(col("id"), col("sym"))
       .unionByName(encoded.sparkSession.range(1)
         .select(lit(0L).as("id"), lit(" ").as("sym")))

@@ -923,7 +923,13 @@ object Dedup {
 
   /** Shared candidate + exact-cosine verify tail of the SRP pair
     * generators: band-key collisions carrying ids ONLY, vectors joined
-    * back by id, 4dp-rounded cosine threshold. */
+    * back by id, 4dp-rounded cosine threshold.
+    *
+    * Null-vector note: SrpBandKeys null-propagates, so a null vector
+    * gets a null key and drops at the key equi-join — the former
+    * when-chain gave nulls the all-zeros key, pooling them as mutual
+    * candidates that the cosine verify (null → filtered) then dropped
+    * anyway: the emitted pairs are identical, one join earlier. */
   private def srpVerifyPairs(base: DataFrame, bands: DataFrame,
       threshold: Double): DataFrame = {
     val cand = bands.select(col("id").as("id_a"), col("band"), col("key"))

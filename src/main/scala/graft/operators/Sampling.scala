@@ -291,11 +291,18 @@ object Sampling {
       s"input already has a '$cellCol' column — rename or drop first")
     val signs = Dedup.srpSigns(cellBits, dim)
     // one SrpBandKeys pass (a single cellBits-bit "band"), identical
-    // bit arithmetic to the former round(dot)>=0 chain
+    // bit arithmetic to the former round(dot)>=0 chain. NULL CONTRACT
+    // preserved explicitly: the old when-chain folded a null vector to
+    // all-zero bits (null dot → null >= 0 → otherwise-'0'), binning
+    // null-embedding rows into the zero cell; SrpBandKeys is
+    // Catalyst-null-propagating, so coalesce restores that cell —
+    // without it, null rows would form their own null cell with an
+    // independent cap and diverge from the oracle's CASE...ELSE '0'.
     capPerGroup(df.withColumn(cellCol,
-      element_at(graft.expressions.VectorExpressions.srpBandKeys(
-        col(vecCol), signs, numBands = 1, bits = cellBits,
-        stride = cellBits), 1)), cellCol, idCol, n)
+      coalesce(element_at(graft.expressions.VectorExpressions.srpBandKeys(
+          col(vecCol), signs, numBands = 1, bits = cellBits,
+          stride = cellBits), 1),
+        lit("0" * cellBits))), cellCol, idCol, n)
   }
 
   /** Deterministic context-window packing: assign documents to training

@@ -301,16 +301,56 @@ class OpsSpec extends SparkSpec {
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(cells(counters) == cells(dc))
     assert(totals.first().getLong(0) == dt.first().getLong(0))
-    // wrong raw source → the sentinel cross-check FAILS loudly
+    // and the applied keys are durably registered
+    assert(spark.table("retrop.sketch__retracted_keys")
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+    // RE-RUN with the SAME list: every key already registered and the
+    // ledger already clean — a no-op, never a double-subtraction
+    val again = Cli.run(p, Seq("run-operation", "retract_countmin",
+      "--args", args))
+    assert(again.exists(_.contains("already equals the clean-events " +
+      "sketch — no batch appended")), again)
+    assert(cells(graft.streaming.EventStreams
+      .mergeCountMinLedger(spark.table("retrop.sketch"))._1) == cells(dc))
+    // CUMULATIVE list (old key + a new one): only the NEW key is
+    // retracted — the x115 intake pattern that a registry-less verdict
+    // would have double-subtracted
+    spark.sql("DROP TABLE IF EXISTS retrop.takedowns_cum")
+    Seq(2L, 4L).toDF("user_id")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("retrop.takedowns_cum")
+    val cum = Cli.run(p, Seq("run-operation", "retract_countmin",
+      "--args", "{table: retrop.sketch, events: retrop.events, " +
+        "deletes: retrop.takedowns_cum, key: user_id, term: term, " +
+        "depth: 4, width: 64}"))
+    assert(cum.exists(m => m.contains("1 new key(s)") ||
+      m.contains("netted")), cum)
+    val clean24 = spark.table("retrop.events")
+      .filter(col("user_id") =!= 2L && col("user_id") =!= 4L)
+    val (dc24, _) = graft.streaming.EventStreams.mergeCountMinLedger(
+      graft.streaming.EventStreams
+        .countMinPartial(clean24, "term", 4, 64, 0L))
+    assert(cells(graft.streaming.EventStreams
+      .mergeCountMinLedger(spark.table("retrop.sketch"))._1) ==
+      cells(dc24), "cumulative retraction double-subtracted")
+    // wrong raw source → VERIFY-BEFORE-WRITE rejects WITHOUT mutating
     spark.sql("DROP TABLE IF EXISTS retrop.partial_events")
     spark.table("retrop.events").filter(col("event_id") <= 50)
       .write.mode("overwrite").format("parquet")
       .saveAsTable("retrop.partial_events")
+    spark.sql("DROP TABLE IF EXISTS retrop.takedowns3b")
+    Seq(3L).toDF("user_id")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("retrop.takedowns3b")
+    val before = spark.table("retrop.sketch").count()
     val bad = Cli.run(p, Seq("run-operation", "retract_countmin",
       "--args", "{table: retrop.sketch, events: retrop.partial_events, " +
-        "deletes: retrop.takedowns, key: user_id, term: term, " +
+        "deletes: retrop.takedowns3b, key: user_id, term: term, " +
         "depth: 4, width: 64}"))
-    assert(bad.exists(_.contains("VERDICT FAILED")), bad)
+    assert(bad.exists(m => m.contains("VERDICT FAILED") &&
+      m.contains("nothing was written")), bad)
+    assert(spark.table("retrop.sketch").count() == before,
+      "a failed verdict mutated the ledger")
     assert(Cli.run(p, Seq("run-operation", "retract_countmin"))
       .exists(_.contains("pass table")))
     assert(Cli.run(p, Seq("run-operation", "retract_countmin",
@@ -318,20 +358,24 @@ class OpsSpec extends SparkSpec {
         "deletes: retrop.takedowns, key: user_id, term: term, " +
         "depth: x, width: 64}"))
       .exists(_.contains("positive integers")))
-    // width mismatch with the ledger's build: the retraction subtracts
-    // from the WRONG positions — the row-count sentinel stays right,
-    // so only the cell-wise verdict can catch it
+    // width mismatch with the ledger's build: the retraction would
+    // subtract from the WRONG positions — the sentinel stays right, so
+    // only the cell-wise pre-write verdict catches it, and the table
+    // must stay untouched
     spark.sql("DROP TABLE IF EXISTS retrop.sketch2")
     graft.streaming.EventStreams.countMinPartial(
         spark.table("retrop.events"), "term", 4, 64, 0L)
       .write.mode("overwrite").format("parquet")
       .saveAsTable("retrop.sketch2")
+    val before2 = spark.table("retrop.sketch2").count()
     val mism = Cli.run(p, Seq("run-operation", "retract_countmin",
       "--args", "{table: retrop.sketch2, events: retrop.events, " +
         "deletes: retrop.takedowns, key: user_id, term: term, " +
         "depth: 4, width: 32}"))
     assert(mism.exists(m => m.contains("VERDICT FAILED") &&
       m.contains("cells differ")), mism)
+    assert(spark.table("retrop.sketch2").count() == before2,
+      "a width-mismatch verdict mutated the ledger")
   }
 
   test("cli: compact_ledger handles the sessions shape end-to-end") {
