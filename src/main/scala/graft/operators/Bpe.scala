@@ -199,34 +199,39 @@ object Bpe {
     *
     * Round-trip-exact via [[decodeWithByteFallback]] (BpeSpec, incl.
     * multi-byte codepoints); same shuffle class as [[encode]] plus one
-    * anti-join finding the unseen words. SCALE NOTE: the ladder is an
-    * expression fold per merge rule — right for this trainer's bounded
-    * merge counts (tens of rules); a production 30k-merge vocabulary
-    * applies merges per word with the pair-priority-queue algorithm
-    * (a mapPartitions over the distinct-unseen table), not 3k chunked
-    * expression stages — stated so the bound is visible. */
+    * anti-join finding the unseen words — merge application runs as
+    * [[applyMergesToWord]] inside a mapPartitions over the
+    * distinct-unseen-word table, so the cost is independent of the
+    * merge COUNT (a 30k-merge production vocabulary applies exactly
+    * like this trainer's 30). */
   def encodeWithByteFallback(docs: DataFrame, idCol: String,
       textCol: String, model: Model): DataFrame = {
     // checkpointed: the vocab pipeline (GlobalOrder's triangular id
     // join) would otherwise re-run for the count AND the broadcast join
     val v = vocab(model).localCheckpoint()
     val vocabSize = v.count() // vocab-sized action
-    // the merge ladder folds as expressions in CHUNKS of 10 with a
-    // localCheckpoint between (eager, like train's own rounds): one
-    // un-truncated 30-deep nested-lambda fold re-analyzes on EVERY
-    // action touching the plan — measured 36 s/run at sf0.1 vs ~1 s
-    // chunked. The table is distinct-UNSEEN-words-sized (new-vocab,
-    // not corpus) — checkpointing it is bounded state.
-    var unseen = docs
+    // the merge ladder applies via the PRODUCTION algorithm — a
+    // mapPartitions pass with a (pair → rank) map, repeatedly merging
+    // the leftmost lowest-rank adjacent pair ([[applyMergesToWord]]):
+    // per-word cost is O(len²·lookup) independent of the merge COUNT,
+    // where the expression-fold alternative is one stage per rule (a
+    // 30k-merge production vocabulary would mean 3k chunked stages —
+    // and one un-chunked 30-deep nested-lambda fold re-analyzed per
+    // action, measured 36 s/run at sf0.1). BpeSpec pins the applier
+    // against train's own iterative segmentations on every corpus word.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mergeList = model.merges
+    val unseen = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .distinct().filter(col("w") =!= "")
       .join(model.wordSyms.select(col("w")), Seq("w"), "left_anti")
-      .withColumn("syms", chars(col("w")))
-    model.merges.grouped(10).foreach { grp =>
-      unseen = unseen.withColumn("syms", grp.foldLeft(col("syms")) {
-        (c, m) => mergeOnce(c, m.lft, m.rgt)
-      }).localCheckpoint()
-    }
+      .select(col("w")).as[String]
+      .mapPartitions { it =>
+        val rank = mergeList.map(m => (m.lft, m.rgt) -> m.rank).toMap
+        it.map(w => (w, applyMergesToWord(w, rank)))
+      }
+      .toDF("w", "syms")
     val segs = model.wordSyms.unionByName(unseen)
     val wordIds = segs
       .select(col("w"), posexplode(col("syms")).as(Seq("spos", "sym")))
@@ -250,6 +255,44 @@ object Bpe {
             .otherwise(concat(array(lit(0L)), x.getField("ids")))))
         .as("token_ids"))
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
+
+  /** Standard BPE application of a trained merge table to ONE word
+    * (Sennrich ACL 2016 §3 — what GPT-2-class tokenizers run at encode
+    * time): split to characters, then repeatedly merge the LEFTMOST
+    * occurrence of the LOWEST-RANK adjacent pair until none applies.
+    * Provably equal to training's rank-order one-pass-per-rule folds:
+    * merging rule r only creates pairs that contain its product, and
+    * any rule containing that product was necessarily learned AFTER r
+    * — so a merge can never create a lower-rank instance, and
+    * exhaust-by-rank ≡ repeat-min-rank (BpeSpec pins the equality on
+    * every training-corpus word against train's own segmentations,
+    * plus the overlap edge cases). Character split matches [[chars]]
+    * (UTF-16 units — the engine-wide convention). */
+  private[operators] def applyMergesToWord(w: String,
+      rank: Map[(String, String), Long]): Seq[String] = {
+    val syms = scala.collection.mutable.ArrayBuffer[String]()
+    w.foreach(c => syms += c.toString)
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Long.MaxValue
+      var bestAt = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        rank.get((syms(i), syms(i + 1))) match {
+          case Some(r) if r < bestRank => bestRank = r; bestAt = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (bestAt < 0) done = true
+      else {
+        syms(bestAt) = syms(bestAt) + syms(bestAt + 1)
+        syms.remove(bestAt + 1)
+        if (syms.length < 2) done = true
+      }
+    }
+    syms.toSeq
   }
 
   /** DECODE under the byte-fallback id space

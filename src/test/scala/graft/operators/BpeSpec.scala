@@ -119,6 +119,34 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("applyMergesToWord == train's iterative rank-order folds on " +
+      "every corpus word") {
+    // the production applier (repeat leftmost-min-rank) must reproduce
+    // the trainer's own segmentations exactly — the merges-can't-create-
+    // lower-rank-instances argument, pinned corpus-wide
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val m = Bpe.train(docs, "text", topK = 50, numMerges = 30)
+    val rank = m.merges.map(x => (x.lft, x.rgt) -> x.rank).toMap
+    val mismatch = m.wordSyms.collect().filter { r =>
+      val w = r.getString(0)
+      val trained = r.getSeq[String](1)
+      Bpe.applyMergesToWord(w, rank) != trained
+    }
+    assert(mismatch.isEmpty,
+      s"applier diverged on ${mismatch.length} words, e.g. " +
+        s"${mismatch.take(3).map(_.getString(0)).mkString(",")}")
+    // overlap / chain edges by hand: same-symbol runs and rule chains
+    import spark.implicits._
+    val edge = Seq((1L, "aaa aaaa abab aabb ab")).toDF("doc_id", "text")
+    val em = Bpe.train(edge, "text", topK = 10, numMerges = 4)
+    val er = em.merges.map(x => (x.lft, x.rgt) -> x.rank).toMap
+    em.wordSyms.collect().foreach { r =>
+      assert(Bpe.applyMergesToWord(r.getString(0), er) ==
+        r.getSeq[String](1), s"edge word ${r.getString(0)}")
+    }
+  }
+
   test("byte fallback: unseen words get the merge ladder, OOV chars " +
       "become byte tokens, round-trip exact") {
     import spark.implicits._
