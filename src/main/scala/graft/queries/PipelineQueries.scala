@@ -2736,9 +2736,9 @@ object PipelineQueries extends QueryPack {
 
     // ---- BPE BYTE FALLBACK (x212's sibling — the family's OTHER
     //      trained tokenizer generalized to unseen text): an UNSEEN
-    //      WORD segments by applying the learned merge list in rank
-    //      order to its characters (the standard BPE application rule —
-    //      a per-row fold on the distinct-unseen-word table only;
+    //      WORD segments by the standard BPE application rule —
+    //      leftmost lowest-rank pair repeatedly (Bpe.applyMergesToWord,
+    //      a mapPartitions over the distinct-unseen-word table only;
     //      train-corpus words keep their verbatim train-time
     //      segmentations, so covered text encodes EXACTLY as x204); a
     //      symbol outside x204's observed-symbol vocabulary (unseen

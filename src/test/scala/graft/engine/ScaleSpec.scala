@@ -224,10 +224,6 @@ class ScaleSpec extends SparkSpec {
       // |alphabet|^superChars-bounded non-equi shape as x176/x188/x202;
       // the corpus encode path is equi-join-only
       "x204_bpe_encode",
-      // x214: x204's encode class — the one non-equi join is
-      // GlobalOrder's bounded triangular vocab-id assignment
-      // (vocab-sized both sides), the x207/x202 allowlisted shape
-      "x214_bpe_byte_fallback",
       // x207: GlobalOrder's bounded triangular join (twice) PLUS the
       // depth-bounded X_d join (weights x m-histogram, both <= depth
       // <= 10000 rows by construction) — the x202 cumulative class
@@ -806,10 +802,11 @@ class ScaleSpec extends SparkSpec {
       // time (groups-sized); the plan is the replay-collapse merge
       // (dropDuplicates + group sum) + the total-order sort
       "x213_token_ledger_retraction" -> 3,
-      // x214: x204's encode class (12) + the unseen-word anti-join;
-      // the merge fold itself is per-row expression work on the
-      // distinct-unseen table, no extra shuffle
-      "x214_bpe_byte_fallback" -> 13,
+      // x214: the trained segmentations, the checkpointed vocab ids
+      // and the mapPartitions merge-application all resolve at build
+      // time; the registered plan is the unseen anti-join + broadcast
+      // id joins + doc reassembly + total-order sort
+      "x214_bpe_byte_fallback" -> 4,
       // x215: the netted merge (replay collapse + (g,v) net) + the
       // x170 quantile machinery + total-order sort; ledger build and
       // the retraction partial ran at build time
