@@ -49,67 +49,91 @@ object Bpe {
   final case class Model(merges: Seq[Merge], wordSubtokens: DataFrame,
     wordSyms: DataFrame)
 
-  /** Split a word into single-character symbols. (Spark's split with an
-    * empty pattern emits a trailing "" under limit -1; filter it so the
-    * symbol list matches regexp_extract_all(w, '.') exactly.) */
-  private def chars(w: Column): Column =
-    filter(split(w, ""), c => c =!= lit(""))
-
-  /** Greedy left-to-right non-overlapping application of one merge rule
-    * to a symbol array, as a fold: extend the accumulator, replacing its
-    * last element when (last, next) matches the rule. "aaa" + (a,a) →
-    * [aa, a], never [a, aa] or [aa, aa]. */
-  private def mergeOnce(syms: Column, a: String, b: String): Column =
-    aggregate(syms, lit(Array.empty[String]),
-      (acc, x) => when(
-          size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-        .otherwise(concat(acc, array(x))))
-
   def train(docs: DataFrame, textCol: String,
       topK: Int = 50, numMerges: Int = 30): Model = {
-    // the one corpus-sized pass: word-frequency dictionary
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the one corpus-sized pass: word-frequency dictionary (checkpointed:
+    // read again below for the full-vocabulary merge application)
     val w0 = docs.select(explode(split(col(textCol), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-    // trainable head of the frequency curve; the rank window is global
-    // but runs over the vocab-sized dictionary, not the corpus
-    val win = org.apache.spark.sql.expressions.Window
-      .orderBy(desc("cnt"), asc("w"))
-    var words = w0
-      .withColumn("tr", row_number().over(win) <= topK)
-      .withColumn("syms", chars(col("w")))
       .localCheckpoint()
+    // trainable head of the frequency curve: TakeOrdered (per-partition
+    // top-N + driver merge), bounded at topK rows — the same total order
+    // (cnt desc, w asc) the old global rank window selected by. The head
+    // IS the training state (pair statistics come only from it), so the
+    // merge loop runs on the driver over these topK rows: one round used
+    // to be TWO vocab-sized distributed jobs (pair-count argmax +
+    // mergeOnce fold + checkpoint), i.e. 2·numMerges jobs whose latency,
+    // not data, dominated — the head is topK·avg_len chars of driver
+    // state, the same bounded-collect class as Similarity.kppSeeds.
+    val head: Array[(Array[String], Long)] = w0
+      .orderBy(desc("cnt"), asc("w")).limit(topK)
+      .select(col("w"), col("cnt")).as[(String, Long)].collect()
+      .map { case (w, cnt) =>
+        (w.map(_.toString).toArray, cnt) // UTF-16 units, = chars(w)
+      }
+    val headSyms = head.map { case (syms, _) =>
+      scala.collection.mutable.ArrayBuffer[String](syms: _*)
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var r = 1
     var exhausted = false
     while (r <= numMerges && !exhausted) {
-      // single-symbol words contribute no pairs, and the empty-string
-      // word (consecutive/leading/trailing spaces under the single-space
-      // split — typically high-frequency, so it lands in the trainable
-      // head) has ZERO symbols, which would evaluate slice with length
-      // -1 and crash; both drop out here
-      val best = words.filter(col("tr") && size(col("syms")) > 1)
-        .select(col("cnt"),
-          explode(transform(slice(col("syms"), lit(1), size(col("syms")) - 1),
-            (s, i) => struct(s.as("a"),
-              element_at(col("syms"), i + 2).as("b")))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("cnt")).as("pc"))
-        .orderBy(desc("pc"), asc("a"), asc("b"))
-        .limit(1).collect() // ONE row per round (bounded driver reduce)
-      if (best.isEmpty) exhausted = true
+      // get_stats: every adjacent position, weighted by word count.
+      // Single-symbol and empty words contribute no pairs (same rows the
+      // old `size(syms) > 1` filter dropped).
+      val pc = scala.collection.mutable.LinkedHashMap
+        .empty[(String, String), Long]
+      var wi = 0
+      while (wi < headSyms.length) {
+        val syms = headSyms(wi); val cnt = head(wi)._2
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pc(k) = pc.getOrElse(k, 0L) + cnt
+          i += 1
+        }
+        wi += 1
+      }
+      if (pc.isEmpty) exhausted = true
       else {
-        val a = best(0).getString(0)
-        val b = best(0).getString(1)
-        val pc = best(0).getLong(2)
-        merges += Merge(r.toLong, a, b, pc)
-        words = words
-          .withColumn("syms", mergeOnce(col("syms"), a, b))
-          .localCheckpoint() // truncate per-round lineage (vocab-sized)
+        // argmax by (pc desc, a asc, b asc) — the old ORDER BY verbatim
+        val ((a, b), best) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += Merge(r.toLong, a, b, best)
+        // greedy left-to-right non-overlapping application of the ONE
+        // new rule to every head word (mergeOnce's fold, locally)
+        var wj = 0
+        while (wj < headSyms.length) {
+          val syms = headSyms(wj)
+          if (syms.length > 1) {
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            syms.foreach { x =>
+              if (out.nonEmpty && out.last == a && x == b)
+                out(out.length - 1) = a + b
+              else out += x
+            }
+            headSyms(wj) = out
+          }
+          wj += 1
+        }
         r += 1
       }
     }
-    Model(merges.toSeq,
+    // ONE distributed pass applies the finished merge table to every
+    // distinct word — applyMergesToWord (repeat-min-rank) is spec-pinned
+    // equal to the per-round greedy folds on every corpus word (BpeSpec),
+    // and its cost is independent of the merge count. Checkpointed:
+    // wordSyms/wordSubtokens feed several downstream scans per caller.
+    val mergeList = merges.toSeq
+    val words = w0.select(col("w")).as[String]
+      .mapPartitions { it =>
+        val rank = mergeList.map(m => (m.lft, m.rgt) -> m.rank).toMap
+        it.map(w => (w, applyMergesToWord(w, rank)))
+      }
+      .toDF("w", "syms")
+      .localCheckpoint()
+    Model(mergeList,
       words.select(col("w"), size(col("syms")).cast("long").as("n_subtokens")),
       words.select(col("w"), col("syms")))
   }

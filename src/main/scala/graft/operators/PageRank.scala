@@ -33,7 +33,8 @@ object PageRank {
     * node set is exactly the nodes to rank (isolated nodes: add a
     * self-loop). Returns (node, rank). */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 10, damping: Double = 0.85): DataFrame = {
+      iters: Int = 10, damping: Double = 0.85,
+      broadcastMaxNodes: Long = 2000000L): DataFrame = {
     require(iters >= 1 && iters <= 100, "iters must be in [1, 100]")
     require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -58,9 +59,21 @@ object PageRank {
     var ranks = nodes
       .withColumn("rank", round(lit(1.0 / n), 8))
       .localCheckpoint()
+    // The rank vector is one (id, double) row per node. Below
+    // `broadcastMaxNodes` (tens of MB framed) each round BROADCASTS it
+    // into the edge join and broadcasts the aggregated in-mass back into
+    // the node join, so the only exchange per round is the per-dst
+    // aggregation — 3 exchanges/round drop to 1 (guide §2.4/§3.1: the
+    // edge table, the big side, is never shuffled). Past the threshold
+    // (graphs whose rank vector is no longer join-metadata-sized) the
+    // rounds keep the plain shuffle joins — same results either way,
+    // the hint only picks the join strategy.
+    val bcastRanks = n <= broadcastMaxNodes
+    def hinted(df: DataFrame): DataFrame =
+      if (bcastRanks) broadcast(df) else df
     for (_ <- 1 to iters) {
-      val contribs = ranks
-        .join(edgesWithDeg, "node")
+      val contribs = edgesWithDeg
+        .join(hinted(ranks), "node")
         .select(col("dst").as("node"),
           round(col("rank") / col("outd"), 10)
             .cast(DecimalType(28, 10)).as("c"))
@@ -69,7 +82,7 @@ object PageRank {
       // every node keeps a row (left join): with out-degree enforced,
       // in-link-free nodes still exist in graphs that have them
       ranks = nodes
-        .join(contribs, Seq("node"), "left")
+        .join(hinted(contribs), Seq("node"), "left")
         .select(col("node"),
           round(lit(teleport) +
             lit(damping) * coalesce(col("in_mass").cast("double"),
