@@ -445,7 +445,7 @@ object Dedup {
     * Returns (vertex, component) with component = min vertex id reachable.
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 25): DataFrame = {
+      maxRounds: Int = 25, broadcastMaxVertices: Long = 2000000L): DataFrame = {
     // Iterative algorithms MUST truncate lineage per round: a persist()
     // chain keeps the full logical plan growing linearly, and Catalyst
     // re-analyzes the whole tree every round (quadratic driver time —
@@ -460,12 +460,22 @@ object Dedup {
     var labels = edges.select(col("s").as("v")).distinct()
       .withColumn("comp", col("v"))
       .localCheckpoint()
+    // The label table is one (v, comp) row per vertex. Below
+    // `broadcastMaxVertices` each round broadcasts it into the edge join
+    // (and the per-vertex min back into the label join), so the edge
+    // table is never re-shuffled by the loop — the only exchange per
+    // round is the per-vertex min aggregation (guide §2.4/§3.1). Past
+    // the threshold the rounds keep the shuffle joins; the hint only
+    // picks the join strategy, results are identical.
+    val bcastLabels = labels.count() <= broadcastMaxVertices
+    def hinted(df: DataFrame): DataFrame =
+      if (bcastLabels) broadcast(df) else df
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
-      val viaNbr = edges.join(labels, edges("d") === labels("v"))
+      val viaNbr = edges.join(hinted(labels), edges("d") === labels("v"))
         .groupBy(col("s").as("nv")).agg(min(col("comp")).as("ncomp"))
-      val cand = labels.join(viaNbr, labels("v") === col("nv"), "left")
+      val cand = labels.join(hinted(viaNbr), labels("v") === col("nv"), "left")
         .select(col("v"), col("comp"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp2"))
         .localCheckpoint() // eager: one job, O(1) plan next round
@@ -705,7 +715,8 @@ object Dedup {
     * Returns (vertex, component) with component = min vertex id
     * reachable, identical to [[connectedComponents]]. */
   def connectedComponentsStar(pairs: DataFrame, srcCol: String,
-      dstCol: String, maxRounds: Int = 50): DataFrame = {
+      dstCol: String, maxRounds: Int = 50,
+      broadcastMaxVertices: Long = 2000000L): DataFrame = {
     val vertices = pairs.select(col(srcCol).as("pv"))
       .union(pairs.select(col(dstCol).as("pv")))
       .distinct()
@@ -717,12 +728,21 @@ object Dedup {
         least(col("a"), col("b")).as("v")) // oriented large→small
       .distinct()
       .localCheckpoint()
+    // Per-vertex min tables are one row per vertex: below
+    // `broadcastMaxVertices` they broadcast into the star joins so the
+    // edge relation is never shuffled BY THE JOIN — each star op keeps
+    // its aggregation exchange and its output distinct, dropping
+    // 3 exchanges per op to 2 (guide §2.4/§3.1). Join strategy only;
+    // results identical either way.
+    val bcastMins = vertices.count() <= broadcastMaxVertices
+    def hinted(df: DataFrame): DataFrame =
+      if (bcastMins) broadcast(df) else df
 
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = nbrs.groupBy(col("u").as("mu")).agg(min(col("v")).as("mn"))
         .select(col("mu"), least(col("mn"), col("mu")).as("m"))
-      nbrs.join(mins, nbrs("u") === mins("mu"))
+      nbrs.join(hinted(mins), nbrs("u") === mins("mu"))
         .filter(col("v") > col("u")) // strictly-larger neighbors only
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
@@ -730,7 +750,7 @@ object Dedup {
     }
     def smallStar(e: DataFrame): DataFrame = {
       val mins = e.groupBy(col("u").as("mu")).agg(min(col("v")).as("m"))
-      e.join(mins, e("u") === mins("mu"))
+      e.join(hinted(mins), e("u") === mins("mu"))
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins.select(col("mu").as("u"), col("m").as("v")))
