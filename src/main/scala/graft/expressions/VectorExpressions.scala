@@ -214,11 +214,99 @@ case class SrpBandKeys(child: Expression, signs: Array[Array[Float]],
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** ALL of a vector's per-subspace nearest-centroid codes in one pass —
+  * the assignment stage of k-means / product quantization
+  * ([[graft.operators.Similarity.trainKMeans]], [[graft.operators.Pq]])
+  * as a single native expression, the [[SrpBandKeys]] pattern applied
+  * to codebook argmax: the expression-chain form (a `transform` HOF over
+  * a ksub-entry `typedlit` evaluating one [[FloatVecDot]] per centroid,
+  * then `array_position(array_max(...))`) is interpreted per centroid
+  * per row and re-materializes the csims array — at m=16 × ksub=128 it
+  * dominated the PQ encode/reconstruct pass (x203's recon leg measured
+  * 6.5 s warm over 4 000 rows; this expression does the identical
+  * arithmetic in one tight primitive loop — tens of ms).
+  *
+  * Subspace j (0-based) scores `v[j·sub ..)` against `units(j)` in
+  * input order: dot accumulation is the [[FloatVecDot]] fold verbatim
+  * (ascending index, double precision, n = min of lengths), and the
+  * argmax keeps the FIRST maximum under `java.lang.Double.compare` —
+  * exactly `array_position(cs, array_max(cs)) - 1`, including the
+  * -0.0 < 0.0 ordering. Output: array<int> of `units.length` codes.
+  * CodegenFallback is fine here: one call does m×ksub×sub work, so
+  * interpretation overhead is amortized (the SrpBandKeys argument). */
+case class PqCodes(child: Expression, units: Array[Array[Array[Float]]],
+    sub: Int)
+    extends Expression with UnaryLike[Expression]
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "pq_codes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> input, got ${other.simpleString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v0 = child.eval(input)
+    if (v0 == null) return null
+    val v = v0.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val m = units.length
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val off = j * sub
+      val book = units(j)
+      var best = Double.NegativeInfinity
+      var bestC = 0
+      var first = true
+      var c = 0
+      while (c < book.length) {
+        val cv = book(c)
+        val n = math.min(math.min(sub, cv.length), math.max(dim - off, 0))
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          s += v.getFloat(off + i).toDouble * cv(i).toDouble
+          i += 1
+        }
+        if (first || java.lang.Double.compare(s, best) > 0) {
+          best = s; bestC = c; first = false
+        }
+        c += 1
+      }
+      codes(j) = bestC
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-level handle for [[FloatVecDot]]. */
   def floatVecDot(a: Column, b: Column): Column =
     GraftSql.column(FloatVecDot(
       GraftSql.expression(a), GraftSql.expression(b)))
+
+  /** Column-level handle for [[PqCodes]]. */
+  def pqCodes(v: Column, units: IndexedSeq[Seq[Seq[Float]]],
+      sub: Int): Column =
+    GraftSql.column(PqCodes(GraftSql.expression(v),
+      units.map(_.map(_.toArray).toArray).toArray, sub))
+
+  /** Nearest-centroid cell for a single codebook (m = 1): the
+    * `array_position(array_max(transform(...)))` argmax as one native
+    * call — [[PqCodes]] with one subspace covering the whole vector. */
+  def argmaxCell(v: Column, unit: Seq[Seq[Float]]): Column =
+    org.apache.spark.sql.functions.element_at(
+      pqCodes(v, IndexedSeq(unit), Int.MaxValue / 2), 1)
 
   /** Column-level handle for [[SrpBandKeys]]. */
   def srpBandKeys(v: Column, signs: Array[Array[Float]], numBands: Int,

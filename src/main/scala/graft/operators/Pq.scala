@@ -51,14 +51,15 @@ object Pq {
         val n = math.max(math.sqrt(v.map(x => x.toDouble * x).sum), 1e-12)
         v.map(x => (x / n).toFloat).toSeq
       }.toSeq).toSeq
+      // ONE native PqCodes call per row assigns all m subspaces (the
+      // posexplode-then-per-centroid-HOF form paid an interpreted dot
+      // per codebook entry per exploded row); the slice feeding the
+      // partial-sum agg reproduces the per-subspace rows exactly.
       val sums = training
-        .select(posexplode(array((0 until m).map(j =>
-          slice(col("__v"), j * sub + 1, sub)): _*)).as(Seq("j", "sv")))
-        .withColumn("cs",
-          transform(element_at(typedlit(unit), col("j") + 1), c =>
-            graft.expressions.VectorExpressions.floatVecDot(col("sv"), c)))
-        .withColumn("cell",
-          (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
+        .withColumn("codes", graft.expressions.VectorExpressions
+          .pqCodes(col("__v"), unit.map(_.toIndexedSeq).toIndexedSeq, sub))
+        .select(col("__v"), posexplode(col("codes")).as(Seq("j", "cell")))
+        .withColumn("sv", slice(col("__v"), col("j") * sub + 1, lit(sub)))
         .groupBy(col("j"), col("cell"))
         .agg(graft.expressions.VectorExpressions.floatVecSum(col("sv")).as("s"),
           count(lit(1)).as("n"))
@@ -96,30 +97,19 @@ object Pq {
       val n = math.max(math.sqrt(v.map(x => x.toDouble * x).sum), 1e-12)
       v.map(x => (x / n).toFloat)
     })
-    // stage each subvector as a real column: a raw slice() inside the
-    // scoring lambda would re-slice per codebook entry (TextFunctions
-    // staging rule)
-    val staged = (0 until m).foldLeft(df) { (d, j) =>
-      d.withColumn(s"__sv$j", slice(col(vecCol), j * sub + 1, sub))
-    }
-    val coded = (0 until m).foldLeft(staged) { (d, j) =>
-      // csims staged too: argmax references the materialized array, not
-      // a second ksub-dot evaluation
-      d.withColumn(s"__cs$j",
-          transform(typedlit(unit(j)), c =>
-            graft.expressions.VectorExpressions.floatVecDot(col(s"__sv$j"), c)))
-        .withColumn(s"__c$j",
-          (array_position(col(s"__cs$j"), array_max(col(s"__cs$j"))) - 1)
-            .cast("int"))
-    }
+    // ONE native PqCodes call per row assigns all m subspaces (the
+    // staged per-subspace transform-HOF chains paid an interpreted dot
+    // per codebook entry — x203's recon leg measured 6.5 s warm over
+    // 4 000 rows on that shape); reconstruction is m code lookups into
+    // the codebook literals, exactly as before.
+    val coded = df.withColumn("code",
+      graft.expressions.VectorExpressions.pqCodes(col(vecCol), unit, sub))
     val recon = flatten(array((0 until m).map(j =>
-      element_at(typedlit(codebooks(j).map(_.toSeq)), col(s"__c$j") + 1)): _*))
+      element_at(typedlit(codebooks(j).map(_.toSeq)),
+        element_at(col("code"), j + 1) + 1)): _*))
     coded
-      .withColumn("code", array((0 until m).map(j => col(s"__c$j")): _*))
       .withColumn("recon", recon)
       .withColumn("recon_cos", round(cosine(col(vecCol), col("recon")), 4))
-      .drop((0 until m).flatMap(j =>
-        Seq(s"__sv$j", s"__cs$j", s"__c$j")): _*)
   }
 
   /** IVF-PQ (the FAISS production index shape): assign each vector to
@@ -161,16 +151,12 @@ object Pq {
       val n = math.max(math.sqrt(v.map(x => x.toDouble * x).sum), 1e-12)
       v.map(x => (x / n).toFloat)
     }.toSeq
-    df.withColumn("__csims",
-        transform(typedlit(unit), c =>
-          graft.expressions.VectorExpressions.floatVecDot(col(vecCol), c)))
-      .withColumn("cell",
-        (array_position(col("__csims"), array_max(col("__csims"))) - 1)
-          .cast("int"))
+    // one native argmax call per row (see encodeReconstruct)
+    df.withColumn("cell",
+        graft.expressions.VectorExpressions.argmaxCell(col(vecCol), unit))
       .withColumn("__resid",
         zip_with(col(vecCol),
           element_at(typedlit(centroids.map(_.toSeq).toSeq), col("cell") + 1),
           (a, b) => a - b))
-      .drop("__csims")
   }
 }

@@ -50,13 +50,10 @@ object SemDedup {
         val n = math.max(math.sqrt(v0.map(x => x.toDouble * x).sum), 1e-12)
         v0.map(x => (x / n).toFloat)
       }.toSeq
-    df.withColumn("__csims",
-        transform(typedlit(unit), c =>
-          graft.expressions.VectorExpressions.floatVecDot(col(vecCol), c)))
-      .withColumn(cellCol,
-        (array_position(col("__csims"), array_max(col("__csims"))) - 1)
-          .cast("int"))
-      .drop("__csims")
+    // one native argmax call per row (the per-centroid transform-HOF
+    // chain was interpreted per entry — see expressions.PqCodes)
+    df.withColumn(cellCol,
+      graft.expressions.VectorExpressions.argmaxCell(col(vecCol), unit))
   }
 
   /** Within-cluster near-duplicate pairs: (id_a, id_b, cell, cos) for

@@ -324,19 +324,18 @@ object Similarity {
     // cells are 0..k-1, positional: cents(i) is cell i's vector
     var cents: IndexedSeq[Array[Float]] = kppSeeds(training, idCol, vecCol, k)
     for (_ <- 0 until iters) {
-      // unit-normalized centroid literal: assignment is a per-row argmax of
-      // dot(v, ĉ_i) — entirely map-side, no join, no row blowup; the only
-      // shuffle is k×dim partial sums from FloatVecSumAgg.
+      // unit-normalized centroids: assignment is a per-row argmax of
+      // dot(v, ĉ_i) — entirely map-side, no join, no row blowup, ONE
+      // native PqCodes call per row (the per-centroid transform-HOF
+      // chain was interpreted per entry — the SrpBandKeys lesson); the
+      // only shuffle is k×dim partial sums from FloatVecSumAgg.
       val unit: Seq[Seq[Float]] = cents.map { v0 =>
         val n = math.max(math.sqrt(v0.map(x => x.toDouble * x).sum), 1e-12)
         v0.map(x => (x / n).toFloat).toSeq
       }.toSeq
       val sums = training.select(col(vecCol).as("v"))
-        .withColumn("csims",
-          transform(typedlit(unit), c =>
-            graft.expressions.VectorExpressions.floatVecDot(col("v"), c)))
         .withColumn("cell",
-          (array_position(col("csims"), array_max(col("csims"))) - 1).cast("int"))
+          graft.expressions.VectorExpressions.argmaxCell(col("v"), unit))
         .groupBy("cell")
         .agg(graft.expressions.VectorExpressions.floatVecSum(col("v")).as("s"),
           count(lit(1)).as("n"))
