@@ -120,9 +120,17 @@ object Audio {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(rateCol).cast("int"),
         col(samplesCol).cast("array<int>"))
-      .as[(Long, Int, Seq[Int])]
+      // Array[Int], not Seq[Int]: the primitive-array encoder copies the
+      // unsafe buffer in one shot where the Seq encoder boxes per sample
+      // (millions of samples per partition on the synth fixtures)
+      .as[(Long, Int, Array[Int])]
       .map { case (id, rate, samples) =>
-        val payload = packWavPcm16(rate, samples.map(_.toShort).toArray,
+        val shorts = new Array[Short](samples.length)
+        var si = 0
+        while (si < samples.length) {
+          shorts(si) = samples(si).toShort; si += 1
+        }
+        val payload = packWavPcm16(rate, shorts,
           withJunkChunk = id % 2 == 0)
         val sha = java.security.MessageDigest.getInstance("SHA-256")
           .digest(payload).map("%02x".format(_)).mkString

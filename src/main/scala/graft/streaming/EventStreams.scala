@@ -265,6 +265,24 @@ object EventStreams {
       b0 => Cdc.chunkPostings(b0, idCol, textCol, w, mask, minChunkLen))
   }
 
+  /** Compact a microbatch output before its ledger append (guide §6
+    * small files): the streaming engine clones the query session with
+    * AQE force-disabled (ResolveWriteToStream), so a foreachBatch body
+    * writing through the session's static shuffle-partition count
+    * commits that many tiny part files PER BATCH (measured: 32 ~16 KB
+    * files per x161 append — the table accretes
+    * runs × batches × partitions files that every later read must list
+    * and open). The batch queries a foreachBatch body runs are plain
+    * batch plans, so re-enable AQE on the cloned session and REBALANCE
+    * the append: partitions coalesce (or split) to advisory size — one
+    * file for the summary-sized appends the ledger contract documents,
+    * real volume still spreads. Content-identical, layout only. */
+  private def compactForAppend(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    df.sparkSession.conf.set("spark.sql.adaptive.enabled", "true")
+    df.hint("rebalance")
+  }
+
   /** Signature-agnostic streaming-ledger core: one AvailableNow run over
     * the landing dir, each microbatch passed through `step(batch, kept)`
     * and appended to the ledger table; `emptyPostings(batch.limit(0))`
@@ -290,6 +308,7 @@ object EventStreams {
           }
           else emptyPostings(batch.limit(0).toDF())
         step(batch.toDF(), kept)
+          .transform(compactForAppend)
           .write.mode("append").format("parquet").saveAsTable(ledgerTable)
       }
     val q = stream.writeStream
@@ -347,7 +366,8 @@ object EventStreams {
         import s.implicits._
         val out = ((null.asInstanceOf[String], n) +: entries).toDF("term", "est")
           .withColumn("batch_id", lit(batchId))
-        out.write.mode("append").format("parquet").saveAsTable(sketchTable)
+        out.transform(compactForAppend)
+          .write.mode("append").format("parquet").saveAsTable(sketchTable)
       }
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -379,6 +399,7 @@ object EventStreams {
         graft.operators.CorpusDrift
           .bucketCountsAgainstVocab(batch.toDF(), sourceCol, textCol, vocab)
           .withColumn("batch_id", lit(batchId))
+          .transform(compactForAppend)
           .write.mode("append").format("parquet").saveAsTable(ledgerTable)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -437,6 +458,7 @@ object EventStreams {
           .groupBy("slice", "column_name", "value")
           .agg(count(lit(1)).as("c"))
           .withColumn("batch_id", lit(batchId))
+          .transform(compactForAppend)
           .write.mode("append").format("parquet").saveAsTable(ledgerTable)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -486,6 +508,7 @@ object EventStreams {
           batch.toDF().select(col(groupCol), col(idCol)),
           groupCol, idCol, n)
           .withColumn("batch_id", lit(batchId))
+          .transform(compactForAppend)
           .write.mode("append").format("parquet").saveAsTable(ledgerTable)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -566,6 +589,7 @@ object EventStreams {
             count(lit(1)).as("n"))
           .drop("sid")
           .withColumn("batch_id", lit(batchId))
+          .transform(compactForAppend)
           .write.mode("append").format("parquet").saveAsTable(ledgerTable)
       }
     val q = stream.writeStream
@@ -663,6 +687,7 @@ object EventStreams {
               .cast(DecimalType(38, 0))), lit(0L).cast(DecimalType(38, 0)))
               .cast(DecimalType(38, 0)).as("s2"))
           .withColumn("batch_id", lit(batchId))
+          .transform(compactForAppend)
           .write.mode("append").format("parquet").saveAsTable(ledgerTable)
       }
     val q = stream.writeStream
@@ -834,6 +859,7 @@ object EventStreams {
           .distinct()
           .orderBy(col("h")).limit(k)
           .withColumn("batch_id", lit(batchId))
+          .transform(compactForAppend)
           .write.mode("append").format("parquet").saveAsTable(ledgerTable)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -914,6 +940,7 @@ object EventStreams {
           .select(lit(batchId).as("batch_id"), col("n_rows"),
             col("batch_max_us"), lit(wmBefore).as("wm_before_us"),
             col("late_rows"))
+          .transform(compactForAppend)
           .write.mode("append").format("parquet").saveAsTable(ledgerTable)
       }
     val q = stream.writeStream
@@ -973,6 +1000,7 @@ object EventStreams {
             sum(col(opCol).cast("long") * col(valueCol).cast("long"))
               .as("value_delta"))
           .withColumn("batch_id", lit(batchId))
+          .transform(compactForAppend)
           .write.mode("append").format("parquet").saveAsTable(ledgerTable)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -1032,6 +1060,7 @@ object EventStreams {
     val fb: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, batchId) =>
         tokenLedgerPartial(batch.toDF(), groupCol, tokens, batchId)
+          .transform(compactForAppend)
           .write.mode("append").format("parquet").saveAsTable(ledgerTable)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -1102,6 +1131,7 @@ object EventStreams {
           .groupBy(col("g"), col("v"))
           .agg(sum(col("w")).as("w"))
           .withColumn("batch_id", lit(batchId))
+          .transform(compactForAppend)
           .write.mode("append").format("parquet").saveAsTable(ledgerTable)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -1210,6 +1240,7 @@ object EventStreams {
     val fb: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, batchId) =>
         countMinPartial(batch.toDF(), termCol, depth, width, batchId)
+          .transform(compactForAppend)
           .write.mode("append").format("parquet").saveAsTable(sketchTable)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -1292,6 +1323,7 @@ object EventStreams {
       (batch, batchId) =>
         batch.toDF().select(col(idCol)).distinct()
           .withColumn("batch_id", lit(batchId))
+          .transform(compactForAppend)
           .write.mode("append").format("parquet").saveAsTable(ledgerTable)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -1336,6 +1368,7 @@ object EventStreams {
           .groupBy("hour")
           .agg(count(lit(1)).as("n_events"), sum(col("hit")).as("n_matched"))
           .withColumn("batch_id", lit(batchId))
+          .transform(compactForAppend)
           .write.mode("append").format("parquet").saveAsTable(ledgerTable)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -1416,6 +1449,7 @@ object EventStreams {
             to_date(date_trunc("week", col(tsCol))).as("week"))
           .distinct()
           .withColumn("batch_id", lit(batchId))
+          .transform(compactForAppend)
           .write.mode("append").format("parquet").saveAsTable(ledgerTable)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -1478,6 +1512,7 @@ object EventStreams {
           .select(md5(col("t")).as("sh"))
           .distinct()
           .withColumn("batch_id", lit(batchId))
+          .transform(compactForAppend)
           .write.mode("append").format("parquet").saveAsTable(ledgerTable)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
