@@ -453,8 +453,15 @@ object Dedup {
     // localCheckpoint (eager) replaces the plan with its materialized RDD;
     // on a real cluster with an HDFS checkpoint dir, sc.setCheckpointDir +
     // .checkpoint() is the fault-tolerant equivalent.
-    val edges = pairs.select(col(srcCol).as("s"), col(dstCol).as("d"))
-      .union(pairs.select(col(dstCol).as("s"), col(srcCol).as("d")))
+    // Materialize the caller's pair chain ONCE: the union below reads
+    // its input twice (one evaluation per branch), so an un-persisted
+    // pair GENERATOR (LSH chains, shingle joins) would run twice before
+    // the loop even starts. One id-pair-sized checkpoint, then both
+    // branches scan the materialized RDD.
+    val p0 = pairs.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .localCheckpoint()
+    val edges = p0
+      .union(p0.select(col("d").as("s"), col("s").as("d")))
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("s").as("v")).distinct()
@@ -717,12 +724,17 @@ object Dedup {
   def connectedComponentsStar(pairs: DataFrame, srcCol: String,
       dstCol: String, maxRounds: Int = 50,
       broadcastMaxVertices: Long = 2000000L): DataFrame = {
-    val vertices = pairs.select(col(srcCol).as("pv"))
-      .union(pairs.select(col(dstCol).as("pv")))
+    // Materialize the caller's pair chain ONCE (see connectedComponents):
+    // vertices reads it twice (one evaluation per union branch) and the
+    // edge orientation once more — an un-persisted pair GENERATOR would
+    // run three times before the star rounds even start.
+    val p0 = pairs.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .localCheckpoint()
+    val vertices = p0.select(col("a").as("pv"))
+      .union(p0.select(col("b").as("pv")))
       .distinct()
       .localCheckpoint()
-    var edges = pairs
-      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+    var edges = p0
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v")) // oriented large→small
