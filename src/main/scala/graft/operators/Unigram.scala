@@ -105,6 +105,77 @@ object Unigram {
       .otherwise(reverse(back.getField("ps")))
   }
 
+  /** Local (driver/executor) twin of [[viterbiPieces]] — the identical
+    * DP run in plain Scala over CODEPOINTS (Spark's substr/length are
+    * codepoint-aligned, so the JVM String must be split the same way):
+    * same fixed candidate order, same integer micro-nat costs, same
+    * (cost, −len) tie-break preferring the longer piece, same INF
+    * sentinel, same byte-fallback rule (single-codepoint candidates only,
+    * BYTE_COST per UTF-8 byte). Returns null for an uncoverable word
+    * without fallback, exactly as the HOF returns SQL NULL.
+    * UnigramSpec pins equality against [[viterbiPieces]] on every corpus
+    * word; the HOF stays as the executable specification and the form
+    * the DuckDB oracle replays (the Cdc.boundaryColumnHof discipline —
+    * the HOF is interpreted per candidate per position and dominated the
+    * per-distinct-word encode pass). */
+  private[operators] def viterbiPiecesLocal(w: String,
+      pieces: Map[String, Long], maxLen: Int,
+      byteFallback: Boolean): Seq[String] = {
+    if (w.isEmpty) return Seq.empty
+    val cps = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        val n = Character.charCount(cp)
+        b += w.substring(i, i + n)
+        i += n
+      }
+      b
+    }
+    val L = cps.length
+    val cost = new Array[Long](L + 1)
+    val np = new Array[Int](L + 1)
+    var j = 1
+    while (j <= L) {
+      var bestCost = INF
+      var bestNp = 0
+      var pl = 1
+      while (pl <= maxLen) {
+        val i = j - pl
+        if (i >= 0 && cost(i) < INF) {
+          val piece = cps.slice(i, j).mkString
+          val looked = pieces.get(piece) match {
+            case Some(c) => c
+            case None if byteFallback && pl == 1 =>
+              BYTE_COST * piece.getBytes("UTF-8").length
+            case None => -1L
+          }
+          if (looked >= 0L) {
+            val c = cost(i) + looked
+            // array_sort(struct(cost, np)) head: min cost, then min np
+            // (np = -pl, so ties prefer the LONGER piece)
+            if (c < bestCost || (c == bestCost && -pl < bestNp)) {
+              bestCost = c; bestNp = -pl
+            }
+          }
+        }
+        pl += 1
+      }
+      cost(j) = bestCost; np(j) = bestNp
+      j += 1
+    }
+    if (cost(L) >= INF) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = L
+    while (pos > 0) {
+      val pl = -np(pos)
+      out += cps.slice(pos - pl, pos).mkString
+      pos -= pl
+    }
+    out.reverse.toSeq
+  }
+
   private def costsOf(counts: Map[String, Long]): Map[String, Long] = {
     val total = counts.values.sum.toDouble
     counts.map { case (p, c) => p -> math.round(math.log(total / c) * 1e6) }
@@ -122,42 +193,65 @@ object Unigram {
       rounds: Int = 2): Model = {
     val words = docs.select(explode(split(col(textCol), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .localCheckpoint() // read twice: head TakeOrdered + alphabet
     // trainable head: TOP-K aggregation (orderBy+limit → TakeOrdered,
     // a parallel bounded reduce), NOT row_number over an un-partitioned
     // window — that was a single-task sort of the full distinct-word
     // table, the one non-head-sized step in training (ADVICE r15
     // item 5). Same total order (cnt desc, w asc — ties fully broken),
-    // so the selected set is identical; head is topK rows, checkpointed
-    // because three downstream scans (seeding + each EM round) read it.
-    val head = words.orderBy(desc("cnt"), asc("w")).limit(topK)
-      .localCheckpoint()
+    // so the selected set is identical; the head IS the training state
+    // (seeding and every EM round read only it), so it is COLLECTED —
+    // topK rows, the Bpe.train bounded-collect discipline — and the
+    // substring counting + Viterbi-EM rounds run locally over it
+    // ([[viterbiPiecesLocal]], spec-pinned equal to the HOF): what used
+    // to be one distributed collect job per round (plus one each for
+    // seeding and the head checkpoint) is now two jobs total (this
+    // TakeOrdered + the alphabet distinct below).
+    val head: Array[(String, Long)] = words
+      .orderBy(desc("cnt"), asc("w")).limit(topK)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
     // alphabet: every character of every word (bounded by the charset)
     val alphabet: Set[String] = words
       .select(explode(split(col("w"), "")).as("ch"))
       .filter(col("ch") =!= "").distinct()
       .collect().map(_.getString(0)).toSet
-    // head substrings (len 1..maxPieceLen), occurrence-weighted
-    val subCounts: Map[String, Long] = head
-      .select(col("cnt"), explode(flatten(transform(
-          sequence(lit(1), lit(maxPieceLen)),
-          l => transform(sequence(lit(1), greatest(
-              length(col("w")) - l + 1, lit(0))),
-            i => col("w").substr(i, l))))).as("p"))
-      .groupBy("p").agg(sum(col("cnt")).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // head substrings (len 1..maxPieceLen), occurrence-weighted —
+    // codepoint-sliced exactly as the old substr()-over-length() HOF
+    val subCounts: Map[String, Long] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      for ((w, cnt) <- head) {
+        val cps = {
+          val b = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < w.length) {
+            val cp = w.codePointAt(i)
+            val n = Character.charCount(cp)
+            b += w.substring(i, i + n)
+            i += n
+          }
+          b
+        }
+        for (l <- 1 to maxPieceLen; i <- 0 to cps.length - l) {
+          val p = cps.slice(i, i + l).mkString
+          m(p) = m.getOrElse(p, 0L) + cnt
+        }
+      }
+      m.toMap
+    }
     val multi = subCounts.filter(_._1.length > 1).toSeq
       .sortBy { case (p, c) => (-c, p) }.take(multiPieces)
     var counts: Map[String, Long] =
       alphabet.map(ch => ch -> math.max(subCounts.getOrElse(ch, 0L), 1L))
         .toMap ++ multi
     for (_ <- 1 to rounds) {
-      val costMap = typedlit(costsOf(counts))
-      val used: Map[String, Long] = head
-        .select(col("cnt"),
-          explode(viterbiPieces(col("w"), costMap, maxPieceLen)).as("p"))
-        .groupBy("p").agg(sum(col("cnt")).as("c"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val costs = costsOf(counts)
+      val used = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      for ((w, cnt) <- head) {
+        val ps = viterbiPiecesLocal(w, costs, maxPieceLen,
+          byteFallback = false)
+        if (ps != null) ps.foreach(p =>
+          used(p) = used.getOrElse(p, 0L) + cnt)
+      }
       counts = counts.flatMap { case (p, _) =>
         used.get(p) match {
           case Some(c) => Some(p -> c)
@@ -213,14 +307,24 @@ object Unigram {
   private def encodeImpl(docs: DataFrame, idCol: String, textCol: String,
       model: Model, byteFallback: Boolean): DataFrame = {
     val spark = docs.sparkSession
-    val costMap = typedlit(model.pieces)
+    import spark.implicits._
     val v = vocab(spark, model)
     val vocabSize = model.pieces.size
+    // Viterbi per distinct word via the LOCAL DP twin (mapPartitions,
+    // pieces map in the closure — bounded driver state by the Model
+    // contract): the HOF form re-evaluated interpreted candidate
+    // expressions per position per word; spec-pinned equal, see
+    // [[viterbiPiecesLocal]].
+    val pieces = model.pieces
+    val maxLen = model.maxPieceLen
     val wordIds = docs
       .select(explode(split(col(textCol), " ")).as("w"))
-      .distinct()
-      .withColumn("ps",
-        viterbiPieces(col("w"), costMap, model.maxPieceLen, byteFallback))
+      .distinct().as[String]
+      .mapPartitions { it =>
+        it.map(w =>
+          (w, viterbiPiecesLocal(w, pieces, maxLen, byteFallback)))
+      }
+      .toDF("w", "ps")
       .withColumn("ps", when(col("ps").isNull && col("w") =!= "",
           raise_error(concat(lit("Unigram.encode: word '"), col("w"),
             lit("' contains a character outside the model vocabulary — " +
@@ -260,10 +364,17 @@ object Unigram {
     * Viterbi fold, zero extra shuffle; OOV words raise loudly. */
   def wordSubtokens(docs: DataFrame, textCol: String,
       model: Model): DataFrame = {
-    val costMap = typedlit(model.pieces)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pieces = model.pieces
+    val maxLen = model.maxPieceLen
     docs.select(explode(split(col(textCol), " ")).as("w")).distinct()
-      .withColumn("ps",
-        viterbiPieces(col("w"), costMap, model.maxPieceLen))
+      .as[String]
+      .mapPartitions { it =>
+        it.map(w =>
+          (w, viterbiPiecesLocal(w, pieces, maxLen, byteFallback = false)))
+      }
+      .toDF("w", "ps")
       .withColumn("n_subtokens", when(col("ps").isNull,
           raise_error(concat(lit("Unigram.wordSubtokens: word '"),
             col("w"), lit("' contains a character outside the model " +

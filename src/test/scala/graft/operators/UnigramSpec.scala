@@ -27,6 +27,36 @@ class UnigramSpec extends SparkSpec {
       .select(col("doc_id"), col("text")))
   }
 
+  test("local Viterbi == the HOF executable spec on every corpus word") {
+    // the encode path runs viterbiPiecesLocal (mapPartitions); the HOF
+    // viterbiPieces stays as the executable specification the oracle
+    // replays — pin them equal on every distinct corpus word, both
+    // fallback modes, plus OOV/multi-byte probes (the Bpe
+    // applyMergesToWord discipline)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val model = Unigram.train(docs, "text", topK = 50, maxPieceLen = 3,
+      multiPieces = 40, rounds = 2)
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+      .union(Seq("", "xz~é", "aéb", "cafés",
+        "😀x").toDF("w"))
+    for (fb <- Seq(false, true)) {
+      val hof = words
+        .withColumn("ps", Unigram.viterbiPieces(col("w"),
+          typedlit(model.pieces), model.maxPieceLen, fb))
+        .as[(String, Seq[String])].collect().toMap
+      val loc = words.as[String].collect()
+        .map(w => w -> Unigram.viterbiPiecesLocal(w, model.pieces,
+          model.maxPieceLen, fb)).toMap
+      assert(hof.keySet == loc.keySet)
+      val diff = hof.keys.filter(w => hof(w) != loc(w))
+      assert(diff.isEmpty,
+        s"fb=$fb divergence on ${diff.take(5).mkString(", ")}: " +
+          diff.take(1).map(w => s"hof=${hof(w)} local=${loc(w)}").mkString)
+    }
+  }
+
   test("round trip survives consecutive/leading/trailing spaces") {
     import spark.implicits._
     roundTrip(Seq((1L, "a  b"), (2L, " x"), (3L, "y "), (4L, ""),
