@@ -780,11 +780,16 @@ class ScaleSpec extends SparkSpec {
       // verdict over the driver-built shards report) — ledger rows are
       // the widest frame; the corpus rewrite itself ran at build time
       "x208_ledger_takedown_purge" -> 12,
-      // x209: training actions (head Viterbi rounds) ran at build time
-      // with vocab-sized collects; the registered plan is the encode —
-      // distinct-words Viterbi + broadcast id join + doc reassembly +
-      // the total-order sort (x204's encode class minus its train re-agg)
-      "x209_unigram_encode" -> 3,
+      // x209: training runs locally on the collected head (r16); the
+      // registered plan is the encode — distinct-words local-Viterbi
+      // mapPartitions + broadcast id join + doc reassembly + the
+      // total-order sort. The object boundary of the mapPartitions
+      // pass drops the distinct's hash partitioning, so the piece
+      // reassembly re-exchanges ONCE more than the old in-plan HOF —
+      // a vocab-sized (distinct-word) shuffle bought deliberately: the
+      // per-word Viterbi DP no longer runs as interpreted candidate
+      // expressions (r16 optimization log)
+      "x209_unigram_encode" -> 4,
       // x210: both tokenizers trained at build time; the plan is one
       // corpus word explode + two broadcast word-table joins + the
       // per-lang agg + sort
@@ -796,8 +801,9 @@ class ScaleSpec extends SparkSpec {
       "x211_countmin_retraction" -> 4,
       // x212: x209's encode class — distinct-words fallback Viterbi +
       // broadcast id join + doc reassembly + total-order sort (the
-      // byte branch is per-row expression work, no new shuffle)
-      "x212_unigram_byte_fallback" -> 3,
+      // byte branch is per-row expression work); +1 for the same
+      // vocab-sized mapPartitions re-exchange as x209 (r16)
+      "x212_unigram_byte_fallback" -> 4,
       // x213: ledger batches + the retraction partial ran at build
       // time (groups-sized); the plan is the replay-collapse merge
       // (dropDuplicates + group sum) + the total-order sort
