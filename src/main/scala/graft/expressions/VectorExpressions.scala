@@ -198,8 +198,9 @@ case class SrpBandKeys(child: Expression, signs: Array[Array[Float]],
           s += v.getFloat(i).toDouble * sv(i).toDouble
           i += 1
         }
-        val nonNeg = java.math.BigDecimal.valueOf(s)
-          .setScale(4, java.math.RoundingMode.HALF_UP).signum() >= 0
+        // allocation-free round-4 sign (bit-identical to the BigDecimal
+        // HALF_UP definition — see PortableMath.round4HalfUp)
+        val nonNeg = graft.functions.PortableMath.round4HalfUp(s) >= 0.0
         sb.append(if (nonNeg) '1' else '0')
         r += 1
       }

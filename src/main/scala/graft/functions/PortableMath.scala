@@ -38,4 +38,30 @@ object PortableMath {
     val p = math.pow(10, k).toLong
     s"floor(($expr) * $p + 0.5) / $p"
   }
+
+  /** JVM-side twin of Spark's `round(x, 4)` on doubles —
+    * `BigDecimal.valueOf(x).setScale(4, HALF_UP).toDouble` — WITHOUT the
+    * per-call BigDecimal/String allocation that definition pays (it goes
+    * through `Double.toString`). Hot-loop callers (the broadcast kNN
+    * scan's per-pair cosine, SRP's per-bit sign) allocate nothing on the
+    * fast path: one multiply + floor/ceil + divide, which is exact
+    * because the scaled integer is exactly representable and IEEE
+    * division is correctly rounded. The fast path only differs from the
+    * definition when `x·10⁴` sits within ~1 ulp of the .5 rounding grid
+    * — a guard band (1e-9, vastly wider than the ~2e-12 multiply error
+    * for |x| ≤ 1) falls back to the exact definition there, and for
+    * non-finite input (same NumberFormatException as before). Bit-
+    * identical by construction; PortableMathSpec sweeps the boundary. */
+  def round4HalfUp(x: Double): Double = {
+    val y = x * 1e4
+    if (java.lang.Double.isNaN(y) || java.lang.Double.isInfinite(y))
+      return BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val f = y - math.floor(y)
+    if (math.abs(f - 0.5) < 1e-9)
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    else {
+      val z = if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)
+      z / 1e4 + 0.0 // +0.0 canonicalizes -0.0 (BigDecimal never emits it)
+    }
+  }
 }

@@ -90,8 +90,10 @@ object Similarity {
               var d = 0.0; var j = 0
               val n = math.min(qv.length, cv.length)
               while (j < n) { d += qv(j).toDouble * cv(j); j += 1 }
-              val cos = BigDecimal(d / (qn * cn))
-                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+              // allocation-free round-4 (PortableMath.round4HalfUp is
+              // bit-identical to the BigDecimal HALF_UP definition): the
+              // per-pair BigDecimal+String dominated this N×N loop
+              val cos = graft.functions.PortableMath.round4HalfUp(d / (qn * cn))
               if (heap.size < k) heap.enqueue((cos, cid))
               else {
                 val (wc, wi) = heap.head
