@@ -138,6 +138,34 @@ object Audio {
       }
   }
 
+  /** Square-wave sample synthesis for the audio fixture queries, as ONE
+    * primitive-array map: sample i is 0 on the silent prefix (`i < q`)
+    * and suffix (`i >= n − r`), else ±amp with half-period `halfp`
+    * phased from the prefix end — exactly the
+    * `transform(sequence(0, n−1), …)` HOF it replaces (that form paid an
+    * interpreted lambda per SAMPLE, millions per partition on these
+    * fixtures; AudioSpec pins value equality). Expects int columns
+    * (doc_id/rate/n/amp/halfp/q/r); emits the packWav input frame
+    * (doc_id, rate, samples). Map-side, order-preserving. */
+  def synthSquare(spark: SparkSession, spec: DataFrame): DataFrame = {
+    import spark.implicits._
+    spec.select(col("doc_id").cast("long"), col("rate").cast("int"),
+        col("n").cast("int"), col("amp").cast("int"),
+        col("halfp").cast("int"), col("q").cast("int"), col("r").cast("int"))
+      .as[(Long, Int, Int, Int, Int, Int, Int)]
+      .map { case (id, rate, n, amp, halfp, q, r) =>
+        val out = new Array[Int](n)
+        var i = q
+        val end = n - r
+        while (i < end) {
+          out(i) = if ((((i - q) / halfp) & 1) == 0) amp else -amp
+          i += 1
+        }
+        (id, rate, out)
+      }
+      .toDF("doc_id", "rate", "samples")
+  }
+
   /** Silence-trim output: trimmed payload re-encoded as a spec-valid WAV
     * (same rate); `trimmed = false` marks undecodable payloads (passed
     * through unchanged, never dropped — the [[Multimodal.ResizedRow]]

@@ -6768,19 +6768,20 @@ object PipelineQueries extends QueryPack {
             .otherwise(lit(500) + pmod(col("doc_id") * 13, lit(30)) * 1000)
             .cast("int").as("amp"),
           (lit(4) + pmod(col("doc_id"), lit(13))).cast("int").as("halfp"),
-          (pmod(col("doc_id") * 3 + 1, lit(5)) * 80).cast("int").as("q"))
+          (pmod(col("doc_id") * 3 + 1, lit(5)) * 80).cast("int").as("q"),
+          lit(0).as("r"))
         // silent prefix of q samples, then a ±amp square wave of
-        // half-period halfp — synthesized as a column, packed as bytes
-        val withSamples = spec.withColumn("samples", expr(
-          """transform(sequence(0, n - 1), i ->
-               CASE WHEN i < q THEN 0
-                    WHEN ((i - q) div halfp) % 2 = 0 THEN amp
-                    ELSE -amp END)"""))
+        // half-period halfp — synthesized map-side (the per-sample HOF
+        // was interpreted), over a spec pre-sorted by id so no trailing
+        // orderBy re-evaluates the opaque chain for range sampling
+        val ordered = spec.repartitionByRange(col("doc_id"))
+          .sortWithinPartitions("doc_id")
+        val withSamples = Audio.synthSquare(s, ordered)
         val packed = Audio.packWav(s, withSamples, "doc_id", "rate",
           "samples").toDF()
           .withColumn("payload", when(col("id") % 97 === 0,
             expr("substring(payload, 1, 6)")).otherwise(col("payload")))
-        Audio.analyze(s, packed).toDF().orderBy(col("id"))
+        Audio.analyze(s, packed).toDF()
       },
       Some("""WITH s AS (SELECT doc_id AS id,
           CASE WHEN doc_id % 3 = 0 THEN 8000
@@ -6932,11 +6933,14 @@ object PipelineQueries extends QueryPack {
           (lit(4) + pmod(col("doc_id"), lit(13))).cast("int").as("halfp"),
           (pmod(col("doc_id") * 3 + 1, lit(5)) * 80).cast("int").as("q"),
           (pmod(col("doc_id") * 7 + 2, lit(5)) * 40).cast("int").as("r"))
-        val withSamples = spec.withColumn("samples", expr(
-          """transform(sequence(0, n - 1), i ->
-               CASE WHEN i < q OR i >= n - r THEN 0
-                    WHEN ((i - q) div halfp) % 2 = 0 THEN amp
-                    ELSE -amp END)"""))
+        // sort the CHEAP spec up front and keep every later stage
+        // map-side order-preserving: a trailing orderBy would range-
+        // SAMPLE its child, i.e. evaluate the whole opaque synth+pack+
+        // trim chain twice (measured: 0.92 s -> 1.95 s); synthSquare
+        // replaces the per-sample interpreted HOF (guide §1.2 step 2)
+        val ordered = spec.repartitionByRange(col("doc_id"))
+          .sortWithinPartitions("doc_id")
+        val withSamples = Audio.synthSquare(s, ordered)
         val packed = Audio.packWav(s, withSamples, "doc_id", "rate",
           "samples").toDF()
           .withColumn("payload", when(col("id") % 97 === 0,
@@ -6945,7 +6949,6 @@ object PipelineQueries extends QueryPack {
           .select(col("id"), col("trimmed"), col("n_in"), col("n_out"),
             col("lead_trimmed"), col("trail_trimmed"),
             col("duration_out_ms"), col("n_bytes"))
-          .orderBy(col("id"))
       },
       Some("""WITH s AS (SELECT doc_id AS id,
           CASE WHEN doc_id % 3 = 0 THEN 8000
@@ -7356,10 +7359,13 @@ object PipelineQueries extends QueryPack {
           (lit(500) + pmod(col("doc_id") * 13, lit(30)) * 1000)
             .cast("int").as("amp"),
           (lit(2) * (lit(2) + pmod(col("doc_id"), lit(12))))
-            .cast("int").as("halfp"))
-        val withSamples = spec.withColumn("samples", expr(
-          """transform(sequence(0, n - 1), i ->
-               CASE WHEN (i div halfp) % 2 = 0 THEN amp ELSE -amp END)"""))
+            .cast("int").as("halfp"),
+          lit(0).as("q"), lit(0).as("r"))
+        // map-side synth over a pre-sorted spec (see x117/x121): no
+        // per-sample interpreted HOF, no trailing orderBy double-eval
+        val ordered = spec.repartitionByRange(col("doc_id"))
+          .sortWithinPartitions("doc_id")
+        val withSamples = Audio.synthSquare(s, ordered)
         val packed = Audio.packWav(s, withSamples, "doc_id", "rate",
           "samples").toDF()
           .withColumn("payload", when(col("id") % 97 === 0,
@@ -7368,7 +7374,6 @@ object PipelineQueries extends QueryPack {
           .select(col("id"), col("resampled"), col("rate_in"),
             col("rate_out"), col("n_in"), col("n_out"), col("peak_out"),
             col("sum_sq_out"), col("duration_out_ms"), col("n_bytes"))
-          .orderBy(col("id"))
       },
       Some("""WITH s AS (SELECT doc_id AS id,
           CASE WHEN doc_id % 3 = 0 THEN 8000

@@ -168,4 +168,34 @@ class AudioSpec extends SparkSpec {
       Audio.resample(spark, rows.toDF("id", "payload"), factor = 1)
     }
   }
+
+  test("synthSquare == the transform(sequence) HOF it replaced") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the x117/x121/x130 fixture grid: silent prefix q, square wave of
+    // half-period halfp, silent suffix r — including the degenerate
+    // q = r = 0 (x130) and r = 0 (x117) corners
+    val spec = Seq(
+      (1L, 8000, 10, 500, 4, 0, 0),
+      (2L, 16000, 13, 32767, 2, 3, 0),
+      (3L, 44100, 20, 1500, 5, 4, 3),
+      (4L, 8000, 7, 900, 1, 2, 2),
+      (5L, 8000, 6, 100, 3, 3, 3)) // all-silent (q + r = n)
+      .toDF("doc_id", "rate", "n", "amp", "halfp", "q", "r")
+    val hof = spec.withColumn("samples", expr(
+      """transform(sequence(0, n - 1), i ->
+           CASE WHEN i < q OR i >= n - r THEN 0
+                WHEN ((i - q) div halfp) % 2 = 0 THEN amp
+                ELSE -amp END)"""))
+      .select(col("doc_id"), col("rate"), col("samples"))
+      .as[(Long, Int, Array[Int])].collect().sortBy(_._1)
+    val native = Audio.synthSquare(spark, spec)
+      .as[(Long, Int, Array[Int])].collect().sortBy(_._1)
+    assert(hof.length == native.length)
+    hof.zip(native).foreach { case ((hi, hr, hs), (ni, nr, ns)) =>
+      assert(hi == ni && hr == nr, s"row mismatch at $hi")
+      assert(hs.sameElements(ns), s"samples differ for doc $hi: " +
+        s"${hs.mkString(",")} vs ${ns.mkString(",")}")
+    }
+  }
 }
