@@ -444,8 +444,63 @@ object Dedup {
     *
     * Returns (vertex, component) with component = min vertex id reachable.
     */
+  /** Driver-local union–find over a BOUNDED, already-materialized pair
+    * list — the small-graph fast path both CC variants take below
+    * `localMaxEdges`. At audit scale a near-dup graph is a few 10⁴–10⁵
+    * edges, where the distributed rounds' wall cost is pure per-round
+    * job latency (3–5 rounds × 2–4 exchanges over tiny frames); the
+    * contract is fully order-independent, so the local path computes the
+    * IDENTICAL result: (vertex, component = min vertex id reachable),
+    * every pair endpoint a vertex, self-pairs singletons (DedupSpec's CC
+    * cases run on this path; the star/propagation loops remain the
+    * >cap scale path). Driver memory is bounded by the edge cap — two
+    * longs per edge, the kppSeeds/BPE-head bounded-collect class. */
+  private def localComponentsFromPairs(p0: DataFrame): DataFrame = {
+    val spark = p0.sparkSession
+    import spark.implicits._
+    val edges: Array[(Long, Long)] =
+      p0.rdd.map(r => (r.getLong(0), r.getLong(1))).collect()
+    val idx = new java.util.HashMap[Long, Integer]()
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+    def node(v: Long): Int = {
+      val e = idx.get(v)
+      if (e != null) e.intValue
+      else {
+        val i = ids.length
+        idx.put(v, i); ids += v; parent += i; i
+      }
+    }
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(node(a)); val rb = find(node(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val minOf = new java.util.HashMap[Integer, java.lang.Long]()
+    var i = 0
+    while (i < ids.length) {
+      val r = Integer.valueOf(find(i))
+      val cur = minOf.get(r)
+      if (cur == null || ids(i) < cur.longValue) minOf.put(r, ids(i))
+      i += 1
+    }
+    ids.indices.map(i => (ids(i), minOf.get(Integer.valueOf(find(i)))
+      .longValue)).toDF("v", "comp")
+  }
+
+  /** True when every pair column is LongType — the only id shape the
+    * local union–find path handles without changing the output schema. */
+  private def longPairSchema(p0: DataFrame): Boolean =
+    p0.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 25, broadcastMaxVertices: Long = 2000000L): DataFrame = {
+      maxRounds: Int = 25, broadcastMaxVertices: Long = 2000000L,
+      localMaxEdges: Long = 4000000L): DataFrame = {
     // Iterative algorithms MUST truncate lineage per round: a persist()
     // chain keeps the full logical plan growing linearly, and Catalyst
     // re-analyzes the whole tree every round (quadratic driver time —
@@ -460,6 +515,12 @@ object Dedup {
     // branches scan the materialized RDD.
     val p0 = pairs.select(col(srcCol).as("s"), col(dstCol).as("d"))
       .localCheckpoint()
+    // bounded-graph fast path: one count over the MATERIALIZED pair RDD
+    // (no re-evaluation) decides; below the cap the driver-local
+    // union–find replaces 3-5 rounds of per-round job latency with one
+    // collect (identical result — see localComponentsFromPairs)
+    if (longPairSchema(p0) && p0.count() <= localMaxEdges)
+      return localComponentsFromPairs(p0)
     val edges = p0
       .union(p0.select(col("d").as("s"), col("s").as("d")))
       .distinct()
@@ -723,13 +784,19 @@ object Dedup {
     * reachable, identical to [[connectedComponents]]. */
   def connectedComponentsStar(pairs: DataFrame, srcCol: String,
       dstCol: String, maxRounds: Int = 50,
-      broadcastMaxVertices: Long = 2000000L): DataFrame = {
+      broadcastMaxVertices: Long = 2000000L,
+      localMaxEdges: Long = 4000000L): DataFrame = {
     // Materialize the caller's pair chain ONCE (see connectedComponents):
     // vertices reads it twice (one evaluation per union branch) and the
     // edge orientation once more — an un-persisted pair GENERATOR would
     // run three times before the star rounds even start.
     val p0 = pairs.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .localCheckpoint()
+    // bounded-graph fast path (see connectedComponents): identical
+    // (vertex, min-reachable-id) output, O(log²)-round machinery kept
+    // as the >cap scale path
+    if (longPairSchema(p0) && p0.count() <= localMaxEdges)
+      return localComponentsFromPairs(p0)
     val vertices = p0.select(col("a").as("pv"))
       .union(p0.select(col("b").as("pv")))
       .distinct()
@@ -758,7 +825,10 @@ object Dedup {
         .filter(col("v") > col("u")) // strictly-larger neighbors only
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
+      // no distinct here: duplicates cannot change smallStar's min-agg
+      // and its final distinct collapses them — dropping the exchange
+      // saves one of the round's four shuffles (guide §2.4); the edge
+      // set each round CHECKPOINTS is smallStar's output, still distinct
     }
     def smallStar(e: DataFrame): DataFrame = {
       val mins = e.groupBy(col("u").as("mu")).agg(min(col("v")).as("m"))
@@ -823,7 +893,7 @@ object Dedup {
     val b = withNorm.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosinePrenormed(col("va"), col("vb"), col("na"), col("nb")), 4))
+      .withColumn("cos", graft.expressions.VectorExpressions.round4(cosinePrenormed(col("va"), col("vb"), col("na"), col("nb"))))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
@@ -973,7 +1043,7 @@ object Dedup {
     cand
       .join(base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
-      .withColumn("cos", round(cosinePrenormed(col("va"), col("vb"), col("na"), col("nb")), 4))
+      .withColumn("cos", graft.expressions.VectorExpressions.round4(cosinePrenormed(col("va"), col("vb"), col("na"), col("nb"))))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
