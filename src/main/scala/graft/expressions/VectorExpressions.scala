@@ -143,6 +143,37 @@ case class FloatVecSumAgg(
     copy(child = newChild)
 }
 
+/** `round(x, 4)` for doubles WITHOUT the per-row BigDecimal: Spark's
+  * RoundBase codegen allocates `BigDecimal.valueOf(x)` (through
+  * `Double.toString`) for every row — measurable on the N²-pair cosine
+  * scans (x06's cross join pays it 25M+ times). Delegates to
+  * [[graft.functions.PortableMath.round4HalfUp]], the spec-pinned
+  * bit-identical twin of that definition (PortableMathSpec sweeps the
+  * .5 grid), from BOTH the interpreted and the generated path — so the
+  * surrounding stage stays whole-stage-codegen. Null-safe like round(). */
+case class Round4HalfUp(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "round4_half_up"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires double input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(x: Any): Any =
+    graft.functions.PortableMath.round4HalfUp(x.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      x => s"graft.functions.PortableMath.round4HalfUp($x)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** ALL of a vector's SRP band keys in one pass — the signature stage of
   * the LSH pair generators ([[graft.operators.Dedup.embeddingLshPairs]]
   * family) as a single native expression. The expression-chain form
@@ -295,6 +326,11 @@ object VectorExpressions {
   def floatVecDot(a: Column, b: Column): Column =
     GraftSql.column(FloatVecDot(
       GraftSql.expression(a), GraftSql.expression(b)))
+
+  /** Column-level handle for [[Round4HalfUp]] — drop-in for
+    * `round(x, 4)` on double columns (bit-identical, no BigDecimal). */
+  def round4(x: Column): Column =
+    GraftSql.column(Round4HalfUp(GraftSql.expression(x)))
 
   /** Column-level handle for [[PqCodes]]. */
   def pqCodes(v: Column, units: IndexedSeq[Seq[Seq[Float]]],

@@ -109,7 +109,8 @@ object Pq {
         element_at(col("code"), j + 1) + 1)): _*))
     coded
       .withColumn("recon", recon)
-      .withColumn("recon_cos", round(cosine(col(vecCol), col("recon")), 4))
+      .withColumn("recon_cos", graft.expressions.VectorExpressions
+        .round4(cosine(col(vecCol), col("recon"))))
   }
 
   /** IVF-PQ (the FAISS production index shape): assign each vector to

@@ -31,7 +31,7 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosinePrenormed(col("vq"), col("vc"), col("nq"), col("nc")), 4))
+      .withColumn("cos", graft.expressions.VectorExpressions.round4(cosinePrenormed(col("vq"), col("vc"), col("nq"), col("nc"))))
       // project the vectors away BEFORE the rank shuffle: the window sort
       // then moves 3 scalars per pair instead of two 64-float arrays
       .select("query_id", "neighbor_id", "cos")
@@ -151,7 +151,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id"))
     q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosinePrenormed(col("vq"), col("vc"), col("nq"), col("nc")), 4))
+      .withColumn("cos", graft.expressions.VectorExpressions.round4(cosinePrenormed(col("vq"), col("vc"), col("nq"), col("nc"))))
       // vectors dropped before the rank shuffle (see bruteForceTopK)
       .select("query_id", "neighbor_id", "cos")
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -234,7 +234,7 @@ object Similarity {
     candidates.select(col("query_id"), col("neighbor_id"))
       .join(q, "query_id").join(c, "neighbor_id")
       .withColumn("cos",
-        round(cosinePrenormed(col("vq"), col("vc"), col("nq"), col("nc")), 4))
+        graft.expressions.VectorExpressions.round4(cosinePrenormed(col("vq"), col("vc"), col("nq"), col("nc"))))
       // vectors dropped before the rank shuffle (see bruteForceTopK)
       .select("query_id", "neighbor_id", "cos")
       .withColumn("rank", row_number().over(w).cast("long"))

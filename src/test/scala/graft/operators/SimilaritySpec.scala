@@ -195,4 +195,27 @@ class SimilaritySpec extends SparkSpec {
       .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
     assert(el == org.apache.spark.sql.types.FloatType)
   }
+
+  test("round4 expression == Spark round(x, 4) bit-for-bit (incl. nulls)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(77L)
+    val xs: Seq[java.lang.Double] =
+      (1 to 20000).map(_ => java.lang.Double.valueOf(
+        (rnd.nextDouble() * 2 - 1) * math.pow(10, rnd.nextInt(4) - 2))) ++
+        Seq(null, java.lang.Double.valueOf(0.00005),
+          java.lang.Double.valueOf(-0.00005), java.lang.Double.valueOf(-0.0))
+    val rows = xs.toDF("x")
+      .select(col("x"), round(col("x"), 4).as("want"),
+        graft.expressions.VectorExpressions.round4(col("x")).as("got"))
+      .collect()
+    rows.foreach { r =>
+      if (r.isNullAt(1) || r.isNullAt(2))
+        assert(r.isNullAt(1) && r.isNullAt(2), s"null mismatch at ${r.get(0)}")
+      else assert(
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        s"mismatch at x=${r.get(0)}: want ${r.getDouble(1)} got ${r.getDouble(2)}")
+    }
+  }
 }
