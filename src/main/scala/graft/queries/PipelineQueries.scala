@@ -2188,7 +2188,13 @@ object PipelineQueries extends QueryPack {
           .write.mode("append").parquet(landing.toString)
         run()
         val kmv = EventStreams.mergeKmvLedger(s.table("kmvlg.ledger"), 256)
-        val exact = shStream.select(col("sh")).distinct()
+        // exact-distinct adjudicator over the LANDING parquet (the two
+        // halves just written = the full shingle stream row-for-row):
+        // reading it back skips a third shingle pass over the corpus —
+        // within-query reuse of an intermediate the stream required
+        // anyway, not cross-run caching
+        val exact = s.read.parquet(landing.toString)
+          .select(col("sh")).distinct()
           .agg(count(lit(1)).cast("long").as("exact_distinct"))
         kmv.crossJoin(broadcast(exact))
           // sign·(absdiff DIV): negative integral division truncates in
@@ -2636,13 +2642,20 @@ object PipelineQueries extends QueryPack {
           .write.mode("append").parquet(landing.toString)
         EventStreams.streamingCountMin(s, landing.toString, ev.schema,
           "strcmr.sketch", ckpt.toString, "term", depth = 4, width = 1024)
-        val deletes = ev.filter(col("user_id") % 13 === 5)
+        // the landing parquet now holds exactly ev (both halves): the
+        // delete list, the retraction's raw source, and the clean
+        // adjudicator read it back instead of re-running the events
+        // normalize+term projection three more times (within-query reuse
+        // of a stream-required intermediate, the x201 discipline)
+        val evLanded = s.read.parquet(landing.toString)
+        val deletes = evLanded.filter(col("user_id") % 13 === 5)
           .select(col("user_id"))
-        EventStreams.countMinRetraction(ev, deletes, "user_id", "term",
+        EventStreams.countMinRetraction(evLanded, deletes, "user_id", "term",
             depth = 4, width = 1024, batchId = -2L)
           .write.mode("append").format("parquet")
           .saveAsTable("strcmr.sketch")
-        val clean = ev.join(deletes.distinct(), Seq("user_id"), "left_anti")
+        val clean = evLanded.join(deletes.distinct(), Seq("user_id"),
+          "left_anti")
         val (counters, totals) =
           EventStreams.mergeCountMinLedger(s.table("strcmr.sketch"))
         graft.operators.HeavyHitters.countMinReportFromCounters(
@@ -3240,9 +3253,15 @@ object PipelineQueries extends QueryPack {
         // the narrow (id, spec) rows across every core first (at 100 TB
         // the scan is already wide and this exchange is a no-op-sized
         // rebalance; here it buys 32× on the dominant cost)
+        // range-partition + sort the cheap spec BY id up front: the same
+        // 32x codec spread as the old round-robin repartition, plus the
+        // codec chain stays order-preserving so no trailing orderBy has
+        // to range-SAMPLE (= re-evaluate) the expensive opaque chain
         val packed = Multimodal.packPixelImages(s,
           pixelFixtureSpec(t(s, dir, "documents"))
-            .repartition(s.sparkContext.defaultParallelism),
+            .repartitionByRange(s.sparkContext.defaultParallelism,
+              col("doc_id"))
+            .sortWithinPartitions("doc_id"),
           "doc_id", "fmt", "w", "h", "g_top", "g_bot").toDF()
         val feats = Multimodal.extractFeatures(s, packed).toDF()
         feats.select(
@@ -3252,7 +3271,6 @@ object PipelineQueries extends QueryPack {
               round(element_at(col("features"), b + 1) *
                 col("width") * col("height"))
                 .cast("long").as(s"c$b"))): _*)
-          .orderBy(col("id"))
       },
       Some(s"""WITH s AS ($pixelFixtureSpecSql)
         SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
@@ -3311,6 +3329,11 @@ object PipelineQueries extends QueryPack {
           .join(rp, "id")
           .select(col("id"), col("frame_idx"), col("n_frames"),
             col("frame_bin"), col("out_w"), col("out_h"), col("mass"))
+          // materialize the narrow join output before the sort: both
+          // codec chains reach the orderBy through broadcast joins (no
+          // shuffle barrier), so the range-bounds sampling would
+          // otherwise re-run every encode/decode pass a second time
+          .localCheckpoint()
           .orderBy(col("id"), col("frame_idx"))
       },
       Some("""WITH s AS (SELECT doc_id AS id, 2 + doc_id % 4 AS nf,
@@ -4870,7 +4893,14 @@ object PipelineQueries extends QueryPack {
             .cast("int").as("w"),
           (lit(1) + pmod(col("doc_id") * 13 + col("n_chars") * 3, lit(768)))
             .cast("int").as("h"))
-        val packed = Multimodal.packImages(s, spec, "doc_id", "fmt", "w", "h")
+        // pre-sorted spec (the x13/x121 discipline): spreads the codec
+        // map off the one-split scan AND drops the trailing orderBy's
+        // double evaluation of the opaque chain
+        val packed = Multimodal.packImages(s,
+          spec.repartitionByRange(s.sparkContext.defaultParallelism,
+              col("doc_id"))
+            .sortWithinPartitions("doc_id"),
+          "doc_id", "fmt", "w", "h")
           .toDF()
           .withColumn("payload", when(col("id") % 97 === 0,
             expr("substring(payload, 1, 6)")).otherwise(col("payload")))
@@ -4878,7 +4908,6 @@ object PipelineQueries extends QueryPack {
           .select(col("id"), col("format"),
             col("width").cast("long").as("width"),
             col("height").cast("long").as("height"))
-          .orderBy(col("id"))
       },
       Some("""SELECT doc_id AS id,
         CASE WHEN doc_id % 97 = 0 THEN NULL
