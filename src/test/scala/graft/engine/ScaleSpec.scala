@@ -959,6 +959,65 @@ class ScaleSpec extends SparkSpec {
     assert(over.isEmpty, s"shuffle budgets exceeded:\n${over.mkString("\n")}")
   }
 
+  test("iterative-round plans: broadcast joins + exchange budgets hold " +
+      "per round (PageRank, both CC variants)") {
+    // r16/r17 verdict item: the loops localCheckpoint every round, so a
+    // whole-query explain is blind to the per-round plan shape. These
+    // are the REPRESENTATIVE round frames the loops actually run
+    // (factored loop bodies — starRound/propagationRound/
+    // distributedRound), asserted in both join regimes; graft.RoundPlans
+    // dumps the same frames for plans/.
+    import spark.implicits._
+    val bcast: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      org.apache.spark.sql.functions.broadcast
+    val ident: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      identity
+    def plan(df: org.apache.spark.sql.DataFrame): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out))(df.explain("formatted"))
+      out.toString
+    }
+    val edgesUV = Seq((5L, 1L), (7L, 2L), (9L, 1L)).toDF("u", "v")
+    val starB = graft.operators.Dedup.starRound(edgesUV, bcast)
+    assert(plan(starB).contains("BroadcastHashJoin"),
+      "star round: mins not broadcast under the hint")
+    // 6 static Exchange nodes: the two min-agg subtrees each appear
+    // twice in the tree (smallStar reads its mins in the join AND the
+    // union; largeStar's output feeds both) — at runtime ReusedExchange
+    // collapses the duplicates, so the round executes 3 distinct
+    // shuffles (two min-aggs + the output distinct). The budget pins
+    // the STATIC count; a regression adding a per-round shuffle shows
+    // up as 8 (one more node + its duplicate).
+    assert(graft.PlanAudit.shuffleCount(starB) <= 6,
+      s"star round broadcast regime: ${graft.PlanAudit.shuffleCount(starB)} " +
+        "static exchanges (budget 6 = 3 distinct after ReusedExchange)")
+    val edgesSD = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val labels = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("v", "comp")
+    val propB = graft.operators.Dedup.propagationRound(edgesSD, labels, bcast)
+    assert(plan(propB).contains("BroadcastHashJoin"),
+      "propagation round: labels not broadcast under the hint")
+    assert(graft.PlanAudit.shuffleCount(propB) <= 1,
+      s"propagation round broadcast regime: " +
+        s"${graft.PlanAudit.shuffleCount(propB)} shuffles (budget 1: the " +
+        "per-vertex min agg)")
+    val ewd = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("node", "dst", "outd")
+    val ranks = Seq((1L, 0.5), (2L, 0.5)).toDF("node", "rank")
+    val nodes = Seq(Tuple1(1L)).toDF("node")
+    val prB = graft.operators.PageRank.distributedRound(ewd, ranks, nodes,
+      0.075, 0.85, bcast)
+    assert(plan(prB).contains("BroadcastHashJoin"),
+      "pagerank round: rank vector not broadcast under the hint")
+    assert(graft.PlanAudit.shuffleCount(prB) <= 1,
+      s"pagerank round broadcast regime: " +
+        s"${graft.PlanAudit.shuffleCount(prB)} shuffles (budget 1: the " +
+        "per-dst aggregation)")
+    // the shuffle regime must still be a valid plan (the > cap path);
+    // on literal-sized test frames the planner may auto-broadcast, so
+    // only plan validity is asserted here, not strategy
+    assert(graft.PlanAudit.shuffleCount(
+      graft.operators.Dedup.starRound(edgesUV, ident)) >= 1)
+  }
+
   test("registry-wide plan lint: no single-partition window funnels") {
     // Standing tripwire for the scale-killer class VERDICT r8 caught in
     // x65: `row_number() OVER (ORDER BY ...)` with no PARTITION BY plans
